@@ -1,0 +1,61 @@
+"""Benchmark runner (driver contract: one JSON line on stdout).
+
+Runs every registered headline query end-to-end (plan + execute +
+collect) at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], after one throwaway warm-up action, and
+prints {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from hive_clone_spark import registry  # noqa: E402
+from hive_clone_spark.session import get_spark  # noqa: E402
+
+# Queries excluded from the benchmark (fixture-scale demos, not data-scale).
+EXCLUDE_PREFIXES = ("g_",)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    registry.load_all_modules()
+    spark = get_spark(app_name="hive-clone-spark-bench")
+
+    # Warm up the JVM / parquet footer caches with a throwaway action.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(registry.QUERIES):
+        if name.startswith(EXCLUDE_PREFIXES):
+            continue
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1 @@
+"""Deduplication operators (M5) — filled in after the relational core."""

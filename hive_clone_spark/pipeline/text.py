@@ -1,0 +1,1 @@
+"""Text-analysis operators (M5) — filled in after the relational core."""

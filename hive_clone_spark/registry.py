@@ -1,0 +1,49 @@
+"""Query/oracle registry behind __spark_entry__.py.
+
+Every implemented operator registers a (spark, sf_dir) -> DataFrame
+callable plus (when SQL-expressible) the equivalent DuckDB SQL the
+driver runs as the correctness oracle. Column names must match between
+the two — the driver sorts columns by name before hashing values.
+
+Determinism rules used throughout (so value-hashes match):
+  * money/metric aggregates go through decimal casts (order-independent
+    exact sums) and are rounded + cast to double identically on both
+    sides;
+  * timestamp-valued output columns are formatted as strings;
+  * every top-k / limit query carries a total tie-breaking order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: register a query (and optionally its DuckDB oracle)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all_modules() -> None:
+    """Import every module that registers queries (idempotent)."""
+    from hive_clone_spark.operators import relational  # noqa: F401
+    from hive_clone_spark.operators import iterate  # noqa: F401
+    from hive_clone_spark.hive_game import queries as game_queries  # noqa: F401
+    from hive_clone_spark.pipeline import dedup  # noqa: F401
+    from hive_clone_spark.pipeline import similarity  # noqa: F401
+    from hive_clone_spark.pipeline import text  # noqa: F401
+    from hive_clone_spark.pipeline import multimodal  # noqa: F401
+    from hive_clone_spark.streaming import windows  # noqa: F401
