@@ -1,1 +1,374 @@
-"""Deduplication operators (M5) — filled in after the relational core."""
+"""Deduplication operators over `documents`/`embeddings` (M5):
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design (100 TB): every variant avoids the quadratic all-pairs
+join — exact dedup is a hash groupBy; MinHash/SimHash block by band
+keys so the self-join only meets within buckets; Jaccard blocks on
+(lang, shared-shingle); embedding near-dup blocks on label. The only
+shuffles are on those blocking keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_clone_spark.catalog import table
+from hive_clone_spark.pipeline.common import (
+    MOD,
+    SQL_WORDS,
+    portable_hash,
+    shingles_col,
+    sql_portable_hash,
+    sql_shingles,
+    words_col,
+)
+from hive_clone_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# exact dedup: md5 grouping, survivor = min doc_id per text hash
+# ---------------------------------------------------------------------------
+@register(
+    "p_dedup_exact",
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5,
+           (doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))) AS keep
+    FROM documents ORDER BY doc_id
+    """,
+)
+def p_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5("text"))
+    return (
+        d.select(
+            "doc_id",
+            F.md5("text").alias("text_md5"),
+            (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+#   shingle(3-word) → portable hash → 16 minhashes (explicit agg
+#   columns, affine hash family mod 2^31-1) → 8 bands of 2 → self-join
+#   on band key → candidate pairs + exact shingle-set Jaccard verify.
+# ---------------------------------------------------------------------------
+N_HASH = 16
+_A = [1234567 + 99991 * i for i in range(N_HASH)]
+_B = [7654321 + 31337 * i for i in range(N_HASH)]
+
+
+def _minhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(shingles_col(words_col(F.col("text")))).alias("shingle"),
+        )
+        .dropDuplicates(["doc_id", "shingle"])
+        .withColumn("h", portable_hash(F.col("shingle")) % MOD)
+    )
+    aggs = [
+        F.min((F.lit(_A[i]) * F.col("h") + F.lit(_B[i])) % MOD).alias(f"mh{i}")
+        for i in range(N_HASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _sql_minhash() -> str:
+    shingles = sql_shingles(SQL_WORDS.format(expr="text"))
+    aggs = ", ".join(
+        f"MIN(({_A[i]} * h + {_B[i]}) % {MOD}) AS mh{i}" for i in range(N_HASH)
+    )
+    return f"""
+    sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (SELECT doc_id, unnest({shingles}) AS shingle FROM documents)),
+    hs AS (SELECT doc_id, {sql_portable_hash("shingle")} % {MOD} AS h FROM sh),
+    mh AS (SELECT doc_id, {aggs} FROM hs GROUP BY doc_id)
+    """
+
+
+@register(
+    "p_dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_sql_minhash()},
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band, CAST(mh{2*b} AS VARCHAR) || ':' || CAST(mh{2*b+1} AS VARCHAR) AS band_key FROM mh"
+          for b in range(8)
+      )}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    ssets AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (SELECT doc_id, unnest({sql_shingles(SQL_WORDS.format(expr="text"))}) AS shingle
+            FROM documents)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ssets GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS ninter
+      FROM cand c
+      JOIN ssets sa ON sa.doc_id = c.doc_a
+      JOIN ssets sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+      ROUND(CAST(COALESCE(i.ninter, 0) AS DOUBLE)
+            / (za.n + zb.n - COALESCE(i.ninter, 0)), 6) AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes za ON za.doc_id = c.doc_a
+    JOIN sizes zb ON zb.doc_id = c.doc_b
+    ORDER BY c.doc_a, c.doc_b
+    """,
+)
+def p_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mh = _minhash_table(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ":", F.col(f"mh{2*b}").cast("string"), F.col(f"mh{2*b+1}").cast("string")
+                ).alias("band_key"),
+            )
+            for b in range(8)
+        ]
+    )
+    bands = mh.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # exact Jaccard verification on candidates only (LSH prunes the pair space)
+    d = table(spark, sf_dir, "documents")
+    ssets = (
+        d.select("doc_id", F.explode(shingles_col(words_col(F.col("text")))).alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+    sizes = ssets.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(ssets.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            ssets.alias("sb"),
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ninter"))
+    )
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), ["doc_a"])
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), ["doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.coalesce(F.col("ninter"), F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("ninter"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit) + banded near-dup pairs by hamming distance
+#   bit_j weight = Σ_words ±1 from the word hash's j-th bit — integer
+#   sums, fully deterministic; pairs block on hi/lo byte bands.
+# ---------------------------------------------------------------------------
+def _simhash_bits_sql() -> str:
+    cols = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(16)
+    )
+    return cols
+
+
+@register(
+    "p_dedup_simhash",
+    oracle=f"""
+    WITH wh AS (
+      SELECT doc_id, {sql_portable_hash("w")} AS h
+      FROM (SELECT doc_id, unnest({SQL_WORDS.format(expr="text")}) AS w FROM documents)),
+    bits AS (SELECT doc_id, {_simhash_bits_sql()} FROM wh GROUP BY doc_id),
+    sh AS (
+      SELECT doc_id,
+        CAST({" + ".join(f"(CASE WHEN b{j} > 0 THEN 1 ELSE 0 END << {j})" for j in range(16))}
+          AS BIGINT) AS simhash
+      FROM bits),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM sh a JOIN sh b
+        ON a.doc_id < b.doc_id
+       AND ((a.simhash >> 8) = (b.simhash >> 8) OR (a.simhash & 255) = (b.simhash & 255)))
+    SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+    FROM pairs WHERE hamming <= 2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def p_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    wh = d.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("w")
+    ).withColumn("h", portable_hash(F.col("w")))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(16)
+    ]
+    bits = wh.groupBy("doc_id").agg(*bit_aggs)
+    simhash = None
+    for j in range(16):
+        term = F.shiftleft(F.when(F.col(f"b{j}") > 0, 1).otherwise(0), j)
+        simhash = term if simhash is None else simhash + term
+    sh = bits.select("doc_id", simhash.cast("bigint").alias("simhash"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                (F.shiftright(F.col("a.simhash"), 8) == F.shiftright(F.col("b.simhash"), 8))
+                | (
+                    F.col("a.simhash").bitwiseAND(F.lit(255))
+                    == F.col("b.simhash").bitwiseAND(F.lit(255))
+                )
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("hamming") <= 2)
+    )
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup: shingle-join blocking (pairs must share a
+# shingle AND a language), top-20 most-similar pairs.
+# ---------------------------------------------------------------------------
+@register(
+    "p_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH ss AS (
+      SELECT DISTINCT d.doc_id, d.lang, s.shingle
+      FROM documents d,
+           unnest({sql_shingles(SQL_WORDS.format(expr="d.text"))}) AS s(shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ss GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+      FROM ss a JOIN ss b
+        ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           ROUND(CAST(ninter AS DOUBLE) / (za.n + zb.n - ninter), 6) AS jaccard
+    FROM inter
+    JOIN sizes za ON za.doc_id = doc_a
+    JOIN sizes zb ON zb.doc_id = doc_b
+    ORDER BY jaccard DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def p_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    ss = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(shingles_col(words_col(F.col("text")))).alias("shingle"),
+        )
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+    sizes = ss.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = ss.alias("a"), ss.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("ninter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), ["doc_a"])
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), ["doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("ninter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("ninter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup: label-blocked pairs, top-20 by cosine
+# (sequential-fold double dot product — deterministic, matches DuckDB)
+# ---------------------------------------------------------------------------
+@register(
+    "p_dedup_embedding",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+      ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)
+        AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    ORDER BY cosine DESC, vec_a, vec_b
+    LIMIT 20
+    """,
+)
+def p_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_clone_spark.pipeline.common import cosine_col
+
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), F.col("embedding").alias("eb")
+    )
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a",
+            "vec_b",
+            "label",
+            F.round(cosine_col(F.col("ea"), F.col("eb")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_a", "vec_b")
+        .limit(20)
+    )

