@@ -1,0 +1,281 @@
+"""Extended relational surface (M1+): operators a warehouse user
+expects that aren't in the core q01-q25 set — as-of join, pivot,
+semi-structured JSON access, GROUPING SETS, exact percentiles, string
+expression chains.
+
+The reference (a C++ Hive-board-game clone, SURVEY.md §0) has none of
+these; they come from the driver contract's warehouse surface
+(BASELINE.json north_star). Each is written the way it should run at
+100 TB — in particular the as-of join is the union+ordered-window form
+(one shuffle, no per-row range scan), not a per-key range join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hive_clone_spark.catalog import table
+from hive_clone_spark.registry import register
+
+
+def _dec(col: str):
+    return F.col(col).cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# Q26 — as-of join: for every 'click' event, the value of the same
+# user's most recent prior-or-equal 'purchase' event.
+#
+# Scale design: the naive form is a range join (click × purchase on
+# user_id with purchase.ts <= click.ts, then argmax) — quadratic per
+# user. The scalable form used here unions both sides into one stream,
+# sorts within user by (ts, is_click, event_id) — purchases before the
+# clicks that share their timestamp — and carries the last non-null
+# purchase value forward with an ignore-nulls window. One shuffle on
+# user_id, linear work, same plan shape Flink/kdb use for as-of.
+# ---------------------------------------------------------------------------
+@register(
+    "q26_asof_join",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           p.event_id AS purchase_id,
+           ROUND(CAST(p.value AS DOUBLE), 6) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (
+      -- dedup ties: keep one purchase per (user, ts) — max event_id —
+      -- so the as-of pick is deterministic
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase') WHERE rn = 1
+    ) p ON c.user_id = p.user_id AND c.ts >= p.ts
+    ORDER BY click_id
+    """,
+)
+def q26_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click")
+    # deterministic tie-break: one purchase per (user, ts), max event_id
+    pw = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    tagged = clicks.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_click"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("p_event_id"),
+        F.lit(None).cast("double").alias("p_value"),
+    ).unionByName(
+        purchases.select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("is_click"),
+            F.col("event_id"),
+            F.col("event_id").alias("p_event_id"),
+            F.col("value").cast("double").alias("p_value"),
+        )
+    )
+    # within a user: purchases sort before clicks at equal ts (asof is
+    # inclusive), and the last purchase seen so far is carried forward
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("purchase_id", F.last("p_event_id", ignorenulls=True).over(w))
+        .withColumn("purchase_value", F.last("p_value", ignorenulls=True).over(w))
+        .where(F.col("is_click") == 1)
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+            "purchase_id",
+            F.round("purchase_value", 6).alias("purchase_value"),
+        )
+        .orderBy("click_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q27 — pivot: order counts + value by month-of-year pivoted on order
+# status (fixed pivot values → stable schema; map-side partial aggs).
+# ---------------------------------------------------------------------------
+@register(
+    "q27_pivot",
+    oracle="""
+    SELECT CAST(month(o_orderdate) AS INT) AS order_month,
+      COUNT(*) FILTER (o_orderstatus = 'O') AS n_open,
+      COUNT(*) FILTER (o_orderstatus = 'F') AS n_filled,
+      COUNT(*) FILTER (o_orderstatus = 'P') AS n_partial,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'O') AS DOUBLE) AS v_open,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F') AS DOUBLE) AS v_filled,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'P') AS DOUBLE) AS v_partial
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def q27_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy(F.month("o_orderdate").cast("int").alias("order_month"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("v"),
+        )
+    )
+    return pivoted.select(
+        "order_month",
+        F.coalesce("O_n", F.lit(0)).alias("n_open"),
+        F.coalesce("F_n", F.lit(0)).alias("n_filled"),
+        F.coalesce("P_n", F.lit(0)).alias("n_partial"),
+        F.col("O_v").alias("v_open"),
+        F.col("F_v").alias("v_filled"),
+        F.col("P_v").alias("v_partial"),
+    ).orderBy("order_month")
+
+
+# ---------------------------------------------------------------------------
+# Q28 — semi-structured JSON: serialize order rows to JSON strings,
+# then extract typed fields back out (to_json / get_json_object —
+# both JVM-side, no Python).
+# ---------------------------------------------------------------------------
+@register(
+    "q28_json_roundtrip",
+    oracle="""
+    WITH j AS (
+      SELECT o_orderkey,
+             to_json(struct_pack(k := o_orderkey, s := o_orderstatus,
+                                 p := ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2))) AS doc
+      FROM orders)
+    SELECT o_orderkey, json_extract_string(doc, '$.s') AS status,
+           CAST(json_extract(doc, '$.p') AS DOUBLE) AS price
+    FROM j ORDER BY o_orderkey
+    """,
+)
+def q28_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    doc = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("s"),
+            F.round(_dec("o_totalprice"), 2).alias("p"),
+        )
+    )
+    return (
+        o.select("o_orderkey", doc.alias("doc"))
+        .select(
+            "o_orderkey",
+            F.get_json_object("doc", "$.s").alias("status"),
+            F.get_json_object("doc", "$.p").cast("double").alias("price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q29 — GROUPING SETS: ((nation, status), (nation), ()) — finer control
+# than rollup/cube (q10/q11); expressed in Spark SQL, one shuffle with
+# partial aggregation per set.
+# ---------------------------------------------------------------------------
+_GS_SQL = """
+SELECT {n} AS nation, {s} AS status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM {src}
+GROUP BY GROUPING SETS ((n_name, o_orderstatus), (n_name), ())
+ORDER BY nation NULLS FIRST, status NULLS FIRST
+"""
+
+
+@register(
+    "q29_grouping_sets",
+    oracle=_GS_SQL.format(
+        n="n_name",
+        s="o_orderstatus",
+        src="""(
+      SELECT n.n_name, o.o_orderstatus, o.o_totalprice
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey)""",
+    ),
+)
+def q29_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    joined.createOrReplaceTempView("_q29_src")
+    return spark.sql(
+        _GS_SQL.format(n="n_name", s="o_orderstatus", src="_q29_src")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q30 — exact percentiles per group (Spark `percentile` ≡ DuckDB
+# `quantile_cont`, both exact linear interpolation on sorted values).
+# ---------------------------------------------------------------------------
+@register(
+    "q30_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+      ROUND(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS DOUBLE), 4) AS p50,
+      ROUND(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9) AS DOUBLE), 4) AS p90,
+      ROUND(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99) AS DOUBLE), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q30_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile(p, F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile(p, F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile(p, F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q31 — string expression chain (scalar-function coverage: the driver
+# surface's string ops; all codegen'd JVM expressions).
+# ---------------------------------------------------------------------------
+@register(
+    "q31_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+      upper(substr(p_name, 1, 8)) AS name_prefix,
+      length(p_name) AS name_len,
+      regexp_replace(p_name, '[aeiou]', '', 'g') AS consonants,
+      concat(p_brand, '#', p_type) AS brand_type,
+      CAST(len(str_split(p_name, ' ')) AS BIGINT) AS n_tokens
+    FROM part ORDER BY p_partkey
+    """,
+)
+def q31_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.upper(F.substring("p_name", 1, 8)).alias("name_prefix"),
+            F.length("p_name").alias("name_len"),
+            F.regexp_replace("p_name", "[aeiou]", "").alias("consonants"),
+            F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+            F.size(F.split("p_name", " ", -1)).cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("p_partkey")
+    )

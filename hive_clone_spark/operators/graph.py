@@ -1,0 +1,121 @@
+"""Iterative graph queries on the driver's data-scale tables (M3 on
+warehouse data, not just fixture boards): connected components via
+min-label propagation.
+
+The algorithm is the one `hive_game/connectivity.py` uses for the
+one-hive rule (R6, rules.cpp:61-133), here applied to a graph derived
+from `orders`: customers are vertices; an edge links two customers who
+ordered on the same day in 1995-Q1 (a co-activity graph — date
+equality is bucketing both engines compute identically). Labels start
+as each vertex's own id and every iteration takes the min over
+neighbors — O(diameter) Spark jobs, each one shuffle on the vertex id,
+lineage cut by localCheckpoint per round.
+
+At 100 TB: min-label propagation is the scalable CC algorithm
+(GraphFrames uses the same shape); the per-iteration shuffle is on
+vertex id, AQE splits skewed hubs, and the iteration count is bounded
+by graph diameter, not row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_clone_spark.catalog import table
+from hive_clone_spark.registry import register
+
+
+def _active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(custkey, order day) pairs for 1995 Q1 — the bipartite base of
+    the co-activity graph."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.where((F.year("o_orderdate") == 1995) & (F.quarter("o_orderdate") == 1))
+        .select(F.col("o_custkey").alias("custkey"), F.col("o_orderdate").alias("day"))
+        .distinct()
+    )
+
+
+_ACTIVE_SQL = """
+    SELECT DISTINCT o_custkey AS custkey, o_orderdate AS day
+    FROM orders
+    WHERE year(o_orderdate) = 1995 AND quarter(o_orderdate) = 1
+"""
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, max_iterations: int = 32
+) -> DataFrame:
+    """Min-label propagation: vertices(id), edges(src, dst) undirected.
+    Returns (id, component) where component = min vertex id reachable."""
+    labels = vertices.select("id", F.col("id").alias("component"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    for _ in range(max_iterations):
+        # neighbor labels + own label, min per vertex; checkpoint cuts
+        # the per-iteration lineage growth (the classic iterative-Spark
+        # failure mode)
+        prop = (
+            sym.join(labels, sym.src == labels.id)
+            .select(F.col("dst").alias("id"), "component")
+            .unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            prop.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+        )
+        converged = changed.isEmpty()
+        labels = prop
+        if converged:
+            return labels
+    raise RuntimeError(f"CC did not converge in {max_iterations} iterations")
+
+
+@register(
+    "q32_connected_components",
+    oracle=f"""
+    WITH RECURSIVE act AS ({_ACTIVE_SQL}),
+    edges AS (
+      SELECT DISTINCT a.custkey AS src, b.custkey AS dst
+      FROM act a JOIN act b ON a.day = b.day AND a.custkey <> b.custkey),
+    verts AS (SELECT DISTINCT custkey AS id FROM act),
+    -- min-label flood: (vertex, label) pairs; a label spreads along an
+    -- edge whenever it is smaller than the destination id
+    reach(id, lbl) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+      WHERE r.lbl < e.dst)
+    SELECT id AS custkey, MIN(lbl) AS component
+    FROM reach GROUP BY id ORDER BY custkey
+    """,
+)
+def q32_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale design: do NOT materialize the per-day cliques (quadratic in
+    # customers-per-day — the oracle can, its data is sf0.01). Run CC on
+    # the BIPARTITE customer–day graph instead: same components over
+    # customers, edges linear in the activity table. Day vertices get
+    # ids above every custkey so min-labels are always customer ids.
+    act = _active(spark, sf_dir)
+    day_id = (F.lit(1 << 40) + F.datediff(F.col("day"), F.lit("1995-01-01"))).cast(
+        "long"
+    )
+    edges = act.select(
+        F.col("custkey").cast("long").alias("src"), day_id.alias("dst")
+    ).distinct()
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return (
+        connected_components(verts, edges)
+        .where(F.col("id") < (1 << 40))  # drop the day super-vertices
+        .select(F.col("id").alias("custkey"), "component")
+        .orderBy("custkey")
+    )

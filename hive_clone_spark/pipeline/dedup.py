@@ -242,18 +242,33 @@ def p_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.shiftleft(F.when(F.col(f"b{j}") > 0, 1).otherwise(0), j)
         simhash = term if simhash is None else simhash + term
     sh = bits.select("doc_id", simhash.cast("bigint").alias("simhash"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # Banded candidate generation: an OR of band equalities is not an
+    # equi join (Spark would fall back to a quadratic nested loop), so
+    # emit one row per (doc, band) and hash-join on the band value —
+    # the standard LSH-band shuffle that scales linearly in candidates.
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.shiftright(F.col("simhash"), 8).alias("key"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.col("simhash").bitwiseAND(F.lit(255)).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                (F.shiftright(F.col("a.simhash"), 8) == F.shiftright(F.col("b.simhash"), 8))
-                | (
-                    F.col("a.simhash").bitwiseAND(F.lit(255))
-                    == F.col("b.simhash").bitwiseAND(F.lit(255))
-                )
-            ),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),

@@ -1,0 +1,95 @@
+"""Source/sink connectors (SURVEY.md §2b "Source/sink" + driver
+north-star warehouse surface).
+
+The reference has no file IO at all (save/load is roadmap-only,
+README.md:103); this module is the warehouse-side surface: columnar
+(parquet/orc), text (csv/json), partitioned layouts for pruning, and
+bucketed tables for shuffle-free joins.
+
+Scale notes (100 TB):
+  * partitioned writes (`partition_by`) put the partition column into
+    the directory layout, so `WHERE part = x` prunes at file-listing
+    time — zero IO for excluded partitions;
+  * bucketed writes (`bucket_by`) pre-shuffle data by join key at write
+    time; two tables bucketed the same way join with NO exchange —
+    the write-once/join-many trade every warehouse makes for big facts;
+  * csv/json are ingest formats: schema must be declared (inference is
+    a full extra pass over 100 TB) and values round-trip through
+    strings, so they're read-validate-convert paths, never the storage
+    format. Parquet/ORC carry types, stats, and pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+FORMATS = ("parquet", "orc", "csv", "json")
+
+_READ_DEFAULTS: dict[str, dict[str, str]] = {
+    # declared-schema ingest: no inference pass, strict types
+    "csv": {"header": "true", "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"},
+    "json": {"timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"},
+}
+_WRITE_DEFAULTS: dict[str, dict[str, str]] = {
+    "csv": {"header": "true", "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"},
+    "json": {"timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"},
+}
+
+
+def read(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Read `path` in `fmt`. Text formats require a declared schema —
+    schema inference over a 100 TB ingest directory is a full extra
+    scan, so refusing it here is a feature."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; known: {FORMATS}")
+    if fmt in ("csv", "json") and schema is None:
+        raise ValueError(f"{fmt} reads require an explicit schema (no inference pass)")
+    reader = spark.read.format(fmt).options(**{**_READ_DEFAULTS.get(fmt, {}), **options})
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options: str,
+) -> None:
+    """Write `df` to `path`; `partition_by` produces the pruning-friendly
+    directory layout (one dir per partition value)."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; known: {FORMATS}")
+    writer = df.write.format(fmt).mode(mode).options(
+        **{**_WRITE_DEFAULTS.get(fmt, {}), **options}
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Bucketed managed table: co-locates rows by hash(bucket_cols) at
+    write time so equi-joins/aggregations on those columns run with no
+    exchange. (Bucketing requires saveAsTable — buckets live in the
+    catalog, not the directory layout.)"""
+    writer = df.write.format(fmt).mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

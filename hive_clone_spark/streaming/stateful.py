@@ -52,18 +52,18 @@ def p_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
 
     def ema_of_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
         pdf = pdf.sort_values(["ts", "event_id"])
-        out, ema = [], None
-        for v in pdf["value"]:
-            v = float(v)
-            # same op order as the oracle: a*x + (1-a)*ema, IEEE double
-            ema = v if ema is None else ALPHA * v + (1 - ALPHA) * ema
-            out.append(round(ema, 6))
+        # pandas ewm(adjust=False) computes y_t = a*x_t + (1-a)*y_{t-1},
+        # y_0 = x_0 — bit-identical to the oracle's recursive CTE, but
+        # vectorized in C instead of a per-row Python loop.
+        ema = pdf["value"].astype("float64").ewm(alpha=ALPHA, adjust=False).mean()
         return pd.DataFrame(
             {
                 "user_id": pdf["user_id"].iloc[0],
-                "seq": range(1, len(out) + 1),
-                "ema": out,
+                "seq": range(1, len(pdf) + 1),
+                "ema": ema.round(6).to_numpy(),
             }
         )
 
