@@ -279,3 +279,90 @@ def q31_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q33 — unpivot (pivot's inverse): lineitem measures to long form.
+# Spark `unpivot` ≡ SQL stack(); oracle uses the portable UNION ALL form.
+# ---------------------------------------------------------------------------
+@register(
+    "q33_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, ROUND(CAST(v AS DOUBLE), 2) AS value
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS v FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem)
+    WHERE l_orderkey <= 1000
+    ORDER BY l_orderkey, l_linenumber, measure
+    """,
+)
+def q33_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 1000)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("double").alias("quantity"),
+            F.col("l_extendedprice").cast("double").alias("extendedprice"),
+            F.col("l_discount").cast("double").alias("discount"),
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["quantity", "extendedprice", "discount"],
+            "measure",
+            "v",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "measure",
+            F.round("v", 2).alias("value"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q34 — INTERSECT (completes q17's set-op family): customers with both
+# an open and a filled order.
+# ---------------------------------------------------------------------------
+@register(
+    "q34_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY o_custkey
+    """,
+)
+def q34_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    open_c = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    filled_c = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_c.intersect(filled_c).orderBy("o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Q35 — correlated scalar subquery: parts priced above their brand's
+# mean retail price. Catalyst decorrelates this into an aggregate +
+# join — same plan a hand-written join would give, but the declarative
+# form survives optimizer improvements.
+# ---------------------------------------------------------------------------
+_Q35_SQL = """
+SELECT p_partkey, p_brand,
+       CAST(p_retailprice AS DOUBLE) AS retail
+FROM {src} p1
+WHERE p_retailprice > (
+  SELECT AVG(CAST(p_retailprice AS DECIMAL(18,6)))
+  FROM {src} p2 WHERE p2.p_brand = p1.p_brand)
+ORDER BY p_partkey
+"""
+
+
+@register("q35_scalar_subquery", oracle=_Q35_SQL.format(src="part"))
+def q35_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "part").createOrReplaceTempView("_q35_part")
+    return spark.sql(_Q35_SQL.format(src="_q35_part"))

@@ -1,0 +1,113 @@
+"""Watermark-semantics tests: these pin the *streaming-only* behaviors
+(late-data dropping, cross-batch dedup) that the batch twins cannot
+express — fed with hand-built micro-batches so arrival order is exact.
+
+Each test writes parquet files into a source dir with controlled
+mtimes (maxFilesPerTrigger=1 → one micro-batch per file, processed in
+mtime order) and drains with the availableNow trigger.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_clone_spark.streaming import streams
+
+
+def _write_batch(spark, out_dir: str, idx: int, rows: list[tuple]) -> None:
+    """One micro-batch file: (event_id, user_id, event_type, ts, value)."""
+    df = spark.createDataFrame(rows, streams.EVENTS_SCHEMA)
+    stage = f"{out_dir}/_stage{idx}"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    import glob
+    import shutil
+
+    part = glob.glob(f"{stage}/part-*.parquet")[0]
+    dst = f"{out_dir}/{idx:03d}.parquet"
+    shutil.copy(part, dst)
+    os.utime(dst, (1_700_000_000 + idx, 1_700_000_000 + idx))
+    shutil.rmtree(stage)
+
+
+def _ts(s: str):
+    import datetime as dt
+
+    return dt.datetime.fromisoformat(s)
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """An event arriving after the watermark passed its window is
+    dropped: batch 1 advances the watermark far past 10:00; batch 2's
+    straggler for 10:00 must not resurrect the closed window."""
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    _write_batch(
+        spark, src, 0,
+        [
+            (1, 1, "click", _ts("2024-01-01 10:00:10"), 1.0),
+            (2, 1, "click", _ts("2024-01-01 10:00:20"), 1.0),
+        ],
+    )
+    # watermark delay is 10 min: 13:00 − 10 min = 12:50 ≫ window [10:00, 11:00)
+    _write_batch(spark, src, 1, [(3, 1, "click", _ts("2024-01-01 13:00:00"), 1.0)])
+    # the filter watermark lags one batch behind the data that advanced
+    # it (wm for batch N comes from batches < N), so give it one more
+    # batch to take effect before the straggler arrives
+    _write_batch(spark, src, 2, [(6, 1, "click", _ts("2024-01-01 13:30:00"), 1.0)])
+    # straggler for the long-closed 10:00 window — must be dropped
+    _write_batch(spark, src, 3, [(4, 1, "click", _ts("2024-01-01 10:00:30"), 1.0)])
+    # one more batch so the final watermark finalizes the 13:00 window too
+    _write_batch(spark, src, 4, [(5, 1, "click", _ts("2024-01-01 15:00:00"), 1.0)])
+
+    streams.run_to_memory(
+        streams.tumbling_counts(streams.read_events_stream(spark, src)),
+        "late_sink",
+        output_mode="append",
+    )
+    got = {
+        (str(r.window_start), r.n_events)
+        for r in spark.table("late_sink").collect()
+    }
+    # the 10:00 window was emitted with 2 events when the watermark
+    # crossed it; the straggler (event 4) was dropped, never re-emitted
+    assert ("2024-01-01 10:00:00", 2) in got
+    assert ("2024-01-01 10:00:00", 3) not in got
+    # 13:00 window (events 3 and 6) finalized by the 15:00 batch
+    assert ("2024-01-01 13:00:00", 2) in got
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the same event_id arriving again
+    in a later micro-batch (within the watermark horizon) is dropped —
+    cross-batch state the batch dropDuplicates doesn't need."""
+    src = str(tmp_path / "dedup_src")
+    os.makedirs(src)
+    _write_batch(
+        spark, src, 0,
+        [
+            (1, 1, "click", _ts("2024-01-01 10:00:00"), 1.0),
+            (2, 1, "click", _ts("2024-01-01 10:00:05"), 1.0),
+        ],
+    )
+    # same event_ids again, slightly later timestamps, plus one new id
+    _write_batch(
+        spark, src, 1,
+        [
+            (1, 1, "click", _ts("2024-01-01 10:00:30"), 1.0),
+            (2, 1, "click", _ts("2024-01-01 10:00:35"), 1.0),
+            (3, 1, "click", _ts("2024-01-01 10:01:00"), 1.0),
+        ],
+    )
+
+    deduped = (
+        streams.read_events_stream(spark, src)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id")
+    )
+    streams.run_to_memory(deduped, "dedup_sink", output_mode="append")
+    got = sorted(r.event_id for r in spark.table("dedup_sink").collect())
+    assert got == [1, 2, 3]
