@@ -594,3 +594,19 @@ def g_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q", "r")
     )
+
+
+# ---------------------------------------------------------------------------
+# R12 — legalMovesForPiece dispatch (rules.cpp:334-344) over ALL pieces
+# of a fixture in one plan (the batched scale path). No oracle entry:
+# its value-correctness is pinned per-bug by the g_*_moves oracles above
+# and by tests/test_game_rules.py::test_legal_moves_all_matches_per_piece.
+# ---------------------------------------------------------------------------
+@register("g_legal_moves_all")
+def g_legal_moves_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_clone_spark.hive_game.movegen import legal_moves_all
+
+    pieces = pieces_df(spark, "f4_ant_perimeter")
+    return legal_moves_all(spark, pieces).orderBy(
+        "piece_id", "to_q", "to_r", "kind", "steps"
+    )

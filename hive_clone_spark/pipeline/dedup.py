@@ -62,23 +62,6 @@ _A = [1234567 + 99991 * i for i in range(N_HASH)]
 _B = [7654321 + 31337 * i for i in range(N_HASH)]
 
 
-def _minhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    sh = (
-        d.select(
-            "doc_id",
-            F.explode(shingles_col(words_col(F.col("text")))).alias("shingle"),
-        )
-        .dropDuplicates(["doc_id", "shingle"])
-        .withColumn("h", portable_hash(F.col("shingle")) % MOD)
-    )
-    aggs = [
-        F.min((F.lit(_A[i]) * F.col("h") + F.lit(_B[i])) % MOD).alias(f"mh{i}")
-        for i in range(N_HASH)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
-
-
 def _sql_minhash() -> str:
     shingles = sql_shingles(SQL_WORDS.format(expr="text"))
     aggs = ", ".join(
@@ -128,7 +111,26 @@ def _sql_minhash() -> str:
     """,
 )
 def p_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    mh = _minhash_table(spark, sf_dir)
+    # The distinct (doc, shingle) set feeds three consumers (minhash,
+    # and both sides of the intersection join) — materialize it once
+    # instead of re-exploding the corpus three times.
+    d = table(spark, sf_dir, "documents")
+    ssets = (
+        d.select("doc_id", F.explode(shingles_col(words_col(F.col("text")))).alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+        .localCheckpoint(eager=True)
+    )
+    # MIN is duplicate-insensitive, so the minhash path reuses the
+    # deduped set directly
+    aggs = [
+        F.min((F.lit(_A[i]) * F.col("h") + F.lit(_B[i])) % MOD).alias(f"mh{i}")
+        for i in range(N_HASH)
+    ]
+    mh = (
+        ssets.withColumn("h", portable_hash(F.col("shingle")) % MOD)
+        .groupBy("doc_id")
+        .agg(*aggs)
+    )
     band_structs = F.array(
         *[
             F.struct(
@@ -156,11 +158,6 @@ def p_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
     )
     # exact Jaccard verification on candidates only (LSH prunes the pair space)
-    d = table(spark, sf_dir, "documents")
-    ssets = (
-        d.select("doc_id", F.explode(shingles_col(words_col(F.col("text")))).alias("shingle"))
-        .dropDuplicates(["doc_id", "shingle"])
-    )
     sizes = ssets.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         cand.join(ssets.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
@@ -227,9 +224,12 @@ def _simhash_bits_sql() -> str:
 )
 def p_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    wh = d.select(
-        "doc_id", F.explode(words_col(F.col("text"))).alias("w")
-    ).withColumn("h", portable_hash(F.col("w")))
+    words = d.select("doc_id", F.explode(words_col(F.col("text"))).alias("w"))
+    # md5 is the per-row cost driver: hash each DISTINCT word once
+    # (vocabulary ≪ occurrences) and broadcast-join the lexicon back,
+    # instead of hashing every one of the ~50× more occurrence rows
+    lexicon = words.select("w").distinct().withColumn("h", portable_hash(F.col("w")))
+    wh = words.join(F.broadcast(lexicon), "w")
     bit_aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -311,6 +311,7 @@ def p_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def p_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
+    # materialized once: feeds sizes + both sides of the blocking join
     ss = (
         d.select(
             "doc_id",
@@ -318,6 +319,7 @@ def p_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(shingles_col(words_col(F.col("text")))).alias("shingle"),
         )
         .dropDuplicates(["doc_id", "shingle"])
+        .localCheckpoint(eager=True)
     )
     sizes = ss.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = ss.alias("a"), ss.alias("b")
@@ -367,14 +369,29 @@ def p_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def p_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hive_clone_spark.pipeline.common import cosine_col
+    from hive_clone_spark.pipeline.common import dot_col
 
-    e = table(spark, sf_dir, "embeddings")
+    # Precompute each vector's norm ONCE (n rows) instead of evaluating
+    # dot(a,a)/dot(b,b) inside every pair (n² HOF folds → 3× fewer).
+    # sqrt(dot(a,a)) here is the identical expression the naive form
+    # evaluates per-pair, so the float results are bit-identical.
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(dot_col(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
     a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea")
+        F.col("vec_id").alias("vec_a"),
+        F.col("label"),
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("na"),
     )
     b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), F.col("embedding").alias("eb")
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("nb"),
     )
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
@@ -382,7 +399,9 @@ def p_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_a",
             "vec_b",
             "label",
-            F.round(cosine_col(F.col("ea"), F.col("eb")), 6).alias("cosine"),
+            F.round(
+                dot_col(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), "vec_a", "vec_b")
         .limit(20)

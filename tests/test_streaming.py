@@ -171,3 +171,21 @@ def test_ema_stream_final_state_matches_batch(spark, events_time_split_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_ema_batch_boundary_carry(spark, sf_dir):
+    """p_ema's mapInPandas carries per-user EMA state across Arrow batch
+    boundaries; force tiny batches so users straddle them, and demand
+    the same oracle-exact result."""
+    from hive_clone_spark import registry
+    from tests.oracle_utils import compare
+
+    registry.load_all_modules()
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        df = registry.QUERIES["p_ema"](spark, sf_dir)
+        ok, msg = compare(df, registry.ORACLE["p_ema"], sf_dir)
+        assert ok, msg
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
