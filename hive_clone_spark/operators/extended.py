@@ -366,3 +366,153 @@ ORDER BY p_partkey
 def q35_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "part").createOrReplaceTempView("_q35_part")
     return spark.sql(_Q35_SQL.format(src="_q35_part"))
+
+
+# ---------------------------------------------------------------------------
+# Q36 — banded interval join: for each 'error' event, how many of the
+# same user's 'click' events happened in the 5 minutes before it.
+#
+# Scale design: the naive plan joins on user_id and post-filters the
+# time range — per-user cross products. The banded form adds a 5-minute
+# bucket to the equi key: a click at time t can only match errors in
+# bucket(t) or bucket(t)+1, so each row is duplicated at most twice and
+# the join meets only within (user, bucket) — bounded work per key, the
+# standard interval-join decomposition (same trick Flink uses).
+# ---------------------------------------------------------------------------
+@register(
+    "q36_interval_join",
+    oracle="""
+    SELECT e.event_id AS error_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+           (SELECT COUNT(*) FROM events c
+            WHERE c.event_type = 'click' AND c.user_id = e.user_id
+              AND c.ts > e.ts - INTERVAL 5 MINUTE AND c.ts <= e.ts) AS n_recent_clicks
+    FROM events e
+    WHERE e.event_type = 'error'
+    ORDER BY error_id
+    """,
+)
+def q36_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_clone_spark.catalog import table as _table
+
+    e = _table(spark, sf_dir, "events")
+    bucket = lambda col: (F.unix_timestamp(col) / 300).cast("long")  # noqa: E731
+    errors = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id"),
+        F.col("ts").alias("error_ts"),
+        bucket(F.col("ts")).alias("bkt"),
+    )
+    # each click lands in its own bucket and the next (it can only match
+    # errors up to 5 minutes after it)
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.explode(
+                F.array(bucket(F.col("ts")), bucket(F.col("ts")) + 1)
+            ).alias("bkt"),
+        )
+    )
+    matched = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (errors.bkt == clicks.bkt)
+        & (F.col("click_ts") > F.col("error_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("click_ts") <= F.col("error_ts")),
+        "left",
+    )
+    return (
+        matched.groupBy("error_id", "user_id", "error_ts")
+        .agg(F.count("click_ts").alias("n_recent_clicks"))
+        .select(
+            "error_id",
+            "user_id",
+            F.date_format("error_ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+            "n_recent_clicks",
+        )
+        .orderBy("error_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q37 — salted join: the skew-mitigation pattern, verified equivalent
+# to the plain join. A synthetically skewed fact (every lineitem of the
+# 'F' half routed to one hot order bucket) would put one key's rows on
+# one reducer; salting splits the hot key across SALT partitions by a
+# DETERMINISTIC salt (hash of the row's line number) and replicates the
+# dim side SALT ways, so the shuffle spreads while results stay exact.
+# AQE's skew-join split handles moderate skew automatically; explicit
+# salting is the portable fallback for pathological keys.
+# ---------------------------------------------------------------------------
+SALT = 8
+
+
+@register(
+    "q37_salted_join",
+    oracle="""
+    WITH fact AS (
+      SELECT CASE WHEN l_linenumber >= 4 THEN 0 ELSE l_orderkey % 100 END AS hot_key,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+      FROM lineitem),
+    dim(hot_key, bucket_name) AS (
+      SELECT k, 'bucket_' || CAST(k AS VARCHAR) FROM generate_series(0, 99) AS t(k))
+    SELECT d.bucket_name, COUNT(*) AS n_rows,
+           CAST(SUM(f.price) AS DOUBLE) AS total_price
+    FROM fact f JOIN dim d ON f.hot_key = d.hot_key
+    GROUP BY d.bucket_name ORDER BY d.bucket_name
+    """,
+)
+def q37_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_clone_spark.catalog import table as _table
+
+    li = _table(spark, sf_dir, "lineitem")
+    # synthetic skew: ~half of all rows land on hot_key 0
+    fact = li.select(
+        F.when(F.col("l_linenumber") >= 4, 0)
+        .otherwise(F.col("l_orderkey") % 100)
+        .alias("hot_key"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        # deterministic salt: spreads the hot key over SALT sub-keys
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT)).alias("salt"),
+    )
+    dim = spark.range(0, 100).select(
+        F.col("id").cast("long").alias("hot_key"),
+        F.concat(F.lit("bucket_"), F.col("id").cast("string")).alias("bucket_name"),
+    )
+    # replicate the dim SALT ways so every (key, salt) pair has a match
+    dim_salted = dim.select(
+        "hot_key", "bucket_name", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1))).alias("salt")
+    )
+    return (
+        fact.join(F.broadcast(dim_salted), ["hot_key", "salt"])
+        .groupBy("bucket_name")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+        .orderBy("bucket_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q38 — approximate distinct (HyperLogLog++): mergeable sketch
+# counting, the 100 TB path for q09's exact count-distinct. No oracle
+# entry (DuckDB's approx_count_distinct uses a different sketch), so
+# the driver records a rows-only check; the accuracy bound against the
+# exact count is asserted in tests/test_relational_extra.py.
+# ---------------------------------------------------------------------------
+@register("q38_approx_distinct")
+def q38_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_clone_spark.catalog import table as _table
+
+    o = _table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.count_distinct("o_custkey").alias("exact_customers"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -111,3 +111,67 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     streams.run_to_memory(deduped, "dedup_sink", output_mode="append")
     got = sorted(r.event_id for r in spark.table("dedup_sink").collect())
     assert got == [1, 2, 3]
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream time-bounded join drained with availableNow equals
+    the batch interval join on the same rows."""
+    import glob
+    import shutil
+
+    from hive_clone_spark.catalog import table
+
+    src = str(tmp_path / "ssj_src")
+    os.makedirs(src)
+    e = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .where(F.col("user_id") <= 50)  # keep state small for the test
+    )
+    stage = str(tmp_path / "ssj_stage")
+    e.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = glob.glob(f"{stage}/part-*.parquet")[0]
+    shutil.copy(part, f"{src}/000.parquet")
+
+    from hive_clone_spark.streaming import streams
+
+    stream = streams.read_events_stream(spark, src)
+    joined = streams.click_purchase_join(
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "purchase"),
+    )
+    streams.run_to_memory(joined, "ssj_sink", output_mode="append")
+    got = {tuple(map(str, r)) for r in spark.table("ssj_sink").collect()}
+
+    batch = spark.read.schema(streams.EVENTS_SCHEMA).parquet(src)
+    bc = batch.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    bp = batch.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    want = {
+        tuple(map(str, r))
+        for r in bc.join(
+            bp,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "click_id",
+            "user_id",
+            "click_ts",
+            "purchase_id",
+            "purchase_ts",
+            "purchase_value",
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
