@@ -239,12 +239,16 @@ def q29_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q30_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     p = F.col("l_extendedprice").cast("double")
+    # one array-percentile aggregate = one sorted digest per group,
+    # instead of three independent sort-based aggregates
     return (
         li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.percentile(p, F.lit(0.5)), 4).alias("p50"),
-            F.round(F.percentile(p, F.lit(0.9)), 4).alias("p90"),
-            F.round(F.percentile(p, F.lit(0.99)), 4).alias("p99"),
+        .agg(F.percentile(p, F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("ps"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("ps")[0], 4).alias("p50"),
+            F.round(F.col("ps")[1], 4).alias("p90"),
+            F.round(F.col("ps")[2], 4).alias("p99"),
         )
         .orderBy("l_returnflag")
     )

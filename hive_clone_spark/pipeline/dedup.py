@@ -115,8 +115,12 @@ def p_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and both sides of the intersection join) — materialize it once
     # instead of re-exploding the corpus three times.
     d = table(spark, sf_dir, "documents")
+    # project the words array FIRST: inlining split() inside the shingle
+    # transform makes codegen re-split the text once per array element
+    # (measured 3x slower); as a bound attribute it's evaluated once
     ssets = (
-        d.select("doc_id", F.explode(shingles_col(words_col(F.col("text")))).alias("shingle"))
+        d.select("doc_id", words_col(F.col("text")).alias("words"))
+        .select("doc_id", F.explode(shingles_col(F.col("words"))).alias("shingle"))
         .dropDuplicates(["doc_id", "shingle"])
         .localCheckpoint(eager=True)
     )
@@ -311,12 +315,15 @@ def p_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def p_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    # materialized once: feeds sizes + both sides of the blocking join
+    # materialized once: feeds sizes + both sides of the blocking join;
+    # words projected first so the shingle transform doesn't re-split
+    # the text per element (see p_dedup_minhash_lsh)
     ss = (
-        d.select(
+        d.select("doc_id", "lang", words_col(F.col("text")).alias("words"))
+        .select(
             "doc_id",
             "lang",
-            F.explode(shingles_col(words_col(F.col("text")))).alias("shingle"),
+            F.explode(shingles_col(F.col("words"))).alias("shingle"),
         )
         .dropDuplicates(["doc_id", "shingle"])
         .localCheckpoint(eager=True)
