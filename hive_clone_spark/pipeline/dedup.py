@@ -245,7 +245,11 @@ def p_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(16):
         term = F.shiftleft(F.when(F.col(f"b{j}") > 0, 1).otherwise(0), j)
         simhash = term if simhash is None else simhash + term
-    sh = bits.select("doc_id", simhash.cast("bigint").alias("simhash"))
+    # materialize: both sides of the band self-join read this (without
+    # it the whole explode→lexicon→16-agg upstream runs twice)
+    sh = bits.select(
+        "doc_id", simhash.cast("bigint").alias("simhash")
+    ).localCheckpoint(eager=True)
     # Banded candidate generation: an OR of band equalities is not an
     # equi join (Spark would fall back to a quadratic nested loop), so
     # emit one row per (doc, band) and hash-join on the band value —
