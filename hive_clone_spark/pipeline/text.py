@@ -206,3 +206,44 @@ def p_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", norm.alias("norm_md5"), rolling.alias("rolling_hash")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# top-k words per language (the canonical corpus word count, stopwords
+# removed): explode → filter → count → windowed top-k. One shuffle on
+# (lang, word) with map-side partial counts; the top-k is per-group
+# TakeOrdered, never a global sort.
+# ---------------------------------------------------------------------------
+@register(
+    "p_top_words",
+    oracle=f"""
+    WITH w AS (
+      SELECT lang, lower(w) AS word
+      FROM (SELECT lang, unnest({SQL_WORDS.format(expr="text")}) AS w FROM documents)
+      WHERE NOT regexp_matches(lower(w), '^{_STOPWORDS}$')),
+    counts AS (
+      SELECT lang, word, COUNT(*) AS n FROM w GROUP BY lang, word)
+    SELECT lang, word, n, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY lang ORDER BY n DESC, word) AS rnk
+      FROM counts)
+    WHERE rnk <= 10
+    ORDER BY lang, rnk
+    """,
+)
+def p_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = (
+        d.select("lang", F.explode(words_col(F.col("text"))).alias("w"))
+        .select("lang", F.lower("w").alias("word"))
+        .where(~F.col("word").rlike(f"^{_STOPWORDS}$"))
+    )
+    counts = w.groupBy("lang", "word").agg(F.count("*").alias("n"))
+    win = Window.partitionBy("lang").orderBy(F.desc("n"), "word")
+    return (
+        counts.withColumn("rnk", F.row_number().over(win).cast("int"))
+        .where(F.col("rnk") <= 10)
+        .orderBy("lang", "rnk")
+    )
