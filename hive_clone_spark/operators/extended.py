@@ -520,3 +520,192 @@ def q38_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q39 — outer-join distribution (TPC-H Q13 shape): customers LEFT OUTER
+# JOIN orders (with a join-side filter), orders-per-customer, then the
+# histogram of those counts. Exercises the one join type the surface
+# was missing (left outer) plus a double aggregation.
+#
+# Scale design: the right side is filtered before the join (filter
+# cannot be pushed through an outer join's WHERE without changing
+# semantics, so it lives on the build side), both aggregations are
+# partial-agg friendly, and the second groupBy is over a tiny domain
+# (distinct order counts) — the big shuffle is the first one on
+# c_custkey, which AQE coalesces.
+# ---------------------------------------------------------------------------
+@register(
+    "q39_outer_join",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN (
+        SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+        ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q39_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q40 — conditional aggregation ratio (TPC-H Q14 shape): monthly promo
+# revenue share. sum(CASE)/sum over a fact⋈dim join; the CASE keeps it
+# one pass — no second scan or self-join for the numerator.
+#
+# Scale design: lineitem⋈part is an equi join AQE turns into broadcast
+# when part fits (at 100 TB part may not — then it's a shuffle join on
+# l_partkey and the aggregation is still one exchange on ship_month).
+# Decimal sums → double division → round, identical both sides.
+# ---------------------------------------------------------------------------
+@register(
+    "q40_conditional_agg",
+    oracle="""
+    SELECT
+      strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+      ROUND((100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE))
+        / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+        6) AS promo_share_pct,
+      COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY ship_month
+    ORDER BY ship_month
+    """,
+)
+def q40_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(
+                (F.lit(100.0) * F.sum(promo).cast("double"))
+                / F.sum(disc_price).cast("double"),
+                6,
+            ).alias("promo_share_pct"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q41 — window distribution functions: ntile / percent_rank / cume_dist
+# / first_value over (segment, balance). The ORDER BY carries
+# c_custkey as a total tie-break so every rank function is
+# deterministic (registry determinism rule 3).
+#
+# Scale design: one exchange on c_mktsegment + in-partition sort; no
+# global sort. Skewed segments would be the bottleneck at 100 TB —
+# distribution functions need the whole partition, so the mitigation
+# is more segments (finer partition keys), not salting.
+# ---------------------------------------------------------------------------
+@register(
+    "q41_window_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+      CAST(NTILE(4) OVER w AS INT) AS bal_quartile,
+      ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+      ROUND(CUME_DIST() OVER w, 6) AS cume,
+      FIRST_VALUE(c_custkey) OVER w AS poorest_cust
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def q41_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.ntile(4).over(w).cast("int").alias("bal_quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.first("c_custkey").over(w).alias("poorest_cust"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q42 — CTAS-style write path: materialize an aggregate as partitioned
+# parquet (partitionBy = the reference's viewport-culling analog, P14 —
+# downstream reads prune partitions), then read it back. The oracle is
+# the underlying SELECT: the round-trip must be lossless.
+#
+# Scale design: the written table is partitioned by return flag so a
+# downstream `WHERE l_returnflag = 'R'` scans one directory; the
+# aggregate output is small (months × flags × status), so one file per
+# partition — no small-files explosion. Writes land under the repo's
+# spark-warehouse dir, keyed by the input sf so concurrent scales don't
+# clobber each other.
+# ---------------------------------------------------------------------------
+@register(
+    "q42_ctas_roundtrip",
+    oracle="""
+    SELECT
+      l_returnflag, l_linestatus,
+      strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus, ship_month
+    ORDER BY l_returnflag, l_linestatus, ship_month
+    """,
+)
+def q42_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import pathlib
+
+    agg = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(
+            "l_returnflag",
+            "l_linestatus",
+            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("ship_month"),
+        )
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    repo = pathlib.Path(__file__).resolve().parents[2]
+    dest = repo / "spark-warehouse" / "ctas_q42" / os.path.basename(sf_dir.rstrip("/"))
+    agg.write.mode("overwrite").partitionBy("l_returnflag").parquet(str(dest))
+    return spark.read.parquet(str(dest)).orderBy(
+        "l_returnflag", "l_linestatus", "ship_month"
+    )
