@@ -417,3 +417,146 @@ def p_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_a", "vec_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup RESOLUTION: near-dup pairs -> duplicate clusters -> one
+# canonical survivor per cluster. This is the step that turns pairwise
+# dedup output into an actually-deduplicated corpus: connected
+# components over the (jaccard >= 0.5) MinHash pair graph, canonical =
+# min doc_id of the component, every unpaired doc is its own
+# canonical. The training-data pipeline keeps `doc_id = canonical_id`
+# rows and drops the rest.
+#
+# Scale design: the pair graph is tiny relative to the corpus (LSH
+# pruned), so the CC fixpoint (operators/graph.py, min-label
+# propagation — O(cluster diameter) jobs) runs on edges only; the
+# corpus-wide join back is one broadcast-able left join on doc_id.
+# ---------------------------------------------------------------------------
+_PAIRS_SQL = f"""
+    {_sql_minhash()},
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band, CAST(mh{2*b} AS VARCHAR) || ':' || CAST(mh{2*b+1} AS VARCHAR) AS band_key FROM mh"
+          for b in range(8)
+      )}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS ninter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+      GROUP BY c.doc_a, c.doc_b),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes za ON za.doc_id = c.doc_a
+      JOIN sizes zb ON zb.doc_id = c.doc_b
+      WHERE ROUND(CAST(COALESCE(i.ninter, 0) AS DOUBLE)
+            / (za.n + zb.n - COALESCE(i.ninter, 0)), 6) >= 0.5)
+"""
+
+
+@register(
+    "p_dedup_resolve",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_SQL},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    verts AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, lbl) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+      WHERE r.lbl < e.dst),
+    comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+    resolved AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+    SELECT r.doc_id, r.canonical_id, s.cluster_size,
+           r.doc_id = r.canonical_id AS keep
+    FROM resolved r
+    JOIN (SELECT canonical_id, COUNT(*) AS cluster_size
+          FROM resolved GROUP BY canonical_id) s USING (canonical_id)
+    ORDER BY r.doc_id
+    """,
+)
+def p_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_clone_spark.operators.graph import connected_components
+
+    pairs = p_dedup_minhash_lsh(spark, sf_dir).where(F.col("jaccard") >= 0.5)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(verts, edges)
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    resolved = docs.join(comp, docs.doc_id == comp.id, "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("canonical_id")
+    )
+    csize = resolved.groupBy("canonical_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        resolved.join(csize, "canonical_id")
+        .select(
+            "doc_id",
+            "canonical_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check: which corpus documents share an
+# 8-word n-gram with a held-out probe set (here: doc_id < 10 stands in
+# for the benchmark). The staple pre-training hygiene query — long
+# n-gram collision against eval sets.
+#
+# Scale design: the probe side is tiny by construction, so its
+# exploded n-gram set broadcasts; the corpus side explodes to (doc,
+# ngram) and the join is a broadcast semi-ish equi join on the ngram
+# hash — no shuffle of the corpus beyond the final per-doc count.
+# ---------------------------------------------------------------------------
+@register(
+    "p_contamination",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, ngram
+      FROM (SELECT doc_id,
+                   unnest({sql_shingles(SQL_WORDS.format(expr="text"), 8)}) AS ngram
+            FROM documents)),
+    probe AS (SELECT DISTINCT ngram FROM grams WHERE doc_id < 10),
+    corpus AS (SELECT DISTINCT doc_id, ngram FROM grams WHERE doc_id >= 10)
+    SELECT c.doc_id, COUNT(*) AS shared_ngrams
+    FROM corpus c JOIN probe p ON c.ngram = p.ngram
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+)
+def p_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", words_col(F.col("text")).alias("words")
+    )
+    grams = d.select(
+        "doc_id", F.explode(shingles_col(F.col("words"), 8)).alias("ngram")
+    )
+    probe = (
+        grams.where(F.col("doc_id") < 10).select("ngram").distinct()
+    )
+    corpus = grams.where(F.col("doc_id") >= 10).dropDuplicates(["doc_id", "ngram"])
+    return (
+        corpus.join(F.broadcast(probe), "ngram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared_ngrams"))
+        .orderBy("doc_id")
+    )

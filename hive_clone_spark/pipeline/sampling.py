@@ -1,0 +1,78 @@
+"""Deterministic sampling and dataset splitting over `documents` (M5
+extension): the reproducibility primitives every training-data
+pipeline needs — stratified downsampling by language and a stable
+train/val/test split, both keyed on a content-independent hash of the
+doc id so membership never changes across runs, partitionings, or
+cluster sizes.
+
+The reference (a C++ Hive-board-game clone, SURVEY.md §0) has no
+sampling; this comes from the driver contract's LLM-pipeline surface
+(BASELINE.json north_star).
+
+Scale design (100 TB): hash-gating is a narrow per-row predicate — no
+shuffle, no global count, no `sample()` nondeterminism — so it pushes
+into the scan stage and composes with partition pruning. Rates are a
+broadcast-able CASE over the stratum column. Contrast with
+`df.sample()`, whose output depends on partition layout and seed
+plumbing — unusable as a reproducible dataset definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_clone_spark.catalog import table
+from hive_clone_spark.pipeline.common import portable_hash, sql_portable_hash
+from hive_clone_spark.registry import register
+
+# per-language keep rates (percent): downsample the head language,
+# keep the tail — the canonical language-rebalancing move
+_RATES = {"en": 40, "zh": 80, "es": 80, "de": 80, "fr": 80}
+_DEFAULT_RATE = 100
+
+
+@register(
+    "p_stratified_sample",
+    oracle=f"""
+    WITH gated AS (
+      SELECT doc_id, lang,
+        {sql_portable_hash("'sample:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+        {sql_portable_hash("'split:' || CAST(doc_id AS VARCHAR)")} % 10 AS split_bucket
+      FROM documents)
+    SELECT doc_id, lang,
+      CASE WHEN split_bucket = 0 THEN 'test'
+           WHEN split_bucket = 1 THEN 'val'
+           ELSE 'train' END AS split
+    FROM gated
+    WHERE bucket < CASE lang {" ".join(f"WHEN '{k}' THEN {v}" for k, v in _RATES.items())}
+                   ELSE {_DEFAULT_RATE} END
+    ORDER BY doc_id
+    """,
+)
+def p_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        portable_hash(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))) % 100
+    )
+    split_bucket = (
+        portable_hash(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 10
+    )
+    rate = F.col("lang")
+    expr = F.lit(_DEFAULT_RATE)
+    for k, v in reversed(_RATES.items()):
+        expr = F.when(rate == k, F.lit(v)).otherwise(expr)
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            bucket.alias("bucket"),
+            F.when(split_bucket == 0, "test")
+            .when(split_bucket == 1, "val")
+            .otherwise("train")
+            .alias("split"),
+        )
+        .where(F.col("bucket") < expr)
+        .select("doc_id", "lang", "split")
+        .orderBy("doc_id")
+    )

@@ -48,5 +48,6 @@ def load_all_modules() -> None:
     from hive_clone_spark.pipeline import similarity  # noqa: F401
     from hive_clone_spark.pipeline import text  # noqa: F401
     from hive_clone_spark.pipeline import multimodal  # noqa: F401
+    from hive_clone_spark.pipeline import sampling  # noqa: F401
     from hive_clone_spark.streaming import stateful  # noqa: F401
     from hive_clone_spark.streaming import windows  # noqa: F401
