@@ -76,3 +76,65 @@ def p_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "split")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: assign documents (in stable doc_id order, per
+# language) to contiguous fixed-token-budget packs — the batching step
+# before training, where a pack is one context-window's worth of
+# documents. pack_id = full budgets consumed before this doc starts,
+# from a running token sum; integer arithmetic end-to-end so both
+# engines agree exactly.
+#
+# Scale design: one exchange on lang + in-partition sort by doc_id —
+# the same shape as any windowed cumsum. At 100 TB the partition key
+# becomes (lang, shard) with per-shard budgets so no single language
+# serializes through one task; the pack ids then offset by shard.
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 512
+
+
+@register(
+    "p_sequence_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+        CAST(len(list_filter(str_split_regex(text, '\\s+'), w -> w <> '')) AS BIGINT)
+          AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+        SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT doc_id, lang, n_tokens,
+      (cum - n_tokens) // {_PACK_BUDGET} AS pack_id
+    FROM c ORDER BY doc_id
+    """,
+)
+def p_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from hive_clone_spark.pipeline.common import words_col
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.size(words_col(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.expr(f"CAST((cum - n_tokens) DIV {_PACK_BUDGET} AS BIGINT)").alias("pack_id"),
+        )
+        .orderBy("doc_id")
+    )
