@@ -138,3 +138,104 @@ def p_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-data pipeline (the flagship composition): quality
+# filter -> exact dedup (survivor = min doc_id per content hash) ->
+# stratified hash sample + train/val/test split -> token-budget
+# sequence packing within (lang, split). One DAG, one oracle — the
+# whole corpus-to-batches path a pre-training run needs, expressed as
+# a single Catalyst plan.
+#
+# Scale design: stage order is chosen for data reduction — the cheap
+# row-local quality predicate runs at the scan, dedup's one shuffle
+# (on the content hash) sees only survivors, sampling is again
+# row-local, and the packing window shuffles the (smallest) sampled
+# set. Every stage's key differs, so AQE coalesces between them; no
+# stage re-shuffles on a key a later stage could have reused.
+# ---------------------------------------------------------------------------
+@register(
+    "p_pipeline_e2e",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+        CAST(len(list_filter(str_split_regex(text, '\\s+'), w -> w <> '')) AS BIGINT)
+          AS n_tokens
+      FROM documents),
+    q AS (SELECT * FROM t WHERE n_tokens >= 20),
+    d AS (
+      SELECT doc_id, lang, n_tokens FROM (
+        SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+        FROM q)
+      WHERE keep),
+    s AS (
+      SELECT doc_id, lang, n_tokens,
+        CASE WHEN {sql_portable_hash("'split:' || CAST(doc_id AS VARCHAR)")} % 10 = 0
+               THEN 'test'
+             WHEN {sql_portable_hash("'split:' || CAST(doc_id AS VARCHAR)")} % 10 = 1
+               THEN 'val'
+             ELSE 'train' END AS split
+      FROM d
+      WHERE {sql_portable_hash("'sample:' || CAST(doc_id AS VARCHAR)")} % 100
+            < CASE lang {" ".join(f"WHEN '{k}' THEN {v}" for k, v in _RATES.items())}
+              ELSE {_DEFAULT_RATE} END),
+    c AS (
+      SELECT *, SUM(n_tokens) OVER (PARTITION BY lang, split ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+      FROM s)
+    SELECT doc_id, lang, n_tokens, split,
+      (cum - n_tokens) // {_PACK_BUDGET} AS pack_id
+    FROM c ORDER BY doc_id
+    """,
+)
+def p_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from hive_clone_spark.pipeline.common import words_col
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(words_col(F.col("text"))).cast("bigint").alias("n_tokens"),
+    ).where(F.col("n_tokens") >= 20)
+
+    dw = Window.partitionBy(F.md5("text"))
+    deduped = (
+        t.withColumn("keep", F.col("doc_id") == F.min("doc_id").over(dw))
+        .where("keep")
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+    bucket = (
+        portable_hash(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))) % 100
+    )
+    split_bucket = (
+        portable_hash(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 10
+    )
+    rate = F.lit(_DEFAULT_RATE)
+    for k, v in reversed(_RATES.items()):
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    sampled = deduped.where(bucket < rate).withColumn(
+        "split",
+        F.when(split_bucket == 0, "test").when(split_bucket == 1, "val").otherwise("train"),
+    )
+
+    pw = (
+        Window.partitionBy("lang", "split")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sampled.withColumn("cum", F.sum("n_tokens").over(pw))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "split",
+            F.expr(f"CAST((cum - n_tokens) DIV {_PACK_BUDGET} AS BIGINT)").alias("pack_id"),
+        )
+        .orderBy("doc_id")
+    )
