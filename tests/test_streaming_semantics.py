@@ -214,3 +214,50 @@ def test_stream_static_join_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
     # the unknown-user case actually occurs (left-join semantics pinned)
     assert any(r[-1] == "None" for r in got) or all(r[-1] != "None" for r in want)
+
+
+def test_foreach_batch_sink_exactly_once(spark, sf_dir, tmp_path):
+    """foreachBatch idempotent sink: (a) the drained output equals the
+    source rows; (b) re-running a batch (the at-least-once replay case)
+    leaves the output unchanged — overwrite-by-batch-id absorbs it."""
+    import glob
+    import shutil
+
+    from hive_clone_spark.catalog import table
+
+    src = str(tmp_path / "fb_src")
+    os.makedirs(src)
+    e = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .where(F.col("user_id") <= 100)
+    )
+    stage = str(tmp_path / "fb_stage")
+    e.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = glob.glob(f"{stage}/part-*.parquet")[0]
+    shutil.copy(part, f"{src}/000.parquet")
+
+    out = str(tmp_path / "fb_out")
+    ckpt = str(tmp_path / "fb_ckpt")
+    q = streams.write_stream_exactly_once(
+        streams.read_events_stream(spark, src), out, ckpt
+    )
+    q.awaitTermination()
+
+    def read_all():
+        return {
+            tuple(map(str, r))
+            for r in spark.read.schema(streams.EVENTS_SCHEMA)
+            .parquet(f"{out}/batch_id=*")
+            .collect()
+        }
+
+    want = {tuple(map(str, r)) for r in e.collect()}
+    got = read_all()
+    assert got == want
+
+    # replay batch 0 by hand (what a post-failure restart does before
+    # the checkpoint says the batch is committed): output must not grow
+    batch0 = spark.read.schema(streams.EVENTS_SCHEMA).parquet(f"{src}/000.parquet")
+    batch0.write.mode("overwrite").parquet(f"{out}/batch_id=0")
+    assert read_all() == want
