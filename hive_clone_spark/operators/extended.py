@@ -709,3 +709,126 @@ def q42_ctas_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(str(dest)).orderBy(
         "l_returnflag", "l_linestatus", "ship_month"
     )
+
+
+# ---------------------------------------------------------------------------
+# Q44 — MERGE-style upsert (SCD overwrite): apply a change set to a
+# dimension via FULL OUTER JOIN + per-column COALESCE — updates
+# override, inserts append, untouched rows pass through. The change
+# set is derived deterministically from the table itself (every 7th
+# customer gets a balance adjustment; every 101st spawns a new row) so
+# both engines build the identical input.
+#
+# Scale design: this is exactly what Delta/Iceberg MERGE INTO lowers
+# to — a full outer join on the merge key. At 100 TB the join is
+# shuffle-on-key with AQE skew splitting; when the change set is small
+# it degrades gracefully to broadcast. COALESCE picks source over
+# target per column, which is the overwrite-SCD policy.
+# ---------------------------------------------------------------------------
+@register(
+    "q44_upsert",
+    oracle="""
+    WITH mx AS (SELECT MAX(c_custkey) AS m FROM customer),
+    changes AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             ROUND(CAST(c_acctbal + 100.0 AS DOUBLE), 6) AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + mx.m, 'new_' || CAST(c_custkey AS VARCHAR),
+             c_nationkey, CAST(0.0 AS DOUBLE), 'NEW'
+      FROM customer, mx WHERE c_custkey % 101 = 0)
+    SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+           COALESCE(s.c_name, t.c_name) AS c_name,
+           COALESCE(s.c_nationkey, t.c_nationkey) AS c_nationkey,
+           ROUND(COALESCE(s.c_acctbal, t.c_acctbal), 6) AS c_acctbal,
+           COALESCE(s.c_mktsegment, t.c_mktsegment) AS c_mktsegment
+    FROM customer t FULL OUTER JOIN changes s ON t.c_custkey = s.c_custkey
+    ORDER BY c_custkey
+    """,
+)
+def q44_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    mx = c.agg(F.max("c_custkey").alias("m"))
+    updates = c.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") + F.lit(100.0), 6).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    inserts = (
+        c.where(F.col("c_custkey") % 101 == 0)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("c_custkey") + F.col("m")).alias("c_custkey"),
+            F.concat(F.lit("new_"), F.col("c_custkey").cast("string")).alias("c_name"),
+            "c_nationkey",
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit("NEW").alias("c_mktsegment"),
+        )
+    )
+    s = updates.unionByName(inserts).alias("s")
+    t = c.alias("t")
+    merged = t.join(s, F.col("t.c_custkey") == F.col("s.c_custkey"), "full_outer")
+    return merged.select(
+        F.coalesce("s.c_custkey", "t.c_custkey").alias("c_custkey"),
+        F.coalesce("s.c_name", "t.c_name").alias("c_name"),
+        F.coalesce("s.c_nationkey", "t.c_nationkey").alias("c_nationkey"),
+        F.round(F.coalesce("s.c_acctbal", "t.c_acctbal"), 6).alias("c_acctbal"),
+        F.coalesce("s.c_mktsegment", "t.c_mktsegment").alias("c_mktsegment"),
+    ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Q45 — incremental aggregate maintenance: partial aggregates computed
+# on two disjoint slices (the "base" materialization and a
+# late-arriving "delta" batch) merged by re-aggregation — sums add,
+# counts add, averages re-derive from merged sums. The reference's
+# copy-on-write occupancy delta (rules.cpp:76-96, SURVEY §4) is the
+# same trick: never recompute the world, aggregate base ∪ delta. The
+# ORACLE is the direct full recompute — merged partials must be
+# indistinguishable from it.
+#
+# Scale design: this is the mergeability property that makes map-side
+# partial aggregation, materialized-view refresh, and streaming state
+# updates all work; the merge shuffles only |groups| rows, not the
+# re-scanned fact table.
+# ---------------------------------------------------------------------------
+@register(
+    "q45_incremental_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q45_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cutoff = F.lit("1996-01-01").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("o_totalprice")).alias("s"),
+        )
+
+    base = partial(o.where(F.col("o_orderdate") < cutoff))
+    delta = partial(o.where(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("n").alias("n_orders"), F.sum("s").alias("s"))
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.col("s").cast("double").alias("total_price"),
+            F.round(F.col("s").cast("double") / F.col("n_orders"), 6).alias("avg_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
