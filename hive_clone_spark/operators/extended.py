@@ -832,3 +832,71 @@ def q45_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q46 — gaps-and-islands sessionization: per-user activity islands
+# where a >1h silence starts a new island. The window-chain form
+# (lag → gap flag → running sum of flags = island id) — the same
+# result F.session_window produces (q25), but built from first
+# principles, which is what you need when the session rule is richer
+# than a fixed timeout (e.g. per-event-type gaps).
+#
+# Scale design: both windows partition by user_id — ONE shuffle, the
+# second window reuses the first's partitioning and sort (Catalyst
+# plans them in a single Window stage pair without an extra exchange).
+# Island aggregation then groups by (user, island) — key cardinality
+# grows with data, no hot partition.
+# ---------------------------------------------------------------------------
+@register(
+    "q46_gaps_islands",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 1 HOUR
+                  THEN 1 ELSE 0 END AS is_new
+      FROM o),
+    islands AS (
+      SELECT user_id, ts, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island_id
+      FROM flagged)
+    SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS island_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS island_end,
+           COUNT(*) AS n_events
+    FROM islands
+    GROUP BY user_id, island_id
+    ORDER BY user_id, island_id
+    """,
+)
+def q46_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.col("ts") > F.col("prev_ts") + F.expr("INTERVAL 1 HOUR")),
+            1,
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island_id",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    return (
+        islands.groupBy("user_id", "island_id")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("island_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("island_end"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id", "island_id")
+    )
