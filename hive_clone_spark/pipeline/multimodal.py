@@ -132,3 +132,113 @@ def p_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     return d.mapInPandas(decode_batches, DECODE_SCHEMA).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# frame sampling — uniform-stride selection of ≤4 frames per "video"
+# (frame count derived deterministically from the payload, as in the
+# decode stub). The sampling arithmetic and schema are the real thing;
+# only the frame payload itself is fake (a keyed digest). Fully
+# JVM-side, so this one IS oracle-checked.
+#
+# Scale design: sequence+explode multiplies rows by ≤4 — a narrow
+# generate, no shuffle; the per-frame digest is codegen. At 100 TB the
+# explode column order matters: select only (doc_id, n_frames) into
+# the generate, never the payload bytes.
+# ---------------------------------------------------------------------------
+@register(
+    "p_multimodal_framesample",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id,
+        CAST(1 + octet_length(encode(text)) % 32 AS INT) AS n_frames,
+        md5(text) AS content_md5
+      FROM documents),
+    s AS (
+      SELECT doc_id, n_frames, content_md5,
+        CAST(CEIL(CAST(n_frames AS DOUBLE) / 4) AS INT) AS stride
+      FROM v)
+    SELECT doc_id, n_frames,
+      CAST(f AS INT) AS frame_idx,
+      md5(content_md5 || ':' || CAST(f AS VARCHAR)) AS frame_key
+    FROM s, unnest(generate_series(0, n_frames - 1, stride)) AS t(f)
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def p_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    v = d.select(
+        "doc_id",
+        (F.lit(1) + F.octet_length(F.encode(F.col("text"), "UTF-8")) % 32)
+        .cast("int")
+        .alias("n_frames"),
+        F.md5(F.col("text")).alias("content_md5"),
+    )
+    stride = F.ceil(F.col("n_frames").cast("double") / 4).cast("int")
+    frames = v.withColumn("stride", stride).select(
+        "doc_id",
+        "n_frames",
+        "content_md5",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.col("stride"))
+        ).alias("frame_idx"),
+    )
+    return frames.select(
+        "doc_id",
+        "n_frames",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.md5(
+            F.concat(F.col("content_md5"), F.lit(":"), F.col("frame_idx").cast("string"))
+        ).alias("frame_key"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# resize — the remaining stubbed Pandas-UDF pass: target-box scaling
+# arithmetic is real (aspect-preserving fit into 256×256), the pixel
+# resample is fake (keyed digest). Same Arrow-batch plumbing and
+# closure-pickling discipline as the decode pass (rows-only check).
+# ---------------------------------------------------------------------------
+RESIZE_SCHEMA = (
+    "doc_id BIGINT, src_width INT, src_height INT, "
+    "dst_width INT, dst_height INT, resized_key STRING"
+)
+
+
+@register("p_multimodal_resize")  # no oracle: Python-stub resample path
+def p_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: F401
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+    def resize_batches(batches):
+        import hashlib
+
+        import pandas as pd
+
+        # self-contained (no module-global refs — executor workers
+        # don't have this repo on sys.path)
+        def dims(payload: bytes):
+            h = hashlib.md5(payload).hexdigest()
+            return 1 + int(h[:7], 16) % 1920, 1 + int(h[8:15], 16) % 1080
+
+        BOX = 256
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h = dims(bytes(p))
+                scale = min(BOX / w, BOX / h, 1.0)
+                dw, dh = max(1, int(w * scale)), max(1, int(h * scale))
+                key = hashlib.md5(f"{doc_id}:{dw}x{dh}".encode()).hexdigest()
+                rows.append((doc_id, w, h, dw, dh, key))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "src_width", "src_height",
+                    "dst_width", "dst_height", "resized_key",
+                ],
+            )
+
+    return d.mapInPandas(resize_batches, RESIZE_SCHEMA).orderBy("doc_id")
