@@ -900,3 +900,56 @@ def q46_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "island_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q47 — percent-of-total via unordered window aggregate: each nation's
+# share of its region's revenue. sum().over(partitionBy) with NO
+# ORDER BY — the frame is the whole partition, one value broadcast to
+# every row of the group; the window shape q12-q14/q41 don't cover.
+#
+# Scale design: one shuffle on the partition key; because there's no
+# ordering, Spark skips the in-partition sort entirely (hash-based
+# window aggregation) — cheaper than any ordered window over the same
+# key.
+# ---------------------------------------------------------------------------
+@register(
+    "q47_percent_of_total",
+    oracle="""
+    WITH nat AS (
+      SELECT r_name AS region_name, n_name AS nation_name,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name)
+    SELECT region_name, nation_name,
+      CAST(revenue AS DOUBLE) AS revenue,
+      ROUND(CAST(revenue AS DOUBLE)
+            / CAST(SUM(revenue) OVER (PARTITION BY region_name) AS DOUBLE), 6)
+        AS region_share
+    FROM nat ORDER BY region_name, nation_name
+    """,
+)
+def q47_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    nat = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(F.sum(_dec("o_totalprice")).alias("revenue"))
+    )
+    w = Window.partitionBy("region_name")
+    return nat.select(
+        "region_name",
+        "nation_name",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.round(
+            F.col("revenue").cast("double") / F.sum("revenue").over(w).cast("double"), 6
+        ).alias("region_share"),
+    ).orderBy("region_name", "nation_name")

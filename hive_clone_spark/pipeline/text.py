@@ -247,3 +247,50 @@ def p_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 10)
         .orderBy("lang", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary building: global word counts → top-1000 vocab with dense
+# ids (frequency rank, ties broken lexically) — the tokenizer-training
+# step of a text pipeline.
+#
+# Scale design: the count is one shuffle on word with map-side partial
+# counts; top-N is orderBy().limit() → TakeOrdered (per-partition
+# heaps, driver merge of N·P rows — never a global sort of the
+# vocabulary space). The row_number window then runs over only the N
+# surviving rows, so its single-partition layout is harmless by
+# construction.
+# ---------------------------------------------------------------------------
+_VOCAB_N = 1000
+
+
+@register(
+    "p_vocab_build",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lower(w) AS word, COUNT(*) AS n
+      FROM (SELECT unnest({SQL_WORDS.format(expr="text")}) AS w FROM documents)
+      GROUP BY lower(w)),
+    top AS (
+      SELECT word, n FROM counts ORDER BY n DESC, word LIMIT {_VOCAB_N})
+    SELECT word, n,
+      CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) - 1 AS INT) AS vocab_id
+    FROM top ORDER BY vocab_id
+    """,
+)
+def p_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(words_col(F.col("text"))).alias("w"))
+        .select(F.lower("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), "word").limit(_VOCAB_N)
+    w = Window.orderBy(F.desc("n"), "word")
+    return (
+        top.withColumn("vocab_id", (F.row_number().over(w) - 1).cast("int"))
+        .orderBy("vocab_id")
+    )
