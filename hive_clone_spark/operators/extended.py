@@ -953,3 +953,48 @@ def q47_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("revenue").cast("double") / F.sum("revenue").over(w).cast("double"), 6
         ).alias("region_share"),
     ).orderBy("region_name", "nation_name")
+
+
+# ---------------------------------------------------------------------------
+# Q48 — string aggregation (LISTAGG/GROUP_CONCAT): per priority class,
+# the sorted distinct order statuses and the sorted top customer keys.
+# Determinism rule: collect_set order is partition-dependent, so the
+# result is ALWAYS array_sort-ed before joining — an unsorted listagg
+# can never be oracle-checked (or trusted in production diffs).
+#
+# Scale design: collect_set is a partial-aggregating set union (small
+# domains only — statuses here); the per-group top-k keys go through
+# a bounded slice of a sorted array, not an unbounded collect_list of
+# the whole group.
+# ---------------------------------------------------------------------------
+@register(
+    "q48_string_agg",
+    oracle="""
+    SELECT o_orderpriority,
+      string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+      array_to_string(
+        (array_agg(DISTINCT o_custkey ORDER BY o_custkey))[1:5], ',') AS first_customers,
+      COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q48_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+                "statuses"
+            ),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_set("o_custkey")), 1, 5).cast(
+                    "array<string>"
+                ),
+                ",",
+            ).alias("first_customers"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
