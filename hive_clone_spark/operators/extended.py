@@ -998,3 +998,74 @@ def q48_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q49 — calendar gap filling + forward fill: per user, one row for
+# EVERY day of their active span — days with no events get n_events=0
+# and carry the last observed daily max value forward. The standard
+# time-series densification (resample) every dashboard and feature
+# pipeline needs; missing rows are the one thing a filter can never
+# give you back.
+#
+# Scale design: the calendar is generated per user from their own
+# (min, max) span — sequence+explode, rows ∝ users × span days, never
+# a global calendar cross join. One shuffle for the daily agg, one for
+# the spine join (same key — AQE reuses), the ffill window rides the
+# same user_id partitioning. MAX (order-independent) is the carried
+# daily statistic; a double SUM would be partition-order-dependent and
+# unverifiable.
+# ---------------------------------------------------------------------------
+@register(
+    "q49_gap_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             COUNT(*) AS n, ROUND(MAX(value), 6) AS max_value
+      FROM events GROUP BY user_id, CAST(ts AS DATE)),
+    span AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id),
+    spine AS (
+      SELECT user_id, CAST(d AS DATE) AS day
+      FROM span, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS t(d)),
+    joined AS (
+      SELECT s.user_id, s.day, COALESCE(dl.n, 0) AS n_events, dl.max_value
+      FROM spine s LEFT JOIN daily dl
+        ON dl.user_id = s.user_id AND dl.day = s.day)
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n_events,
+      ROUND(LAST_VALUE(max_value IGNORE NULLS) OVER (
+        PARTITION BY user_id ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled_max
+    FROM joined ORDER BY user_id, day
+    """,
+)
+def q49_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"), F.round(F.max("value"), 6).alias("max_value"))
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        "max_value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        F.round(F.last("max_value", ignorenulls=True).over(w), 6).alias("filled_max"),
+    ).orderBy("user_id", "day")
