@@ -249,3 +249,55 @@ def p_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Filtered (hybrid) search: metadata predicate + vector top-k — "most
+# similar docs WHERE label is even". PRE-filter strategy: the
+# predicate runs at the corpus scan, before any scoring, so pushdown
+# prunes the candidate set and the top-k heaps see only eligible rows.
+# The alternative (post-filter after ANN) under-fills k whenever the
+# filter is selective — at 100 TB pre-filter + per-partition heaps is
+# the only shape that guarantees k results without a re-query loop.
+# ---------------------------------------------------------------------------
+@register(
+    "p_knn_filtered",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+             ROUND({sql_cosine("q.embedding", "c.embedding")}, 6) AS cosine
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+        AND c.label % 2 = 0)
+    SELECT query_id, neighbor_id, label, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM pairs)
+    WHERE rank <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+)
+def p_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.where(F.col("label") % 2 == 0).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "label"
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            F.round(cosine_col(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
