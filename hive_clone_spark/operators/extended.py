@@ -1069,3 +1069,55 @@ def q49_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.last("max_value", ignorenulls=True).over(w), 6).alias("filled_max"),
     ).orderBy("user_id", "day")
+
+
+# ---------------------------------------------------------------------------
+# Q50 — time-based RANGE window frame: per event, aggregates over the
+# trailing 1 hour of the same user's activity (rolling count / max /
+# milli-scaled sum). ROWS frames (q13) count rows; RANGE frames bound
+# by VALUE distance on the ordering key — the form every "rolling
+# 7-day revenue" metric needs, and peers with equal timestamps share
+# one frame in both engines by definition.
+#
+# Scale design: one shuffle on user_id + one in-partition sort; the
+# trailing frame is computed with a sliding two-pointer over the
+# sorted run (linear, not per-row re-scan). The summed value is
+# integer-scaled (floor ×1000) — exact and order-independent, where a
+# raw double sum would be neither.
+# ---------------------------------------------------------------------------
+@register(
+    "q50_rolling_time_window",
+    oracle="""
+    SELECT user_id, event_id,
+      strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+      COUNT(*) OVER w AS cnt_1h,
+      ROUND(MAX(value) OVER w, 6) AS max_1h,
+      SUM(CAST(FLOOR(value * 1000) AS BIGINT)) OVER w AS msum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, epoch_us(ts), event_id
+    """,
+)
+def q50_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+            F.count("*").over(w).alias("cnt_1h"),
+            F.round(F.max("value").over(w), 6).alias("max_1h"),
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint")).over(w).alias("msum_1h"),
+            us.alias("_us"),
+        )
+        .orderBy("user_id", "_us", "event_id")
+        .drop("_us")
+        .withColumnRenamed("ts_str", "ts")
+    )
