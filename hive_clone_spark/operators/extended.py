@@ -1121,3 +1121,127 @@ def q50_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_us")
         .withColumnRenamed("ts_str", "ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q51 — data-quality audit: the standing checks a warehouse runs
+# before publishing a table — row count, null counts on key columns,
+# domain violations, and referential orphans (lineitem rows whose
+# order key has no parent order; customers referencing no nation).
+# One row per check, so the result is a dashboard/alert feed.
+#
+# Scale design: null/domain checks are conditional aggs in ONE scan
+# per table (never one pass per check); orphan detection is a
+# left-anti join on the FK — with the parent side broadcast when small
+# and AQE otherwise. Counts-only output, so nothing wide leaves the
+# executors.
+# ---------------------------------------------------------------------------
+@register(
+    "q51_dq_audit",
+    oracle="""
+    SELECT 'lineitem_rows' AS check_name,
+           (SELECT COUNT(*) FROM lineitem) AS n
+    UNION ALL
+    SELECT 'lineitem_null_keys',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey IS NULL OR l_partkey IS NULL)
+    UNION ALL
+    SELECT 'lineitem_bad_discount',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 1)
+    UNION ALL
+    SELECT 'lineitem_orphan_orders',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'customer_orphan_nations',
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    ORDER BY check_name
+    """,
+)
+def q51_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation").select("n_nationkey")
+
+    # one scan of lineitem covers three checks via conditional aggs
+    li_checks = l.agg(
+        F.count("*").alias("lineitem_rows"),
+        F.count(
+            F.when(F.col("l_orderkey").isNull() | F.col("l_partkey").isNull(), 1)
+        ).alias("lineitem_null_keys"),
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+        ).alias("lineitem_bad_discount"),
+    )
+    orphan_li = (
+        l.join(o, l.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("lineitem_orphan_orders").alias("check_name"), "n")
+    )
+    orphan_c = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left_anti")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("customer_orphan_nations").alias("check_name"), "n")
+    )
+    long = li_checks.unpivot([], li_checks.columns, "check_name", "n")
+    return (
+        long.unionByName(orphan_li)
+        .unionByName(orphan_c)
+        .orderBy("check_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q52 — null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL
+# matches NULL, unlike plain equality which drops every NULL-keyed
+# row silently. The derived key maps status 'O' to NULL so the NULL
+# bucket is populated; the dim carries an explicit NULL-keyed row.
+#
+# Scale design: null-safe equality is still a hash-joinable key (both
+# engines hash NULL to one bucket), so the plan is an ordinary
+# broadcast/shuffle hash join — but that shared NULL bucket is a skew
+# magnet at 100 TB: all NULL rows meet in one task, so the mitigation
+# is filtering or salting the NULL bucket when it dominates.
+# ---------------------------------------------------------------------------
+@register(
+    "q52_null_safe_join",
+    oracle="""
+    WITH keyed AS (
+      SELECT NULLIF(o_orderstatus, 'O') AS status_key, o_totalprice
+      FROM orders),
+    dim(status_key, status_name) AS (
+      VALUES ('F', 'finished'), ('P', 'pending'), (NULL, 'open'))
+    SELECT d.status_name, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(k.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM keyed k JOIN dim d ON k.status_key IS NOT DISTINCT FROM d.status_key
+    GROUP BY d.status_name
+    ORDER BY d.status_name
+    """,
+)
+def q52_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    keyed = o.select(
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_key"),
+        "o_totalprice",
+    )
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("P", "pending"), (None, "open")],
+        "status_key string, status_name string",
+    )
+    return (
+        keyed.join(
+            F.broadcast(dim),
+            keyed["status_key"].eqNullSafe(dim["status_key"]),
+        )
+        .groupBy("status_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .orderBy("status_name")
+    )
