@@ -1245,3 +1245,29 @@ def q52_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q53 — approximate percentiles: the mergeable-sketch twin of q30's
+# exact percentiles and the form that actually runs at 100 TB (exact
+# percentiles need a per-group sort; the sketch is a bounded-size,
+# mergeable state that map-side combines). No oracle entry — Spark's
+# Greenwald-Khanna sketch and DuckDB's t-digest give different
+# approximations — so the driver records a rows-only check; the
+# accuracy bound against q30-style exact values is asserted in
+# tests/test_relational_extra.py.
+# ---------------------------------------------------------------------------
+@register("q53_approx_percentile")
+def q53_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    pct = F.expr(
+        "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.9, 0.99), 10000)"
+    )
+    exact = F.expr(
+        "percentile(l_extendedprice, array(0.25, 0.5, 0.9, 0.99))"
+    )
+    return (
+        l.groupBy("l_returnflag")
+        .agg(pct.alias("approx_pcts"), exact.alias("exact_pcts"))
+        .orderBy("l_returnflag")
+    )

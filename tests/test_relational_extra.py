@@ -62,3 +62,13 @@ def test_stratified_sample_partition_independent(spark, sf_dir):
     s1 = {r.doc_id for r in d.repartition(1).sample(0.5, seed=42).select("doc_id").collect()}
     s2 = {r.doc_id for r in d.repartition(13).sample(0.5, seed=42).select("doc_id").collect()}
     assert s1 != s2
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    """GK-sketch percentiles must land within a small relative error of
+    the exact per-group values (accuracy=10000 → ~1e-4 rank error)."""
+    rows = registry.QUERIES["q53_approx_percentile"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for a, e in zip(r.approx_pcts, r.exact_pcts):
+            assert abs(a - e) <= max(1.0, 0.01 * abs(e)), (r.l_returnflag, a, e)
