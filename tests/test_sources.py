@@ -82,3 +82,30 @@ def test_bucketed_join_has_no_exchange_on_bucketed_sides(spark, orders):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS cust_status_b")
+
+
+def test_schema_evolution_merge_on_read(spark, orders, tmp_path):
+    """Ingest directories accumulate files written under evolving
+    schemas; mergeSchema reconciles them at read time — old files get
+    NULL for columns they predate, and no rows are lost. The
+    at-scale caveat: mergeSchema reads every file footer, so
+    production tables pin the merged schema in a catalog instead of
+    re-deriving it per read."""
+    path = str(tmp_path / "evolving")
+    v1 = orders.select("o_orderkey", "o_totalprice").limit(50)
+    v1.write.mode("append").parquet(path)
+    v2 = (
+        orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .limit(40)
+        .withColumn("ingest_version", F.lit(2))
+    )
+    v2.write.mode("append").parquet(path)
+
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(back.columns) == {
+        "o_orderkey", "o_totalprice", "o_orderpriority", "ingest_version"
+    }
+    assert back.count() == 90
+    # rows from the v1 files carry NULLs for the late-added columns
+    assert back.where(F.col("ingest_version").isNull()).count() == 50
+    assert back.where(F.col("ingest_version") == 2).count() == 40
