@@ -34,9 +34,47 @@ def entry(spark: SparkSession) -> DataFrame:
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+def _rounds_green(name: str, history: list[dict]) -> int:
+    """How many prior driver rounds recorded this query as green.
+
+    Green = a CORRECTNESS_r*.json row with no error (or the deliberate
+    rows-only "no_oracle" marker) and no hash mismatch. Queries that
+    have never been green sort FIRST so the driver — which checks only
+    the first N entries of queries() in order — always spends its
+    budget on the entries with the least correctness signal. As rounds
+    accumulate, this rotates coverage automatically.
+    """
+    n = 0
+    for rows in history:
+        r = rows.get(name)
+        if r is None:
+            continue
+        if r.get("err") not in (None, "no_oracle"):
+            continue
+        if r.get("hash_match") is False:
+            continue
+        n += 1
+    return n
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(registry.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Emitted in explicit order: never-driver-green entries first (see
+    _rounds_green), ties broken by registration order.
+    """
+    import json
+
+    history = []
+    for p in sorted(Path(_REPO).glob("CORRECTNESS_r*.json")):
+        try:
+            history.append(json.loads(p.read_text()))
+        except (OSError, json.JSONDecodeError):
+            continue
+    names = list(registry.QUERIES)
+    order = {n: i for i, n in enumerate(names)}
+    names.sort(key=lambda n: (_rounds_green(n, history), order[n]))
+    return {n: registry.QUERIES[n] for n in names}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -3,8 +3,14 @@
 Runs every registered headline query end-to-end (plan + execute +
 collect) at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS], after one throwaway warm-up action, and
-prints {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+prints ONE COMPACT JSON line {"metric": ..., "value": total_sec,
+"unit": "sec", "queries": {10 slowest}, "n_queries": N, "sf": ...}.
+
+The stdout line is deliberately small: round 1's full 78-query dict
+overflowed the driver's output-tail capture ("parsed": null in
+BENCH_r01.json), so the per-query detail now goes to
+bench_detail.json next to this file and stdout carries only the
+total + the 10 slowest, rounded to 2 dp.
 """
 
 from __future__ import annotations
@@ -43,14 +49,29 @@ def main() -> None:
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
 
-    total = round(sum(timings.values()), 4)
+    total = round(sum(timings.values()), 2)
+    detail_path = Path(__file__).resolve().parent / "bench_detail.json"
+    detail_path.write_text(
+        json.dumps(
+            {"metric": "headline_queries_total", "value": total, "unit": "sec",
+             "queries": timings, "sf": sf},
+            indent=1, sort_keys=True,
+        )
+    )
+    slowest = dict(
+        sorted(
+            ((k, round(v, 2)) for k, v in timings.items()),
+            key=lambda kv: -kv[1],
+        )[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
+                "n_queries": len(timings),
                 "sf": sf,
             }
         )

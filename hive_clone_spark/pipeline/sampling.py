@@ -108,7 +108,7 @@ _PACK_BUDGET = 512
                             ROWS UNBOUNDED PRECEDING) AS cum
       FROM t)
     SELECT doc_id, lang, n_tokens,
-      (cum - n_tokens) // {_PACK_BUDGET} AS pack_id
+      CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS pack_id
     FROM c ORDER BY doc_id
     """,
 )
@@ -185,7 +185,7 @@ def p_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ROWS UNBOUNDED PRECEDING) AS cum
       FROM s)
     SELECT doc_id, lang, n_tokens, split,
-      (cum - n_tokens) // {_PACK_BUDGET} AS pack_id
+      CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS pack_id
     FROM c ORDER BY doc_id
     """,
 )

@@ -95,21 +95,36 @@ def _sql_sign_array(j: int) -> str:
     )
 
 
-def _bucketed(e: DataFrame) -> DataFrame:
+def lsh_bucket_col():
+    """8-bit random-hyperplane signature of the `embedding` column.
+
+    Shared blocking key: p_knn_lsh buckets its candidate join with it,
+    and p_dedup_embedding reuses it (composed with the label) so its
+    pair join is bounded per bucket instead of quadratic per label.
+    """
     sig = None
     for j in range(N_PLANES):
         bit = F.when(dot_col(F.col("embedding"), _sign_array(j)) > 0, 1).otherwise(0)
         term = F.shiftleft(bit, j)
         sig = term if sig is None else sig + term
-    return e.select("vec_id", "embedding", sig.cast("int").alias("bucket"))
+    return sig.cast("int")
 
 
-def _sql_bucketed() -> str:
+def sql_lsh_bucket_expr() -> str:
+    """DuckDB expression computing the identical 8-bit signature."""
     bits = " + ".join(
         f"(CASE WHEN {sql_dot('embedding', _sql_sign_array(j))} > 0 THEN 1 ELSE 0 END << {j})"
         for j in range(N_PLANES)
     )
-    return f"SELECT vec_id, embedding, CAST({bits} AS INT) AS bucket FROM embeddings"
+    return f"CAST({bits} AS INT)"
+
+
+def _bucketed(e: DataFrame) -> DataFrame:
+    return e.select("vec_id", "embedding", lsh_bucket_col().alias("bucket"))
+
+
+def _sql_bucketed() -> str:
+    return f"SELECT vec_id, embedding, {sql_lsh_bucket_expr()} AS bucket FROM embeddings"
 
 
 @register(

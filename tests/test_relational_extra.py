@@ -68,7 +68,28 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
     """GK-sketch percentiles must land within a small relative error of
     the exact per-group values (accuracy=10000 → ~1e-4 rank error)."""
     rows = registry.QUERIES["q53_approx_percentile"](spark, sf_dir).collect()
-    assert rows
+    assert len(rows) == 12  # 3 return flags x 4 percentiles, scalar rows
     for r in rows:
-        for a, e in zip(r.approx_pcts, r.exact_pcts):
-            assert abs(a - e) <= max(1.0, 0.01 * abs(e)), (r.l_returnflag, a, e)
+        a, e = r.approx_value, r.exact_value
+        assert abs(a - e) <= max(1.0, 0.01 * abs(e)), (r.l_returnflag, r.pct, a, e)
+
+
+def test_pandas_path_catches_hugeint_drift(spark, sf_dir):
+    """The oracle replica must flag DuckDB HUGEINT->float64 dtype drift
+    (round 1's q50 driver hash failure): a windowed SUM(BIGINT) left
+    uncast returns HUGEINT, which pandas materializes as float64 while
+    Spark returns int64. fetchall() hid this (both sides gave Python
+    ints); the fetchdf() path must not."""
+    from tests.oracle_utils import compare
+
+    good = registry.ORACLE["q50_rolling_time_window"]
+    uncast = good.replace(
+        "CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) OVER w AS BIGINT)",
+        "SUM(CAST(FLOOR(value * 1000) AS BIGINT)) OVER w",
+    )
+    assert uncast != good, "q50 oracle no longer matches the expected shape"
+    df = registry.QUERIES["q50_rolling_time_window"](spark, sf_dir)
+    ok, msg = compare(df, good, sf_dir)
+    assert ok, msg
+    ok_uncast, _ = compare(df, uncast, sf_dir)
+    assert not ok_uncast, "pandas-path replica failed to catch HUGEINT drift"
