@@ -24,6 +24,16 @@ are the behavioral contract (FIXTURES.md), so `ant_moves` excludes the
 start cell. Spider destinations are likewise deduplicated (the DFS can
 reach one dest via several simple paths; test_rules.cpp:117-121 asserts
 distinctness).
+
+DELIBERATE DEVIATION (buried mover): for a mover BURIED under a beetle
+the reference treats the mover's whole start stack as empty during
+ant/spider exploration (rules.cpp:201-203 ignores every piece at the
+start cell); this code subtracts only the mover's own contribution, so
+the start cell stays occupied by the pieces above. The two differ ONLY
+when generating slide moves for a non-top piece — a position real Hive
+forbids (a buried piece may not move) and the reference tests never
+exercise. The count-based view is kept deliberately: it is the
+physically meaningful occupancy if such a state is ever queried.
 """
 
 from __future__ import annotations

@@ -36,14 +36,24 @@ def add_piece(
     height: int | None = None,
 ) -> DataFrame:
     """E1 `addDemoPiece` (engine.cpp:8-16): insert at clamped height
-    (top of stack when height is None/too large), renumber."""
+    (top of stack when height is None/too large), renumber.
+
+    The reference inserts AT the requested index and shifts the
+    incumbent up (engine.cpp:13), so an explicit height must order the
+    new row AHEAD of a same-height incumbent regardless of piece_id.
+    Heights are ints, so the pre-renumber sort key doubles existing
+    heights (2h) and slots the insert at 2h-1 — strictly between the
+    incumbent below and the one displaced up."""
+    ins_key = 2 * 10**6 if height is None else 2 * height - 1
     new_row = spark.createDataFrame(
-        [(piece_id, bug, color, True, q, r, 10**6 if height is None else height)],
+        [(piece_id, bug, color, True, q, r, ins_key)],
         PIECES_SCHEMA,
     )
-    # a fractional nudge would be cleaner, but heights are ints: insert
-    # below-or-at requested height by ordering (height, then new id last)
-    return _renumber(pieces.unionByName(new_row))
+    scaled = pieces.withColumn(
+        "height",
+        F.when(F.col("on_board"), F.col("height") * 2).otherwise(F.col("height")),
+    )
+    return _renumber(scaled.unionByName(new_row))
 
 
 def move_piece(pieces: DataFrame, piece_id: int, to_q: int, to_r: int) -> DataFrame:

@@ -99,6 +99,18 @@ def test_add_and_stack(spark):
     assert sorted(r.height for r in cell) == [0, 1]
 
 
+def test_add_at_explicit_height_displaces_incumbent(spark):
+    # engine.cpp:13 inserts AT the requested index and shifts the
+    # incumbent up — even when the new piece's id is larger (the
+    # (height, piece_id) renumber tie-break must not bury the insert
+    # ABOVE the incumbent it displaces).
+    pieces = pieces_df(spark, "f1_lone_queen")  # piece 0 at (0,0) h=0
+    stacked = add_piece(spark, pieces, 5, "Beetle", "Black", 0, 0, height=0)
+    cell = {r.piece_id: r.height for r in
+            stacked.where((F.col("q") == 0) & (F.col("r") == 0)).collect()}
+    assert cell == {5: 0, 0: 1}  # insert lands at 0, queen shifted up
+
+
 def test_pixel_mapping_deterministic(spark):
     # test_engine.cpp:5-10 (F9): Δ between (1,0) and (0,0) at size 40
     df = spark.createDataFrame([(0, 0), (1, 0)], "q INT, r INT")

@@ -1,0 +1,59 @@
+"""Physical-plan regression gate: every registered query's plan must be
+free of scale anti-patterns (tools/explain_audit.py's checks, promoted
+to CI per the round-1 verdict):
+
+  * no CartesianProduct ever;
+  * no BatchEvalPython — a row-at-a-time Python UDF in the hot path
+    (Arrow mapInPandas boundaries show up as other operators and are
+    fine);
+  * BroadcastNestedLoopJoin only where the build side is a literal
+    handful of rows (theta joins against tiny dims / fixtures) —
+    an explicit allowlist, so a NEW nested-loop join fails the suite;
+  * no parquet Filter without PushedFilters (pushdown lost).
+
+Plans are built (not executed) at the correctness SF, so the whole
+sweep is driver-side Catalyst work.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hive_clone_spark import registry
+from tools.explain_audit import audit
+
+registry.load_all_modules()
+
+NAMES = sorted(registry.QUERIES)
+
+# Queries whose BroadcastNestedLoopJoin is the intended plan: a theta
+# join whose build side is a literal handful of rows (game fixtures are
+# <=22 pieces, the knn query set is 5 vectors, q18's dim is 4 bands,
+# q44 broadcasts a 1-row MAX). Anything not listed here that grows a
+# nested-loop join is a regression.
+NESTEDLOOP_OK = {
+    "g_game_over_blackwins",
+    "g_game_over_draw",
+    "g_grasshopper_moves",
+    "g_legal_moves_all",
+    "g_placement_first_of_color",
+    "g_placement_targets",
+    "g_queen_surrounded",
+    "p_knn_bruteforce",
+    "p_knn_filtered",
+    "p_knn_ivf",
+    "q18_band_join",
+    "q44_upsert",
+}
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_plan_has_no_scale_antipatterns(spark, name):
+    df = registry.QUERIES[name](spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    flags = set(audit(name, plan))
+    if name in NESTEDLOOP_OK:
+        flags.discard("NESTEDLOOP")
+    assert not flags, f"{name}: plan anti-patterns {sorted(flags)}"
