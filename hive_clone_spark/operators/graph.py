@@ -50,9 +50,13 @@ def connected_components(
     """Min-label propagation: vertices(id), edges(src, dst) undirected.
     Returns (id, component) where component = min vertex id reachable."""
     labels = vertices.select("id", F.col("id").alias("component"))
+    # Materialize the edge set ONCE before iterating: the loop joins
+    # against it every round, and without the checkpoint each iteration
+    # re-executes the caller's full edge-producing DAG (for
+    # p_dedup_resolve that DAG is the entire MinHash+LSH pipeline).
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     for _ in range(max_iterations):
         # neighbor labels + own label, min per vertex; checkpoint cuts
         # the per-iteration lineage growth (the classic iterative-Spark

@@ -515,7 +515,14 @@ _PAIRS_SQL = f"""
 def p_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_clone_spark.operators.graph import connected_components
 
-    pairs = p_dedup_minhash_lsh(spark, sf_dir).where(F.col("jaccard") >= 0.5)
+    # One materialization of the (tiny, LSH-pruned) pair graph: edges,
+    # vertices, and the CC fixpoint all reuse it instead of re-running
+    # the minhash pipeline per consumer.
+    pairs = (
+        p_dedup_minhash_lsh(spark, sf_dir)
+        .where(F.col("jaccard") >= 0.5)
+        .localCheckpoint(eager=True)
+    )
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     verts = (
         edges.select(F.col("src").alias("id"))
