@@ -73,8 +73,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             continue
     names = list(registry.QUERIES)
     order = {n: i for i, n in enumerate(names)}
-    names.sort(key=lambda n: (_rounds_green(n, history), order[n]))
+    names.sort(
+        key=lambda n: (
+            _rounds_green(n, history),
+            # round-1 entries that never got a driver row outrank ops
+            # added later: the r1 verdict names these as THE gap, and a
+            # new op must not displace them from the checked window.
+            0 if n in _R1_NEVER_CHECKED else 1,
+            order[n],
+        )
+    )
     return {n: registry.QUERIES[n] for n in names}
+
+
+# The 52 round-1 entries with no green CORRECTNESS_r01 row (50 never
+# checked by the driver's 50-entry window + q50/q53 which failed it).
+# Once green, _rounds_green outranks this list and it becomes inert.
+_R1_NEVER_CHECKED = frozenset(
+    [
+        "q50_rolling_time_window", "q53_approx_percentile",
+        "g_stack_tops", "g_queen_surrounded", "g_game_over_blackwins",
+        "g_game_over_draw", "g_can_slide", "g_queen_moves",
+        "g_beetle_climb", "g_beetle_on_top", "g_grasshopper_moves",
+        "g_ant_moves", "g_ant_perimeter", "g_spider_moves", "g_reserves",
+        "g_color_status", "g_placement_empty_board",
+        "g_placement_first_of_color", "g_placement_targets", "g_add_piece",
+        "g_move_piece", "g_pixel_roundtrip", "g_legal_moves_all",
+        "p_dedup_exact", "p_dedup_minhash_lsh", "p_dedup_simhash",
+        "p_dedup_ngram_jaccard", "p_dedup_embedding", "p_dedup_resolve",
+        "p_contamination", "p_knn_bruteforce", "p_knn_lsh", "p_knn_ivf",
+        "p_knn_filtered", "p_text_stats", "p_lang_id", "p_token_count",
+        "p_doc_fingerprint", "p_top_words", "p_vocab_build",
+        "p_multimodal_meta", "p_multimodal_decode",
+        "p_multimodal_framesample", "p_multimodal_resize",
+        "p_stratified_sample", "p_sequence_pack", "p_pipeline_e2e",
+        "q43_sql_passthrough", "p_ema", "q23_tumbling_window",
+        "q24_sliding_window", "q25_session_window",
+    ]
+)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -316,3 +316,68 @@ def p_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization: per-vector symmetric scale (127 /
+# max|x|), elementwise floor(x*scale + 0.5) clamped to [-127, 127],
+# and the worst-case reconstruction error — the 4x storage compression
+# every embedding store applies before ANN serving, with the error
+# audit that decides whether it is safe.
+#
+# Scale design: pure per-row array math (transform/array_max — JVM
+# codegen, no shuffle, no UDF), so it runs at scan speed and
+# parallelizes trivially. floor(x+0.5) instead of round() because the
+# two engines disagree on round-half behavior for doubles; max() is
+# order-independent so the fold order never matters. The scale is
+# projected to a COLUMN before the error pass — an inline expression
+# would be re-evaluated per array element inside the lambda (no CSE
+# into higher-order functions; see SCALE.md).
+# ---------------------------------------------------------------------------
+@register(
+    "p_embed_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xs,
+        CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> abs(x))) = 0 THEN 1.0
+             ELSE 127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                                  x -> abs(x)))
+        END AS scale
+      FROM embeddings)
+    SELECT vec_id, CAST(len(xs) AS INT) AS dim, ROUND(scale, 6) AS scale,
+      ROUND(list_max(list_transform(xs,
+        x -> abs(x - least(greatest(floor(x * scale + 0.5), -127.0), 127.0)
+                     / scale))), 6) AS max_err
+    FROM s ORDER BY vec_id
+    """,
+)
+def p_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    xs = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(xs, lambda x: F.abs(x)))
+    s = e.select(
+        "vec_id",
+        xs.alias("xs"),
+        F.when(max_abs == 0, F.lit(1.0)).otherwise(127.0 / max_abs).alias("scale"),
+    )
+    sc = F.col("scale")
+    err = F.array_max(
+        F.transform(
+            F.col("xs"),
+            lambda x: F.abs(
+                x
+                - F.least(
+                    F.greatest(F.floor(x * sc + 0.5), F.lit(-127.0)),
+                    F.lit(127.0),
+                )
+                / sc
+            ),
+        )
+    )
+    return s.select(
+        "vec_id",
+        F.size("xs").cast("int").alias("dim"),
+        F.round(sc, 6).alias("scale"),
+        F.round(err, 6).alias("max_err"),
+    ).orderBy("vec_id")

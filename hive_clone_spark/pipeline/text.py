@@ -294,3 +294,227 @@ def p_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.withColumn("vocab_id", (F.row_number().over(w) - 1).cast("int"))
         .orderBy("vocab_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram language model: per-language bigram counts with add-one
+# smoothed conditional probabilities P(w2|w1) — the count table an
+# n-gram LM (or a data-selection perplexity filter) trains from.
+#
+# Scale design: bigrams come from zipping each words array with its
+# own tail (arrays_zip of two slices — JVM-side, no self-join, no
+# UDF); the only shuffles are the groupBys on (lang, w1, w2) /
+# (lang, w1), both with map-side partial aggregation, plus one
+# per-lang distinct for the smoothing vocabulary. Top-15 per lang is
+# a per-group window, never a global sort.
+# ---------------------------------------------------------------------------
+_LM_TOP = 15
+
+
+@register(
+    "p_ngram_lm",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, {SQL_WORDS.format(expr="lower(text)")} AS ws FROM documents),
+    bg AS (
+      SELECT lang,
+        unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                              i -> ws[i] || ' ' || ws[i + 1])) AS bgm
+      FROM t),
+    b2 AS (
+      SELECT lang, split_part(bgm, ' ', 1) AS w1, split_part(bgm, ' ', 2) AS w2
+      FROM bg),
+    c12 AS (SELECT lang, w1, w2, COUNT(*) AS n FROM b2 GROUP BY lang, w1, w2),
+    c1 AS (SELECT lang, w1, COUNT(*) AS n1 FROM b2 GROUP BY lang, w1),
+    v AS (SELECT lang, COUNT(DISTINCT w2) AS v FROM b2 GROUP BY lang)
+    SELECT lang, w1, w2, n,
+      ROUND(CAST(n + 1 AS DOUBLE) / (n1 + v), 6) AS prob,
+      CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT c12.lang, w1, w2, n, n1, v.v,
+        ROW_NUMBER() OVER (PARTITION BY c12.lang
+                           ORDER BY n DESC, w1, w2) AS rnk
+      FROM c12 JOIN c1 USING (lang, w1) JOIN v USING (lang))
+    WHERE rnk <= {_LM_TOP}
+    ORDER BY lang, rnk
+    """,
+)
+def p_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select("lang", words_col(F.lower(F.col("text"))).alias("ws"))
+    tail_len = F.greatest(F.size("ws") - 1, F.lit(0))
+    bg = t.select(
+        "lang",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("ws"), 1, tail_len).alias("w1"),
+                F.slice(F.col("ws"), 2, tail_len).alias("w2"),
+            )
+        ).alias("b"),
+    ).select("lang", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c12 = bg.groupBy("lang", "w1", "w2").agg(F.count("*").alias("n"))
+    c1 = bg.groupBy("lang", "w1").agg(F.count("*").alias("n1"))
+    v = bg.groupBy("lang").agg(F.countDistinct("w2").alias("v"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "w1", "w2")
+    return (
+        c12.join(c1, ["lang", "w1"])
+        .join(v, "lang")
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= _LM_TOP)
+        .select(
+            "lang",
+            "w1",
+            "w2",
+            "n",
+            F.round((F.col("n") + 1).cast("double") / (F.col("n1") + F.col("v")), 6)
+            .alias("prob"),
+            "rnk",
+        )
+        .orderBy("lang", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality-filter admission dashboard: the decision feed a corpus
+# curation pipeline publishes — per (lang, source), how many documents
+# pass the standing quality gate and how many tokens survive.
+# Reuses p_text_stats' metric definitions so the gate and the stats
+# view can never drift apart.
+#
+# Scale design: one scan computing all per-doc metrics as narrow
+# codegen expressions, one groupBy (lang, source) with conditional
+# aggregates — counts-only output, nothing wide leaves the executors.
+# ---------------------------------------------------------------------------
+@register(
+    "p_quality_filter",
+    oracle=f"""
+    WITH m AS (
+      SELECT lang, source,
+        CAST(len({SQL_WORDS.format(expr="text")}) AS BIGINT) AS n_words,
+        CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE)
+          / greatest(n_chars, 1) AS punct_ratio,
+        CAST(len(regexp_extract_all(lower(text), '\\b{_STOPWORDS}\\b')) AS DOUBLE)
+          / greatest(len({SQL_WORDS.format(expr="text")}), 1) AS stop_ratio
+      FROM documents),
+    g AS (
+      SELECT lang, source, n_words,
+        (n_words BETWEEN 30 AND 5000
+         AND punct_ratio <= 0.15 AND stop_ratio >= 0.01) AS pass
+      FROM m)
+    SELECT lang, source,
+      COUNT(*) AS n_docs,
+      CAST(COUNT(*) FILTER (WHERE pass) AS BIGINT) AS n_pass,
+      ROUND(CAST(COUNT(*) FILTER (WHERE pass) AS DOUBLE) / COUNT(*), 6)
+        AS pass_rate,
+      CAST(COALESCE(SUM(n_words) FILTER (WHERE pass), 0) AS BIGINT)
+        AS kept_tokens
+    FROM g GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def p_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    words = words_col(F.col("text"))
+    n_words = F.size(words).cast("bigint")
+    n_punct = F.size(F.expr("regexp_extract_all(text, '\\\\p{Punct}', 0)"))
+    n_stop = F.size(
+        F.expr(f"regexp_extract_all(lower(text), '\\\\b{_STOPWORDS}\\\\b', 0)")
+    )
+    punct_ratio = n_punct.cast("double") / F.greatest(F.col("n_chars"), F.lit(1))
+    stop_ratio = n_stop.cast("double") / F.greatest(F.size(words), F.lit(1))
+    g = d.select(
+        "lang",
+        "source",
+        n_words.alias("n_words"),
+        (
+            n_words.between(30, 5000)
+            & (punct_ratio <= 0.15)
+            & (stop_ratio >= 0.01)
+        ).alias("pass"),
+    )
+    return (
+        g.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_if("pass").cast("bigint").alias("n_pass"),
+            F.round(F.count_if("pass").cast("double") / F.count("*"), 6).alias(
+                "pass_rate"
+            ),
+            F.coalesce(F.sum(F.when(F.col("pass"), F.col("n_words"))), F.lit(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# inverted index: word -> document-frequency + head of the posting
+# list. The IR/dedup-support structure (contamination checks, keyword
+# routing) in its buildable-at-scale form.
+#
+# Scale design: the naive collect_list-per-word holds a hot word's
+# ENTIRE posting list in one aggregation buffer — unbounded for
+# stopwords at 100 TB. So the posting head is bounded BEFORE
+# collection: one window pass on the (word, doc_id) pairs computes df
+# and ranks doc_ids per word, only rank<=20 rows reach the
+# collect_list. The window and the groupBy share the same shuffle key
+# (word), so this is one exchange total.
+# ---------------------------------------------------------------------------
+_POSTINGS_HEAD = 20
+_INDEX_TOP = 50
+
+
+@register(
+    "p_inverted_index",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT doc_id, lower(w) AS word
+      FROM (SELECT doc_id, unnest({SQL_WORDS.format(expr="text")}) AS w
+            FROM documents)),
+    r AS (
+      SELECT word, doc_id,
+        COUNT(*) OVER (PARTITION BY word) AS df,
+        ROW_NUMBER() OVER (PARTITION BY word ORDER BY doc_id) AS rn
+      FROM pairs)
+    SELECT word, CAST(df AS BIGINT) AS df,
+      array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',')
+        AS postings_head
+    FROM r WHERE rn <= {_POSTINGS_HEAD}
+    GROUP BY word, df
+    ORDER BY df DESC, word LIMIT {_INDEX_TOP}
+    """,
+)
+def p_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    pairs = (
+        d.select("doc_id", F.explode(words_col(F.col("text"))).alias("w"))
+        .select("doc_id", F.lower("w").alias("word"))
+        .distinct()
+    )
+    wdf = Window.partitionBy("word")
+    wrn = Window.partitionBy("word").orderBy("doc_id")
+    r = pairs.select(
+        "word",
+        "doc_id",
+        F.count("*").over(wdf).alias("df"),
+        F.row_number().over(wrn).alias("rn"),
+    ).where(F.col("rn") <= _POSTINGS_HEAD)
+    return (
+        r.groupBy("word", "df")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings_head")
+        )
+        .orderBy(F.desc("df"), "word")
+        .limit(_INDEX_TOP)
+    )
