@@ -224,7 +224,8 @@ def _simhash_bits_sql() -> str:
        AND ((a.simhash >> 8) = (b.simhash >> 8) OR (a.simhash & 255) = (b.simhash & 255)))
     SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
     FROM pairs WHERE hamming <= 2
-    ORDER BY doc_a, doc_b
+    ORDER BY hamming, doc_a, doc_b
+    LIMIT 100
     """,
 )
 def p_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,7 +290,12 @@ def p_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
         .where(F.col("hamming") <= 2)
     )
-    return pairs.orderBy("doc_a", "doc_b")
+    # Top-100 closest pairs (total order), not the full pair dump: the
+    # synthetic corpus yields ~698k hamming<=2 pairs at sf0.1, so an
+    # unbounded result is collect-bound at the caller — the one cost
+    # A/B profiling showed this query has (SCALE.md). TakeOrdered keeps
+    # the candidate generation identical while the result stays O(k).
+    return pairs.orderBy("hamming", "doc_a", "doc_b").limit(100)
 
 
 # ---------------------------------------------------------------------------
