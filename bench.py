@@ -37,8 +37,10 @@ def main() -> None:
     registry.load_all_modules()
     spark = get_spark(app_name="hive-clone-spark-bench")
 
-    # Warm up the JVM / parquet footer caches with a throwaway action.
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # Warm up the JVM / parquet footer caches with throwaway actions on
+    # each fact table the query families scan.
+    for t in ("lineitem", "events", "documents", "embeddings"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
 
     timings: dict[str, float] = {}
     for name in sorted(registry.QUERIES):

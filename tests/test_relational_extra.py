@@ -93,3 +93,45 @@ def test_pandas_path_catches_hugeint_drift(spark, sf_dir):
     assert ok, msg
     ok_uncast, _ = compare(df, uncast, sf_dir)
     assert not ok_uncast, "pandas-path replica failed to catch HUGEINT drift"
+
+
+def test_embed_quantize_error_bound(spark, sf_dir):
+    """Symmetric int8 quantization: every reconstruction error must be
+    <= 0.5/scale (half a quantization step; the max element hits the
+    clamp boundary exactly, so no clamp-induced excess). Both output
+    columns are rounded to 6 dp, so the bound carries a 1e-6 slack."""
+    rows = registry.QUERIES["p_embed_quantize"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.max_err <= 0.5 / r.scale + 1e-6, (r.vec_id, r.max_err, r.scale)
+
+
+def test_inverted_index_postings_bounded(spark, sf_dir):
+    """Posting heads must stay bounded (the window cap runs BEFORE
+    collect_list) and df must never be smaller than the head length."""
+    rows = registry.QUERIES["p_inverted_index"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        head = r.postings_head.split(",")
+        assert len(head) <= 20
+        assert r.df >= len(head)
+        assert head == sorted(head, key=int)
+
+
+def test_ngram_lm_probabilities_valid(spark, sf_dir):
+    """Smoothed P(w2|w1) must be a probability and counts positive."""
+    rows = registry.QUERIES["p_ngram_lm"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.prob <= 1.0 and r.n >= 1
+
+
+def test_quality_filter_rates_consistent(spark, sf_dir):
+    """pass_rate in [0,1], n_pass <= n_docs, kept_tokens 0 iff no pass."""
+    rows = registry.QUERIES["p_quality_filter"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.pass_rate <= 1.0
+        assert r.n_pass <= r.n_docs
+        if r.n_pass == 0:
+            assert r.kept_tokens == 0
