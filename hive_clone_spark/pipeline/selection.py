@@ -1,0 +1,424 @@
+"""Data-selection / curation operators over `documents` (M5
+extension): repetition scoring, LM-based quality scoring, domain
+mixture rebalancing, and deterministic output sharding — the four
+corpus-curation moves a pre-training data pipeline runs between "raw
+corpus" and "training batches".
+
+The reference (a C++ Hive-board-game clone, SURVEY.md §0) has none of
+this; the surface comes from the driver contract's LLM-pipeline
+north star (BASELINE.json).
+
+Shared determinism rules (see registry.py docstring): portable_hash
+gates, decimal-cast exact sums for anything accumulated across rows,
+per-term rounding before transcendental sums so both engines fold the
+same values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_clone_spark.catalog import table
+from hive_clone_spark.pipeline.common import (
+    SQL_WORDS,
+    portable_hash,
+    sql_portable_hash,
+    words_col,
+)
+from hive_clone_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# repetition scoring: the Gopher/MassiveText-style repetitiousness
+# signals — duplicate-word fraction, consecutive-repeat fraction, and
+# the fraction of all bigrams taken by the single most frequent bigram.
+# Heavily repetitive documents (boilerplate, keyword stuffing, broken
+# scrapes) score high and get filtered before training.
+#
+# Scale design: dup_word_frac and rep_pair_frac are pure array
+# expressions (distinct size / index zip) — narrow, codegen'd, no
+# shuffle. Only top_bigram_frac needs data movement: explode bigrams →
+# count per (doc_id, bigram) → max/sum per doc_id; both aggregations
+# shuffle on doc-scoped keys (uniform, unskewed by construction), then
+# a same-key join back to the narrow stats. Nothing holds more than
+# one document's bigram histogram in any buffer.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p_repetition_score",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {SQL_WORDS.format(expr="lower(text)")} AS ws FROM documents),
+    narrow AS (
+      SELECT doc_id, len(ws) AS n_words,
+        ROUND(CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE)
+              / greatest(len(ws), 1), 6) AS dup_word_frac,
+        ROUND(CAST(len(list_filter(generate_series(1, greatest(len(ws) - 1, 0)),
+                                   i -> ws[i] = ws[i + 1])) AS DOUBLE)
+              / greatest(len(ws) - 1, 1), 6) AS rep_pair_frac
+      FROM w),
+    bg AS (
+      SELECT doc_id,
+        unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                              i -> ws[i] || ' ' || ws[i + 1])) AS bgm
+      FROM w),
+    bc AS (SELECT doc_id, bgm, COUNT(*) AS n FROM bg GROUP BY doc_id, bgm),
+    tb AS (
+      SELECT doc_id, ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_bigram_frac
+      FROM bc GROUP BY doc_id)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      dup_word_frac, rep_pair_frac, top_bigram_frac,
+      (dup_word_frac > 0.9 OR rep_pair_frac > 0.1 OR top_bigram_frac > 0.1)
+        AS repetitive
+    FROM narrow JOIN tb USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def p_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = d.select("doc_id", words_col(F.lower(F.col("text"))).alias("ws"))
+    # project ws/n to columns first: HOF lambdas re-evaluate captured
+    # outer EXPRESSIONS per element (column refs are fine)
+    w = w.withColumn("n", F.size("ws"))
+    rep_pairs = F.when(F.col("n") < 2, F.lit(0)).otherwise(
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.greatest(F.col("n") - 1, F.lit(1))),
+                lambda i: F.element_at(F.col("ws"), i)
+                == F.element_at(F.col("ws"), i + 1),
+            )
+        )
+    )
+    narrow = w.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_words"),
+        F.round(
+            (F.col("n") - F.size(F.array_distinct("ws"))).cast("double")
+            / F.greatest(F.col("n"), F.lit(1)),
+            6,
+        ).alias("dup_word_frac"),
+        F.round(
+            rep_pairs.cast("double") / F.greatest(F.col("n") - 1, F.lit(1)), 6
+        ).alias("rep_pair_frac"),
+    )
+    tail = F.greatest(F.col("n") - 1, F.lit(0))
+    bg = w.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ws"), 1, tail),
+                F.slice(F.col("ws"), 2, tail),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bgm"),
+    )
+    bc = bg.groupBy("doc_id", "bgm").agg(F.count("*").alias("n"))
+    tb = bc.groupBy("doc_id").agg(
+        F.round(F.max("n").cast("double") / F.sum("n"), 6).alias("top_bigram_frac")
+    )
+    return (
+        narrow.join(tb, "doc_id")
+        .withColumn(
+            "repetitive",
+            (F.col("dup_word_frac") > 0.9)
+            | (F.col("rep_pair_frac") > 0.1)
+            | (F.col("top_bigram_frac") > 0.1),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LM-based document scoring (CCNet-style data selection): train an
+# add-one-smoothed bigram LM on the TRAIN split only (same hash gate
+# as p_stratified_sample, so the split definition can never drift),
+# then score EVERY document's average negative log-likelihood under
+# its language's LM. Low-scoring documents look like the corpus;
+# high-scoring ones are outliers — the standard perplexity filter.
+#
+# Scale design: the LM tables are groupBy aggregates with map-side
+# partial counts; scoring is an equi join of the corpus bigram stream
+# against (lang, w1, w2) counts — shuffle-partitioned on the bigram
+# key, uniform by construction. The per-document fold sums
+# decimal-cast per-bigram NLL (each term rounded to 6 dp first) so
+# both engines accumulate identical values in any order.
+# ---------------------------------------------------------------------------
+
+
+def _sql_bigrams(src: str) -> str:
+    return f"""
+      SELECT doc_id, lang,
+        unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                              i -> ws[i] || ' ' || ws[i + 1])) AS bgm
+      FROM (SELECT doc_id, lang, {SQL_WORDS.format(expr="lower(text)")} AS ws
+            FROM {src})"""
+
+
+@register(
+    "p_lm_score",
+    oracle=f"""
+    WITH bg AS (
+      SELECT doc_id, lang, split_part(bgm, ' ', 1) AS w1,
+             split_part(bgm, ' ', 2) AS w2
+      FROM ({_sql_bigrams("documents")})),
+    train AS (
+      SELECT * FROM bg
+      WHERE {sql_portable_hash("'split:' || CAST(doc_id AS VARCHAR)")} % 10 >= 2),
+    c12 AS (SELECT lang, w1, w2, COUNT(*) AS n FROM train GROUP BY lang, w1, w2),
+    c1 AS (SELECT lang, w1, COUNT(*) AS n1 FROM train GROUP BY lang, w1),
+    v AS (SELECT lang, COUNT(DISTINCT w2) AS v FROM train GROUP BY lang),
+    scored AS (
+      SELECT bg.doc_id, bg.lang,
+        CAST(ROUND(-ln(CAST(COALESCE(c12.n, 0) + 1 AS DOUBLE)
+                       / (COALESCE(c1.n1, 0) + v.v)), 6) AS DECIMAL(28,6)) AS nll
+      FROM bg
+      LEFT JOIN c12 ON bg.lang = c12.lang AND bg.w1 = c12.w1 AND bg.w2 = c12.w2
+      LEFT JOIN c1 ON bg.lang = c1.lang AND bg.w1 = c1.w1
+      JOIN v ON bg.lang = v.lang)
+    SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+      CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS avg_nll,
+      ({sql_portable_hash("'split:' || CAST(doc_id AS VARCHAR)")} % 10 >= 2)
+        AS in_train
+    FROM scored GROUP BY doc_id, lang
+    ORDER BY doc_id
+    """,
+)
+def p_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", words_col(F.lower(F.col("text"))).alias("ws"))
+    tail = F.greatest(F.size("ws") - 1, F.lit(0))
+    bg = t.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("ws"), 1, tail).alias("w1"),
+                F.slice(F.col("ws"), 2, tail).alias("w2"),
+            )
+        ).alias("b"),
+    ).select("doc_id", "lang", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    split_bucket = (
+        portable_hash(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 10
+    )
+    train = bg.where(split_bucket >= 2)
+    c12 = train.groupBy("lang", "w1", "w2").agg(F.count("*").alias("n"))
+    c1 = train.groupBy("lang", "w1").agg(F.count("*").alias("n1"))
+    v = train.groupBy("lang").agg(F.countDistinct("w2").alias("v"))
+    prob = (F.coalesce(F.col("n"), F.lit(0)) + 1).cast("double") / (
+        F.coalesce(F.col("n1"), F.lit(0)) + F.col("v")
+    )
+    scored = (
+        bg.join(c12, ["lang", "w1", "w2"], "left")
+        .join(c1, ["lang", "w1"], "left")
+        .join(v, "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.round(-F.log(prob), 6).cast("decimal(28,6)").alias("nll"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.sum("nll").cast("double") / F.count("*")).alias("avg_nll"),
+        )
+        .withColumn("in_train", split_bucket >= 2)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# domain mixture rebalancing: temperature resampling across sources
+# (the multilingual/multi-domain rebalancing move: keep-rate per
+# source ∝ count^(α−1), α=0.5, normalized so the smallest source
+# keeps 100%). Emits the before/after mixture dashboard.
+#
+# Scale design: documents are scanned ONCE, aggregated straight to
+# (source, hash-bucket%100) cells — ~100 rows per source — and every
+# subsequent step (per-source totals, the global min, the rate
+# formula, the kept-share re-aggregation) runs on that tiny aggregate.
+# No second corpus scan, no join back against the full table; the
+# acceptance set is defined purely by bucket < rate, which a writer
+# would apply as a scan-stage predicate.
+# ---------------------------------------------------------------------------
+_MIX_ALPHA = 0.5  # documented; the formula below hard-codes sqrt = ^0.5
+
+
+@register(
+    "p_domain_mix",
+    oracle=f"""
+    WITH g AS (
+      SELECT source,
+        {sql_portable_hash("'mix:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+        COUNT(*) AS n_docs,
+        CAST(SUM(len({SQL_WORDS.format(expr="text")})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source, bucket),
+    totals AS (
+      SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM g GROUP BY source),
+    rated AS (
+      SELECT *,
+        CAST(floor(100 * sqrt(CAST(MIN(n_docs) OVER () AS DOUBLE) / n_docs))
+             AS INT) AS keep_rate
+      FROM totals),
+    kept AS (
+      SELECT g.source,
+        CAST(SUM(g.n_docs) AS BIGINT) AS kept_docs,
+        CAST(SUM(g.n_tokens) AS BIGINT) AS kept_tokens
+      FROM g JOIN rated ON g.source = rated.source
+      WHERE g.bucket < rated.keep_rate
+      GROUP BY g.source)
+    SELECT rated.source, rated.n_docs, rated.n_tokens, keep_rate,
+      COALESCE(kept_docs, 0) AS kept_docs,
+      COALESCE(kept_tokens, 0) AS kept_tokens,
+      ROUND(CAST(rated.n_docs AS DOUBLE)
+            / SUM(rated.n_docs) OVER (), 6) AS share_before,
+      ROUND(CAST(COALESCE(kept_docs, 0) AS DOUBLE)
+            / SUM(COALESCE(kept_docs, 0)) OVER (), 6) AS share_after
+    FROM rated LEFT JOIN kept ON rated.source = kept.source
+    ORDER BY rated.source
+    """,
+)
+def p_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    bucket = portable_hash(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 100
+    g = (
+        d.select(
+            "source",
+            bucket.alias("bucket"),
+            F.size(words_col(F.col("text"))).alias("toks"),
+        )
+        .groupBy("source", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("n_tokens"),
+        )
+    )
+    g = g.localCheckpoint(eager=False)  # consumed twice below (totals + kept)
+    totals = g.groupBy("source").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    wall = Window.partitionBy()
+    rated = totals.withColumn(
+        "keep_rate",
+        F.floor(
+            100
+            * F.sqrt(F.min("n_docs").over(wall).cast("double") / F.col("n_docs"))
+        ).cast("int"),
+    )
+    kept = (
+        g.join(rated.select("source", "keep_rate"), "source")
+        .where(F.col("bucket") < F.col("keep_rate"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("kept_docs"),
+            F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
+        )
+    )
+    out = (
+        rated.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "keep_rate",
+            F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+        )
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "keep_rate",
+        "kept_docs",
+        "kept_tokens",
+        F.round(F.col("n_docs").cast("double") / F.sum("n_docs").over(wall), 6).alias(
+            "share_before"
+        ),
+        F.round(
+            F.col("kept_docs").cast("double") / F.sum("kept_docs").over(wall), 6
+        ).alias("share_after"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# deterministic output sharding ("global shuffle" for training): every
+# document gets a content-independent shuffle key, shard =
+# key % N_SHARDS, and an exact position within its shard (row_number
+# over the shard ordered by key). The emitted per-shard summary
+# carries a position checksum — an order-independent exact sum over
+# (position, doc_id) terms — that changes if ANY document's shard or
+# position changes, so two runs (any partitioning, any cluster size)
+# provably produce the same training order.
+#
+# Scale design: one shuffle on shard_id (uniform hash key). N_SHARDS
+# here is 64 for a checkable output; a real run sizes N to the
+# cluster (the key math is unchanged) and writes with
+# partitionBy(shard). The checksum terms are decimal-cast before
+# summing: exact, order-independent, no int64 overflow at any corpus
+# size.
+# ---------------------------------------------------------------------------
+_N_SHARDS = 64
+_CK_MOD = 2147483647
+
+
+@register(
+    "p_shard_assign",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+        CAST(len({SQL_WORDS.format(expr="text")}) AS BIGINT) AS n_tokens,
+        {sql_portable_hash("'shuffle:' || CAST(doc_id AS VARCHAR)")} AS skey
+      FROM documents),
+    pos AS (
+      SELECT *, skey % {_N_SHARDS} AS shard_id,
+        ROW_NUMBER() OVER (PARTITION BY skey % {_N_SHARDS}
+                           ORDER BY skey, doc_id) AS position
+      FROM keyed)
+    SELECT CAST(shard_id AS INT) AS shard_id,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+      CAST(SUM(CAST((position * 31 + doc_id) % {_CK_MOD} AS DECIMAL(38,0)))
+           % {_CK_MOD} AS BIGINT) AS pos_checksum
+    FROM pos GROUP BY shard_id
+    ORDER BY shard_id
+    """,
+)
+def p_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.size(words_col(F.col("text"))).cast("bigint").alias("n_tokens"),
+        portable_hash(
+            F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string"))
+        ).alias("skey"),
+    ).withColumn("shard_id", (F.col("skey") % _N_SHARDS).cast("int"))
+    w = Window.partitionBy("shard_id").orderBy("skey", "doc_id")
+    pos = keyed.withColumn("position", F.row_number().over(w))
+    return (
+        pos.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            (
+                F.sum(
+                    ((F.col("position") * 31 + F.col("doc_id")) % _CK_MOD).cast(
+                        "decimal(38,0)"
+                    )
+                )
+                % _CK_MOD
+            )
+            .cast("bigint")
+            .alias("pos_checksum"),
+        )
+        .orderBy("shard_id")
+    )
