@@ -64,16 +64,20 @@ _B = [7654321 + 31337 * i for i in range(N_HASH)]
 
 
 def _sql_minhash() -> str:
+    # shingles are hashed to int64 BEFORE the distinct: every
+    # downstream shuffle/join moves 8-byte keys instead of ~50-char
+    # strings. Both engines hash identically (portable_hash), so the
+    # (vanishingly rare) collision collapses the same pair on both
+    # sides and the oracle stays exact.
     shingles = sql_shingles(SQL_WORDS.format(expr="text"))
     aggs = ", ".join(
         f"MIN(({_A[i]} * h + {_B[i]}) % {MOD}) AS mh{i}" for i in range(N_HASH)
     )
     return f"""
     sh AS (
-      SELECT DISTINCT doc_id, shingle
+      SELECT DISTINCT doc_id, {sql_portable_hash("shingle")} % {MOD} AS h
       FROM (SELECT doc_id, unnest({shingles}) AS shingle FROM documents)),
-    hs AS (SELECT doc_id, {sql_portable_hash("shingle")} % {MOD} AS h FROM sh),
-    mh AS (SELECT doc_id, {aggs} FROM hs GROUP BY doc_id)
+    mh AS (SELECT doc_id, {aggs} FROM sh GROUP BY doc_id)
     """
 
 
@@ -90,16 +94,12 @@ def _sql_minhash() -> str:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-    ssets AS (
-      SELECT DISTINCT doc_id, shingle
-      FROM (SELECT doc_id, unnest({sql_shingles(SQL_WORDS.format(expr="text"))}) AS shingle
-            FROM documents)),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ssets GROUP BY doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS ninter
       FROM cand c
-      JOIN ssets sa ON sa.doc_id = c.doc_a
-      JOIN ssets sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sa.h = sb.h
       GROUP BY c.doc_a, c.doc_b)
     SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
       ROUND(CAST(COALESCE(i.ninter, 0) AS DOUBLE)
@@ -112,9 +112,11 @@ def _sql_minhash() -> str:
     """,
 )
 def p_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The distinct (doc, shingle) set feeds three consumers (minhash,
-    # and both sides of the intersection join) — materialize it once
-    # instead of re-exploding the corpus three times.
+    # The distinct (doc, shingle-hash) set feeds three consumers
+    # (minhash, and both sides of the intersection join) — materialize
+    # it once instead of re-exploding the corpus three times. Shingles
+    # are hashed to int64 BEFORE the distinct so every shuffle moves
+    # 8-byte keys, not ~50-char strings (oracle hashes identically).
     d = table(spark, sf_dir, "documents")
     # project the words array FIRST: inlining split() inside the shingle
     # transform makes codegen re-split the text once per array element
@@ -122,7 +124,8 @@ def p_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ssets = (
         d.select("doc_id", words_col(F.col("text")).alias("words"))
         .select("doc_id", F.explode(shingles_col(F.col("words"))).alias("shingle"))
-        .dropDuplicates(["doc_id", "shingle"])
+        .select("doc_id", (portable_hash(F.col("shingle")) % MOD).alias("h"))
+        .dropDuplicates(["doc_id", "h"])
         .localCheckpoint(eager=True)
     )
     # MIN is duplicate-insensitive, so the minhash path reuses the
@@ -131,11 +134,7 @@ def p_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min((F.lit(_A[i]) * F.col("h") + F.lit(_B[i])) % MOD).alias(f"mh{i}")
         for i in range(N_HASH)
     ]
-    mh = (
-        ssets.withColumn("h", portable_hash(F.col("shingle")) % MOD)
-        .groupBy("doc_id")
-        .agg(*aggs)
-    )
+    mh = ssets.groupBy("doc_id").agg(*aggs)
     band_structs = F.array(
         *[
             F.struct(
@@ -169,7 +168,7 @@ def p_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             ssets.alias("sb"),
             (F.col("sb.doc_id") == F.col("doc_b"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
+            & (F.col("sa.h") == F.col("sb.h")),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("ninter"))
@@ -306,14 +305,14 @@ def p_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p_dedup_ngram_jaccard",
     oracle=f"""
     WITH ss AS (
-      SELECT DISTINCT d.doc_id, d.lang, s.shingle
+      SELECT DISTINCT d.doc_id, d.lang, {sql_portable_hash("s.shingle")} AS h
       FROM documents d,
            unnest({sql_shingles(SQL_WORDS.format(expr="d.text"))}) AS s(shingle)),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM ss GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
       FROM ss a JOIN ss b
-        ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+        ON a.h = b.h AND a.lang = b.lang AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id)
     SELECT doc_a, doc_b,
            ROUND(CAST(ninter AS DOUBLE) / (za.n + zb.n - ninter), 6) AS jaccard
@@ -336,7 +335,8 @@ def p_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             F.explode(shingles_col(F.col("words"))).alias("shingle"),
         )
-        .dropDuplicates(["doc_id", "shingle"])
+        .select("doc_id", "lang", portable_hash(F.col("shingle")).alias("h"))
+        .dropDuplicates(["doc_id", "h"])
         .localCheckpoint(eager=True)
     )
     sizes = ss.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -344,7 +344,7 @@ def p_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.h") == F.col("b.h"))
             & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
@@ -479,7 +479,7 @@ _PAIRS_SQL = f"""
       SELECT c.doc_a, c.doc_b, COUNT(*) AS ninter
       FROM cand c
       JOIN sh sa ON sa.doc_id = c.doc_a
-      JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sa.h = sb.h
       GROUP BY c.doc_a, c.doc_b),
     pairs AS (
       SELECT c.doc_a, c.doc_b
@@ -568,31 +568,34 @@ def p_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p_contamination",
     oracle=f"""
     WITH grams AS (
-      SELECT doc_id, ngram
+      SELECT doc_id, {sql_portable_hash("ngram")} AS g
       FROM (SELECT doc_id,
                    unnest({sql_shingles(SQL_WORDS.format(expr="text"), 8)}) AS ngram
             FROM documents)),
-    probe AS (SELECT DISTINCT ngram FROM grams WHERE doc_id < 10),
-    corpus AS (SELECT DISTINCT doc_id, ngram FROM grams WHERE doc_id >= 10)
+    probe AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10),
+    corpus AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id >= 10)
     SELECT c.doc_id, COUNT(*) AS shared_ngrams
-    FROM corpus c JOIN probe p ON c.ngram = p.ngram
+    FROM corpus c JOIN probe p ON c.g = p.g
     GROUP BY c.doc_id
     ORDER BY c.doc_id
     """,
 )
 def p_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # n-grams hashed to int64 at the explode: the corpus-side distinct
+    # and the probe join shuffle 8-byte keys, never ~50-char strings
+    # (the probe set broadcasts as longs too — identical in the oracle)
     d = table(spark, sf_dir, "documents").select(
         "doc_id", words_col(F.col("text")).alias("words")
     )
     grams = d.select(
         "doc_id", F.explode(shingles_col(F.col("words"), 8)).alias("ngram")
-    )
+    ).select("doc_id", portable_hash(F.col("ngram")).alias("g"))
     probe = (
-        grams.where(F.col("doc_id") < 10).select("ngram").distinct()
+        grams.where(F.col("doc_id") < 10).select("g").distinct()
     )
-    corpus = grams.where(F.col("doc_id") >= 10).dropDuplicates(["doc_id", "ngram"])
+    corpus = grams.where(F.col("doc_id") >= 10).dropDuplicates(["doc_id", "g"])
     return (
-        corpus.join(F.broadcast(probe), "ngram")
+        corpus.join(F.broadcast(probe), "g")
         .groupBy("doc_id")
         .agg(F.count("*").alias("shared_ngrams"))
         .orderBy("doc_id")
