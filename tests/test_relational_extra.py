@@ -135,3 +135,112 @@ def test_quality_filter_rates_consistent(spark, sf_dir):
         assert r.n_pass <= r.n_docs
         if r.n_pass == 0:
             assert r.kept_tokens == 0
+
+
+def test_repetition_score_fracs_bounded(spark, sf_dir):
+    """All three repetition fractions are valid fractions, and the
+    most-frequent-bigram count implied by top_bigram_frac matches a
+    direct Python recount for the worst-scoring document."""
+    from collections import Counter
+
+    from hive_clone_spark.catalog import table
+
+    rows = registry.QUERIES["p_repetition_score"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for frac in (r.dup_word_frac, r.rep_pair_frac, r.top_bigram_frac):
+            assert 0.0 <= frac <= 1.0, r
+        assert r.repetitive == (
+            r.dup_word_frac > 0.9 or r.rep_pair_frac > 0.1 or r.top_bigram_frac > 0.1
+        )
+    worst = max(rows, key=lambda r: r.top_bigram_frac)
+    text = (
+        table(spark, sf_dir, "documents")
+        .where(f"doc_id = {worst.doc_id}")
+        .collect()[0]
+        .text
+    )
+    ws = text.lower().split()
+    bigrams = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+    top = Counter(bigrams).most_common(1)[0][1]
+    assert abs(worst.top_bigram_frac - top / len(bigrams)) < 1e-6
+
+
+def test_lm_score_positive_and_split_covering(spark, sf_dir):
+    """Every document scores a finite positive NLL; both the train and
+    held-out splits are represented (the LM is trained on ~80%)."""
+    import math
+
+    rows = registry.QUERIES["p_lm_score"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_bigrams >= 1
+        assert math.isfinite(r.avg_nll) and r.avg_nll > 0.0, r
+    split = {r.in_train for r in rows}
+    assert split == {True, False}
+
+
+def test_domain_mix_flattens_shares(spark, sf_dir):
+    """Temperature resampling must (a) keep the smallest source at
+    rate 100, (b) never keep more than it saw, and (c) flatten the
+    mixture: the dominant source's share shrinks, shares still sum
+    to 1."""
+    rows = registry.QUERIES["p_domain_mix"](spark, sf_dir).collect()
+    assert rows
+    smallest = min(rows, key=lambda r: r.n_docs)
+    assert smallest.keep_rate == 100
+    for r in rows:
+        assert 0 < r.keep_rate <= 100
+        assert r.kept_docs <= r.n_docs
+        assert r.kept_tokens <= r.n_tokens
+    assert abs(sum(r.share_before for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.share_after for r in rows) - 1.0) < 1e-4
+    dominant = max(rows, key=lambda r: r.share_before)
+    assert dominant.share_after <= dominant.share_before + 1e-6
+
+
+def test_shard_assign_checksum_partition_independent(spark, sf_dir):
+    """The shard/position assignment is a dataset definition: the
+    per-shard order checksum must be identical when recomputed over a
+    pathologically repartitioned input."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from hive_clone_spark.catalog import table
+    from hive_clone_spark.pipeline.common import portable_hash, words_col
+    from hive_clone_spark.pipeline.selection import _CK_MOD, _N_SHARDS
+
+    want = {
+        r.shard_id: (r.n_docs, r.pos_checksum)
+        for r in registry.QUERIES["p_shard_assign"](spark, sf_dir).collect()
+    }
+    assert want
+    d = table(spark, sf_dir, "documents").repartition(13, "lang")
+    keyed = d.select(
+        "doc_id",
+        F.size(words_col(F.col("text"))).cast("bigint").alias("n_tokens"),
+        portable_hash(
+            F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string"))
+        ).alias("skey"),
+    ).withColumn("shard_id", (F.col("skey") % _N_SHARDS).cast("int"))
+    w = Window.partitionBy("shard_id").orderBy("skey", "doc_id")
+    got = {
+        r.shard_id: (r.n_docs, r.pos_checksum)
+        for r in keyed.withColumn("position", F.row_number().over(w))
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (
+                F.sum(
+                    ((F.col("position") * 31 + F.col("doc_id")) % _CK_MOD).cast(
+                        "decimal(38,0)"
+                    )
+                )
+                % _CK_MOD
+            )
+            .cast("bigint")
+            .alias("pos_checksum"),
+        )
+        .collect()
+    }
+    assert got == want
