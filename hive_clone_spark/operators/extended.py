@@ -1285,3 +1285,98 @@ def q53_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# q54: map-typed columns. Per-row metric maps are a staple of metrics /
+# feature-store tables; this builds a map<string,double> of pricing
+# metrics per (returnflag, linestatus) group, manipulates it with the
+# map algebra (map_filter drops zero metrics, transform_values
+# rescales, map_concat adds a derived entry), and explodes back to
+# scalar (group, metric, value) rows — maps never appear in the output
+# because neither the driver's canonicalizer nor DuckDB's hash path
+# sorts map cells.
+#
+# Scale design: the map is built AFTER the aggregation (one shuffle on
+# the group key, map-side partial aggs); all map ops are narrow
+# per-row expressions on the handful of grouped rows. The oracle
+# computes the same result relationally (UNION ALL unpivot) — maps are
+# a Spark-side representation choice, not a semantic one.
+# ---------------------------------------------------------------------------
+@register(
+    "q54_map_columns",
+    oracle="""
+    WITH agg AS (
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        CAST(COUNT(*) AS DOUBLE) AS n_rows,
+        CAST(SUM(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+          AS n_undiscounted
+      FROM lineitem GROUP BY l_returnflag, l_linestatus),
+    long AS (
+      SELECT l_returnflag, l_linestatus, 'sum_qty' AS metric, sum_qty AS v FROM agg
+      UNION ALL
+      SELECT l_returnflag, l_linestatus, 'sum_price', sum_price FROM agg
+      UNION ALL
+      SELECT l_returnflag, l_linestatus, 'n_rows', n_rows FROM agg
+      UNION ALL
+      SELECT l_returnflag, l_linestatus, 'n_undiscounted', n_undiscounted FROM agg
+      UNION ALL
+      SELECT l_returnflag, l_linestatus, 'avg_price', sum_price / n_rows FROM agg)
+    SELECT l_returnflag, l_linestatus, metric,
+           ROUND(v / 1000.0, 6) AS value_k
+    FROM long
+    WHERE v <> 0
+    ORDER BY l_returnflag, l_linestatus, metric
+    """,
+)
+def q54_map_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    agg = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.count("*").cast("double").alias("n_rows"),
+        F.sum(F.when(F.col("l_discount") == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("n_undiscounted"),
+    )
+    m = F.create_map(
+        F.lit("sum_qty"), F.col("sum_qty"),
+        F.lit("sum_price"), F.col("sum_price"),
+        F.lit("n_rows"), F.col("n_rows"),
+        F.lit("n_undiscounted"), F.col("n_undiscounted"),
+    )
+    withmap = agg.select("l_returnflag", "l_linestatus", m.alias("m"))
+    # derived entry via map_concat + element_at lookup, zero-metrics
+    # dropped via map_filter, all values rescaled via transform_values
+    enriched = withmap.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.transform_values(
+            F.map_filter(
+                F.map_concat(
+                    F.col("m"),
+                    F.create_map(
+                        F.lit("avg_price"),
+                        F.element_at(F.col("m"), F.lit("sum_price"))
+                        / F.element_at(F.col("m"), F.lit("n_rows")),
+                    ),
+                ),
+                lambda k, v: v != 0,
+            ),
+            lambda k, v: F.round(v / 1000.0, 6),
+        ).alias("metrics"),
+    )
+    return (
+        enriched.select(
+            "l_returnflag",
+            "l_linestatus",
+            F.explode(F.col("metrics")).alias("metric", "value_k"),
+        )
+        .orderBy("l_returnflag", "l_linestatus", "metric")
+    )

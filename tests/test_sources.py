@@ -109,3 +109,51 @@ def test_schema_evolution_merge_on_read(spark, orders, tmp_path):
     # rows from the v1 files carry NULLs for the late-added columns
     assert back.where(F.col("ingest_version").isNull()).count() == 50
     assert back.where(F.col("ingest_version") == 2).count() == 40
+
+
+def test_zordered_write_skips_files_on_both_columns(spark, orders, tmp_path):
+    """Z-order layout: parquet file-level min/max must be selective on
+    BOTH clustered columns (a point predicate touches a strict subset
+    of files on each), whereas a single-column sort is selective only
+    on its own column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    def files_matching(path, col, value):
+        paths = sorted(glob.glob(f"{path}/part-*.parquet"))
+        hit = 0
+        for p in paths:
+            md = pq.ParquetFile(p).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            if lo <= value <= hi:
+                hit += 1
+        return hit, len(paths)
+
+    zpath = str(tmp_path / "orders_z")
+    io.write_zordered(orders, zpath, ["o_custkey", "o_totalprice"], n_files=8)
+    assert io.read(spark, zpath).count() == orders.count()
+
+    # probe values from the middle of each domain
+    mid = orders.agg(
+        F.expr("percentile(o_custkey, 0.5)").alias("ck"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("tp"),
+    ).collect()[0]
+
+    for col, val in (("o_custkey", int(mid.ck)), ("o_totalprice", float(mid.tp))):
+        hit, total = files_matching(zpath, col, val)
+        assert total >= 4, "need several files for skipping to be observable"
+        assert hit < total, f"z-order gave no skipping on {col}"
+
+    # contrast: sort by o_custkey only → o_totalprice stats are useless
+    spath = str(tmp_path / "orders_s")
+    (
+        orders.repartitionByRange(8, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+    hit, total = files_matching(spath, "o_totalprice", float(mid.tp))
+    assert hit == total, "single-column sort should not cluster the other column"
