@@ -381,3 +381,120 @@ def p_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sc, 6).alias("scale"),
         F.round(err, 6).alias("max_err"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# IVF centroid TRAINING: two unrolled Lloyd's k-means iterations from
+# the same seed vectors p_knn_ivf routes with — the training step that
+# turns fixed seeds into data-fitted coarse centroids. Assignment uses
+# squared L2 expanded as dot(x,x) - 2*dot(x,c) + dot(c,c) (all three
+# through the shared sequential-fold dot product, rounded to 6 dp, so
+# both engines rank identically); the update step recomputes each
+# centroid as the per-dimension mean via exact DECIMAL sums (order-
+# independent), rounded to 6 dp before the next iteration reads it.
+#
+# Scale design: per iteration, the corpus is scanned once; assignment
+# is a broadcast join against k centroids (narrow), and the update
+# shuffles only (cent_id, dim) partial sums — k*DIM cells regardless
+# of corpus size, with map-side partial aggregation. The corpus array
+# column is localCheckpoint'd once and reused by both iterations.
+# Iteration count is fixed (2) — the classic driver-loop shape; a real
+# run adds iterations, not different plumbing.
+# ---------------------------------------------------------------------------
+_TRAIN_ITERS = 2
+
+
+def _sql_dist2(x: str, c: str) -> str:
+    return f"({sql_dot(x, x)} - 2 * {sql_dot(x, c)} + {sql_dot(c, c)})"
+
+
+def _sql_kmeans_round(src_vecs: str, src_cents: str, out_assign: str) -> str:
+    """One Lloyd assignment: nearest centroid per vector (ties by
+    cent_id), distance kept for the inertia sum."""
+    return f"""
+    {out_assign} AS (
+      SELECT vec_id, xs, cent_id, d FROM (
+        SELECT e.vec_id, e.xs, c.cent_id,
+          ROUND({_sql_dist2("e.xs", "c.ce")}, 6) AS d,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                             ORDER BY ROUND({_sql_dist2("e.xs", "c.ce")}, 6),
+                                      c.cent_id) AS rn
+        FROM {src_vecs} e, {src_cents} c)
+      WHERE rn = 1)"""
+
+
+@register(
+    "p_ivf_train",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xs FROM embeddings),
+    c0 AS (
+      SELECT vec_id AS cent_id, xs AS ce FROM e
+      WHERE vec_id IN ({", ".join(map(str, CENTROID_IDS))})),
+    {_sql_kmeans_round("e", "c0", "a1")},
+    m1 AS (
+      SELECT cent_id, pos,
+        ROUND(CAST(SUM(CAST(xs[pos] AS DECIMAL(28,9))) AS DOUBLE)
+              / COUNT(*), 6) AS m
+      FROM a1, generate_series(1, {DIM}) AS t(pos)
+      GROUP BY cent_id, pos),
+    c1 AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM m1 GROUP BY cent_id),
+    {_sql_kmeans_round("e", "c1", "a2")}
+    SELECT cent_id, COUNT(*) AS n_assigned,
+      CAST(SUM(CAST(d AS DECIMAL(28,6))) AS DOUBLE) AS inertia
+    FROM a2 GROUP BY cent_id
+    ORDER BY cent_id
+    """,
+)
+def p_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("xs"),
+        )
+        .localCheckpoint(eager=True)  # scanned once, read by both iterations
+    )
+    cents = e.where(F.col("vec_id").isin(CENTROID_IDS)).select(
+        F.col("vec_id").alias("cent_id"), F.col("xs").alias("ce")
+    )
+    assigned = None
+    for it in range(_TRAIN_ITERS):
+        dist2 = (
+            dot_col(F.col("xs"), F.col("xs"))
+            - 2 * dot_col(F.col("xs"), F.col("ce"))
+            + dot_col(F.col("ce"), F.col("ce"))
+        )
+        scored = e.join(F.broadcast(cents)).select(
+            "vec_id", "xs", "cent_id", F.round(dist2, 6).alias("d")
+        )
+        w = Window.partitionBy("vec_id").orderBy("d", "cent_id")
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "xs", "cent_id", "d")
+        )
+        if it < _TRAIN_ITERS - 1:
+            el = assigned.select(
+                "cent_id", F.posexplode(F.col("xs")).alias("pos", "x")
+            )
+            m = el.groupBy("cent_id", "pos").agg(
+                F.round(
+                    F.sum(F.col("x").cast("decimal(28,9)")).cast("double")
+                    / F.count("*"),
+                    6,
+                ).alias("m")
+            )
+            cents = m.groupBy("cent_id").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("ce")
+            )
+    return (
+        assigned.groupBy("cent_id")
+        .agg(
+            F.count("*").alias("n_assigned"),
+            F.sum(F.col("d").cast("decimal(28,6)")).cast("double").alias("inertia"),
+        )
+        .orderBy("cent_id")
+    )

@@ -39,6 +39,7 @@ NESTEDLOOP_OK = {
     "g_placement_first_of_color",
     "g_placement_targets",
     "g_queen_surrounded",
+    "p_ivf_train",
     "p_knn_bruteforce",
     "p_knn_filtered",
     "p_knn_ivf",

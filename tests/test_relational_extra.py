@@ -244,3 +244,32 @@ def test_shard_assign_checksum_partition_independent(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_ivf_train_improves_on_seed_centroids(spark, sf_dir):
+    """Lloyd's guarantee: inertia after (update centroids -> reassign)
+    must not exceed the inertia of the seed-centroid assignment. The
+    seed-side value is recomputed independently in numpy; 6-dp
+    distance rounding earns a small slack."""
+    import numpy as np
+
+    from hive_clone_spark.catalog import table
+    from hive_clone_spark.pipeline.similarity import CENTROID_IDS
+
+    rows = registry.QUERIES["p_ivf_train"](spark, sf_dir).collect()
+    assert rows and sum(r.n_assigned for r in rows) == table(
+        spark, sf_dir, "embeddings"
+    ).count()
+    trained = sum(r.inertia for r in rows)
+    assert trained > 0
+
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in table(spark, sf_dir, "embeddings").collect()
+    }
+    cents = np.stack([vecs[i] for i in CENTROID_IDS])
+    seed = sum(
+        round(float(((cents - x) ** 2).sum(axis=1).min()), 6)
+        for x in vecs.values()
+    )
+    assert trained <= seed + 1e-3, (trained, seed)
