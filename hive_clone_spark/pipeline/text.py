@@ -518,3 +518,103 @@ def p_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), "word")
         .limit(_INDEX_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer APPLICATION: encode every document against the top-N vocab
+# p_vocab_build trains — per-token vocab ids (OOV = -1), the per-doc
+# OOV rate a coverage dashboard watches, and an order-sensitive
+# id-sequence checksum (position-weighted exact sum) that pins the
+# EXACT encoded sequence, so two runs provably tokenize identically.
+#
+# Scale design: the vocabulary is top-N by construction, so it
+# broadcasts; encoding is explode → broadcast left join → per-doc
+# aggregate (shuffle keyed by doc_id, uniform). The checksum terms are
+# decimal-cast before the sum — exact, order-independent, overflow-
+# free — the same trick as p_shard_assign's position checksum.
+# ---------------------------------------------------------------------------
+_CK_MOD = 2147483647
+
+
+@register(
+    "p_tokenize_apply",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lower(w) AS word, COUNT(*) AS n
+      FROM (SELECT unnest({SQL_WORDS.format(expr="text")}) AS w FROM documents)
+      GROUP BY lower(w)),
+    top AS (
+      SELECT word, n FROM counts ORDER BY n DESC, word LIMIT 1000),
+    vocab AS (
+      SELECT word,
+        CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) - 1 AS INT) AS vocab_id
+      FROM top),
+    toks AS (
+      SELECT doc_id, u.pos AS pos, u.word AS word FROM (
+        SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(ws)),
+                                i -> {{'pos': i, 'word': lower(ws[i])}})) AS u
+        FROM (SELECT doc_id, {SQL_WORDS.format(expr="text")} AS ws
+              FROM documents))),
+    ids AS (
+      SELECT toks.doc_id, toks.pos,
+             COALESCE(v.vocab_id, -1) AS tok_id
+      FROM toks LEFT JOIN vocab v ON toks.word = v.word)
+    SELECT doc_id,
+      COUNT(*) AS n_tokens,
+      CAST(COUNT(*) FILTER (WHERE tok_id = -1) AS BIGINT) AS n_oov,
+      ROUND(CAST(COUNT(*) FILTER (WHERE tok_id = -1) AS DOUBLE) / COUNT(*), 6)
+        AS oov_rate,
+      CAST(SUM(CAST((pos * 31 + tok_id + 1) % {_CK_MOD} AS DECIMAL(38,0)))
+           % {_CK_MOD} AS BIGINT) AS ids_checksum
+    FROM ids GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def p_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(words_col(F.col("text"))).alias("w"))
+        .select(F.lower("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql.window import Window
+
+    vocab = (
+        counts.orderBy(F.desc("n"), "word")
+        .limit(1000)
+        .withColumn(
+            "vocab_id",
+            (F.row_number().over(Window.orderBy(F.desc("n"), "word")) - 1).cast("int"),
+        )
+        .select("word", "vocab_id")
+    )
+    toks = (
+        d.select("doc_id", words_col(F.col("text")).alias("ws"))
+        .select("doc_id", F.posexplode("ws").alias("pos0", "w"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), F.lower("w").alias("word"))
+    )
+    ids = toks.join(F.broadcast(vocab), "word", "left").select(
+        "doc_id", "pos", F.coalesce("vocab_id", F.lit(-1)).alias("tok_id")
+    )
+    oov = F.sum(F.when(F.col("tok_id") == -1, 1).otherwise(0))
+    return (
+        ids.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            oov.cast("bigint").alias("n_oov"),
+            F.round(oov.cast("double") / F.count("*"), 6).alias("oov_rate"),
+            (
+                F.sum(
+                    ((F.col("pos") * 31 + F.col("tok_id") + 1) % _CK_MOD).cast(
+                        "decimal(38,0)"
+                    )
+                )
+                % _CK_MOD
+            )
+            .cast("bigint")
+            .alias("ids_checksum"),
+        )
+        .orderBy("doc_id")
+    )

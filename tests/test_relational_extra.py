@@ -273,3 +273,26 @@ def test_ivf_train_improves_on_seed_centroids(spark, sf_dir):
         for x in vecs.values()
     )
     assert trained <= seed + 1e-3, (trained, seed)
+
+
+def test_tokenize_apply_checksum_recomputed(spark, sf_dir):
+    """The id-sequence checksum must match an independent Python
+    re-encoding of a sample document against the built vocabulary."""
+    from pyspark.sql import functions as F
+
+    from hive_clone_spark.catalog import table
+
+    rows = {r.doc_id: r for r in registry.QUERIES["p_tokenize_apply"](spark, sf_dir).collect()}
+    assert rows
+    vocab = {
+        r.word: r.vocab_id
+        for r in registry.QUERIES["p_vocab_build"](spark, sf_dir).collect()
+    }
+    doc = table(spark, sf_dir, "documents").orderBy(F.desc("doc_id")).limit(1).collect()[0]
+    words = [w.lower() for w in doc.text.split()]
+    mod = 2147483647
+    ck = sum((pos * 31 + vocab.get(w, -1) + 1) % mod for pos, w in enumerate(words, 1)) % mod
+    got = rows[doc.doc_id]
+    assert got.n_tokens == len(words)
+    assert got.ids_checksum == ck
+    assert got.n_oov == sum(1 for w in words if w not in vocab)
