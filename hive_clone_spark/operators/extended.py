@@ -1380,3 +1380,103 @@ def q54_map_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus", "metric")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q55 — multiset set operations: EXCEPT ALL / INTERSECT ALL between two
+# order-year snapshots. The distinct-based q17/q34 set ops lose
+# multiplicity; warehouse diffing (what changed between two loads of
+# the same feed) needs bag semantics — a row appearing 3× in 1996 and
+# 1× in 1997 contributes 2 copies to the difference.
+#
+# Scale design: Spark lowers exceptAll/intersectAll to a count
+# aggregation per side + a join on the row value, i.e. two hash aggs
+# and one shuffle on the (priority, bucket) key — linear, no
+# row-by-row anti semantics. Both inputs come from one table scan with
+# a partition-prunable year predicate; the final per-priority rollup
+# touches only the already-reduced diff.
+# ---------------------------------------------------------------------------
+@register(
+    "q55_multiset_ops",
+    oracle="""
+    WITH a AS (SELECT o_orderpriority, o_custkey % 100 AS bucket
+               FROM orders WHERE year(o_orderdate) = 1996),
+    b AS (SELECT o_orderpriority, o_custkey % 100 AS bucket
+          FROM orders WHERE year(o_orderdate) = 1997),
+    ex AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
+    inter AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+    SELECT 'except_all' AS op, o_orderpriority, COUNT(*) AS n
+    FROM ex GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'intersect_all', o_orderpriority, COUNT(*)
+    FROM inter GROUP BY o_orderpriority
+    ORDER BY op, o_orderpriority
+    """,
+)
+def q55_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+
+    def snapshot(year: int) -> DataFrame:
+        return o.where(F.year("o_orderdate") == year).select(
+            "o_orderpriority", (F.col("o_custkey") % 100).alias("bucket")
+        )
+
+    a, b = snapshot(1996), snapshot(1997)
+    ex = (
+        a.exceptAll(b)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "o_orderpriority", "n")
+    )
+    inter = (
+        a.intersectAll(b)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "o_orderpriority", "n")
+    )
+    return ex.unionAll(inter).orderBy("op", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Q56 — outer lateral explode (LATERAL VIEW OUTER posexplode): flatten
+# a derived array while KEEPING rows whose array is empty — the
+# semantics difference between explode (drops them) and explode_outer
+# (emits one NULL row). Every flattening pipeline (tags, tokens,
+# attachments) hits this: inner explode silently deletes parents with
+# no children.
+#
+# Scale design: narrow per-row generate — no shuffle, no join; the
+# array is built and exploded inside one codegen stage, and the parent
+# filter (doc_id < 40) is pushed to the parquet scan. The DuckDB
+# oracle emulates OUTER by substituting a one-element NULL struct list
+# for empty arrays (DuckDB's unnest drops empty lists, NOTES.md
+# gotcha).
+# ---------------------------------------------------------------------------
+@register(
+    "q56_lateral_explode_outer",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id,
+        list_filter(string_split(text, ' '), w -> w LIKE '%ow%') AS arr
+      FROM documents WHERE doc_id < 40),
+    ex AS (
+      SELECT doc_id,
+        unnest(CASE WHEN len(arr) = 0
+               THEN [{'pos': CAST(NULL AS INT), 'word': CAST(NULL AS VARCHAR)}]
+               ELSE list_transform(generate_series(1, len(arr)),
+                                   i -> {'pos': CAST(i - 1 AS INT),
+                                         'word': arr[i]}) END) AS u
+      FROM src)
+    SELECT doc_id, u.pos AS pos, u.word AS word FROM ex
+    ORDER BY doc_id, pos NULLS FIRST
+    """,
+)
+def q56_lateral_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    arr = F.filter(F.split(F.col("text"), " "), lambda w: w.contains("ow"))
+    return (
+        d.select("doc_id", arr.alias("arr"))
+        .select("doc_id", F.posexplode_outer("arr").alias("pos", "word"))
+        .select("doc_id", F.col("pos").cast("int").alias("pos"), "word")
+        .orderBy("doc_id", F.col("pos").asc_nulls_first())
+    )

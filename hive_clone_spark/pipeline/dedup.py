@@ -600,3 +600,246 @@ def p_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("shared_ngrams"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# SEMANTIC dedup (SemDeDup, Abbas et al. 2023): cluster embeddings to
+# coarse centroids, then call any within-cluster pair with cosine >= τ
+# a semantic duplicate and drop the higher vec_id. Complements the
+# other variants: exact/MinHash/SimHash/Jaccard see surface text;
+# this sees meaning (paraphrases land in the same cluster with high
+# cosine even when they share no 8-gram). Output is the per-cluster
+# dedup report: corpus size, duplicate pairs, rows removed, and an
+# exact checksum of the removed-id set so the oracle pins membership,
+# not just counts. τ = 0.30 (p99 of the within-cluster cosine
+# distribution on this synthetic corpus; real embeddings use ~0.95+).
+#
+# Scale design: assignment is one corpus scan × broadcast of k
+# centroids; the pair join meets only within a cluster — the published
+# method's scale knob is k itself (the paper runs k = 50k so clusters
+# stay ~1k vectors and within-cluster pairs stay bounded), so cluster
+# size, not corpus size, bounds the quadratic term; k = 16 here (vs 4
+# for the knn demos) for exactly that reason — 4 clusters over the
+# sf0.1 corpus made the pair stage 12× more expensive. Norms are
+# precomputed per VECTOR (sqrt of the same fold DuckDB runs, so
+# reused values stay bit-identical), never per pair — the pair stage
+# runs one dot-product fold, not three. The argmax window runs on a
+# NARROW (vec_id, cent_id, sim) projection — the 64-double arrays
+# never ride the window shuffle; they join back by vec_id afterwards.
+# The embedding projection and the assignment are each
+# localCheckpoint'd once (multiple consumers must not re-run them).
+# ---------------------------------------------------------------------------
+_SEM_TAU = 0.30
+_SEM_CENTROIDS = list(range(100, 116))  # 16 seed vectors, all SFs have them
+
+
+@register(
+    "p_semantic_dedup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xs,
+        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[]))) AS norm
+      FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cent_id, xs AS ce, norm AS cnorm FROM e
+      WHERE vec_id IN ({", ".join(map(str, _SEM_CENTROIDS))})),
+    assigned AS (
+      SELECT vec_id, xs, norm, cent_id FROM (
+        SELECT e.vec_id, e.xs, e.norm, c.cent_id,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ROUND(list_dot_product(e.xs, c.ce)
+                           / (e.norm * c.cnorm), 6) DESC, c.cent_id) AS rn
+        FROM e, cents c)
+      WHERE rn = 1),
+    pairs AS (
+      SELECT a.cent_id, a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM assigned a JOIN assigned b
+        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.xs, b.xs)
+                  / (a.norm * b.norm), 6) >= {_SEM_TAU}),
+    removed AS (SELECT DISTINCT cent_id, vec_b FROM pairs)
+    SELECT c.cent_id,
+      (SELECT COUNT(*) FROM assigned a WHERE a.cent_id = c.cent_id) AS n_vectors,
+      COALESCE((SELECT COUNT(*) FROM pairs p WHERE p.cent_id = c.cent_id), 0)
+        AS n_dup_pairs,
+      COALESCE((SELECT COUNT(*) FROM removed r WHERE r.cent_id = c.cent_id), 0)
+        AS n_removed,
+      CAST(COALESCE((SELECT SUM(vec_b) FROM removed r
+                     WHERE r.cent_id = c.cent_id), 0) AS BIGINT)
+        AS removed_id_sum
+    FROM cents c
+    ORDER BY c.cent_id
+    """,
+)
+def p_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_clone_spark.pipeline.common import dot_col
+
+    xs = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", xs.alias("xs"), F.sqrt(dot_col(xs, xs)).alias("norm"))
+        .localCheckpoint(eager=True)  # consumers: cents, scoring, join-back
+    )
+    cents = e.where(F.col("vec_id").isin(_SEM_CENTROIDS)).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("xs").alias("ce"),
+        F.col("norm").alias("cnorm"),
+    )
+    from pyspark.sql.window import Window
+
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        F.round(
+            dot_col(F.col("xs"), F.col("ce")) / (F.col("norm") * F.col("cnorm")), 6
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cent_id")
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
+    )
+    assigned = e.join(best, "vec_id").localCheckpoint(
+        eager=True
+    )  # 3 consumers: pair sides + totals
+    a = assigned.select(
+        F.col("cent_id"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("xs").alias("xa"),
+        F.col("norm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("cent_id").alias("cent_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("xs").alias("xb"),
+        F.col("norm").alias("nb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("cent_id") == F.col("cent_b")) & (F.col("vec_a") < F.col("vec_b")),
+    ).where(
+        F.round(dot_col(F.col("xa"), F.col("xb")) / (F.col("na") * F.col("nb")), 6)
+        >= _SEM_TAU
+    )
+    pair_stats = pairs.groupBy("cent_id").agg(F.count("*").alias("n_dup_pairs"))
+    removed = pairs.select("cent_id", "vec_b").distinct()
+    removed_stats = removed.groupBy("cent_id").agg(
+        F.count("*").alias("n_removed"), F.sum("vec_b").alias("removed_id_sum")
+    )
+    totals = assigned.groupBy("cent_id").agg(F.count("*").alias("n_vectors"))
+    return (
+        totals.join(pair_stats, "cent_id", "left")
+        .join(removed_stats, "cent_id", "left")
+        .select(
+            "cent_id",
+            "n_vectors",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.coalesce("removed_id_sum", F.lit(0)).alias("removed_id_sum"),
+        )
+        .orderBy("cent_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-split LEAKAGE check: after the hash split (same gate as
+# p_stratified_sample), does any held-out test document share an
+# 8-gram with a training document? p_contamination guards against
+# EXTERNAL benchmarks; this guards the pipeline's OWN eval split — the
+# leak that silently inflates every eval metric. Report per leaked
+# test doc: how many train docs it collides with, the worst offender
+# (most shared 8-grams, ties to the smaller doc_id), and the count of
+# distinct leaked grams.
+#
+# Scale design: n-grams are hashed to int64 before any shuffle; the
+# test split (~10% by construction) is the broadcast side of the gram
+# join, so the train corpus never reshuffles. The (test, train) pair
+# aggregation only sees colliding gram rows — bounded by collision
+# count, not corpus size; hot-gram skew is AQE-splittable.
+# ---------------------------------------------------------------------------
+@register(
+    "p_split_leakage",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id,
+        {sql_portable_hash("'split:' || CAST(doc_id AS VARCHAR)")} % 10 AS sb,
+        {sql_portable_hash("ngram")} AS g
+      FROM (SELECT doc_id,
+                   unnest({sql_shingles(SQL_WORDS.format(expr="text"), 8)}) AS ngram
+            FROM documents)),
+    test AS (SELECT DISTINCT doc_id, g FROM grams WHERE sb = 0),
+    train AS (SELECT DISTINCT doc_id, g FROM grams WHERE sb >= 2),
+    hits AS (
+      SELECT t.doc_id AS test_doc, c.doc_id AS train_doc, t.g
+      FROM test t JOIN train c ON t.g = c.g),
+    pair_counts AS (
+      SELECT test_doc, train_doc, COUNT(*) AS n_shared
+      FROM hits GROUP BY test_doc, train_doc)
+    SELECT p.test_doc,
+      COUNT(*) AS n_train_docs,
+      (SELECT COUNT(DISTINCT g) FROM hits h WHERE h.test_doc = p.test_doc)
+        AS n_leaked_grams,
+      MIN(CASE WHEN rn = 1 THEN train_doc END) AS top_train_doc,
+      MIN(CASE WHEN rn = 1 THEN n_shared END) AS top_shared
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY test_doc
+            ORDER BY n_shared DESC, train_doc) AS rn
+          FROM pair_counts) p
+    GROUP BY p.test_doc
+    ORDER BY p.test_doc
+    """,
+)
+def p_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            portable_hash(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+            % 10
+        ).alias("sb"),
+        words_col(F.col("text")).alias("words"),
+    )
+    grams = d.select(
+        "doc_id", "sb", F.explode(shingles_col(F.col("words"), 8)).alias("ngram")
+    ).select("doc_id", "sb", portable_hash(F.col("ngram")).alias("g"))
+    test = (
+        grams.where(F.col("sb") == 0)
+        .select(F.col("doc_id").alias("test_doc"), "g")
+        .dropDuplicates(["test_doc", "g"])
+    )
+    train = (
+        grams.where(F.col("sb") >= 2)
+        .select(F.col("doc_id").alias("train_doc"), "g")
+        .dropDuplicates(["train_doc", "g"])
+    )
+    hits = train.join(F.broadcast(test), "g").localCheckpoint(
+        eager=True
+    )  # 2 consumers: pair counts + leaked-gram distinct
+    pair_counts = hits.groupBy("test_doc", "train_doc").agg(
+        F.count("*").alias("n_shared")
+    )
+    w = Window.partitionBy("test_doc").orderBy(F.desc("n_shared"), "train_doc")
+    per_test = (
+        pair_counts.withColumn("rn", F.row_number().over(w))
+        .groupBy("test_doc")
+        .agg(
+            F.count("*").alias("n_train_docs"),
+            F.min(F.when(F.col("rn") == 1, F.col("train_doc"))).alias(
+                "top_train_doc"
+            ),
+            F.min(F.when(F.col("rn") == 1, F.col("n_shared"))).alias("top_shared"),
+        )
+    )
+    leaked = hits.select("test_doc", "g").distinct().groupBy("test_doc").agg(
+        F.count("*").alias("n_leaked_grams")
+    )
+    return (
+        per_test.join(leaked, "test_doc")
+        .select(
+            "test_doc", "n_train_docs", "n_leaked_grams", "top_train_doc",
+            "top_shared",
+        )
+        .orderBy("test_doc")
+    )

@@ -43,6 +43,7 @@ NESTEDLOOP_OK = {
     "p_knn_bruteforce",
     "p_knn_filtered",
     "p_knn_ivf",
+    "p_semantic_dedup",
     "q18_band_join",
     "q44_upsert",
 }
