@@ -42,11 +42,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # vanilla SparkSession — e.g. the driver harness's own session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos→micros truncation, exactly like DuckDB's read of the file
+    if name == "events":
+        ts_dtype = dict(df.dtypes).get("ts")
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_dtype == "bigint":
+            # legacy testdata: TIMESTAMP(NANOS) decoded via nanosAsLong —
+            # nanos→micros truncation, exactly like DuckDB's read of the file
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_dtype == "timestamp_ntz":
+            # regenerated testdata: timestamp[us] with no timezone decodes as
+            # TIMESTAMP_NTZ, which unix_micros / RangeFrame-on-micros reject.
+            # Cast to TIMESTAMP under a pinned UTC session zone so the wall
+            # clock is preserved verbatim (matches DuckDB's naive TIMESTAMP
+            # read + epoch_us) even if the caller's session isn't UTC.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
