@@ -23,7 +23,7 @@ from hive_clone_spark.pipeline.common import (
     sql_shingles,
     words_col,
 )
-from hive_clone_spark.pipeline.similarity import lsh_bucket_col, sql_lsh_bucket_expr
+from hive_clone_spark.pipeline.similarity import DIM, lsh_bucket_col, sql_lsh_bucket_expr
 from hive_clone_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -614,103 +614,218 @@ def p_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # not just counts. τ = 0.30 (p99 of the within-cluster cosine
 # distribution on this synthetic corpus; real embeddings use ~0.95+).
 #
-# Scale design: assignment is one corpus scan × broadcast of k
-# centroids; the pair join meets only within a cluster — the published
-# method's scale knob is k itself (the paper runs k = 50k so clusters
-# stay ~1k vectors and within-cluster pairs stay bounded), so cluster
-# size, not corpus size, bounds the quadratic term; k = 16 here (vs 4
-# for the knn demos) for exactly that reason — 4 clusters over the
-# sf0.1 corpus made the pair stage 12× more expensive. Norms are
-# precomputed per VECTOR (sqrt of the same fold DuckDB runs, so
-# reused values stay bit-identical), never per pair — the pair stage
-# runs one dot-product fold, not three. The argmax window runs on a
-# NARROW (vec_id, cent_id, sim) projection — the 64-double arrays
-# never ride the window shuffle; they join back by vec_id afterwards.
-# The embedding projection and the assignment are each
-# localCheckpoint'd once (multiple consumers must not re-run them).
+# Scale design (the published method's scale knob is k itself — the
+# paper runs k = 50k so clusters stay ~1k vectors and the
+# within-cluster quadratic term stays bounded):
+#   * k GROWS WITH THE CORPUS: k = ceil(n / _SEM_TARGET_CLUSTER)
+#     (floor _SEM_KMIN), where n comes from one parquet-footer count —
+#     a fixed k would send the pair join quadratic as the corpus
+#     grows. Seeds are strided vec_ids (vec_id % (n // k) == 0, first
+#     k), so seeding needs no global sort; the rank window that trims
+#     the candidate list to exactly k runs over ~k rows, not n.
+#   * centroids are TRAINED, not raw seeds: _SEM_ITERS Lloyd
+#     round(s) of the same broadcast-assign / decimal-mean shape as
+#     p_ivf_train (similarity.py), with cosine as the assignment
+#     metric since cosine is what the dedup thresholds. Per
+#     iteration: one corpus scan, one (cent_id, dim) shuffle of
+#     k×DIM cells — independent of corpus size.
+#   * HARD CLUSTER-SIZE CAP: only the _SEM_CAP lowest vec_ids of a
+#     cluster enter the pair join (rank window on a narrow
+#     (vec_id, cent_id) projection), so one skewed mega-cluster —
+#     the failure AQE can't fix here, because it's quadratic work,
+#     not quadratic shuffle — degrades recall, never the runtime
+#     envelope. n_vectors still reports the UNCAPPED cluster size so
+#     the report shows when the cap binds.
+# Norms are precomputed per VECTOR (sqrt of the same fold DuckDB
+# runs), never per pair; argmax windows run on NARROW projections —
+# the 64-double arrays never ride a window shuffle; they join back by
+# vec_id afterwards. The embedding projection and the final
+# assignment are each localCheckpoint'd once (multiple consumers).
 # ---------------------------------------------------------------------------
 _SEM_TAU = 0.30
-_SEM_CENTROIDS = list(range(100, 116))  # 16 seed vectors, all SFs have them
+_SEM_TARGET_CLUSTER = 64  # k = ceil(n / this): keeps E[cluster] ~64 vectors
+_SEM_KMIN = 4
+_SEM_CAP = 256  # hard per-cluster membership bound for the pair stage
+_SEM_ITERS = 1  # Lloyd refinement rounds applied to the strided seeds
 
 
-@register(
-    "p_semantic_dedup",
-    oracle=f"""
+def _sem_sql(target_cluster: int = _SEM_TARGET_CLUSTER, kmin: int = _SEM_KMIN,
+             cap: int = _SEM_CAP, tau: float = _SEM_TAU) -> str:
+    """DuckDB oracle mirroring _semantic_dedup step for step."""
+    mean = ("ROUND(CAST(SUM(CAST(xs[pos] AS DECIMAL(28,9))) AS DOUBLE)"
+            " / COUNT(*), 6)")
+    return f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xs,
         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                               CAST(embedding AS DOUBLE[]))) AS norm
       FROM embeddings),
+    p AS (
+      SELECT COUNT(*) AS n,
+        GREATEST(CAST(CEIL(COUNT(*) / {target_cluster}.0) AS BIGINT),
+                 {kmin}) AS k
+      FROM e),
+    p2 AS (SELECT n, k, GREATEST(n // k, 1) AS stride FROM p),
+    seed_cand AS (
+      SELECT e.vec_id, e.xs, e.norm,
+        ROW_NUMBER() OVER (ORDER BY e.vec_id) AS rk
+      FROM e, p2 WHERE e.vec_id % p2.stride = 0),
+    seeds AS (
+      SELECT vec_id AS cent_id, xs AS ce, norm AS cnorm
+      FROM seed_cand, p2 WHERE rk <= p2.k),
+    a0 AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, s.cent_id,
+          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            ORDER BY ROUND(list_dot_product(e.xs, s.ce)
+                           / (e.norm * s.cnorm), 6) DESC, s.cent_id) AS rn
+        FROM e, seeds s) WHERE rn = 1),
+    m AS (
+      SELECT cent_id, pos, {mean} AS mval
+      FROM a0 JOIN e USING (vec_id), generate_series(1, {DIM}) AS t(pos)
+      GROUP BY cent_id, pos),
+    tc AS (
+      SELECT cent_id, list(mval ORDER BY pos) AS ce FROM m GROUP BY cent_id),
     cents AS (
-      SELECT vec_id AS cent_id, xs AS ce, norm AS cnorm FROM e
-      WHERE vec_id IN ({", ".join(map(str, _SEM_CENTROIDS))})),
+      SELECT cent_id, ce, sqrt(list_dot_product(ce, ce)) AS cnorm FROM tc),
     assigned AS (
-      SELECT vec_id, xs, norm, cent_id FROM (
-        SELECT e.vec_id, e.xs, e.norm, c.cent_id,
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
           ROW_NUMBER() OVER (PARTITION BY e.vec_id
             ORDER BY ROUND(list_dot_product(e.xs, c.ce)
                            / (e.norm * c.cnorm), 6) DESC, c.cent_id) AS rn
-        FROM e, cents c)
-      WHERE rn = 1),
+        FROM e, cents c) WHERE rn = 1),
+    memb AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+          ROW_NUMBER() OVER (PARTITION BY cent_id ORDER BY vec_id) AS crk
+        FROM assigned) WHERE crk <= {cap}),
     pairs AS (
       SELECT a.cent_id, a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM assigned a JOIN assigned b
+      FROM (SELECT m1.vec_id, m1.cent_id, e.xs, e.norm
+            FROM memb m1 JOIN e USING (vec_id)) a
+      JOIN (SELECT m2.vec_id, m2.cent_id, e.xs, e.norm
+            FROM memb m2 JOIN e USING (vec_id)) b
         ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
       WHERE ROUND(list_dot_product(a.xs, b.xs)
-                  / (a.norm * b.norm), 6) >= {_SEM_TAU}),
-    removed AS (SELECT DISTINCT cent_id, vec_b FROM pairs)
-    SELECT c.cent_id,
-      (SELECT COUNT(*) FROM assigned a WHERE a.cent_id = c.cent_id) AS n_vectors,
-      COALESCE((SELECT COUNT(*) FROM pairs p WHERE p.cent_id = c.cent_id), 0)
-        AS n_dup_pairs,
-      COALESCE((SELECT COUNT(*) FROM removed r WHERE r.cent_id = c.cent_id), 0)
-        AS n_removed,
-      CAST(COALESCE((SELECT SUM(vec_b) FROM removed r
-                     WHERE r.cent_id = c.cent_id), 0) AS BIGINT)
-        AS removed_id_sum
-    FROM cents c
-    ORDER BY c.cent_id
-    """,
-)
-def p_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+                  / (a.norm * b.norm), 6) >= {tau}),
+    removed AS (SELECT DISTINCT cent_id, vec_b FROM pairs),
+    pair_stats AS (
+      SELECT cent_id, COUNT(*) AS n_dup_pairs FROM pairs GROUP BY cent_id),
+    removed_stats AS (
+      SELECT cent_id, COUNT(*) AS n_removed,
+        CAST(SUM(vec_b) AS BIGINT) AS removed_id_sum
+      FROM removed GROUP BY cent_id),
+    totals AS (
+      SELECT cent_id, COUNT(*) AS n_vectors FROM assigned GROUP BY cent_id)
+    SELECT t.cent_id, t.n_vectors,
+      COALESCE(p.n_dup_pairs, 0) AS n_dup_pairs,
+      COALESCE(r.n_removed, 0) AS n_removed,
+      COALESCE(r.removed_id_sum, 0) AS removed_id_sum
+    FROM totals t
+    LEFT JOIN pair_stats p USING (cent_id)
+    LEFT JOIN removed_stats r USING (cent_id)
+    ORDER BY t.cent_id
+    """
+
+
+def _semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    target_cluster: int = _SEM_TARGET_CLUSTER,
+    kmin: int = _SEM_KMIN,
+    cap: int = _SEM_CAP,
+    tau: float = _SEM_TAU,
+) -> DataFrame:
+    import math
+
+    from pyspark.sql.window import Window
+
     from hive_clone_spark.pipeline.common import dot_col
 
     xs = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     e = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", xs.alias("xs"), F.sqrt(dot_col(xs, xs)).alias("norm"))
-        .localCheckpoint(eager=True)  # consumers: cents, scoring, join-back
+        .localCheckpoint(eager=True)  # consumers: seeds, train, assign, pairs
     )
-    cents = e.where(F.col("vec_id").isin(_SEM_CENTROIDS)).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("xs").alias("ce"),
-        F.col("norm").alias("cnorm"),
-    )
-    from pyspark.sql.window import Window
+    # One parquet-footer count sizes k — a stats lookup, not a data scan;
+    # at 100 TB this reads row-group metadata only.
+    n = e.count()
+    k = max(math.ceil(n / target_cluster), kmin)
+    stride = max(n // k, 1)
 
-    scored = e.join(F.broadcast(cents)).select(
-        "vec_id",
-        "cent_id",
-        F.round(
-            dot_col(F.col("xs"), F.col("ce")) / (F.col("norm") * F.col("cnorm")), 6
-        ).alias("sim"),
+    def _cosine_assign(cents: DataFrame) -> DataFrame:
+        """Nearest trained centroid per vector by rounded cosine, ties to
+        the lower cent_id; narrow argmax window, arrays stay out of it."""
+        scored = e.join(F.broadcast(cents)).select(
+            "vec_id",
+            "cent_id",
+            F.round(
+                dot_col(F.col("xs"), F.col("ce"))
+                / (F.col("norm") * F.col("cnorm")),
+                6,
+            ).alias("sim"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cent_id")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cent_id")
+        )
+
+    # Strided seeds: the modulo prefilter leaves ~k candidate rows, so the
+    # exact-k rank window is tiny — no global sort over the corpus.
+    wseed = Window.orderBy("vec_id")
+    seeds = (
+        e.where(F.col("vec_id") % stride == 0)
+        .withColumn("rk", F.row_number().over(wseed))
+        .where(F.col("rk") <= k)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("xs").alias("ce"),
+            F.col("norm").alias("cnorm"),
+        )
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cent_id")
-    best = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+    cents = seeds
+    for _ in range(_SEM_ITERS):
+        a0 = _cosine_assign(cents)
+        el = a0.join(e, "vec_id").select(
+            "cent_id", F.posexplode(F.col("xs")).alias("pos", "x")
+        )
+        m = el.groupBy("cent_id", "pos").agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(28,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mval")
+        )
+        tc = m.groupBy("cent_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mval"))),
+                lambda s: s["mval"],
+            ).alias("ce")
+        )
+        cents = tc.select(
+            "cent_id", "ce", F.sqrt(dot_col(F.col("ce"), F.col("ce"))).alias("cnorm")
+        )
+
+    assigned = _cosine_assign(cents).localCheckpoint(
+        eager=True
+    )  # consumers: cap window, totals
+    wcap = Window.partitionBy("cent_id").orderBy("vec_id")
+    memb = (
+        assigned.withColumn("crk", F.row_number().over(wcap))
+        .where(F.col("crk") <= cap)
         .select("vec_id", "cent_id")
     )
-    assigned = e.join(best, "vec_id").localCheckpoint(
-        eager=True
-    )  # 3 consumers: pair sides + totals
-    a = assigned.select(
-        F.col("cent_id"),
+    a = memb.join(e, "vec_id").select(
+        "cent_id",
         F.col("vec_id").alias("vec_a"),
         F.col("xs").alias("xa"),
         F.col("norm").alias("na"),
     )
-    b = assigned.select(
+    b = memb.join(e, "vec_id").select(
         F.col("cent_id").alias("cent_b"),
         F.col("vec_id").alias("vec_b"),
         F.col("xs").alias("xb"),
@@ -721,7 +836,7 @@ def p_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cent_id") == F.col("cent_b")) & (F.col("vec_a") < F.col("vec_b")),
     ).where(
         F.round(dot_col(F.col("xa"), F.col("xb")) / (F.col("na") * F.col("nb")), 6)
-        >= _SEM_TAU
+        >= tau
     )
     pair_stats = pairs.groupBy("cent_id").agg(F.count("*").alias("n_dup_pairs"))
     removed = pairs.select("cent_id", "vec_b").distinct()
@@ -741,6 +856,11 @@ def p_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cent_id")
     )
+
+
+@register("p_semantic_dedup", oracle=_sem_sql())
+def p_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _semantic_dedup(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

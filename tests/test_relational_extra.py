@@ -296,3 +296,31 @@ def test_tokenize_apply_checksum_recomputed(spark, sf_dir):
     assert got.n_tokens == len(words)
     assert got.ids_checksum == ck
     assert got.n_oov == sum(1 for w in words if w not in vocab)
+
+
+def test_semantic_dedup_cluster_cap_and_corpus_scaled_k(spark, sf_dir):
+    """The two SemDeDup scale knobs: (a) a hard per-cluster cap bounds
+    the quadratic pair stage no matter how skewed a cluster gets —
+    with cap=c, a cluster can contribute at most c*(c-1)/2 pairs and
+    c-1 removals — while n_vectors still reports the UNCAPPED size;
+    (b) k grows with the corpus via target_cluster, so cluster count
+    is a function of data volume, not a literal."""
+    from hive_clone_spark.pipeline.dedup import _semantic_dedup
+
+    cap = 5
+    capped = _semantic_dedup(spark, sf_dir, cap=cap).orderBy("cent_id").collect()
+    assert capped
+    assert any(r.n_vectors > cap for r in capped), "cap never binds — weak test"
+    for r in capped:
+        assert r.n_dup_pairs <= cap * (cap - 1) // 2, r
+        assert r.n_removed <= cap - 1, r
+
+    full = _semantic_dedup(spark, sf_dir).orderBy("cent_id").collect()
+    # capping the pair stage must not change the cluster report itself
+    assert [(r.cent_id, r.n_vectors) for r in capped] == [
+        (r.cent_id, r.n_vectors) for r in full
+    ]
+
+    coarse = _semantic_dedup(spark, sf_dir, target_cluster=250).collect()
+    fine = _semantic_dedup(spark, sf_dir, target_cluster=50).collect()
+    assert len(fine) > len(coarse), (len(fine), len(coarse))
