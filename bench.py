@@ -1,22 +1,30 @@
 """Benchmark runner (driver contract: one JSON line on stdout).
 
-Runs every registered headline query end-to-end (plan + execute +
-collect) at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS], after one throwaway warm-up action, and
-prints ONE COMPACT JSON line {"metric": ..., "value": total_sec,
-"unit": "sec", "queries": {10 slowest}, "n_queries": N, "sf": ...}.
+Implements the BASELINE.md:32-36 measurement protocol: warm the JVM
+with throwaway actions, then time each registered headline query
+end-to-end (plan + execute + collect) at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], 3 runs per query,
+report the per-query MEDIAN. Spark version, driver memory, and
+shuffle-partition count are recorded alongside the results.
 
 The stdout line is deliberately small: round 1's full 78-query dict
 overflowed the driver's output-tail capture ("parsed": null in
-BENCH_r01.json), so the per-query detail now goes to
-bench_detail.json next to this file and stdout carries only the
-total + the 10 slowest, rounded to 2 dp.
+BENCH_r01.json), so the per-query detail (including every individual
+run) goes to bench_detail.json next to this file and stdout carries
+only the total + the 10 slowest medians, rounded to 2 dp.
+
+A wall-clock budget (SPARK_GRAFT_BENCH_BUDGET, default 450 s of
+measured query time) guards the driver's invocation timeout: once
+spent, remaining queries get a single run instead of three (their
+median is that run). The detail file records the actual run count per
+query so degraded entries are visible.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -28,6 +36,9 @@ from hive_clone_spark.session import get_spark  # noqa: E402
 
 # Queries excluded from the benchmark (fixture-scale demos, not data-scale).
 EXCLUDE_PREFIXES = ("g_",)
+
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "450"))
 
 
 def main() -> None:
@@ -42,27 +53,56 @@ def main() -> None:
     for t in ("lineitem", "events", "documents", "embeddings"):
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
 
-    timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+    medians: dict[str, float] = {}
+    spent = 0.0
     for name in sorted(registry.QUERIES):
         if name.startswith(EXCLUDE_PREFIXES):
             continue
         fn = registry.QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        samples: list[float] = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            samples.append(round(dt, 4))
+            spent += dt
+            if spent > BUDGET_SEC:
+                break
+        runs[name] = samples
+        medians[name] = round(statistics.median(samples), 4)
 
-    total = round(sum(timings.values()), 2)
+    total = round(sum(medians.values()), 2)
+    degraded = sorted(n for n, s in runs.items() if len(s) < RUNS)
     detail_path = Path(__file__).resolve().parent / "bench_detail.json"
     detail_path.write_text(
         json.dumps(
-            {"metric": "headline_queries_total", "value": total, "unit": "sec",
-             "queries": timings, "sf": sf},
-            indent=1, sort_keys=True,
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": medians,
+                "runs_per_query": runs,
+                "runs": RUNS,
+                "budget_sec": BUDGET_SEC,
+                "degraded_queries": degraded,
+                "sf": sf,
+                "config": {
+                    "spark_version": spark.version,
+                    "master": spark.sparkContext.master,
+                    "driver_memory": spark.conf.get("spark.driver.memory", None),
+                    "shuffle_partitions": spark.conf.get(
+                        "spark.sql.shuffle.partitions", None
+                    ),
+                },
+            },
+            indent=1,
+            sort_keys=True,
         )
     )
     slowest = dict(
         sorted(
-            ((k, round(v, 2)) for k, v in timings.items()),
+            ((k, round(v, 2)) for k, v in medians.items()),
             key=lambda kv: -kv[1],
         )[:10]
     )
@@ -73,7 +113,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": slowest,
-                "n_queries": len(timings),
+                "n_queries": len(medians),
+                "runs": RUNS,
+                "n_degraded": len(degraded),
                 "sf": sf,
             }
         )
