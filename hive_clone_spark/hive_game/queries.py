@@ -240,10 +240,9 @@ def g_can_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # R7 — queen moves on the lone-queen fixture (test_rules.cpp:20-25)
 # ---------------------------------------------------------------------------
-@register(
-    "g_queen_moves",
-    oracle=f"""
-    WITH RECURSIVE {_prelude("f1_lone_queen", pid=0)}, {_COMPONENTS},
+def _queen_oracle(fixture: str, pid: int) -> str:
+    return f"""
+    WITH RECURSIVE {_prelude(fixture, pid=pid)}, {_COMPONENTS},
     cand AS (
       SELECT m.piece_id, m.fq, m.fr,
              m.fq + d.dq AS to_q, m.fr + d.dr AS to_r, d.dir_idx
@@ -252,8 +251,10 @@ def g_can_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND {_corridor("m.fq", "m.fr", "d.dir_idx")})
     {_MOVE_OUT.format(kind="'Slide'", steps=1)}
     ORDER BY to_q, to_r
-    """,
-)
+    """
+
+
+@register("g_queen_moves", oracle=_queen_oracle("f1_lone_queen", 0))
 def g_queen_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
     return legal_moves(spark, pieces_df(spark, "f1_lone_queen"), 0).orderBy("to_q", "to_r")
 
@@ -297,10 +298,9 @@ def g_beetle_on_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # R9 — grasshopper jump (test_rules.cpp:28-37)
 # ---------------------------------------------------------------------------
-@register(
-    "g_grasshopper_moves",
-    oracle=f"""
-    WITH RECURSIVE {_prelude("f2_grasshopper", pid=0)}, {_COMPONENTS},
+def _grasshopper_oracle(fixture: str, pid: int) -> str:
+    return f"""
+    WITH RECURSIVE {_prelude(fixture, pid=pid)}, {_COMPONENTS},
     ks AS (SELECT u.k FROM UNNEST(generate_series(1, (SELECT COUNT(*) + 1 FROM base))) u(k)),
     ray AS (
       SELECT m.piece_id, m.fq, m.fr, d.dir_idx, ks.k,
@@ -316,8 +316,10 @@ def g_beetle_on_top(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM land l JOIN directions d ON d.dir_idx = l.dir_idx)
     {_MOVE_OUT.format(kind="'Jump'", steps=0)}
     ORDER BY to_q, to_r
-    """,
-)
+    """
+
+
+@register("g_grasshopper_moves", oracle=_grasshopper_oracle("f2_grasshopper", 0))
 def g_grasshopper_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
     return legal_moves(spark, pieces_df(spark, "f2_grasshopper"), 0).orderBy("to_q", "to_r")
 
@@ -365,10 +367,9 @@ def g_ant_perimeter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # R11 — spider exactly-3-step simple paths (test_rules.cpp:94-124)
 # ---------------------------------------------------------------------------
-@register(
-    "g_spider_moves",
-    oracle=f"""
-    WITH RECURSIVE {_prelude("f5_spider", pid=0)}, {_COMPONENTS},
+def _spider_oracle(fixture: str, pid: int) -> str:
+    return f"""
+    WITH RECURSIVE {_prelude(fixture, pid=pid)}, {_COMPONENTS},
     s1 AS (
       SELECT m.piece_id, m.fq, m.fr, m.fq + d.dq AS c1q, m.fr + d.dr AS c1r
       FROM mover m, directions d
@@ -394,8 +395,10 @@ def g_ant_perimeter(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT piece_id, fq, fr, c3q AS to_q, c3r AS to_r FROM s3)
     {_MOVE_OUT.format(kind="'Slide'", steps=3)}
     ORDER BY to_q, to_r
-    """,
-)
+    """
+
+
+@register("g_spider_moves", oracle=_spider_oracle("f5_spider", 0))
 def g_spider_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
     return legal_moves(spark, pieces_df(spark, "f5_spider"), 0).orderBy("to_q", "to_r")
 
@@ -598,11 +601,38 @@ def g_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # R12 — legalMovesForPiece dispatch (rules.cpp:334-344) over ALL pieces
-# of a fixture in one plan (the batched scale path). No oracle entry:
-# its value-correctness is pinned per-bug by the g_*_moves oracles above
-# and by tests/test_game_rules.py::test_legal_moves_all_matches_per_piece.
+# of a fixture in one plan (the batched scale path). The oracle is the
+# same dispatch expressed in SQL: for every movable (top-of-stack)
+# piece of the fixture, the matching per-bug oracle CTE, UNION ALL'd —
+# so the umbrella entry carries the full hash gate, not just its five
+# branches individually.
 # ---------------------------------------------------------------------------
-@register("g_legal_moves_all")
+_BUG_ORACLES = {
+    "Queen": _queen_oracle,
+    "Beetle": _beetle_oracle,
+    "Grasshopper": _grasshopper_oracle,
+    "Ant": _ant_oracle,
+    "Spider": _spider_oracle,
+}
+
+
+def _legal_all_oracle(fixture: str) -> str:
+    rows = FIXTURES[fixture]
+    # movers = top-of-stack pieces (mirrors movers_view): max height per cell
+    top = {}
+    for pid, bug, color, q, r, h in rows:
+        if (q, r) not in top or h > top[(q, r)][1]:
+            top[(q, r)] = (pid, h)
+    movers = sorted(pid for pid, _ in top.values())
+    by_id = {pid: bug for pid, bug, *_ in rows}
+    parts = [
+        f"SELECT * FROM ({_BUG_ORACLES[by_id[pid]](fixture, pid).strip()})"
+        for pid in movers
+    ]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY piece_id, to_q, to_r, kind, steps"
+
+
+@register("g_legal_moves_all", oracle=_legal_all_oracle("f4_ant_perimeter"))
 def g_legal_moves_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_clone_spark.hive_game.movegen import legal_moves_all
 
