@@ -133,11 +133,27 @@ def write_zordered(
     z = F.lit(0).cast("long")
     for ci, c in enumerate(cols):
         lo, hi = bounds[f"min_{c}"], bounds[f"max_{c}"]
+        if lo is None or hi is None:
+            raise ValueError(
+                f"z-order column {c!r} is entirely NULL — no [min, max] to bucketize"
+            )
         span = (hi - lo) or 1.0
-        bucket = F.least(
-            F.lit(2**bits - 1),
-            F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * (2**bits)),
-        ).cast("long")
+        # NULL cells: F.least IGNORES null arguments — least(1023, NULL)
+        # is 1023 — so a plain least/floor chain silently drops NULLs
+        # into the TOP bucket. Branch on the null explicitly and cluster
+        # NULLs at bucket 0 (NULLS FIRST semantics).
+        bucket = (
+            F.when(F.col(c).isNull(), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(2**bits - 1),
+                    F.floor(
+                        (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * (2**bits)
+                    ),
+                )
+            )
+            .cast("long")
+        )
         for b in range(bits):
             z = z.bitwiseOR(
                 F.shiftleft(

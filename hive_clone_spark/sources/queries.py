@@ -1,0 +1,131 @@
+"""Driver-visible read-back entries for the write paths in
+`hive_clone_spark.sources.io` (SURVEY.md §2b source/sink rows).
+
+The write paths had pytest coverage but no `queries()` entry, so the
+driver never exercised them; these two register the round-trips the
+same way q42_ctas_roundtrip does — write under the repo's
+spark-warehouse dir keyed by sf, read back, aggregate — with the
+oracle computing the identical aggregate straight from the source
+table, so a corrupted layout, dropped rows, or mis-merged schema all
+surface as a hash mismatch.
+
+Scale notes (100 TB): the z-order entry is one extra range shuffle at
+write time, bought back by stats-based file skipping on every later
+scan of EITHER clustered column; the schema-evolution entry is the
+append-only contract every long-lived dataset needs — new batches may
+add columns, old files stay valid, mergeSchema reconciles at read.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_clone_spark.catalog import table
+from hive_clone_spark.registry import register
+from hive_clone_spark.sources.io import write_zordered
+
+
+def _warehouse(sf_dir: str, name: str) -> str:
+    repo = pathlib.Path(__file__).resolve().parents[2]
+    return str(repo / "spark-warehouse" / name / os.path.basename(sf_dir.rstrip("/")))
+
+
+def _dec(col: str, scale: int = 2) -> F.Column:
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Q57 — z-order write + read-back: cluster lineitem on two independent
+# keys, read the files back, and aggregate over a rectangle predicate
+# on BOTH keys (the workload z-ordering exists for). The oracle runs
+# the same predicate+aggregate on the source table, so the entry
+# proves the clustered copy is lossless — and the plan audit (pytest)
+# proves the rectangle scan actually skips files.
+# ---------------------------------------------------------------------------
+@register(
+    "q57_zorder_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+      COUNT(*) AS n_items,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_partkey <= 500 AND l_suppkey <= 50
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q57_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dest = _warehouse(sf_dir, "zorder_q57")
+    src = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    write_zordered(src, dest, ["l_partkey", "l_suppkey"], n_files=8)
+    return (
+        spark.read.parquet(dest)
+        .where((F.col("l_partkey") <= 500) & (F.col("l_suppkey") <= 50))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q58 — schema evolution: batch 1 lands orders WITHOUT a priority
+# flag, batch 2 adds the column; a mergeSchema read reconciles the
+# union (old rows read the new column as NULL) and aggregates by it.
+# Oracle: the same two-batch union expressed in SQL with an explicit
+# NULL column for batch 1.
+# ---------------------------------------------------------------------------
+@register(
+    "q58_schema_evolution",
+    oracle="""
+    WITH unioned AS (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_prio_class
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice,
+        CASE WHEN o_orderpriority < '3' THEN 'urgent' ELSE 'normal' END
+      FROM orders WHERE o_orderkey % 2 = 1)
+    SELECT COALESCE(o_prio_class, 'legacy') AS prio_class,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM unioned
+    GROUP BY prio_class
+    ORDER BY prio_class
+    """,
+)
+def q58_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dest = _warehouse(sf_dir, "evolve_q58")
+    orders = table(spark, sf_dir, "orders")
+    v1 = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderpriority") < "3", "urgent")
+        .otherwise("normal")
+        .alias("o_prio_class"),
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(dest, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(dest, "batch=2"))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(dest)
+        .groupBy(F.coalesce("o_prio_class", F.lit("legacy")).alias("prio_class"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+        .orderBy("prio_class")
+    )

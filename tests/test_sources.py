@@ -157,3 +157,43 @@ def test_zordered_write_skips_files_on_both_columns(spark, orders, tmp_path):
     )
     hit, total = files_matching(spath, "o_totalprice", float(mid.tp))
     assert hit == total, "single-column sort should not cluster the other column"
+
+
+def test_zordered_write_null_handling(spark, orders, tmp_path):
+    """All-NULL z-column: clean ValueError, not a TypeError from
+    None arithmetic. Partial NULLs: the write succeeds, keeps every
+    row, and NULL cells cluster at the LOW end of the curve (bucket
+    0), not silently in the top bucket."""
+    all_null = orders.withColumn("o_nullcol", F.lit(None).cast("double"))
+    with pytest.raises(ValueError, match="entirely NULL"):
+        io.write_zordered(
+            all_null, str(tmp_path / "z_allnull"), ["o_custkey", "o_nullcol"]
+        )
+
+    # constant second column ⇒ the z-value depends ONLY on o_sparse, so
+    # bucket placement of NULLs is directly observable in the file order
+    some_null = orders.withColumn(
+        "o_sparse",
+        F.when(F.col("o_orderkey") % 10 == 0, None).otherwise(
+            F.col("o_totalprice")
+        ),
+    ).withColumn("o_const", F.lit(1.0))
+    zpath = str(tmp_path / "z_partial")
+    io.write_zordered(some_null, zpath, ["o_const", "o_sparse"], n_files=4)
+    back = io.read(spark, zpath)
+    assert back.count() == orders.count()
+    n_null = back.where(F.col("o_sparse").isNull()).count()
+    assert n_null == orders.where(F.col("o_orderkey") % 10 == 0).count()
+    # NULLs cluster at the LOW end of the curve (bucket 0 ≡ the files
+    # holding the domain minimum), never the top bucket
+    import glob
+
+    import pyarrow.parquet as pq
+
+    paths = sorted(glob.glob(f"{zpath}/part-*.parquet"))
+    null_files = {
+        i
+        for i, p in enumerate(paths)
+        if pq.read_table(p, columns=["o_sparse"]).column(0).null_count > 0
+    }
+    assert null_files == {0}, f"NULLs not clustered in the lowest-z file: {null_files}"
