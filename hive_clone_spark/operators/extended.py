@@ -502,13 +502,16 @@ def q37_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q38 — approximate distinct (HyperLogLog++): mergeable sketch
-# counting, the 100 TB path for q09's exact count-distinct. No oracle
-# entry (DuckDB's approx_count_distinct uses a different sketch), so
-# the driver records a rows-only check; the accuracy bound against the
-# exact count is asserted in tests/test_relational_extra.py.
+# counting, the 100 TB path for q09's exact count-distinct. DuckDB's
+# approx_count_distinct uses a different sketch, so the RAW estimate
+# can't be hash-compared — instead the registered entry splits the
+# output: the exact companion column carries the full value-hash
+# oracle, and the sketch is reduced to a deterministic within-bound
+# flag (rsd=0.02 → generous 6% bound, oracle side expects TRUE).
+# The raw estimate stays reachable via _approx_distinct_raw for the
+# tighter accuracy pytest in tests/test_relational_extra.py.
 # ---------------------------------------------------------------------------
-@register("q38_approx_distinct")
-def q38_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _approx_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_clone_spark.catalog import table as _table
 
     o = _table(spark, sf_dir, "orders")
@@ -520,6 +523,29 @@ def q38_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "q38_approx_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+      COUNT(DISTINCT o_custkey) AS exact_customers,
+      TRUE AS approx_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q38_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _approx_distinct_raw(spark, sf_dir)
+    bound = F.greatest(F.lit(5.0), 0.06 * F.col("exact_customers"))
+    return raw.select(
+        "o_orderstatus",
+        "exact_customers",
+        (F.abs(F.col("approx_customers") - F.col("exact_customers")) <= bound).alias(
+            "approx_ok"
+        ),
+    ).orderBy("o_orderstatus")
 
 
 # ---------------------------------------------------------------------------
@@ -1251,16 +1277,17 @@ def q52_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q53 — approximate percentiles: the mergeable-sketch twin of q30's
 # exact percentiles and the form that actually runs at 100 TB (exact
 # percentiles need a per-group sort; the sketch is a bounded-size,
-# mergeable state that map-side combines). No oracle entry — Spark's
-# Greenwald-Khanna sketch and DuckDB's t-digest give different
-# approximations — so the driver records a rows-only check; the
-# accuracy bound against the exact per-group values is asserted in
-# tests/test_relational_extra.py. Output is one SCALAR row per
-# (group, percentile) — array cells crash the driver's pandas
-# canonicalizer (r1 `err`), and scalars are what a dashboard reads.
+# mergeable state that map-side combines). Spark's Greenwald-Khanna
+# sketch and DuckDB's t-digest give different approximations, so the
+# registered entry SPLITS the output: the exact companion column
+# (linear-interpolation percentile ≡ DuckDB quantile_cont) carries the
+# full value-hash oracle, while the sketch reduces to a deterministic
+# within-bound flag the oracle expects to be TRUE. Raw sketch values
+# stay reachable via _approx_percentile_raw for the tighter accuracy
+# pytest. Output is one SCALAR row per (group, percentile) — array
+# cells crash the driver's pandas canonicalizer (r1 `err`).
 # ---------------------------------------------------------------------------
-@register("q53_approx_percentile")
-def q53_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _approx_percentile_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
     pct = F.expr(
         "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.9, 0.99), 10000)"
@@ -1285,6 +1312,33 @@ def q53_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "pct")
     )
+
+
+@register(
+    "q53_approx_percentile",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+        quantile_cont(l_extendedprice, [0.25, 0.5, 0.9, 0.99]) AS ex
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, CAST(p.pct AS DOUBLE) AS pct,
+      ROUND(ex[p.i], 6) AS exact_value,
+      TRUE AS approx_ok
+    FROM q, (VALUES (1, 0.25), (2, 0.5), (3, 0.9), (4, 0.99)) AS p(i, pct)
+    ORDER BY l_returnflag, pct
+    """,
+)
+def q53_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _approx_percentile_raw(spark, sf_dir)
+    bound = F.greatest(F.lit(1.0), 0.01 * F.abs(F.col("exact_value")))
+    return raw.select(
+        "l_returnflag",
+        "pct",
+        "exact_value",
+        (F.abs(F.col("approx_value") - F.col("exact_value")) <= bound).alias(
+            "approx_ok"
+        ),
+    ).orderBy("l_returnflag", "pct")
 
 
 # ---------------------------------------------------------------------------
