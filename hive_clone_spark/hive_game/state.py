@@ -36,7 +36,9 @@ def add_piece(
     height: int | None = None,
 ) -> DataFrame:
     """E1 `addDemoPiece` (engine.cpp:8-16): insert at clamped height
-    (top of stack when height is None/too large), renumber.
+    (top of stack when height is None, NEGATIVE, or too large —
+    engine.cpp:12 clamps both out-of-range directions to stack.size()),
+    renumber.
 
     The reference inserts AT the requested index and shifts the
     incumbent up (engine.cpp:13), so an explicit height must order the
@@ -44,7 +46,7 @@ def add_piece(
     Heights are ints, so the pre-renumber sort key doubles existing
     heights (2h) and slots the insert at 2h-1 — strictly between the
     incumbent below and the one displaced up."""
-    ins_key = 2 * 10**6 if height is None else 2 * height - 1
+    ins_key = 2 * 10**6 if height is None or height < 0 else 2 * height - 1
     new_row = spark.createDataFrame(
         [(piece_id, bug, color, True, q, r, ins_key)],
         PIECES_SCHEMA,

@@ -111,6 +111,17 @@ def test_add_at_explicit_height_displaces_incumbent(spark):
     assert cell == {5: 0, 0: 1}  # insert lands at 0, queen shifted up
 
 
+def test_add_negative_height_clamps_to_top(spark):
+    # engine.cpp:12: height < 0 clamps to stack.size() — i.e. the new
+    # piece lands ON TOP, exactly like an omitted height, never at the
+    # bottom of the stack.
+    pieces = pieces_df(spark, "f1_lone_queen")  # piece 0 at (0,0) h=0
+    stacked = add_piece(spark, pieces, 5, "Beetle", "Black", 0, 0, height=-1)
+    cell = {r.piece_id: r.height for r in
+            stacked.where((F.col("q") == 0) & (F.col("r") == 0)).collect()}
+    assert cell == {0: 0, 5: 1}  # queen stays at 0, insert clamped to top
+
+
 def test_pixel_mapping_deterministic(spark):
     # test_engine.cpp:5-10 (F9): Δ between (1,0) and (0,0) at size 40
     df = spark.createDataFrame([(0, 0), (1, 0)], "q INT, r INT")
