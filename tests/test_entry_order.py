@@ -1,0 +1,79 @@
+"""Rotation integrity for the driver window (__spark_entry__.queries).
+
+The driver checks only the first N entries of queries() per round, so
+the emission order IS the coverage strategy: entries with the least
+correctness signal (fewest green CORRECTNESS_r* rows) must come
+first, ties broken stably, and every registered query must appear
+exactly once. These tests pin that contract so a registry change or a
+new CORRECTNESS file can't silently starve never-checked entries.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+_spec = importlib.util.spec_from_file_location(
+    "__spark_entry__", REPO / "__spark_entry__.py"
+)
+entry_mod = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(entry_mod)
+
+
+def _history() -> list[dict]:
+    out = []
+    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        try:
+            out.append(json.loads(p.read_text()))
+        except (OSError, json.JSONDecodeError):
+            continue
+    return out
+
+
+def test_queries_cover_registry_exactly_once():
+    from hive_clone_spark import registry
+
+    registry.load_all_modules()
+    names = list(entry_mod.queries())
+    assert len(names) == len(set(names))
+    assert set(names) == set(registry.QUERIES)
+
+
+def test_least_green_entries_emit_first():
+    """Primary sort key: rounds-green must be non-decreasing across the
+    emitted order, so the driver's fixed-size window always lands on
+    the entries with the least signal."""
+    history = _history()
+    names = list(entry_mod.queries())
+    greens = [entry_mod._rounds_green(n, history) for n in names]
+    assert all(a <= b for a, b in zip(greens, greens[1:])), (
+        "rounds-green not monotonic: "
+        + str([(n, g) for n, g in zip(names, greens)][:10])
+    )
+
+
+def test_new_entries_outrank_ever_green_entries():
+    """A freshly registered query (no CORRECTNESS history at all) must
+    appear before every entry that has already been green once — that
+    is the rotation that earns new operators their first driver row."""
+    history = _history()
+    names = list(entry_mod.queries())
+    greens = {n: entry_mod._rounds_green(n, history) for n in names}
+    never = [n for n in names if greens[n] == 0]
+    if not never:  # every entry green at least once — rotation complete
+        return
+    first_green_idx = min(
+        (i for i, n in enumerate(names) if greens[n] > 0), default=len(names)
+    )
+    last_never_idx = max(i for i, n in enumerate(names) if greens[n] == 0)
+    assert last_never_idx < first_green_idx
+
+
+def test_oracle_keys_subset_of_queries():
+    """Every oracle must belong to a registered query (a stray key
+    would make the driver compare against nothing)."""
+    qs = set(entry_mod.queries())
+    assert set(entry_mod.oracle_sql()) <= qs
