@@ -4,8 +4,12 @@ Images/audio/video are modeled as opaque `binary` columns plus typed
 metadata. The container has no image/audio libs, so the decode step is
 a STUB (deterministic fake decoder) — but the Spark-side plumbing is
 real: binary columns from built-in `encode`, typed metadata extraction
-as column expressions (oracle-checked), and an Arrow-batched
-`mapInPandas` decode pass with a real output schema (rows-only check).
+as column expressions, and an Arrow-batched `mapInPandas` decode pass
+with a real output schema. Because the fake decoder is deterministic,
+every entry here carries a FULL value-hash oracle — the SQL recomputes
+the hash-derived dims/features — so the Arrow round-trip itself is
+correctness-gated; swapping in a real PIL/ffmpeg decoder would drop
+those two entries back to rows-only.
 
 At 100 TB the mapInPandas stage is the pattern that matters: Arrow
 batches of (id, bytes) flow into Python once, per-batch decode happens
@@ -94,7 +98,28 @@ def decode_binary(payload: bytes) -> dict:
     }
 
 
-@register("p_multimodal_decode")  # no oracle: Python-stub decode path
+@register(
+    "p_multimodal_decode",
+    # The decoder is a STUB, but a DETERMINISTIC one (hash-derived
+    # dims, byte-mean feature), so the whole Arrow round-trip is
+    # value-hash-checkable: the oracle recomputes every fake-decoded
+    # column in SQL (documents.text is ASCII, so byte values ≡ ord).
+    # A real PIL/ffmpeg decoder would drop back to rows-only.
+    oracle="""
+    SELECT doc_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      CAST(1 + (('0x' || substr(md5(text), 1, 7))::BIGINT % 1920) AS INT)
+        AS fake_width,
+      CAST(1 + (('0x' || substr(md5(text), 9, 7))::BIGINT % 1080) AS INT)
+        AS fake_height,
+      CAST(1 + octet_length(encode(text)) % 32 AS INT) AS n_frames,
+      CASE WHEN length(text) = 0 THEN 0.0
+        ELSE CAST(list_sum(list_transform(generate_series(1, length(text)),
+                                          i -> ord(text[i]))) AS DOUBLE)
+             / length(text) END AS mean_byte
+    FROM documents ORDER BY doc_id
+    """,
+)
 def p_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode pass: binary payload column → typed feature
     columns through mapInPandas (batch-shaped, not per-row)."""
@@ -205,7 +230,34 @@ RESIZE_SCHEMA = (
 )
 
 
-@register("p_multimodal_resize")  # no oracle: Python-stub resample path
+@register(
+    "p_multimodal_resize",
+    # Same deal as the decode entry: the resample is fake but
+    # deterministic, so the aspect-preserving box-fit arithmetic and
+    # the Arrow round-trip both sit under the full value-hash gate.
+    oracle="""
+    WITH v AS (
+      SELECT doc_id,
+        CAST(1 + (('0x' || substr(md5(text), 1, 7))::BIGINT % 1920) AS INT)
+          AS src_width,
+        CAST(1 + (('0x' || substr(md5(text), 9, 7))::BIGINT % 1080) AS INT)
+          AS src_height
+      FROM documents),
+    s AS (
+      SELECT doc_id, src_width, src_height,
+        LEAST(256.0 / src_width, 256.0 / src_height, 1.0) AS scale
+      FROM v),
+    d AS (
+      SELECT doc_id, src_width, src_height,
+        GREATEST(1, CAST(TRUNC(src_width * scale) AS INT)) AS dst_width,
+        GREATEST(1, CAST(TRUNC(src_height * scale) AS INT)) AS dst_height
+      FROM s)
+    SELECT doc_id, src_width, src_height, dst_width, dst_height,
+      md5(CAST(doc_id AS VARCHAR) || ':' || CAST(dst_width AS VARCHAR)
+          || 'x' || CAST(dst_height AS VARCHAR)) AS resized_key
+    FROM d ORDER BY doc_id
+    """,
+)
 def p_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd  # noqa: F401
 
