@@ -138,3 +138,122 @@ def q25_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+# ---------------------------------------------------------------------------
+# q59: stream-stream interval join through the REAL streaming path —
+# readStream (file source, declared schema) → per-side watermarks →
+# time-bounded inner join → availableNow drain into a memory sink —
+# then a batch aggregation over the drained pairs. The other streaming
+# entries run their operators in batch mode; this one makes the
+# readStream→join→sink pipeline itself driver-visible. availableNow
+# over one parquet file is a single micro-batch, so the inner join
+# emits every match deterministically (the watermark only bounds state
+# cleanup, never inner-join emission).
+#
+# Scale design: the time-bound condition is what makes an unbounded
+# stream-stream join feasible — click state is droppable once the
+# watermark passes click_ts + horizon, purchase state once it passes
+# purchase_ts; state size tracks the horizon, not the stream length.
+# ---------------------------------------------------------------------------
+@register(
+    "q59_stream_stream_join",
+    oracle="""
+    WITH pairs AS (
+      SELECT c.user_id, c.ts AS cts, p.ts AS pts, p.value AS pv
+      FROM events c JOIN events p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      WHERE c.event_type = 'click' AND p.event_type = 'purchase')
+    SELECT user_id,
+      COUNT(*) AS n_pairs,
+      strftime(MIN(cts), '%Y-%m-%d %H:%M:%S') AS first_click,
+      strftime(MAX(pts), '%Y-%m-%d %H:%M:%S') AS last_purchase,
+      ROUND(CAST(SUM(CAST(pv AS DECIMAL(18,6))) AS DOUBLE), 6)
+        AS total_purchase_value
+    FROM pairs
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q59_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hive_clone_spark.streaming.streams import (
+        click_purchase_join,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    # the drained timestamps render as strings below — pin UTC so the
+    # wall clock matches DuckDB's naive read under any caller session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # glob, not the bare file path: the file-stream source requires its
+    # basePath to be a directory, and a glob anchors it to sf_dir
+    src = read_events_stream(spark, os.path.join(sf_dir, "events.parque[t]"))
+    joined = click_purchase_join(
+        src.where(F.col("event_type") == "click"),
+        src.where(F.col("event_type") == "purchase"),
+    )
+    run_to_memory(joined, "q59_pairs", output_mode="append")
+    pairs = spark.table("q59_pairs")
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.date_format(F.min("click_ts"), _FMT).alias("first_click"),
+            F.date_format(F.max("purchase_ts"), _FMT).alias("last_purchase"),
+            F.round(
+                F.sum(F.col("purchase_value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("total_purchase_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q60: stream-static enrichment through the same real streaming path —
+# readStream events LEFT JOIN broadcast customer dimension → memory
+# sink → batch rollup per segment. The static side re-broadcasts per
+# micro-batch with zero stream state (state cost O(dim), not
+# O(stream)) — the first-choice join for dimension enrichment at
+# 100 TB/day. Unknown users survive with a NULL segment (left join),
+# reported under the 'unknown' bucket.
+# ---------------------------------------------------------------------------
+@register(
+    "q60_stream_static_enrich",
+    oracle="""
+    SELECT COALESCE(c.c_mktsegment, 'unknown') AS segment,
+      COUNT(*) AS n_events,
+      COUNT(DISTINCT e.user_id) AS n_users,
+      ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 6)
+        AS total_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def q60_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hive_clone_spark.streaming.streams import (
+        enrich_with_dim,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = read_events_stream(spark, os.path.join(sf_dir, "events.parque[t]"))
+    dim = table(spark, sf_dir, "customer")
+    run_to_memory(enrich_with_dim(src, dim), "q60_enriched", output_mode="append")
+    return (
+        spark.table("q60_enriched")
+        .groupBy(F.coalesce("segment", F.lit("unknown")).alias("segment"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("total_value"),
+        )
+        .orderBy("segment")
+    )
