@@ -334,3 +334,26 @@ def test_semantic_dedup_cluster_cap_and_corpus_scaled_k(spark, sf_dir):
     coarse = _semantic_dedup(spark, sf_dir, target_cluster=250).collect()
     fine = _semantic_dedup(spark, sf_dir, target_cluster=50).collect()
     assert len(fine) > len(coarse), (len(fine), len(coarse))
+
+
+def test_asof_join_semantics(spark):
+    """Generic as-of contract: greatest right ts <= left ts per key,
+    equal-ts rows match, keys with no prior right row get NULLs."""
+    from hive_clone_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 205, "b"), (2, 50, "c"), (3, 10, "d")],
+        "k INT, ts INT, tag STRING",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 11), (1, 200, 12), (1, 300, 13), (2, 60, 21)],
+        "k INT, ts INT, payload INT",
+    )
+    rows = {
+        (r.k, r.ts): (r.r_payload, r["r_ts"])
+        for r in asof_join(left, right, on="k").collect()
+    }
+    assert rows[(1, 100)] == (11, 100)  # equal ts matches (<=)
+    assert rows[(1, 205)] == (12, 200)  # greatest ts <= 205
+    assert rows[(2, 50)] == (None, None)  # right exists but only later
+    assert rows[(3, 10)] == (None, None)  # no right rows for key
