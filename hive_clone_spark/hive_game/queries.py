@@ -640,3 +640,46 @@ def g_legal_moves_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return legal_moves_all(spark, pieces).orderBy(
         "piece_id", "to_q", "to_r", "kind", "steps"
     )
+
+
+# ---------------------------------------------------------------------------
+# S2 — countdown timers (ui_app.cpp:301-308): the two overlay timers
+# decrement 1/60 s per frame and clamp at 0. Expressed as event-time
+# column math over a generated frame axis — the set-oriented form of
+# the reference's per-frame mutation, and the exact arithmetic a
+# streaming micro-batch would apply per trigger. Output: per (timer,
+# frame) the remaining seconds and the active flag.
+# ---------------------------------------------------------------------------
+_TIMERS = [("move_before_queen", 0.8), ("queen_warning", 1.5)]
+_TIMER_FRAMES = 120  # 2 s of simulated frames at the 60 FPS cap
+
+
+@register(
+    "g_timer_countdown",
+    oracle=f"""
+    WITH timers(name, start_sec) AS (VALUES
+      {", ".join(f"('{n}', {v})" for n, v in _TIMERS)}),
+    f AS (SELECT u.frame FROM
+          UNNEST(generate_series(0, {_TIMER_FRAMES - 1})) u(frame))
+    SELECT t.name, CAST(f.frame AS INT) AS frame,
+      ROUND(GREATEST(CAST(t.start_sec AS DOUBLE) - f.frame / 60.0, 0.0), 6)
+        AS remaining_sec,
+      (CAST(t.start_sec AS DOUBLE) - f.frame / 60.0) > 0.0 AS active
+    FROM timers t, f
+    ORDER BY t.name, frame
+    """,
+)
+def g_timer_countdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    timers = spark.createDataFrame(_TIMERS, "name STRING, start_sec DOUBLE")
+    frames = timers.select(
+        "name",
+        "start_sec",
+        F.explode(F.sequence(F.lit(0), F.lit(_TIMER_FRAMES - 1))).alias("frame"),
+    )
+    remaining = F.col("start_sec") - F.col("frame") / F.lit(60.0)
+    return frames.select(
+        "name",
+        F.col("frame").cast("int").alias("frame"),
+        F.round(F.greatest(remaining, F.lit(0.0)), 6).alias("remaining_sec"),
+        (remaining > 0.0).alias("active"),
+    ).orderBy("name", "frame")
