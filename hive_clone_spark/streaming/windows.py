@@ -194,7 +194,18 @@ def q59_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         src.where(F.col("event_type") == "click"),
         src.where(F.col("event_type") == "purchase"),
     )
-    run_to_memory(joined, "q59_pairs", output_mode="append")
+    # Each stateful operator materializes one state store PER shuffle
+    # partition; a stream-stream join keeps two sides. Size the stream's
+    # partition count to key cardinality (a few hundred users here), not
+    # the batch default — on a production feed this is the knob you
+    # RAISE to spread state across executors. Scoped save/restore: the
+    # conf is read once at stream start.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(joined, "q59_pairs", output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     pairs = spark.table("q59_pairs")
     return (
         pairs.groupBy("user_id")
