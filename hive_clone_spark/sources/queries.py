@@ -129,3 +129,91 @@ def q58_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q62 — text-format ingest round-trip: orders → csv (declared schema,
+# no inference pass) → read back → aggregate. Values cross a
+# string boundary both ways, so the hash gate proves the format
+# options (header, timestamp format, type declarations) round-trip
+# exactly — the property an ingest path lives or dies by.
+# ---------------------------------------------------------------------------
+@register(
+    "q62_csv_ingest_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_date,
+      strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_date
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q62_csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_clone_spark.sources.io import read, write
+
+    dest = _warehouse(sf_dir, "csv_q62")
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    write(src, dest, fmt="csv")
+    back = read(
+        spark,
+        dest,
+        fmt="csv",
+        schema="o_orderkey BIGINT, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate DATE",
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_date"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_date"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q63 — partition-pruned read-back (P14 viewport-culling analog):
+# lineitem lands partitioned by l_returnflag, the read filters one
+# partition value, and the filter must prune at FILE-LISTING time —
+# tests/test_sources.py asserts the pruning; this entry makes the
+# layout + pruned-read path itself driver-visible. At 100 TB partition
+# pruning is the first and cheapest IO eliminator: zero bytes read
+# for excluded partitions, before parquet stats even load.
+# ---------------------------------------------------------------------------
+@register(
+    "q63_partition_pruned_read",
+    oracle="""
+    SELECT l_linestatus,
+      COUNT(*) AS n_items,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def q63_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_clone_spark.sources.io import write
+
+    dest = _warehouse(sf_dir, "part_q63")
+    src = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    write(src, dest, partition_by=["l_returnflag"])
+    return (
+        spark.read.parquet(dest)
+        .where(F.col("l_returnflag") == "R")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("l_linestatus")
+    )
