@@ -34,22 +34,28 @@ def entry(spark: SparkSession) -> DataFrame:
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-def _rounds_green(name: str, history: list[dict]) -> int:
+def _rounds_green(name: str, history: list[dict], has_oracle: bool = False) -> int:
     """How many prior driver rounds recorded this query as green.
 
-    Green = a CORRECTNESS_r*.json row with no error (or the deliberate
-    rows-only "no_oracle" marker) and no hash mismatch. Queries that
-    have never been green sort FIRST so the driver — which checks only
-    the first N entries of queries() in order — always spends its
-    budget on the entries with the least correctness signal. As rounds
-    accumulate, this rotates coverage automatically.
+    Green = a CORRECTNESS_r*.json row with no error and no hash
+    mismatch. A "no_oracle" rows-only marker counts as green ONLY
+    while the entry still has no oracle — once an entry is upgraded to
+    a full oracle, its old weak rows stop counting, so the stronger
+    gate gets exercised early. Queries that have never been green sort
+    FIRST so the driver — which checks only the first N entries of
+    queries() in order — always spends its budget on the entries with
+    the least correctness signal. As rounds accumulate, this rotates
+    coverage automatically.
     """
     n = 0
     for rows in history:
         r = rows.get(name)
         if r is None:
             continue
-        if r.get("err") not in (None, "no_oracle"):
+        err = r.get("err")
+        if err == "no_oracle" and has_oracle:
+            continue
+        if err not in (None, "no_oracle"):
             continue
         if r.get("hash_match") is False:
             continue
@@ -75,7 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     order = {n: i for i, n in enumerate(names)}
     names.sort(
         key=lambda n: (
-            _rounds_green(n, history),
+            _rounds_green(n, history, has_oracle=n in registry.ORACLE),
             # round-1 entries that never got a driver row outrank ops
             # added later: the r1 verdict names these as THE gap, and a
             # new op must not displace them from the checked window.

@@ -46,9 +46,15 @@ def test_least_green_entries_emit_first():
     """Primary sort key: rounds-green must be non-decreasing across the
     emitted order, so the driver's fixed-size window always lands on
     the entries with the least signal."""
+    from hive_clone_spark import registry
+
+    registry.load_all_modules()
     history = _history()
     names = list(entry_mod.queries())
-    greens = [entry_mod._rounds_green(n, history) for n in names]
+    greens = [
+        entry_mod._rounds_green(n, history, has_oracle=n in registry.ORACLE)
+        for n in names
+    ]
     assert all(a <= b for a, b in zip(greens, greens[1:])), (
         "rounds-green not monotonic: "
         + str([(n, g) for n, g in zip(names, greens)][:10])
@@ -59,9 +65,15 @@ def test_new_entries_outrank_ever_green_entries():
     """A freshly registered query (no CORRECTNESS history at all) must
     appear before every entry that has already been green once — that
     is the rotation that earns new operators their first driver row."""
+    from hive_clone_spark import registry
+
+    registry.load_all_modules()
     history = _history()
     names = list(entry_mod.queries())
-    greens = {n: entry_mod._rounds_green(n, history) for n in names}
+    greens = {
+        n: entry_mod._rounds_green(n, history, has_oracle=n in registry.ORACLE)
+        for n in names
+    }
     never = [n for n in names if greens[n] == 0]
     if not never:  # every entry green at least once — rotation complete
         return
