@@ -357,3 +357,55 @@ def test_asof_join_semantics(spark):
     assert rows[(1, 205)] == (12, 200)  # greatest ts <= 205
     assert rows[(2, 50)] == (None, None)  # right exists but only later
     assert rows[(3, 10)] == (None, None)  # no right rows for key
+
+
+def test_asof_join_matches_bruteforce_property(spark):
+    """Property: for random keyed time series, asof_join equals the
+    brute-force per-row 'greatest right ts <= left ts' computation.
+    Right side is deduped per (key, ts) to the max payload, mirroring
+    the determinism contract q61 relies on."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from hive_clone_spark.operators.asof import asof_join
+
+    row = st.tuples(
+        st.integers(min_value=0, max_value=3),  # key
+        st.integers(min_value=0, max_value=20),  # ts
+        st.integers(min_value=0, max_value=99),  # payload
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        lrows=st.lists(row, min_size=1, max_size=12),
+        rrows=st.lists(row, min_size=0, max_size=12),
+    )
+    def check(lrows, rrows):
+        rdedup = {}
+        for k, ts, p in rrows:
+            rdedup[(k, ts)] = max(p, rdedup.get((k, ts), -1))
+        left = spark.createDataFrame(
+            [(k, ts, i) for i, (k, ts, _) in enumerate(lrows)],
+            "k INT, ts INT, lid INT",
+        )
+        if rdedup:
+            right = spark.createDataFrame(
+                [(k, ts, p) for (k, ts), p in rdedup.items()],
+                "k INT, ts INT, payload INT",
+            )
+        else:
+            right = spark.createDataFrame([], "k INT, ts INT, payload INT")
+        got = {
+            r.lid: (r.r_payload, r.r_ts)
+            for r in asof_join(left, right, on="k").collect()
+        }
+        for i, (k, ts, _) in enumerate(lrows):
+            cand = [(rts, p) for (rk, rts), p in rdedup.items() if rk == k and rts <= ts]
+            want = (None, None) if not cand else (max(cand)[1], max(cand)[0])
+            assert got[i] == want, (i, k, ts, got[i], want)
+
+    check()
