@@ -38,47 +38,58 @@ def asof_join(
 ) -> DataFrame:
     """Generic as-of join: left rows + `r_<col>` columns of the most
     recent right row with right_ts <= left_ts per `on` key (NULL when
-    none). Right side must be unique per (on, right_ts)."""
+    none). Right side must be unique per (on, right_ts).
+
+    The matched right row is carried as ONE struct (non-null on every
+    right row, even when individual payload fields are null), so the
+    output's r_* columns always come from the same right row — a
+    per-column last(ignorenulls) carry would otherwise composite a
+    null-payload row's timestamp with an older row's payload.
+    """
     r_cols = [c for c in right.columns if c not in (on, right_ts)]
+    reserved = {f"r_{right_ts}", *(f"r_{c}" for c in r_cols)}
+    for c in left.columns:
+        if c.startswith("__") or c in reserved:
+            raise ValueError(
+                f"asof_join: left column {c!r} collides with the reserved "
+                f"__* / r_* output namespace (outputs: {sorted(reserved)})"
+            )
+    for c in right.columns:
+        if c.startswith("__"):
+            raise ValueError(
+                f"asof_join: right column {c!r} collides with the reserved "
+                "__* internal namespace"
+            )
+    r_row = F.struct(
+        F.col(right_ts).alias(right_ts), *[F.col(c).alias(c) for c in r_cols]
+    )
     r = right.select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.col(right_ts).alias("__r_ts"),
-        *[F.col(c).alias(f"r_{c}") for c in r_cols],
+        r_row.alias("__r_row"),
     )
     l = left.select(
         F.col(on),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"r_{c}") for c in r_cols],
-        *[F.col(c) for c in left.columns if c not in (on, left_ts)],
-        F.col(left_ts),
+        *[F.col(c) for c in left.columns if c != on],
     )
+    # unionByName fills the sides' missing columns (left's __r_row, right's
+    # left-payload columns) with typed NULLs — no manual cast needed.
     u = l.unionByName(r, allowMissingColumns=True)
     w = (
         Window.partitionBy(on)
         .orderBy("__ts", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = u.select(
-        "*",
-        *[
-            F.last(f"r_{c}", ignorenulls=True).over(w).alias(f"__carry_{c}")
-            for c in r_cols
-        ],
-        F.last("__r_ts", ignorenulls=True).over(w).alias("__carry_ts"),
-    )
-    return (
-        carried.where(F.col("__side") == 1)
-        .select(
-            on,
-            left_ts,
-            *[c for c in left.columns if c not in (on, left_ts)],
-            F.col("__carry_ts").alias(f"r_{right_ts}"),
-            *[F.col(f"__carry_{c}").alias(f"r_{c}") for c in r_cols],
-        )
+    carried = u.withColumn("__carry", F.last("__r_row", ignorenulls=True).over(w))
+    return carried.where(F.col("__side") == 1).select(
+        on,
+        left_ts,
+        *[c for c in left.columns if c not in (on, left_ts)],
+        F.col("__carry").getField(right_ts).alias(f"r_{right_ts}"),
+        *[F.col("__carry").getField(c).alias(f"r_{c}") for c in r_cols],
     )
 
 

@@ -359,6 +359,41 @@ def test_asof_join_semantics(spark):
     assert rows[(3, 10)] == (None, None)  # no right rows for key
 
 
+def test_asof_join_rejects_reserved_name_collisions(spark):
+    """Left columns that collide with the r_*/__* output namespace raise
+    a clear error instead of silently producing ambiguous columns."""
+    import pytest
+
+    from hive_clone_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame([(1, 10, 5)], "k INT, ts INT, payload INT")
+    bad_left = spark.createDataFrame(
+        [(1, 20, 7)], "k INT, ts INT, r_payload INT"
+    )
+    with pytest.raises(ValueError, match="r_payload"):
+        asof_join(bad_left, right, on="k")
+    dunder_left = spark.createDataFrame([(1, 20, 7)], "k INT, ts INT, __side INT")
+    with pytest.raises(ValueError, match="__side"):
+        asof_join(dunder_left, right, on="k")
+    dunder_right = spark.createDataFrame([(1, 10, 5)], "k INT, ts INT, __ts INT")
+    ok_left = spark.createDataFrame([(1, 20)], "k INT, ts INT")
+    with pytest.raises(ValueError, match="__ts"):
+        asof_join(ok_left, dunder_right, on="k")
+
+
+def test_asof_join_null_payload_row_wins(spark):
+    """A matched right row with a NULL payload yields (its ts, NULL) —
+    never that ts composited with an older row's non-null payload."""
+    from hive_clone_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 300, "a")], "k INT, ts INT, tag STRING")
+    right = spark.createDataFrame(
+        [(1, 100, 11), (1, 200, None)], "k INT, ts INT, payload INT"
+    )
+    [row] = asof_join(left, right, on="k").collect()
+    assert (row.r_ts, row.r_payload) == (200, None)
+
+
 def test_asof_join_matches_bruteforce_property(spark):
     """Property: for random keyed time series, asof_join equals the
     brute-force per-row 'greatest right ts <= left ts' computation.
@@ -372,7 +407,11 @@ def test_asof_join_matches_bruteforce_property(spark):
     row = st.tuples(
         st.integers(min_value=0, max_value=3),  # key
         st.integers(min_value=0, max_value=20),  # ts
-        st.integers(min_value=0, max_value=99),  # payload
+        # payload may be NULL: a null-payload right row must still WIN the
+        # as-of race (its ts is the match), not let an older row's payload
+        # leak through — the composite-row bug a per-column
+        # last(ignorenulls) carry would produce.
+        st.one_of(st.none(), st.integers(min_value=0, max_value=99)),
     )
 
     @settings(
@@ -387,7 +426,11 @@ def test_asof_join_matches_bruteforce_property(spark):
     def check(lrows, rrows):
         rdedup = {}
         for k, ts, p in rrows:
-            rdedup[(k, ts)] = max(p, rdedup.get((k, ts), -1))
+            # NULL sorts below any int for the max-payload dedup tiebreak
+            rdedup[(k, ts)] = max(
+                -1 if p is None else p, rdedup.get((k, ts), -2)
+            )
+        rdedup = {kt: (None if v == -1 else v) for kt, v in rdedup.items()}
         left = spark.createDataFrame(
             [(k, ts, i) for i, (k, ts, _) in enumerate(lrows)],
             "k INT, ts INT, lid INT",
