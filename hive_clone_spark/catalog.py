@@ -56,6 +56,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # Cast to TIMESTAMP under a pinned UTC session zone so the wall
             # clock is preserved verbatim (matches DuckDB's naive TIMESTAMP
             # read + epoch_us) even if the caller's session isn't UTC.
+            #
+            # HARNESS CONTRACT: the whole engine runs with
+            # spark.sql.session.timeZone=UTC (session.get_spark pins it at
+            # creation). This set exists so a caller's vanilla session — e.g.
+            # the driver harness's — gets the same semantics. It is
+            # deliberately NOT saved/restored: the NTZ->TIMESTAMP cast and
+            # every downstream date_format/window resolve the zone lazily at
+            # execution, so a restore-after-read would silently shift results.
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

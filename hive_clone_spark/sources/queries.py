@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import pathlib
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,8 +31,19 @@ from hive_clone_spark.sources.io import write_zordered
 
 
 def _warehouse(sf_dir: str, name: str) -> str:
+    """Destination dir for a write-path entry, CLEARED on every call.
+
+    The path is keyed only by (entry, sf), so without the clear a layout
+    change between runs would leave stale files for recursiveFileLookup /
+    mergeSchema reads to sweep in (entries like q58 only overwrite their
+    own batch=N subdirs). Clearing makes the read-back see exactly what
+    the current invocation wrote.
+    """
     repo = pathlib.Path(__file__).resolve().parents[2]
-    return str(repo / "spark-warehouse" / name / os.path.basename(sf_dir.rstrip("/")))
+    dest = repo / "spark-warehouse" / name / os.path.basename(sf_dir.rstrip("/"))
+    if dest.exists():
+        shutil.rmtree(dest)
+    return str(dest)
 
 
 def _dec(col: str, scale: int = 2) -> F.Column:
