@@ -63,11 +63,27 @@ def _rounds_green(name: str, history: list[dict], has_oracle: bool = False) -> i
     return n
 
 
+def _rounds_stale(name: str, history: list[dict]) -> int:
+    """Rounds since the driver last recorded ANY row for this query
+    (len(history)+1 if never recorded). The staleness tiebreak keeps a
+    green driver signal from aging out: without it, an entry green in
+    round 1 and stably sorted could go unchecked indefinitely while the
+    same-green cohort ahead of it got re-checked every round."""
+    for rounds_ago, rows in enumerate(reversed(history)):
+        if name in rows:
+            return rounds_ago
+    return len(history) + 1
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Emitted in explicit order: never-driver-green entries first (see
-    _rounds_green), ties broken by registration order.
+    _rounds_green), then — within each green cohort — the entries the
+    driver has not looked at for the longest (see _rounds_stale), ties
+    broken by registration order. The driver checks a fixed-size
+    prefix, so this order IS the coverage strategy: least signal first,
+    oldest signal next.
     """
     import json
 
@@ -86,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # added later: the r1 verdict names these as THE gap, and a
             # new op must not displace them from the checked window.
             0 if n in _R1_NEVER_CHECKED else 1,
+            -_rounds_stale(n, history),
             order[n],
         )
     )

@@ -1,15 +1,21 @@
-"""Multimodal binary-column operators (M5).
+"""Multimodal binary-column operators (M5) — STUB-codec (oracle) mode.
 
 Images/audio/video are modeled as opaque `binary` columns plus typed
-metadata. The container has no image/audio libs, so the decode step is
-a STUB (deterministic fake decoder) — but the Spark-side plumbing is
-real: binary columns from built-in `encode`, typed metadata extraction
-as column expressions, and an Arrow-batched `mapInPandas` decode pass
-with a real output schema. Because the fake decoder is deterministic,
-every entry here carries a FULL value-hash oracle — the SQL recomputes
-the hash-derived dims/features — so the Arrow round-trip itself is
-correctness-gated; swapping in a real PIL/ffmpeg decoder would drop
-those two entries back to rows-only.
+metadata. The entries in THIS module run the deterministic stub codec:
+binary columns from built-in `encode`, typed metadata extraction as
+column expressions, and an Arrow-batched `mapInPandas` decode pass
+whose "decoder" derives features from the payload hash. Because the
+stub is deterministic, every entry carries a FULL value-hash oracle —
+the SQL recomputes the hash-derived dims/features — so the Arrow
+round-trip itself is correctness-gated.
+
+REAL decoding lives in `pipeline/imagecodec.py`: pure-numpy byte-level
+parsers for 24-bit BMP and P6 PPM behind a `decode_image` codec
+interface, exercised by the `p_image_decode` / `p_image_resize`
+entries over genuine encoded files — also under full value-hash
+oracles (the synthesis rule is SQL-predictable). The stub here remains
+the codec of record for opaque non-image payloads; the real codec is
+the dispatch target when magic bytes identify the container.
 
 At 100 TB the mapInPandas stage is the pattern that matters: Arrow
 batches of (id, bytes) flow into Python once, per-batch decode happens

@@ -84,6 +84,36 @@ def test_new_entries_outrank_ever_green_entries():
     assert last_never_idx < first_green_idx
 
 
+def test_stalest_entries_emit_first_within_green_cohort():
+    """Secondary sort key: within a same-rounds-green cohort (and same
+    r1-flag class), entries the driver has not recorded for more rounds
+    must emit earlier, so a green signal can never age indefinitely."""
+    from hive_clone_spark import registry
+
+    registry.load_all_modules()
+    history = _history()
+    names = list(entry_mod.queries())
+    keyed = [
+        (
+            entry_mod._rounds_green(n, history, has_oracle=n in registry.ORACLE),
+            0 if n in entry_mod._R1_NEVER_CHECKED else 1,
+            entry_mod._rounds_stale(n, history),
+        )
+        for n in names
+    ]
+    for (g1, f1, s1), (g2, f2, s2) in zip(keyed, keyed[1:]):
+        if (g1, f1) == (g2, f2):
+            assert s1 >= s2, (g1, f1, s1, s2)
+
+
+def test_rounds_stale_semantics():
+    history = [{"a": {}}, {"b": {}}, {"b": {}, "c": {}}]
+    assert entry_mod._rounds_stale("c", history) == 0
+    assert entry_mod._rounds_stale("b", history) == 0
+    assert entry_mod._rounds_stale("a", history) == 2
+    assert entry_mod._rounds_stale("never", history) == 4
+
+
 def test_oracle_keys_subset_of_queries():
     """Every oracle must belong to a registered query (a stray key
     would make the driver compare against nothing)."""

@@ -1,0 +1,150 @@
+"""Unit tests for the REAL image codecs (pipeline/imagecodec.py):
+byte-level BMP/PPM encode/decode round-trips, format edge cases the
+synthetic entries never hit (top-down BMPs, PPM comments, corrupt
+headers), and the nearest-neighbor resampler against brute force.
+
+These are the non-stub decode tests the round-4 verdict asked for: the
+pixels asserted here come from parsing actual file bytes, not from the
+deterministic hash stub in multimodal.py (which remains the
+oracle-mode codec for opaque payloads).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hive_clone_spark.pipeline.imagecodec import (
+    decode_bmp,
+    decode_image,
+    decode_ppm,
+    encode_bmp,
+    encode_ppm,
+    fit_box,
+    resize_nearest,
+    sniff_format,
+    synth_image,
+)
+
+
+def _random_pixels(rng, h, w):
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("w", [1, 2, 3, 4, 5, 64])  # covers every pad residue
+@pytest.mark.parametrize("h", [1, 3, 48])
+def test_bmp_roundtrip_all_paddings(w, h):
+    """BMP rows pad to 4 bytes; w mod 4 in {0,1,2,3} all round-trip."""
+    rng = np.random.default_rng(w * 100 + h)
+    pix = _random_pixels(rng, h, w)
+    payload = encode_bmp(pix)
+    assert payload[:2] == b"BM"
+    assert len(payload) == 54 + ((3 * w + 3) // 4 * 4) * h
+    np.testing.assert_array_equal(decode_bmp(payload), pix)
+
+
+def test_bmp_topdown_rows():
+    """height<0 in the info header means top-down row order (real BMP
+    feature our encoder never emits — decoder must still handle it)."""
+    import struct
+
+    pix = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    payload = bytearray(encode_bmp(pix))
+    # rewrite height 2 -> -2 and flip the stored rows to compensate
+    struct.pack_into("<i", payload, 22, -2)
+    stride = (3 * 3 + 3) // 4 * 4
+    body = payload[54:]
+    payload[54:] = body[stride:] + body[:stride]
+    np.testing.assert_array_equal(decode_bmp(bytes(payload)), pix)
+
+
+def test_bmp_rejects_corrupt():
+    pix = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = encode_bmp(pix)
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"XX" + good[2:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(good[:-5])
+    import struct
+
+    gray = bytearray(good)
+    struct.pack_into("<H", gray, 28, 8)  # bpp 24 -> 8
+    with pytest.raises(ValueError, match="24-bit"):
+        decode_bmp(bytes(gray))
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (7, 3), (64, 48)])
+def test_ppm_roundtrip(w, h):
+    rng = np.random.default_rng(w * 100 + h)
+    pix = _random_pixels(rng, h, w)
+    payload = encode_ppm(pix)
+    assert payload.startswith(b"P6\n")
+    np.testing.assert_array_equal(decode_ppm(payload), pix)
+
+
+def test_ppm_header_comments_and_whitespace():
+    """Netpbm allows '#' comments and arbitrary whitespace between
+    header tokens; the parser must skip both."""
+    pix = np.arange(1 * 2 * 3, dtype=np.uint8).reshape(1, 2, 3)
+    payload = b"P6 # a comment\n# another\n 2\t1 \n255\n" + pix.tobytes()
+    np.testing.assert_array_equal(decode_ppm(payload), pix)
+
+
+def test_ppm_rejects_corrupt():
+    pix = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = encode_ppm(pix)
+    with pytest.raises(ValueError, match="not a P6"):
+        decode_ppm(b"P3" + good[2:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(good[:-1])
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 24)
+
+
+def test_sniff_and_dispatch():
+    pix = np.full((3, 5, 3), 7, dtype=np.uint8)
+    for enc, want in [(encode_bmp, "bmp"), (encode_ppm, "ppm")]:
+        payload = enc(pix)
+        assert sniff_format(payload) == want
+        fmt, out = decode_image(payload)
+        assert fmt == want
+        np.testing.assert_array_equal(out, pix)
+    assert sniff_format(b"\x89PNG") is None
+    with pytest.raises(ValueError, match="unknown image magic"):
+        decode_image(b"\x89PNG....")
+
+
+def test_resize_nearest_matches_bruteforce():
+    rng = np.random.default_rng(42)
+    pix = _random_pixels(rng, 11, 17)
+    for dw, dh in [(5, 3), (17, 11), (1, 1), (4, 7)]:
+        out = resize_nearest(pix, dw, dh)
+        assert out.shape == (dh, dw, 3)
+        for yd in range(dh):
+            for xd in range(dw):
+                np.testing.assert_array_equal(
+                    out[yd, xd], pix[(yd * 11) // dh, (xd * 17) // dw]
+                )
+
+
+def test_fit_box():
+    assert fit_box(64, 48, 16) == (16, 12)  # downscale, aspect kept
+    assert fit_box(10, 5, 16) == (10, 5)  # never upscale
+    assert fit_box(2000, 3, 16) == (16, 1)  # floor clamps to >=1
+
+
+def test_synth_image_is_real_and_decodable():
+    """The synthetic driver payloads are genuine files: correct magic,
+    exact spec'd size, and decoding recovers the generation rule."""
+    for doc_id in [0, 1, 63, 64, 127, 1000, 12345]:
+        fmt, payload = synth_image(doc_id)
+        assert fmt == ("bmp" if doc_id % 2 == 0 else "ppm")
+        got_fmt, pix = decode_image(payload)
+        assert got_fmt == fmt
+        w, h = 1 + doc_id % 64, 1 + (doc_id * 7) % 48
+        assert pix.shape == (h, w, 3)
+        for c in range(3):
+            want = (doc_id + 3 * np.arange(h) + 7 * c) % 256
+            np.testing.assert_array_equal(pix[:, 0, c], want)
+            # row-constant across x
+            assert (pix[:, :, c] == pix[:, :1, c]).all()
