@@ -94,6 +94,33 @@ FIXTURES: dict[str, list[tuple[int, str, str, int, int, int]]] = {
         (0, "Queen", "White", 0, 0, 0),
         (1, "Ant", "Black", 1, 0, 0),
     ],
+    # G4 — terminal board of game.SCRIPT_BLACKWINS: the full-game
+    # integration test REPLAYS the script through the EP1-EP3 lifecycle
+    # and asserts the final board equals this literal, so the driver
+    # entry over it is anchored to an actual rules-checked game.
+    "g4_full_game_blackwins": [
+        (0, "Queen", "White", 0, 0, 0),
+        (1, "Queen", "Black", 1, 0, 0),
+        (2, "Ant", "White", -1, 0, 0),
+        (3, "Ant", "Black", 1, -1, 0),
+        (4, "Ant", "White", 0, -1, 0),
+        (5, "Ant", "White", -1, 1, 0),
+        (6, "Ant", "Black", 0, 1, 0),
+        (7, "Beetle", "White", -2, 0, 0),
+    ],
+    # G5 — terminal board of game.SCRIPT_DRAW (same anchoring)
+    "g5_full_game_draw": [
+        (0, "Queen", "White", 0, 0, 0),
+        (1, "Queen", "Black", 1, 0, 0),
+        (2, "Ant", "White", -1, 0, 0),
+        (3, "Ant", "Black", 2, 0, 0),
+        (4, "Ant", "White", 0, -1, 0),
+        (5, "Ant", "Black", 2, -1, 0),
+        (6, "Ant", "White", -1, 1, 0),
+        (7, "Grasshopper", "Black", 1, 1, 0),
+        (8, "Beetle", "White", 1, -1, 0),
+        (9, "Ant", "Black", 0, 1, 0),
+    ],
 }
 
 

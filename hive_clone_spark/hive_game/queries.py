@@ -212,6 +212,60 @@ def g_game_over_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# EP1-EP3 full-game terminal boards (ui_app.cpp:151-155,187-191): the
+# fixtures are the end states of game.SCRIPT_BLACKWINS / SCRIPT_DRAW,
+# which tests/test_game_integration.py replays ply-by-ply under full
+# rule enforcement and asserts equal to these literals — so the driver
+# row verifies the verdict of an actual complete game, not a posed
+# position. Output joins the verdict with material accounting.
+# ---------------------------------------------------------------------------
+def _full_game_oracle(fixture: str) -> str:
+    return f"""
+    WITH {_prelude(fixture)},
+    s AS (
+      SELECT p.color,
+        ((SELECT COUNT(*) FROM directions d
+          WHERE EXISTS (SELECT 1 FROM occ o
+                        WHERE o.q = p.q + d.dq AND o.r = p.r + d.dr)) = 6) AS surrounded
+      FROM pieces p WHERE p.on_board AND p.bug = 'Queen'),
+    v AS (
+      SELECT CASE
+        WHEN COALESCE(MAX(CASE WHEN color='White' THEN surrounded END), false)
+         AND COALESCE(MAX(CASE WHEN color='Black' THEN surrounded END), false) THEN 'Draw'
+        WHEN COALESCE(MAX(CASE WHEN color='White' THEN surrounded END), false) THEN 'BlackWins'
+        WHEN COALESCE(MAX(CASE WHEN color='Black' THEN surrounded END), false) THEN 'WhiteWins'
+        ELSE 'None' END AS verdict
+      FROM s),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pieces,
+        CAST(COUNT(*) FILTER (color = 'White') AS BIGINT) AS n_white,
+        CAST(COUNT(*) FILTER (color = 'Black') AS BIGINT) AS n_black
+      FROM pieces WHERE on_board)
+    SELECT v.verdict, m.n_pieces, m.n_white, m.n_black FROM v, m
+    """
+
+
+def _full_game_summary(spark: SparkSession, fixture: str) -> DataFrame:
+    board = pieces_df(spark, fixture)
+    material = board.where(F.col("on_board")).agg(
+        F.count("*").alias("n_pieces"),
+        F.count(F.when(F.col("color") == "White", 1)).alias("n_white"),
+        F.count(F.when(F.col("color") == "Black", 1)).alias("n_black"),
+    )
+    return evaluate_game_over(spark, board).crossJoin(material)
+
+
+@register("g_full_game_blackwins", oracle=_full_game_oracle("g4_full_game_blackwins"))
+def g_full_game_blackwins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _full_game_summary(spark, "g4_full_game_blackwins")
+
+
+@register("g_full_game_draw", oracle=_full_game_oracle("g5_full_game_draw"))
+def g_full_game_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _full_game_summary(spark, "g5_full_game_draw")
+
+
+# ---------------------------------------------------------------------------
 # R5 — corridor probes (rules.cpp:50-59) on the corridor-blocked fixture
 # ---------------------------------------------------------------------------
 @register(

@@ -21,6 +21,83 @@ def _cells(df):
     return {(r[0], r[1]) for r in df.select(*cols).collect()}
 
 
+def _board_tuples(df):
+    return sorted(
+        (r.piece_id, r.bug, r.color, r.q, r.r, r.height)
+        for r in df.where("on_board").collect()
+    )
+
+
+def test_full_game_to_blackwins(spark):
+    """Complete game through the EP1-EP3 lifecycle (place/move gated by
+    the rules, game-over re-checked per ply — ui_app.cpp:151-155,
+    187-191) ending in a terminal BlackWins; the final board must equal
+    the g4 fixture that backs the g_full_game_blackwins driver entry."""
+    from hive_clone_spark.hive_game.fixtures import FIXTURES
+    from hive_clone_spark.hive_game.game import SCRIPT_BLACKWINS, play_game
+
+    verdict, board, verdicts = play_game(spark, SCRIPT_BLACKWINS)
+    assert verdict == "BlackWins"
+    # every non-final ply leaves the game live; only the last ends it
+    assert verdicts[:-1] == ["None"] * (len(SCRIPT_BLACKWINS) - 1)
+    assert verdicts[-1] == "BlackWins"
+    want = sorted(FIXTURES["g4_full_game_blackwins"])
+    assert _board_tuples(board) == want
+
+
+def test_full_game_to_draw(spark):
+    """Complete game ending in a simultaneous double surround (the last
+    ant fills the one cell adjacent to BOTH queens): Draw, with the
+    terminal board equal to the g5 fixture behind g_full_game_draw."""
+    from hive_clone_spark.hive_game.fixtures import FIXTURES
+    from hive_clone_spark.hive_game.game import SCRIPT_DRAW, play_game
+
+    verdict, board, verdicts = play_game(spark, SCRIPT_DRAW)
+    assert verdict == "Draw"
+    assert verdicts[:-1] == ["None"] * (len(SCRIPT_DRAW) - 1)
+    assert _board_tuples(board) == sorted(FIXTURES["g5_full_game_draw"])
+
+
+def test_play_game_rejects_illegal_plies(spark):
+    """The lifecycle gate rejects out-of-turn actions, occupied/\
+unreachable targets, pre-queen moves, and post-terminal plies."""
+    import pytest
+
+    from hive_clone_spark.hive_game.game import (
+        SCRIPT_BLACKWINS,
+        IllegalPly,
+        play_game,
+    )
+
+    # Black tries to open (White moves first)
+    with pytest.raises(IllegalPly, match="out of turn"):
+        play_game(spark, [("place", 0, "Queen", "Black", 0, 0)])
+    # second placement on an occupied cell
+    with pytest.raises(IllegalPly, match="not a legal"):
+        play_game(
+            spark,
+            [
+                ("place", 0, "Queen", "White", 0, 0),
+                ("place", 1, "Queen", "Black", 0, 0),
+            ],
+        )
+    # moving before the queen is placed (P9)
+    with pytest.raises(IllegalPly, match="before queen"):
+        play_game(
+            spark,
+            [
+                ("place", 0, "Ant", "White", 0, 0),
+                ("place", 1, "Queen", "Black", 1, 0),
+                ("move", 0, -1, 0),
+            ],
+        )
+    # playing past the terminal ply
+    with pytest.raises(IllegalPly, match="already over"):
+        play_game(
+            spark, SCRIPT_BLACKWINS + [("place", 8, "Spider", "White", -3, 0)]
+        )
+
+
 def test_scripted_opening(spark):
     empty = spark.createDataFrame([], PIECES_SCHEMA)
 

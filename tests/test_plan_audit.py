@@ -34,6 +34,8 @@ NAMES = sorted(registry.QUERIES)
 NESTEDLOOP_OK = {
     "g_game_over_blackwins",
     "g_game_over_draw",
+    "g_full_game_blackwins",  # 1-row verdict x 1-row material crossJoin
+    "g_full_game_draw",
     "g_grasshopper_moves",
     "g_legal_moves_all",
     "g_placement_first_of_color",
