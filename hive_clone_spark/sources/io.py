@@ -102,6 +102,7 @@ def write_zordered(
     n_files: int = 8,
     bits: int = 10,
     fmt: str = "parquet",
+    bounds: dict[str, tuple[float, float]] | None = None,
 ) -> None:
     """Z-order-clustered write: cluster the layout on MULTIPLE columns
     at once so parquet min/max stats stay tight on every listed column
@@ -121,18 +122,42 @@ def write_zordered(
     At 100 TB this is the layout move that makes a multi-tenant scan
     workload cheap: the write pays one extra range shuffle; every
     later query on any z-column reads a fraction of the files.
+
+    Bounds come from one of two places:
+
+      * `bounds={col: (lo, hi)}` — caller-supplied (from table
+        metadata, parquet footer stats, or a prior profile). This is
+        the 100 TB path: NO pre-pass at all, and because the bucketized
+        z-space is then fully known up front, files are cut by
+        DETERMINISTIC equal-width z-slices instead of
+        repartitionByRange (whose RangePartitioner runs its own
+        sampling job over the input) — the whole write is a SINGLE
+        scan of the data. Values outside the declared bounds clamp
+        into the edge buckets, so stale/approximate bounds cost layout
+        balance, never correctness. Slice→file assignment is by hash,
+        so two z-slices can share a file (slightly looser per-file
+        stats); exact mode below trades a scan for perfect balance.
+      * `bounds=None` — exact mode (fallback): one min/max aggregate
+        pre-pass (column-pruned, but still a second read of the
+        input) + sampled range repartition, as before.
     """
     from pyspark.sql import functions as F
 
     if not 2 <= len(cols) <= 4:
         raise ValueError("z-ordering needs 2-4 columns")
-    bounds = df.agg(
-        *[F.min(c).cast("double").alias(f"min_{c}") for c in cols],
-        *[F.max(c).cast("double").alias(f"max_{c}") for c in cols],
-    ).collect()[0]
+    single_scan = bounds is not None
+    if bounds is None:
+        row = df.agg(
+            *[F.min(c).cast("double").alias(f"min_{c}") for c in cols],
+            *[F.max(c).cast("double").alias(f"max_{c}") for c in cols],
+        ).collect()[0]
+        bounds = {c: (row[f"min_{c}"], row[f"max_{c}"]) for c in cols}
+    missing = [c for c in cols if c not in bounds]
+    if missing:
+        raise ValueError(f"bounds missing for z-order columns {missing}")
     z = F.lit(0).cast("long")
     for ci, c in enumerate(cols):
-        lo, hi = bounds[f"min_{c}"], bounds[f"max_{c}"]
+        lo, hi = bounds[c]
         if lo is None or hi is None:
             raise ValueError(
                 f"z-order column {c!r} is entirely NULL — no [min, max] to bucketize"
@@ -141,14 +166,21 @@ def write_zordered(
         # NULL cells: F.least IGNORES null arguments — least(1023, NULL)
         # is 1023 — so a plain least/floor chain silently drops NULLs
         # into the TOP bucket. Branch on the null explicitly and cluster
-        # NULLs at bucket 0 (NULLS FIRST semantics).
+        # NULLs at bucket 0 (NULLS FIRST semantics). greatest(0, ...)
+        # clamps below-bounds values (possible with supplied bounds)
+        # into the bottom bucket the same way least caps the top.
         bucket = (
             F.when(F.col(c).isNull(), F.lit(0))
             .otherwise(
                 F.least(
                     F.lit(2**bits - 1),
-                    F.floor(
-                        (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * (2**bits)
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col(c).cast("double") - F.lit(lo))
+                            / F.lit(span)
+                            * (2**bits)
+                        ),
                     ),
                 )
             )
@@ -161,12 +193,23 @@ def write_zordered(
                     b * len(cols) + ci,
                 )
             )
-    (
-        df.withColumn("__z", z)
-        .repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.format(fmt)
-        .mode("overwrite")
-        .save(path)
-    )
+    zdf = df.withColumn("__z", z)
+    if single_scan:
+        # z ranges over [0, 2^(bits*ncols)); cut it into n_files
+        # equal-width slices — no data-dependent boundaries, no
+        # sampling job. Hash-repartition on the slice id colocates
+        # each slice; sortWithinPartitions keeps the curve order
+        # inside every file.
+        z_cells = 2 ** (bits * len(cols))
+        slice_id = F.floor(F.col("__z") * n_files / F.lit(z_cells)).cast("int")
+        parted = zdf.withColumn("__slice", slice_id).repartition(
+            n_files, "__slice"
+        )
+        out = parted.sortWithinPartitions("__slice", "__z").drop("__slice", "__z")
+    else:
+        out = (
+            zdf.repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    out.write.format(fmt).mode("overwrite").save(path)

@@ -159,6 +159,64 @@ def test_zordered_write_skips_files_on_both_columns(spark, orders, tmp_path):
     assert hit == total, "single-column sort should not cluster the other column"
 
 
+def test_zordered_write_with_bounds_scans_input_once(spark, tmp_path):
+    """Caller-supplied bounds: the write must read the input exactly
+    once — no min/max pre-pass, no RangePartitioner sampling job. The
+    input is an accumulator-instrumented RDD, so every materialization
+    of a partition is counted."""
+    acc = spark.sparkContext.accumulator(0)
+    n_parts = 4
+
+    def counting(it):
+        acc.add(1)
+        return it
+
+    rows = [(i, float(i % 100), float(i % 7)) for i in range(1000)]
+    rdd = spark.sparkContext.parallelize(rows, n_parts).mapPartitions(counting)
+    df = spark.createDataFrame(rdd, "k INT, a DOUBLE, b DOUBLE")
+
+    zpath = str(tmp_path / "z_once")
+    io.write_zordered(
+        df, zpath, ["a", "b"], n_files=4,
+        bounds={"a": (0.0, 99.0), "b": (0.0, 6.0)},
+    )
+    assert acc.value == n_parts, (
+        f"input scanned {acc.value / n_parts:.1f}x with explicit bounds"
+    )
+    assert io.read(spark, zpath).count() == 1000
+
+    # contrast: exact mode pays extra passes (agg pre-scan + range sampling)
+    acc2 = spark.sparkContext.accumulator(0)
+
+    def counting2(it):
+        acc2.add(1)
+        return it
+
+    rdd2 = spark.sparkContext.parallelize(rows, n_parts).mapPartitions(counting2)
+    df2 = spark.createDataFrame(rdd2, "k INT, a DOUBLE, b DOUBLE")
+    io.write_zordered(df2, str(tmp_path / "z_exact"), ["a", "b"], n_files=4)
+    assert acc2.value > n_parts
+
+
+def test_zordered_bounds_clamp_out_of_range(spark, tmp_path):
+    """Approximate/stale bounds must cost balance only, never rows:
+    values outside [lo, hi] clamp into the edge buckets and the
+    written data round-trips completely."""
+    rows = [(i, float(i - 500), float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k INT, a DOUBLE, b DOUBLE")
+    zpath = str(tmp_path / "z_clamp")
+    # declared bounds cover only the middle of each domain
+    io.write_zordered(
+        df, zpath, ["a", "b"], n_files=4,
+        bounds={"a": (-100.0, 100.0), "b": (200.0, 800.0)},
+    )
+    back = io.read(spark, zpath)
+    assert back.count() == 1000
+    assert back.agg(F.sum("k")).collect()[0][0] == sum(range(1000))
+    with pytest.raises(ValueError, match="bounds missing"):
+        io.write_zordered(df, zpath, ["a", "b"], bounds={"a": (0.0, 1.0)})
+
+
 def test_zordered_write_null_handling(spark, orders, tmp_path):
     """All-NULL z-column: clean ValueError, not a TypeError from
     None arithmetic. Partial NULLs: the write succeeds, keeps every
