@@ -48,7 +48,13 @@ def connected_components(
     vertices: DataFrame, edges: DataFrame, max_iterations: int = 32
 ) -> DataFrame:
     """Min-label propagation: vertices(id), edges(src, dst) undirected.
-    Returns (id, component) where component = min vertex id reachable."""
+    Returns (id, component) where component = min vertex id reachable.
+
+    Deliberately a driver loop, not a recursive CTE: Spark 4.1's
+    WITH RECURSIVE is UNION ALL-only and bars aggregates over the
+    recursive reference, so a label flood on a cyclic graph never
+    terminates (see operators/iterate.py's module docstring; the
+    monotone-recursion CTE path lives there as q64)."""
     labels = vertices.select("id", F.col("id").alias("component"))
     # Materialize the edge set ONCE before iterating: the loop joins
     # against it every round, and without the checkpoint each iteration

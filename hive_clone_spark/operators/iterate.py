@@ -1,12 +1,32 @@
-"""Generic iterative-fixpoint runner (SURVEY.md §7 M3).
+"""Iterative fixpoints: the driver-side loop runner AND the Spark 4
+`WITH RECURSIVE` execution path, with the boundary between them
+documented.
 
 The reference's BFS/connectivity computations (R6 keepsHiveConnectedAfter,
 rules.cpp:61-133; R10 antMoves, rules.cpp:196-264) are iterative queries
-Spark has no single built-in for. This module provides the driver-side
+Spark has no single built-in for. `fixpoint` provides the driver-side
 loop machinery they share: each iteration is one Spark job over a
 frontier DataFrame, with `localCheckpoint()` every few iterations so the
 lineage (and thus task-serialization cost) stays bounded — the classic
 failure mode of naive iterative Spark.
+
+WHY CONNECTED COMPONENTS KEEPS THE DRIVER LOOP (verified on Spark
+4.1.2, round 5): Spark's recursive CTEs support only UNION ALL —
+UNION raises UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — and reject
+aggregates over the recursive reference
+(INVALID_RECURSIVE_REFERENCE.PLACE). Without dedup or per-step MIN, a
+min-label flood on a CYCLIC graph never terminates: any edge (u, v)
+with label l < min(u, v) re-emits (u,l)/(v,l) forever (duplicates are
+never collapsed), so q32/p_dedup_resolve cannot be expressed as a
+recursive CTE — this matches the classical result that CC needs
+recursive aggregation, not just linear recursion. The DuckDB oracles
+CAN use `WITH RECURSIVE ... UNION` because DuckDB dedups.
+
+What a Spark recursive CTE CAN run safely is MONOTONE recursion — a
+step key that strictly increases so each row derives exactly once.
+`q64_recursive_streaks` below is that execution path at data scale
+(order-date chain extension, row_number strictly increasing), with the
+DuckDB oracle running the structurally identical recursive SQL.
 
 On a cluster the frontier stays partitioned by its join key across
 iterations, so each step is a co-partitioned join, not a full reshuffle.
@@ -16,7 +36,10 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+from hive_clone_spark.catalog import table
+from hive_clone_spark.registry import register
 
 
 def fixpoint(
@@ -43,3 +66,87 @@ def fixpoint(
             return visited
         visited = visited.unionByName(frontier).localCheckpoint(eager=True)
     raise RuntimeError(f"fixpoint did not converge in {max_iterations} iterations")
+
+
+# ---------------------------------------------------------------------------
+# Q64 — the WITH RECURSIVE execution path (Spark 4 recursive CTE),
+# exercised on a recursion UNION ALL can run safely: 7-day order
+# streaks per customer. The anchor is every order with no predecessor
+# within 7 days; the recursive step extends a chain by the IMMEDIATE
+# next order (row_number + 1) when it lands within 7 days — the step
+# key rn strictly increases, so every chain row derives exactly once
+# and the recursion terminates without dedup. The module docstring
+# records why the cyclic-graph fixpoints (q32, p_dedup_resolve) cannot
+# take this path on Spark 4.1.
+#
+# Scale: the recursion depth is the longest streak (data-bounded,
+# small); each level is one co-partitioned join on (custkey, rn).
+# ---------------------------------------------------------------------------
+_STREAK_SPARK_SQL = """
+WITH RECURSIVE o2 AS (
+  SELECT custkey, d,
+         row_number() OVER (PARTITION BY custkey ORDER BY d) AS rn
+  FROM (SELECT DISTINCT o_custkey AS custkey, o_orderdate AS d
+        FROM __streak_orders
+        WHERE o_orderdate >= DATE'1995-01-01'
+          AND o_orderdate <= DATE'1995-03-31') t
+),
+chain(custkey, anchor_d, end_d, end_rn, len) AS (
+  SELECT c.custkey, c.d, c.d, c.rn, 1
+  FROM o2 c LEFT JOIN o2 p
+    ON p.custkey = c.custkey AND p.rn = c.rn - 1
+  WHERE p.d IS NULL OR datediff(c.d, p.d) > 7
+  UNION ALL
+  SELECT ch.custkey, ch.anchor_d, n.d, n.rn, ch.len + 1
+  FROM chain ch JOIN o2 n
+    ON n.custkey = ch.custkey AND n.rn = ch.end_rn + 1
+  WHERE datediff(n.d, ch.end_d) <= 7
+)
+SELECT custkey,
+       date_format(anchor_d, 'yyyy-MM-dd') AS streak_start,
+       date_format(MAX(end_d), 'yyyy-MM-dd') AS streak_end,
+       CAST(MAX(len) AS BIGINT) AS streak_len
+FROM chain
+GROUP BY custkey, anchor_d
+HAVING MAX(len) >= 2
+ORDER BY custkey, streak_start
+"""
+
+
+@register(
+    "q64_recursive_streaks",
+    # structurally identical recursive CTE in the DuckDB dialect
+    # (datediff/strftime spellings differ, recursion shape does not)
+    oracle="""
+    WITH RECURSIVE o2 AS (
+      SELECT custkey, d,
+             row_number() OVER (PARTITION BY custkey ORDER BY d) AS rn
+      FROM (SELECT DISTINCT o_custkey AS custkey, o_orderdate AS d
+            FROM orders
+            WHERE o_orderdate >= DATE '1995-01-01'
+              AND o_orderdate <= DATE '1995-03-31') t
+    ),
+    chain(custkey, anchor_d, end_d, end_rn, len) AS (
+      SELECT c.custkey, c.d, c.d, c.rn, 1
+      FROM o2 c LEFT JOIN o2 p
+        ON p.custkey = c.custkey AND p.rn = c.rn - 1
+      WHERE p.d IS NULL OR datediff('day', p.d, c.d) > 7
+      UNION ALL
+      SELECT ch.custkey, ch.anchor_d, n.d, n.rn, ch.len + 1
+      FROM chain ch JOIN o2 n
+        ON n.custkey = ch.custkey AND n.rn = ch.end_rn + 1
+      WHERE datediff('day', ch.end_d, n.d) <= 7
+    )
+    SELECT custkey,
+           strftime(anchor_d, '%Y-%m-%d') AS streak_start,
+           strftime(MAX(end_d), '%Y-%m-%d') AS streak_end,
+           CAST(MAX(len) AS BIGINT) AS streak_len
+    FROM chain
+    GROUP BY custkey, anchor_d
+    HAVING MAX(len) >= 2
+    ORDER BY custkey, streak_start
+    """,
+)
+def q64_recursive_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("__streak_orders")
+    return spark.sql(_STREAK_SPARK_SQL)
