@@ -757,7 +757,10 @@ def _semantic_dedup(
 
     def _cosine_assign(cents: DataFrame) -> DataFrame:
         """Nearest trained centroid per vector by rounded cosine, ties to
-        the lower cent_id; narrow argmax window, arrays stay out of it."""
+        the lower cent_id. The argmax is max_by over (sim, -cent_id) —
+        a hash aggregate with MAP-SIDE partial combine, so the n x k
+        scored rows collapse to n before any shuffle; the row_number
+        window it replaces forced a full sort shuffle of all n x k."""
         scored = e.join(F.broadcast(cents)).select(
             "vec_id",
             "cent_id",
@@ -767,11 +770,16 @@ def _semantic_dedup(
                 6,
             ).alias("sim"),
         )
-        w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cent_id")
         return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "cent_id")
+            scored.groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("sim").alias("s"), (-F.col("cent_id")).alias("nc")
+                    )
+                ).alias("m")
+            )
+            .select("vec_id", (-F.col("m.nc")).alias("cent_id"))
         )
 
     # Strided seeds: the modulo prefilter leaves ~k candidate rows, so the
