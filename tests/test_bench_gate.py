@@ -1,0 +1,94 @@
+"""Bench regression gate (tools/bench_gate.py) + performance-posture
+assertions the round-4 verdict asked for: the gate's compare logic,
+the committed baseline snapshot's integrity, AQE skew-join being on in
+the tuned session, and q37's salt surviving in the physical join keys.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from tools.bench_gate import ABS_FLOOR_SEC, THRESHOLD, compare
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _detail(queries, total=None, sf=0.1):
+    return {"queries": queries, "value": total, "sf": sf}
+
+
+def test_gate_passes_identical_run():
+    base = _detail({"q1": 1.0, "q2": 4.0}, total=5.0)
+    assert compare(_detail({"q1": 1.0, "q2": 4.0}, total=5.0), base) == []
+
+
+def test_gate_flags_large_regression():
+    base = _detail({"q1": 1.0, "q2": 4.0}, total=5.0)
+    out = compare(_detail({"q1": 1.0, "q2": 14.0}, total=15.0), base)
+    assert any(p.startswith("q2:") for p in out)
+    assert any(p.startswith("TOTAL:") for p in out)
+    assert not any(p.startswith("q1:") for p in out)
+
+
+def test_gate_ignores_subsecond_jitter():
+    """A 0.1s -> 0.4s blip is 4x but under the absolute floor — noise,
+    not a plan regression."""
+    base = _detail({"tiny": 0.1}, total=0.1)
+    assert ABS_FLOOR_SEC > 0.3
+    assert compare(_detail({"tiny": 0.4}, total=0.4), base) == []
+
+
+def test_gate_flags_missing_query():
+    base = _detail({"q1": 1.0, "q2": 4.0})
+    out = compare(_detail({"q1": 1.0}), base)
+    assert out == ["q2: present in baseline but missing from run"]
+
+
+def test_gate_allows_new_queries():
+    base = _detail({"q1": 1.0})
+    assert compare(_detail({"q1": 1.0, "brand_new": 60.0}), base) == []
+
+
+def test_gate_rejects_sf_mismatch():
+    base = _detail({"q1": 1.0}, sf=0.1)
+    out = compare(_detail({"q1": 1.0}, sf=0.01), base)
+    assert len(out) == 1 and "sf mismatch" in out[0]
+
+
+def test_committed_baseline_snapshot_is_usable():
+    """The checked-in snapshot must stay a valid gate reference: parses,
+    carries the full query set at the bench sf, sane medians."""
+    base = json.loads((REPO / "tools" / "bench_baseline.json").read_text())
+    assert base["sf"] == 0.1
+    assert len(base["queries"]) >= 90
+    assert all(0 < v < 60 for v in base["queries"].values())
+    assert THRESHOLD >= 1.2  # gate is a regression catch, not a noise trap
+
+
+def test_aqe_and_skew_join_enabled(spark):
+    """The tuned session must keep runtime skew handling on — the
+    100 TB answer to hot keys the salt doesn't cover."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_salted_join_salt_survives_in_plan(spark):
+    """q37's manual salting must reach the physical join: both join key
+    lists carry the salt column next to the hot key, so the hot key's
+    rows actually spread over SALT sub-partitions."""
+    import re
+
+    from hive_clone_spark import registry
+
+    registry.load_all_modules()
+    df = registry.QUERIES["q37_salted_join"](spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    key_lines = [
+        ln for ln in plan.splitlines() if re.search(r"(Left|Right) keys \[", ln)
+    ]
+    assert len(key_lines) >= 2, plan
+    for ln in key_lines:
+        assert "salt" in ln and "hot_key" in ln, ln

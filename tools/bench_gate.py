@@ -1,0 +1,89 @@
+"""Bench regression gate (round-4 verdict item 6).
+
+Round 3 shipped a bench that crashed and nothing caught it between
+rounds; this gate makes per-query performance a checked contract, like
+correctness. It compares a bench_detail.json (fresh run) against the
+committed reference snapshot `tools/bench_baseline.json` (the last
+good round's per-query medians) and fails on:
+
+  * any query whose median regressed more than THRESHOLD x (default
+    1.5) AND by more than ABS_FLOOR seconds (0.75 s — sub-second
+    queries jitter by scheduler noise, not by plan regressions);
+  * any query present in the baseline but missing from the run
+    (a silently dropped bench entry is how a crash hides);
+  * a total that regressed more than THRESHOLD x.
+
+New queries (in the run, not the baseline) pass — they get gated once
+the baseline is re-snapshotted after a green round.
+
+Usage:
+    python tools/bench_gate.py [bench_detail.json] [baseline.json]
+Exit code 0 = pass, 1 = regression (offenders printed).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+THRESHOLD = 1.5
+ABS_FLOOR_SEC = 0.75
+
+_REPO = Path(__file__).resolve().parent.parent
+DEFAULT_RUN = _REPO / "bench_detail.json"
+DEFAULT_BASELINE = _REPO / "tools" / "bench_baseline.json"
+
+
+def compare(run: dict, baseline: dict) -> list[str]:
+    """Return a list of human-readable regression findings (empty = pass)."""
+    problems: list[str] = []
+    run_q: dict[str, float] = run.get("queries", {})
+    base_q: dict[str, float] = baseline.get("queries", {})
+    if run.get("sf") != baseline.get("sf"):
+        problems.append(
+            f"sf mismatch: run {run.get('sf')} vs baseline {baseline.get('sf')}"
+            " — medians are not comparable"
+        )
+        return problems
+    for name in sorted(base_q):
+        if name not in run_q:
+            problems.append(f"{name}: present in baseline but missing from run")
+            continue
+        b, r = base_q[name], run_q[name]
+        if r > b * THRESHOLD and r - b > ABS_FLOOR_SEC:
+            problems.append(
+                f"{name}: {r:.2f}s vs baseline {b:.2f}s ({r / b:.2f}x)"
+            )
+    total_b, total_r = baseline.get("value"), run.get("value")
+    if (
+        total_b
+        and total_r
+        and total_r > total_b * THRESHOLD
+        and total_r - total_b > 5.0
+    ):
+        problems.append(
+            f"TOTAL: {total_r:.2f}s vs baseline {total_b:.2f}s "
+            f"({total_r / total_b:.2f}x)"
+        )
+    return problems
+
+
+def main() -> int:
+    run_path = Path(sys.argv[1]) if len(sys.argv) > 1 else DEFAULT_RUN
+    base_path = Path(sys.argv[2]) if len(sys.argv) > 2 else DEFAULT_BASELINE
+    run = json.loads(run_path.read_text())
+    baseline = json.loads(base_path.read_text())
+    problems = compare(run, baseline)
+    for p in problems:
+        print(f"REGRESSION {p}")
+    if not problems:
+        print(
+            f"bench gate pass: {len(run.get('queries', {}))} queries vs "
+            f"baseline {base_path.name} (threshold {THRESHOLD}x)"
+        )
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
