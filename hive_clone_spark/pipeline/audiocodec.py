@@ -1,0 +1,200 @@
+"""REAL audio codec (pure numpy, RIFF/WAVE PCM) + decode driver entry
+with a full value-hash oracle — the audio leg of the multimodal
+north-star, built exactly like pipeline/imagecodec.py's image leg.
+
+`decode_wav` is a byte-level parser of the public RIFF/WAVE container:
+it validates the RIFF/WAVE magics, WALKS the chunk list (skipping
+non-fmt/data chunks such as LIST — real WAV files carry them), reads
+the PCM fmt block (format tag 1, 16-bit), and returns the interleaved
+samples as an (n_frames, n_channels) int16 array. The driver entry
+synthesizes genuine WAV files (some with a junk LIST chunk to force
+the chunk walk), ships them through Arrow `mapInPandas` as a binary
+column, decodes by parsing the actual bytes, and emits integer
+per-channel sample sums + exact container sizes that the DuckDB
+oracle predicts independently from the synthesis rule. A decoder that
+mis-walks chunks, mis-reads the header, or de-interleaves wrongly
+fails the value hash.
+
+Scale notes: identical plumbing to the image path — bytes cross into
+Python once per Arrow batch, numpy de-interleaves vectorized, only
+narrow typed stats flow back. Closures reach this module's functions
+via cloudpickle register_pickle_by_value (see imagecodec.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_clone_spark.catalog import table
+from hive_clone_spark.registry import register
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode an (n_frames, n_channels) int16 array as PCM WAV."""
+    if samples.ndim != 2 or samples.dtype != np.int16:
+        raise ValueError(f"expected (frames, channels) int16, got {samples.shape} {samples.dtype}")
+    n, c = samples.shape
+    data = samples.tobytes()  # C-order == interleaved frames
+    fmt = struct.pack("<HHIIHH", 1, c, sample_rate, sample_rate * c * 2, c * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode PCM16 WAV to (sample_rate, (n_frames, n_channels) int16),
+    walking the chunk list so containers with extra chunks (LIST,
+    fact, ...) in any position before/after data still parse."""
+    payload = bytes(payload)
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt_chunk, data_chunk = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        start = pos + 8
+        if start + size > len(payload):
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt_chunk = payload[start : start + size]
+        elif cid == b"data":
+            data_chunk = payload[start : start + size]
+        pos = start + size + (size & 1)  # chunks are word-aligned
+    if fmt_chunk is None or data_chunk is None:
+        raise ValueError("missing fmt/data chunk")
+    if len(fmt_chunk) < 16:
+        raise ValueError("short fmt chunk")
+    tag, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt_chunk, 0)
+    if tag != 1 or bits != 16:
+        raise ValueError(f"only PCM16 supported (tag={tag}, bits={bits})")
+    if channels < 1:
+        raise ValueError("bad channel count")
+    n = len(data_chunk) // (2 * channels)
+    samples = np.frombuffer(data_chunk, dtype="<i2", count=n * channels)
+    return rate, samples.reshape(n, channels).copy()
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic audio (SQL-predictable rule):
+#   channels(doc) = 1 + doc_id % 2
+#   n_frames(doc) = 1 + (doc_id * 13) % 256
+#   sample(i, ch) = ((doc_id * 31 + i * 7 + ch * 97) % 4001) - 2000
+#   doc_id % 3 == 0 -> a 12-byte junk LIST chunk precedes data
+# ---------------------------------------------------------------------------
+_RATE = 8000
+
+
+def synth_wav(doc_id: int) -> bytes:
+    """Generate one REAL WAV file for a doc_id."""
+    c = 1 + doc_id % 2
+    n = 1 + (doc_id * 13) % 256
+    i = np.arange(n, dtype=np.int64)[:, None]
+    ch = np.arange(c, dtype=np.int64)[None, :]
+    samples = (((doc_id * 31 + i * 7 + ch * 97) % 4001) - 2000).astype(np.int16)
+    payload = encode_wav(samples, _RATE)
+    if doc_id % 3 == 0:
+        # splice a junk chunk between fmt and data: RIFF(4+4+4=12 hdr)
+        # + "WAVE" + fmt(8+16) = byte 36; keep RIFF size consistent
+        junk = b"LIST" + struct.pack("<I", 4) + b"ANTX"
+        body = payload[8:36] + junk + payload[36:]
+        payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    return payload
+
+
+@register(
+    "p_audio_decode",
+    # n_bytes pins the exact container layout (44-byte canonical header
+    # + optional 12-byte junk chunk + 2*c*n PCM bytes); sum_ch0/ch1 pin
+    # every decoded sample against the synthesis rule per channel.
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+        CAST(1 + doc_id % 2 AS INT) AS n_channels,
+        CAST(1 + (doc_id * 13) % 256 AS INT) AS n_frames
+      FROM documents),
+    sums AS (
+      SELECT doc_id,
+        list_sum(list_transform(generate_series(0, n_frames - 1),
+          i -> ((doc_id * 31 + i * 7) % 4001) - 2000)) AS sum_ch0,
+        CASE WHEN n_channels = 2 THEN
+          list_sum(list_transform(generate_series(0, n_frames - 1),
+            i -> ((doc_id * 31 + i * 7 + 97) % 4001) - 2000))
+        END AS sum_ch1
+      FROM dims)
+    SELECT d.doc_id, 8000 AS sample_rate, d.n_channels, d.n_frames,
+      CAST(d.n_frames AS BIGINT) * 125 AS duration_us,
+      CAST(44 + CASE WHEN d.doc_id % 3 = 0 THEN 12 ELSE 0 END
+           + 2 * d.n_channels * d.n_frames AS BIGINT) AS n_bytes,
+      CAST(s.sum_ch0 AS BIGINT) AS sum_ch0,
+      CAST(s.sum_ch1 AS BIGINT) AS sum_ch1
+    FROM dims d JOIN sums s USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def p_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode under the full oracle: synthesize genuine PCM16
+    WAV containers (stage A, junk chunks included), then parse the
+    actual bytes — RIFF walk, fmt block, de-interleave — and reduce to
+    per-channel integer sample sums (stage B)."""
+    import pandas as pd
+
+    from pyspark import cloudpickle as _cp
+    import hive_clone_spark.pipeline.audiocodec as _mod
+
+    _cp.register_pickle_by_value(_mod)
+
+    ids = table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_batches(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [synth_wav(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    payloads = ids.mapInPandas(synth_batches, "doc_id BIGINT, payload BINARY")
+
+    def decode_batches(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                rate, samples = decode_wav(p)
+                n, c = samples.shape
+                sums = samples.sum(axis=0, dtype=np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        rate,
+                        c,
+                        n,
+                        n * 1_000_000 // rate,
+                        len(bytes(p)),
+                        int(sums[0]),
+                        int(sums[1]) if c > 1 else None,
+                    )
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_channels", "n_frames",
+                    "duration_us", "n_bytes", "sum_ch0", "sum_ch1",
+                ],
+            )
+            # mono rows have NULL sum_ch1 — keep it integral (a plain
+            # float column would NaN-ify and fail the BIGINT cast)
+            out["sum_ch1"] = pd.array(
+                [r[7] for r in rows], dtype="Int64"
+            )
+            yield out
+
+    schema = (
+        "doc_id BIGINT, sample_rate INT, n_channels INT, n_frames INT, "
+        "duration_us BIGINT, n_bytes BIGINT, sum_ch0 BIGINT, sum_ch1 BIGINT"
+    )
+    return payloads.mapInPandas(decode_batches, schema).orderBy("doc_id")
