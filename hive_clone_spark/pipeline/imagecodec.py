@@ -319,6 +319,103 @@ def p_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p_image_dedup",
+    # Cross-format content dedup: docs 2k and 2k+1 carry IDENTICAL
+    # pixels in DIFFERENT containers (BMP vs PPM). The Spark side can
+    # only discover that by actually decoding both containers to
+    # canonical RGB and grouping on the pixel digest; the oracle
+    # derives the same groups independently from the pairing rule
+    # (partner-existence checked, so doc_id gaps stay correct).
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, doc_id // 2 AS grp FROM documents),
+    sized AS (
+      SELECT d.doc_id, d.grp,
+        COUNT(*) OVER (PARTITION BY d.grp) AS n_copies,
+        MIN(d.doc_id) OVER (PARTITION BY d.grp) AS canonical_id
+      FROM g d)
+    SELECT doc_id,
+      CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+      CAST(n_copies AS BIGINT) AS n_copies,
+      canonical_id,
+      (doc_id = canonical_id) AS keep
+    FROM sized ORDER BY doc_id
+    """,
+)
+def p_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup across container formats: decode every payload to
+    canonical RGB (REAL byte-level decode), fingerprint the pixel
+    buffer, and keep the lowest doc_id per identical-content group —
+    the multimodal twin of p_dedup_exact, where byte-level equality of
+    the FILES would find nothing (different containers), only decoded
+    content matches.
+
+    Scale: decode is the same Arrow mapInPandas shape as
+    p_image_decode; the dedup is one hash groupBy-window on the digest
+    (8-byte-ish key), identical to exact text dedup."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    from pyspark import cloudpickle as _cp
+    import hive_clone_spark.pipeline.imagecodec as _mod
+
+    _cp.register_pickle_by_value(_mod)
+
+    ids = table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_pair_batches(batches):
+        # pairs share content: dims+pixels derive from grp = doc_id//2,
+        # container from doc_id parity
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                grp = doc_id // 2
+                w = 1 + grp % 64
+                h = 1 + (grp * 7) % 48
+                y = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(3, dtype=np.int64)[None, :]
+                rowvals = ((grp + 3 * y + 7 * c) % 256).astype(np.uint8)
+                pixels = np.broadcast_to(rowvals[:, None, :], (h, w, 3)).copy()
+                payload = (
+                    encode_bmp(pixels) if doc_id % 2 == 0 else encode_ppm(pixels)
+                )
+                rows.append((doc_id, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = ids.mapInPandas(synth_pair_batches, "doc_id BIGINT, payload BINARY")
+
+    def digest_batches(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                fmt, pix = decode_image(p)
+                # canonical fingerprint: dims + raw RGB buffer
+                hsh = hashlib.md5(
+                    f"{pix.shape[0]}x{pix.shape[1]}:".encode() + pix.tobytes()
+                ).hexdigest()
+                rows.append((int(doc_id), fmt, hsh))
+            yield pd.DataFrame(rows, columns=["doc_id", "format", "content_key"])
+
+    digested = payloads.mapInPandas(
+        digest_batches, "doc_id BIGINT, format STRING, content_key STRING"
+    )
+    w = Window.partitionBy("content_key")
+    return (
+        digested.select(
+            "doc_id",
+            "format",
+            F.count("*").over(w).alias("n_copies"),
+            F.min("doc_id").over(w).alias("canonical_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("canonical_id"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "p_image_resize",
     # Full oracle over REAL decode + nearest-neighbor resample: the
     # integer sampling grid src_y = (dst_y * h) // dst_h is reproduced
