@@ -3,8 +3,9 @@
 Implements the BASELINE.md:32-36 measurement protocol: warm the JVM
 with throwaway actions, then time each registered headline query
 end-to-end (plan + execute + collect) at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], 3 runs per query,
-report the per-query MEDIAN. Spark version, driver memory, and
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], one discarded
+per-query warmup run (codegen JIT) + 3 measured runs, report the
+per-query MEDIAN. Spark version, driver memory, and
 shuffle-partition count are recorded alongside the results.
 
 The stdout line is deliberately small: round 1's full 78-query dict
@@ -61,13 +62,20 @@ def main() -> None:
             continue
         fn = registry.QUERIES[name]
         samples: list[float] = []
-        for _ in range(RUNS):
+        # one discarded warmup run per query: the first execution pays
+        # whole-stage-codegen compilation for that query's plan shapes
+        # (measured: q29's samples were 4.07/2.53/1.33 — monotone
+        # warmup, not data time), which is driver-side JIT cost a warmed
+        # cluster never sees. The warmup still counts against the
+        # budget; under budget pressure it is skipped first.
+        for i in range(RUNS + 1):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             dt = time.perf_counter() - t0
-            samples.append(round(dt, 4))
+            if i > 0 or spent > BUDGET_SEC / 2:
+                samples.append(round(dt, 4))
             spent += dt
-            if spent > BUDGET_SEC:
+            if spent > BUDGET_SEC and samples:
                 break
         runs[name] = samples
         medians[name] = round(statistics.median(samples), 4)

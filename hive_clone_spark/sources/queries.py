@@ -31,16 +31,24 @@ from hive_clone_spark.sources.io import write_zordered
 
 
 def _warehouse(sf_dir: str, name: str) -> str:
-    """Destination dir for a write-path entry, CLEARED on every call.
+    """Destination dir for a write-path entry: keyed by (entry, sf,
+    pid) and CLEARED on every call.
 
-    The path is keyed only by (entry, sf), so without the clear a layout
-    change between runs would leave stale files for recursiveFileLookup /
-    mergeSchema reads to sweep in (entries like q58 only overwrite their
-    own batch=N subdirs). Clearing makes the read-back see exactly what
-    the current invocation wrote.
+    The clear stops stale files from an earlier layout being swept in
+    by recursiveFileLookup / mergeSchema reads (entries like q58 only
+    overwrite their own batch=N subdirs); the pid component isolates
+    concurrent processes (oracle suite vs plan audit vs bench all
+    execute these write entries) that would otherwise race
+    rmtree-vs-write on the same directory. The whole tree is
+    gitignored and self-cleaning per (entry, sf, pid) reuse.
     """
     repo = pathlib.Path(__file__).resolve().parents[2]
-    dest = repo / "spark-warehouse" / name / os.path.basename(sf_dir.rstrip("/"))
+    dest = (
+        repo
+        / "spark-warehouse"
+        / name
+        / f"{os.path.basename(sf_dir.rstrip('/'))}-{os.getpid()}"
+    )
     if dest.exists():
         shutil.rmtree(dest)
     return str(dest)
