@@ -51,6 +51,7 @@ def load_all_modules() -> None:
     from hive_clone_spark.pipeline import multimodal  # noqa: F401
     from hive_clone_spark.pipeline import imagecodec  # noqa: F401
     from hive_clone_spark.pipeline import audiocodec  # noqa: F401
+    from hive_clone_spark.pipeline import videocodec  # noqa: F401
     from hive_clone_spark.pipeline import sampling  # noqa: F401
     from hive_clone_spark.pipeline import selection  # noqa: F401
     from hive_clone_spark.sources import queries as source_queries  # noqa: F401
