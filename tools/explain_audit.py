@@ -52,6 +52,16 @@ def audit(name: str, plan: str) -> list[str]:
         flags.append("ROWPYTHON")
     if re.search(r"PushedFilters: \[\]", plan) and "Filter" in plan:
         flags.append("NOPUSHDOWN?")
+    if name == "q37_salted_join":
+        # the manual salt must survive into the physical join keys —
+        # if an optimizer change or refactor drops it, the hot key
+        # collapses back onto one partition (tests/test_bench_gate.py
+        # runs the same check in CI)
+        key_lines = [
+            ln for ln in plan.splitlines() if re.search(r"(Left|Right) keys \[", ln)
+        ]
+        if not key_lines or any("salt" not in ln for ln in key_lines):
+            flags.append("SALTLOST")
     return flags
 
 
