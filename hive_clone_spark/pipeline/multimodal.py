@@ -91,7 +91,10 @@ def decode_binary(payload: bytes) -> dict:
     function — cloudpickle would serialize it by reference and the
     executors' Python workers don't have this repo on sys.path (the
     driver harness imports `__spark_entry__.py` by file path). The
-    mapInPandas closure below carries its own nested copy.
+    mapInPandas closure below carries its own nested copy. (The real
+    codec modules — imagecodec/audiocodec/videocodec — instead ship
+    themselves to workers via cloudpickle register_pickle_by_value,
+    which is the pattern to prefer for multi-function codecs.)
     """
     import hashlib
 

@@ -181,7 +181,8 @@ def p_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode under the full oracle: synthesize genuine
     YUV4MPEG2 streams (stage A), then parse the actual bytes — header
     tags, FRAME walk, C444 plane extraction — and reduce every frame
-    to per-plane integer sample sums (stage B)."""
+    to per-plane integer sample sums (stage B). See p_video_framestats
+    for the per-frame-row variant."""
     import pandas as pd
 
     from pyspark import cloudpickle as _cp
@@ -227,3 +228,79 @@ def p_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fps_den INT, n_bytes BIGINT, sum_y BIGINT, sum_u BIGINT, sum_v BIGINT"
     )
     return payloads.mapInPandas(decode_batches, schema).orderBy("doc_id")
+
+@register(
+    "p_video_framestats",
+    # per-frame rows: the real-decode version of
+    # p_multimodal_framesample — output cardinality is the actual
+    # decoded frame count, and each row's plane sums pin that single
+    # frame's pixels (frame ordering bugs can't cancel out the way a
+    # whole-stream sum could let them).
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+        CAST(2 + doc_id % 16 AS INT) AS width,
+        CAST(2 + (doc_id * 5) % 12 AS INT) AS height,
+        CAST(1 + doc_id % 5 AS INT) AS n_frames
+      FROM documents),
+    fr AS (
+      SELECT doc_id, width, height, CAST(f AS INT) AS frame_idx
+      FROM dims, unnest(generate_series(0, n_frames - 1)) AS t(f))
+    SELECT doc_id, frame_idx,
+      CAST(width * list_sum(list_transform(generate_series(0, height - 1),
+        y -> (doc_id + 11 * frame_idx + 3 * y) % 256)) AS BIGINT) AS sum_y,
+      CAST(width * height * ((doc_id + 7 + frame_idx) % 256) AS BIGINT) AS sum_u,
+      CAST(width * height * ((doc_id + 14 + 2 * frame_idx) % 256) AS BIGINT)
+        AS sum_v
+    FROM fr ORDER BY doc_id, frame_idx
+    """,
+)
+def p_video_framestats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL per-frame feature extraction: decode each .y4m stream and
+    emit ONE ROW PER DECODED FRAME with that frame's per-plane integer
+    sums — mapInPandas yielding a row-multiplying batch (the decoded
+    version of the stride-sampling arithmetic in
+    p_multimodal_framesample)."""
+    import pandas as pd
+
+    from pyspark import cloudpickle as _cp
+    import hive_clone_spark.pipeline.videocodec as _mod
+
+    _cp.register_pickle_by_value(_mod)
+
+    ids = table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_batches(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [synth_y4m(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    payloads = ids.mapInPandas(synth_batches, "doc_id BIGINT, payload BINARY")
+
+    def frame_batches(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, _, frames = decode_y4m(p)
+                for idx, (y, u, v) in enumerate(frames):
+                    rows.append(
+                        (
+                            int(doc_id),
+                            idx,
+                            int(y.sum(dtype=np.int64)),
+                            int(u.sum(dtype=np.int64)),
+                            int(v.sum(dtype=np.int64)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "sum_y", "sum_u", "sum_v"]
+            )
+
+    schema = (
+        "doc_id BIGINT, frame_idx INT, sum_y BIGINT, sum_u BIGINT, sum_v BIGINT"
+    )
+    return payloads.mapInPandas(frame_batches, schema).orderBy("doc_id", "frame_idx")
