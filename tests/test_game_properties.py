@@ -140,3 +140,92 @@ def test_move_set_invariant_under_id_relabeling(spark, seed):
     }
     want = {(mapping[pid], q, r, k, s) for pid, q, r, k, s in base}
     assert got == want
+
+
+def test_seeded_random_playout_full_lifecycle(spark):
+    """Fuzz the WHOLE rules engine through the EP1-EP3 lifecycle: a
+    seeded random playout where every ply enumerates ALL legal actions
+    for the turn color (placements via placement_targets gated by
+    reserves + queen-by-4th; moves via legal_moves_all gated by
+    queen-placed), applies one at random, and checks per-ply
+    invariants against INDEPENDENT Python-side recomputation:
+
+      * piece count/reserve accounting,
+      * per-cell stack heights contiguous from 0,
+      * one-hive connectivity of the occupied cells,
+      * evaluate_game_over == a brute-force surround check.
+    """
+    from hive_clone_spark.hive_game.fixtures import DIRECTIONS
+    from hive_clone_spark.hive_game.gameover import evaluate_game_over
+    from hive_clone_spark.hive_game.placement import (
+        color_status,
+        placement_targets,
+        reserves,
+    )
+    from hive_clone_spark.hive_game.state import add_piece, move_piece
+
+    dirs = [(dq, dr) for _, dq, dr in DIRECTIONS]
+    rng = random.Random(20260814)
+    board = spark.createDataFrame([], PIECES_SCHEMA)
+    turn, next_id, n_on_board = "White", 0, 0
+    for ply in range(8):
+        status = {s.color: s for s in color_status(spark, board).collect()}
+        st_ = status.get(turn)
+        rem = {
+            (x.color, x.bug): x.remaining for x in reserves(spark, board).collect()
+        }
+        must_queen = (
+            st_ is not None and not st_.queen_placed and st_.placements_made >= 3
+        )
+        bugs = [
+            b
+            for (c, b), n in rem.items()
+            if c == turn and n > 0 and (not must_queen or b == "Queen")
+        ]
+        actions = [
+            ("place", rng.choice(sorted(bugs)), t.to_q, t.to_r)
+            for t in placement_targets(spark, board, turn).collect()
+        ]
+        if st_ is not None and st_.queen_placed:
+            actions += [
+                ("move", m.piece_id, m.to_q, m.to_r)
+                for m in legal_moves_all(spark, board, color=turn).collect()
+            ]
+        assert actions, f"ply {ply}: {turn} has no legal actions on this board"
+        act = rng.choice(sorted(actions))
+        if act[0] == "place":
+            board = add_piece(spark, board, next_id, act[1], turn, act[2], act[3])
+            next_id += 1
+            n_on_board += 1
+        else:
+            board = move_piece(board, act[1], act[2], act[3])
+        board = board.localCheckpoint(eager=True)
+
+        rows = board.where("on_board").collect()
+        assert len(rows) == n_on_board
+        # stack heights contiguous per cell
+        by_cell: dict[tuple[int, int], list[int]] = {}
+        for r in rows:
+            by_cell.setdefault((r.q, r.r), []).append(r.height)
+        for cell, hs in by_cell.items():
+            assert sorted(hs) == list(range(len(hs))), (cell, hs)
+        # one-hive connectivity
+        assert is_connected(set(by_cell)), f"ply {ply}: hive split"
+        # independent game-over check
+        occupied = set(by_cell)
+        surround = {}
+        for r in rows:
+            if r.bug == "Queen":
+                n_occ = sum(
+                    ((r.q + dq, r.r + dr) in occupied) for dq, dr in dirs
+                )
+                surround[r.color] = n_occ == 6
+        w, b = surround.get("White", False), surround.get("Black", False)
+        want = (
+            "Draw" if w and b else "BlackWins" if w else "WhiteWins" if b else "None"
+        )
+        got = evaluate_game_over(spark, board).collect()[0].verdict
+        assert got == want, f"ply {ply}: verdict {got} != brute-force {want}"
+        if got != "None":
+            break
+        turn = "Black" if turn == "White" else "White"
