@@ -1534,3 +1534,80 @@ def q56_lateral_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("pos").cast("int").alias("pos"), "word")
         .orderBy("doc_id", F.col("pos").asc_nulls_first())
     )
+
+
+# ---------------------------------------------------------------------------
+# Q65 — deterministic bivariate statistics (the CORR / COVAR_SAMP /
+# STDDEV_SAMP aggregate family) per return flag: does ordered quantity
+# co-move with line price? Built-in corr()/stddev() accumulate doubles
+# in partition order — non-deterministic across engines AND across
+# re-partitionings of the same data — so the moments are accumulated
+# as EXACT decimal sums (the money-sum rule) and the textbook
+# sum-of-squares formulas run once, driver-side-free, on the collapsed
+# per-group row.
+#
+# Scale design: one map-side-combining groupBy carries six exact
+# partial sums; everything after runs on one row per group. This is
+# also the shape that beats two-pass mean-centered variance at 100 TB:
+# a single scan, no broadcast of means back into a second aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "q65_stats_corr",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+        SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        SUM(CAST(l_quantity AS DECIMAL(18,2))
+            * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+        SUM(CAST(l_quantity AS DECIMAL(18,2))
+            * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+      FROM lineitem GROUP BY l_returnflag),
+    d AS (
+      SELECT l_returnflag, n,
+        CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+        CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+        CAST(sxy AS DOUBLE) AS sxy
+      FROM s)
+    SELECT l_returnflag, n,
+      ROUND(sx / n, 6) AS mean_qty,
+      ROUND(sy / n, 6) AS mean_price,
+      ROUND((sxy - sx * sy / n) / (n - 1), 6) AS covar_qty_price,
+      ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+      ROUND(sqrt((syy - sy * sy / n) / (n - 1)), 6) AS stddev_price,
+      ROUND(((sxy - sx * sy / n) / (n - 1))
+            / (sqrt((sxx - sx * sx / n) / (n - 1))
+               * sqrt((syy - sy * sy / n) / (n - 1))), 6) AS corr_qty_price
+    FROM d ORDER BY l_returnflag
+    """,
+)
+def q65_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    qd, pd_ = _dec("l_quantity"), _dec("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(qd).alias("sx"),
+        F.sum(pd_).alias("sy"),
+        F.sum(qd * qd).alias("sxx"),
+        F.sum(pd_ * pd_).alias("syy"),
+        F.sum(qd * pd_).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    covar = (sxy - sx * sy / n) / (n - 1)
+    var_x = (sxx - sx * sx / n) / (n - 1)
+    var_y = (syy - sy * sy / n) / (n - 1)
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(sx / n, 6).alias("mean_qty"),
+        F.round(sy / n, 6).alias("mean_price"),
+        F.round(covar, 6).alias("covar_qty_price"),
+        F.round(F.sqrt(var_x), 6).alias("stddev_qty"),
+        F.round(F.sqrt(var_y), 6).alias("stddev_price"),
+        F.round(covar / (F.sqrt(var_x) * F.sqrt(var_y)), 6).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")

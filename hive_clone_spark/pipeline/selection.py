@@ -453,3 +453,86 @@ def p_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled domain mixing (XLM-R / mC4 style): resampling
+# weights w_s ∝ p_s^α with α = 0.3 flatten the source distribution —
+# high-resource domains are downsampled, low-resource ones upsampled —
+# and a fixed token budget is split by the tempered shares. This is
+# the *planning* half of domain mixing (p_domain_mix is the
+# *execution* half: hash-bucket admission at a computed rate).
+#
+# Scale design: everything after the first aggregation runs on one row
+# per source (a handful), so the unpartitioned window is bounded by
+# the domain count, never the corpus (the p_domain_mix precedent). The
+# corpus-sized work is exactly one groupBy(source) with map-side
+# partial sums.
+#
+# Determinism: p^α terms are rounded at 6 dp and decimal-cast before
+# the cross-source sum (both engines fold identical decimals — the
+# p_lm_score rule); every derived ratio divides two already-identical
+# doubles.
+# ---------------------------------------------------------------------------
+_MIX_ALPHA = 0.3
+_MIX_BUDGET = 100_000  # tokens per epoch to allocate
+
+
+@register(
+    "p_mix_temperature",
+    oracle=f"""
+    WITH totals AS (
+      SELECT source,
+        CAST(SUM(len({SQL_WORDS.format(expr="text")})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    shared AS (
+      SELECT *,
+        CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS share,
+        CAST(ROUND(pow(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (),
+                       {_MIX_ALPHA}), 6) AS DECIMAL(18,6)) AS temp_term
+      FROM totals)
+    SELECT source, n_tokens,
+      ROUND(share, 6) AS share,
+      ROUND(CAST(temp_term AS DOUBLE)
+            / CAST(SUM(temp_term) OVER () AS DOUBLE), 6) AS temp_share,
+      ROUND((CAST(temp_term AS DOUBLE)
+             / CAST(SUM(temp_term) OVER () AS DOUBLE)) / share, 6)
+        AS epoch_mult,
+      CAST(floor(ROUND(CAST(temp_term AS DOUBLE)
+                       / CAST(SUM(temp_term) OVER () AS DOUBLE), 6)
+                 * {_MIX_BUDGET}) AS BIGINT) AS budget_tokens
+    FROM shared ORDER BY source
+    """,
+)
+def p_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    totals = (
+        d.select("source", F.size(words_col(F.col("text"))).alias("toks"))
+        .groupBy("source")
+        .agg(F.sum("toks").cast("bigint").alias("n_tokens"))
+    )
+    wall = Window.partitionBy()  # one row per source — bounded by domain count
+    share = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(wall)
+    shared = totals.select(
+        "source",
+        "n_tokens",
+        share.alias("share"),
+        F.round(F.pow(share, F.lit(_MIX_ALPHA)), 6)
+        .cast("decimal(18,6)")
+        .alias("temp_term"),
+    )
+    temp_share = F.col("temp_term").cast("double") / F.sum("temp_term").over(
+        wall
+    ).cast("double")
+    return shared.select(
+        "source",
+        "n_tokens",
+        F.round("share", 6).alias("share"),
+        F.round(temp_share, 6).alias("temp_share"),
+        F.round(temp_share / F.col("share"), 6).alias("epoch_mult"),
+        F.floor(F.round(temp_share, 6) * _MIX_BUDGET).cast("bigint").alias(
+            "budget_tokens"
+        ),
+    ).orderBy("source")

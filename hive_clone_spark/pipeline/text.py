@@ -618,3 +618,80 @@ def p_tokenize_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF document keyword extraction: per-document term frequency ×
+# smoothed inverse document frequency (sklearn's ln((N+1)/(df+1)) + 1),
+# top-3 keywords per document — the classic relevance-weighting step a
+# corpus-curation pipeline runs before topic/domain tagging.
+#
+# Scale design: tf is one shuffle on (doc_id, word) with map-side
+# partial counts; df re-aggregates the ALREADY-collapsed (doc, word)
+# pairs (one row per posting, never per occurrence); the corpus size N
+# is a 1-row aggregate broadcast into the vocab-sized df table (q44's
+# 1-row-build nested-loop pattern — plan-audit allowlisted); the idf
+# table (one row per distinct word) then broadcast-joins back onto the
+# postings, so the corpus-sized side never shuffles twice. The top-3
+# window is bounded per doc_id.
+#
+# Determinism: idf's ln runs on identical (N, df) integers in both
+# engines (same-libm doubles — the p_lm_score precedent); tfidf is a
+# single per-row multiply rounded at 6 dp before ranking, ties broken
+# by word.
+# ---------------------------------------------------------------------------
+@register(
+    "p_tfidf",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, lower(w) AS word, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest({SQL_WORDS.format(expr="text")}) AS w
+            FROM documents)
+      GROUP BY doc_id, lower(w)),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    idf AS (
+      SELECT word, COUNT(*) AS df,
+             ln((n.n_docs + 1.0) / (COUNT(*) + 1.0)) + 1.0 AS idf
+      FROM tf, n GROUP BY word, n.n_docs),
+    scored AS (
+      SELECT tf.doc_id, tf.word, tf.tf, idf.df,
+             ROUND(tf.tf * idf.idf, 6) AS tfidf
+      FROM tf JOIN idf ON tf.word = idf.word)
+    SELECT doc_id, word, tf, df, tfidf, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rnk
+      FROM scored)
+    WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+)
+def p_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(words_col(F.col("text"))).alias("w"))
+        .select("doc_id", F.lower("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    idf = (
+        tf.groupBy("word")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "word",
+            "df",
+            (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
+        )
+    )
+    scored = tf.join(F.broadcast(idf), "word").select(
+        "doc_id", "word", "tf", "df", F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "word")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 3)
+        .orderBy("doc_id", "rnk")
+    )

@@ -46,6 +46,7 @@ NESTEDLOOP_OK = {
     "p_knn_filtered",
     "p_knn_ivf",
     "p_semantic_dedup",
+    "p_tfidf",  # 1-row corpus-count build side (q44 pattern)
     "q18_band_join",
     "q44_upsert",
 }
