@@ -1,0 +1,183 @@
+"""Content-defined chunking (CDC) over `documents` — the rolling-hash
+chunker a dedup/storage pipeline runs before chunk-level dedup
+(FastCDC / rsync / LBFS lineage): a boundary is declared wherever a
+rolling hash of the last W tokens hits a divisor condition, so chunk
+boundaries depend only on LOCAL content. Inserting text shifts at most
+the chunk containing the edit — every later boundary re-synchronizes —
+which is exactly what makes chunk-level dedup robust where fixed-size
+blocking is not (the property test pins this resync behavior).
+
+The reference (a C++ Hive-board-game clone, SURVEY.md §0) has none of
+this; the surface comes from the driver contract's LLM-pipeline north
+star (BASELINE.json).
+
+Scale design: the whole operator is a single scan-stage projection —
+per-document array HOFs (token hash, rolling window hash, boundary
+filter, per-chunk fold), zero shuffles, zero joins. At 100 TB this is
+embarrassingly parallel; the chunk→dedup step that would follow is
+p_dedup_exact's hash-groupBy on the emitted chunk hashes.
+
+Determinism: all integer arithmetic (portable_hash % M, base-31
+polynomial window, fold checksums) — bit-identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_clone_spark.catalog import table
+from hive_clone_spark.pipeline.common import MOD, SQL_WORDS, portable_hash, words_col
+from hive_clone_spark.registry import register
+
+W = 4        # rolling window: tokens per hash
+BASE = 31    # polynomial base (31^3 * 2^31 stays well inside int64)
+DIV = 16     # boundary when window hash % DIV == 0 → ~16-token chunks
+
+_POWS = [BASE**j for j in range(W)]  # 1, 31, 961, 29791
+
+
+def _window_hash_spark(hs, i):
+    """Base-31 polynomial over token hashes at positions i-W+1..i
+    (1-based; caller guarantees i >= W so every index is valid)."""
+    acc = None
+    for j, p in enumerate(_POWS):
+        term = F.element_at(hs, i - j) * F.lit(p)
+        acc = term if acc is None else acc + term
+    return acc % MOD
+
+
+def _sql_window_hash(i: str) -> str:
+    terms = " + ".join(f"hs[{i} - {j}] * {p}" for j, p in enumerate(_POWS))
+    return f"(({terms}) % {MOD})"
+
+
+@register(
+    "p_cdc_chunk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_WORDS.format(expr="text")} AS ws FROM documents),
+    hashed AS (
+      SELECT doc_id, len(ws) AS n_tok,
+        list_transform(ws,
+          t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % {MOD}) AS hs
+      FROM toks),
+    hits AS (
+      SELECT doc_id, n_tok, hs,
+        CASE WHEN n_tok >= {W}
+             THEN list_filter(generate_series({W}, n_tok),
+                              i -> {_sql_window_hash("i")} % {DIV} = 0)
+             ELSE [] END AS b
+      FROM hashed),
+    bounds AS (
+      -- forced end-of-doc boundary, appended only if the divisor did
+      -- not already land there (b[len(b)] is NULL on empty lists)
+      SELECT doc_id, n_tok, hs,
+        CASE WHEN b[len(b)] = n_tok THEN b
+             ELSE list_append(b, CAST(n_tok AS BIGINT)) END AS ends
+      FROM hits),
+    chunked AS (
+      SELECT doc_id, n_tok,
+        list_transform(generate_series(1, len(ends)),
+          k -> {{'s': CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END,
+                 'e': ends[k]}}) AS cks,
+        hs
+      FROM bounds),
+    stats AS (
+      SELECT doc_id, n_tok,
+        len(cks) AS n_chunks,
+        list_transform(cks,
+          c -> list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_slice(hs, struct_extract(c, 's'),
+                              struct_extract(c, 'e'))),
+                 (a, x) -> (a * 31 + x) % {MOD})) AS chashes,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(cks,
+            c -> CAST(struct_extract(c, 'e') - struct_extract(c, 's') + 1
+                      AS BIGINT))),
+          (a, x) -> greatest(a, x)) AS max_chunk_len
+      FROM chunked)
+    SELECT doc_id, n_tok, n_chunks,
+      ROUND(CAST(n_tok AS DOUBLE) / n_chunks, 6) AS mean_chunk_len,
+      max_chunk_len,
+      list_reduce(list_prepend(CAST(0 AS BIGINT), chashes),
+                  (a, x) -> (a * 31 + x) % {MOD}) AS chunks_checksum
+    FROM stats ORDER BY doc_id
+    """,
+)
+def p_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", words_col(F.col("text")).alias("ws"))
+    stats = chunk_arrays(toks)
+    return stats.select(
+        "doc_id",
+        "n_tok",
+        "n_chunks",
+        F.round(F.col("n_tok").cast("double") / F.col("n_chunks"), 6).alias(
+            "mean_chunk_len"
+        ),
+        "max_chunk_len",
+        F.aggregate(
+            F.col("chashes"),
+            F.lit(0).cast("long"),
+            lambda a, x: (a * 31 + x) % MOD,
+        ).alias("chunks_checksum"),
+    ).orderBy("doc_id")
+
+
+def chunk_arrays(toks: DataFrame) -> DataFrame:
+    """(doc_id, ws: array<string>) → per-doc chunking arrays
+    (n_tok, n_chunks, chashes, max_chunk_len). Split out so the
+    boundary-resync property test can inspect per-chunk hashes."""
+    hashed = toks.select(
+        "doc_id",
+        F.size("ws").alias("n_tok"),
+        F.transform(F.col("ws"), lambda t: portable_hash(t) % MOD).alias("hs"),
+    )
+    # boundary positions: window-hash divisor hits, plus the forced
+    # end-of-doc boundary (distinct keeps one if it already hit)
+    bpos = F.when(
+        F.col("n_tok") >= W,
+        F.filter(
+            F.sequence(F.lit(W), F.col("n_tok")),
+            lambda i: _window_hash_spark(F.col("hs"), i) % DIV == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    hits = hashed.select("doc_id", "n_tok", "hs", bpos.alias("b"))
+    # forced end-of-doc boundary, appended only if the divisor did not
+    # already land there (try_element_at is NULL on empty arrays)
+    ends = F.when(
+        F.try_element_at(F.col("b"), F.lit(-1)) == F.col("n_tok"), F.col("b")
+    ).otherwise(F.concat(F.col("b"), F.array(F.col("n_tok"))))
+    bounds = hits.select("doc_id", "n_tok", "hs", ends.alias("ends"))
+    cks = F.transform(
+        F.sequence(F.lit(1), F.size("ends")),
+        lambda k: F.struct(
+            F.when(k == 1, F.lit(1))
+            .otherwise(F.element_at(F.col("ends"), k - 1) + 1)
+            .alias("s"),
+            F.element_at(F.col("ends"), k).alias("e"),
+        ),
+    )
+    chunked = bounds.select("doc_id", "n_tok", "hs", cks.alias("cks"))
+    chashes = F.transform(
+        F.col("cks"),
+        lambda c: F.aggregate(
+            F.slice(F.col("hs"), c["s"], c["e"] - c["s"] + 1),
+            F.lit(0).cast("long"),
+            lambda a, x: (a * 31 + x) % MOD,
+        ),
+    )
+    max_len = F.aggregate(
+        F.col("cks"),
+        F.lit(0).cast("long"),
+        lambda a, c: F.greatest(a, (c["e"] - c["s"] + 1).cast("long")),
+    )
+    return chunked.select(
+        "doc_id",
+        "n_tok",
+        F.size("cks").alias("n_chunks"),
+        chashes.alias("chashes"),
+        max_len.alias("max_chunk_len"),
+    )

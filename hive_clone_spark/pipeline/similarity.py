@@ -498,3 +498,167 @@ def p_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cent_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) codebook training + encoding: the 64-dim
+# embedding splits into M=8 contiguous 8-dim subspaces; each subspace
+# gets a K=16-entry codebook (strided seed sub-vectors refined by one
+# Lloyd iteration), and every vector is encoded as 8 nibble codes —
+# 64 floats → 8 bytes, the standard memory-bound ANN compression
+# (Jegou et al., the FAISS IVF-PQ layout). Output is the per-(subspace,
+# code) cell census: population, mean squared reconstruction error,
+# and an exact membership checksum that changes if ANY vector's code
+# flips.
+#
+# Scale design: the corpus is scanned once into (vec, subspace)
+# sub-vector rows (8× row inflation, narrow rows); candidate scoring
+# is a broadcast join against the M*K=128-entry codebook; the argmin
+# is min(struct(d, code)) — a map-side-combining hash aggregate, the
+# same n-row-shuffle shape as p_semantic_dedup's argmax (never a sort
+# window over n*K scored rows). The Lloyd update shuffles only
+# M*K*8 = 1024 (sub, code, pos) cells regardless of corpus size.
+#
+# Determinism: distances are the shared sequential-fold dot expansion
+# rounded at 6 dp (ties by code both sides); centroid means are exact
+# decimal sums rounded at 6 dp before the second assignment reads
+# them; the checksum is an exact decimal mod-sum.
+# ---------------------------------------------------------------------------
+_PQ_M = 8          # subspaces
+_PQ_SUBDIM = DIM // _PQ_M
+_PQ_K = 16         # codes per subspace
+_PQ_SEEDS = [i * 7 for i in range(_PQ_K)]  # strided seed vec_ids
+_PQ_MOD = 2147483647
+
+
+@register(
+    "p_embed_pq",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xs FROM embeddings),
+    subs AS (
+      SELECT vec_id, s.sub_id,
+             list_slice(xs, s.sub_id*{_PQ_SUBDIM}+1,
+                        s.sub_id*{_PQ_SUBDIM}+{_PQ_SUBDIM}) AS sv
+      FROM e, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS sub_id) s),
+    seeds AS (
+      SELECT sub_id, CAST(vec_id // 7 AS INT) AS code, sv AS cv
+      FROM subs WHERE vec_id IN ({", ".join(map(str, _PQ_SEEDS))})),
+    a1 AS (
+      SELECT vec_id, sub_id, sv, code FROM (
+        SELECT subs.vec_id, subs.sub_id, subs.sv, seeds.code,
+          ROW_NUMBER() OVER (PARTITION BY subs.vec_id, subs.sub_id
+            ORDER BY ROUND({_sql_dist2("subs.sv", "seeds.cv")}, 6),
+                     seeds.code) AS rn
+        FROM subs JOIN seeds USING (sub_id))
+      WHERE rn = 1),
+    m AS (
+      SELECT sub_id, code, pos,
+        ROUND(CAST(SUM(CAST(sv[pos] AS DECIMAL(28,9))) AS DOUBLE)
+              / COUNT(*), 6) AS m
+      FROM a1, generate_series(1, {_PQ_SUBDIM}) AS t(pos)
+      GROUP BY sub_id, code, pos),
+    cb AS (SELECT sub_id, code, list(m ORDER BY pos) AS cv
+           FROM m GROUP BY sub_id, code),
+    a2 AS (
+      SELECT vec_id, sub_id, code, d FROM (
+        SELECT subs.vec_id, subs.sub_id, cb.code,
+          ROUND({_sql_dist2("subs.sv", "cb.cv")}, 6) AS d,
+          ROW_NUMBER() OVER (PARTITION BY subs.vec_id, subs.sub_id
+            ORDER BY ROUND({_sql_dist2("subs.sv", "cb.cv")}, 6),
+                     cb.code) AS rn
+        FROM subs JOIN cb USING (sub_id))
+      WHERE rn = 1)
+    SELECT CAST(sub_id AS INT) AS sub_id, code, COUNT(*) AS n_assigned,
+      ROUND(CAST(SUM(CAST(d AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+        AS mean_err,
+      CAST(SUM(CAST((vec_id * 31 + code) % {_PQ_MOD} AS DECIMAL(38,0)))
+           % {_PQ_MOD} AS BIGINT) AS member_checksum
+    FROM a2 GROUP BY sub_id, code
+    ORDER BY sub_id, code
+    """,
+)
+def p_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("xs"),
+    )
+    subs = (
+        e.select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("sub_id"),
+            "xs",
+        )
+        .select(
+            "vec_id",
+            "sub_id",
+            F.slice(
+                F.col("xs"), F.col("sub_id") * _PQ_SUBDIM + 1, _PQ_SUBDIM
+            ).alias("sv"),
+        )
+        .localCheckpoint(eager=True)  # read by both assignment rounds
+    )
+    seeds = subs.where(F.col("vec_id").isin(_PQ_SEEDS)).select(
+        "sub_id",
+        F.floor(F.col("vec_id") / 7).cast("int").alias("code"),
+        F.col("sv").alias("cv"),
+    )
+
+    def _dist2():
+        sv, cv = F.col("sv"), F.col("cv")
+        return (
+            dot_col(sv, sv) - 2 * dot_col(sv, cv) + dot_col(cv, cv)
+        )
+
+    def _assign(codebook: DataFrame) -> DataFrame:
+        scored = subs.join(F.broadcast(codebook), "sub_id").select(
+            "vec_id", "sub_id", "sv", "code", F.round(_dist2(), 6).alias("d")
+        )
+        best = scored.groupBy("vec_id", "sub_id").agg(
+            F.min(F.struct("d", "code")).alias("a"),
+            F.first("sv").alias("sv"),  # identical across the group's rows
+        )
+        return best.select(
+            "vec_id", "sub_id", "sv", F.col("a.code").alias("code"),
+            F.col("a.d").alias("d"),
+        )
+
+    a1 = _assign(seeds)
+    m = (
+        a1.select("sub_id", "code", F.posexplode("sv").alias("pos0", "x"))
+        .groupBy("sub_id", "code", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(28,9)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("m")
+        )
+    )
+    cb = m.groupBy("sub_id", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("cv")
+    )
+    a2 = _assign(cb)
+    return (
+        a2.groupBy(F.col("sub_id").cast("int").alias("sub_id"), "code")
+        .agg(
+            F.count("*").alias("n_assigned"),
+            F.round(
+                F.sum(F.col("d").cast("decimal(28,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_err"),
+            (
+                F.sum(
+                    ((F.col("vec_id") * 31 + F.col("code")) % _PQ_MOD).cast(
+                        "decimal(38,0)"
+                    )
+                )
+                % _PQ_MOD
+            )
+            .cast("bigint")
+            .alias("member_checksum"),
+        )
+        .orderBy("sub_id", "code")
+    )

@@ -45,6 +45,7 @@ def load_all_modules() -> None:
     from hive_clone_spark.operators import graph  # noqa: F401
     from hive_clone_spark.operators import iterate  # noqa: F401
     from hive_clone_spark.hive_game import queries as game_queries  # noqa: F401
+    from hive_clone_spark.pipeline import chunking  # noqa: F401
     from hive_clone_spark.pipeline import dedup  # noqa: F401
     from hive_clone_spark.pipeline import similarity  # noqa: F401
     from hive_clone_spark.pipeline import text  # noqa: F401
