@@ -662,3 +662,67 @@ def p_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sub_id", "code")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of the LSH-bucketed search against
+# the brute-force ground truth — the measurement loop every production
+# ANN deployment runs before trading recall for speed. Composes the
+# two registered searches verbatim (same plans, same determinism) and
+# scores the overlap per query.
+#
+# Scale design: both sides are top-k result sets (k rows per query),
+# so everything after the searches themselves is join/agg over
+# |queries| * k rows — negligible. At 100 TB the brute-force side runs
+# on a sampled query panel (as here: the 5-query demo set), which is
+# exactly how recall is estimated in practice.
+# ---------------------------------------------------------------------------
+def _recall_oracle() -> str:
+    from hive_clone_spark.registry import ORACLE
+
+    return f"""
+    WITH bf AS ({ORACLE["p_knn_bruteforce"]}),
+    lsh AS ({ORACLE["p_knn_lsh"]}),
+    tr AS (SELECT query_id, COUNT(*) AS n_true FROM bf GROUP BY query_id),
+    rt AS (SELECT query_id, COUNT(*) AS n_retrieved FROM lsh GROUP BY query_id),
+    hits AS (
+      SELECT bf.query_id, COUNT(*) AS n_hits
+      FROM bf JOIN lsh ON bf.query_id = lsh.query_id
+                      AND bf.neighbor_id = lsh.neighbor_id
+      GROUP BY bf.query_id)
+    SELECT tr.query_id, tr.n_true,
+      COALESCE(rt.n_retrieved, 0) AS n_retrieved,
+      COALESCE(hits.n_hits, 0) AS n_hits,
+      ROUND(CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / tr.n_true, 6) AS recall
+    FROM tr
+    LEFT JOIN rt USING (query_id)
+    LEFT JOIN hits USING (query_id)
+    ORDER BY tr.query_id
+    """
+
+
+@register("p_knn_recall", oracle=_recall_oracle())
+def p_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = p_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ls = p_knn_lsh(spark, sf_dir).select("query_id", "neighbor_id")
+    tr = bf.groupBy("query_id").agg(F.count("*").alias("n_true"))
+    rt = ls.groupBy("query_id").agg(F.count("*").alias("n_retrieved"))
+    hits = (
+        bf.join(ls, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        tr.join(rt, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_true",
+            F.coalesce("n_retrieved", F.lit(0)).alias("n_retrieved"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_true"), 6
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

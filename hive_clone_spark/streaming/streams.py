@@ -189,3 +189,17 @@ def write_stream_exactly_once(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """At-least-once → effectively-once: drop redelivered events by id.
+
+    `dropDuplicatesWithinWatermark` keeps one state-store row per key
+    only until the watermark passes the key's event time — state is
+    bounded by the redelivery horizon, not the stream length (plain
+    `dropDuplicates` on a stream grows state forever). This is THE
+    ingestion-edge dedup for feeds with retry semantics (Kafka
+    producers, file re-uploads)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

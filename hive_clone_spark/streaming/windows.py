@@ -268,3 +268,66 @@ def q60_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q66: streaming deduplication through the real streaming path. Two
+# independent readStream sources over the SAME event feed are unioned —
+# a faithful model of at-least-once redelivery (every event arrives
+# exactly twice) — then `dropDuplicatesWithinWatermark` on event_id
+# restores effectively-once: the first copy is emitted, the second is
+# dropped by keyed state that the watermark expires. The oracle is the
+# clean single-copy aggregate — if even one duplicate leaked through,
+# every count and sum would be off.
+#
+# Scale design: dedup state is one row per event_id only within the
+# watermark horizon (10 min of event time), not per stream-lifetime —
+# the property that makes ingestion dedup feasible on an unbounded
+# feed. Shuffle partitions are sized to the stream's key spread the
+# same way q59 sizes its join state.
+# ---------------------------------------------------------------------------
+@register(
+    "q66_stream_dedup",
+    oracle="""
+    SELECT event_type,
+      COUNT(*) AS n_events,
+      COUNT(DISTINCT user_id) AS n_users,
+      ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+        AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q66_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hive_clone_spark.streaming.streams import (
+        dedup_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    path = os.path.join(sf_dir, "events.parque[t]")
+    redelivered = read_events_stream(spark, path).unionByName(
+        read_events_stream(spark, path)
+    )
+    deduped = dedup_stream(redelivered)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(deduped, "q66_dedup", output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    t = spark.table("q66_dedup")
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -45,6 +45,7 @@ NESTEDLOOP_OK = {
     "p_knn_bruteforce",
     "p_knn_filtered",
     "p_knn_ivf",
+    "p_knn_recall",  # embeds p_knn_bruteforce's 5-vector broadcast
     "p_semantic_dedup",
     "p_tfidf",  # 1-row corpus-count build side (q44 pattern)
     "q18_band_join",
