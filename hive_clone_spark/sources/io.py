@@ -84,12 +84,18 @@ def write_bucketed(
     n_buckets: int = 32,
     sort_cols: list[str] | None = None,
     fmt: str = "parquet",
+    path: str | None = None,
 ) -> None:
-    """Bucketed managed table: co-locates rows by hash(bucket_cols) at
+    """Bucketed table: co-locates rows by hash(bucket_cols) at
     write time so equi-joins/aggregations on those columns run with no
     exchange. (Bucketing requires saveAsTable — buckets live in the
-    catalog, not the directory layout.)"""
-    writer = df.write.format(fmt).mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    catalog, not the directory layout.) With `path` the table is
+    external: files land at the given location instead of the session
+    warehouse dir (which follows the caller's cwd)."""
+    writer = df.write.format(fmt).mode("overwrite")
+    if path is not None:
+        writer = writer.option("path", path)
+    writer = writer.bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)

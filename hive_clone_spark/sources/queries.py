@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from hive_clone_spark.catalog import table
 from hive_clone_spark.registry import register
-from hive_clone_spark.sources.io import write_zordered
+from hive_clone_spark.sources.io import write_bucketed, write_zordered
 
 
 def _warehouse(sf_dir: str, name: str) -> str:
@@ -236,4 +236,72 @@ def q63_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
         )
         .orderBy("l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q67 — bucketed tables + co-located join: orders and customer are
+# written as bucketed tables (8 buckets, bucket + sort on the join
+# key), then joined WITHOUT any shuffle — the scans come out already
+# hash-partitioned and sorted by bucket, so the sort-merge join needs
+# neither Exchange nor Sort (tests/test_sources.py pins the
+# zero-Exchange join plan). This is THE layout decision for a join
+# that runs repeatedly at 100 TB: pay one bucketed write, then every
+# subsequent join on that key is shuffle-free forever. The merge hint
+# keeps the demo honest (Catalyst would otherwise broadcast the small
+# dimension and hide the bucketing).
+#
+# Oracle: the same join+aggregate straight from the source parquet —
+# a lossy bucket layout or a dropped bucket file surfaces as a hash
+# mismatch.
+# ---------------------------------------------------------------------------
+def bucketed_tables(spark: SparkSession, sf_dir: str):
+    """Write orders/customer as co-bucketed catalog tables (external
+    location under the repo warehouse dir, pid-keyed) and return the
+    two catalog-backed DataFrames."""
+    sfb = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    pid = os.getpid()
+    names = {}
+    for tbl, cols, key in (
+        ("orders", ["o_custkey", "o_totalprice"], "o_custkey"),
+        ("customer", ["c_custkey", "c_mktsegment"], "c_custkey"),
+    ):
+        name = f"q67_{tbl}_{sfb}_{pid}"
+        dest = _warehouse(sf_dir, f"bucketed_q67_{tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        write_bucketed(
+            table(spark, sf_dir, tbl).select(*cols),
+            name,
+            bucket_cols=[key],
+            n_buckets=8,
+            sort_cols=[key],
+            path=dest,
+        )
+        names[tbl] = name
+    return spark.table(names["orders"]), spark.table(names["customer"])
+
+
+@register(
+    "q67_bucketed_join",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+      COUNT(*) AS n_orders,
+      COUNT(DISTINCT o_custkey) AS n_customers,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY segment
+    ORDER BY segment
+    """,
+)
+def q67_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c = bucketed_tables(spark, sf_dir)
+    joined = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+        .orderBy("segment")
     )

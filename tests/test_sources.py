@@ -255,3 +255,17 @@ def test_zordered_write_null_handling(spark, orders, tmp_path):
         if pq.read_table(p, columns=["o_sparse"]).column(0).null_count > 0
     }
     assert null_files == {0}, f"NULLs not clustered in the lowest-z file: {null_files}"
+
+
+def test_q67_driver_entry_join_is_colocated(spark, sf_dir):
+    """The driver-visible bucketed-join entry must actually get the
+    shuffle-free plan the bucketing paid for: no hash Exchange on
+    either side of the sort-merge join."""
+    from hive_clone_spark.sources.queries import bucketed_tables
+
+    o, c = bucketed_tables(spark, sf_dir)
+    joined = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    assert joined.count() > 0
