@@ -7,15 +7,25 @@ the chunk containing the edit — every later boundary re-synchronizes —
 which is exactly what makes chunk-level dedup robust where fixed-size
 blocking is not (the property test pins this resync behavior).
 
+Two registered entries:
+  * `p_cdc_chunk` — per-document chunking census (boundary counts,
+    chunk-size distribution, chunk-stream checksum);
+  * `p_dedup_chunk` — the chunk-level dedup that CDC exists for:
+    explode every chunk hash, find hashes occurring more than once
+    across the corpus (sub-document duplication that document-level
+    dedup can NEVER see — boilerplate headers, quoted passages,
+    shared templates).
+
 The reference (a C++ Hive-board-game clone, SURVEY.md §0) has none of
 this; the surface comes from the driver contract's LLM-pipeline north
 star (BASELINE.json).
 
-Scale design: the whole operator is a single scan-stage projection —
+Scale design: chunking itself is a single scan-stage projection —
 per-document array HOFs (token hash, rolling window hash, boundary
-filter, per-chunk fold), zero shuffles, zero joins. At 100 TB this is
-embarrassingly parallel; the chunk→dedup step that would follow is
-p_dedup_exact's hash-groupBy on the emitted chunk hashes.
+filter, per-chunk fold), zero shuffles, zero joins — embarrassingly
+parallel at 100 TB. The dedup step is one hash-groupBy on chunk hash
+(map-side partial counts) followed by a bounded top-k, the same shape
+as p_dedup_exact.
 
 Determinism: all integer arithmetic (portable_hash % M, base-31
 polynomial window, fold checksums) — bit-identical in both engines.
@@ -52,10 +62,10 @@ def _sql_window_hash(i: str) -> str:
     return f"(({terms}) % {MOD})"
 
 
-@register(
-    "p_cdc_chunk",
-    oracle=f"""
-    WITH toks AS (
+# shared oracle CTE chain: documents → per-doc chunk arrays
+# `arrs(doc_id, n_tok, n_chunks, chashes, clens)`
+_SQL_ARRS = f"""
+    toks AS (
       SELECT doc_id, {SQL_WORDS.format(expr="text")} AS ws FROM documents),
     hashed AS (
       SELECT doc_id, len(ws) AS n_tok,
@@ -83,7 +93,7 @@ def _sql_window_hash(i: str) -> str:
                  'e': ends[k]}}) AS cks,
         hs
       FROM bounds),
-    stats AS (
+    arrs AS (
       SELECT doc_id, n_tok,
         len(cks) AS n_chunks,
         list_transform(cks,
@@ -92,18 +102,22 @@ def _sql_window_hash(i: str) -> str:
                    list_slice(hs, struct_extract(c, 's'),
                               struct_extract(c, 'e'))),
                  (a, x) -> (a * 31 + x) % {MOD})) AS chashes,
-        list_reduce(list_prepend(CAST(0 AS BIGINT),
-          list_transform(cks,
-            c -> CAST(struct_extract(c, 'e') - struct_extract(c, 's') + 1
-                      AS BIGINT))),
-          (a, x) -> greatest(a, x)) AS max_chunk_len
-      FROM chunked)
+        list_transform(cks,
+          c -> CAST(struct_extract(c, 'e') - struct_extract(c, 's') + 1
+                    AS BIGINT)) AS clens
+      FROM chunked)"""
+
+
+@register(
+    "p_cdc_chunk",
+    oracle=f"""
+    WITH {_SQL_ARRS}
     SELECT doc_id, n_tok, n_chunks,
       ROUND(CAST(n_tok AS DOUBLE) / n_chunks, 6) AS mean_chunk_len,
-      max_chunk_len,
+      list_max(clens) AS max_chunk_len,
       list_reduce(list_prepend(CAST(0 AS BIGINT), chashes),
                   (a, x) -> (a * 31 + x) % {MOD}) AS chunks_checksum
-    FROM stats ORDER BY doc_id
+    FROM arrs ORDER BY doc_id
     """,
 )
 def p_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,7 +131,7 @@ def p_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_tok").cast("double") / F.col("n_chunks"), 6).alias(
             "mean_chunk_len"
         ),
-        "max_chunk_len",
+        F.array_max("clens").alias("max_chunk_len"),
         F.aggregate(
             F.col("chashes"),
             F.lit(0).cast("long"),
@@ -126,17 +140,79 @@ def p_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# chunk-level dedup: the top duplicated chunks across the corpus (by
+# occurrence count, ties by hash) — finds repeated sub-document
+# content (boilerplate, quoted passages) invisible to whole-document
+# dedup. One shuffle on chunk hash; the top-k is a bounded window
+# after the aggregate has collapsed the corpus to one row per
+# distinct chunk.
+# ---------------------------------------------------------------------------
+_DUP_TOP = 20
+
+
+@register(
+    "p_dedup_chunk",
+    oracle=f"""
+    WITH {_SQL_ARRS},
+    ex AS (
+      SELECT doc_id, unnest(list_zip(chashes, clens)) AS z FROM arrs),
+    g AS (
+      SELECT struct_extract(z, 1) AS chunk_hash,
+        COUNT(*) AS n_occ,
+        COUNT(DISTINCT doc_id) AS n_docs,
+        MIN(struct_extract(z, 2)) AS chunk_len
+      FROM ex GROUP BY chunk_hash)
+    SELECT chunk_hash, chunk_len, n_occ, n_docs, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY n_occ DESC, chunk_hash) AS rnk
+      FROM g WHERE n_occ > 1)
+    WHERE rnk <= {_DUP_TOP}
+    ORDER BY rnk
+    """,
+)
+def p_dedup_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", words_col(F.col("text")).alias("ws"))
+    ex = chunk_arrays(toks).select(
+        "doc_id", F.explode(F.arrays_zip("chashes", "clens")).alias("z")
+    )
+    g = (
+        ex.select(
+            "doc_id",
+            F.col("z.chashes").alias("chunk_hash"),
+            F.col("z.clens").alias("clen"),
+        )
+        .groupBy("chunk_hash")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("clen").alias("chunk_len"),
+        )
+        .where(F.col("n_occ") > 1)
+    )
+    # the window runs over only the duplicated-chunk survivors
+    w = Window.orderBy(F.desc("n_occ"), "chunk_hash")
+    return (
+        g.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= _DUP_TOP)
+        .select("chunk_hash", "chunk_len", "n_occ", "n_docs", "rnk")
+        .orderBy("rnk")
+    )
+
+
 def chunk_arrays(toks: DataFrame) -> DataFrame:
     """(doc_id, ws: array<string>) → per-doc chunking arrays
-    (n_tok, n_chunks, chashes, max_chunk_len). Split out so the
-    boundary-resync property test can inspect per-chunk hashes."""
+    (n_tok, n_chunks, chashes, clens). Split out so p_dedup_chunk and
+    the boundary-resync property test can consume per-chunk hashes."""
     hashed = toks.select(
         "doc_id",
         F.size("ws").alias("n_tok"),
         F.transform(F.col("ws"), lambda t: portable_hash(t) % MOD).alias("hs"),
     )
-    # boundary positions: window-hash divisor hits, plus the forced
-    # end-of-doc boundary (distinct keeps one if it already hit)
+    # boundary positions: window-hash divisor hits over W..n_tok
     bpos = F.when(
         F.col("n_tok") >= W,
         F.filter(
@@ -169,15 +245,13 @@ def chunk_arrays(toks: DataFrame) -> DataFrame:
             lambda a, x: (a * 31 + x) % MOD,
         ),
     )
-    max_len = F.aggregate(
-        F.col("cks"),
-        F.lit(0).cast("long"),
-        lambda a, c: F.greatest(a, (c["e"] - c["s"] + 1).cast("long")),
+    clens = F.transform(
+        F.col("cks"), lambda c: (c["e"] - c["s"] + 1).cast("long")
     )
     return chunked.select(
         "doc_id",
         "n_tok",
         F.size("cks").alias("n_chunks"),
         chashes.alias("chashes"),
-        max_len.alias("max_chunk_len"),
+        clens.alias("clens"),
     )
