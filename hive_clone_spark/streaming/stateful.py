@@ -115,12 +115,14 @@ def ema_stream(events_stream: DataFrame) -> DataFrame:
     ) -> Iterator["pd.DataFrame"]:
         (user_id,) = key
         n_seen, ema = state.get if state.exists else (0, None)
-        for pdf in batches:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for v in pdf["value"]:
-                v = float(v)
-                ema = v if ema is None else ALPHA * v + (1 - ALPHA) * ema
-                n_seen += 1
+        # a group's rows can arrive split across several Arrow batches
+        # in arbitrary relative order — concat THEN sort, or the fold
+        # order (and therefore the EMA) depends on batch boundaries
+        pdf = pd.concat(list(batches)).sort_values(["ts", "event_id"])
+        for v in pdf["value"]:
+            v = float(v)
+            ema = v if ema is None else ALPHA * v + (1 - ALPHA) * ema
+            n_seen += 1
         state.update((n_seen, float(ema)))
         yield pd.DataFrame({"user_id": [user_id], "n_seen": [n_seen], "ema": [ema]})
 

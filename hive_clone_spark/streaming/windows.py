@@ -331,3 +331,64 @@ def q66_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q68: custom keyed stateful operator through the real streaming path —
+# applyInPandasWithState (per-user mutable EMA state, the reference's
+# S1 ring-alpha smoothing as an unbounded-stream operator) driven by
+# readStream → update-mode memory sink. The sink accumulates one
+# update row per (user, micro-batch); the entry reduces to each
+# user's FINAL state, which must equal the batch recursive-CTE fold —
+# so a lost state row, a double-applied batch, or a fold-order slip
+# all surface as a hash mismatch.
+#
+# Scale design: state is one (n_seen, ema) pair per user, partitioned
+# by the group key across executors; update mode emits deltas only.
+# The Python crossing is per group per micro-batch (Arrow-batched) —
+# the streaming analog of p_ema's mapInPandas cost note.
+# ---------------------------------------------------------------------------
+@register(
+    "q68_stream_stateful_ema",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    ema(user_id, rn, ema) AS (
+      SELECT user_id, rn, value FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn, 0.2 * e.value + 0.8 * m.ema
+      FROM ema m JOIN ev e ON e.user_id = m.user_id AND e.rn = m.rn + 1),
+    last AS (
+      SELECT user_id, rn, ema,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn DESC) AS rk
+      FROM ema)
+    SELECT user_id, CAST(rn AS BIGINT) AS n_seen, ROUND(ema, 6) AS ema
+    FROM last WHERE rk = 1
+    ORDER BY user_id
+    """,
+)
+def q68_stream_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql.window import Window
+
+    from hive_clone_spark.streaming.stateful import ema_stream
+    from hive_clone_spark.streaming.streams import read_events_stream, run_to_memory
+
+    src = read_events_stream(spark, os.path.join(sf_dir, "events.parque[t]"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(ema_stream(src), "q68_ema", output_mode="update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    t = spark.table("q68_ema")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_seen"))
+    return (
+        t.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("user_id", "n_seen", F.round("ema", 6).alias("ema"))
+        .orderBy("user_id")
+    )
