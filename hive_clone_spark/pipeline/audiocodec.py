@@ -198,3 +198,105 @@ def p_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_us BIGINT, n_bytes BIGINT, sum_ch0 BIGINT, sum_ch1 BIGINT"
     )
     return payloads.mapInPandas(decode_batches, schema).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# per-window frame analysis over REAL decoded PCM: 64-sample windows of
+# channel 0 reduced to mean-absolute-amplitude (energy) and
+# zero-crossing counts — the integer front-end features of every
+# voice-activity / silence-trim pass an audio curation pipeline runs.
+# The oracle predicts both from the synthesis rule independently, so a
+# decoder that drops samples, mis-aligns windows, or de-interleaves
+# wrongly fails the value hash. All-integer arithmetic — no float
+# determinism surface at all.
+#
+# Scale: same single-Arrow-crossing shape as p_audio_decode; output is
+# ~n_frames/64 narrow rows per clip.
+# ---------------------------------------------------------------------------
+_WIN = 64
+
+
+@register(
+    "p_audio_framestats",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, CAST(1 + (doc_id * 13) % 256 AS INT) AS n_frames
+      FROM documents),
+    wins AS (
+      SELECT doc_id, n_frames,
+        unnest(generate_series(0,
+          CAST(ceil(n_frames / {_WIN}.0) AS INT) - 1)) AS win_id
+      FROM dims),
+    spans AS (
+      SELECT doc_id, CAST(win_id AS INT) AS win_id,
+        win_id * {_WIN} AS ws,
+        least(n_frames, (win_id + 1) * {_WIN}) AS we
+      FROM wins)
+    SELECT doc_id, win_id,
+      CAST(ws AS INT) AS win_start,
+      CAST(we - ws AS INT) AS win_len,
+      CAST(list_sum(list_transform(generate_series(ws, we - 1),
+        i -> abs(((doc_id * 31 + i * 7) % 4001) - 2000))) AS BIGINT)
+        AS sum_abs,
+      CAST(COALESCE(list_sum(list_transform(generate_series(ws + 1, we - 1),
+        i -> CASE WHEN (((doc_id * 31 + (i-1) * 7) % 4001) - 2000)
+                     * (((doc_id * 31 + i * 7) % 4001) - 2000) < 0
+             THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_zc
+    FROM spans ORDER BY doc_id, win_id
+    """,
+)
+def p_audio_framestats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed energy/ZCR over REAL decoded WAV bytes."""
+    import pandas as pd
+
+    from pyspark import cloudpickle as _cp
+    import hive_clone_spark.pipeline.audiocodec as _mod
+
+    _cp.register_pickle_by_value(_mod)
+
+    ids = table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_batches(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [synth_wav(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    payloads = ids.mapInPandas(synth_batches, "doc_id BIGINT, payload BINARY")
+
+    def stats_batches(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                _, samples = decode_wav(p)
+                ch0 = samples[:, 0].astype(np.int64)
+                n = len(ch0)
+                for w in range((n + _WIN - 1) // _WIN):
+                    seg = ch0[w * _WIN : (w + 1) * _WIN]
+                    zc = int(((seg[:-1] * seg[1:]) < 0).sum())
+                    rows.append(
+                        (
+                            int(doc_id),
+                            w,
+                            w * _WIN,
+                            len(seg),
+                            int(np.abs(seg).sum()),
+                            zc,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "win_id", "win_start", "win_len",
+                    "sum_abs", "n_zc",
+                ],
+            )
+
+    schema = (
+        "doc_id BIGINT, win_id INT, win_start INT, win_len INT, "
+        "sum_abs BIGINT, n_zc BIGINT"
+    )
+    return payloads.mapInPandas(stats_batches, schema).orderBy("doc_id", "win_id")
