@@ -695,3 +695,111 @@ def p_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .orderBy("doc_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing: the redaction pass every public-corpus pipeline runs
+# before training — emails, phone numbers, and IPv4 addresses replaced
+# with typed placeholder tokens, with per-document redaction counts
+# for the audit trail. The synthetic corpus carries no PII, so the
+# entry plants it deterministically first (the codec modules'
+# synth-rule pattern: the oracle reproduces the planting AND the
+# scrubbing independently, so a missed or over-eager redaction fails
+# the value hash).
+#
+# Scale design: single scan-stage projection — regexp_extract_all
+# counts + chained regexp_replace, all JVM-side codegen, zero
+# shuffles. Patterns are RE2-safe (no backrefs/lookarounds) so the
+# same text compiles identically in both engines.
+# ---------------------------------------------------------------------------
+_PII_EMAIL = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+"
+_PII_PHONE = "[0-9]{3}-[0-9]{4}"
+_PII_IP = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+
+
+@register(
+    "p_pii_scrub",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+        text || CASE doc_id % 4
+          WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+          WHEN 1 THEN ' call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) || ' today'
+          WHEN 2 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                      || CAST(doc_id % 100 AS VARCHAR) || ' logged'
+          ELSE '' END AS text
+      FROM documents),
+    scrubbed AS (
+      SELECT doc_id, text,
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '{_PII_EMAIL}', '<EMAIL>', 'g'),
+          '{_PII_PHONE}', '<PHONE>', 'g'),
+          '{_PII_IP}', '<IP>', 'g') AS clean
+      FROM planted)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_emails,
+      CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INT) AS n_phones,
+      CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS INT) AS n_ips,
+      CAST(len(text) AS INT) AS orig_len,
+      CAST(len(clean) AS INT) AS clean_len,
+      md5(clean) AS clean_md5
+    FROM scrubbed ORDER BY doc_id
+    """,
+)
+def p_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    plant = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit(" call 555-"),
+                (1000 + F.col("doc_id") % 9000).cast("string"),
+                F.lit(" today"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit(" from 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0."),
+                (F.col("doc_id") % 100).cast("string"),
+                F.lit(" logged"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    planted = d.select("doc_id", plant.alias("text"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return planted.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{_PII_EMAIL}', 0)"))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_PII_PHONE}', 0)"))
+        .cast("int")
+        .alias("n_phones"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_PII_IP}', 0)"))
+        .cast("int")
+        .alias("n_ips"),
+        F.length("text").cast("int").alias("orig_len"),
+        F.length(clean).cast("int").alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    ).orderBy("doc_id")
