@@ -129,3 +129,120 @@ def q32_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("custkey"), "component")
         .orderBy("custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q69 — triangle counting + global clustering coefficient over the
+# co-activity graph, via DEGREE-ORDERED edge orientation (Cohen's
+# MapReduce triangle algorithm, the GraphX/GraphFrames shape): every
+# edge is directed from its (degree, id)-smaller endpoint to the
+# larger, so each triangle is counted exactly once at its
+# smallest-degree vertex and — the scale point — the wedge join's
+# fan-out per vertex is bounded by its ORIENTED out-degree, which
+# degree-ordering caps near sqrt(|E|) even on hub-heavy graphs. An
+# id-only orientation would leave a celebrity hub with millions of
+# out-edges and a quadratic wedge explosion; degree-ordering is what
+# makes the same join safe at 100 TB.
+#
+# (degree, id) is already a total order, so the orientation needs NO
+# global rank window — just a broadcast-joinable degree table.
+# ---------------------------------------------------------------------------
+@register(
+    "q69_triangle_count",
+    oracle=f"""
+    WITH act AS ({_ACTIVE_SQL}),
+    e0 AS (
+      SELECT DISTINCT a.custkey AS u, b.custkey AS v
+      FROM act a JOIN act b ON a.day = b.day AND a.custkey < b.custkey),
+    deg AS (
+      SELECT custkey, COUNT(*) AS d FROM (
+        SELECT u AS custkey FROM e0 UNION ALL SELECT v FROM e0)
+      GROUP BY custkey),
+    oe AS (
+      SELECT
+        CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e0.u < e0.v)
+             THEN e0.u ELSE e0.v END AS s,
+        CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e0.u < e0.v)
+             THEN e0.v ELSE e0.u END AS t,
+        CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e0.u < e0.v)
+             THEN dv.d ELSE du.d END AS dt
+      FROM e0
+      JOIN deg du ON e0.u = du.custkey
+      JOIN deg dv ON e0.v = dv.custkey),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM oe a
+      JOIN oe b ON a.s = b.s
+              AND ((a.dt < b.dt) OR (a.dt = b.dt AND a.t < b.t))
+      JOIN oe c ON c.s = a.t AND c.t = b.t)
+    SELECT
+      (SELECT COUNT(DISTINCT custkey) FROM act) AS n_vertices,
+      (SELECT COUNT(*) FROM e0) AS n_edges,
+      (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+      (SELECT n_triangles FROM tri) AS n_triangles,
+      ROUND(3.0 * (SELECT n_triangles FROM tri)
+            / (SELECT SUM(d * (d - 1) / 2) FROM deg), 6)
+        AS clustering_coeff
+    """,
+)
+def q69_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    act = _active(spark, sf_dir)
+    a = act.select(F.col("custkey").alias("u"), "day")
+    b = act.select(F.col("custkey").alias("v"), "day")
+    e0 = (
+        a.join(b, "day")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=False)  # consumed by deg + 3 join legs
+    )
+    deg = (
+        e0.select(F.col("u").alias("custkey"))
+        .unionAll(e0.select(F.col("v").alias("custkey")))
+        .groupBy("custkey")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("custkey").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("custkey").alias("v"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oe = (
+        e0.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+        )
+        .localCheckpoint(eager=False)  # three self-join legs below
+    )
+    a1 = oe.select(F.col("s"), F.col("t").alias("t1"), F.col("dt").alias("dt1"))
+    b1 = oe.select(F.col("s"), F.col("t").alias("t2"), F.col("dt").alias("dt2"))
+    wedges = a1.join(b1, "s").where(
+        (F.col("dt1") < F.col("dt2"))
+        | ((F.col("dt1") == F.col("dt2")) & (F.col("t1") < F.col("t2")))
+    )
+    closing = oe.select(F.col("s").alias("t1"), F.col("t").alias("t2"))
+    tri = wedges.join(closing, ["t1", "t2"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    nv = act.agg(F.countDistinct("custkey").alias("n_vertices"))
+    ne = e0.agg(F.count("*").alias("n_edges"))
+    nw = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges")
+    )
+    out = (
+        nv.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(nw))
+        .crossJoin(F.broadcast(tri))
+    )
+    return out.select(
+        "n_vertices",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+            "clustering_coeff"
+        ),
+    )

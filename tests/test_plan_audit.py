@@ -50,6 +50,7 @@ NESTEDLOOP_OK = {
     "p_tfidf",  # 1-row corpus-count build side (q44 pattern)
     "q18_band_join",
     "q44_upsert",
+    "q69_triangle_count",  # 1-row summary-aggregate crossJoins (q44 pattern)
 }
 
 
