@@ -27,8 +27,16 @@ def test_gate_flags_large_regression():
     base = _detail({"q1": 1.0, "q2": 4.0}, total=5.0)
     out = compare(_detail({"q1": 1.0, "q2": 14.0}, total=15.0), base)
     assert any(p.startswith("q2:") for p in out)
-    assert any(p.startswith("TOTAL:") for p in out)
+    assert any(p.startswith("TOTAL(") for p in out)
     assert not any(p.startswith("q1:") for p in out)
+
+
+def test_gate_total_compares_shared_queries_only():
+    """13 new entries must not read as a 'total regression': the total
+    is compared over the intersection of baseline and run queries."""
+    base = _detail({"q1": 6.0, "q2": 6.0}, total=12.0)
+    grown = _detail({"q1": 6.0, "q2": 6.0, "new1": 30.0, "new2": 30.0}, total=72.0)
+    assert compare(grown, base) == []
 
 
 def test_gate_ignores_subsecond_jitter():

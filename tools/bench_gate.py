@@ -55,7 +55,13 @@ def compare(run: dict, baseline: dict) -> list[str]:
             problems.append(
                 f"{name}: {r:.2f}s vs baseline {b:.2f}s ({r / b:.2f}x)"
             )
-    total_b, total_r = baseline.get("value"), run.get("value")
+    # totals compare over the SHARED query set only: a registry that
+    # grew since the snapshot raises the raw run total without any
+    # query regressing (how the gate once flagged 13 new entries as a
+    # 1.6x "total regression")
+    shared = set(base_q) & set(run_q)
+    total_b = sum(base_q[n] for n in shared)
+    total_r = sum(run_q[n] for n in shared)
     if (
         total_b
         and total_r
@@ -63,8 +69,8 @@ def compare(run: dict, baseline: dict) -> list[str]:
         and total_r - total_b > 5.0
     ):
         problems.append(
-            f"TOTAL: {total_r:.2f}s vs baseline {total_b:.2f}s "
-            f"({total_r / total_b:.2f}x)"
+            f"TOTAL(shared {len(shared)}q): {total_r:.2f}s vs baseline "
+            f"{total_b:.2f}s ({total_r / total_b:.2f}x)"
         )
     return problems
 
