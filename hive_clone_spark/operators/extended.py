@@ -1611,3 +1611,153 @@ def q65_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(var_y), 6).alias("stddev_price"),
         F.round(covar / (F.sqrt(var_x) * F.sqrt(var_y)), 6).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Q70 — ordered funnel analysis (view → click → purchase): for each
+# user, the first view, the first click strictly AFTER that view, and
+# the first purchase strictly after that click — the order-sensitive
+# funnel every product-analytics warehouse computes (a user who
+# purchased before ever viewing does NOT convert). Output is the
+# stage census with conversion rates off the top of the funnel.
+#
+# Scale design: each stage is a (filter → min-per-user) aggregate
+# followed by an equi join on user_id with the previous stage's
+# timestamp carried — three shuffles on the same uniform key, no
+# windows over the raw stream, no self-join explosion. At 100 TB the
+# per-stage aggregates collapse the event volume FIRST (map-side
+# combine) and the joins run on one-row-per-user tables.
+# ---------------------------------------------------------------------------
+@register(
+    "q70_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+    stages AS (
+      SELECT 1 AS stage, 'view' AS stage_name, COUNT(*) AS n_users FROM v
+      UNION ALL
+      SELECT 2, 'view>click', COUNT(*) FROM c
+      UNION ALL
+      SELECT 3, 'view>click>purchase', COUNT(*) FROM p)
+    SELECT stage, stage_name, n_users,
+      ROUND(CAST(n_users AS DOUBLE)
+            / MAX(CASE WHEN stage = 1 THEN n_users END) OVER (), 6)
+        AS pct_of_top
+    FROM stages ORDER BY stage
+    """,
+)
+def q70_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+
+    def first_after(event_type: str, prev: DataFrame | None) -> DataFrame:
+        s = e.where(F.col("event_type") == event_type)
+        if prev is not None:
+            s = s.join(prev.select("user_id", F.col("t").alias("pt")), "user_id").where(
+                F.col("ts") > F.col("pt")
+            )
+        return s.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    v = first_after("view", None)
+    c = first_after("click", v)
+    p = first_after("purchase", c)
+    stages = (
+        v.agg(F.count("*").alias("n_users")).select(
+            F.lit(1).alias("stage"), F.lit("view").alias("stage_name"), "n_users"
+        )
+        .unionByName(
+            c.agg(F.count("*").alias("n_users")).select(
+                F.lit(2).alias("stage"),
+                F.lit("view>click").alias("stage_name"),
+                "n_users",
+            )
+        )
+        .unionByName(
+            p.agg(F.count("*").alias("n_users")).select(
+                F.lit(3).alias("stage"),
+                F.lit("view>click>purchase").alias("stage_name"),
+                "n_users",
+            )
+        )
+    )
+    wall = Window.partitionBy()  # 3 rows
+    top = F.max(F.when(F.col("stage") == 1, F.col("n_users"))).over(wall)
+    return stages.select(
+        "stage",
+        "stage_name",
+        "n_users",
+        F.round(F.col("n_users").cast("double") / top, 6).alias("pct_of_top"),
+    ).orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# Q71 — weekly cohort retention: users grouped by first-seen week,
+# tracked by how many are active in each subsequent week — the
+# retention matrix behind every growth dashboard. Week buckets are
+# Monday-aligned date_trunc in both engines; offsets are exact
+# day-difference / 7 integer arithmetic.
+#
+# Scale design: two aggregates over the event stream (first-seen per
+# user; distinct user-weeks) — both map-side-combining on user_id —
+# then a join on user_id and a count per (cohort, offset) cell. The
+# matrix itself is O(weeks²) rows regardless of corpus size.
+# ---------------------------------------------------------------------------
+@register(
+    "q71_retention_cohorts",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events),
+    cells AS (
+      SELECT f.cohort,
+        CAST(date_diff('day', f.cohort, a.wk) // 7 AS INT) AS week_offset,
+        COUNT(DISTINCT a.user_id) AS n_active
+      FROM act a JOIN first f ON a.user_id = f.user_id
+      GROUP BY 1, 2),
+    sized AS (
+      SELECT cohort, COUNT(*) AS cohort_size FROM first GROUP BY cohort)
+    SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_week,
+      c.week_offset, c.n_active, s.cohort_size,
+      ROUND(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+    FROM cells c JOIN sized s ON c.cohort = s.cohort
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def q71_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    act = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    cells = (
+        act.join(first, "user_id")
+        .groupBy("cohort", (F.datediff("wk", "cohort") / 7).cast("int").alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    sized = first.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+    return (
+        cells.join(sized, "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active").cast("double") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

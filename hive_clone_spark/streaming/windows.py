@@ -392,3 +392,57 @@ def q68_stream_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_seen", F.round("ema", 6).alias("ema"))
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q72: exactly-once file sink through the real streaming path —
+# readStream → foreachBatch writing each micro-batch to a
+# batch-id-keyed directory in overwrite mode (idempotent under
+# replay) → recursive read-back → aggregate. The oracle is the plain
+# batch aggregate of the source: a dropped batch, a double-written
+# batch, or a partial replay all shift the counts/sums and fail the
+# hash. This is the production recipe that upgrades Structured
+# Streaming's at-least-once file delivery to exactly-once results.
+#
+# Scale design: per-batch overwrite directories mean a replayed batch
+# REPLACES its own partial output instead of appending duplicates;
+# the checkpoint's batch-id watermark makes the replay window finite.
+# State cost: zero (stateless pass-through stream).
+# ---------------------------------------------------------------------------
+@register(
+    "q72_stream_exactly_once_sink",
+    oracle="""
+    SELECT event_type,
+      COUNT(*) AS n_events,
+      ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+        AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q72_stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hive_clone_spark.sources.queries import _warehouse
+    from hive_clone_spark.streaming.streams import (
+        read_events_stream,
+        write_stream_exactly_once,
+    )
+
+    out_dir = _warehouse(sf_dir, "q72_sink")
+    ckpt_dir = _warehouse(sf_dir, "q72_ckpt")
+    src = read_events_stream(spark, os.path.join(sf_dir, "events.parque[t]"))
+    q = write_stream_exactly_once(src, out_dir, ckpt_dir)
+    q.awaitTermination()
+    back = spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
