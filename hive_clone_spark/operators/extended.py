@@ -1761,3 +1761,107 @@ def q71_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q73 — SCD Type-2 dimension build: turn a per-user change stream
+# (each 'signup' event carries a new attribute value) into versioned
+# dimension rows with [valid_from, valid_to) ranges and a current-row
+# flag — the slowly-changing-dimension pattern every warehouse ETL
+# implements. valid_to = next change's timestamp (NULL while
+# current), via one lead() window per user.
+#
+# Scale design: a single shuffle on user_id serves both the ordering
+# window and the version numbering; no self-join (the naive SCD2 form
+# joins the stream to itself on "next change"). Output is one row per
+# change, same cardinality as the input.
+# ---------------------------------------------------------------------------
+@register(
+    "q73_scd2_dimension",
+    oracle="""
+    SELECT user_id,
+      CAST(ROW_NUMBER() OVER w AS INT) AS version,
+      ROUND(value, 6) AS attr_value,
+      strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      strftime(LEAD(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+      CAST(LEAD(ts) OVER w IS NULL AS BOOLEAN) AS is_current
+    FROM events
+    WHERE event_type = 'signup'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, version
+    """,
+)
+def q73_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").where(F.col("event_type") == "signup")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        e.select(
+            "user_id",
+            F.row_number().over(w).cast("int").alias("version"),
+            F.round("value", 6).alias("attr_value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+            F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q74 — snapshot diff (batch CDC): given two snapshots of the orders
+# table (here: as-of two cutoff dates, so both engines derive them
+# identically), emit the change set — inserts, and updates where the
+# tracked attribute changed — the diff an incremental pipeline
+# computes to avoid reprocessing an unchanged 100 TB table. Full
+# outer join on the key, change classification by null-safe value
+# comparison.
+#
+# Scale design: one equi join on the snapshot key; at 100 TB both
+# sides are partitioned on the key and the join co-locates. The
+# change-type census is a tiny post-aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "q74_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderdate < DATE '1996-01-01'),
+    new AS (
+      SELECT o_orderkey,
+        CASE WHEN o_orderstatus = 'O' THEN 'F' ELSE o_orderstatus END
+          AS o_orderstatus,
+        o_totalprice
+      FROM orders WHERE o_orderdate < DATE '1997-01-01'),
+    diff AS (
+      SELECT
+        CASE
+          WHEN old.o_orderkey IS NULL THEN 'insert'
+          WHEN new.o_orderkey IS NULL THEN 'delete'
+          WHEN old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+            THEN 'update'
+          ELSE 'unchanged' END AS op
+      FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey)
+    SELECT op, COUNT(*) AS n_rows FROM diff
+    GROUP BY op ORDER BY op
+    """,
+)
+def q74_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderdate") < F.lit("1996-01-01").cast("date")).select(
+        F.col("o_orderkey").alias("k_old"), F.col("o_orderstatus").alias("s_old")
+    )
+    new = o.where(F.col("o_orderdate") < F.lit("1997-01-01").cast("date")).select(
+        F.col("o_orderkey").alias("k_new"),
+        F.when(F.col("o_orderstatus") == "O", "F")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("s_new"),
+    )
+    diff = old.join(new, old.k_old == new.k_new, "full_outer").select(
+        F.when(F.col("k_old").isNull(), "insert")
+        .when(F.col("k_new").isNull(), "delete")
+        .when(~F.col("s_old").eqNullSafe(F.col("s_new")), "update")
+        .otherwise("unchanged")
+        .alias("op")
+    )
+    return diff.groupBy("op").agg(F.count("*").alias("n_rows")).orderBy("op")
