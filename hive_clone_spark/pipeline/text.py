@@ -803,3 +803,141 @@ def p_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean).cast("int").alias("clean_len"),
         F.md5(clean).alias("clean_md5"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BPE-style tokenizer training: the iterative pair-merge loop at the
+# heart of every modern tokenizer (Sennrich et al.) — count adjacent
+# symbol pairs across the weighted vocabulary, merge the most
+# frequent pair everywhere, repeat. Four merge rounds here; a real
+# run changes the iteration count, not the plumbing. Output is the
+# merge table itself (the artifact a tokenizer ships) plus the symbol
+# inventory size after each merge.
+#
+# Words travel as delimiter-encoded symbol strings ("|a|b|c|") so the
+# merge is two literal replace() passes — both engines share the
+# exact non-overlapping left-to-right replace semantics (verified:
+# '|a|a|a|a|' -> '|aa|a|a|' -> '|aa|aa|'), so parity holds by
+# construction. The greedy two-pass merge is documented as the
+# operator's semantics.
+#
+# Scale design: pair counting is one map-side-combining shuffle over
+# the VOCABULARY (one row per distinct word, not per occurrence —
+# the corpus collapses first); the per-round argmax is a 1-row
+# orderBy().limit(1) collect (TakeOrdered), the same driver-loop
+# shape as k-means centroids — the merge table is driver-resident in
+# every real BPE trainer. Four rounds = four vocab-sized scans.
+# ---------------------------------------------------------------------------
+_BPE_ITERS = 4
+
+
+def _sql_bpe_chars(src: str) -> str:
+    return f"list_filter(string_split({src}, '|'), x -> x <> '')"
+
+
+def _sql_bpe_iter(i: int) -> str:
+    """One unrolled merge round: pair counts → 1-row argmax → two-pass
+    literal replace → post-merge symbol census."""
+    prev = f"w{i - 1}"
+    return f"""
+    p{i} AS (
+      SELECT struct_extract(u, 'a') AS a, struct_extract(u, 'b') AS b,
+             SUM(n) AS cnt
+      FROM (
+        SELECT unnest(list_transform(generate_series(1, len(cs) - 1),
+                 k -> {{'a': cs[k], 'b': cs[k+1]}})) AS u, n
+        FROM (SELECT {_sql_bpe_chars("syms")} AS cs, n FROM {prev}))
+      GROUP BY a, b),
+    b{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
+    w{i} AS (
+      SELECT replace(replace(w.syms,
+               '|' || b.a || '|' || b.b || '|', '|' || b.a || b.b || '|'),
+               '|' || b.a || '|' || b.b || '|', '|' || b.a || b.b || '|')
+             AS syms, w.n
+      FROM {prev} w, b{i} b),
+    s{i} AS (
+      SELECT COUNT(DISTINCT s) AS ns FROM (
+        SELECT unnest({_sql_bpe_chars("syms")}) AS s FROM w{i}))"""
+
+
+@register(
+    "p_bpe_train",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT lower(w) AS word, COUNT(*) AS n
+      FROM (SELECT unnest({SQL_WORDS.format(expr="text")}) AS w FROM documents)
+      GROUP BY lower(w)),
+    w0 AS (
+      SELECT '|' || array_to_string(regexp_split_to_array(word, ''), '|')
+             || '|' AS syms, n
+      FROM vocab),
+    {",".join(_sql_bpe_iter(i) for i in range(1, _BPE_ITERS + 1))}
+    {" UNION ALL ".join(
+        f"SELECT {i} AS iter, a AS left_sym, b AS right_sym, "
+        f"CAST(cnt AS BIGINT) AS pair_count, "
+        f"(SELECT CAST(ns AS BIGINT) FROM s{i}) AS n_symbols FROM b{i}"
+        for i in range(1, _BPE_ITERS + 1)
+    )}
+    ORDER BY iter
+    """,
+)
+def p_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(words_col(F.col("text"))).alias("w"))
+        .select(F.lower("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    w = vocab.select(
+        F.concat(
+            F.lit("|"), F.array_join(F.split("word", ""), "|"), F.lit("|")
+        ).alias("syms"),
+        "n",
+    ).localCheckpoint(eager=True)  # rescanned every merge round
+
+    def chars_col():
+        return F.filter(F.split("syms", r"\|"), lambda x: x != F.lit(""))
+
+    out_rows = []
+    for it in range(1, _BPE_ITERS + 1):
+        cs = w.select(chars_col().alias("cs"), "n")
+        prs = cs.select(
+            F.explode(
+                F.when(
+                    F.size("cs") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("cs") - 1),
+                        lambda k: F.struct(
+                            F.element_at(F.col("cs"), k).alias("a"),
+                            F.element_at(F.col("cs"), k + 1).alias("b"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            ).alias("u"),
+            "n",
+        )
+        counts = prs.groupBy("u.a", "u.b").agg(F.sum("n").alias("cnt"))
+        best = counts.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()[0]
+        pat = f"|{best['a']}|{best['b']}|"
+        rep = f"|{best['a']}{best['b']}|"
+        merged = w.select(
+            F.replace(
+                F.replace(F.col("syms"), F.lit(pat), F.lit(rep)),
+                F.lit(pat),
+                F.lit(rep),
+            ).alias("syms"),
+            "n",
+        )
+        w = merged.localCheckpoint(eager=True)
+        ns = (
+            w.select(F.explode(chars_col()).alias("s"))
+            .agg(F.countDistinct("s").alias("ns"))
+            .collect()[0]["ns"]
+        )
+        out_rows.append((it, best["a"], best["b"], int(best["cnt"]), int(ns)))
+    return spark.createDataFrame(
+        out_rows,
+        "iter INT, left_sym STRING, right_sym STRING, "
+        "pair_count BIGINT, n_symbols BIGINT",
+    ).orderBy("iter")
