@@ -193,11 +193,15 @@ def p_dedup_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_occ") > 1)
     )
-    # the window runs over only the duplicated-chunk survivors
+    # limit FIRST (TakeOrdered — distributed per-partition top-k then a
+    # k-row driver merge), rank over the <= _DUP_TOP survivors only.
+    # The duplicated-chunk set is unbounded at corpus scale; ranking it
+    # directly with an unpartitioned window would single-partition-sort
+    # every duplicated chunk. Same shape as p_vocab_build (text.py).
+    top = g.orderBy(F.desc("n_occ"), "chunk_hash").limit(_DUP_TOP)
     w = Window.orderBy(F.desc("n_occ"), "chunk_hash")
     return (
-        g.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .where(F.col("rnk") <= _DUP_TOP)
+        top.withColumn("rnk", F.row_number().over(w).cast("int"))
         .select("chunk_hash", "chunk_len", "n_occ", "n_docs", "rnk")
         .orderBy("rnk")
     )

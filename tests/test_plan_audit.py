@@ -53,6 +53,20 @@ NESTEDLOOP_OK = {
     "q69_triangle_count",  # 1-row summary-aggregate crossJoins (q44 pattern)
 }
 
+# Queries whose unpartitioned Window is the intended plan: the window
+# input is an aggregate with one row per domain/source (a handful by
+# data-model semantics, never corpus-sized), so the single-partition
+# sort is bounded even though no physical Limit appears in the plan.
+# Anything not listed here that grows an unbounded global window (the
+# p_dedup_chunk round-5 defect: ranking ALL duplicated chunks before
+# limiting) fails the suite — the fix shape is orderBy().limit(k)
+# FIRST (TakeOrderedAndProject), then rank over the k survivors
+# (p_vocab_build, text.py).
+GLOBALWINDOW_OK = {
+    "p_domain_mix",  # selection.py: Window.partitionBy() over per-domain aggs
+    "p_mix_temperature",  # selection.py: one row per source before the window
+}
+
 
 @pytest.mark.parametrize("name", NAMES)
 def test_plan_has_no_scale_antipatterns(spark, name):
@@ -63,4 +77,6 @@ def test_plan_has_no_scale_antipatterns(spark, name):
     flags = set(audit(name, plan))
     if name in NESTEDLOOP_OK:
         flags.discard("NESTEDLOOP")
+    if name in GLOBALWINDOW_OK:
+        flags.discard("GLOBALWINDOW")
     assert not flags, f"{name}: plan anti-patterns {sorted(flags)}"
