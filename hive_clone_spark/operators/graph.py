@@ -146,11 +146,32 @@ def q32_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # (degree, id) is already a total order, so the orientation needs NO
 # global rank window — just a broadcast-joinable degree table.
+#
+# Skew bound on the EDGE BUILDER (round-5 fix): the co-activity
+# projection act ⋈ act ON day emits |actives(day)|² pairs per day
+# BEFORE the distinct, so one hot day with 10⁶ actives would emit 10¹²
+# rows — the hub problem reintroduced one stage before the (hub-safe)
+# triangle core. The graph is therefore DEFINED over at most _DAY_CAP
+# actives per day (deterministic: the _DAY_CAP smallest custkeys,
+# ranked by a day-partitioned — never global — window), which caps the
+# worst day at _DAY_CAP² pre-distinct pairs and the rank itself at one
+# linear per-day sort. The oracle applies the identical cap, so the cap
+# is part of the operator's contract, not a silent truncation. At the
+# test SFs (≤ ~60 actives/day at sf0.1) the cap never binds.
 # ---------------------------------------------------------------------------
+_DAY_CAP = 500
+
+
 @register(
     "q69_triangle_count",
     oracle=f"""
-    WITH act AS ({_ACTIVE_SQL}),
+    WITH act0 AS ({_ACTIVE_SQL}),
+    act AS (
+      SELECT custkey, day FROM (
+        SELECT custkey, day,
+          ROW_NUMBER() OVER (PARTITION BY day ORDER BY custkey) AS rn
+        FROM act0)
+      WHERE rn <= {_DAY_CAP}),
     e0 AS (
       SELECT DISTINCT a.custkey AS u, b.custkey AS v
       FROM act a JOIN act b ON a.day = b.day AND a.custkey < b.custkey),
@@ -186,7 +207,17 @@ def q32_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q69_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    act = _active(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    # per-day cap (see header comment): day-partitioned rank, then the
+    # pair join fans out at most _DAY_CAP² rows per day
+    wday = Window.partitionBy("day").orderBy("custkey")
+    act = (
+        _active(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(wday))
+        .where(F.col("rn") <= _DAY_CAP)
+        .drop("rn")
+    )
     a = act.select(F.col("custkey").alias("u"), "day")
     b = act.select(F.col("custkey").alias("v"), "day")
     e0 = (
