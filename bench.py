@@ -67,6 +67,7 @@ def main() -> None:
     runs: dict[str, list[float]] = {}
     medians: dict[str, float] = {}
     targets: dict[str, int] = {}
+    cold_only: list[str] = []
     spent = 0.0
     for name in sorted(registry.QUERIES):
         if name.startswith(EXCLUDE_PREFIXES):
@@ -81,26 +82,41 @@ def main() -> None:
         # hard budget is already blown — an earlier soft heuristic that
         # promoted warmups to samples past half-budget made every late
         # heavy query's median its own cold run (up to 5x warm).
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        dt = time.perf_counter() - t0
+        spent += dt
+        if spent > BUDGET_SEC:
+            # hard budget blown at the warmup: the cold run is the only
+            # sample. ALWAYS degraded — a cold median (up to 5x warm)
+            # must never sit in the detail file indistinguishable from a
+            # by-design warm single run (it would falsely trip the
+            # per-query gate later), so force the target above the
+            # sample count and tag the entry cold.
+            samples.append(round(dt, 4))
+            targets[name] = max(2, RUNS)
+            cold_only.append(name)
+            runs[name] = samples
+            medians[name] = round(statistics.median(samples), 4)
+            continue
+        # adaptive repeats (module docstring): jitter is a fixed
+        # few-hundred-ms cost, so long queries don't need the median's
+        # protection and short ones do; only true heavies (>6 s) drop
+        # to a single run. Classified on the FIRST MEASURED (warm) run,
+        # not the warmup — warmups run up to 3x warm time (codegen
+        # JIT), which misclassified ~2.5 s-warm queries as 1-run
+        # heavies and lost the median protection the tiering is meant
+        # to allocate by warm-equivalent cost.
         n_measured = RUNS
-        for i in range(RUNS + 1):
+        for i in range(RUNS):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             dt = time.perf_counter() - t0
             spent += dt
+            samples.append(round(dt, 4))
             if i == 0:
-                # adaptive repeats (module docstring): jitter is a fixed
-                # few-hundred-ms cost, so long queries don't need the
-                # median's protection and short ones do; only true
-                # heavies (>6 s warm-equivalent) drop to a single run
                 n_measured = min(RUNS, 3 if dt < 0.7 else (2 if dt < 6.0 else 1))
                 targets[name] = n_measured
-                if spent > BUDGET_SEC:
-                    # hard budget blown before this query's warm run:
-                    # keep the cold sample rather than nothing
-                    samples.append(round(dt, 4))
-                    break
-                continue
-            samples.append(round(dt, 4))
             if len(samples) >= n_measured or spent > BUDGET_SEC:
                 break
         runs[name] = samples
@@ -122,6 +138,7 @@ def main() -> None:
                 "runs": RUNS,
                 "budget_sec": BUDGET_SEC,
                 "degraded_queries": degraded,
+                "cold_only_queries": cold_only,
                 "sf": sf,
                 "config": {
                     "spark_version": spark.version,

@@ -255,20 +255,51 @@ def q63_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a lossy bucket layout or a dropped bucket file surfaces as a hash
 # mismatch.
 # ---------------------------------------------------------------------------
+def _reap_stale_bucket_dirs() -> None:
+    """Remove bucketed_q67_* external dirs left by DEAD processes.
+
+    Dir names are `{sf}-{pid}`; a dir whose pid no longer exists can
+    never be read again (the in-memory catalog that pointed at it died
+    with its process), so it is pure accumulation. Live pids are left
+    alone — bench / pytest / plan-audit may run concurrently."""
+    repo = pathlib.Path(__file__).resolve().parents[2]
+    for parent in (repo / "spark-warehouse").glob("bucketed_q67_*"):
+        for d in parent.iterdir() if parent.is_dir() else ():
+            pid_part = d.name.rsplit("-", 1)[-1]
+            if not pid_part.isdigit():
+                continue
+            try:
+                os.kill(int(pid_part), 0)
+            except ProcessLookupError:
+                shutil.rmtree(d, ignore_errors=True)
+            except PermissionError:
+                pass  # alive under another uid — leave it
+
+
 def bucketed_tables(spark: SparkSession, sf_dir: str):
     """Write orders/customer as co-bucketed catalog tables (external
     location under the repo warehouse dir, pid-keyed) and return the
-    two catalog-backed DataFrames."""
+    two catalog-backed DataFrames.
+
+    Cached per (sf, pid): if the catalog table from an earlier call in
+    this process still exists, it is reused as-is — so bench's
+    warmup + measured runs of q67 time the SHUFFLE-FREE JOIN the entry
+    documents, not a re-drop + re-write of both bucketed tables on
+    every invocation (round-5 advice). Stale external dirs from dead
+    processes are reaped on entry."""
     sfb = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     pid = os.getpid()
+    _reap_stale_bucket_dirs()
     names = {}
     for tbl, cols, key in (
         ("orders", ["o_custkey", "o_totalprice"], "o_custkey"),
         ("customer", ["c_custkey", "c_mktsegment"], "c_custkey"),
     ):
         name = f"q67_{tbl}_{sfb}_{pid}"
+        names[tbl] = name
+        if spark.catalog.tableExists(name):
+            continue  # written earlier in this process+session — reuse
         dest = _warehouse(sf_dir, f"bucketed_q67_{tbl}")
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
         write_bucketed(
             table(spark, sf_dir, tbl).select(*cols),
             name,
@@ -277,7 +308,6 @@ def bucketed_tables(spark: SparkSession, sf_dir: str):
             sort_cols=[key],
             path=dest,
         )
-        names[tbl] = name
     return spark.table(names["orders"]), spark.table(names["customer"])
 
 

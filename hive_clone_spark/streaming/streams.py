@@ -43,15 +43,22 @@ EVENTS_SCHEMA = StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
     """File-listing source over a directory of parquet event files.
     Schema is declared (streams cannot infer), matching TESTDATA.md's
-    `events` columns used by the batch twins."""
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(path)
-    )
+    `events` columns used by the batch twins.
+
+    `max_files_per_trigger=None` drops the per-trigger file cap so every
+    matched file lands in micro-batch 0 — required by consumers whose
+    semantics need all redelivered copies co-resident within one
+    watermark horizon (q66's dedup: a duplicate arriving in a later
+    batch AFTER the watermark expired its twin's state would leak)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:

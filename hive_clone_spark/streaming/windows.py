@@ -309,8 +309,15 @@ def q66_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = os.path.join(sf_dir, "events.parque[t]")
-    redelivered = read_events_stream(spark, path).unionByName(
-        read_events_stream(spark, path)
+    # No per-trigger file cap on EITHER source: dedup correctness
+    # requires both redelivered copies of an event to land within the
+    # 10-minute watermark of each other, which a multi-file source
+    # drip-fed at maxFilesPerTrigger=1 cannot guarantee (a duplicate in
+    # a later micro-batch whose twin's state already aged out of the
+    # watermark would leak and break the oracle). With no cap, all
+    # files of both union legs arrive in micro-batch 0.
+    redelivered = read_events_stream(spark, path, max_files_per_trigger=None).unionByName(
+        read_events_stream(spark, path, max_files_per_trigger=None)
     )
     deduped = dedup_stream(redelivered)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
