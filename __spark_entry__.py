@@ -75,15 +75,41 @@ def _rounds_stale(name: str, history: list[dict]) -> int:
     return len(history) + 1
 
 
+# Age floor (round-5 verdict task 6): any entry whose latest driver row
+# is >= this many rounds old outranks the entire green cohort regardless
+# of how many rounds it has been green — nothing may go unchecked
+# indefinitely just because it was green long ago. Entries at the floor
+# join bucket 0 alongside never-green entries; within the bucket,
+# staleness (desc) keeps brand-new entries (stale = n_rounds+1) first.
+_AGE_FLOOR = 3
+
+
+def _emit_key(n: str, history: list[dict], has_oracle: bool, reg_order: int):
+    """Sort key for queries() emission — shared with test_entry_order."""
+    green = _rounds_green(n, history, has_oracle=has_oracle)
+    stale = _rounds_stale(n, history)
+    bucket = 0 if stale >= _AGE_FLOOR else green
+    return (
+        bucket,
+        # round-1 entries that never got a driver row outrank ops added
+        # later: the r1 verdict named these as THE gap, and a new op
+        # must not displace them from the checked window. Inert once
+        # green (green entries compete on staleness alone).
+        0 if (n in _R1_NEVER_CHECKED and green == 0) else 1,
+        -stale,
+        reg_order,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Emitted in explicit order: never-driver-green entries first (see
-    _rounds_green), then — within each green cohort — the entries the
-    driver has not looked at for the longest (see _rounds_stale), ties
+    Emitted in explicit order: never-driver-green and age-floor-stale
+    entries first (see _emit_key), then the green cohorts, each ordered
+    by how long the driver has not looked at them (_rounds_stale), ties
     broken by registration order. The driver checks a fixed-size
     prefix, so this order IS the coverage strategy: least signal first,
-    oldest signal next.
+    oldest signal next, and no signal older than _AGE_FLOOR rounds.
     """
     import json
 
@@ -96,14 +122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     names = list(registry.QUERIES)
     order = {n: i for i, n in enumerate(names)}
     names.sort(
-        key=lambda n: (
-            _rounds_green(n, history, has_oracle=n in registry.ORACLE),
-            # round-1 entries that never got a driver row outrank ops
-            # added later: the r1 verdict names these as THE gap, and a
-            # new op must not displace them from the checked window.
-            0 if n in _R1_NEVER_CHECKED else 1,
-            -_rounds_stale(n, history),
-            order[n],
+        key=lambda n: _emit_key(
+            n, history, has_oracle=n in registry.ORACLE, reg_order=order[n]
         )
     )
     return {n: registry.QUERIES[n] for n in names}

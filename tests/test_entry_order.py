@@ -42,29 +42,59 @@ def test_queries_cover_registry_exactly_once():
     assert set(names) == set(registry.QUERIES)
 
 
-def test_least_green_entries_emit_first():
-    """Primary sort key: rounds-green must be non-decreasing across the
-    emitted order, so the driver's fixed-size window always lands on
-    the entries with the least signal."""
+def _bucket(n, history, registry):
+    """Effective primary key: 0 for never-green OR age-floor-stale
+    entries, else rounds-green (mirrors _emit_key)."""
+    green = entry_mod._rounds_green(n, history, has_oracle=n in registry.ORACLE)
+    stale = entry_mod._rounds_stale(n, history)
+    return 0 if stale >= entry_mod._AGE_FLOOR else green
+
+
+def test_least_signal_entries_emit_first():
+    """Primary sort key: the effective bucket (rounds-green with the
+    age floor collapsing stale entries to 0) must be non-decreasing
+    across the emitted order, so the driver's fixed-size window always
+    lands on the entries with the least / oldest signal."""
     from hive_clone_spark import registry
 
     registry.load_all_modules()
     history = _history()
     names = list(entry_mod.queries())
-    greens = [
-        entry_mod._rounds_green(n, history, has_oracle=n in registry.ORACLE)
-        for n in names
-    ]
-    assert all(a <= b for a, b in zip(greens, greens[1:])), (
-        "rounds-green not monotonic: "
-        + str([(n, g) for n, g in zip(names, greens)][:10])
+    buckets = [_bucket(n, history, registry) for n in names]
+    assert all(a <= b for a, b in zip(buckets, buckets[1:])), (
+        "bucket not monotonic: "
+        + str([(n, g) for n, g in zip(names, buckets)][:10])
     )
 
 
-def test_new_entries_outrank_ever_green_entries():
+def test_age_floor_entries_emit_in_head():
+    """Any entry whose latest driver row is >= _AGE_FLOOR rounds old
+    must emit before every non-stale green entry — the rotation that
+    guarantees no signal ages out indefinitely."""
+    from hive_clone_spark import registry
+
+    registry.load_all_modules()
+    history = _history()
+    names = list(entry_mod.queries())
+    stale_idx = [
+        i
+        for i, n in enumerate(names)
+        if entry_mod._rounds_stale(n, history) >= entry_mod._AGE_FLOOR
+    ]
+    nonstale_green_idx = [
+        i for i, n in enumerate(names) if _bucket(n, history, registry) > 0
+    ]
+    if stale_idx and nonstale_green_idx:
+        assert max(stale_idx) < min(nonstale_green_idx)
+
+
+def test_new_entries_outrank_nonstale_green_entries():
     """A freshly registered query (no CORRECTNESS history at all) must
-    appear before every entry that has already been green once — that
-    is the rotation that earns new operators their first driver row."""
+    appear before every NON-STALE entry that has already been green —
+    the rotation that earns new operators their first driver row.
+    (Age-floor-stale green entries share bucket 0 with new entries, but
+    a new entry's staleness of n_rounds+1 still sorts it ahead of any
+    previously-recorded entry inside the bucket.)"""
     from hive_clone_spark import registry
 
     registry.load_all_modules()
@@ -77,11 +107,12 @@ def test_new_entries_outrank_ever_green_entries():
     never = [n for n in names if greens[n] == 0]
     if not never:  # every entry green at least once — rotation complete
         return
-    first_green_idx = min(
-        (i for i, n in enumerate(names) if greens[n] > 0), default=len(names)
+    first_nonstale_green_idx = min(
+        (i for i, n in enumerate(names) if _bucket(n, history, registry) > 0),
+        default=len(names),
     )
     last_never_idx = max(i for i, n in enumerate(names) if greens[n] == 0)
-    assert last_never_idx < first_green_idx
+    assert last_never_idx < first_nonstale_green_idx
 
 
 def test_stalest_entries_emit_first_within_green_cohort():
@@ -93,14 +124,12 @@ def test_stalest_entries_emit_first_within_green_cohort():
     registry.load_all_modules()
     history = _history()
     names = list(entry_mod.queries())
-    keyed = [
-        (
-            entry_mod._rounds_green(n, history, has_oracle=n in registry.ORACLE),
-            0 if n in entry_mod._R1_NEVER_CHECKED else 1,
-            entry_mod._rounds_stale(n, history),
+    keyed = []
+    for n in names:
+        b, f, neg_s, _ = entry_mod._emit_key(
+            n, history, has_oracle=n in registry.ORACLE, reg_order=0
         )
-        for n in names
-    ]
+        keyed.append((b, f, -neg_s))
     for (g1, f1, s1), (g2, f2, s2) in zip(keyed, keyed[1:]):
         if (g1, f1) == (g2, f2):
             assert s1 >= s2, (g1, f1, s1, s2)
