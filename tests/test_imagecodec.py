@@ -17,8 +17,10 @@ import pytest
 from hive_clone_spark.pipeline.imagecodec import (
     decode_bmp,
     decode_image,
+    decode_png,
     decode_ppm,
     encode_bmp,
+    encode_png,
     encode_ppm,
     fit_box,
     resize_nearest,
@@ -103,15 +105,113 @@ def test_ppm_rejects_corrupt():
 
 def test_sniff_and_dispatch():
     pix = np.full((3, 5, 3), 7, dtype=np.uint8)
-    for enc, want in [(encode_bmp, "bmp"), (encode_ppm, "ppm")]:
+    for enc, want in [(encode_bmp, "bmp"), (encode_ppm, "ppm"), (encode_png, "png")]:
         payload = enc(pix)
         assert sniff_format(payload) == want
         fmt, out = decode_image(payload)
         assert fmt == want
         np.testing.assert_array_equal(out, pix)
-    assert sniff_format(b"\x89PNG") is None
+    assert sniff_format(b"\x89PNG") is None  # 4 bytes only — not the 8-byte sig
     with pytest.raises(ValueError, match="unknown image magic"):
         decode_image(b"\x89PNG....")
+
+
+# ---------------------------------------------------------------------------
+# PNG: filter-by-filter defilter verification against an independent
+# scalar reference implementation (straight from the spec's recon
+# formulas, no numpy tricks), plus roundtrips and corruption rejection.
+# ---------------------------------------------------------------------------
+def _ref_defilter(filtered_rows, filters, w):
+    """Scalar PNG defilter per the W3C spec recon() definitions —
+    deliberately independent of the numpy implementation under test."""
+    bpp, stride = 3, 3 * w
+    recon = []
+    for y, (f, row) in enumerate(zip(filters, filtered_rows)):
+        rec = [0] * stride
+        for x in range(stride):
+            a = rec[x - bpp] if x >= bpp else 0
+            b = recon[y - 1][x] if y > 0 else 0
+            c = recon[y - 1][x - bpp] if (y > 0 and x >= bpp) else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            rec[x] = (row[x] + pred) % 256
+        recon.append(rec)
+    return np.array(recon, dtype=np.uint8).reshape(len(recon), w, 3)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_single_filter_matches_scalar_reference(ftype):
+    """Encode forcing one filter type on every row; the decoded pixels
+    must equal both the original AND the scalar-reference defilter of
+    the raw (inflated) scanline stream."""
+    import struct as _struct
+    import zlib as _zlib
+
+    rng = np.random.default_rng(1000 + ftype)
+    h, w = 6, 5
+    pix = _random_pixels(rng, h, w)
+    payload = encode_png(pix, filters=[ftype] * h)
+    got = decode_png(payload)
+    np.testing.assert_array_equal(got, pix)
+    # independently re-inflate the IDAT and defilter with the scalar ref
+    pos, idat = 8, b""
+    while pos + 12 <= len(payload):
+        ln, typ = _struct.unpack_from(">I4s", payload, pos)
+        if typ == b"IDAT":
+            idat += payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    stream = _zlib.decompress(idat)
+    stride = 3 * w
+    filters = [stream[y * (1 + stride)] for y in range(h)]
+    assert filters == [ftype] * h
+    rows = [
+        list(stream[y * (1 + stride) + 1 : (y + 1) * (1 + stride)]) for y in range(h)
+    ]
+    np.testing.assert_array_equal(_ref_defilter(rows, filters, w), pix)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (5, 7), (64, 48)])
+def test_png_roundtrip_cycling_filters(w, h):
+    """Default encoder cycles filter types y % 5 — all five paths in
+    one image (for h >= 5)."""
+    rng = np.random.default_rng(w * 100 + h)
+    pix = _random_pixels(rng, h, w)
+    payload = encode_png(pix)
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    np.testing.assert_array_equal(decode_png(payload), pix)
+
+
+def test_png_rejects_corrupt():
+    import struct as _struct
+
+    pix = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    good = encode_png(pix)
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"XXXXXXXX" + good[8:])
+    # flip one IDAT payload byte -> CRC must catch it
+    bad = bytearray(good)
+    idat_off = good.find(b"IDAT") + 4
+    bad[idat_off] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(bad))
+    # unsupported color type (grayscale)
+    gray = bytearray(good)
+    ihdr_off = good.find(b"IHDR") + 4
+    gray[ihdr_off + 9] = 0  # color type 2 -> 0
+    crc = __import__("zlib").crc32(bytes(gray[ihdr_off - 4 : ihdr_off + 13])) & 0xFFFFFFFF
+    _struct.pack_into(">I", gray, ihdr_off + 13, crc)
+    with pytest.raises(ValueError, match="only 8-bit RGB"):
+        decode_png(bytes(gray))
 
 
 def test_resize_nearest_matches_bruteforce():
@@ -136,9 +236,9 @@ def test_fit_box():
 def test_synth_image_is_real_and_decodable():
     """The synthetic driver payloads are genuine files: correct magic,
     exact spec'd size, and decoding recovers the generation rule."""
-    for doc_id in [0, 1, 63, 64, 127, 1000, 12345]:
+    for doc_id in [0, 1, 2, 63, 64, 127, 1000, 12345]:
         fmt, payload = synth_image(doc_id)
-        assert fmt == ("bmp" if doc_id % 2 == 0 else "ppm")
+        assert fmt == {0: "bmp", 1: "ppm", 2: "png"}[doc_id % 3]
         got_fmt, pix = decode_image(payload)
         assert got_fmt == fmt
         w, h = 1 + doc_id % 64, 1 + (doc_id * 7) % 48
