@@ -1865,3 +1865,162 @@ def q74_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("op")
     )
     return diff.groupBy("op").agg(F.count("*").alias("n_rows")).orderBy("op")
+
+
+# ---------------------------------------------------------------------------
+# Q75 — sessionized strictly-ordered funnel (q70's second form): the
+# view → click → purchase sequence must occur IN ORDER per user with
+# each stage at most _FUNNEL_H seconds after its predecessor — the
+# "within 7 days" conversion window real growth stacks run, where
+# q70's loose form (any later click counts forever) over-credits.
+# Predecessor semantics: MOST-RECENT — a click converts off the last
+# view strictly before it (order = (ts, event_id); same-ts earlier
+# event_id counts as before), a purchase off the last QUALIFYING
+# click — the standard sessionized attribution rule, identical
+# window-function formulation in both engines.
+#
+# Scale design: ONE shuffle on user_id — both window passes share the
+# same (partitionBy user_id, orderBy ts,event_id) clustering, so
+# Catalyst plans a single Exchange+Sort feeding two WindowExecs, and
+# the per-user flag aggregate reuses the same hash partitioning. No
+# self-joins, no per-stage scans: the whole funnel reads the event
+# stream once. State per row is two running "last seen" columns; the
+# three stage counts come out of ONE per-user aggregate exploded into
+# rows (a union of per-stage aggregates would re-execute the whole
+# window chain once per stage — Catalyst does not share subtrees
+# across union legs). Nothing resembling q70's three join legs
+# survives at 100 TB better than this shape.
+#
+# Horizon: 6 hours — chosen to BIND on the testdata (median per-user
+# inter-event gap at sf0.01 is ~7.3 h), so the sessionized funnel
+# actually discriminates from q70's loose form instead of re-counting
+# everyone.
+# ---------------------------------------------------------------------------
+_FUNNEL_H = 6 * 3600  # seconds
+
+
+@register(
+    "q75_funnel_sessionized",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_id, event_type, epoch(ts) AS tsec,
+        LAST_VALUE(CASE WHEN event_type = 'view' THEN epoch(ts) END
+                   IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS last_view
+      FROM events),
+    q1 AS (
+      SELECT user_id, event_id, event_type, tsec,
+        CASE WHEN event_type = 'click' AND last_view IS NOT NULL
+                  AND tsec - last_view <= {_FUNNEL_H}
+             THEN tsec END AS qclick_ts
+      FROM o),
+    q2 AS (
+      SELECT user_id, event_type, tsec, qclick_ts,
+        LAST_VALUE(qclick_ts IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY tsec, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS last_qclick
+      FROM q1),
+    flags AS (
+      SELECT user_id,
+        MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+        MAX(CASE WHEN qclick_ts IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+        MAX(CASE WHEN event_type = 'purchase' AND last_qclick IS NOT NULL
+                      AND tsec - last_qclick <= {_FUNNEL_H}
+                 THEN 1 ELSE 0 END) AS s3
+      FROM q2 GROUP BY user_id),
+    tot AS (
+      SELECT SUM(s1) AS s1, SUM(s2) AS s2, SUM(s3) AS s3 FROM flags)
+    SELECT stage, stage_name, CAST(n_users AS BIGINT) AS n_users,
+      ROUND(CAST(n_users AS DOUBLE) / s1, 6) AS pct_of_top
+    FROM (
+      SELECT 1 AS stage, 'view' AS stage_name, s1 AS n_users, s1 FROM tot
+      UNION ALL SELECT 2, 'view>click(6h)', s2, s1 FROM tot
+      UNION ALL SELECT 3, 'view>click>purchase(6h)', s3, s1 FROM tot)
+    ORDER BY stage
+    """,
+)
+def q75_funnel_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    tsec = F.col("ts").cast("double")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        tsec.alias("tsec"),
+    ).withColumn(
+        "last_view",
+        F.last(
+            F.when(F.col("event_type") == "view", tsec), ignorenulls=True
+        ).over(w),
+    )
+    q1 = o.withColumn(
+        "qclick_ts",
+        F.when(
+            (F.col("event_type") == "click")
+            & F.col("last_view").isNotNull()
+            & (F.col("tsec") - F.col("last_view") <= _FUNNEL_H),
+            F.col("tsec"),
+        ),
+    )
+    q2 = q1.withColumn(
+        "last_qclick", F.last("qclick_ts", ignorenulls=True).over(w)
+    )
+    flags = q2.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("s1"),
+        F.max(
+            F.when(F.col("qclick_ts").isNotNull(), 1).otherwise(0)
+        ).alias("s2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("last_qclick").isNotNull()
+                & (F.col("tsec") - F.col("last_qclick") <= _FUNNEL_H),
+                1,
+            ).otherwise(0)
+        ).alias("s3"),
+    )
+    # ONE global aggregate, then the 3-row stage table by exploding the
+    # single result row (a per-stage union would re-run the window
+    # chain three times — Catalyst does not share union subtrees)
+    tot = flags.agg(
+        F.sum("s1").alias("s1"), F.sum("s2").alias("s2"), F.sum("s3").alias("s3")
+    )
+    stages = tot.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("stage"),
+                    F.lit("view").alias("stage_name"),
+                    F.col("s1").alias("n_users"),
+                ),
+                F.struct(
+                    F.lit(2).alias("stage"),
+                    F.lit("view>click(6h)").alias("stage_name"),
+                    F.col("s2").alias("n_users"),
+                ),
+                F.struct(
+                    F.lit(3).alias("stage"),
+                    F.lit("view>click>purchase(6h)").alias("stage_name"),
+                    F.col("s3").alias("n_users"),
+                ),
+            )
+        ).alias("r"),
+        F.col("s1").alias("top"),
+    )
+    return stages.select(
+        F.col("r.stage").alias("stage"),
+        F.col("r.stage_name").alias("stage_name"),
+        F.col("r.n_users").cast("bigint").alias("n_users"),
+        F.round(F.col("r.n_users").cast("double") / F.col("top"), 6).alias(
+            "pct_of_top"
+        ),
+    ).orderBy("stage")

@@ -821,12 +821,23 @@ def p_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # construction. The greedy two-pass merge is documented as the
 # operator's semantics.
 #
-# Scale design: pair counting is one map-side-combining shuffle over
-# the VOCABULARY (one row per distinct word, not per occurrence —
-# the corpus collapses first); the per-round argmax is a 1-row
-# orderBy().limit(1) collect (TakeOrdered), the same driver-loop
-# shape as k-means centroids — the merge table is driver-resident in
-# every real BPE trainer. Four rounds = four vocab-sized scans.
+# Scale design (round-6 rewrite — DELTA pair-count maintenance): the
+# corpus collapses to the weighted VOCABULARY once (one row per
+# distinct word); after that, each merge round touches only the words
+# CONTAINING the merged pair. The pair-count table is maintained
+# incrementally — counts_new = counts − pairs(touched_before) +
+# pairs(touched_after) — instead of re-exploding every word's pairs
+# every round (the round-5 shape, which made a 32k-merge train 32k
+# full-vocab pair shuffles). The symbol census is maintained the same
+# way (a symbols-occurrence table of alphabet+merges size, hundreds of
+# rows), so each round runs exactly ONE Spark action: a combined
+# collect of (post-merge symbol count × next argmax pair) that
+# materializes the round's three lazy localCheckpoints (new vocab, new
+# pair counts, new symbol counts) in a single job. The only full-vocab
+# work per round is the contains-filter + replace scan — no shuffle —
+# which any BPE trainer must do to apply the merge. Exactness of the
+# delta (counts table == full recount after every merge) is pinned by
+# a 64-merge property test (tests/test_bpe.py).
 # ---------------------------------------------------------------------------
 _BPE_ITERS = 4
 
@@ -860,6 +871,119 @@ def _sql_bpe_iter(i: int) -> str:
         SELECT unnest({_sql_bpe_chars("syms")}) AS s FROM w{i}))"""
 
 
+def _bpe_chars():
+    return F.filter(F.split("syms", r"\|"), lambda x: x != F.lit(""))
+
+
+def _bpe_pair_rows(df: DataFrame, sign: int) -> DataFrame:
+    """(syms, n) → signed adjacent-pair count rows (a, b, cnt=sign·n
+    per occurrence) — the delta unit of the incremental pair table."""
+    cs = df.select(_bpe_chars().alias("cs"), "n")
+    return cs.select(
+        F.explode(
+            F.when(
+                F.size("cs") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("cs") - 1),
+                    lambda k: F.struct(
+                        F.element_at(F.col("cs"), k).alias("a"),
+                        F.element_at(F.col("cs"), k + 1).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).alias("u"),
+        "n",
+    ).select("u.a", "u.b", (F.lit(sign) * F.col("n")).cast("long").alias("cnt"))
+
+
+def _bpe_sym_rows(df: DataFrame, sign: int) -> DataFrame:
+    """(syms, n) → signed symbol-occurrence rows; the census table
+    (alphabet + one row per merge) tracks which symbols still occur."""
+    return df.select(F.explode(_bpe_chars()).alias("s")).select(
+        "s", F.lit(sign).cast("long").alias("cnt")
+    )
+
+
+def bpe_train_merges(spark: SparkSession, vocab: DataFrame, n_merges: int):
+    """Run `n_merges` BPE merge rounds over a weighted vocabulary
+    (word, n) with DELTA pair-count maintenance: one Spark action per
+    round. Returns [(iter, left, right, pair_count, n_symbols), ...]
+    (stops early if no pair remains). Split out of the registered
+    entry so the 64-merge property test can drive it directly."""
+    w = vocab.select(
+        F.concat(
+            F.lit("|"), F.array_join(F.split("word", ""), "|"), F.lit("|")
+        ).alias("syms"),
+        "n",
+    ).localCheckpoint(eager=True)
+    counts = (
+        _bpe_pair_rows(w, 1)
+        .groupBy("a", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    syms = (
+        _bpe_sym_rows(w, 1)
+        .groupBy("s")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    first = counts.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+    if not first:
+        return []
+    best = first[0]
+    out_rows = []
+    for it in range(1, n_merges + 1):
+        pat = f"|{best['a']}|{best['b']}|"
+        rep = f"|{best['a']}{best['b']}|"
+        touched = w.where(F.col("syms").contains(pat))
+        touched_new = touched.select(
+            F.replace(
+                F.replace(F.col("syms"), F.lit(pat), F.lit(rep)),
+                F.lit(pat),
+                F.lit(rep),
+            ).alias("syms"),
+            "n",
+        )
+        w_new = (
+            w.where(~F.col("syms").contains(pat)).unionByName(touched_new)
+        ).localCheckpoint(eager=False)
+        # delta maintenance: only pairs/symbols of touched words change
+        counts_new = (
+            counts.unionByName(_bpe_pair_rows(touched, -1))
+            .unionByName(_bpe_pair_rows(touched_new, 1))
+            .groupBy("a", "b")
+            .agg(F.sum("cnt").alias("cnt"))
+            .where(F.col("cnt") > 0)
+        ).localCheckpoint(eager=False)
+        syms_new = (
+            syms.unionByName(_bpe_sym_rows(touched, -1))
+            .unionByName(_bpe_sym_rows(touched_new, 1))
+            .groupBy("s")
+            .agg(F.sum("cnt").alias("cnt"))
+            .where(F.col("cnt") > 0)
+        ).localCheckpoint(eager=False)
+        # ONE action per round: census of this merge × argmax for the
+        # next, materializing all three lazy checkpoints in one job
+        census = syms_new.agg(F.count("*").alias("ns"))
+        nxt = (
+            counts_new.orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .select(
+                F.col("a").alias("na"),
+                F.col("b").alias("nb"),
+                F.col("cnt").alias("ncnt"),
+            )
+        )
+        row = census.join(nxt, F.lit(True), "left").collect()[0]
+        out_rows.append((it, best["a"], best["b"], int(best["cnt"]), int(row["ns"])))
+        w, counts, syms = w_new, counts_new, syms_new
+        if row["na"] is None:  # no pair left anywhere — vocab exhausted
+            break
+        best = {"a": row["na"], "b": row["nb"], "cnt": row["ncnt"]}
+    return out_rows
+
+
 @register(
     "p_bpe_train",
     oracle=f"""
@@ -889,53 +1013,7 @@ def p_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("n"))
     )
-    w = vocab.select(
-        F.concat(
-            F.lit("|"), F.array_join(F.split("word", ""), "|"), F.lit("|")
-        ).alias("syms"),
-        "n",
-    ).localCheckpoint(eager=True)  # rescanned every merge round
-
-    def chars_col():
-        return F.filter(F.split("syms", r"\|"), lambda x: x != F.lit(""))
-
-    out_rows = []
-    for it in range(1, _BPE_ITERS + 1):
-        cs = w.select(chars_col().alias("cs"), "n")
-        prs = cs.select(
-            F.explode(
-                F.when(
-                    F.size("cs") >= 2,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("cs") - 1),
-                        lambda k: F.struct(
-                            F.element_at(F.col("cs"), k).alias("a"),
-                            F.element_at(F.col("cs"), k + 1).alias("b"),
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-            ).alias("u"),
-            "n",
-        )
-        counts = prs.groupBy("u.a", "u.b").agg(F.sum("n").alias("cnt"))
-        best = counts.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()[0]
-        pat = f"|{best['a']}|{best['b']}|"
-        rep = f"|{best['a']}{best['b']}|"
-        merged = w.select(
-            F.replace(
-                F.replace(F.col("syms"), F.lit(pat), F.lit(rep)),
-                F.lit(pat),
-                F.lit(rep),
-            ).alias("syms"),
-            "n",
-        )
-        w = merged.localCheckpoint(eager=True)
-        ns = (
-            w.select(F.explode(chars_col()).alias("s"))
-            .agg(F.countDistinct("s").alias("ns"))
-            .collect()[0]["ns"]
-        )
-        out_rows.append((it, best["a"], best["b"], int(best["cnt"]), int(ns)))
+    out_rows = bpe_train_merges(spark, vocab, _BPE_ITERS)
     return spark.createDataFrame(
         out_rows,
         "iter INT, left_sym STRING, right_sym STRING, "
