@@ -1,0 +1,592 @@
+"""REAL baseline JPEG codec (pure numpy + stdlib) + decode driver entry
+under a full value-hash oracle.
+
+This extends the real-codec family (imagecodec.py: BMP/PPM/PNG) with the
+first LOSSY compressed format — ITU-T T.81 baseline sequential DCT JPEG,
+the format the bulk of any web-crawled multimodal corpus actually
+arrives in. Everything is parsed from the actual bytes:
+
+  * marker segment walk (SOI/APP0/COM/DQT/DHT/SOF0/SOS/EOI, multiple
+    tables per DQT/DHT segment, unknown APPn skipped by length),
+  * canonical Huffman table reconstruction from the DHT BITS/HUFFVAL
+    lists (the decoder uses whatever tables the FILE carries — nothing
+    is hard-coded between encoder and decoder),
+  * entropy-coded segment with 0xFF00 byte-destuffing, MSB-first bit
+    reading, DC difference prediction per component, AC run/size
+    decoding with EOB and ZRL,
+  * dezigzag, dequantization, full float 8x8 inverse DCT (cosine basis
+    matrix), level shift, clamp, and for 3-component 4:4:4 files the
+    JFIF YCbCr->RGB conversion.
+
+The encoder half builds spec-compliant JFIF files from QUANTIZED
+coefficient blocks (SOI..EOI, custom-but-valid canonical Huffman
+tables written into DHT, byte stuffing, 1-pad to the byte boundary).
+Encoding from coefficients is the honest contract here: the driver
+entry's fixtures are DEFINED in the coefficient domain so the decoded
+pixel values are integer-exact and an external SQL oracle can predict
+them (a DC-only block reconstructs to the constant
+floor(DC*Q00/8 + 0.5) + 128 — no cosine term survives). The Huffman /
+run-length / zigzag machinery is additionally pinned by a
+random-coefficient roundtrip test and the IDCT by a brute-force
+reference (tests/test_jpegcodec.py).
+
+Reference parity: the reference engine has no media IO at all
+(SURVEY.md §2 — `engine/` is board/rules state only); this module
+belongs to the training-data-pipeline surface the driver contract
+adds on top.
+
+Scale notes (100 TB): identical plumbing to imagecodec.py — payload
+bytes cross the Arrow boundary once per batch, per-image work is
+vectorized numpy (the IDCT is one (64,64) matmul per block batch), and
+only narrow typed stats flow back to the JVM. mapInPandas closures
+reach this module via cloudpickle register_pickle_by_value (executors
+don't have the repo on sys.path).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from hive_clone_spark.catalog import table
+from hive_clone_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# tables
+# ---------------------------------------------------------------------------
+
+# zigzag scan order: ZIGZAG[i] = natural (row*8+col) index of the i-th
+# transmitted coefficient (ITU-T T.81 Figure 5)
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.1 luminance quantization table (natural order), Q00 = 16.
+# Q00 = 16 makes a DC-only block reconstruct to 128 + 2*DC exactly.
+QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+
+# 8x8 IDCT basis: A[u, x] = 0.5 * c(u) * cos((2x+1) u pi / 16),
+# block = A.T @ F @ A  (float64 throughout, rounded once at the end)
+_A = 0.5 * np.cos((2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16)
+_A[0, :] *= 1.0 / np.sqrt(2.0)
+
+
+def _canonical_codes(bits: list[int], values: list[int]):
+    """DHT (BITS, HUFFVAL) -> {symbol: (code, length)} per the canonical
+    assignment of T.81 Annex C (codes count up within a length, shift
+    left by one crossing to the next length)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+# Encoder-side tables (written into the file's DHT segments; the decoder
+# never sees these constants, only the BITS/HUFFVAL bytes in the file).
+# DC: all 12 categories at length 4 (12 <= 15 codes of length 4; the
+# all-ones code stays unused per the JPEG convention). AC: EOB + ZRL +
+# every (run 0..15, size 1..10) at length 8 (162 symbols in 256 slots).
+_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
+_AC_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+
+
+# ---------------------------------------------------------------------------
+# bit IO
+# ---------------------------------------------------------------------------
+class _BitWriter:
+    def __init__(self) -> None:
+        self.bytes = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            b = (self._acc >> self._n) & 0xFF
+            self.bytes.append(b)
+            if b == 0xFF:  # byte stuffing inside the entropy stream
+                self.bytes.append(0x00)
+
+    def flush(self) -> bytes:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # 1-fill to byte boundary
+        return bytes(self.bytes)
+
+
+class _BitReader:
+    """MSB-first reader over a destuffed entropy segment."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self._acc = 0
+        self._n = 0
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("jpeg: entropy stream exhausted")
+            self._acc = self.data[self.pos]
+            self.pos += 1
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(v: int, size: int) -> int:
+    """RECEIVE/EXTEND (T.81 F.2.2.1): map `size` magnitude bits to the
+    signed coefficient value."""
+    if size == 0:
+        return 0
+    if v < (1 << (size - 1)):
+        return v - (1 << size) + 1
+    return v
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# encoder (quantized coefficient blocks -> JFIF bytes)
+# ---------------------------------------------------------------------------
+def _dht_segment(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
+    body = bytes([tc_th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+
+def _encode_block(
+    wr: _BitWriter, zz: np.ndarray, pred: int, dc_codes: dict, ac_codes: dict
+) -> int:
+    """Entropy-encode one block given its ZIGZAG-ordered quantized
+    coefficients; returns the new DC predictor."""
+    dc = int(zz[0])
+    diff = dc - pred
+    size = _category(diff)
+    code, length = dc_codes[size]
+    wr.write(code, length)
+    if size:
+        wr.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_codes[0xF0]  # ZRL: 16 zeros
+            wr.write(zc, zl)
+            run -= 16
+        size = _category(v)
+        code, length = ac_codes[(run << 4) | size]
+        wr.write(code, length)
+        wr.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if run:
+        ec, el = ac_codes[0x00]  # EOB
+        wr.write(ec, el)
+    return dc
+
+
+def encode_jpeg(coeff_planes: list[np.ndarray], width: int, height: int) -> bytes:
+    """Build a baseline JFIF file from QUANTIZED coefficient planes.
+
+    ``coeff_planes``: one (h_blocks, w_blocks, 64) int array per
+    component in NATURAL (row-major) coefficient order; 1 plane ->
+    grayscale, 3 planes -> YCbCr 4:4:4 (all components share the
+    luminance quant table — an encoder's legal choice). The dimensions
+    must be multiples of 8 matching the block grid.
+    """
+    if len(coeff_planes) not in (1, 3):
+        raise ValueError("jpeg: 1 (gray) or 3 (ycc 4:4:4) components")
+    hb, wb = coeff_planes[0].shape[:2]
+    if (hb * 8, wb * 8) != (height, width):
+        raise ValueError("jpeg: dims must match the 8x8 block grid")
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    qz = bytes(int(QUANT_LUMA[ZIGZAG[i]]) for i in range(64))  # DQT in zigzag order
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qz
+    ncomp = len(coeff_planes)
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0])  # 1x1 sampling, quant table 0
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += _dht_segment(0x00, _DC_BITS, _DC_VALS)
+    out += _dht_segment(0x10, _AC_BITS, _AC_VALS)
+    sos = bytes([ncomp]) + b"".join(bytes([cid, 0x00]) for cid in range(1, ncomp + 1))
+    sos += bytes([0, 63, 0])  # Ss/Se/AhAl for baseline
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    wr = _BitWriter()
+    preds = [0] * ncomp
+    for by in range(hb):
+        for bx in range(wb):  # interleaved MCU = one block per component
+            for ci, plane in enumerate(coeff_planes):
+                zz = plane[by, bx][ZIGZAG]
+                preds[ci] = _encode_block(wr, zz, preds[ci], dc_codes, ac_codes)
+    out += wr.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+class _HuffTable:
+    __slots__ = ("min_code", "max_code", "val_ptr", "vals")
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        # per-length first/last canonical code + index into vals
+        self.min_code = [0] * 17
+        self.max_code = [-1] * 17
+        self.val_ptr = [0] * 17
+        self.vals = vals
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            if bits[length - 1]:
+                self.val_ptr[length] = k
+                self.min_code[length] = code
+                code += bits[length - 1]
+                k += bits[length - 1]
+                self.max_code[length] = code - 1
+            code <<= 1
+
+    def decode(self, rd: _BitReader) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | rd.read_bit()
+            if self.max_code[length] >= 0 and code <= self.max_code[length]:
+                if code >= self.min_code[length]:
+                    return self.vals[self.val_ptr[length] + code - self.min_code[length]]
+        raise ValueError("jpeg: invalid Huffman code")
+
+
+def decode_jpeg_coeffs(payload: bytes):
+    """Parse a baseline JFIF file down to QUANTIZED coefficient planes.
+
+    Returns (planes, width, height, quant_tables_by_component) where
+    ``planes`` is one (h_blocks, w_blocks, 64) int64 array per component
+    in natural coefficient order. Split from the pixel path so the
+    Huffman/zigzag machinery is testable without the IDCT."""
+    data = bytes(payload)
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], _HuffTable] = {}
+    width = height = 0
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    while True:
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg: expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("jpeg: no scan data")
+        seg_len = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seg_len]
+        pos += seg_len
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("jpeg: 16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[ZIGZAG] = np.frombuffer(seg[i + 1 : i + 65], dtype=np.uint8)
+                qtables[tq] = tbl
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + n])
+                htables[(tc, th)] = _HuffTable(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
+            if precision != 8:
+                raise ValueError("jpeg: only 8-bit precision")
+            for ci in range(ncomp):
+                cid, sampling, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise ValueError("jpeg: only 1x1 sampling (4:4:4 / gray)")
+                comps.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("jpeg: only baseline SOF0")
+        elif marker == 0xDD:  # DRI
+            if struct.unpack(">H", seg[:2])[0] != 0:
+                raise ValueError("jpeg: restart intervals unsupported")
+        elif marker == 0xDA:  # SOS: header parsed, entropy data follows
+            ns = seg[0]
+            scan_tables = []
+            for ci in range(ns):
+                _cid, tdta = seg[1 + 2 * ci : 3 + 2 * ci]
+                scan_tables.append((tdta >> 4, tdta & 0x0F))
+            break
+        # else: APPn / COM — skipped by length
+    if not comps or width == 0:
+        raise ValueError("jpeg: missing SOF0 before SOS")
+    # destuff the entropy-coded segment (0xFF00 -> 0xFF; stop at a marker)
+    entropy = bytearray()
+    while pos < len(data):
+        b = data[pos]
+        if b == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0x00:
+                entropy.append(0xFF)
+                pos += 2
+                continue
+            break  # EOI or another marker ends the scan
+        entropy.append(b)
+        pos += 1
+    rd = _BitReader(bytes(entropy))
+    hb, wb = (height + 7) // 8, (width + 7) // 8
+    planes = [np.zeros((hb, wb, 64), dtype=np.int64) for _ in comps]
+    preds = [0] * len(comps)
+    inv_zz = ZIGZAG  # zz index -> natural index
+    for by in range(hb):
+        for bx in range(wb):
+            for ci in range(len(comps)):
+                dc_t = htables[(0, scan_tables[ci][0])]
+                ac_t = htables[(1, scan_tables[ci][1])]
+                blk = planes[ci][by, bx]
+                size = dc_t.decode(rd)
+                preds[ci] += _extend(rd.read_bits(size), size)
+                blk[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = ac_t.decode(rd)
+                    run, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise ValueError("jpeg: AC run past block end")
+                    blk[inv_zz[k]] = _extend(rd.read_bits(size), size)
+                    k += 1
+    quants = [qtables[tq] for _, tq in comps]
+    return planes, width, height, quants
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Full pixel decode: coefficients -> dequant -> IDCT -> level shift
+    -> (YCbCr->RGB for 3 components). Returns HxWxC uint8 (C = 1 or 3).
+
+    Rounding is floor(x + 0.5) at both the sample-reconstruction and
+    color-conversion steps, chosen (over round-half-even) so an external
+    engine can reproduce the arithmetic exactly."""
+    planes, width, height, quants = decode_jpeg_coeffs(payload)
+    hb, wb = planes[0].shape[:2]
+    samples = []
+    for plane, q in zip(planes, quants):
+        deq = (plane * q[None, None, :]).astype(np.float64).reshape(hb, wb, 8, 8)
+        # batched IDCT: block = A.T @ F @ A
+        px = np.einsum("ux,ijuv,vy->ijxy", _A, deq, _A)
+        px = np.floor(px + 0.5) + 128.0
+        # assemble the block grid into an (hb*8, wb*8) sample plane
+        full = px.transpose(0, 2, 1, 3).reshape(hb * 8, wb * 8)
+        samples.append(full[:height, :width])
+    if len(samples) == 1:
+        y = np.clip(samples[0], 0, 255).astype(np.uint8)
+        return y[:, :, None]
+    y, cb, cr = samples
+    r = np.floor(y + 1.402 * (cr - 128.0) + 0.5)
+    g = np.floor(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5)
+    b = np.floor(y + 1.772 * (cb - 128.0) + 0.5)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(rgb, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# deterministic fixtures: DC-only coefficient blocks, so every decoded
+# sample is integer-exact and the SQL oracle can predict it:
+#
+#   wb(doc)  = 1 + doc_id % 8          (width  = 8*wb <= 64)
+#   hb(doc)  = 1 + (doc_id * 3) % 6    (height = 8*hb <= 48)
+#   luma DC(bx,by)   = ((doc_id + 11*bx + 5*by) % 17) - 8
+#   chroma: doc_id odd -> 3-component 4:4:4 with
+#     cb DC(bx,by) = ((doc_id * 3 + 7*bx + 2*by) % 7) - 3
+#     cr DC(bx,by) = ((doc_id * 5 + 3*bx + 4*by) % 7) - 3
+#   doc_id even -> 1-component grayscale
+#
+# With Q00 = 16, a DC-only block reconstructs to the constant
+# 128 + 2*DC; the color conversion sees Y/Cb/Cr in [112,144]/[122,134]
+# so no sample ever clamps and floor(x+0.5) is exactly reproducible.
+# ---------------------------------------------------------------------------
+def synth_jpeg(doc_id: int) -> bytes:
+    wb = 1 + doc_id % 8
+    hb = 1 + (doc_id * 3) % 6
+    bx = np.arange(wb, dtype=np.int64)[None, :]
+    by = np.arange(hb, dtype=np.int64)[:, None]
+    luma = np.zeros((hb, wb, 64), dtype=np.int64)
+    luma[:, :, 0] = ((doc_id + 11 * bx + 5 * by) % 17) - 8
+    if doc_id % 2 == 0:
+        return encode_jpeg([luma], 8 * wb, 8 * hb)
+    cb = np.zeros((hb, wb, 64), dtype=np.int64)
+    cr = np.zeros((hb, wb, 64), dtype=np.int64)
+    cb[:, :, 0] = ((doc_id * 3 + 7 * bx + 2 * by) % 7) - 3
+    cr[:, :, 0] = ((doc_id * 5 + 3 * bx + 4 * by) % 7) - 3
+    return encode_jpeg([luma, cb, cr], 8 * wb, 8 * hb)
+
+
+@register(
+    "p_jpeg_decode",
+    # Full oracle over the REAL lossy-decode path. Per block the decoded
+    # constants are y = 128 + 2*lumaDC, cb/cr likewise, then the JFIF
+    # conversion with floor(x+0.5) — the SQL mirrors the EXACT float
+    # expression shapes (1.402 * (cr - 128), not 2.804 * kcr) so both
+    # engines compute identical doubles. Any Huffman, DC-prediction,
+    # dequant, zigzag, IDCT-scale, or channel-swap bug shifts the sums
+    # and fails the value hash.
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+        CAST(1 + doc_id % 8 AS BIGINT) AS wb,
+        CAST(1 + (doc_id * 3) % 6 AS BIGINT) AS hb
+      FROM documents),
+    blocks AS (
+      SELECT doc_id, wb, hb, k % wb AS bx, k // wb AS by
+      FROM (SELECT doc_id, wb, hb,
+              unnest(generate_series(0, wb * hb - 1)) AS k
+            FROM dims)),
+    px AS (
+      SELECT doc_id, wb, hb,
+        128 + 2 * (((doc_id + 11 * bx + 5 * by) % 17) - 8) AS y,
+        128 + 2 * (((doc_id * 3 + 7 * bx + 2 * by) % 7) - 3) AS cb,
+        128 + 2 * (((doc_id * 5 + 3 * bx + 4 * by) % 7) - 3) AS cr
+      FROM blocks),
+    chan AS (
+      SELECT doc_id, wb, hb,
+        CASE WHEN doc_id % 2 = 0 THEN y
+             ELSE CAST(floor(y + 1.402 * (cr - 128) + 0.5) AS BIGINT) END AS r,
+        CASE WHEN doc_id % 2 = 0 THEN y
+             ELSE CAST(floor(y - 0.344136 * (cb - 128)
+                               - 0.714136 * (cr - 128) + 0.5) AS BIGINT) END AS g,
+        CASE WHEN doc_id % 2 = 0 THEN y
+             ELSE CAST(floor(y + 1.772 * (cb - 128) + 0.5) AS BIGINT) END AS b
+      FROM px)
+    SELECT doc_id,
+      CASE WHEN doc_id % 2 = 0 THEN 'gray' ELSE 'ycc' END AS format,
+      CAST(8 * wb AS INT) AS width,
+      CAST(8 * hb AS INT) AS height,
+      CAST(wb * hb AS BIGINT) AS n_blocks,
+      CAST(64 * SUM(r) AS BIGINT) AS sum_r,
+      CAST(64 * SUM(g) AS BIGINT) AS sum_g,
+      CAST(64 * SUM(b) AS BIGINT) AS sum_b,
+      CAST(MIN(LEAST(r, g, b)) AS BIGINT) AS min_px,
+      CAST(MAX(GREATEST(r, g, b)) AS BIGINT) AS max_px
+    FROM chan
+    GROUP BY doc_id, wb, hb
+    ORDER BY doc_id
+    """,
+)
+def p_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode under the full oracle: synthesize
+    genuine JFIF files from DC-only coefficient fixtures (stage A), then
+    parse the actual bytes — markers, in-file Huffman tables, stuffed
+    entropy stream, dequant, IDCT, color conversion — into pixel arrays
+    reduced to integer channel stats (stage B)."""
+    import pandas as pd
+
+    from pyspark import cloudpickle as _cp
+    import hive_clone_spark.pipeline.jpegcodec as _mod
+
+    _cp.register_pickle_by_value(_mod)
+
+    ids = table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_batches(batches):
+        for pdf in batches:
+            payloads = [synth_jpeg(int(i)) for i in pdf["doc_id"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = ids.mapInPandas(synth_batches, "doc_id BIGINT, payload BINARY")
+
+    def decode_batches(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                pix = decode_jpeg(p).astype(np.int64)
+                h, w, c = pix.shape
+                if c == 1:
+                    pix = np.repeat(pix, 3, axis=2)
+                sums = pix.sum(axis=(0, 1))
+                rows.append(
+                    (
+                        int(doc_id),
+                        "gray" if c == 1 else "ycc",
+                        w,
+                        h,
+                        (h // 8) * (w // 8),
+                        int(sums[0]),
+                        int(sums[1]),
+                        int(sums[2]),
+                        int(pix.min()),
+                        int(pix.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "format", "width", "height", "n_blocks",
+                    "sum_r", "sum_g", "sum_b", "min_px", "max_px",
+                ],
+            )
+
+    schema = (
+        "doc_id BIGINT, format STRING, width INT, height INT, n_blocks BIGINT, "
+        "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT, min_px BIGINT, max_px BIGINT"
+    )
+    return payloads.mapInPandas(decode_batches, schema).orderBy("doc_id")

@@ -1,0 +1,187 @@
+"""Unit tests for the REAL baseline JPEG codec (pipeline/jpegcodec.py):
+coefficient-level Huffman/zigzag/run-length/stuffing round-trips, the
+IDCT against a brute-force reference, DC-only pixel exactness (the
+property the driver oracle leans on), marker-walk robustness (APPn/COM
+skipping, split DQT/DHT segments), and error paths (progressive SOF,
+restart intervals, truncated streams)."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from hive_clone_spark.pipeline.jpegcodec import (
+    _A,
+    ZIGZAG,
+    decode_jpeg,
+    decode_jpeg_coeffs,
+    encode_jpeg,
+    synth_jpeg,
+)
+
+
+def _random_planes(rng, hb, wb, ncomp):
+    planes = []
+    for _ in range(ncomp):
+        pl = np.zeros((hb, wb, 64), dtype=np.int64)
+        for by in range(hb):
+            for bx in range(wb):
+                pl[by, bx, 0] = rng.integers(-1023, 1024)
+                nz = int(rng.integers(0, 20))
+                idx = rng.choice(np.arange(1, 64), size=nz, replace=False)
+                pl[by, bx, idx] = rng.integers(-1023, 1024, size=nz)
+        planes.append(pl)
+    return planes
+
+
+@pytest.mark.parametrize("ncomp", [1, 3])
+def test_coefficient_roundtrip(ncomp):
+    """Quantized coefficients survive encode->entropy-decode exactly:
+    pins canonical Huffman codes, DC prediction, run/size AC coding,
+    ZRL, EOB, zigzag, and 0xFF byte stuffing at once."""
+    rng = np.random.default_rng(11 + ncomp)
+    for _ in range(10):
+        hb, wb = int(rng.integers(1, 6)), int(rng.integers(1, 6))
+        planes = _random_planes(rng, hb, wb, ncomp)
+        payload = encode_jpeg(planes, 8 * wb, 8 * hb)
+        out, w, h, quants = decode_jpeg_coeffs(payload)
+        assert (w, h) == (8 * wb, 8 * hb)
+        assert len(out) == ncomp
+        for a, b in zip(planes, out):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_stuffed_ff_bytes_occur_and_roundtrip():
+    """With enough random blocks the entropy stream contains 0xFF bytes
+    (stuffed as FF 00); assert stuffing actually happened so the
+    destuffing path is provably exercised."""
+    for seed in range(32):
+        rng = np.random.default_rng(seed)
+        planes = _random_planes(rng, 6, 6, 1)
+        payload = encode_jpeg(planes, 48, 48)
+        sos = payload.index(b"\xff\xda")
+        if b"\xff\x00" in payload[sos:]:
+            break
+    else:
+        pytest.fail("no seed produced a stuffed byte in entropy data")
+    out, _, _, _ = decode_jpeg_coeffs(payload)
+    np.testing.assert_array_equal(planes[0], out[0])
+
+
+def test_idct_matches_bruteforce_reference():
+    rng = np.random.default_rng(5)
+    F0 = rng.integers(-200, 200, size=(8, 8)).astype(np.float64)
+    fast = np.einsum("ux,uv,vy->xy", _A, F0, _A)
+    ref = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        0.25 * cu * cv * F0[u, v]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            ref[x, y] = s
+    assert np.abs(fast - ref).max() < 1e-9
+
+
+def test_dc_only_block_is_exact_constant():
+    """A DC-only block reconstructs to 128 + DC*Q00/8 exactly — the
+    invariant the driver entry's SQL oracle is built on (Q00=16)."""
+    for dc in range(-8, 9):
+        pl = np.zeros((1, 1, 64), dtype=np.int64)
+        pl[0, 0, 0] = dc
+        pix = decode_jpeg(encode_jpeg([pl], 8, 8))
+        assert pix.shape == (8, 8, 1)
+        assert (pix == 128 + 2 * dc).all()
+
+
+def test_synth_fixture_shapes_and_channels():
+    gray = decode_jpeg(synth_jpeg(4))
+    ycc = decode_jpeg(synth_jpeg(5))
+    assert gray.shape[2] == 1 and ycc.shape[2] == 3
+    assert gray.shape == (8 * (1 + (4 * 3) % 6), 8 * (1 + 4 % 8), 1)
+    assert ycc.shape == (8 * (1 + (5 * 3) % 6), 8 * (1 + 5 % 8), 3)
+
+
+def test_color_conversion_against_reference():
+    """Nonzero flat chroma: decoded RGB equals the JFIF conversion of
+    the known Y/Cb/Cr constants (floor(x+0.5) rounding)."""
+    luma = np.zeros((1, 1, 64), dtype=np.int64)
+    cb = np.zeros((1, 1, 64), dtype=np.int64)
+    cr = np.zeros((1, 1, 64), dtype=np.int64)
+    luma[0, 0, 0], cb[0, 0, 0], cr[0, 0, 0] = 5, -3, 2
+    pix = decode_jpeg(encode_jpeg([luma, cb, cr], 8, 8)).astype(np.int64)
+    y, cbv, crv = 128 + 10, 128 - 6, 128 + 4
+    exp_r = math.floor(y + 1.402 * (crv - 128) + 0.5)
+    exp_g = math.floor(y - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128) + 0.5)
+    exp_b = math.floor(y + 1.772 * (cbv - 128) + 0.5)
+    assert (pix[:, :, 0] == exp_r).all()
+    assert (pix[:, :, 1] == exp_g).all()
+    assert (pix[:, :, 2] == exp_b).all()
+
+
+def test_unknown_app_and_com_segments_skipped():
+    """Decoder must walk over APPn/COM segments it doesn't understand
+    (every real camera/exporter inserts them)."""
+    pl = np.zeros((1, 2, 64), dtype=np.int64)
+    pl[0, :, 0] = [3, -4]
+    payload = encode_jpeg([pl], 16, 8)
+    extra = (
+        b"\xff\xee" + struct.pack(">H", 8) + b"Adobe!"  # APP14-ish
+        + b"\xff\xfe" + struct.pack(">H", 9) + b"comment"  # COM
+    )
+    patched = payload[:2] + extra + payload[2:]
+    out, w, h, _ = decode_jpeg_coeffs(patched)
+    np.testing.assert_array_equal(out[0], pl)
+
+
+def test_progressive_sof_rejected():
+    pl = np.zeros((1, 1, 64), dtype=np.int64)
+    payload = bytearray(encode_jpeg([pl], 8, 8))
+    payload[payload.index(b"\xff\xc0") + 1] = 0xC2  # SOF0 -> SOF2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg_coeffs(bytes(payload))
+
+
+def test_restart_interval_rejected_when_nonzero():
+    pl = np.zeros((1, 1, 64), dtype=np.int64)
+    payload = encode_jpeg([pl], 8, 8)
+    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 2)
+    patched = payload[:2] + dri + payload[2:]
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg_coeffs(patched)
+
+
+def test_missing_soi_rejected():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_coeffs(b"\x00\x00junk")
+
+
+def test_truncated_entropy_stream_raises():
+    rng = np.random.default_rng(9)
+    planes = _random_planes(rng, 4, 4, 1)
+    payload = encode_jpeg(planes, 32, 32)
+    # chop the tail of the entropy data (before EOI)
+    with pytest.raises(ValueError):
+        decode_jpeg_coeffs(payload[: len(payload) // 2])
+
+
+def test_dequant_uses_in_file_table():
+    """Doubling Q00 in the file's DQT doubles the reconstructed offset:
+    proves dequantization reads the FILE's table, not a constant."""
+    pl = np.zeros((1, 1, 64), dtype=np.int64)
+    pl[0, 0, 0] = 3
+    payload = bytearray(encode_jpeg([pl], 8, 8))
+    dqt = payload.index(b"\xff\xdb")
+    assert payload[dqt + 5] == 16  # zigzag[0] slot of the table
+    payload[dqt + 5] = 32
+    pix = decode_jpeg(bytes(payload))
+    assert (pix == 128 + 2 * 3 * 2).all()
