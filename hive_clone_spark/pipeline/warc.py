@@ -1,0 +1,435 @@
+"""WARC ingestion + HTML text extraction — the front door of a
+web-crawl training-data pipeline (Common Crawl arrives as WARC files of
+HTTP responses wrapped in length-framed records).
+
+Two driver entries:
+
+  * ``p_warc_extract`` — REAL byte-level WARC/1.1 parsing: synthesize
+    genuine multi-record WARC files (warcinfo + request + response
+    records, CRLF header blocks, Content-Length framing, decoy
+    ``\\r\\n\\r\\nWARC/1.1`` sequences INSIDE payloads so a
+    split-on-blank-line parser provably breaks), walk the records by
+    declared length, keep only ``WARC-Type: response``, parse the HTTP
+    status line + headers, and extract visible text from the HTML body
+    (script/comment removal, tag stripping, entity unescape, whitespace
+    collapse). The DuckDB oracle rebuilds the same HTML/text from the
+    synthesis rule and pins URL, status, HTML byte length, link count,
+    word count, and a portable hash of the EXACT extracted string.
+
+  * ``p_html_strip`` — the same boilerplate-stripping transform kept
+    entirely JVM-side (regexp_replace chains over a constructed HTML
+    column; zero Python) — the form you run in the scan stage when the
+    HTML is already a string column. Oracle mirrors the identical
+    regexes in DuckDB.
+
+Reference parity: the reference engine has no IO surface (SURVEY.md §2
+note) — this belongs to the LLM-pipeline surface the driver contract
+adds.
+
+Scale notes (100 TB): in production the WARC bytes are the SOURCE
+(``spark.read.format("binaryFile")`` or a parquet payload column) and
+record splitting is scan-stage mapInPandas — embarrassingly parallel,
+zero shuffle, only narrow typed rows leave Python. The synth stage here
+groups ~8 docs per file only because the testdata ships no WARC column;
+its single groupBy shuffle is fixture plumbing, not the operator. HTML
+stripping is regex-only and stays in whole-stage codegen in the
+JVM-side entry. Record parsing is O(bytes) with no cross-record state,
+so files split cleanly across executors at any corpus size.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np  # noqa: F401  (kept with the codec family imports)
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_clone_spark.catalog import table
+from hive_clone_spark.pipeline.common import (
+    SQL_WORDS,
+    portable_hash,
+    sql_portable_hash,
+    words_col,
+)
+from hive_clone_spark.registry import register
+
+_CRLF = "\r\n"
+# constant decoy inside every HTML payload: contains a blank CRLF line
+# followed by a record header — only Content-Length framing survives it
+_DECOY = "<!--\r\n\r\nWARC/1.1 decoy-->"
+_DOCS_PER_FILE = 8
+
+
+# ---------------------------------------------------------------------------
+# synthesis rule (mirrored by the oracles)
+#
+#   n_links(doc) = doc_id % 5
+#   html(doc) = <html><head><title>doc {id}</title>
+#               <script>var x = {id};</script></head>
+#               <body><p>{escaped text}</p>
+#               {<a href="https://ex.test/{id}/{k}">link {k}</a> ...}
+#               {decoy comment}</body></html>
+#   extracted(doc) = collapse_ws("doc {id} " + text + " link 1 .. link n")
+# ---------------------------------------------------------------------------
+def _escape(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def synth_html(doc_id: int, text: str) -> str:
+    n_links = doc_id % 5
+    links = "".join(
+        f'<a href="https://ex.test/{doc_id}/{k}">link {k}</a>'
+        for k in range(1, n_links + 1)
+    )
+    return (
+        f"<html><head><title>doc {doc_id}</title>"
+        f"<script>var x = {doc_id};</script></head>"
+        f"<body><p>{_escape(text)}</p>{links}{_DECOY}</body></html>"
+    )
+
+
+def synth_warc_file(docs: list[tuple[int, str]]) -> bytes:
+    """One WARC/1.1 file: warcinfo, then (request, response) per doc.
+    Real framing: header block, CRLF CRLF, Content-Length payload
+    bytes, CRLF CRLF."""
+
+    def record(headers: list[tuple[str, str]], payload: bytes) -> bytes:
+        head = "WARC/1.1" + _CRLF
+        for k, v in headers:
+            head += f"{k}: {v}" + _CRLF
+        head += f"Content-Length: {len(payload)}" + _CRLF + _CRLF
+        return head.encode() + payload + _CRLF.encode() + _CRLF.encode()
+
+    out = bytearray()
+    out += record(
+        [("WARC-Type", "warcinfo"), ("Content-Type", "application/warc-fields")],
+        b"software: hive-clone-spark synthetic crawler",
+    )
+    for doc_id, text in docs:
+        url = f"https://ex.test/{doc_id}"
+        out += record(
+            [
+                ("WARC-Type", "request"),
+                ("WARC-Target-URI", url),
+                ("Content-Type", "application/http;msgtype=request"),
+            ],
+            f"GET /{doc_id} HTTP/1.1{_CRLF}Host: ex.test{_CRLF}{_CRLF}".encode(),
+        )
+        html = synth_html(doc_id, text).encode()
+        http = (
+            f"HTTP/1.1 200 OK{_CRLF}Content-Type: text/html{_CRLF}"
+            f"Content-Length: {len(html)}{_CRLF}{_CRLF}"
+        ).encode() + html
+        out += record(
+            [
+                ("WARC-Type", "response"),
+                ("WARC-Target-URI", url),
+                ("Content-Type", "application/http;msgtype=response"),
+            ],
+            http,
+        )
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# parsing + extraction
+# ---------------------------------------------------------------------------
+def parse_warc(data: bytes) -> list[dict]:
+    """Walk a WARC file by Content-Length framing; returns one dict per
+    record (headers lowercased, payload bytes). A parser that splits on
+    blank lines instead of trusting Content-Length breaks on the decoy
+    sequence the synthetic payloads carry."""
+    records = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        end_head = data.index(b"\r\n\r\n", pos)
+        head_lines = data[pos:end_head].decode().split(_CRLF)
+        if not head_lines[0].startswith("WARC/"):
+            raise ValueError(f"warc: bad version line {head_lines[0]!r}")
+        headers = {}
+        for line in head_lines[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        length = int(headers["content-length"])
+        payload = data[end_head + 4 : end_head + 4 + length]
+        records.append({"headers": headers, "payload": payload})
+        pos = end_head + 4 + length + 4  # skip the two trailing CRLFs
+    return records
+
+
+def parse_http_response(payload: bytes) -> tuple[int, dict, bytes]:
+    """(status, lowercased headers, body) from an HTTP response block."""
+    end_head = payload.index(b"\r\n\r\n")
+    lines = payload[:end_head].decode().split(_CRLF)
+    status = int(lines[0].split(" ")[1])
+    headers = {}
+    for line in lines[1:]:
+        k, _, v = line.partition(":")
+        headers[k.strip().lower()] = v.strip()
+    return status, headers, payload[end_head + 4 :]
+
+
+_SCRIPT_RE = re.compile(r"(?s)<script.*?</script>")
+_COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
+_TAG_RE = re.compile(r"<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+
+
+def extract_text(html: str) -> str:
+    """Visible text: drop script blocks and comments, replace tags with
+    spaces (so adjacent text nodes don't merge into one token), unescape
+    the three named entities the escaper emits, collapse whitespace."""
+    s = _SCRIPT_RE.sub(" ", html)
+    s = _COMMENT_RE.sub(" ", s)
+    s = _TAG_RE.sub(" ", s)
+    s = s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+    return _WS_RE.sub(" ", s).strip()
+
+
+# ---------------------------------------------------------------------------
+# driver entries
+# ---------------------------------------------------------------------------
+_SQL_EXTRACTED = """
+    trim(regexp_replace(
+      'doc ' || doc_id || ' ' || text ||
+      CASE WHEN doc_id % 5 = 0 THEN '' ELSE
+        array_to_string(list_transform(generate_series(1, doc_id % 5),
+                                       k -> ' link ' || k), '')
+      END,
+      '\\s+', ' ', 'g'))
+"""
+
+_SQL_HTML_LEN = """
+    length('<html><head><title>doc ' || doc_id || '</title>'
+      || '<script>var x = ' || doc_id || ';</script></head><body><p>'
+      || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),
+                 '>', '&gt;')
+      || '</p>'
+      || CASE WHEN doc_id % 5 = 0 THEN '' ELSE
+           array_to_string(list_transform(generate_series(1, doc_id % 5),
+             k -> '<a href="https://ex.test/' || doc_id || '/' || k
+                  || '">link ' || k || '</a>'), '')
+         END
+      || '<!--' || chr(13) || chr(10) || chr(13) || chr(10)
+      || 'WARC/1.1 decoy-->' || '</body></html>')
+"""
+
+
+@register(
+    "p_warc_extract",
+    # Oracle rebuilds url/status/html length/link count from the
+    # synthesis rule and the extracted STRING itself (portable hash) —
+    # a parser that mis-frames records, keeps request records, loses
+    # the script strip, or merges text nodes fails the value hash.
+    oracle=f"""
+    SELECT doc_id,
+      'https://ex.test/' || doc_id AS url,
+      200 AS http_status,
+      CAST({_SQL_HTML_LEN} AS BIGINT) AS content_length,
+      CAST(doc_id % 5 AS BIGINT) AS n_links,
+      CAST(len(list_filter(str_split_regex({_SQL_EXTRACTED}, '\\s+'),
+                           w -> w <> '')) AS BIGINT) AS n_words,
+      {sql_portable_hash(_SQL_EXTRACTED)} AS text_hash
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def p_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WARC ingestion: build genuine multi-record WARC files
+    (stage A, fixture plumbing), then parse the actual bytes —
+    Content-Length framing past in-payload decoys, record-type filter,
+    HTTP status/header parse, HTML text extraction (stage B)."""
+    import pandas as pd
+
+    from pyspark import cloudpickle as _cp
+    import hive_clone_spark.pipeline.warc as _mod
+
+    _cp.register_pickle_by_value(_mod)
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") / _DOCS_PER_FILE).cast("long").alias("bucket")
+    )
+
+    def build_files(pdf):
+        rows = sorted(zip(pdf["doc_id"], pdf["text"]))
+        payload = synth_warc_file([(int(i), str(t)) for i, t in rows])
+        return pd.DataFrame({"bucket": [pdf["bucket"].iloc[0]], "payload": [payload]})
+
+    files = docs.groupBy("bucket").applyInPandas(
+        build_files, "bucket BIGINT, payload BINARY"
+    )
+
+    def parse_batches(batches):
+        for pdf in batches:
+            rows = []
+            for payload in pdf["payload"]:
+                for rec in parse_warc(bytes(payload)):
+                    if rec["headers"].get("warc-type") != "response":
+                        continue
+                    url = rec["headers"]["warc-target-uri"]
+                    status, http_headers, body = parse_http_response(rec["payload"])
+                    html = body.decode()
+                    text = extract_text(html)
+                    rows.append(
+                        (
+                            int(url.rsplit("/", 1)[1]),
+                            url,
+                            status,
+                            int(http_headers["content-length"]),
+                            html.count("<a href="),
+                            text,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "url", "http_status", "content_length",
+                    "n_links", "extracted",
+                ],
+            )
+
+    parsed = files.mapInPandas(
+        parse_batches,
+        "doc_id BIGINT, url STRING, http_status INT, content_length BIGINT, "
+        "n_links BIGINT, extracted STRING",
+    )
+    return parsed.select(
+        "doc_id",
+        "url",
+        "http_status",
+        "content_length",
+        "n_links",
+        F.size(words_col(F.col("extracted"))).cast("long").alias("n_words"),
+        portable_hash(F.col("extracted")).alias("text_hash"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "p_html_strip",
+    # Same strip, zero Python: the oracle runs the IDENTICAL regex
+    # chain over the identically-constructed HTML string.
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+        '<html><head><title>doc ' || doc_id || '</title>'
+          || '<script>var x = ' || doc_id || ';</script></head><body><p>'
+          || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),
+                     '>', '&gt;')
+          || '</p>'
+          || CASE WHEN doc_id % 5 = 0 THEN '' ELSE
+               array_to_string(list_transform(generate_series(1, doc_id % 5),
+                 k -> '<a href="https://ex.test/' || doc_id || '/' || k
+                      || '">link ' || k || '</a>'), '')
+             END
+          || '<!--' || chr(13) || chr(10) || chr(13) || chr(10)
+          || 'WARC/1.1 decoy-->' || '</body></html>' AS html
+      FROM documents),
+    s AS (
+      SELECT doc_id, length(html) AS html_chars,
+        trim(regexp_replace(
+          replace(replace(replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(html, '(?s)<script.*?</script>', ' ', 'g'),
+                '(?s)<!--.*?-->', ' ', 'g'),
+              '<[^>]*>', ' ', 'g'),
+            '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+          '\\s+', ' ', 'g')) AS text
+      FROM h)
+    SELECT doc_id,
+      CAST(html_chars AS BIGINT) AS html_chars,
+      CAST(length(text) AS BIGINT) AS text_chars,
+      CAST(len(list_filter(str_split_regex(text, '\\s+'), w -> w <> ''))
+           AS BIGINT) AS n_words,
+      {sql_portable_hash("text")} AS text_hash
+    FROM s ORDER BY doc_id
+    """,
+)
+def p_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate stripping as a pure JVM-side regexp_replace chain
+    (whole-stage codegen, no Python in the hot path) over an HTML
+    column constructed by the same rule p_warc_extract synthesizes."""
+    d = table(spark, sf_dir, "documents")
+    esc = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+    links = F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), (F.col("doc_id") % 5).cast("int")),
+                lambda k: F.concat(
+                    F.lit('<a href="https://ex.test/'),
+                    F.col("doc_id").cast("string"),
+                    F.lit("/"),
+                    k.cast("string"),
+                    F.lit('">link '),
+                    k.cast("string"),
+                    F.lit("</a>"),
+                ),
+            ),
+            "",
+        )
+    )
+    html = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><script>var x = "),
+        F.col("doc_id").cast("string"),
+        F.lit(";</script></head><body><p>"),
+        esc,
+        F.lit("</p>"),
+        links,
+        F.lit(_DECOY),
+        F.lit("</body></html>"),
+    )
+    h = d.select("doc_id", html.alias("html"))
+    s = h.select(
+        "doc_id",
+        F.length("html").cast("long").alias("html_chars"),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            F.regexp_replace(
+                                F.regexp_replace(
+                                    F.regexp_replace(
+                                        F.col("html"),
+                                        F.lit("(?s)<script.*?</script>"),
+                                        F.lit(" "),
+                                    ),
+                                    F.lit("(?s)<!--.*?-->"),
+                                    F.lit(" "),
+                                ),
+                                F.lit("<[^>]*>"),
+                                F.lit(" "),
+                            ),
+                            F.lit("&lt;"),
+                            F.lit("<"),
+                        ),
+                        F.lit("&gt;"),
+                        F.lit(">"),
+                    ),
+                    F.lit("&amp;"),
+                    F.lit("&"),
+                ),
+                F.lit(r"\s+"),
+                F.lit(" "),
+            )
+        ).alias("text"),
+    )
+    return s.select(
+        "doc_id",
+        "html_chars",
+        F.length("text").cast("long").alias("text_chars"),
+        F.size(words_col(F.col("text"))).cast("long").alias("n_words"),
+        portable_hash(F.col("text")).alias("text_hash"),
+    ).orderBy("doc_id")

@@ -1,0 +1,72 @@
+"""Unit tests for the WARC parser + HTML extractor (pipeline/warc.py):
+Content-Length framing past in-payload decoys, record-type handling,
+HTTP parsing, and the text-extraction rules the oracle leans on."""
+
+from __future__ import annotations
+
+import pytest
+
+from hive_clone_spark.pipeline.warc import (
+    _DECOY,
+    extract_text,
+    parse_http_response,
+    parse_warc,
+    synth_html,
+    synth_warc_file,
+)
+
+
+def test_framing_survives_in_payload_decoy():
+    """Every response payload contains a blank CRLF line followed by
+    'WARC/1.1' — split-on-blank-line parsing would produce phantom
+    records; length framing must not."""
+    blob = synth_warc_file([(1, "alpha"), (2, "beta")])
+    assert b"\r\n\r\nWARC/1.1 decoy" in blob
+    recs = parse_warc(blob)
+    types = [r["headers"]["warc-type"] for r in recs]
+    assert types == ["warcinfo", "request", "response", "request", "response"]
+
+
+def test_payload_bytes_match_declared_length():
+    blob = synth_warc_file([(5, "some text here")])
+    for rec in parse_warc(blob):
+        assert len(rec["payload"]) == int(rec["headers"]["content-length"])
+
+
+def test_bad_version_line_raises():
+    blob = synth_warc_file([(1, "x")])
+    # corrupt the framing so the walker lands mid-payload
+    broken = blob.replace(b"Content-Length", b"Content-Lxngth", 1)
+    with pytest.raises((ValueError, KeyError)):
+        parse_warc(broken)
+
+
+def test_http_response_parse():
+    blob = synth_warc_file([(9, "payload body")])
+    resp = [r for r in parse_warc(blob) if r["headers"]["warc-type"] == "response"]
+    status, headers, body = parse_http_response(resp[0]["payload"])
+    assert status == 200
+    assert headers["content-type"] == "text/html"
+    assert int(headers["content-length"]) == len(body)
+
+
+def test_extract_strips_script_comment_tags_and_unescapes():
+    html = synth_html(13, "a < b & c")
+    text = extract_text(html)
+    assert text == "doc 13 a < b & c link 1 link 2 link 3"
+    assert "var x" not in text
+    assert "decoy" not in text
+    assert "href" not in text
+
+
+def test_extract_collapses_whitespace():
+    assert extract_text("<p>a\n\n  b\t c</p>") == "a b c"
+
+
+def test_zero_links_for_multiple_of_five():
+    text = extract_text(synth_html(10, "t"))
+    assert text == "doc 10 t"
+
+
+def test_decoy_constant_has_blank_line():
+    assert "\r\n\r\n" in _DECOY
