@@ -277,3 +277,120 @@ def q69_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clustering_coeff"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q76 — PageRank over the (capped, symmetrized) co-activity graph.
+#
+# INTEGER-SCALED arithmetic: ranks live as BIGINT micro-probabilities
+# (SCALE = 1e12) and every division is floor division —
+#   contrib(u->v)  = pr(u) div outdeg(u)
+#   pr'(v)         = (15*SCALE) div (100*N)  +  (85 * sum contribs) div 100
+# so Spark and DuckDB produce bit-identical ranks with no float
+# accumulation-order dependence (the same trick q65 uses decimals for).
+# Dangling mass: the symmetrized graph has none (every vertex with an
+# edge has out-edges); isolated vertices aren't part of the edge set by
+# construction.
+#
+# At 100 TB: each iteration is ONE shuffle on dst (the contribution
+# aggregate) after a src-keyed join against the checkpointed
+# edge+outdeg table; hubs are additive (SUM combines map-side), and the
+# iteration count is fixed (_PR_ITERS), not data-dependent. The edge
+# build reuses q69's per-day cap, so the quadratic pair stage stays
+# bounded on hot days.
+# ---------------------------------------------------------------------------
+_PR_SCALE = 10**12
+_PR_ITERS = 3
+_PR_TOPK = 20
+
+
+def _pr_iter_sql(i: int) -> str:
+    prev = f"pr{i - 1}"
+    return f"""
+    pr{i} AS (
+      SELECT v.custkey,
+        (SELECT b FROM base) + (85 * COALESCE(s.c, 0)) // 100 AS pr
+      FROM verts v LEFT JOIN (
+        SELECT e.dst, CAST(SUM(p.pr // d.od) AS BIGINT) AS c
+        FROM edges e
+        JOIN {prev} p ON e.src = p.custkey
+        JOIN outdeg d ON e.src = d.src
+        GROUP BY e.dst) s ON v.custkey = s.dst)"""
+
+
+@register(
+    "q76_pagerank",
+    oracle=f"""
+    WITH act0 AS ({_ACTIVE_SQL}),
+    act AS (
+      SELECT custkey, day FROM (
+        SELECT custkey, day,
+          ROW_NUMBER() OVER (PARTITION BY day ORDER BY custkey) AS rn
+        FROM act0)
+      WHERE rn <= {_DAY_CAP}),
+    e0 AS (
+      SELECT DISTINCT a.custkey AS u, b.custkey AS v
+      FROM act a JOIN act b ON a.day = b.day AND a.custkey < b.custkey),
+    edges AS (
+      SELECT u AS src, v AS dst FROM e0
+      UNION ALL SELECT v, u FROM e0),
+    verts AS (SELECT DISTINCT src AS custkey FROM edges),
+    outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+    nv AS (SELECT COUNT(*) AS n FROM verts),
+    base AS (SELECT (15 * {_PR_SCALE}::BIGINT) // (100 * n) AS b FROM nv),
+    pr0 AS (
+      SELECT custkey, {_PR_SCALE}::BIGINT // (SELECT n FROM nv) AS pr
+      FROM verts),
+    {",".join(_pr_iter_sql(i) for i in range(1, _PR_ITERS + 1))}
+    SELECT custkey, CAST(pr AS BIGINT) AS pr_scaled
+    FROM pr{_PR_ITERS}
+    ORDER BY pr DESC, custkey LIMIT {_PR_TOPK}
+    """,
+)
+def q76_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    wday = Window.partitionBy("day").orderBy("custkey")
+    act = (
+        _active(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(wday))
+        .where(F.col("rn") <= _DAY_CAP)
+        .drop("rn")
+    )
+    a = act.select(F.col("custkey").alias("u"), "day")
+    b = act.select(F.col("custkey").alias("v"), "day")
+    e0 = a.join(b, "day").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    edges = e0.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e0.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    # edge + out-degree joined ONCE, checkpointed: the loop re-joins it
+    # every iteration and must not re-run the quadratic pair build
+    edges_deg = edges.join(outdeg, "src").localCheckpoint(eager=True)
+    verts = edges_deg.select(F.col("src").alias("custkey")).distinct()
+    n = verts.count()
+    base = (15 * _PR_SCALE) // (100 * n)
+    pr = verts.select("custkey", F.lit(_PR_SCALE // n).cast("long").alias("pr"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges_deg.join(pr, edges_deg.src == pr.custkey)
+            .select(F.col("dst"), F.expr("pr div od").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        pr = (
+            verts.join(contrib, verts.custkey == contrib.dst, "left")
+            .select(
+                "custkey",
+                (
+                    F.lit(base)
+                    + F.expr("85 * coalesce(c, 0) div 100")
+                ).cast("long").alias("pr"),
+            )
+            .localCheckpoint(eager=True)  # cut per-iteration lineage
+        )
+    return (
+        pr.orderBy(F.desc("pr"), "custkey")
+        .limit(_PR_TOPK)
+        .select("custkey", F.col("pr").alias("pr_scaled"))
+    )
