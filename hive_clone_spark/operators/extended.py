@@ -2024,3 +2024,101 @@ def q75_funnel_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_of_top"
         ),
     ).orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# Q77 — M4 time-series downsampling (Jugel et al., VLDB 2014): the
+# standard width-preserving dashboard reduction. Per (series, pixel
+# bucket) keep min, max, first, last of the value — the four points
+# that bound what a line chart can render in that pixel column —
+# reducing an arbitrarily long series to 4 points per pixel while
+# drawing the identical polyline envelope.
+#
+# Exactness: bucket index is pure integer arithmetic on microsecond
+# epochs ((e - mn) * W // (mx - mn + 1)); min/max/first/last SELECT
+# existing doubles (no float accumulation), so values hash-match the
+# oracle bit-for-bit. first/last are row_number-picked under the total
+# order (ts, event_id).
+#
+# At 100 TB: ONE shuffle on (event_type, bucket) shared by both windows
+# and the final aggregate (same partition keys); the min/max aggregate
+# combines map-side. The global time-range scalar is a 1-row broadcast.
+# W buckets bound the OUTPUT (4W points/series) regardless of input
+# size — the whole point of M4.
+# ---------------------------------------------------------------------------
+_M4_W = 256
+
+
+@register(
+    "q77_m4_downsample",
+    oracle=f"""
+    WITH rng AS (
+      SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events),
+    b AS (
+      SELECT event_type,
+        CAST(((epoch_us(ts) - r.mn) * {_M4_W}) // (r.mx - r.mn + 1) AS BIGINT)
+          AS bucket,
+        value, ts, event_id
+      FROM events, rng r),
+    o AS (
+      SELECT event_type, bucket, value,
+        ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                           ORDER BY ts, event_id) AS rf,
+        ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                           ORDER BY ts DESC, event_id DESC) AS rl
+      FROM b)
+    SELECT event_type, bucket,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      MIN(value) AS v_min,
+      MAX(value) AS v_max,
+      MAX(CASE WHEN rf = 1 THEN value END) AS v_first,
+      MAX(CASE WHEN rl = 1 THEN value END) AS v_last
+    FROM o
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def q77_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    rng = e.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    )
+    b = e.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        (
+            (F.unix_micros("ts") - F.col("mn")) * _M4_W
+        ).cast("long").alias("num"),
+        (F.col("mx") - F.col("mn") + 1).alias("den"),
+        "value",
+        "ts",
+        "event_id",
+    ).select(
+        "event_type",
+        F.expr("num div den").alias("bucket"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    wf = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    wl = Window.partitionBy("event_type", "bucket").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    o = b.select(
+        "event_type",
+        "bucket",
+        "value",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+    )
+    return (
+        o.groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.max(F.when(F.col("rf") == 1, F.col("value"))).alias("v_first"),
+            F.max(F.when(F.col("rl") == 1, F.col("value"))).alias("v_last"),
+        )
+        .orderBy("event_type", "bucket")
+    )

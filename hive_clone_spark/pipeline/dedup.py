@@ -971,3 +971,85 @@ def p_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("test_doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity matching: blocked Levenshtein join over part names —
+# the classic entity-resolution shape (near-identical product names
+# that exact dedup can't link). ALL-PAIRS edit distance is quadratic,
+# so candidate pairs are generated only WITHIN a blocking key (first
+# word of the name — a cheap standard blocker), the block size is
+# hard-capped (_FUZZY_BLK_CAP smallest partkeys per block, a
+# deterministic per-block rank — the q69 skew lesson applied at design
+# time: one hot block must not emit |block|² pairs unbounded), and the
+# result set is bounded (top _FUZZY_TOPK pairs by distance under a
+# total order). Levenshtein itself runs JVM-side (built-in
+# F.levenshtein == DuckDB levenshtein: unit-cost ins/del/sub).
+#
+# At 100 TB: one shuffle on the block key; per-block fan-out ≤ cap²;
+# TakeOrdered for the top-k (no global sort). The cap is part of the
+# operator contract (oracle applies it identically), not a silent
+# truncation.
+# ---------------------------------------------------------------------------
+_FUZZY_BLK_CAP = 1000
+_FUZZY_MAXDIST = 12
+_FUZZY_TOPK = 100
+
+
+@register(
+    "p_fuzzy_match",
+    oracle=f"""
+    WITH capped AS (
+      SELECT p_partkey, p_name FROM (
+        SELECT p_partkey, p_name,
+          ROW_NUMBER() OVER (
+            PARTITION BY str_split(p_name, ' ')[1]
+            ORDER BY p_partkey) AS rn
+        FROM part)
+      WHERE rn <= {_FUZZY_BLK_CAP}),
+    blocked AS (
+      SELECT str_split(p_name, ' ')[1] AS blk, p_partkey, p_name
+      FROM capped),
+    pairs AS (
+      SELECT a.p_partkey AS key1, b.p_partkey AS key2,
+        levenshtein(a.p_name, b.p_name) AS dist
+      FROM blocked a JOIN blocked b
+        ON a.blk = b.blk AND a.p_partkey < b.p_partkey)
+    SELECT key1, key2, CAST(dist AS BIGINT) AS dist
+    FROM pairs
+    WHERE dist <= {_FUZZY_MAXDIST}
+    ORDER BY dist, key1, key2
+    LIMIT {_FUZZY_TOPK}
+    """,
+)
+def p_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+    )
+    wblk = Window.partitionBy("blk").orderBy("p_partkey")
+    capped = (
+        p.withColumn("rn", F.row_number().over(wblk))
+        .where(F.col("rn") <= _FUZZY_BLK_CAP)
+        .drop("rn")
+    )
+    a = capped.select(
+        F.col("blk"), F.col("p_partkey").alias("key1"), F.col("p_name").alias("n1")
+    )
+    b = capped.select(
+        F.col("blk"), F.col("p_partkey").alias("key2"), F.col("p_name").alias("n2")
+    )
+    pairs = (
+        a.join(b, "blk")
+        .where(F.col("key1") < F.col("key2"))
+        .select(
+            "key1",
+            "key2",
+            F.levenshtein(F.col("n1"), F.col("n2")).cast("long").alias("dist"),
+        )
+        .where(F.col("dist") <= _FUZZY_MAXDIST)
+    )
+    return pairs.orderBy("dist", "key1", "key2").limit(_FUZZY_TOPK)
