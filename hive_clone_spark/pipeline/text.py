@@ -1019,3 +1019,95 @@ def p_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "iter INT, left_sym STRING, right_sym STRING, "
         "pair_count BIGINT, n_symbols BIGINT",
     ).orderBy("iter")
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer APPLICATION: the other half of the train->apply loop.
+# The 4 learned merges (the artifact p_bpe_train ships) are applied to
+# every document — each merge is the same greedy two-pass literal
+# replace the trainer used — and the per-document token count drops
+# accordingly. The merge table is tiny (driver-side literals baked into
+# the column expression), so application is a PURE SCAN-STAGE transform:
+# no Python, no shuffle except the final doc_id aggregate.
+#
+# At 100 TB: this is the shape of production tokenization — broadcast
+# the merge rules, encode each partition independently, aggregate
+# counts. A real 32k-merge tokenizer replaces the replace-chain with a
+# trie/regex pass inside mapInPandas (p_tokenize_apply shows that
+# path); the 4-merge chain keeps this entry's whole pipeline (train on
+# the corpus, then encode the corpus) under one exact SQL oracle.
+# ---------------------------------------------------------------------------
+def _sql_bpe_apply_merges(expr: str) -> str:
+    """Nested two-pass replace() of the b1..b4 merge scalars."""
+    s = expr
+    for i in range(1, _BPE_ITERS + 1):
+        pat = f"'|' || b{i}.a || '|' || b{i}.b || '|'"
+        rep = f"'|' || b{i}.a || b{i}.b || '|'"
+        s = f"replace(replace({s}, {pat}, {rep}), {pat}, {rep})"
+    return s
+
+
+@register(
+    "p_bpe_apply",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT lower(w) AS word, COUNT(*) AS n
+      FROM (SELECT unnest({SQL_WORDS.format(expr="text")}) AS w FROM documents)
+      GROUP BY lower(w)),
+    w0 AS (
+      SELECT '|' || array_to_string(regexp_split_to_array(word, ''), '|')
+             || '|' AS syms, n
+      FROM vocab),
+    {",".join(_sql_bpe_iter(i) for i in range(1, _BPE_ITERS + 1))},
+    dw AS (
+      SELECT doc_id, lower(w) AS word
+      FROM (SELECT doc_id, unnest({SQL_WORDS.format(expr="text")}) AS w
+            FROM documents)),
+    enc AS (
+      SELECT doc_id, word,
+        {_sql_bpe_apply_merges(
+            "'|' || array_to_string(regexp_split_to_array(word, ''), '|') || '|'"
+        )} AS s
+      FROM dw, b1, b2, b3, b4)
+    SELECT doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_words,
+      CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+      CAST(SUM(len(list_filter(string_split(s, '|'), x -> x <> '')))
+           AS BIGINT) AS n_tokens
+    FROM enc GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def p_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(words_col(F.col("text"))).alias("w"))
+        .select(F.lower("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    merges = bpe_train_merges(spark, vocab, _BPE_ITERS)
+    dw = d.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("w")
+    ).select("doc_id", F.lower("w").alias("word"))
+    s = F.concat(
+        F.lit("|"), F.array_join(F.split("word", ""), "|"), F.lit("|")
+    )
+    for _it, a, b, _cnt, _ns in merges:
+        pat, rep = F.lit(f"|{a}|{b}|"), F.lit(f"|{a}{b}|")
+        s = F.replace(F.replace(s, pat, rep), pat, rep)
+    enc = dw.select(
+        "doc_id",
+        F.length("word").cast("long").alias("n_chars"),
+        F.size(F.filter(F.split(s, r"\|"), lambda x: x != F.lit("")))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
