@@ -536,3 +536,86 @@ def p_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "budget_tokens"
         ),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring with the HASHING TRICK (the
+# fastText-linear-classifier shape behind DCLM / FineWeb-style corpus
+# filters): every unigram and word-bigram is hashed into a fixed
+# feature space (_QC_BUCKETS), each bucket carries a weight from the
+# shipped model, and the document's score is the mean feature weight —
+# here the decision is the sign of the integer weight SUM (identical
+# information, no division). The weight table is derived from the
+# bucket id by a fixed Knuth-multiplicative rule instead of being
+# learned — the honest part under test is the SERVING path (hash,
+# lookup, accumulate, threshold), which is what the engine owns; swap
+# the rule for learned weights and nothing else changes.
+#
+# At 100 TB: pure scan-stage array HOFs (hash + arithmetic per token,
+# integer sum per doc) — zero shuffle, zero Python, no weight table to
+# broadcast because the rule IS the table.
+# ---------------------------------------------------------------------------
+_QC_BUCKETS = 1024
+_QC_KNUTH = 2654435761
+
+
+def _qc_wgt_sql(tok_list: str) -> str:
+    return (
+        f"list_sum(list_transform({tok_list}, t -> "
+        f"((({sql_portable_hash('t')} % {_QC_BUCKETS}) * {_QC_KNUTH}) % 1001)"
+        f" - 500))"
+    )
+
+
+@register(
+    "p_quality_classifier",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+        {SQL_WORDS.format(expr="lower(text)")} AS ws
+      FROM documents),
+    feats AS (
+      SELECT doc_id,
+        ws || list_transform(
+          generate_series(1, greatest(len(ws) - 1, 0)),
+          i -> ws[i] || '_' || ws[i + 1]) AS fs
+      FROM toks)
+    SELECT doc_id,
+      CAST(len(fs) AS BIGINT) AS n_feats,
+      CAST(COALESCE({_qc_wgt_sql("fs")}, 0) AS BIGINT) AS score_sum,
+      (COALESCE({_qc_wgt_sql("fs")}, 0) >= 0) AS keep
+    FROM feats ORDER BY doc_id
+    """,
+)
+def p_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    ws = words_col(F.lower(F.col("text")))
+    t = d.select("doc_id", ws.alias("ws"))
+    # guard: Spark sequence(1, 0) is DESCENDING [1, 0] (NOTES gotcha),
+    # so single-word/empty docs need the explicit empty-array branch
+    bigrams = F.when(
+        F.size("ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 1),
+            lambda i: F.concat(
+                F.element_at(F.col("ws"), i),
+                F.lit("_"),
+                F.element_at(F.col("ws"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    f = t.select("doc_id", F.concat(F.col("ws"), bigrams).alias("fs"))
+    wgt = F.aggregate(
+        F.transform(
+            F.col("fs"),
+            lambda tok: (portable_hash(tok) % _QC_BUCKETS) * _QC_KNUTH % 1001 - 500,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return f.select(
+        "doc_id",
+        F.size("fs").cast("long").alias("n_feats"),
+        wgt.alias("score_sum"),
+        (wgt >= 0).alias("keep"),
+    ).orderBy("doc_id")

@@ -335,3 +335,61 @@ def q67_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q79 — small-files compaction (the lakehouse OPTIMIZE / bin-packing
+# maintenance job): a fragmented dataset (64 small files — the debris
+# micro-batch ingestion leaves behind) is rewritten into
+# max(1, rows // _COMPACT_ROWS_PER_FILE) right-sized files, and the
+# entry proves BOTH properties the operation must preserve: the data
+# is untouched (row count + decimal sum hash-match the source) and the
+# layout actually changed (file counts read back from the filesystem
+# are result COLUMNS under the oracle, which predicts them from the
+# row count).
+#
+# At 100 TB: compaction is per-partition-parallel (repartition(n) is
+# one round-robin shuffle sized by target file count); production adds
+# maxRecordsPerFile + per-table-partition scoping, but the
+# read-small/rewrite-right-sized shape is exactly this. Small-file
+# debris is THE scan-throughput killer at scale (footer overhead +
+# task-per-file scheduling), which is why every table format ships
+# this job.
+# ---------------------------------------------------------------------------
+_COMPACT_SMALL = 64
+_COMPACT_ROWS_PER_FILE = 500_000
+
+
+@register(
+    "q79_compaction",
+    oracle=f"""
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      CAST({_COMPACT_SMALL} AS BIGINT) AS n_files_small,
+      CAST(GREATEST(1, COUNT(*) // {_COMPACT_ROWS_PER_FILE}) AS BIGINT)
+        AS n_files_compact
+    FROM orders
+    """,
+)
+def q79_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    small_dir = _warehouse(sf_dir, "q79_small")
+    src.repartition(_COMPACT_SMALL).write.mode("overwrite").parquet(small_dir)
+    n_small = len(list(pathlib.Path(small_dir).glob("*.parquet")))
+
+    fragmented = spark.read.parquet(small_dir)
+    target = max(1, fragmented.count() // _COMPACT_ROWS_PER_FILE)
+    compact_dir = _warehouse(sf_dir, "q79_compact")
+    fragmented.repartition(target).write.mode("overwrite").parquet(compact_dir)
+    n_compact = len(list(pathlib.Path(compact_dir).glob("*.parquet")))
+
+    back = spark.read.parquet(compact_dir)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        F.lit(n_small).cast("long").alias("n_files_small"),
+        F.lit(n_compact).cast("long").alias("n_files_compact"),
+    )
