@@ -133,3 +133,123 @@ def ema_stream(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+# ---------------------------------------------------------------------------
+# Countdown-timer state machine as a TRUE stream op (reference S2,
+# ui_app.cpp:301-308 — the per-player chess-clock countdown
+# g_timer_countdown models on the frame axis): each user owns a
+# 600-second budget; every event spends the gap since the user's
+# previous event (capped at 60 s — idle time doesn't drain the clock);
+# when the budget reaches zero the flag falls (expiration counted) and
+# the clock resets. All integer microsecond arithmetic, so the stream
+# loop and the oracle's closed form (expirations = cum div budget,
+# remaining = budget - cum mod budget) agree exactly.
+#
+# At 100 TB: per-key state is three BIGINTs; the stateful shuffle is
+# keyed by user_id; gap capping bounds any single spend, and the
+# closed-form identity means the operator could ALSO run stateless on
+# the batch path — the stream form exists for online serving.
+# ---------------------------------------------------------------------------
+CD_BUDGET_US = 600_000_000  # 600 s clock (reference: 10 min game clock)
+CD_CAP_US = 60_000_000  # gaps cap at 60 s of drain
+
+CD_OUT_SCHEMA = (
+    "user_id BIGINT, n_events BIGINT, consumed_us BIGINT, "
+    "n_expirations BIGINT, remaining_us BIGINT"
+)
+CD_STATE_SCHEMA = "last_us BIGINT, rem_us BIGINT, n_exp BIGINT, n BIGINT"
+
+
+def countdown_stream(events_stream: DataFrame) -> DataFrame:
+    """events stream (user_id, ts, event_id, ...) → per-user clock
+    state emitted every micro-batch."""
+    from pyspark.sql.streaming.state import GroupState
+    import numpy as np
+    import pandas as pd
+
+    budget, cap = 600_000_000, 60_000_000
+
+    def update(
+        key: tuple, batches: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        (user_id,) = key
+        last_us, rem, n_exp, n = (
+            state.get if state.exists else (None, budget, 0, 0)
+        )
+        pdf = pd.concat(list(batches)).sort_values(["ts", "event_id"])
+        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        for t in ts_us:
+            t = int(t)
+            spend = 0 if last_us is None else min(t - last_us, cap)
+            rem -= spend
+            while rem <= 0:  # flag falls, clock resets
+                n_exp += 1
+                rem += budget
+            last_us = t
+            n += 1
+        state.update((last_us, int(rem), int(n_exp), int(n)))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "consumed_us": [n_exp * budget + (budget - rem)],
+                "n_expirations": [n_exp],
+                "remaining_us": [rem],
+            }
+        )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=CD_OUT_SCHEMA,
+        stateStructType=CD_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+@register(
+    "q80_stream_countdown",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id,
+        LEAST(COALESCE(epoch_us(ts) - epoch_us(LAG(ts) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id)), 0),
+          {CD_CAP_US}) AS spend
+      FROM events),
+    a AS (
+      SELECT user_id, COUNT(*) AS n_events,
+        CAST(SUM(spend) AS BIGINT) AS consumed
+      FROM g GROUP BY user_id)
+    SELECT user_id,
+      CAST(n_events AS BIGINT) AS n_events,
+      consumed AS consumed_us,
+      consumed // {CD_BUDGET_US} AS n_expirations,
+      {CD_BUDGET_US} - (consumed % {CD_BUDGET_US}) AS remaining_us
+    FROM a ORDER BY user_id
+    """,
+)
+def q80_stream_countdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql.window import Window
+
+    from hive_clone_spark.streaming.streams import read_events_stream, run_to_memory
+
+    src = read_events_stream(spark, os.path.join(sf_dir, "events.parque[t]"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(countdown_stream(src), "q80_countdown", output_mode="update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    t = spark.table("q80_countdown")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        t.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id", "n_events", "consumed_us", "n_expirations", "remaining_us"
+        )
+        .orderBy("user_id")
+    )
