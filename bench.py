@@ -22,13 +22,17 @@ query so degraded entries are visible.
 
 Run counts are ADAPTIVE (BASELINE.md protocol, amended when the
 registry reached 120 bench queries and 4 runs/query stopped fitting
-the budget): every query gets the discarded warmup, then 3 measured
-runs if the warmup ran < 0.7 s, 2 if < 6 s, 1 otherwise. Repeats
-exist to median away scheduler jitter, which is a fixed few-hundred-ms
-cost — significant against a 0.3 s query, noise against a 4 s one —
-so spending the budget on re-running the heavies bought nothing while
-forcing the tail of the suite into COLD single runs that measured up
-to 5x their warm medians and tripped the regression gate falsely.
+the budget, re-amended at 138 queries): every query gets the discarded
+warmup, then 2 measured runs if the first measured run took < 2.5 s,
+1 otherwise. Repeats exist to median away scheduler jitter, which is
+a fixed few-hundred-ms cost — significant against a 0.3 s query,
+noise against a 4 s one — so spending the budget on re-running the
+heavies bought nothing while forcing the tail of the suite into COLD
+single runs that measured up to 5x their warm medians and tripped the
+regression gate falsely. At 138 queries even 3 warm runs for the fast
+tier stopped fitting: the third sample bought ~50 ms of median
+stability per query while pushing the alphabetical tail (q69+) into
+cold single runs — strictly worse.
 """
 
 from __future__ import annotations
@@ -50,6 +54,26 @@ EXCLUDE_PREFIXES = ("g_",)
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "450"))
+# Session recycling (round-6 fix for the r4→r5 uniform bench drift):
+# a single SparkSession serving 130+ queries ages — accumulated
+# localCheckpoint blocks, listener/UI state, catalog entries and
+# codegen caches grow per query, and NOTES.md measured q68 at 10.5 s
+# in the aged session vs 1.7 s warm and p_semantic_dedup at 6.1 s aged
+# vs 2.1-2.6 s fresh. Restarting the session every N queries drops the
+# accumulated state while the JVM (JIT, parquet footers re-warmed
+# below) stays hot; each query still pays its own discarded warmup, so
+# codegen-cache loss doesn't leak into samples. Restart + re-warm time
+# is NOT counted against the measured-time budget.
+RECYCLE_EVERY = int(os.environ.get("SPARK_GRAFT_BENCH_RECYCLE", "32"))
+
+
+def _fresh_session(sf_dir: str):
+    spark = get_spark(app_name="hive-clone-spark-bench")
+    # Warm up the JVM / parquet footer caches with throwaway actions on
+    # each fact table the query families scan.
+    for t in ("lineitem", "events", "documents", "embeddings"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+    return spark
 
 
 def main() -> None:
@@ -57,21 +81,21 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
     registry.load_all_modules()
-    spark = get_spark(app_name="hive-clone-spark-bench")
-
-    # Warm up the JVM / parquet footer caches with throwaway actions on
-    # each fact table the query families scan.
-    for t in ("lineitem", "events", "documents", "embeddings"):
-        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+    spark = _fresh_session(sf_dir)
 
     runs: dict[str, list[float]] = {}
     medians: dict[str, float] = {}
     targets: dict[str, int] = {}
     cold_only: list[str] = []
     spent = 0.0
+    n_run = 0
     for name in sorted(registry.QUERIES):
         if name.startswith(EXCLUDE_PREFIXES):
             continue
+        if RECYCLE_EVERY > 0 and n_run > 0 and n_run % RECYCLE_EVERY == 0:
+            spark.stop()
+            spark = _fresh_session(sf_dir)
+        n_run += 1
         fn = registry.QUERIES[name]
         samples: list[float] = []
         # one discarded warmup run per query: the first execution pays
@@ -115,7 +139,7 @@ def main() -> None:
             spent += dt
             samples.append(round(dt, 4))
             if i == 0:
-                n_measured = min(RUNS, 3 if dt < 0.7 else (2 if dt < 6.0 else 1))
+                n_measured = min(RUNS, 2 if dt < 2.5 else 1)
                 targets[name] = n_measured
             if len(samples) >= n_measured or spent > BUDGET_SEC:
                 break
@@ -137,6 +161,7 @@ def main() -> None:
                 "runs_per_query": runs,
                 "runs": RUNS,
                 "budget_sec": BUDGET_SEC,
+                "recycle_every": RECYCLE_EVERY,
                 "degraded_queries": degraded,
                 "cold_only_queries": cold_only,
                 "sf": sf,

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_clone_spark.catalog import table
+from hive_clone_spark.pipeline.common import spread
 from hive_clone_spark.registry import register
 
 
@@ -147,7 +148,7 @@ def p_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _cp.register_pickle_by_value(_mod)
 
-    ids = table(spark, sf_dir, "documents").select("doc_id")
+    ids = spread(table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth_batches(batches):
         for pdf in batches:
@@ -254,7 +255,7 @@ def p_audio_framestats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _cp.register_pickle_by_value(_mod)
 
-    ids = table(spark, sf_dir, "documents").select("doc_id")
+    ids = spread(table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth_batches(batches):
         for pdf in batches:

@@ -74,3 +74,19 @@ def sql_cosine(a: str, b: str) -> str:
         f"({sql_dot(a, b)} / "
         f"(sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)})))"
     )
+
+
+def spread(df):
+    """Round-robin repartition to the session's core count, used right
+    before Python-heavy (mapInPandas codec) stages.
+
+    The driver testdata ships each table as ONE tiny parquet file
+    (documents.parquet at sf0.1 is 0.6 MB), so the scan is a single
+    split and everything downstream of it — including a per-image
+    decode — would run on ONE core. In production the payload scan has
+    hundreds of natural splits and this is redundant; here it shuffles
+    a handful of id/payload rows once, orders of magnitude less work
+    than the decode it parallelizes. (Round-6 fix: the PNG mix-in made
+    single-threaded decode visible — p_image_decode 1.2 s → 7.9 s —
+    because the whole codec family inherited the 1-split scan.)"""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)

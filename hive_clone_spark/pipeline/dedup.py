@@ -747,7 +747,8 @@ def _semantic_dedup(
     e = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", xs.alias("xs"), F.sqrt(dot_col(xs, xs)).alias("norm"))
-        .localCheckpoint(eager=True)  # consumers: seeds, train, assign, pairs
+        # lazy: the count() below materializes it (one job, not two)
+        .localCheckpoint(eager=False)  # consumers: seeds, train, assign, pairs
     )
     # One parquet-footer count sizes k — a stats lookup, not a data scan;
     # at 100 TB this reads row-group metadata only.
@@ -819,7 +820,7 @@ def _semantic_dedup(
         )
 
     assigned = _cosine_assign(cents).localCheckpoint(
-        eager=True
+        eager=False  # lazy: first consumer materializes it
     )  # consumers: cap window, totals
     wcap = Window.partitionBy("cent_id").orderBy("vec_id")
     memb = (
@@ -977,19 +978,22 @@ def p_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Fuzzy entity matching: blocked Levenshtein join over part names —
 # the classic entity-resolution shape (near-identical product names
 # that exact dedup can't link). ALL-PAIRS edit distance is quadratic,
-# so candidate pairs are generated only WITHIN a blocking key (first
-# word of the name — a cheap standard blocker), the block size is
-# hard-capped (_FUZZY_BLK_CAP smallest partkeys per block, a
-# deterministic per-block rank — the q69 skew lesson applied at design
-# time: one hot block must not emit |block|² pairs unbounded), and the
-# result set is bounded (top _FUZZY_TOPK pairs by distance under a
-# total order). Levenshtein itself runs JVM-side (built-in
-# F.levenshtein == DuckDB levenshtein: unit-cost ins/del/sub).
+# so candidate pairs are generated only WITHIN a blocking key — the
+# first TWO words of the name. Blocker selectivity is a measured
+# choice, not a default: this corpus has only 8 distinct first words
+# (2,500-row blocks → 25M pairs, benched at 6-10 s), while the 2-word
+# prefix gives 64 blocks of ~312 (3.1M pairs). The block size is
+# additionally hard-capped (_FUZZY_BLK_CAP smallest partkeys per
+# block, a deterministic per-block rank — the q69 skew lesson applied
+# at design time), and the result set is bounded (top _FUZZY_TOPK
+# pairs under a total order). Levenshtein itself runs JVM-side
+# (built-in F.levenshtein == DuckDB levenshtein: unit-cost
+# ins/del/sub).
 #
 # At 100 TB: one shuffle on the block key; per-block fan-out ≤ cap²;
-# TakeOrdered for the top-k (no global sort). The cap is part of the
-# operator contract (oracle applies it identically), not a silent
-# truncation.
+# TakeOrdered for the top-k (no global sort). The cap and the blocker
+# are part of the operator contract (oracle applies them identically),
+# not silent truncation.
 # ---------------------------------------------------------------------------
 _FUZZY_BLK_CAP = 1000
 _FUZZY_MAXDIST = 12
@@ -1003,12 +1007,15 @@ _FUZZY_TOPK = 100
       SELECT p_partkey, p_name FROM (
         SELECT p_partkey, p_name,
           ROW_NUMBER() OVER (
-            PARTITION BY str_split(p_name, ' ')[1]
+            PARTITION BY str_split(p_name, ' ')[1] || '_'
+                         || str_split(p_name, ' ')[2]
             ORDER BY p_partkey) AS rn
         FROM part)
       WHERE rn <= {_FUZZY_BLK_CAP}),
     blocked AS (
-      SELECT str_split(p_name, ' ')[1] AS blk, p_partkey, p_name
+      SELECT str_split(p_name, ' ')[1] || '_' || str_split(p_name, ' ')[2]
+               AS blk,
+             p_partkey, p_name
       FROM capped),
     pairs AS (
       SELECT a.p_partkey AS key1, b.p_partkey AS key2,
@@ -1025,10 +1032,11 @@ _FUZZY_TOPK = 100
 def p_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    w = F.split(F.col("p_name"), " ")
     p = table(spark, sf_dir, "part").select(
         "p_partkey",
         "p_name",
-        F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+        F.concat(w.getItem(0), F.lit("_"), w.getItem(1)).alias("blk"),
     )
     wblk = Window.partitionBy("blk").orderBy("p_partkey")
     capped = (
@@ -1036,11 +1044,26 @@ def p_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _FUZZY_BLK_CAP)
         .drop("rn")
     )
+    # Fan-out-aware parallelism: AQE sizes this stage by its INPUT
+    # bytes (20k names, ~1 MB) and coalesces to one task, but the cost
+    # is the OUTPUT (3.1M pairs × levenshtein) — amplification AQE
+    # can't see. A blk-keyed repartition gets optimized away (the cap
+    # window's exchange already satisfies it) and its read coalesced;
+    # the robust shape is an explicit ROUND-ROBIN repartition on the
+    # probe side (user-specified numPartitions is never coalesced) +
+    # a broadcast build side, so the pair fan-out and the distance
+    # computation run on every core with no post-join exchange at all.
+    # The block cap bounds the broadcast at cap×|blocks| rows; at
+    # corpus scales where that no longer broadcasts, drop the hint and
+    # pre-split hot blocks instead (the q37 salting pattern).
+    par = spark.sparkContext.defaultParallelism
     a = capped.select(
         F.col("blk"), F.col("p_partkey").alias("key1"), F.col("p_name").alias("n1")
-    )
-    b = capped.select(
-        F.col("blk"), F.col("p_partkey").alias("key2"), F.col("p_name").alias("n2")
+    ).repartition(par)
+    b = F.broadcast(
+        capped.select(
+            F.col("blk"), F.col("p_partkey").alias("key2"), F.col("p_name").alias("n2")
+        )
     )
     pairs = (
         a.join(b, "blk")

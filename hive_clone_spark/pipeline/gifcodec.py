@@ -36,6 +36,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
 from hive_clone_spark.catalog import table
+from hive_clone_spark.pipeline.common import spread
 from hive_clone_spark.registry import register
 
 _GIF_MAX_CODE = 4096
@@ -311,7 +312,7 @@ def p_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _cp.register_pickle_by_value(_mod)
 
-    ids = table(spark, sf_dir, "documents").select("doc_id")
+    ids = spread(table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth_batches(batches):
         for pdf in batches:

@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_clone_spark.catalog import table
+from hive_clone_spark.pipeline.common import spread
 from hive_clone_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -383,7 +384,7 @@ def _synth_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _cp.register_pickle_by_value(_mod)
 
-    ids = table(spark, sf_dir, "documents").select("doc_id")
+    ids = spread(table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth_batches(batches):
         for pdf in batches:
@@ -538,7 +539,7 @@ def p_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _cp.register_pickle_by_value(_mod)
 
-    ids = table(spark, sf_dir, "documents").select("doc_id")
+    ids = spread(table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth_pair_batches(batches):
         # pairs share content: dims+pixels derive from grp = doc_id//2,

@@ -16,6 +16,7 @@ from hive_clone_spark.pipeline.common import (
     MOD,
     SQL_WORDS,
     portable_hash,
+    spread,
     sql_portable_hash,
     words_col,
 )
@@ -1086,7 +1087,9 @@ def p_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     merges = bpe_train_merges(spark, vocab, _BPE_ITERS)
-    dw = d.select(
+    # spread: the 1-split testdata scan would otherwise run the whole
+    # explode + replace-chain on one core (see common.spread)
+    dw = spread(d).select(
         "doc_id", F.explode(words_col(F.col("text"))).alias("w")
     ).select("doc_id", F.lower("w").alias("word"))
     s = F.concat(

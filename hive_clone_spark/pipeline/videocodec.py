@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_clone_spark.catalog import table
+from hive_clone_spark.pipeline.common import spread
 from hive_clone_spark.registry import register
 
 _MAGIC = b"YUV4MPEG2"
@@ -190,7 +191,7 @@ def p_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _cp.register_pickle_by_value(_mod)
 
-    ids = table(spark, sf_dir, "documents").select("doc_id")
+    ids = spread(table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth_batches(batches):
         for pdf in batches:
@@ -268,7 +269,7 @@ def p_video_framestats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _cp.register_pickle_by_value(_mod)
 
-    ids = table(spark, sf_dir, "documents").select("doc_id")
+    ids = spread(table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth_batches(batches):
         for pdf in batches:

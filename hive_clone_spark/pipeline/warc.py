@@ -257,8 +257,13 @@ def p_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload = synth_warc_file([(int(i), str(t)) for i, t in rows])
         return pd.DataFrame({"bucket": [pdf["bucket"].iloc[0]], "payload": [payload]})
 
-    files = docs.groupBy("bucket").applyInPandas(
-        build_files, "bucket BIGINT, payload BINARY"
+    # bucket-keyed repartition (exempt from AQE coalescing) so the
+    # per-file build + parse parallelize despite the 1-split testdata
+    # scan; groupBy reuses the same hash partitioning — no 2nd exchange
+    files = (
+        docs.repartition(spark.sparkContext.defaultParallelism, "bucket")
+        .groupBy("bucket")
+        .applyInPandas(build_files, "bucket BIGINT, payload BINARY")
     )
 
     def parse_batches(batches):
