@@ -54,6 +54,7 @@ def load_all_modules() -> None:
     from hive_clone_spark.pipeline import jpegcodec  # noqa: F401
     from hive_clone_spark.pipeline import warc  # noqa: F401
     from hive_clone_spark.pipeline import gifcodec  # noqa: F401
+    from hive_clone_spark.pipeline import webdataset  # noqa: F401
     from hive_clone_spark.pipeline import audiocodec  # noqa: F401
     from hive_clone_spark.pipeline import videocodec  # noqa: F401
     from hive_clone_spark.pipeline import sampling  # noqa: F401
