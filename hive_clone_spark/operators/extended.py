@@ -2122,3 +2122,182 @@ def q77_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q81 — gap filling with LINEAR INTERPOLATION: q49 densifies the
+# calendar and carries the last value forward; this is the other
+# standard resample mode — interior missing days get the straight-line
+# value between their surrounding known points (what metric and sensor
+# pipelines call `interpolate(method="linear")`). The spine spans each
+# user's own (min, max) known days, so every gap is interior and the
+# interpolant is total.
+#
+# Exactness: known daily points are 6-dp-rounded doubles; the
+# interpolant is computed with the IDENTICAL expression shape on both
+# engines — prev + (next - prev) * (CAST(da AS DOUBLE) / CAST(db AS
+# DOUBLE)) — so the doubles agree bit-for-bit before the final round.
+#
+# Scale design: same as q49 — per-user spine (never a global calendar
+# cross join), one user_id shuffle; the backward- and forward-looking
+# windows share one partitioning and one ascending sort.
+# ---------------------------------------------------------------------------
+@register(
+    "q81_interpolate",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             COUNT(*) AS n, ROUND(MAX(value), 6) AS v
+      FROM events GROUP BY user_id, CAST(ts AS DATE)),
+    span AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id),
+    spine AS (
+      SELECT user_id, CAST(d AS DATE) AS day
+      FROM span, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS t(d)),
+    joined AS (
+      SELECT s.user_id, s.day, COALESCE(dl.n, 0) AS n_events, dl.v
+      FROM spine s LEFT JOIN daily dl
+        ON dl.user_id = s.user_id AND dl.day = s.day),
+    ctx AS (
+      SELECT user_id, day, n_events, v,
+        LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+        LAST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+          OVER wp AS pd,
+        FIRST_VALUE(v IGNORE NULLS) OVER wf AS nv,
+        FIRST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+          OVER wf AS nd
+      FROM joined
+      WINDOW
+        wp AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n_events,
+      (v IS NOT NULL) AS known,
+      CASE WHEN v IS NOT NULL THEN v
+           ELSE ROUND(pv + (nv - pv)
+             * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                / CAST(date_diff('day', pd, nd) AS DOUBLE)), 6)
+      END AS value
+    FROM ctx ORDER BY user_id, day
+    """,
+)
+def q81_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n"), F.round(F.max("value"), 6).alias("v")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id", "day", F.coalesce("n", F.lit(0)).alias("n_events"), "v"
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    kday = F.when(F.col("v").isNotNull(), F.col("day"))
+    ctx = joined.select(
+        "user_id",
+        "day",
+        "n_events",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(kday, ignorenulls=True).over(wp).alias("pd"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(kday, ignorenulls=True).over(wf).alias("nd"),
+    )
+    interp = F.round(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (
+            F.datediff(F.col("day"), F.col("pd")).cast("double")
+            / F.datediff(F.col("nd"), F.col("pd")).cast("double")
+        ),
+        6,
+    )
+    return ctx.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        F.col("v").isNotNull().alias("known"),
+        F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp).alias("value"),
+    ).orderBy("user_id", "day")
+
+
+# ---------------------------------------------------------------------------
+# Q82 — nested semi-join chain with a HAVING gate (the TPC-H Q20
+# shape, adapted to this schema — there is no partsupp table): name
+# the suppliers who, for at least one forest-family part, shipped more
+# than 80 units of it during 1995. Two nested IN-subqueries with an
+# aggregate between them; Catalyst lowers both to left-semi joins and
+# the aggregate's group count bounds the inner result.
+#
+# Scale design: the part-name filter runs at the part scan and
+# broadcast-semi-joins into lineitem (small build side); the
+# (suppkey, partkey) aggregate is one shuffle with map-side partial
+# SUM; the outer supplier semi join broadcasts the distinct qualifying
+# suppkeys. No row of lineitem is carried wider than (suppkey,
+# partkey, qty).
+# ---------------------------------------------------------------------------
+@register(
+    "q82_nested_semijoin",
+    oracle="""
+    SELECT s_name, s_nationkey
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (
+        SELECT p_partkey FROM part
+        WHERE p_name LIKE 'forest%' OR p_name LIKE '%forest%')
+        AND l_shipdate >= DATE '1995-01-01'
+        AND l_shipdate < DATE '1996-01-01'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(l_quantity) > 80)
+    ORDER BY s_name
+    """,
+)
+def q82_nested_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part").where(
+        F.col("p_name").like("forest%") | F.col("p_name").like("%forest%")
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+        )
+        .join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+    )
+    qualifying = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 80)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = table(spark, sf_dir, "supplier")
+    return (
+        s.join(
+            F.broadcast(qualifying),
+            s.s_suppkey == qualifying.l_suppkey,
+            "left_semi",
+        )
+        .select("s_name", "s_nationkey")
+        .orderBy("s_name")
+    )
