@@ -2301,3 +2301,45 @@ def q82_nested_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_nationkey")
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q83 — join-key skew report: the diagnostic you run BEFORE picking a
+# join strategy at scale — per-key frequency of lineitem.l_partkey,
+# top-20 hottest keys with parts-per-million share, plus each key's
+# multiple of the mean key load. One map-side-combined groupBy and a
+# TakeOrdered; no global sort, no window. (This repo's own salting and
+# cap decisions — q37, q69, p_fuzzy_match — are what this query's
+# output feeds.)
+# ---------------------------------------------------------------------------
+@register(
+    "q83_skew_report",
+    oracle="""
+    WITH c AS (
+      SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS nkeys FROM c)
+    SELECT l_partkey, CAST(cnt AS BIGINT) AS cnt,
+      CAST((cnt * 1000000) // t.total AS BIGINT) AS ppm,
+      CAST((cnt * 100 * t.nkeys) // t.total AS BIGINT) AS pct_of_mean
+    FROM c, t
+    ORDER BY cnt DESC, l_partkey LIMIT 20
+    """,
+)
+def q83_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    t = c.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("nkeys")
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "l_partkey",
+            "cnt",
+            F.expr("cnt * 1000000 div total").alias("ppm"),
+            F.expr("cnt * 100 * nkeys div total").alias("pct_of_mean"),
+        )
+        .orderBy(F.desc("cnt"), "l_partkey")
+        .limit(20)
+    )

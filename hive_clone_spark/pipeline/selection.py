@@ -619,3 +619,109 @@ def p_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         wgt.alias("score_sum"),
         (wgt >= 0).alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Preference-pair mining: build (chosen, rejected) document pairs for
+# DPO/RLHF-style training — within each (source, bucket) stratum the
+# highest-scoring document is paired against the lowest. The score is
+# the shipped linear model p_quality_classifier serves (same hash/
+# weight rule), so the pipeline composes: score -> stratify -> pair.
+# Tie-breaks are total (score, then doc_id), making the pair table
+# deterministic.
+#
+# At 100 TB: one scan computes scores (zero-shuffle HOFs), one
+# groupBy (source, bucket) with MAP-SIDE max/min-of-struct partial
+# aggregation — the n-row corpus collapses to 4x|sources| rows before
+# the shuffle. No window over the corpus, no sort.
+# ---------------------------------------------------------------------------
+_PP_BUCKETS = 4
+
+
+@register(
+    "p_pref_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+        {SQL_WORDS.format(expr="lower(text)")} AS ws
+      FROM documents),
+    feats AS (
+      SELECT doc_id, source,
+        ws || list_transform(
+          generate_series(1, greatest(len(ws) - 1, 0)),
+          i -> ws[i] || '_' || ws[i + 1]) AS fs
+      FROM toks),
+    scored AS (
+      SELECT doc_id, source, doc_id % {_PP_BUCKETS} AS bucket,
+        CAST(COALESCE({_qc_wgt_sql("fs")}, 0) AS BIGINT) AS score
+      FROM feats),
+    ranked AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY source, bucket
+                           ORDER BY score DESC, doc_id) AS rc,
+        ROW_NUMBER() OVER (PARTITION BY source, bucket
+                           ORDER BY score ASC, doc_id) AS rr
+      FROM scored)
+    SELECT c.source, CAST(c.bucket AS BIGINT) AS bucket,
+      c.doc_id AS chosen_id, r.doc_id AS rejected_id,
+      c.score AS chosen_score, r.score AS rejected_score,
+      c.score - r.score AS margin
+    FROM (SELECT * FROM ranked WHERE rc = 1) c
+    JOIN (SELECT * FROM ranked WHERE rr = 1) r USING (source, bucket)
+    WHERE c.doc_id <> r.doc_id
+    ORDER BY source, bucket
+    """,
+)
+def p_pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    ws = words_col(F.lower(F.col("text")))
+    t = d.select("doc_id", "source", ws.alias("ws"))
+    bigrams = F.when(
+        F.size("ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 1),
+            lambda i: F.concat(
+                F.element_at(F.col("ws"), i),
+                F.lit("_"),
+                F.element_at(F.col("ws"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    f = t.select("doc_id", "source", F.concat(F.col("ws"), bigrams).alias("fs"))
+    wgt = F.aggregate(
+        F.transform(
+            F.col("fs"),
+            lambda tok: (portable_hash(tok) % _QC_BUCKETS) * _QC_KNUTH % 1001 - 500,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = f.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % _PP_BUCKETS).alias("bucket"),
+        wgt.alias("score"),
+    )
+    # arg-max/min as max/min-of-struct: partial-aggregates map-side, so
+    # the shuffle carries 4x|sources| rows, not the corpus
+    agg = scored.groupBy("source", "bucket").agg(
+        F.max(
+            F.struct(F.col("score").alias("s"), (-F.col("doc_id")).alias("nid"))
+        ).alias("c"),
+        F.min(
+            F.struct(F.col("score").alias("s"), F.col("doc_id").alias("id"))
+        ).alias("r"),
+    )
+    return (
+        agg.select(
+            "source",
+            F.col("bucket").cast("long").alias("bucket"),
+            (-F.col("c.nid")).alias("chosen_id"),
+            F.col("r.id").alias("rejected_id"),
+            F.col("c.s").alias("chosen_score"),
+            F.col("r.s").alias("rejected_score"),
+            (F.col("c.s") - F.col("r.s")).alias("margin"),
+        )
+        .where(F.col("chosen_id") != F.col("rejected_id"))
+        .orderBy("source", "bucket")
+    )
