@@ -54,17 +54,17 @@ EXCLUDE_PREFIXES = ("g_",)
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "450"))
-# Session recycling (round-6 fix for the r4→r5 uniform bench drift):
-# a single SparkSession serving 130+ queries ages — accumulated
-# localCheckpoint blocks, listener/UI state, catalog entries and
-# codegen caches grow per query, and NOTES.md measured q68 at 10.5 s
-# in the aged session vs 1.7 s warm and p_semantic_dedup at 6.1 s aged
-# vs 2.1-2.6 s fresh. Restarting the session every N queries drops the
-# accumulated state while the JVM (JIT, parquet footers re-warmed
-# below) stays hot; each query still pays its own discarded warmup, so
-# codegen-cache loss doesn't leak into samples. Restart + re-warm time
-# is NOT counted against the measured-time budget.
-RECYCLE_EVERY = int(os.environ.get("SPARK_GRAFT_BENCH_RECYCLE", "32"))
+# Session recycling: restart the SparkSession every N queries
+# (re-warming footer caches; restart time is NOT counted against the
+# measured budget). DEFAULT OFF — the round-6 A/B (NOTES.md) measured
+# NO session-aging effect (fresh 16.07 s vs aged 15.15 s on a
+# 12-query sample; the r5 "q68 at 10.5 s aged" reading did not
+# reproduce), and with 140+ queries the ~5 restarts cost ~60 s of
+# wall clock that is better left as headroom under the driver's
+# invocation timeout. The machinery stays behind the env var for
+# future A/Bs. The r4→r5 drift root causes were elsewhere: see
+# SCALE.md "Round 6: the bench-drift diagnosis".
+RECYCLE_EVERY = int(os.environ.get("SPARK_GRAFT_BENCH_RECYCLE", "0"))
 
 
 def _fresh_session(sf_dir: str):
