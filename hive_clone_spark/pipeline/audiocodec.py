@@ -301,3 +301,141 @@ def p_audio_framestats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_abs BIGINT, n_zc BIGINT"
     )
     return payloads.mapInPandas(stats_batches, schema).orderBy("doc_id", "win_id")
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law companding — the audio family's COMPRESSED format
+# (8-bit logarithmic telephony coding; every callcenter/VoIP corpus
+# arrives in it). Pure integer algorithm, so the full
+# encode→decode→error loop sits under the exact value-hash oracle:
+#
+#   encode: sign, clip |x| at 32635, bias +132, exponent = segment
+#           index (how many of 256,512,...,16384 the biased value
+#           reaches), mantissa = (b >> (e+3)) & 15, byte = ~(s|e<<4|m)
+#   decode: b = ((m*8 + 132) << e) - 132, signed
+#
+# The oracle reproduces BOTH directions with integer CASE/boolean-sum
+# arithmetic (no log2 — float edges at powers of two would be a
+# correctness trap). Quantization error is bounded by 2^e * 8, which
+# the max_abs_err column demonstrates per doc.
+#
+# Scale: same Arrow plumbing as decode_wav; numpy-vectorized
+# searchsorted segments, zero Python loops per sample.
+# ---------------------------------------------------------------------------
+_MU_BIAS = 132
+_MU_CLIP = 32635
+_MU_SEGS = np.array([256, 512, 1024, 2048, 4096, 8192, 16384], dtype=np.int64)
+
+
+def mulaw_encode(x: np.ndarray) -> np.ndarray:
+    """int16 PCM -> uint8 mu-law bytes (vectorized G.711)."""
+    x = x.astype(np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    a = np.minimum(np.abs(x), _MU_CLIP) + _MU_BIAS
+    e = (a[:, None] >= _MU_SEGS[None, :]).sum(axis=1)
+    m = (a >> (e + 3)) & 0x0F
+    return (~(sign | (e << 4) | m) & 0xFF).astype(np.uint8)
+
+
+def mulaw_decode(u: np.ndarray) -> np.ndarray:
+    """uint8 mu-law bytes -> int16 PCM."""
+    b = (~u.astype(np.int64)) & 0xFF
+    sign = b & 0x80
+    e = (b >> 4) & 0x07
+    m = b & 0x0F
+    x = ((m * 8 + _MU_BIAS) << e) - _MU_BIAS
+    return np.where(sign != 0, -x, x).astype(np.int16)
+
+
+def _mu_sql_decoded(i: str = "i") -> str:
+    """Pure-expression SQL for decode(encode(sample(i))) — DuckDB list
+    lambdas cannot bind intermediates or contain subqueries, so the
+    shared terms are textually inlined (verbose but exact)."""
+    x = f"(((doc_id * 31 + {i} * 7) % 66001) - 33000)"
+    a = f"(LEAST(abs({x}), 32635) + 132)"
+    e = (
+        f"(CAST({a} >= 256 AS INT) + CAST({a} >= 512 AS INT)"
+        f" + CAST({a} >= 1024 AS INT) + CAST({a} >= 2048 AS INT)"
+        f" + CAST({a} >= 4096 AS INT) + CAST({a} >= 8192 AS INT)"
+        f" + CAST({a} >= 16384 AS INT))"
+    )
+    p = (
+        f"(CASE {e} WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4"
+        f" WHEN 3 THEN 8 WHEN 4 THEN 16 WHEN 5 THEN 32 WHEN 6 THEN 64"
+        f" ELSE 128 END)"
+    )
+    m = f"(({a} // (8 * {p})) % 16)"
+    dec = f"((({m} * 8 + 132) * {p}) - 132)"
+    return f"(CASE WHEN {x} < 0 THEN -{dec} ELSE {dec} END)"
+
+
+@register(
+    "p_audio_mulaw",
+    # Per doc: n_samples, decoded-sample sum, total and max absolute
+    # quantization error — every column integer-exact on both sides.
+    # A wrong segment boundary, mantissa shift, bias, or sign fold
+    # shifts the sums and fails the hash.
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, CAST(1 + (doc_id * 13) % 256 AS BIGINT) AS n
+      FROM documents),
+    dec AS (
+      SELECT doc_id, n,
+        list_transform(generate_series(0, n - 1),
+          i -> {_mu_sql_decoded("i")}) AS ds,
+        list_transform(generate_series(0, n - 1),
+          i -> LEAST(GREATEST(((doc_id * 31 + i * 7) % 66001) - 33000,
+                              -32768), 32767)) AS xs
+      FROM dims)
+    SELECT doc_id,
+      CAST(n AS BIGINT) AS n_samples,
+      CAST(list_sum(ds) AS BIGINT) AS sum_decoded,
+      CAST(list_sum(list_transform(generate_series(1, n),
+        k -> abs(ds[k] - xs[k]))) AS BIGINT) AS sum_abs_err,
+      CAST(list_max(list_transform(generate_series(1, n),
+        k -> abs(ds[k] - xs[k]))) AS BIGINT) AS max_abs_err
+    FROM dec ORDER BY doc_id
+    """,
+)
+def p_audio_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 mu-law companding loop: synthesize int16 PCM (with
+    clipping-range samples), encode to genuine 8-bit mu-law bytes,
+    decode back, and report quantization-error stats the oracle
+    recomputes with pure integer SQL."""
+    import pandas as pd
+
+    from pyspark import cloudpickle as _cp
+    import hive_clone_spark.pipeline.audiocodec as _mod
+
+    _cp.register_pickle_by_value(_mod)
+
+    ids = spread(table(spark, sf_dir, "documents").select("doc_id"))
+
+    def mulaw_batches(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 1 + (doc_id * 13) % 256
+                i = np.arange(n, dtype=np.int64)
+                x = ((doc_id * 31 + i * 7) % 66001) - 33000
+                x = np.clip(x, -32768, 32767).astype(np.int16)
+                u = mulaw_encode(x)
+                d = mulaw_decode(u).astype(np.int64)
+                err = np.abs(d - x.astype(np.int64))
+                rows.append(
+                    (doc_id, n, int(d.sum()), int(err.sum()), int(err.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sum_decoded",
+                    "sum_abs_err", "max_abs_err",
+                ],
+            )
+
+    return ids.mapInPandas(
+        mulaw_batches,
+        "doc_id BIGINT, n_samples BIGINT, sum_decoded BIGINT, "
+        "sum_abs_err BIGINT, max_abs_err BIGINT",
+    ).orderBy("doc_id")

@@ -1076,3 +1076,156 @@ def p_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist") <= _FUZZY_MAXDIST)
     )
     return pairs.orderBy("dist", "key1", "key2").limit(_FUZZY_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# INCREMENTAL dedup: the production shape — dedup is rarely a one-shot
+# corpus job; every ingest day a NEW BATCH is checked against the
+# accumulated HISTORY (whose band index is persisted and reused, not
+# recomputed). Here the split is deterministic (doc_id % 10 == 0 is
+# today's batch, the rest is history), the batch's MinHash bands probe
+# the history's band index, and each batch doc reports its candidate
+# count, best-matching historical doc (max jaccard, ties to the
+# smaller doc_id), and a duplicate verdict at tau = 0.5.
+#
+# At 100 TB: the asymmetry is the point — the band join's probe side
+# is ONLY the new batch (~1/10th here; a day's ingest in production),
+# the history band index is loaded from its persisted form (one column
+# family, pre-bucketed by band_key), and exact-jaccard verification
+# touches only candidate pairs. Incremental cost scales with the batch
+# and its collisions, never with |history|.
+# ---------------------------------------------------------------------------
+_INC_TAU = 0.5
+
+
+@register(
+    "p_dedup_incremental",
+    oracle=f"""
+    WITH {_sql_minhash()},
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band, CAST(mh{2*b} AS VARCHAR) || ':' || CAST(mh{2*b+1} AS VARCHAR) AS band_key FROM mh"
+          for b in range(8)
+      )}),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_doc, h.doc_id AS hist_doc
+      FROM bands n JOIN bands h
+        ON n.band = h.band AND n.band_key = h.band_key
+      WHERE n.doc_id % 10 = 0 AND h.doc_id % 10 <> 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.new_doc, c.hist_doc, COUNT(*) AS ninter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.new_doc
+      JOIN sh sb ON sb.doc_id = c.hist_doc AND sa.h = sb.h
+      GROUP BY c.new_doc, c.hist_doc),
+    scored AS (
+      SELECT c.new_doc, c.hist_doc,
+        ROUND(CAST(COALESCE(i.ninter, 0) AS DOUBLE)
+              / (za.n + zb.n - COALESCE(i.ninter, 0)), 6) AS jaccard
+      FROM cand c
+      LEFT JOIN inter i ON i.new_doc = c.new_doc AND i.hist_doc = c.hist_doc
+      JOIN sizes za ON za.doc_id = c.new_doc
+      JOIN sizes zb ON zb.doc_id = c.hist_doc),
+    best AS (
+      SELECT new_doc, COUNT(*) AS n_candidates,
+        MIN(CASE WHEN rn = 1 THEN hist_doc END) AS best_hist_doc,
+        MIN(CASE WHEN rn = 1 THEN jaccard END) AS best_jaccard
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY new_doc
+              ORDER BY jaccard DESC, hist_doc) AS rn
+            FROM scored)
+      GROUP BY new_doc)
+    SELECT new_doc, CAST(n_candidates AS BIGINT) AS n_candidates,
+      best_hist_doc, best_jaccard,
+      (best_jaccard >= {_INC_TAU}) AS is_dup
+    FROM best ORDER BY new_doc
+    """,
+)
+def p_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    ssets = (
+        d.select("doc_id", words_col(F.col("text")).alias("words"))
+        .select("doc_id", F.explode(shingles_col(F.col("words"))).alias("shingle"))
+        .select("doc_id", (portable_hash(F.col("shingle")) % MOD).alias("h"))
+        .dropDuplicates(["doc_id", "h"])
+        .localCheckpoint(eager=False)  # consumers: minhash + both verify legs
+    )
+    aggs = [
+        F.min((F.lit(_A[i]) * F.col("h") + F.lit(_B[i])) % MOD).alias(f"mh{i}")
+        for i in range(N_HASH)
+    ]
+    mh = ssets.groupBy("doc_id").agg(*aggs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ":",
+                    F.col(f"mh{2*b}").cast("string"),
+                    F.col(f"mh{2*b+1}").cast("string"),
+                ).alias("band_key"),
+            )
+            for b in range(8)
+        ]
+    )
+    bands = mh.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    # asymmetric probe: new batch (small) probes the history index
+    new_bands = bands.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("new_doc"), "band", "band_key"
+    )
+    hist_bands = bands.where(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("hist_doc"), "band", "band_key"
+    )
+    cand = (
+        new_bands.join(hist_bands, ["band", "band_key"])
+        .select("new_doc", "hist_doc")
+        .dropDuplicates(["new_doc", "hist_doc"])
+    )
+    sizes = ssets.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(ssets.alias("sa"), F.col("sa.doc_id") == F.col("new_doc"))
+        .join(
+            ssets.alias("sb"),
+            (F.col("sb.doc_id") == F.col("hist_doc"))
+            & (F.col("sa.h") == F.col("sb.h")),
+        )
+        .groupBy("new_doc", "hist_doc")
+        .agg(F.count("*").alias("ninter"))
+    )
+    scored = (
+        cand.join(inter, ["new_doc", "hist_doc"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("new_doc"), F.col("n").alias("na")),
+            ["new_doc"],
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("hist_doc"), F.col("n").alias("nb")),
+            ["hist_doc"],
+        )
+        .select(
+            "new_doc",
+            "hist_doc",
+            F.round(
+                F.coalesce(F.col("ninter"), F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("ninter"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    best = scored.groupBy("new_doc").agg(
+        F.count("*").alias("n_candidates"),
+        F.max(
+            F.struct(F.col("jaccard").alias("j"), (-F.col("hist_doc")).alias("nh"))
+        ).alias("m"),
+    )
+    return best.select(
+        "new_doc",
+        "n_candidates",
+        (-F.col("m.nh")).alias("best_hist_doc"),
+        F.col("m.j").alias("best_jaccard"),
+        (F.col("m.j") >= _INC_TAU).alias("is_dup"),
+    ).orderBy("new_doc")

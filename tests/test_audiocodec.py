@@ -77,3 +77,46 @@ def test_synth_wav_is_real_and_decodable():
         for ch in range(c):
             want = ((doc_id * 31 + i * 7 + ch * 97) % 4001) - 2000
             np.testing.assert_array_equal(samples[:, ch].astype(np.int64), want)
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law companding (round-6 addition)
+# ---------------------------------------------------------------------------
+def test_mulaw_full_range_roundtrip_error_bounded():
+    import numpy as np
+
+    from hive_clone_spark.pipeline.audiocodec import mulaw_decode, mulaw_encode
+
+    x = np.arange(-32768, 32768, dtype=np.int32).astype(np.int16)
+    d = mulaw_decode(mulaw_encode(x)).astype(np.int64)
+    err = np.abs(d - x.astype(np.int64))
+    # error is segment-proportional: exact near zero, <= ~1024 at clip
+    assert err[32768 - 64 : 32768 + 64].max() <= 4
+    assert err.max() <= 1024
+
+
+def test_mulaw_known_codewords():
+    import numpy as np
+
+    from hive_clone_spark.pipeline.audiocodec import mulaw_decode, mulaw_encode
+
+    # zero encodes to 0xFF (all bits inverted zero code), decodes to 0
+    assert mulaw_encode(np.array([0], np.int16))[0] == 0xFF
+    assert mulaw_decode(np.array([0xFF], np.uint8))[0] == 0
+    # sign symmetry: enc(-x) = enc(x) with the sign bit cleared
+    u_pos = mulaw_encode(np.array([1000], np.int16))[0]
+    u_neg = mulaw_encode(np.array([-1000], np.int16))[0]
+    assert (u_pos ^ u_neg) == 0x80
+    assert mulaw_decode(np.array([u_pos], np.uint8))[0] == -mulaw_decode(
+        np.array([u_neg], np.uint8)
+    )[0]
+
+
+def test_mulaw_monotone_on_positives():
+    import numpy as np
+
+    from hive_clone_spark.pipeline.audiocodec import mulaw_decode, mulaw_encode
+
+    x = np.arange(0, 32636, dtype=np.int32).astype(np.int16)
+    d = mulaw_decode(mulaw_encode(x)).astype(np.int64)
+    assert (np.diff(d) >= 0).all()  # quantizer is monotone
