@@ -725,3 +725,75 @@ def p_pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("chosen_id") != F.col("rejected_id"))
         .orderBy("source", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing: the classic corpus triage — score
+# every document under the train-split LM (p_lm_score, composed
+# directly), then split each language into head/middle/tail tertiles
+# by avg NLL. "Head" (lowest perplexity) is the cleanest slice; CCNet
+# trains on head+middle and drops tail. NTILE over a per-language
+# total order (avg_nll, doc_id) is deterministic because both engines
+# compute bit-identical avg_nll doubles (decimal-summed rounded terms
+# / count).
+#
+# At 100 TB: the per-language sort NTILE implies is the one expensive
+# step — production replaces it with approximate tertile THRESHOLDS
+# (percentile sketch, one pass) and a threshold filter; the tertile
+# CONTRACT here stays exact so the oracle can pin membership.
+# ---------------------------------------------------------------------------
+def _register_lm_buckets() -> None:
+    from hive_clone_spark import registry as _reg
+
+    lm_oracle = _reg.ORACLE["p_lm_score"]
+
+    @register(
+        "p_lm_buckets",
+        oracle=f"""
+        WITH base AS ({lm_oracle}),
+        tiled AS (
+          SELECT *, NTILE(3) OVER (PARTITION BY lang
+                                   ORDER BY avg_nll, doc_id) AS tile
+          FROM base)
+        SELECT lang,
+          CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+               ELSE 'tail' END AS bucket,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+          ROUND(MIN(avg_nll), 6) AS min_nll,
+          ROUND(MAX(avg_nll), 6) AS max_nll
+        FROM tiled
+        GROUP BY lang, tile
+        ORDER BY lang, MIN(tile)
+        """,
+    )
+    def p_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        scored = _reg.QUERIES["p_lm_score"](spark, sf_dir)
+        w = Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
+        tiled = scored.withColumn("tile", F.ntile(3).over(w))
+        return (
+            tiled.groupBy("lang", "tile")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_bigrams").alias("n_bigrams"),
+                F.round(F.min("avg_nll"), 6).alias("min_nll"),
+                F.round(F.max("avg_nll"), 6).alias("max_nll"),
+            )
+            .select(
+                "lang",
+                F.when(F.col("tile") == 1, "head")
+                .when(F.col("tile") == 2, "middle")
+                .otherwise("tail")
+                .alias("bucket"),
+                "n_docs",
+                "n_bigrams",
+                "min_nll",
+                "max_nll",
+            )
+            .orderBy("lang", "bucket")
+        )
+
+
+_register_lm_buckets()
