@@ -917,6 +917,13 @@ def bpe_train_merges(spark: SparkSession, vocab: DataFrame, n_merges: int):
         ).alias("syms"),
         "n",
     ).localCheckpoint(eager=True)
+    # The per-round vocab update below is untouched ∪ touched_new — a
+    # UNION, which concatenates partitions. Without re-bounding, the
+    # checkpointed vocab DOUBLES its partition count every round
+    # (2^r growth: the 64-merge property test hit stages with 257k
+    # tasks before this coalesce). A narrow coalesce back to the
+    # original count keeps every round at P0 tasks with no shuffle.
+    p0 = max(w.rdd.getNumPartitions(), 1)
     counts = (
         _bpe_pair_rows(w, 1)
         .groupBy("a", "b")
@@ -947,7 +954,9 @@ def bpe_train_merges(spark: SparkSession, vocab: DataFrame, n_merges: int):
             "n",
         )
         w_new = (
-            w.where(~F.col("syms").contains(pat)).unionByName(touched_new)
+            w.where(~F.col("syms").contains(pat))
+            .unionByName(touched_new)
+            .coalesce(p0)
         ).localCheckpoint(eager=False)
         # delta maintenance: only pairs/symbols of touched words change
         counts_new = (
