@@ -2343,3 +2343,78 @@ def q83_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "l_partkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q84 — the TPC-H Q21 shape (suppliers who kept orders waiting),
+# adapted to this schema (no receipt/commit dates — "late" is
+# l_shipdate > o_orderdate + 90 days on finalized orders): for each
+# supplier, count the orders where it was the ONLY late supplier among
+# at least two participating suppliers. The oracle keeps the textbook
+# DOUBLE-CORRELATED EXISTS / NOT EXISTS form; the Spark plan uses the
+# equivalent per-order aggregate (n_suppliers >= 2 AND n_late == 1) —
+# two independent formulations that must agree, which is itself a
+# stronger check than mirroring one shape twice.
+#
+# Scale design: one (orderkey) aggregate over a 3-column lineitem
+# projection computes both correlation predicates at once (the EXISTS
+# pair decorrelates into it); the late set joins orders on the shuffle
+# key it already has; supplier names broadcast; TakeOrdered for the
+# top-20. lineitem is never carried wider than (orderkey, suppkey,
+# shipdate).
+# ---------------------------------------------------------------------------
+@register(
+    "q84_sole_late_supplier",
+    oracle="""
+    WITH f AS (
+      SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
+    late AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN f ON l.l_orderkey = f.o_orderkey
+      WHERE l.l_shipdate > f.o_orderdate + INTERVAL 90 DAY)
+    SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late t JOIN supplier s ON s.s_suppkey = t.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = t.l_orderkey AND l2.l_suppkey <> t.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = t.l_orderkey AND l3.l_suppkey <> t.l_suppkey)
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY numwait DESC, s.s_suppkey LIMIT 20
+    """,
+)
+def q84_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    f = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    j = li.join(f, li.l_orderkey == f.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)).alias("is_late"),
+    )
+    # one per-order aggregate carries BOTH correlation predicates
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late"
+        ),
+    )
+    late = j.where("is_late").select("l_orderkey", "l_suppkey").distinct()
+    sole = late.join(
+        per_order.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
+        "l_orderkey",
+    )
+    counts = sole.groupBy("l_suppkey").agg(F.count("*").alias("numwait"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        counts.join(F.broadcast(s), counts.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(20)
+    )
