@@ -2202,10 +2202,16 @@ def q81_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wf = (
+    # forward-looking values via a DESCENDING running frame, not a
+    # [currentRow, unboundedFollowing] frame: Spark's unbounded-
+    # FOLLOWING WindowFunctionFrame rescans current→end for every row
+    # (O(n²) per partition — measured 4.8 s vs q49's 0.7 s on the same
+    # spine); a running last() over the reversed order is the same
+    # value in O(n) at the cost of one extra in-partition sort.
+    wfd = (
         Window.partitionBy("user_id")
-        .orderBy("day")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     kday = F.when(F.col("v").isNotNull(), F.col("day"))
     ctx = joined.select(
@@ -2215,8 +2221,8 @@ def q81_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.last("v", ignorenulls=True).over(wp).alias("pv"),
         F.last(kday, ignorenulls=True).over(wp).alias("pd"),
-        F.first("v", ignorenulls=True).over(wf).alias("nv"),
-        F.first(kday, ignorenulls=True).over(wf).alias("nd"),
+        F.last("v", ignorenulls=True).over(wfd).alias("nv"),
+        F.last(kday, ignorenulls=True).over(wfd).alias("nd"),
     )
     interp = F.round(
         F.col("pv")
