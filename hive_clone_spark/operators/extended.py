@@ -2424,3 +2424,176 @@ def q84_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_suppkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q85 — the TPC-H Q11 shape (important stock above a global-share
+# threshold, adapted: no partsupp — "stock value" is shipped value
+# l_extendedprice * l_quantity per (supplier-nation, part)): keep the
+# parts whose value within German suppliers exceeds 0.01% of that
+# total. The defining feature is the SCALAR SUBQUERY THRESHOLD — an
+# aggregate of the same derived table gating its own rows.
+#
+# Scale design: the per-part aggregate is computed ONCE (decimal-exact)
+# and the 1-row total crossJoin-broadcasts back over it; no second
+# scan, no re-aggregation. The nation filter broadcast-prunes supplier
+# before lineitem ever joins.
+# ---------------------------------------------------------------------------
+@register(
+    "q85_value_share_threshold",
+    oracle="""
+    WITH de_supp AS (
+      SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'GERMANY'),
+    pv AS (
+      SELECT l_partkey,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(l_quantity AS DECIMAL(18,2))) AS val
+      FROM lineitem JOIN de_supp ON l_suppkey = s_suppkey
+      GROUP BY l_partkey),
+    tot AS (SELECT SUM(val) AS t FROM pv)
+    SELECT l_partkey, CAST(pv.val AS DOUBLE) AS value
+    FROM pv, tot
+    WHERE pv.val > tot.t * 0.0001
+    ORDER BY pv.val DESC, l_partkey
+    """,
+)
+def q85_value_share_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation").where(F.col("n_name") == "GERMANY")
+    s = table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    pv = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_quantity").cast("decimal(18,2)")
+            ).alias("val")
+        )
+    )
+    tot = pv.agg(F.sum("val").alias("t"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .where(F.col("val") > F.col("t") * 0.0001)
+        .select("l_partkey", F.col("val").cast("double").alias("value"))
+        .orderBy(F.desc("val"), "l_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q86 — the TPC-H Q15 shape (top supplier(s) by quarterly revenue):
+# build the revenue "view", then keep every supplier whose revenue
+# EQUALS the global max — the all-ties-kept form a LIMIT 1 cannot
+# express. Decimal revenue keeps the equality exact on both engines.
+#
+# Scale design: one lineitem aggregate; the 1-row max broadcasts back;
+# supplier names broadcast-join the (tiny) winners.
+# ---------------------------------------------------------------------------
+@register(
+    "q86_top_revenue_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+          AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1995-04-01'
+      GROUP BY l_suppkey),
+    m AS (SELECT MAX(total_revenue) AS mx FROM revenue)
+    SELECT s_suppkey, s_name,
+      CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no, m
+    WHERE total_revenue = m.mx
+    ORDER BY s_suppkey
+    """,
+)
+def q86_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1995-04-01"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("total_revenue")
+    )
+    m = revenue.agg(F.max("total_revenue").alias("mx"))
+    winners = revenue.crossJoin(F.broadcast(m)).where(
+        F.col("total_revenue") == F.col("mx")
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        winners.join(F.broadcast(s), winners.supplier_no == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q87 — the TPC-H Q22 shape (idle customers with above-average funds):
+# customers from a set of phone country codes, with account balance
+# above the average POSITIVE balance of that group, who have NO orders
+# — substring bucketing + a scalar-average subquery + an anti join in
+# one query.
+#
+# Scale design: the avg is a 1-row broadcast; the anti join broadcasts
+# nothing (orders side aggregates to distinct custkeys — semi-shaped);
+# customer scans once with the substring predicate pushed down.
+# ---------------------------------------------------------------------------
+@register(
+    "q87_idle_customers",
+    oracle="""
+    WITH cc AS (
+      SELECT c_custkey, c_acctbal,
+             substr(CAST(c_custkey AS VARCHAR), 1, 1) AS cntrycode
+      FROM customer
+      WHERE substr(CAST(c_custkey AS VARCHAR), 1, 1) IN ('1','2','3','4','5')),
+    a AS (
+      SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,6))
+        AS avgbal
+      FROM cc WHERE c_acctbal > 0)
+    SELECT cntrycode,
+      CAST(COUNT(*) AS BIGINT) AS numcust,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM cc, a
+    WHERE c_acctbal > a.avgbal
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+)
+def q87_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.substring(F.col("c_custkey").cast("string"), 1, 1).alias("cntrycode"),
+    ).where(F.col("cntrycode").isin("1", "2", "3", "4", "5"))
+    a = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("decimal(18,6)")
+        .alias("avgbal")
+    )
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    rich = c.crossJoin(F.broadcast(a)).where(F.col("c_acctbal") > F.col("avgbal"))
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        idle.groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

@@ -53,6 +53,8 @@ NESTEDLOOP_OK = {
     "q69_triangle_count",  # 1-row summary-aggregate crossJoins (q44 pattern)
     "q77_m4_downsample",  # 1-row global time-range crossJoin (q44 pattern)
     "q83_skew_report",  # 1-row totals crossJoin (q44 pattern)
+    "q85_value_share_threshold",  # 1-row global-total crossJoin (q44 pattern)
+    "q87_idle_customers",  # 1-row avg-balance crossJoin (q44 pattern)
 }
 
 # Queries whose unpartitioned Window is the intended plan: the window
