@@ -453,3 +453,146 @@ def q72_stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q88: stream-stream LEFT OUTER join — the operator that makes
+# "clicks that never converted" computable on a live feed. Inner
+# stream-stream joins (q59) emit matches as they meet; the OUTER form
+# additionally emits a null-completed row once the watermark proves no
+# match can still arrive. That proof is watermark-relative, and the
+# GLOBAL watermark is the MIN over every withWatermark node of (that
+# node's own max event time − delay) — measured here: with the click
+# side ending at 19:30 and the purchase side at 23:26 (sf0.001), the
+# eviction boundary tracked the CLICK side's max, not the stream's.
+# A click's null row is guaranteed emitted once
+#   click_ts < least(max_click_ts, max_purchase_ts) − delay − horizon.
+# The entry reports only that SETTLED region (minus 1 s of slack for
+# the watermark's millisecond flooring) on BOTH sides — clicks whose
+# outcome could still change if the stream continued are excluded by
+# construction. That is the honest semantics of outer results on an
+# unbounded stream: you only ever know the settled prefix.
+#
+# Scale design: same watermark-bounded two-sided state as q59 (state
+# drops once the proof window passes); the settled-region filter is a
+# post-drain predicate, not extra state.
+# ---------------------------------------------------------------------------
+@register(
+    "q88_stream_outer_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+    mx AS (
+      SELECT LEAST((SELECT MAX(ts) FROM clicks),
+                   (SELECT MAX(ts) FROM purchases))
+             - INTERVAL 10 MINUTE - INTERVAL 1 HOUR - INTERVAL 1 SECOND
+        AS b),
+    pairs AS (
+      SELECT c.event_id, c.user_id, p.value
+      FROM clicks c JOIN purchases p
+        ON p.user_id = c.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR),
+    settled AS (
+      SELECT c.* FROM clicks c, mx WHERE c.ts < mx.b),
+    expired AS (
+      SELECT s.event_id, s.user_id FROM settled s
+      WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.event_id = s.event_id))
+    SELECT user_id,
+      CAST((SELECT COUNT(*) FROM pairs p WHERE p.user_id = u.user_id)
+           AS BIGINT) AS n_pairs,
+      CAST((SELECT COUNT(*) FROM expired e WHERE e.user_id = u.user_id)
+           AS BIGINT) AS n_expired_clicks,
+      ROUND(CAST((SELECT COALESCE(SUM(CAST(p.value AS DECIMAL(18,6))), 0)
+                  FROM pairs p WHERE p.user_id = u.user_id) AS DOUBLE), 6)
+        AS total_value
+    FROM (SELECT DISTINCT user_id FROM pairs
+          UNION SELECT DISTINCT user_id FROM expired) u
+    ORDER BY user_id
+    """,
+)
+def q88_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hive_clone_spark.catalog import table as _table
+    from hive_clone_spark.streaming.streams import read_events_stream, run_to_memory
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = read_events_stream(spark, os.path.join(sf_dir, "events.parque[t]"))
+    c = (
+        src.where(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        src.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 hour")),
+        "leftOuter",
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(joined, "q88_outer", output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    drained = spark.table("q88_outer")
+    # settled-region boundary from the batch table (a 1-row broadcast):
+    # min of the two sides' own max event times − delay − horizon − 1 s
+    ev = _table(spark, sf_dir, "events")
+    mx = ev.agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            )
+            - F.expr("INTERVAL 70 minutes")
+            - F.expr("INTERVAL 1 second")
+        ).alias("b")
+    )
+    settled_nulls = (
+        drained.where(F.col("purchase_ts").isNull())
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("click_ts") < F.col("b"))
+        .select(F.col("c_user").alias("user_id"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_expired_clicks"))
+    )
+    pairs = (
+        drained.where(F.col("purchase_ts").isNotNull())
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("purchase_value").cast("decimal(18,6)")).cast("double"),
+                6,
+            ).alias("total_value"),
+        )
+    )
+    return (
+        pairs.join(settled_nulls, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_expired_clicks", F.lit(0)).cast("long").alias(
+                "n_expired_clicks"
+            ),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -55,6 +55,7 @@ NESTEDLOOP_OK = {
     "q83_skew_report",  # 1-row totals crossJoin (q44 pattern)
     "q85_value_share_threshold",  # 1-row global-total crossJoin (q44 pattern)
     "q87_idle_customers",  # 1-row avg-balance crossJoin (q44 pattern)
+    "q88_stream_outer_join",  # 1-row settled-boundary crossJoin (q44 pattern)
 }
 
 # Queries whose unpartitioned Window is the intended plan: the window
