@@ -2597,3 +2597,119 @@ def q87_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q89 — ANALYZE-style statistics collection: the stats every
+# cost-based optimizer keeps per column — row count, null count,
+# distinct count, min/max, and a 10-bucket equi-width histogram —
+# computed for three lineitem measures in ONE scan. The histogram
+# bucket is integer arithmetic over decimal-scaled values
+# (floor((v - min) * 10 / (max - min + ulp)) with the range as a
+# 1-row broadcast), so counts are exact cross-engine.
+#
+# Scale design: pass 1 computes global (min, max, ndv, nulls) with
+# map-side partial aggregation; pass 2 buckets against the broadcast
+# range. Two scans total for any number of columns (the per-column
+# work is just more aggregate expressions, not more passes) — the
+# shape of ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS.
+# ---------------------------------------------------------------------------
+_AN_BUCKETS = 10
+
+
+def _an_col_sql(col: str) -> str:
+    """Per-column stats + histogram CTE pair (DuckDB)."""
+    return f"""
+    SELECT '{col}' AS column_name, b.bucket,
+      (SELECT COUNT(*) FROM lineitem) AS n_rows,
+      (SELECT COUNT(*) - COUNT({col}) FROM lineitem) AS n_nulls,
+      (SELECT COUNT(DISTINCT {col}) FROM lineitem) AS n_distinct,
+      (SELECT ROUND(MIN(CAST({col} AS DOUBLE)), 6) FROM lineitem) AS min_v,
+      (SELECT ROUND(MAX(CAST({col} AS DOUBLE)), 6) FROM lineitem) AS max_v,
+      b.cnt AS bucket_count
+    FROM (
+      -- pure-BIGINT bucketing over "cents" (values are <=2 dp): both
+      -- engines floor-divide identically; decimal division would not
+      SELECT LEAST((CAST(floor({col} * 100 + 0.5) AS BIGINT) - mni)
+                     * {_AN_BUCKETS} // (mxi - mni),
+                   {_AN_BUCKETS - 1}) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem,
+           (SELECT CAST(floor(MIN({col}) * 100 + 0.5) AS BIGINT) AS mni,
+                   CAST(floor(MAX({col}) * 100 + 0.5) AS BIGINT) AS mxi
+            FROM lineitem)
+      GROUP BY 1) b
+    """
+
+
+@register(
+    "q89_analyze_stats",
+    oracle=f"""
+    SELECT column_name, CAST(bucket AS BIGINT) AS bucket,
+      CAST(n_rows AS BIGINT) AS n_rows,
+      CAST(n_nulls AS BIGINT) AS n_nulls,
+      CAST(n_distinct AS BIGINT) AS n_distinct,
+      min_v, max_v, bucket_count
+    FROM (
+      {_an_col_sql("l_quantity")}
+      UNION ALL
+      {_an_col_sql("l_extendedprice")}
+      UNION ALL
+      {_an_col_sql("l_discount")}
+    )
+    ORDER BY column_name, bucket
+    """,
+)
+def q89_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    )
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    # pass 1: one aggregate row carries every column's global stats
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.round(F.min(F.col(c).cast("double")), 6).alias(f"{c}__min"),
+            F.round(F.max(F.col(c).cast("double")), 6).alias(f"{c}__max"),
+            F.floor(F.min(c) * 100 + 0.5).cast("long").alias(f"{c}__mn"),
+            F.floor(F.max(c) * 100 + 0.5).cast("long").alias(f"{c}__mx"),
+        ]
+    g = li.agg(*aggs)
+    # pass 2: bucket every column against the broadcast ranges, emit
+    # one (column, bucket) row group per column via a union
+    out = None
+    for c in cols:
+        bucket = F.least(
+            F.expr(
+                f"(CAST(floor({c} * 100 + 0.5) AS BIGINT) - {c}__mn) "
+                f"* {_AN_BUCKETS} div ({c}__mx - {c}__mn)"
+            ),
+            F.lit(_AN_BUCKETS - 1).cast("long"),
+        )
+        part = (
+            li.crossJoin(F.broadcast(g))
+            .groupBy(bucket.alias("bucket"))
+            .agg(
+                F.count("*").alias("bucket_count"),
+                F.first(f"{c}__rows").alias("n_rows"),
+                F.first(f"{c}__nulls").alias("n_nulls"),
+                F.first(f"{c}__ndv").alias("n_distinct"),
+                F.first(f"{c}__min").alias("min_v"),
+                F.first(f"{c}__max").alias("max_v"),
+            )
+            .select(
+                F.lit(c).alias("column_name"),
+                "bucket",
+                "n_rows",
+                "n_nulls",
+                "n_distinct",
+                "min_v",
+                "max_v",
+                "bucket_count",
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("column_name", "bucket")
