@@ -2713,3 +2713,79 @@ def q89_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out.orderBy("column_name", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# Q90 — Benford first-significant-digit audit: the classic
+# fraud/data-corruption screen — naturally-occurring monetary amounts
+# follow P(d) = log10(1 + 1/d); fabricated or truncated data does
+# not. Per first digit of o_totalprice: observed count, observed share
+# in parts-per-million (integer), expected ppm under Benford, and the
+# absolute deviation. Integer ppm keeps every column hash-exact; the
+# expected values are CONSTANT FOLDED literals (log10 evaluated at
+# registration time, not per row, and identical text in both engines).
+#
+# Scale design: first digit via string head of the cent-scaled value
+# (no log/float per row), one 9-group aggregate with map-side combine,
+# 1-row total broadcast.
+# ---------------------------------------------------------------------------
+import math as _math
+
+_BENFORD_PPM = {d: int(_math.log10(1 + 1 / d) * 1_000_000) for d in range(1, 10)}
+
+
+@register(
+    "q90_benford_audit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM orders WHERE o_totalprice > 0),
+    c AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS cnt FROM digits GROUP BY d),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+    e AS (
+      {" UNION ALL ".join(f"SELECT {d} AS d, {p} AS expected_ppm"
+                          for d, p in _BENFORD_PPM.items())})
+    SELECT e.d AS first_digit,
+      COALESCE(c.cnt, 0) AS n,
+      COALESCE((c.cnt * 1000000) // t.total, 0) AS observed_ppm,
+      CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+      abs(COALESCE((c.cnt * 1000000) // t.total, 0) - e.expected_ppm)
+        AS abs_dev_ppm
+    FROM e LEFT JOIN c ON c.d = e.d, t
+    ORDER BY e.d
+    """,
+)
+def q90_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("d")
+    )
+    c = digits.groupBy("d").agg(F.count("*").alias("cnt"))
+    t = c.agg(F.sum("cnt").alias("total"))
+    e = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_PPM.items()], "d LONG, expected_ppm LONG"
+    )
+    return (
+        e.join(c, "d", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("d").alias("first_digit"),
+            F.coalesce("cnt", F.lit(0)).alias("n"),
+            F.coalesce(F.expr("cnt * 1000000 div total"), F.lit(0)).alias(
+                "observed_ppm"
+            ),
+            "expected_ppm",
+            F.abs(
+                F.coalesce(F.expr("cnt * 1000000 div total"), F.lit(0))
+                - F.col("expected_ppm")
+            ).alias("abs_dev_ppm"),
+        )
+        .orderBy("first_digit")
+    )

@@ -57,6 +57,7 @@ NESTEDLOOP_OK = {
     "q87_idle_customers",  # 1-row avg-balance crossJoin (q44 pattern)
     "q88_stream_outer_join",  # 1-row settled-boundary crossJoin (q44 pattern)
     "q89_analyze_stats",  # 1-row global-stats crossJoin (q44 pattern)
+    "q90_benford_audit",  # 9-row digit dim + 1-row total crossJoin (q44 pattern)
 }
 
 # Queries whose unpartitioned Window is the intended plan: the window
