@@ -22,9 +22,16 @@ query so degraded entries are visible.
 
 Run counts are ADAPTIVE (BASELINE.md protocol, amended when the
 registry reached 120 bench queries and 4 runs/query stopped fitting
-the budget, re-amended at 138 queries): every query gets the discarded
-warmup, then 2 measured runs if the first measured run took < 2.5 s,
-1 otherwise. Repeats exist to median away scheduler jitter, which is
+the budget, re-amended at 138 and again at 153 queries): every query
+gets the discarded warmup, then: fast queries (first measured run
+< 2.5 s) take 2 runs and report the median; heavy queries take ONE
+run — unless that run is anomalous (slower than the query's own
+discarded warmup, which pays codegen and is normally the slowest
+execution), in which case one retry runs and the MIN of the two is
+reported. Heavy jitter is one-sided (a scheduler hiccup can only
+inflate a seconds-long sample), and a single-sample heavy tier once
+let one hiccup masquerade as a 2.3x gate regression, while
+unconditional second heavy runs blew the budget into a cold tail. Repeats exist to median away scheduler jitter, which is
 a fixed few-hundred-ms cost — significant against a 0.3 s query,
 noise against a 4 s one — so spending the budget on re-running the
 heavies bought nothing while forcing the tail of the suite into COLD
@@ -109,6 +116,7 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         dt = time.perf_counter() - t0
+        warm_dt = dt
         spent += dt
         if spent > BUDGET_SEC:
             # hard budget blown at the warmup: the cold run is the only
@@ -132,6 +140,7 @@ def main() -> None:
         # heavies and lost the median protection the tiering is meant
         # to allocate by warm-equivalent cost.
         n_measured = RUNS
+        heavy = False
         for i in range(RUNS):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
@@ -139,12 +148,26 @@ def main() -> None:
             spent += dt
             samples.append(round(dt, 4))
             if i == 0:
-                n_measured = min(RUNS, 2 if dt < 2.5 else 1)
+                # fast tier (< 2.5 s): 2 runs, median. Heavy tier: ONE
+                # run — unless that run is ANOMALOUS (slower than its
+                # own discarded warmup, which pays codegen and is
+                # normally the slowest execution): then one retry and
+                # MIN-of-2, because a single hiccup sample once
+                # masqueraded as a 2.3x gate regression (q11_cube
+                # 3.01 s one run, 1.2 s steady). Unconditional 2nd
+                # heavy runs were tried and blew the budget into a
+                # 12-query cold tail — anomaly-gated retries spend
+                # extra time only when a sample is provably suspect.
+                heavy = dt >= 2.5
+                anomalous = heavy and dt > warm_dt
+                n_measured = 1 if (heavy and not anomalous) else 2
                 targets[name] = n_measured
             if len(samples) >= n_measured or spent > BUDGET_SEC:
                 break
         runs[name] = samples
-        medians[name] = round(statistics.median(samples), 4)
+        medians[name] = round(
+            min(samples) if heavy else statistics.median(samples), 4
+        )
 
     total = round(sum(medians.values()), 2)
     # degraded = budget-forced below the ADAPTIVE target (a 1-run heavy
