@@ -2245,10 +2245,13 @@ def q81_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q82 — nested semi-join chain with a HAVING gate (the TPC-H Q20
 # shape, adapted to this schema — there is no partsupp table): name
-# the suppliers who, for at least one forest-family part, shipped more
-# than 80 units of it during 1995. Two nested IN-subqueries with an
+# the suppliers who, for at least one gear-family part, shipped more
+# than 60 units of it during 1995. Two nested IN-subqueries with an
 # aggregate between them; Catalyst lowers both to left-semi joins and
-# the aggregate's group count bounds the inner result.
+# the aggregate's group count bounds the inner result. ('gear' is a
+# token actually present in the generator's part-name vocabulary —
+# ~26% of parts — and the 60-unit HAVING gate keeps 8 of 100
+# suppliers at sf0.01, so the chain is discriminating, not vacuous.)
 #
 # Scale design: the part-name filter runs at the part scan and
 # broadcast-semi-joins into lineitem (small build side); the
@@ -2266,17 +2269,17 @@ def q81_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_suppkey FROM lineitem
       WHERE l_partkey IN (
         SELECT p_partkey FROM part
-        WHERE p_name LIKE 'forest%' OR p_name LIKE '%forest%')
+        WHERE p_name LIKE 'gear%' OR p_name LIKE '%gear%')
         AND l_shipdate >= DATE '1995-01-01'
         AND l_shipdate < DATE '1996-01-01'
       GROUP BY l_suppkey, l_partkey
-      HAVING SUM(l_quantity) > 80)
+      HAVING SUM(l_quantity) > 60)
     ORDER BY s_name
     """,
 )
 def q82_nested_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = table(spark, sf_dir, "part").where(
-        F.col("p_name").like("forest%") | F.col("p_name").like("%forest%")
+        F.col("p_name").like("gear%") | F.col("p_name").like("%gear%")
     )
     li = (
         table(spark, sf_dir, "lineitem")
@@ -2293,7 +2296,7 @@ def q82_nested_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying = (
         li.groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
-        .where(F.col("qty") > 80)
+        .where(F.col("qty") > 60)
         .select("l_suppkey")
         .distinct()
     )
@@ -2430,9 +2433,12 @@ def q84_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q85 — the TPC-H Q11 shape (important stock above a global-share
 # threshold, adapted: no partsupp — "stock value" is shipped value
 # l_extendedprice * l_quantity per (supplier-nation, part)): keep the
-# parts whose value within German suppliers exceeds 0.01% of that
+# parts whose value within NATION_7 suppliers exceeds 0.01% of that
 # total. The defining feature is the SCALAR SUBQUERY THRESHOLD — an
-# aggregate of the same derived table gating its own rows.
+# aggregate of the same derived table gating its own rows. (NATION_7
+# is a name that actually exists in the synthetic nation table — the
+# generator emits NATION_0..NATION_24 — so the entry verifies ~1.5k
+# real rows at sf0.01 instead of empty-vs-empty.)
 #
 # Scale design: the per-part aggregate is computed ONCE (decimal-exact)
 # and the 1-row total crossJoin-broadcasts back over it; no second
@@ -2444,7 +2450,7 @@ def q84_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH de_supp AS (
       SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
-      WHERE n_name = 'GERMANY'),
+      WHERE n_name = 'NATION_7'),
     pv AS (
       SELECT l_partkey,
         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -2459,7 +2465,7 @@ def q84_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q85_value_share_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n = table(spark, sf_dir, "nation").where(F.col("n_name") == "GERMANY")
+    n = table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
     s = table(spark, sf_dir, "supplier").join(
         F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey")
@@ -2542,10 +2548,14 @@ def q86_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q87 — the TPC-H Q22 shape (idle customers with above-average funds):
-# customers from a set of phone country codes, with account balance
-# above the average POSITIVE balance of that group, who have NO orders
-# — substring bucketing + a scalar-average subquery + an anti join in
-# one query.
+# customers from a set of country codes, with account balance above
+# the average POSITIVE balance of that group, who have placed NO
+# orders since 2000-01-01 — substring bucketing + a scalar-average
+# subquery + an anti join in one query. (The synthetic generator
+# gives EVERY customer at least one order over 1995-2001, so TPC-H's
+# literal "no orders ever" predicate is unsatisfiable here; the
+# trailing-window cutoff keeps the identical anti-join shape while
+# producing 5 non-trivial groups at sf0.01 — 21/5/5/3/9 customers.)
 #
 # Scale design: the avg is a 1-row broadcast; the anti join broadcasts
 # nothing (orders side aggregates to distinct custkeys — semi-shaped);
@@ -2568,7 +2578,8 @@ def q86_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
     FROM cc, a
     WHERE c_acctbal > a.avgbal
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= DATE '2000-01-01')
     GROUP BY cntrycode
     ORDER BY cntrycode
     """,
@@ -2584,7 +2595,11 @@ def q87_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,6)")
         .alias("avgbal")
     )
-    o = table(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+    )
     rich = c.crossJoin(F.broadcast(a)).where(F.col("c_acctbal") > F.col("avgbal"))
     idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
     return (

@@ -275,6 +275,14 @@ def p_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                         continue
                     url = rec["headers"]["warc-target-uri"]
                     status, http_headers, body = parse_http_response(rec["payload"])
+                    # the header's Content-Length is a BYTE count and
+                    # is verified against the framed body here; the
+                    # emitted column is the CHARACTER count of the
+                    # decoded HTML so it matches the oracle's length()
+                    # regardless of non-ASCII text (bytes != chars
+                    # under UTF-8).
+                    if int(http_headers["content-length"]) != len(body):
+                        raise ValueError("Content-Length / body mismatch")
                     html = body.decode()
                     text = extract_text(html)
                     rows.append(
@@ -282,7 +290,7 @@ def p_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                             int(url.rsplit("/", 1)[1]),
                             url,
                             status,
-                            int(http_headers["content-length"]),
+                            len(html),
                             html.count("<a href="),
                             text,
                         )
