@@ -13,10 +13,12 @@ arrives in. Everything is parsed from the actual bytes:
     is hard-coded between encoder and decoder),
   * entropy-coded segment with 0xFF00 byte-destuffing, MSB-first bit
     reading, DC difference prediction per component, AC run/size
-    decoding with EOB and ZRL,
+    decoding with EOB and ZRL, interleaved MCUs with per-component
+    sampling factors (4:4:4 and 4:2:0 — the 2x2-luma + 1-block-chroma
+    MCU that dominates real web crawls),
   * dezigzag, dequantization, full float 8x8 inverse DCT (cosine basis
-    matrix), level shift, clamp, and for 3-component 4:4:4 files the
-    JFIF YCbCr->RGB conversion.
+    matrix), level shift, clamp, replication upsampling of subsampled
+    chroma, and for 3-component files the JFIF YCbCr->RGB conversion.
 
 The encoder half builds spec-compliant JFIF files from QUANTIZED
 coefficient blocks (SOI..EOI, custom-but-valid canonical Huffman
@@ -232,29 +234,48 @@ def _encode_block(
     return dc
 
 
-def encode_jpeg(coeff_planes: list[np.ndarray], width: int, height: int) -> bytes:
+def encode_jpeg(
+    coeff_planes: list[np.ndarray],
+    width: int,
+    height: int,
+    sampling: list[tuple[int, int]] | None = None,
+) -> bytes:
     """Build a baseline JFIF file from QUANTIZED coefficient planes.
 
     ``coeff_planes``: one (h_blocks, w_blocks, 64) int array per
     component in NATURAL (row-major) coefficient order; 1 plane ->
-    grayscale, 3 planes -> YCbCr 4:4:4 (all components share the
-    luminance quant table — an encoder's legal choice). The dimensions
-    must be multiples of 8 matching the block grid.
+    grayscale, 3 planes -> YCbCr (all components share the luminance
+    quant table — an encoder's legal choice).
+
+    ``sampling``: per-component (h, v) sampling factors; default 1x1
+    for every component (4:4:4 / grayscale). 4:2:0 is
+    ``[(2, 2), (1, 1), (1, 1)]``: the luma plane carries 2x2 blocks
+    per MCU and each chroma plane one block covering the same 16x16
+    pixels. Each plane's block grid must match its MCU coverage
+    (mcus * factor in both axes).
     """
     if len(coeff_planes) not in (1, 3):
-        raise ValueError("jpeg: 1 (gray) or 3 (ycc 4:4:4) components")
-    hb, wb = coeff_planes[0].shape[:2]
-    if (hb * 8, wb * 8) != (height, width):
-        raise ValueError("jpeg: dims must match the 8x8 block grid")
+        raise ValueError("jpeg: 1 (gray) or 3 (ycc) components")
+    ncomp = len(coeff_planes)
+    if sampling is None:
+        sampling = [(1, 1)] * ncomp
+    if len(sampling) != ncomp:
+        raise ValueError("jpeg: one (h, v) sampling pair per component")
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    for plane, (h, v) in zip(coeff_planes, sampling):
+        if plane.shape[:2] != (mcus_y * v, mcus_x * h):
+            raise ValueError("jpeg: plane grid must match the MCU coverage")
     out = bytearray()
     out += b"\xff\xd8"  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     qz = bytes(int(QUANT_LUMA[ZIGZAG[i]]) for i in range(64))  # DQT in zigzag order
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qz
-    ncomp = len(coeff_planes)
     sof = struct.pack(">BHHB", 8, height, width, ncomp)
-    for cid in range(1, ncomp + 1):
-        sof += bytes([cid, 0x11, 0])  # 1x1 sampling, quant table 0
+    for cid, (h, v) in zip(range(1, ncomp + 1), sampling):
+        sof += bytes([cid, (h << 4) | v, 0])  # sampling factors, quant table 0
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     out += _dht_segment(0x00, _DC_BITS, _DC_VALS)
     out += _dht_segment(0x10, _AC_BITS, _AC_VALS)
@@ -265,11 +286,15 @@ def encode_jpeg(coeff_planes: list[np.ndarray], width: int, height: int) -> byte
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     wr = _BitWriter()
     preds = [0] * ncomp
-    for by in range(hb):
-        for bx in range(wb):  # interleaved MCU = one block per component
-            for ci, plane in enumerate(coeff_planes):
-                zz = plane[by, bx][ZIGZAG]
-                preds[ci] = _encode_block(wr, zz, preds[ci], dc_codes, ac_codes)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):  # interleaved MCU: v*h blocks per component
+            for ci, (plane, (h, v)) in enumerate(zip(coeff_planes, sampling)):
+                for by in range(v):
+                    for bx in range(h):
+                        zz = plane[my * v + by, mx * h + bx][ZIGZAG]
+                        preds[ci] = _encode_block(
+                            wr, zz, preds[ci], dc_codes, ac_codes
+                        )
     out += wr.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -311,10 +336,13 @@ class _HuffTable:
 def decode_jpeg_coeffs(payload: bytes):
     """Parse a baseline JFIF file down to QUANTIZED coefficient planes.
 
-    Returns (planes, width, height, quant_tables_by_component) where
-    ``planes`` is one (h_blocks, w_blocks, 64) int64 array per component
-    in natural coefficient order. Split from the pixel path so the
-    Huffman/zigzag machinery is testable without the IDCT."""
+    Returns (planes, width, height, quant_tables_by_component,
+    sampling) where ``planes`` is one (h_blocks, w_blocks, 64) int64
+    array per component in natural coefficient order (each component's
+    own block grid — subsampled components carry fewer blocks) and
+    ``sampling`` the per-component (h, v) factors from SOF0. Split
+    from the pixel path so the Huffman/zigzag machinery is testable
+    without the IDCT."""
     data = bytes(payload)
     if data[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
@@ -323,6 +351,7 @@ def decode_jpeg_coeffs(payload: bytes):
     htables: dict[tuple[int, int], _HuffTable] = {}
     width = height = 0
     comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    sampling: list[tuple[int, int]] = []  # (h, v) per component
     while True:
         if data[pos] != 0xFF:
             raise ValueError("jpeg: expected marker")
@@ -357,10 +386,12 @@ def decode_jpeg_coeffs(payload: bytes):
             if precision != 8:
                 raise ValueError("jpeg: only 8-bit precision")
             for ci in range(ncomp):
-                cid, sampling, tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                if sampling != 0x11:
-                    raise ValueError("jpeg: only 1x1 sampling (4:4:4 / gray)")
+                cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                h, v = samp >> 4, samp & 0x0F
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise ValueError("jpeg: sampling factors out of range")
                 comps.append((cid, tq))
+                sampling.append((h, v))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("jpeg: only baseline SOF0")
         elif marker == 0xDD:  # DRI
@@ -390,91 +421,144 @@ def decode_jpeg_coeffs(payload: bytes):
         entropy.append(b)
         pos += 1
     rd = _BitReader(bytes(entropy))
-    hb, wb = (height + 7) // 8, (width + 7) // 8
-    planes = [np.zeros((hb, wb, 64), dtype=np.int64) for _ in comps]
+    # MCU geometry (T.81 A.2): components interleave v*h blocks per
+    # MCU; each component's own block grid covers mcus * factor.
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    if len(comps) == 1:
+        # single-component scans are never interleaved — MCU = 1 block
+        sampling = [(1, 1)]
+        hmax = vmax = 1
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcus_y * v, mcus_x * h, 64), dtype=np.int64)
+        for h, v in sampling
+    ]
     preds = [0] * len(comps)
     inv_zz = ZIGZAG  # zz index -> natural index
-    for by in range(hb):
-        for bx in range(wb):
-            for ci in range(len(comps)):
-                dc_t = htables[(0, scan_tables[ci][0])]
-                ac_t = htables[(1, scan_tables[ci][1])]
-                blk = planes[ci][by, bx]
-                size = dc_t.decode(rd)
-                preds[ci] += _extend(rd.read_bits(size), size)
-                blk[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    rs = ac_t.decode(rd)
-                    run, size = rs >> 4, rs & 0x0F
-                    if size == 0:
-                        if run == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        raise ValueError("jpeg: AC run past block end")
-                    blk[inv_zz[k]] = _extend(rd.read_bits(size), size)
-                    k += 1
+
+    def decode_block(ci: int, blk: np.ndarray) -> None:
+        dc_t = htables[(0, scan_tables[ci][0])]
+        ac_t = htables[(1, scan_tables[ci][1])]
+        size = dc_t.decode(rd)
+        preds[ci] += _extend(rd.read_bits(size), size)
+        blk[0] = preds[ci]
+        k = 1
+        while k < 64:
+            rs = ac_t.decode(rd)
+            run, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += run
+            if k > 63:
+                raise ValueError("jpeg: AC run past block end")
+            blk[inv_zz[k]] = _extend(rd.read_bits(size), size)
+            k += 1
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (h, v) in enumerate(sampling):
+                for by in range(v):
+                    for bx in range(h):
+                        decode_block(ci, planes[ci][my * v + by, mx * h + bx])
     quants = [qtables[tq] for _, tq in comps]
-    return planes, width, height, quants
+    return planes, width, height, quants, sampling
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
+def decode_jpeg(payload: bytes, with_sampling: bool = False):
     """Full pixel decode: coefficients -> dequant -> IDCT -> level shift
-    -> (YCbCr->RGB for 3 components). Returns HxWxC uint8 (C = 1 or 3).
+    -> (chroma upsample for subsampled components) -> (YCbCr->RGB for
+    3 components). Returns HxWxC uint8 (C = 1 or 3); with
+    ``with_sampling`` returns (pixels, sampling) so callers can report
+    the subsampling the FILE declared (not what a fixture rule says).
+
+    Subsampled chroma (4:2:0 / 4:2:2) is upsampled by sample
+    REPLICATION (pixel (x, y) reads chroma sample (x * h // hmax,
+    y * v // vmax)) — the spec-sanctioned nearest-neighbor upsampler,
+    and the one an external SQL oracle can mirror exactly.
 
     Rounding is floor(x + 0.5) at both the sample-reconstruction and
     color-conversion steps, chosen (over round-half-even) so an external
     engine can reproduce the arithmetic exactly."""
-    planes, width, height, quants = decode_jpeg_coeffs(payload)
-    hb, wb = planes[0].shape[:2]
+    planes, width, height, quants, sampling = decode_jpeg_coeffs(payload)
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
     samples = []
-    for plane, q in zip(planes, quants):
+    for plane, q, (h, v) in zip(planes, quants, sampling):
+        hb, wb = plane.shape[:2]
         deq = (plane * q[None, None, :]).astype(np.float64).reshape(hb, wb, 8, 8)
         # batched IDCT: block = A.T @ F @ A
         px = np.einsum("ux,ijuv,vy->ijxy", _A, deq, _A)
         px = np.floor(px + 0.5) + 128.0
         # assemble the block grid into an (hb*8, wb*8) sample plane
         full = px.transpose(0, 2, 1, 3).reshape(hb * 8, wb * 8)
+        if (h, v) != (hmax, vmax):  # replicate up to full resolution
+            full = np.repeat(np.repeat(full, vmax // v, axis=0), hmax // h, axis=1)
         samples.append(full[:height, :width])
     if len(samples) == 1:
         y = np.clip(samples[0], 0, 255).astype(np.uint8)
-        return y[:, :, None]
+        return (y[:, :, None], sampling) if with_sampling else y[:, :, None]
     y, cb, cr = samples
     r = np.floor(y + 1.402 * (cr - 128.0) + 0.5)
     g = np.floor(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5)
     b = np.floor(y + 1.772 * (cb - 128.0) + 0.5)
     rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(rgb, 0, 255).astype(np.uint8)
+    out = np.clip(rgb, 0, 255).astype(np.uint8)
+    return (out, sampling) if with_sampling else out
 
 
 # ---------------------------------------------------------------------------
 # deterministic fixtures: DC-only coefficient blocks, so every decoded
 # sample is integer-exact and the SQL oracle can predict it:
 #
-#   wb(doc)  = 1 + doc_id % 8          (width  = 8*wb <= 64)
-#   hb(doc)  = 1 + (doc_id * 3) % 6    (height = 8*hb <= 48)
-#   luma DC(bx,by)   = ((doc_id + 11*bx + 5*by) % 17) - 8
-#   chroma: doc_id odd -> 3-component 4:4:4 with
-#     cb DC(bx,by) = ((doc_id * 3 + 7*bx + 2*by) % 7) - 3
-#     cr DC(bx,by) = ((doc_id * 5 + 3*bx + 4*by) % 7) - 3
-#   doc_id even -> 1-component grayscale
+#   doc_id % 2 == 0 -> 1-component grayscale
+#   doc_id % 4 == 1 -> 3-component YCbCr 4:4:4
+#     wb = 1 + doc_id % 8, hb = 1 + (doc_id * 3) % 6   (luma blocks)
+#     chroma DC defined per LUMA block (cx = bx, cy = by)
+#   doc_id % 4 == 3 -> 3-component YCbCr 4:2:0
+#     cw = 1 + doc_id % 3, ch = 1 + (doc_id // 4) % 3  (chroma blocks)
+#     wb = 2 * cw, hb = 2 * ch                         (luma blocks)
+#     chroma DC defined per CHROMA block; each chroma sample covers a
+#     16x16 pixel tile (cx = bx // 2, cy = by // 2 in luma coords)
+#
+#   luma DC(bx,by) = ((doc_id + 11*bx + 5*by) % 17) - 8
+#   cb  DC(cx,cy)  = ((doc_id * 3 + 7*cx + 2*cy) % 7) - 3
+#   cr  DC(cx,cy)  = ((doc_id * 5 + 3*cx + 4*cy) % 7) - 3
 #
 # With Q00 = 16, a DC-only block reconstructs to the constant
-# 128 + 2*DC; the color conversion sees Y/Cb/Cr in [112,144]/[122,134]
-# so no sample ever clamps and floor(x+0.5) is exactly reproducible.
+# 128 + 2*DC; replication upsampling keeps subsampled chroma constant
+# per 16x16 tile, so an external engine predicts every sample exactly:
+# the color conversion sees Y/Cb/Cr in [112,144]/[122,134] so no
+# sample ever clamps and floor(x+0.5) is exactly reproducible.
 # ---------------------------------------------------------------------------
 def synth_jpeg(doc_id: int) -> bytes:
-    wb = 1 + doc_id % 8
-    hb = 1 + (doc_id * 3) % 6
+    if doc_id % 4 == 3:  # 4:2:0 — the dominant real-web encoding
+        cw = 1 + doc_id % 3
+        ch = 1 + (doc_id // 4) % 3
+        wb, hb = 2 * cw, 2 * ch
+    else:
+        wb = 1 + doc_id % 8
+        hb = 1 + (doc_id * 3) % 6
     bx = np.arange(wb, dtype=np.int64)[None, :]
     by = np.arange(hb, dtype=np.int64)[:, None]
     luma = np.zeros((hb, wb, 64), dtype=np.int64)
     luma[:, :, 0] = ((doc_id + 11 * bx + 5 * by) % 17) - 8
     if doc_id % 2 == 0:
         return encode_jpeg([luma], 8 * wb, 8 * hb)
+    if doc_id % 4 == 3:
+        cx = np.arange(cw, dtype=np.int64)[None, :]
+        cy = np.arange(ch, dtype=np.int64)[:, None]
+        cb = np.zeros((ch, cw, 64), dtype=np.int64)
+        cr = np.zeros((ch, cw, 64), dtype=np.int64)
+        cb[:, :, 0] = ((doc_id * 3 + 7 * cx + 2 * cy) % 7) - 3
+        cr[:, :, 0] = ((doc_id * 5 + 3 * cx + 4 * cy) % 7) - 3
+        return encode_jpeg(
+            [luma, cb, cr], 8 * wb, 8 * hb, sampling=[(2, 2), (1, 1), (1, 1)]
+        )
     cb = np.zeros((hb, wb, 64), dtype=np.int64)
     cr = np.zeros((hb, wb, 64), dtype=np.int64)
     cb[:, :, 0] = ((doc_id * 3 + 7 * bx + 2 * by) % 7) - 3
@@ -494,19 +578,27 @@ def synth_jpeg(doc_id: int) -> bytes:
     oracle="""
     WITH dims AS (
       SELECT doc_id,
-        CAST(1 + doc_id % 8 AS BIGINT) AS wb,
-        CAST(1 + (doc_id * 3) % 6 AS BIGINT) AS hb
+        CASE WHEN doc_id % 4 = 3 THEN CAST(2 * (1 + doc_id % 3) AS BIGINT)
+             ELSE CAST(1 + doc_id % 8 AS BIGINT) END AS wb,
+        CASE WHEN doc_id % 4 = 3
+             THEN CAST(2 * (1 + (doc_id // 4) % 3) AS BIGINT)
+             ELSE CAST(1 + (doc_id * 3) % 6 AS BIGINT) END AS hb,
+        CASE WHEN doc_id % 4 = 3 THEN 2 ELSE 1 END AS d
       FROM documents),
     blocks AS (
-      SELECT doc_id, wb, hb, k % wb AS bx, k // wb AS by
-      FROM (SELECT doc_id, wb, hb,
+      SELECT doc_id, wb, hb, d, k % wb AS bx, k // wb AS by
+      FROM (SELECT doc_id, wb, hb, d,
               unnest(generate_series(0, wb * hb - 1)) AS k
             FROM dims)),
+    -- chroma is defined on the subsampled grid: luma block (bx, by)
+    -- reads chroma block (bx // d, by // d) — replication upsampling
     px AS (
       SELECT doc_id, wb, hb,
         128 + 2 * (((doc_id + 11 * bx + 5 * by) % 17) - 8) AS y,
-        128 + 2 * (((doc_id * 3 + 7 * bx + 2 * by) % 7) - 3) AS cb,
-        128 + 2 * (((doc_id * 5 + 3 * bx + 4 * by) % 7) - 3) AS cr
+        128 + 2 * (((doc_id * 3 + 7 * (bx // d) + 2 * (by // d)) % 7) - 3)
+          AS cb,
+        128 + 2 * (((doc_id * 5 + 3 * (bx // d) + 4 * (by // d)) % 7) - 3)
+          AS cr
       FROM blocks),
     chan AS (
       SELECT doc_id, wb, hb,
@@ -519,7 +611,9 @@ def synth_jpeg(doc_id: int) -> bytes:
              ELSE CAST(floor(y + 1.772 * (cb - 128) + 0.5) AS BIGINT) END AS b
       FROM px)
     SELECT doc_id,
-      CASE WHEN doc_id % 2 = 0 THEN 'gray' ELSE 'ycc' END AS format,
+      CASE WHEN doc_id % 2 = 0 THEN 'gray'
+           WHEN doc_id % 4 = 3 THEN 'ycc420'
+           ELSE 'ycc' END AS format,
       CAST(8 * wb AS INT) AS width,
       CAST(8 * hb AS INT) AS height,
       CAST(wb * hb AS BIGINT) AS n_blocks,
@@ -559,15 +653,22 @@ def p_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                pix = decode_jpeg(p).astype(np.int64)
+                pix, sampling = decode_jpeg(p, with_sampling=True)
+                pix = pix.astype(np.int64)
                 h, w, c = pix.shape
+                if c == 1:
+                    fmt = "gray"
+                elif sampling[0] == (2, 2):
+                    fmt = "ycc420"  # what the FILE's SOF declared
+                else:
+                    fmt = "ycc"
                 if c == 1:
                     pix = np.repeat(pix, 3, axis=2)
                 sums = pix.sum(axis=(0, 1))
                 rows.append(
                     (
                         int(doc_id),
-                        "gray" if c == 1 else "ycc",
+                        fmt,
                         w,
                         h,
                         (h // 8) * (w // 8),

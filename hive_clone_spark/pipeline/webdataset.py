@@ -120,18 +120,24 @@ def tar_walk(data: bytes) -> list[tuple[str, bytes]]:
     oracle="""
     WITH dims AS (
       SELECT doc_id, n_chars,
-        CAST(1 + doc_id % 8 AS BIGINT) AS wb,
-        CAST(1 + (doc_id * 3) % 6 AS BIGINT) AS hb
+        CASE WHEN doc_id % 4 = 3 THEN CAST(2 * (1 + doc_id % 3) AS BIGINT)
+             ELSE CAST(1 + doc_id % 8 AS BIGINT) END AS wb,
+        CASE WHEN doc_id % 4 = 3
+             THEN CAST(2 * (1 + (doc_id // 4) % 3) AS BIGINT)
+             ELSE CAST(1 + (doc_id * 3) % 6 AS BIGINT) END AS hb,
+        CASE WHEN doc_id % 4 = 3 THEN 2 ELSE 1 END AS d
       FROM documents),
     blocks AS (
-      SELECT doc_id, wb, hb, k % wb AS bx, k // wb AS by
-      FROM (SELECT doc_id, wb, hb,
+      SELECT doc_id, wb, hb, d, k % wb AS bx, k // wb AS by
+      FROM (SELECT doc_id, wb, hb, d,
               unnest(generate_series(0, wb * hb - 1)) AS k
             FROM dims)),
+    -- 4:2:0 rows read chroma from the subsampled grid (replication)
     px AS (
       SELECT doc_id,
         128 + 2 * (((doc_id + 11 * bx + 5 * by) % 17) - 8) AS y,
-        128 + 2 * (((doc_id * 5 + 3 * bx + 4 * by) % 7) - 3) AS cr
+        128 + 2 * (((doc_id * 5 + 3 * (bx // d) + 4 * (by // d)) % 7) - 3)
+          AS cr
       FROM blocks),
     rsum AS (
       SELECT doc_id,

@@ -47,7 +47,7 @@ def test_coefficient_roundtrip(ncomp):
         hb, wb = int(rng.integers(1, 6)), int(rng.integers(1, 6))
         planes = _random_planes(rng, hb, wb, ncomp)
         payload = encode_jpeg(planes, 8 * wb, 8 * hb)
-        out, w, h, quants = decode_jpeg_coeffs(payload)
+        out, w, h, quants, samp = decode_jpeg_coeffs(payload)
         assert (w, h) == (8 * wb, 8 * hb)
         assert len(out) == ncomp
         for a, b in zip(planes, out):
@@ -67,7 +67,7 @@ def test_stuffed_ff_bytes_occur_and_roundtrip():
             break
     else:
         pytest.fail("no seed produced a stuffed byte in entropy data")
-    out, _, _, _ = decode_jpeg_coeffs(payload)
+    out, _, _, _, _ = decode_jpeg_coeffs(payload)
     np.testing.assert_array_equal(planes[0], out[0])
 
 
@@ -109,6 +109,79 @@ def test_synth_fixture_shapes_and_channels():
     assert gray.shape[2] == 1 and ycc.shape[2] == 3
     assert gray.shape == (8 * (1 + (4 * 3) % 6), 8 * (1 + 4 % 8), 1)
     assert ycc.shape == (8 * (1 + (5 * 3) % 6), 8 * (1 + 5 % 8), 3)
+    # doc_id % 4 == 3 -> 4:2:0 with 16px tiles: 7 -> cw=1+7%3=2, ch=1+1%3=2
+    sub, samp = decode_jpeg(synth_jpeg(7), with_sampling=True)
+    assert samp == [(2, 2), (1, 1), (1, 1)]
+    assert sub.shape == (32, 32, 3)
+
+
+def test_420_coefficient_roundtrip():
+    """4:2:0 MCU interleave survives encode->entropy-decode exactly:
+    2x2 luma blocks then one block per chroma, per MCU, with per-
+    component DC prediction chains crossing MCU boundaries."""
+    rng = np.random.default_rng(77)
+    for _ in range(6):
+        mx, my = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        luma = _random_planes(rng, 2 * my, 2 * mx, 1)[0]
+        cb = _random_planes(rng, my, mx, 1)[0]
+        cr = _random_planes(rng, my, mx, 1)[0]
+        payload = encode_jpeg(
+            [luma, cb, cr], 16 * mx, 16 * my,
+            sampling=[(2, 2), (1, 1), (1, 1)],
+        )
+        out, w, h, _, samp = decode_jpeg_coeffs(payload)
+        assert (w, h) == (16 * mx, 16 * my)
+        assert samp == [(2, 2), (1, 1), (1, 1)]
+        for a, b in zip([luma, cb, cr], out):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_420_mcu_pixels_match_bruteforce():
+    """One 4:2:0 MCU with full random AC content: the decoded pixels
+    equal an independent brute-force composition — per-block IDCT,
+    2x2 chroma replication, JFIF color conversion."""
+    from hive_clone_spark.pipeline.jpegcodec import QUANT_LUMA
+
+    rng = np.random.default_rng(41)
+    luma = _random_planes(rng, 2, 2, 1)[0] % 16  # small coeffs: no clamp
+    cb = _random_planes(rng, 1, 1, 1)[0] % 8
+    cr = _random_planes(rng, 1, 1, 1)[0] % 8
+    luma[:, :, 0] = rng.integers(-8, 9, size=(2, 2))
+    cb[0, 0, 0] = rng.integers(-3, 4)
+    cr[0, 0, 0] = rng.integers(-3, 4)
+    payload = encode_jpeg(
+        [luma, cb, cr], 16, 16, sampling=[(2, 2), (1, 1), (1, 1)]
+    )
+    pix = decode_jpeg(payload).astype(np.int64)
+
+    def idct_plane(plane):
+        hb, wb = plane.shape[:2]
+        deq = (plane * QUANT_LUMA[None, None, :]).astype(np.float64)
+        deq = deq.reshape(hb, wb, 8, 8)
+        px = np.einsum("ux,ijuv,vy->ijxy", _A, deq, _A)
+        px = np.floor(px + 0.5) + 128.0
+        return px.transpose(0, 2, 1, 3).reshape(hb * 8, wb * 8)
+
+    y = idct_plane(luma)
+    cbp = np.repeat(np.repeat(idct_plane(cb), 2, axis=0), 2, axis=1)
+    crp = np.repeat(np.repeat(idct_plane(cr), 2, axis=0), 2, axis=1)
+    exp_r = np.floor(y + 1.402 * (crp - 128.0) + 0.5)
+    exp_g = np.floor(
+        y - 0.344136 * (cbp - 128.0) - 0.714136 * (crp - 128.0) + 0.5
+    )
+    exp_b = np.floor(y + 1.772 * (cbp - 128.0) + 0.5)
+    exp = np.clip(np.stack([exp_r, exp_g, exp_b], axis=-1), 0, 255)
+    np.testing.assert_array_equal(pix, exp.astype(np.int64))
+
+
+def test_444_bitstream_unchanged_by_sampling_support():
+    """Default-sampling encode must stay byte-identical to the old
+    1x1-only encoder (the MCU generalization is a pure superset)."""
+    rng = np.random.default_rng(3)
+    planes = _random_planes(rng, 2, 3, 3)
+    a = encode_jpeg(planes, 24, 16)
+    b = encode_jpeg(planes, 24, 16, sampling=[(1, 1)] * 3)
+    assert a == b
 
 
 def test_color_conversion_against_reference():
@@ -139,7 +212,7 @@ def test_unknown_app_and_com_segments_skipped():
         + b"\xff\xfe" + struct.pack(">H", 9) + b"comment"  # COM
     )
     patched = payload[:2] + extra + payload[2:]
-    out, w, h, _ = decode_jpeg_coeffs(patched)
+    out, w, h, _, _ = decode_jpeg_coeffs(patched)
     np.testing.assert_array_equal(out[0], pl)
 
 
