@@ -1,0 +1,362 @@
+"""Minimal log-structured table format: a JSON commit log over parquet
+(the layer Delta Lake / Iceberg add to a bare parquet directory, reduced
+to its load-bearing core).
+
+The warehouse surface already has the MUTATION shapes — MERGE (q44),
+compaction (q79), SCD2 (q73), CDC diff (q74), schema evolution (q58) —
+but nothing tying them together transactionally. This module adds that
+tie: a table is a `data/` directory of immutable parquet files plus a
+`_txlog/` directory of numbered JSON commits, where each commit is an
+atomic set of add/remove file actions. Everything the format guarantees
+falls out of two properties:
+
+  * **commits are ordinal and exclusive** — commit N is the file
+    `_txlog/{N:08d}.json`, created with O_CREAT|O_EXCL, so two writers
+    racing for version N get exactly one winner (optimistic
+    concurrency; the loser re-reads and retries). On HDFS and local
+    filesystems create-exclusive is atomic; object stores need a
+    conditional-put / lock-service variant of the same contract.
+  * **the active file set at version V is a pure fold over commits
+    0..V** — so any reader can reconstruct any historical snapshot
+    (time travel) without coordination, and concurrent readers never
+    see a half-applied change (snapshot isolation: data files are
+    immutable and a commit becomes visible only when its JSON appears).
+
+Checkpoints (`{N:08d}.checkpoint.json`, every _CHECKPOINT_EVERY
+commits) store the folded active set so replay cost is O(interval),
+not O(history) — the same role Delta's parquet checkpoints play.
+
+Scale notes (100 TB): the log records FILE-level actions, so commit
+size is proportional to files touched, never rows; snapshot
+reconstruction reads a handful of small JSON objects off the driver and
+the actual data scan remains a fully parallel parquet read of the
+active files. Compaction (q79's rewrite) and MERGE (q44's rewrite)
+become single atomic commits — remove the rewritten files, add their
+replacements — which is exactly how OPTIMIZE and MERGE commit in
+production table formats.
+
+Reference parity: the reference engine has no storage layer at all
+(SURVEY.md §1 — in-memory `std::vector<Piece>`); this belongs to the
+warehouse surface the driver contract adds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_clone_spark.catalog import table
+from hive_clone_spark.registry import register
+
+_CHECKPOINT_EVERY = 8
+
+
+class CommitConflictError(Exception):
+    """Another writer won this version — re-read the log and retry."""
+
+
+class TxLog:
+    """A log-structured parquet table rooted at ``root``."""
+
+    def __init__(self, root: str) -> None:
+        self.root = pathlib.Path(root)
+        self.log_dir = self.root / "_txlog"
+        self.data_dir = self.root / "data"
+
+    # -- log layout ---------------------------------------------------
+    @staticmethod
+    def _commit_name(version: int) -> str:
+        return f"{version:08d}.json"
+
+    def create(self) -> "TxLog":
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        self.data_dir.mkdir(parents=True, exist_ok=True)
+        return self
+
+    def versions(self) -> list[int]:
+        return sorted(
+            int(p.name[:8])
+            for p in self.log_dir.glob("*.json")
+            if not p.name.endswith(".checkpoint.json")
+        )
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        return vs[-1] if vs else -1
+
+    def _read_commit(self, version: int) -> dict:
+        with open(self.log_dir / self._commit_name(version)) as f:
+            return json.load(f)
+
+    # -- snapshot reconstruction --------------------------------------
+    def active_files(self, version: int | None = None) -> list[str]:
+        """Fold add/remove actions up to ``version`` (default latest),
+        starting from the nearest checkpoint at or below it."""
+        if version is None:
+            version = self.latest_version()
+        if version < 0:
+            return []
+        if version not in set(self.versions()):
+            raise ValueError(f"txlog: no commit {version}")
+        start, active = 0, []
+        for v in range(version, -1, -1):
+            ckpt = self.log_dir / f"{v:08d}.checkpoint.json"
+            if ckpt.exists():
+                with open(ckpt) as f:
+                    active = list(json.load(f)["active"])
+                start = v + 1
+                break
+        files = set(active)
+        for v in range(start, version + 1):
+            c = self._read_commit(v)
+            files.update(a["file"] for a in c.get("add", []))
+            files.difference_update(c.get("remove", []))
+        return sorted(files)
+
+    def history(self) -> list[dict]:
+        return [
+            {
+                "version": v,
+                "op": (c := self._read_commit(v)).get("op", ""),
+                "n_added": len(c.get("add", [])),
+                "n_removed": len(c.get("remove", [])),
+            }
+            for v in self.versions()
+        ]
+
+    # -- writing ------------------------------------------------------
+    def stage_data(self, df: DataFrame, n_files: int | None = None) -> list[dict]:
+        """Write ``df``'s rows as immutable parquet files under
+        ``data/`` (staged via a scratch dir, then moved under unique
+        names) and return their add-actions. Staging happens BEFORE the
+        commit attempt — a losing writer leaves only unreferenced files
+        (cleaned by vacuum in production formats), never a torn table."""
+        if n_files is not None:
+            df = df.repartition(n_files)
+        stage = self.root / f"_stage-{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(str(stage))
+        adds = []
+        for part in sorted(stage.glob("*.parquet")):
+            name = f"{uuid.uuid4().hex}.parquet"
+            os.replace(part, self.data_dir / name)
+            adds.append({"file": f"data/{name}"})
+        shutil.rmtree(stage)
+        return adds
+
+    def commit(
+        self,
+        op: str,
+        add: list[dict] | None = None,
+        remove: list[str] | None = None,
+        expected_version: int | None = None,
+    ) -> int:
+        """Atomically publish a commit at ``latest + 1``.
+
+        ``expected_version`` is the optimistic-concurrency token: the
+        version the writer READ before preparing its change. If someone
+        else committed since (latest != expected), or two writers race
+        for the same slot (O_EXCL loses), CommitConflictError — the
+        caller re-reads, revalidates, and retries."""
+        latest = self.latest_version()
+        if expected_version is not None and latest != expected_version:
+            raise CommitConflictError(
+                f"txlog: expected version {expected_version}, found {latest}"
+            )
+        version = latest + 1
+        payload = {
+            "version": version,
+            "op": op,
+            "add": add or [],
+            "remove": remove or [],
+        }
+        path = self.log_dir / self._commit_name(version)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"txlog: version {version} was committed concurrently"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f)
+        if version % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
+            # fold BEFORE publishing, and publish via rename: a reader
+            # (or this fold itself) must never observe a half-written
+            # checkpoint — only the commit log is load-bearing, the
+            # checkpoint is a cache and appears atomically or not at all
+            active = self.active_files(version)
+            tmp = self.log_dir / f".{version:08d}.checkpoint.tmp"
+            with open(tmp, "w") as f:
+                json.dump({"version": version, "active": active}, f)
+            os.replace(tmp, self.log_dir / f"{version:08d}.checkpoint.json")
+        return version
+
+    def append(self, df: DataFrame, n_files: int | None = None, op: str = "append") -> int:
+        return self.commit(op, add=self.stage_data(df, n_files))
+
+    def overwrite(self, df: DataFrame, n_files: int | None = None, op: str = "overwrite") -> int:
+        """Transactional rewrite: replace the whole active set in one
+        commit — the shape MERGE (q44) and compaction (q79) publish."""
+        removes = self.active_files() if self.latest_version() >= 0 else []
+        return self.commit(op, add=self.stage_data(df, n_files), remove=removes)
+
+    # -- reading ------------------------------------------------------
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        files = [str(self.root / f) for f in self.active_files(version)]
+        if not files:
+            raise ValueError("txlog: empty table")
+        return spark.read.parquet(*files)
+
+
+def _warehouse_dir(sf_dir: str, name: str) -> str:
+    # same (entry, sf, pid) isolation contract as sources/queries.py
+    from hive_clone_spark.sources.queries import _warehouse
+
+    return _warehouse(sf_dir, name)
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# Q91 — commit-log time travel: the q74 snapshot-diff semantics,
+# realized through the TABLE FORMAT instead of two date filters.
+# Version 0 commits the old snapshot (orders before 1996); version 1 is
+# a transactional rewrite to the new snapshot (orders before 1997 with
+# status O folded to F — the shape a MERGE publishes). The entry then
+# time-travel-reads BOTH versions and computes the CDC census between
+# them; the oracle is q74's: the format must reproduce, via log replay
+# alone, exactly the diff the date-filter derivation predicts. A commit
+# that leaks files across versions, mis-folds remove actions, or reads
+# the wrong snapshot shifts the census.
+# ---------------------------------------------------------------------------
+@register(
+    "q91_txlog_time_travel",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus FROM orders
+      WHERE o_orderdate < DATE '1996-01-01'),
+    new AS (
+      SELECT o_orderkey,
+        CASE WHEN o_orderstatus = 'O' THEN 'F' ELSE o_orderstatus END
+          AS o_orderstatus
+      FROM orders WHERE o_orderdate < DATE '1997-01-01'),
+    diff AS (
+      SELECT
+        CASE
+          WHEN old.o_orderkey IS NULL THEN 'insert'
+          WHEN new.o_orderkey IS NULL THEN 'delete'
+          WHEN old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+            THEN 'update'
+          ELSE 'unchanged' END AS op
+      FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey)
+    SELECT op, COUNT(*) AS n_rows FROM diff
+    GROUP BY op ORDER BY op
+    """,
+)
+def q91_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tl = TxLog(_warehouse_dir(sf_dir, "txlog_q91")).create()
+    o = table(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderdate") < F.lit("1996-01-01").cast("date")).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    new = o.where(F.col("o_orderdate") < F.lit("1997-01-01").cast("date")).select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "O", "F")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    tl.append(old, n_files=4)  # version 0
+    tl.overwrite(new, n_files=4, op="merge-rewrite")  # version 1
+    v_old = tl.read(spark, 0).select(
+        F.col("o_orderkey").alias("k_old"), F.col("o_orderstatus").alias("s_old")
+    )
+    v_new = tl.read(spark, 1).select(
+        F.col("o_orderkey").alias("k_new"), F.col("o_orderstatus").alias("s_new")
+    )
+    diff = v_old.join(v_new, v_old.k_old == v_new.k_new, "full_outer").select(
+        F.when(F.col("k_old").isNull(), "insert")
+        .when(F.col("k_new").isNull(), "delete")
+        .when(~F.col("s_old").eqNullSafe(F.col("s_new")), "update")
+        .otherwise("unchanged")
+        .alias("op")
+    )
+    return diff.groupBy("op").agg(F.count("*").alias("n_rows")).orderBy("op")
+
+
+# ---------------------------------------------------------------------------
+# Q92 — commit-log history: append + append + compaction as three
+# atomic commits, then a time-travel read of EVERY version. Version 0
+# lands even orderkeys fragmented over 16 files, version 1 appends the
+# odd orderkeys over 8 more, version 2 is q79's compaction as a single
+# rewrite commit (remove all 24, add the right-sized replacement). The
+# result is one row per version — op, active file count, row count,
+# decimal-exact price sum — and the oracle predicts every cell from the
+# construction rule, so a replay that drops a remove action (file count
+# 25), double-counts an add (rows off), or corrupts data across the
+# rewrite (sum off) fails the hash.
+# ---------------------------------------------------------------------------
+_TX_FRAG_V0 = 16
+_TX_FRAG_V1 = 8
+_TX_ROWS_PER_FILE = 500_000
+
+
+@register(
+    "q92_txlog_compaction_history",
+    oracle=f"""
+    WITH v0 AS (
+      SELECT CAST(0 AS BIGINT) AS version, 'append' AS op,
+        CAST({_TX_FRAG_V0} AS BIGINT) AS n_files,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders WHERE o_orderkey % 2 = 0),
+    v1 AS (
+      SELECT CAST(1 AS BIGINT), 'append',
+        CAST({_TX_FRAG_V0 + _TX_FRAG_V1} AS BIGINT),
+        CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM orders),
+    v2 AS (
+      SELECT CAST(2 AS BIGINT), 'compact',
+        CAST(GREATEST(1, COUNT(*) // {_TX_ROWS_PER_FILE}) AS BIGINT),
+        CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM orders)
+    SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    ORDER BY version
+    """,
+)
+def q92_txlog_compaction_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tl = TxLog(_warehouse_dir(sf_dir, "txlog_q92")).create()
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tl.append(o.where(F.col("o_orderkey") % 2 == 0), n_files=_TX_FRAG_V0)
+    tl.append(o.where(F.col("o_orderkey") % 2 == 1), n_files=_TX_FRAG_V1)
+    target = max(1, tl.read(spark).count() // _TX_ROWS_PER_FILE)
+    tl.overwrite(tl.read(spark), n_files=target, op="compact")
+    rows = []
+    for h in tl.history():
+        snap = tl.read(spark, h["version"]).agg(
+            F.count("*").alias("n_rows"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+        rows.append(
+            snap.select(
+                F.lit(h["version"]).cast("long").alias("version"),
+                F.lit(h["op"]).alias("op"),
+                F.lit(len(tl.active_files(h["version"]))).cast("long").alias(
+                    "n_files"
+                ),
+                "n_rows",
+                "sum_price",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("version")

@@ -1,0 +1,113 @@
+"""Unit tests for the JSON-commit-log table format (sources/txlog.py):
+optimistic-concurrency conflicts, checkpointed replay, remove-action
+visibility, and staged-file isolation."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from hive_clone_spark.sources.txlog import (
+    _CHECKPOINT_EVERY,
+    CommitConflictError,
+    TxLog,
+)
+
+
+def _mk(tmp_path, name="t"):
+    return TxLog(str(tmp_path / name)).create()
+
+
+def test_append_and_read_back(spark, tmp_path):
+    tl = _mk(tmp_path)
+    df = spark.range(10).withColumnRenamed("id", "k")
+    tl.append(df, n_files=2)
+    assert tl.latest_version() == 0
+    assert len(tl.active_files()) == 2
+    assert tl.read(spark).count() == 10
+
+
+def test_concurrent_append_conflict(spark, tmp_path):
+    """Two writers race for the same version: exactly one wins, the
+    loser gets CommitConflictError and succeeds on retry — the
+    optimistic-concurrency contract."""
+    tl_a = _mk(tmp_path)
+    tl_b = TxLog(tl_a.root)  # second writer handle on the same table
+    df = spark.range(5).withColumnRenamed("id", "k")
+    base = tl_a.latest_version()  # both writers read the same version
+    adds_a = tl_a.stage_data(df, n_files=1)
+    adds_b = tl_b.stage_data(df, n_files=1)
+    assert tl_a.commit("append", add=adds_a, expected_version=base) == 0
+    with pytest.raises(CommitConflictError):
+        tl_b.commit("append", add=adds_b, expected_version=base)
+    # retry after re-reading the log: next slot, clean success
+    v = tl_b.commit("append", add=adds_b, expected_version=tl_b.latest_version())
+    assert v == 1
+    assert tl_a.read(spark).count() == 10
+
+
+def test_exclusive_create_guards_same_slot(spark, tmp_path, monkeypatch):
+    """Even when the expected_version check passes (both writers read
+    the log at the same instant), O_EXCL on the commit file itself
+    rejects the second writer of a slot — the true race window."""
+    tl = _mk(tmp_path)
+    df = spark.range(3).withColumnRenamed("id", "k")
+    tl.append(df, n_files=1)
+    adds = tl.stage_data(df, n_files=1)
+    # freeze this writer's view of the log at version 0, then let the
+    # "other writer" land commit 1 inside the race window
+    monkeypatch.setattr(tl, "latest_version", lambda: 0)
+    (tl.log_dir / tl._commit_name(1)).write_text(
+        json.dumps({"version": 1, "op": "append", "add": [], "remove": []})
+    )
+    with pytest.raises(CommitConflictError):
+        tl.commit("append", add=adds, expected_version=0)
+
+
+def test_time_travel_and_remove_visibility(spark, tmp_path):
+    tl = _mk(tmp_path)
+    a = spark.range(0, 4).withColumnRenamed("id", "k")
+    b = spark.range(4, 10).withColumnRenamed("id", "k")
+    tl.append(a, n_files=1)  # v0
+    tl.append(b, n_files=1)  # v1
+    tl.overwrite(spark.range(100, 103).withColumnRenamed("id", "k"), n_files=1)  # v2
+    assert tl.read(spark, 0).count() == 4
+    assert tl.read(spark, 1).count() == 10
+    assert tl.read(spark, 2).count() == 3
+    assert tl.read(spark).count() == 3  # latest
+    # removed files are out of the active set but still on disk (no
+    # vacuum), which is precisely what keeps v0/v1 readable
+    assert len(tl.active_files(2)) == 1
+    assert len(list(tl.data_dir.glob("*.parquet"))) == 3
+
+
+def test_checkpoint_written_and_used(spark, tmp_path):
+    tl = _mk(tmp_path)
+    df = spark.range(2).withColumnRenamed("id", "k")
+    for _ in range(_CHECKPOINT_EVERY + 2):
+        tl.append(df, n_files=1)
+    ckpt = tl.log_dir / f"{_CHECKPOINT_EVERY - 1:08d}.checkpoint.json"
+    assert ckpt.exists()
+    # replay from the checkpoint must agree with a full fold
+    expect = set()
+    for v in range(tl.latest_version() + 1):
+        c = tl._read_commit(v)
+        expect.update(x["file"] for x in c["add"])
+    assert set(tl.active_files()) == expect
+    # and the checkpoint is genuinely load-bearing: corrupt a
+    # pre-checkpoint commit body; replay at latest must not read it
+    (tl.log_dir / tl._commit_name(0)).write_text("NOT JSON")
+    assert set(tl.active_files()) == expect
+    with pytest.raises(json.JSONDecodeError):
+        tl.active_files(0)  # pre-checkpoint versions do re-read it
+
+
+def test_history_shape(spark, tmp_path):
+    tl = _mk(tmp_path)
+    df = spark.range(6).withColumnRenamed("id", "k")
+    tl.append(df, n_files=3)
+    tl.overwrite(df, n_files=1, op="compact")
+    hist = tl.history()
+    assert [h["op"] for h in hist] == ["append", "compact"]
+    assert hist[1]["n_removed"] == 3 and hist[1]["n_added"] == 1
