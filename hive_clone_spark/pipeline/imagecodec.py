@@ -185,24 +185,23 @@ def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
-    """Encode an HxWx3 uint8 RGB array as an 8-bit truecolor PNG.
+def _filter_scanlines(
+    raw: np.ndarray, bpp: int, filters: list[int] | None
+) -> bytes:
+    """Apply the five PNG row filters to an (h, bpp*w) raw byte grid.
     `filters` gives the per-row filter type; default cycles y % 5 so
     all five filter types appear in any image with >= 5 rows. Filtering
     at encode time predicts from RAW neighbor bytes (recon == raw for
     the encoder), so every branch is fully vectorized."""
-    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
-        raise ValueError(f"expected HxWx3 uint8, got {pixels.shape} {pixels.dtype}")
-    h, w = pixels.shape[:2]
-    raw = pixels.reshape(h, _BPP * w).astype(np.int16)
-    zero = np.zeros(_BPP, dtype=np.int16)
+    h = raw.shape[0]
+    zero = np.zeros(bpp, dtype=np.int16)
     out = bytearray()
     for y in range(h):
         f = (y % 5) if filters is None else filters[y]
         row = raw[y]
-        left = np.concatenate([zero, row[:-_BPP]])
+        left = np.concatenate([zero, row[:-bpp]])
         up = raw[y - 1] if y > 0 else np.zeros_like(row)
-        upleft = np.concatenate([zero, up[:-_BPP]])
+        upleft = np.concatenate([zero, up[:-bpp]])
         if f == 0:
             filt = row
         elif f == 1:
@@ -217,27 +216,73 @@ def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
             raise ValueError(f"bad PNG filter type {f}")
         out.append(f)
         out += (filt % 256).astype(np.uint8).tobytes()
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return bytes(out)
+
+
+def _png_file(ihdr: bytes, extra_chunks: list[bytes], idat: bytes) -> bytes:
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + b"".join(extra_chunks)
+        + _png_chunk(b"IDAT", zlib.compress(idat, 6))
         + _png_chunk(b"IEND", b"")
     )
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """Decode an 8-bit truecolor non-interlaced PNG to HxWx3 uint8 RGB:
-    verify the signature, walk chunks (CRC32-checked), inflate the
-    concatenated IDAT stream with stdlib zlib, then reverse the five
-    scanline filters. Sub reconstructs via per-channel-phase cumsum
-    (recon[x] = filt[x] + recon[x-3] telescopes to a running sum);
-    Average/Paeth carry a true left-to-right dependency on
-    reconstructed bytes, so those rows walk x sequentially."""
+def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """Encode an HxWx3 uint8 RGB array as an 8-bit truecolor PNG
+    (color type 2), or an HxWx4 uint8 RGBA array as color type 6."""
+    if (
+        pixels.ndim != 3
+        or pixels.shape[2] not in (3, 4)
+        or pixels.dtype != np.uint8
+    ):
+        raise ValueError(
+            f"expected HxWx3/HxWx4 uint8, got {pixels.shape} {pixels.dtype}"
+        )
+    h, w, bpp = pixels.shape
+    ctype = 2 if bpp == 3 else 6
+    raw = pixels.reshape(h, bpp * w).astype(np.int16)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return _png_file(ihdr, [], _filter_scanlines(raw, bpp, filters))
+
+
+def encode_png_palette(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    filters: list[int] | None = None,
+) -> bytes:
+    """Encode an HxW uint8 index array + (N, 3) uint8 palette as an
+    8-bit color-type-3 PNG (PLTE chunk before IDAT, 1 byte/pixel
+    scanlines through the same five row filters)."""
+    if indices.ndim != 2 or indices.dtype != np.uint8:
+        raise ValueError(f"expected HxW uint8 indices, got {indices.shape}")
+    if palette.ndim != 2 or palette.shape[1] != 3 or len(palette) > 256:
+        raise ValueError("palette must be (N<=256, 3)")
+    if int(indices.max(initial=0)) >= len(palette):
+        raise ValueError("palette index out of range")
+    h, w = indices.shape
+    raw = indices.reshape(h, w).astype(np.int16)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    plte = _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    return _png_file(ihdr, [plte], _filter_scanlines(raw, 1, filters))
+
+
+def decode_png(payload: bytes, with_ctype: bool = False):
+    """Decode an 8-bit non-interlaced PNG — color type 2 (truecolor,
+    -> HxWx3), 3 (palette, PLTE lookup -> HxWx3), or 6 (truecolor +
+    alpha -> HxWx4): verify the signature, walk chunks (CRC32-checked),
+    inflate the concatenated IDAT stream with stdlib zlib, then reverse
+    the five scanline filters at the color type's bytes-per-pixel.
+    Sub reconstructs via per-channel-phase cumsum (recon[x] = filt[x] +
+    recon[x-bpp] telescopes to a running sum); Average/Paeth carry a
+    true left-to-right dependency on reconstructed bytes, so those rows
+    walk x sequentially. ``with_ctype`` returns (pixels, color_type) so
+    callers can report what the FILE declared."""
     payload = bytes(payload)
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, idat, ihdr = 8, b"", None
+    pos, idat, ihdr, plte = 8, b"", None, None
     while pos + 12 <= len(payload):
         ln, typ = struct.unpack_from(">I4s", payload, pos)
         data = payload[pos + 8 : pos + 8 + ln]
@@ -248,6 +293,10 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"PNG {typ!r} chunk CRC mismatch")
         if typ == b"IHDR":
             ihdr = data
+        elif typ == b"PLTE":
+            if ln % 3 != 0 or ln > 768:
+                raise ValueError("bad PLTE length")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
@@ -256,15 +305,20 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or len(ihdr) != 13:
         raise ValueError("missing PNG IHDR")
     w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
         raise ValueError(
-            f"only 8-bit RGB non-interlaced supported "
+            f"only 8-bit non-interlaced supported "
             f"(depth={depth}, color={ctype}, interlace={interlace})"
         )
+    if ctype not in (2, 3, 6):
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     if w <= 0 or h <= 0:
         raise ValueError(f"bad PNG dims {w}x{h}")
+    bpp = {2: 3, 3: 1, 6: 4}[ctype]
     stream = zlib.decompress(idat)
-    stride = _BPP * w
+    stride = bpp * w
     if len(stream) != h * (1 + stride):
         raise ValueError("PNG stream length mismatch")
     arr = np.frombuffer(stream, dtype=np.uint8).reshape(h, 1 + stride)
@@ -277,21 +331,21 @@ def decode_png(payload: bytes) -> np.ndarray:
             rec = cur
         elif f == 1:  # Sub: per-channel-phase running sum mod 256
             rec = cur.copy()
-            for ph in range(_BPP):
-                rec[ph::_BPP] = np.cumsum(cur[ph::_BPP]) % 256
+            for ph in range(bpp):
+                rec[ph::bpp] = np.cumsum(cur[ph::bpp]) % 256
         elif f == 2:  # Up
             rec = (cur + up) % 256
         elif f == 3:  # Average
             rec = cur.copy()
             for x in range(stride):
-                left = rec[x - _BPP] if x >= _BPP else 0
+                left = rec[x - bpp] if x >= bpp else 0
                 rec[x] = (cur[x] + (left + up[x]) // 2) % 256
         elif f == 4:  # Paeth
             rec = cur.copy()
             for x in range(stride):
-                a = int(rec[x - _BPP]) if x >= _BPP else 0
+                a = int(rec[x - bpp]) if x >= bpp else 0
                 b = int(up[x])
-                c = int(recon[y - 1, x - _BPP]) if (y > 0 and x >= _BPP) else 0
+                c = int(recon[y - 1, x - bpp]) if (y > 0 and x >= bpp) else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -299,7 +353,26 @@ def decode_png(payload: bytes) -> np.ndarray:
         else:
             raise ValueError(f"bad PNG filter byte {f}")
         recon[y] = rec
-    return recon.astype(np.uint8).reshape(h, w, 3).copy()
+    flat = recon.astype(np.uint8)
+    if ctype == 2:
+        out = flat.reshape(h, w, 3).copy()
+    elif ctype == 6:
+        out = flat.reshape(h, w, 4).copy()
+    else:  # palette lookup
+        idx = flat.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        out = plte[idx].copy()
+    return (out, ctype) if with_ctype else out
+
+
+def compose_over_white(rgba: np.ndarray) -> np.ndarray:
+    """RGBA -> RGB over a white background with exact integer
+    arithmetic: out = (a*px + (255-a)*255) // 255 — the floor form an
+    external SQL oracle reproduces bit-for-bit."""
+    a = rgba[:, :, 3:4].astype(np.int64)
+    px = rgba[:, :, :3].astype(np.int64)
+    return ((a * px + (255 - a) * 255) // 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -316,14 +389,22 @@ def sniff_format(payload: bytes) -> str | None:
 
 
 def decode_image(payload: bytes) -> tuple[str, np.ndarray]:
-    """Sniff the container format from magic bytes and decode."""
+    """Sniff the container format from magic bytes and decode to
+    canonical HxWx3 RGB. PNG variants are distinguished by the FILE's
+    color type ('png' truecolor / 'png-pal' palette / 'png-rgba'
+    truecolor+alpha, composed over white)."""
     fmt = sniff_format(bytes(payload))
     if fmt == "bmp":
         return fmt, decode_bmp(bytes(payload))
     if fmt == "ppm":
         return fmt, decode_ppm(bytes(payload))
     if fmt == "png":
-        return fmt, decode_png(bytes(payload))
+        pix, ctype = decode_png(bytes(payload), with_ctype=True)
+        if ctype == 3:
+            return "png-pal", pix
+        if ctype == 6:
+            return "png-rgba", compose_over_white(pix)
+        return "png", pix
     raise ValueError(f"unknown image magic {bytes(payload)[:2]!r}")
 
 
@@ -352,7 +433,11 @@ def resize_nearest(pixels: np.ndarray, dst_w: int, dst_h: int) -> np.ndarray:
 #   w(doc)      = 1 + doc_id % 64
 #   h(doc)      = 1 + (doc_id * 7) % 48
 #   pix(y,*,c)  = (doc_id + 3*y + 7*c) % 256     (row-constant)
-#   container   = doc_id % 3: 0 → BMP, 1 → PPM, 2 → PNG
+#   container   = doc_id % 3: 0 → BMP, 1 → PPM, 2 → PNG, where the PNG
+#   third subdivides by doc_id % 9: 2 → truecolor (type 2),
+#   5 → palette (type 3: PLTE = the row colors, index = row number),
+#   8 → RGBA (type 6) with alpha(y) = 255 - ((doc_id + 5*y) % 64),
+#   composed over white at decode: (a*px + (255-a)*255) // 255.
 #
 # PNG rows run the full compressed path (deflate at encode, CRC check +
 # inflate + per-row defilter at decode, filter type cycling y % 5).
@@ -370,6 +455,18 @@ def synth_image(doc_id: int) -> tuple[str, bytes]:
         return "bmp", encode_bmp(pixels)
     if m == 1:
         return "ppm", encode_ppm(pixels)
+    m9 = doc_id % 9
+    if m9 == 5:  # palette: the h row colors ARE the palette
+        idx = np.broadcast_to(
+            np.arange(h, dtype=np.uint8)[:, None], (h, w)
+        ).copy()
+        return "png-pal", encode_png_palette(idx, rowvals)
+    if m9 == 8:  # RGBA with a varying alpha column
+        alpha = (255 - ((doc_id + 5 * y) % 64)).astype(np.uint8)  # h x 1
+        rgba = np.concatenate(
+            [pixels, np.broadcast_to(alpha[:, None, :], (h, w, 1))], axis=2
+        )
+        return "png-rgba", encode_png(np.ascontiguousarray(rgba))
     return "png", encode_png(pixels)
 
 
@@ -399,10 +496,26 @@ _SYNTH_ORACLE_CTE = """
       SELECT doc_id,
         CAST(1 + doc_id % 64 AS INT) AS width,
         CAST(1 + (doc_id * 7) % 48 AS INT) AS height,
-        CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+        CASE WHEN doc_id % 3 = 0 THEN 'bmp'
+             WHEN doc_id % 3 = 1 THEN 'ppm'
+             WHEN doc_id % 9 = 5 THEN 'png-pal'
+             WHEN doc_id % 9 = 8 THEN 'png-rgba'
              ELSE 'png' END AS format
       FROM documents)
 """
+
+
+def _sql_px(yexpr: str, c: int) -> str:
+    """SQL for the decoded channel value at row ``yexpr``, channel c:
+    the base synthesis rule, with RGBA rows (doc_id % 9 = 8) composed
+    over white via the exact integer form the decoder uses."""
+    px = f"((doc_id + 3 * ({yexpr}) + {7 * c}) % 256)"
+    a = f"(255 - ((doc_id + 5 * ({yexpr})) % 64))"
+    return (
+        f"CASE WHEN doc_id % 9 = 8 "
+        f"THEN ({a} * {px} + (255 - {a}) * 255) // 255 "
+        f"ELSE {px} END"
+    )
 
 
 @register(
@@ -424,17 +537,19 @@ _SYNTH_ORACLE_CTE = """
           WHEN 'bmp' THEN 54 + ((3 * width + 3) // 4) * 4 * height
           WHEN 'ppm' THEN 3 + length(CAST(width AS VARCHAR)) + 1
              + length(CAST(height AS VARCHAR)) + 5 + 3 * width * height
+          WHEN 'png-pal' THEN height * (1 + width)
+          WHEN 'png-rgba' THEN height * (1 + 4 * width)
           ELSE height * (1 + 3 * width)
         END AS n_bytes
       FROM dims),
     sums AS (
       SELECT doc_id,
         width * list_sum(list_transform(generate_series(0, height - 1),
-          y -> (doc_id + 3 * y) % 256)) AS sum_r,
+          y -> {_sql_px("y", 0)})) AS sum_r,
         width * list_sum(list_transform(generate_series(0, height - 1),
-          y -> (doc_id + 3 * y + 7) % 256)) AS sum_g,
+          y -> {_sql_px("y", 1)})) AS sum_g,
         width * list_sum(list_transform(generate_series(0, height - 1),
-          y -> (doc_id + 3 * y + 14) % 256)) AS sum_b
+          y -> {_sql_px("y", 2)})) AS sum_b
       FROM dims)
     SELECT s.doc_id, z.format, z.width, z.height, 3 AS channels,
       CAST(z.n_bytes AS BIGINT) AS n_bytes,
@@ -460,10 +575,14 @@ def p_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 fmt, pix = decode_image(p)
                 sums = pix.sum(axis=(0, 1), dtype=np.int64)
-                # PNG: report the defiltered stream size (deflate output
-                # size is not an invariant — see the oracle comment)
+                # PNG: report the defiltered stream size at the FILE's
+                # bytes-per-pixel (deflate output size is not an
+                # invariant — see the oracle comment)
                 h, w = pix.shape[:2]
-                n_bytes = h * (1 + 3 * w) if fmt == "png" else len(bytes(p))
+                png_bpp = {"png": 3, "png-pal": 1, "png-rgba": 4}.get(fmt)
+                n_bytes = (
+                    h * (1 + png_bpp * w) if png_bpp else len(bytes(p))
+                )
                 rows.append(
                     (
                         int(doc_id),
@@ -510,8 +629,10 @@ def p_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM g d)
     SELECT doc_id,
       CASE WHEN doc_id % 2 = 0 THEN 'bmp'
-           WHEN (doc_id // 2) % 2 = 0 THEN 'ppm'
-           ELSE 'png' END AS format,
+           WHEN (doc_id // 2) % 4 = 0 THEN 'ppm'
+           WHEN (doc_id // 2) % 4 = 1 THEN 'png'
+           WHEN (doc_id // 2) % 4 = 2 THEN 'png-pal'
+           ELSE 'png-rgba' END AS format,
       CAST(n_copies AS BIGINT) AS n_copies,
       canonical_id,
       (doc_id = canonical_id) AS keep
@@ -543,9 +664,11 @@ def p_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def synth_pair_batches(batches):
         # pairs share content: dims+pixels derive from grp = doc_id//2,
-        # container from doc_id parity — even doc: BMP; odd doc: PPM or
-        # PNG alternating by group, so BMP↔PNG content matches cross the
-        # COMPRESSED decode path too
+        # container from doc_id parity — even doc: BMP; odd doc cycles
+        # PPM / truecolor PNG / palette PNG / opaque RGBA PNG by group,
+        # so BMP content must match across EVERY compressed decode
+        # path (palette lookup and alpha compose included) for the
+        # dedup groups to form
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
@@ -559,10 +682,21 @@ def p_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pixels = np.broadcast_to(rowvals[:, None, :], (h, w, 3)).copy()
                 if doc_id % 2 == 0:
                     payload = encode_bmp(pixels)
-                elif grp % 2 == 0:
+                elif grp % 4 == 0:
                     payload = encode_ppm(pixels)
-                else:
+                elif grp % 4 == 1:
                     payload = encode_png(pixels)
+                elif grp % 4 == 2:
+                    idx = np.broadcast_to(
+                        np.arange(h, dtype=np.uint8)[:, None], (h, w)
+                    ).copy()
+                    payload = encode_png_palette(idx, rowvals)
+                else:  # alpha=255 everywhere: composes to identical RGB
+                    rgba = np.concatenate(
+                        [pixels, np.full((h, w, 1), 255, dtype=np.uint8)],
+                        axis=2,
+                    )
+                    payload = encode_png(rgba)
                 rows.append((doc_id, payload))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
@@ -616,11 +750,11 @@ def p_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums AS (
       SELECT doc_id,
         dst_width * list_sum(list_transform(generate_series(0, dst_height - 1),
-          yd -> (doc_id + 3 * ((yd * height) // dst_height)) % 256)) AS sum_r,
+          yd -> {_sql_px("(yd * height) // dst_height", 0)})) AS sum_r,
         dst_width * list_sum(list_transform(generate_series(0, dst_height - 1),
-          yd -> (doc_id + 3 * ((yd * height) // dst_height) + 7) % 256)) AS sum_g,
+          yd -> {_sql_px("(yd * height) // dst_height", 1)})) AS sum_g,
         dst_width * list_sum(list_transform(generate_series(0, dst_height - 1),
-          yd -> (doc_id + 3 * ((yd * height) // dst_height) + 14) % 256)) AS sum_b
+          yd -> {_sql_px("(yd * height) // dst_height", 2)})) AS sum_b
       FROM dst)
     SELECT d.doc_id,
       d.width AS src_width, d.height AS src_height,

@@ -19,8 +19,10 @@ from hive_clone_spark.pipeline.imagecodec import (
     decode_image,
     decode_png,
     decode_ppm,
+    compose_over_white,
     encode_bmp,
     encode_png,
+    encode_png_palette,
     encode_ppm,
     fit_box,
     resize_nearest,
@@ -210,7 +212,7 @@ def test_png_rejects_corrupt():
     gray[ihdr_off + 9] = 0  # color type 2 -> 0
     crc = __import__("zlib").crc32(bytes(gray[ihdr_off - 4 : ihdr_off + 13])) & 0xFFFFFFFF
     _struct.pack_into(">I", gray, ihdr_off + 13, crc)
-    with pytest.raises(ValueError, match="only 8-bit RGB"):
+    with pytest.raises(ValueError, match="unsupported PNG color type"):
         decode_png(bytes(gray))
 
 
@@ -248,3 +250,74 @@ def test_synth_image_is_real_and_decodable():
             np.testing.assert_array_equal(pix[:, 0, c], want)
             # row-constant across x
             assert (pix[:, :, c] == pix[:, :1, c]).all()
+
+
+def test_png_palette_roundtrip():
+    """Color type 3: indices survive filtering at bpp=1 and the PLTE
+    lookup reproduces the exact colors."""
+    rng = np.random.default_rng(8)
+    pal = rng.integers(0, 256, size=(17, 3)).astype(np.uint8)
+    idx = rng.integers(0, 17, size=(9, 13)).astype(np.uint8)
+    payload = encode_png_palette(idx, pal)
+    pix, ctype = decode_png(payload, with_ctype=True)
+    assert ctype == 3
+    np.testing.assert_array_equal(pix, pal[idx])
+    fmt, via_dispatch = decode_image(payload)
+    assert fmt == "png-pal"
+    np.testing.assert_array_equal(via_dispatch, pal[idx])
+
+
+def test_png_rgba_roundtrip_and_compose():
+    """Color type 6: 4-byte pixels survive filtering at bpp=4; the
+    white compose uses the exact floor form."""
+    rng = np.random.default_rng(9)
+    rgba = rng.integers(0, 256, size=(7, 5, 4)).astype(np.uint8)
+    payload = encode_png(rgba)
+    pix, ctype = decode_png(payload, with_ctype=True)
+    assert ctype == 6
+    np.testing.assert_array_equal(pix, rgba)
+    fmt, rgb = decode_image(payload)
+    assert fmt == "png-rgba" and rgb.shape == (7, 5, 3)
+    a = rgba[:, :, 3:4].astype(np.int64)
+    exp = (a * rgba[:, :, :3].astype(np.int64) + (255 - a) * 255) // 255
+    np.testing.assert_array_equal(rgb, exp.astype(np.uint8))
+    # opaque alpha is the identity
+    rgba[:, :, 3] = 255
+    np.testing.assert_array_equal(
+        compose_over_white(rgba), rgba[:, :, :3]
+    )
+
+
+def test_png_palette_error_paths():
+    rng = np.random.default_rng(10)
+    pal = rng.integers(0, 256, size=(4, 3)).astype(np.uint8)
+    idx = np.zeros((3, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="index out of range"):
+        encode_png_palette(idx + 9, pal)
+    # strip the PLTE chunk from a valid palette file
+    payload = bytearray(encode_png_palette(idx, pal))
+    off = payload.find(b"PLTE") - 4
+    ln = int.from_bytes(payload[off : off + 4], "big")
+    del payload[off : off + 12 + ln]
+    with pytest.raises(ValueError, match="missing PLTE"):
+        decode_png(bytes(payload))
+
+
+def test_synth_image_new_png_variants():
+    """doc_id % 9 == 5 -> palette, == 8 -> RGBA; decoded content obeys
+    the composed synthesis rule."""
+    fmt5, p5 = synth_image(5)
+    assert fmt5 == "png-pal"
+    f, pix = decode_image(p5)
+    assert f == "png-pal"
+    h, w = pix.shape[:2]
+    assert (h, w) == (1 + 35 % 48, 1 + 5 % 64)
+    fmt8, p8 = synth_image(8)
+    assert fmt8 == "png-rgba"
+    f, pix = decode_image(p8)
+    assert f == "png-rgba"
+    y = np.arange(pix.shape[0], dtype=np.int64)
+    a = 255 - ((8 + 5 * y) % 64)
+    base_r = (8 + 3 * y) % 256
+    exp_r = (a * base_r + (255 - a) * 255) // 255
+    np.testing.assert_array_equal(pix[:, 0, 0].astype(np.int64), exp_r)
