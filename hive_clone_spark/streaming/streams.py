@@ -98,9 +98,11 @@ def session_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFram
 
 def run_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
-) -> None:
+):
     """Drain the stream into an in-memory table with the availableNow
-    trigger (process-everything-then-stop — the backfill pattern)."""
+    trigger (process-everything-then-stop — the backfill pattern).
+    Returns the finished StreamingQuery so callers can inspect
+    lastProgress (state-store sizes, watermark)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
@@ -109,6 +111,7 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+    return q
 
 
 def click_purchase_join(

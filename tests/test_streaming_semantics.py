@@ -261,3 +261,40 @@ def test_foreach_batch_sink_exactly_once(spark, sf_dir, tmp_path):
     batch0 = spark.read.schema(streams.EVENTS_SCHEMA).parquet(f"{src}/000.parquet")
     batch0.write.mode("overwrite").parquet(f"{out}/batch_id=0")
     assert read_all() == want
+
+
+def test_session_ttl_state_is_evicted_and_bounded(spark):
+    """q94's TTL eviction is real at the state-store level: after the
+    drain, the store holds EXACTLY the users whose final session is
+    still inside the TTL horizon (every settled user's key was removed
+    by the timeout), so state is bounded by active users, not history."""
+    from pyspark.sql import functions as F
+
+    from hive_clone_spark.streaming.stateful import (
+        _SESS_TTL_US,
+        session_ttl_stream,
+    )
+    from hive_clone_spark.streaming.streams import read_events_stream, run_to_memory
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sf_dir = "/root/testdata/sf0.001"
+    src = read_events_stream(
+        spark, sf_dir + "/events.parque[t]", max_files_per_trigger=None
+    )
+    q = run_to_memory(
+        session_ttl_stream(src.withWatermark("ts", "10 minutes")),
+        "q94_state_test",
+        output_mode="append",
+    )
+    state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    ev = spark.read.parquet(sf_dir + "/events.parquet")
+    per_user_last = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    wm_ms = (
+        ev.agg(F.max("ts")).collect()[0][0].timestamp() * 1000 - 600_000
+    )
+    still_open = per_user_last.where(
+        (F.unix_timestamp("last_ts") * 1000 + _SESS_TTL_US // 1000) >= wm_ms
+    ).count()
+    n_users = per_user_last.count()
+    assert state_rows == still_open
+    assert state_rows < n_users  # eviction actually removed keys
