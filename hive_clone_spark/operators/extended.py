@@ -2804,3 +2804,126 @@ def q90_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q99 — the TPC-H Q13 shape (customer order-count distribution): LEFT
+# OUTER join customers to a filtered orders set, count orders per
+# customer INCLUDING the zero bucket (the rows only an outer join can
+# produce), then histogram the counts. Two stacked aggregates over one
+# outer join — the canonical "distribution of engagement" query.
+#
+# Scale design: the join shuffles both sides on custkey once; the
+# first aggregate reuses that partitioning (no second exchange until
+# the tiny histogram rollup); the priority filter is pushed into the
+# orders scan. The zero bucket exists only if the outer join is real —
+# an inner-join shortcut fails the hash on the first row.
+# ---------------------------------------------------------------------------
+@register(
+    "q99_order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority < '3'
+      GROUP BY c_custkey)
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+      CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q99_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") < "3")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .select(F.col("c_count").cast("long").alias("c_count"), "custdist")
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q100 — the TPC-H Q2 shape (minimum-cost supplier): for each part,
+# keep only the supplier(s) achieving the MINIMUM per-(part, supplier)
+# supply cost — a correlated scalar-min subquery over the same derived
+# table. There is no partsupp table here; "supply cost" is the
+# average shipped price derived from lineitem, decimal-exact.
+#
+# Scale design: Catalyst would de-correlate the subquery into a
+# self-join; the window formulation below (min over partkey + filter
+# equality) computes it in ONE pass over the aggregated table with no
+# self-join at all — the per-part groups are tiny, the heavy shuffle
+# is the (partkey, suppkey) aggregate with map-side partial sums.
+# Result bounded to the 100 lowest partkeys for a stable oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "q100_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      -- unit cost in integer MICRO-dollars: cents * 10^4 // units —
+      -- engine-exact (decimal quotients differ in scale cross-engine)
+      SELECT l_partkey, l_suppkey,
+        (SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) * 10000)
+          // SUM(CAST(l_quantity AS BIGINT)) AS unit_cost_micro
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    best AS (
+      SELECT l_partkey, l_suppkey, unit_cost_micro
+      FROM ps p1
+      WHERE unit_cost_micro = (SELECT MIN(unit_cost_micro) FROM ps p2
+                               WHERE p2.l_partkey = p1.l_partkey)),
+    named AS (
+      SELECT b.l_partkey, b.l_suppkey, s.s_name, n.n_name,
+        CAST(b.unit_cost_micro AS BIGINT) AS unit_cost_micro
+      FROM best b
+      JOIN supplier s ON b.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey)
+    SELECT * FROM named
+    WHERE l_partkey <= 100
+    ORDER BY l_partkey, l_suppkey
+    """,
+)
+def q100_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    ps = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(cents).alias("sc"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sq"),
+        )
+        # true integer division (div), not double / + floor — double
+        # quotients drift past 2^53 at scale
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.expr("(sc * 10000) div sq").alias("unit_cost_micro"),
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    best = ps.withColumn("mn", F.min("unit_cost_micro").over(w)).where(
+        F.col("unit_cost_micro") == F.col("mn")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        best.where(F.col("l_partkey") <= 100)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "l_partkey", "l_suppkey", "s_name", "n_name", "unit_cost_micro"
+        )
+        .orderBy("l_partkey", "l_suppkey")
+    )

@@ -1,0 +1,299 @@
+"""Mergeable sketch operators: KMV distinct estimation, count-min
+heavy-hitter estimation, and bloom-filter join pre-filtering.
+
+At 100 TB, exact answers to "how many distinct", "how often does each
+hot key occur", and "which probe rows can possibly match" are often
+not worth their shuffles; production engines answer them with small
+MERGEABLE summaries (a KMV/theta sketch, a count-min matrix, a bloom
+filter) that aggregate map-side and cost O(sketch size) to combine.
+Spark ships opaque versions (approx_count_distinct's HLL++, the
+runtime-filter bloom) whose internals an external oracle cannot
+reproduce; these entries implement the sketches themselves over the
+repo's portable 60-bit hash (md5-prefix, identical in DuckDB), so the
+ENTIRE estimation pipeline — hashing, bucketing, minimization, the
+estimate arithmetic — sits under the value-hash oracle, error and all.
+
+Every sketch here has the map-side-combine algebra that makes it
+scale:
+  * KMV: the k smallest hashes of a union = k smallest of the per-
+    partition k-smallest sets (a TakeOrdered, no global sort);
+  * count-min: counter matrices add elementwise; the build below
+    aggregates exact per-key counts first (the shuffle carries
+    |distinct keys| rows, never |rows|), then folds them into d*w
+    cells;
+  * bloom: bitmaps OR together; the filter evaluation is a broadcast
+    join against the tiny bit set, no shuffle of the probe side.
+
+Reference parity: none of this exists in the reference (1.4k-line
+game engine, SURVEY.md §0); it is the approximate-query surface the
+driver contract's warehouse north star implies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_clone_spark.catalog import table
+from hive_clone_spark.pipeline.common import portable_hash, sql_portable_hash
+from hive_clone_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Q95 — KMV (k-minimum-values) distinct-count sketch: hash every key
+# to (0, 2^60), keep the k smallest DISTINCT hashes, and estimate
+# NDV = (k-1) / normalized kth minimum. One entry estimates three
+# lineitem columns and reports estimate next to exact truth, so the
+# oracle pins both the sketch arithmetic AND its observed error.
+#
+# Scale design: per column, the plan is a hash-distinct (map-side
+# partial) followed by TakeOrdered(k) — the k-smallest-of-union
+# algebra means executors each surface their local k minima and the
+# driver merges 32*k values; nothing global ever sorts. The estimate
+# itself is driver-side arithmetic on ONE number.
+# ---------------------------------------------------------------------------
+_KMV_K = 256
+_HASH_SPACE = float(1 << 60)  # portable_hash range
+
+
+def _kmv_sql(col: str) -> str:
+    return f"""
+    SELECT '{col}' AS column_name,
+      CAST({_KMV_K} AS BIGINT) AS k,
+      kth,
+      ROUND(({_KMV_K} - 1) * {_HASH_SPACE} / kth, 6) AS est_ndv,
+      (SELECT CAST(COUNT(DISTINCT {col}) AS BIGINT) FROM lineitem)
+        AS exact_ndv
+    FROM (
+      SELECT MAX(h) AS kth FROM (
+        SELECT DISTINCT {sql_portable_hash(f"CAST({col} AS VARCHAR)")} AS h
+        FROM lineitem ORDER BY h LIMIT {_KMV_K}))
+    """
+
+
+@register(
+    "q95_kmv_distinct_sketch",
+    oracle=f"""
+    {_kmv_sql("l_partkey")}
+    UNION ALL {_kmv_sql("l_suppkey")}
+    UNION ALL {_kmv_sql("l_orderkey")}
+    ORDER BY column_name
+    """,
+)
+def q95_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+
+    def one(col: str) -> DataFrame:
+        h = portable_hash(F.col(col).cast("string"))
+        kth = (
+            li.select(h.alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(_KMV_K)  # TakeOrdered: per-partition minima merge
+            .agg(F.max("h").alias("kth"))
+        )
+        exact = li.agg(F.countDistinct(col).cast("long").alias("exact_ndv"))
+        return kth.crossJoin(exact).select(
+            F.lit(col).alias("column_name"),
+            F.lit(_KMV_K).cast("long").alias("k"),
+            "kth",
+            F.round((_KMV_K - 1) * _HASH_SPACE / F.col("kth"), 6).alias(
+                "est_ndv"
+            ),
+            "exact_ndv",
+        )
+
+    out = one("l_partkey").unionAll(one("l_suppkey")).unionAll(one("l_orderkey"))
+    return out.orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# Q96 — count-min sketch heavy hitters: d=4 hash rows x w=1024
+# counters; every key increments one cell per row, a key's estimate is
+# the MIN over its d cells (always >= truth; collisions only inflate).
+# The entry builds the sketch from lineitem.l_partkey, queries the 20
+# hottest true keys through it, and reports estimate next to truth —
+# the oracle reproduces the exact counter matrix, so a wrong bucket
+# hash, a lost cell, or a max-instead-of-min read all shift values.
+#
+# Scale design: the build aggregates EXACT per-key counts first (one
+# map-side-combined shuffle of |distinct keys| rows), then folds keys
+# into cells — at 100 TB the shuffle never carries raw rows. The
+# d x w matrix (4096 longs) is the mergeable unit: elementwise sums
+# across partitions/streams. Queries are O(d) lookups in a broadcast.
+# ---------------------------------------------------------------------------
+_CM_D = 4
+_CM_W = 1024
+_CM_TOPN = 20
+
+
+@register(
+    "q96_countmin_heavy_hitters",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT l_partkey AS k, COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey),
+    cells AS (
+      SELECT i,
+        {sql_portable_hash("i || ':' || CAST(k AS VARCHAR)")} % {_CM_W}
+          AS bucket,
+        SUM(cnt) AS cell
+      FROM keyed, (SELECT unnest(generate_series(0, {_CM_D - 1})) AS i)
+      GROUP BY 1, 2),
+    top AS (
+      SELECT k, cnt FROM keyed
+      ORDER BY cnt DESC, k LIMIT {_CM_TOPN}),
+    est AS (
+      SELECT t.k, t.cnt, MIN(c.cell) AS est_cnt
+      FROM top t
+      JOIN (SELECT unnest(generate_series(0, {_CM_D - 1})) AS i) s
+        ON TRUE
+      JOIN cells c ON c.i = s.i
+        AND c.bucket = {sql_portable_hash("s.i || ':' || CAST(t.k AS VARCHAR)")}
+                        % {_CM_W}
+      GROUP BY t.k, t.cnt)
+    SELECT k AS l_partkey, CAST(cnt AS BIGINT) AS true_cnt,
+      CAST(est_cnt AS BIGINT) AS est_cnt,
+      CAST(est_cnt - cnt AS BIGINT) AS overcount
+    FROM est ORDER BY true_cnt DESC, l_partkey
+    """,
+)
+def q96_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    keyed = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count("*").alias("cnt")
+    )
+    rows = F.explode(
+        F.sequence(F.lit(0), F.lit(_CM_D - 1))
+    ).alias("i")
+    bucket = (
+        portable_hash(
+            F.concat(F.col("i").cast("string"), F.lit(":"), F.col("k").cast("string"))
+        )
+        % _CM_W
+    )
+    cells = (
+        keyed.select("k", "cnt", rows)
+        .select("i", bucket.alias("bucket"), "cnt")
+        .groupBy("i", "bucket")
+        .agg(F.sum("cnt").alias("cell"))
+    )
+    top = keyed.orderBy(F.desc("cnt"), "k").limit(_CM_TOPN)
+    probes = top.select(
+        "k", "cnt", rows
+    ).select(
+        "k", "cnt", "i", bucket.alias("bucket")
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("k", "cnt")
+        .agg(F.min("cell").alias("est_cnt"))
+    )
+    return est.select(
+        F.col("k").alias("l_partkey"),
+        F.col("cnt").cast("long").alias("true_cnt"),
+        F.col("est_cnt").cast("long").alias("est_cnt"),
+        (F.col("est_cnt") - F.col("cnt")).cast("long").alias("overcount"),
+    ).orderBy(F.desc("true_cnt"), "l_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Q97 — bloom-filter join pre-filter: the runtime-filter pattern.
+# The build side (high-value orders) publishes an m=16384-bit bloom
+# filter (j=3 hashes); the probe side (lineitem) is reduced to rows
+# whose key passes the filter BEFORE the real join runs. The entry
+# reports the exact filtering ledger — probe keys, bloom-pass keys,
+# true-match keys, and the false positives the bit collisions let
+# through — all under the oracle, because the bits themselves are
+# portable-hash-derived.
+#
+# Scale design: the filter is |bits| ~ 2 KB regardless of build size;
+# it broadcast-joins against the probe's exploded bit triples (3 rows
+# per DISTINCT probe key, not per probe row), and only surviving keys
+# reach the exact semi join. At 100 TB this is Spark's own
+# spark.sql.optimizer.runtimeFilter machinery, done explicitly and
+# verifiably.
+# ---------------------------------------------------------------------------
+_BLOOM_M = 16384
+_BLOOM_J = 3
+_BLOOM_PRICE = 450_000.0  # build-side predicate: orders above this
+
+
+@register(
+    "q97_bloom_filter_join",
+    oracle=f"""
+    WITH build AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders
+      WHERE o_totalprice > {_BLOOM_PRICE}),
+    bits AS (
+      SELECT DISTINCT
+        {sql_portable_hash("i || '#' || CAST(k AS VARCHAR)")} % {_BLOOM_M}
+          AS bit
+      FROM build, (SELECT unnest(generate_series(0, {_BLOOM_J - 1})) AS i)),
+    probe AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+    passed AS (
+      SELECT p.k FROM probe p
+      WHERE {_BLOOM_J} = (
+        SELECT COUNT(*)
+        FROM (SELECT unnest(generate_series(0, {_BLOOM_J - 1})) AS i) s
+        WHERE EXISTS (SELECT 1 FROM bits b WHERE b.bit =
+          {sql_portable_hash("s.i || '#' || CAST(p.k AS VARCHAR)")}
+            % {_BLOOM_M}))),
+    truek AS (SELECT k FROM probe WHERE k IN (SELECT k FROM build))
+    SELECT
+      CAST((SELECT COUNT(*) FROM build) AS BIGINT) AS n_build_keys,
+      CAST((SELECT COUNT(*) FROM probe) AS BIGINT) AS n_probe_keys,
+      CAST((SELECT COUNT(*) FROM passed) AS BIGINT) AS n_bloom_pass,
+      CAST((SELECT COUNT(*) FROM truek) AS BIGINT) AS n_true_match,
+      CAST((SELECT COUNT(*) FROM passed) -
+           (SELECT COUNT(*) FROM truek) AS BIGINT) AS n_false_positives,
+      CAST((SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT k FROM passed)) AS BIGINT)
+        AS n_probe_rows_kept
+    """,
+)
+def q97_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    build = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > _BLOOM_PRICE)
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    idx = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_J - 1))).alias("i")
+    bit = (
+        portable_hash(
+            F.concat(
+                F.col("i").cast("string"), F.lit("#"), F.col("k").cast("string")
+            )
+        )
+        % _BLOOM_M
+    )
+    bits = build.select("k", idx).select(bit.alias("bit")).distinct()
+    probe = li.select(F.col("l_orderkey").alias("k")).distinct()
+    # bloom membership: all j bits present -> broadcast join on the
+    # tiny bit set, count matches per key
+    passed = (
+        probe.select("k", idx)
+        .select("k", bit.alias("bit"))
+        .join(F.broadcast(bits), "bit")
+        .groupBy("k")
+        .agg(F.count("*").alias("nbits"))
+        .where(F.col("nbits") == _BLOOM_J)
+        .select("k")
+    )
+    truek = probe.join(F.broadcast(build), "k", "left_semi")
+    kept_rows = li.join(
+        F.broadcast(passed),
+        li.l_orderkey == passed.k,
+        "left_semi",
+    )
+    n_build = build.count()
+    n_probe = probe.count()
+    n_pass = passed.count()
+    n_true = truek.count()
+    n_kept = kept_rows.count()
+    return spark.createDataFrame(
+        [(n_build, n_probe, n_pass, n_true, n_pass - n_true, n_kept)],
+        "n_build_keys BIGINT, n_probe_keys BIGINT, n_bloom_pass BIGINT, "
+        "n_true_match BIGINT, n_false_positives BIGINT, n_probe_rows_kept BIGINT",
+    )

@@ -149,6 +149,62 @@ class TxLog:
         shutil.rmtree(stage)
         return adds
 
+    def stage_data_partitioned(
+        self,
+        df: DataFrame,
+        partition_col: str,
+        stats_by_value: dict[int, dict[str, list]] | None = None,
+    ) -> list[dict]:
+        """Stage one parquet file PER distinct value of
+        ``partition_col`` (repartition-by-value + partitionBy write:
+        each value lives in exactly one task, so each value dir gets
+        exactly one file) and attach per-file column stats to the add
+        actions — the data-skipping index every table format keeps.
+        ``stats_by_value`` maps partition value -> {col: [min, max]}."""
+        stage = self.root / f"_stage-{uuid.uuid4().hex}"
+        (
+            df.repartition(partition_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(str(stage))
+        )
+        adds = []
+        for vdir in sorted(stage.glob(f"{partition_col}=*")):
+            value = int(vdir.name.split("=", 1)[1])
+            parts = sorted(vdir.glob("*.parquet"))
+            for part in parts:
+                name = f"{uuid.uuid4().hex}.parquet"
+                os.replace(part, self.data_dir / name)
+                add = {"file": f"data/{name}"}
+                if stats_by_value and value in stats_by_value:
+                    add["stats"] = stats_by_value[value]
+                adds.append(add)
+        shutil.rmtree(stage)
+        return adds
+
+    def scan_files(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> tuple[list[str], list[str]]:
+        """Stats-based file skipping: of the snapshot's active files,
+        keep those whose recorded [min, max] for ``col`` intersects
+        [lo, hi] (files without stats are scanned conservatively).
+        Returns (all_active, chosen). Pure log-metadata work — no data
+        file is opened to decide."""
+        if version is None:
+            version = self.latest_version()
+        active = set(self.active_files(version))
+        stats: dict[str, dict] = {}
+        for v in range(version + 1):
+            for a in self._read_commit(v).get("add", []):
+                if "stats" in a:
+                    stats[a["file"]] = a["stats"]
+        chosen = []
+        for f in sorted(active):
+            s = stats.get(f, {}).get(col)
+            if s is None or (s[0] <= hi and s[1] >= lo):
+                chosen.append(f)
+        return sorted(active), chosen
+
     def commit(
         self,
         op: str,
@@ -360,3 +416,79 @@ def q92_txlog_compaction_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# Q98 — stats-based file skipping through the commit log: the table is
+# laid out as one file per orderkey range bucket, each add action
+# carries the file's [min, max] orderkey, and a range query consults
+# ONLY the log metadata to decide which files to open. The entry
+# reports the skipping ledger (files total vs scanned) AND the query
+# result computed from just the chosen files — if pruning ever drops a
+# file it shouldn't, the row count / decimal sum diverge from the
+# oracle's full-table answer; if it stops pruning, n_files_scanned
+# flips. This is the min/max zone-map machinery (Delta data skipping,
+# Iceberg manifests, parquet row-group stats lifted to the table
+# level) that makes selective scans at 100 TB read gigabytes, not
+# terabytes — and it composes with q57's z-ordering, which exists
+# precisely to make these per-file ranges tight on two columns.
+# ---------------------------------------------------------------------------
+_SKIP_BUCKETS = 16
+
+
+@register(
+    "q98_txlog_file_skipping",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+    rng AS (SELECT m // 4 AS lo, m // 2 AS hi FROM mx),
+    b AS (
+      SELECT o_orderkey, o_totalprice,
+        (o_orderkey * {_SKIP_BUCKETS}) // (m + 1) AS bucket
+      FROM orders, mx),
+    bstats AS (
+      SELECT bucket, MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mxk
+      FROM b GROUP BY bucket)
+    SELECT
+      CAST((SELECT COUNT(*) FROM bstats) AS BIGINT) AS n_files_total,
+      CAST((SELECT COUNT(*) FROM bstats, rng
+            WHERE mn <= hi AND mxk >= lo) AS BIGINT) AS n_files_scanned,
+      CAST((SELECT COUNT(*) FROM b, rng
+            WHERE o_orderkey BETWEEN lo AND hi) AS BIGINT) AS n_rows,
+      CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM b, rng
+            WHERE o_orderkey BETWEEN lo AND hi) AS DOUBLE) AS sum_price
+    """,
+)
+def q98_txlog_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tl = TxLog(_warehouse_dir(sf_dir, "txlog_q98")).create()
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    m = o.agg(F.max("o_orderkey")).collect()[0][0]
+    lo, hi = m // 4, m // 2
+    bucketed = o.withColumn(
+        "bucket", (F.col("o_orderkey") * _SKIP_BUCKETS) / (m + 1)
+    ).withColumn("bucket", F.floor("bucket").cast("int"))
+    stats = {
+        int(r["bucket"]): {
+            "o_orderkey": [int(r["mn"]), int(r["mx"])]
+        }
+        for r in bucketed.groupBy("bucket")
+        .agg(F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx"))
+        .collect()
+    }
+    tl.commit(
+        "append",
+        add=tl.stage_data_partitioned(bucketed, "bucket", stats),
+    )
+    all_files, chosen = tl.scan_files("o_orderkey", lo, hi)
+    pruned = spark.read.parquet(*[str(tl.root / f) for f in chosen])
+    agg = pruned.where(F.col("o_orderkey").between(lo, hi)).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+    return agg.select(
+        F.lit(len(all_files)).cast("long").alias("n_files_total"),
+        F.lit(len(chosen)).cast("long").alias("n_files_scanned"),
+        "n_rows",
+        "sum_price",
+    )

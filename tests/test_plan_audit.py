@@ -48,6 +48,7 @@ NESTEDLOOP_OK = {
     "p_knn_recall",  # embeds p_knn_bruteforce's 5-vector broadcast
     "p_semantic_dedup",
     "p_tfidf",  # 1-row corpus-count build side (q44 pattern)
+    "q95_kmv_distinct_sketch",  # 1-row kth-min x 1-row exact crossJoin
     "q18_band_join",
     "q44_upsert",
     "q69_triangle_count",  # 1-row summary-aggregate crossJoins (q44 pattern)

@@ -111,3 +111,26 @@ def test_history_shape(spark, tmp_path):
     hist = tl.history()
     assert [h["op"] for h in hist] == ["append", "compact"]
     assert hist[1]["n_removed"] == 3 and hist[1]["n_added"] == 1
+
+
+def test_partitioned_stage_and_file_skipping(spark, tmp_path):
+    """One file per partition value, stats attached to adds, and
+    scan_files prunes strictly by [min, max] intersection."""
+    tl = _mk(tmp_path)
+    df = spark.range(100).withColumnRenamed("id", "k")
+    df = df.withColumn("bucket", (df.k / 25).cast("int"))
+    stats = {b: {"k": [b * 25, b * 25 + 24]} for b in range(4)}
+    adds = tl.stage_data_partitioned(df, "bucket", stats)
+    assert len(adds) == 4 and all("stats" in a for a in adds)
+    tl.commit("append", add=adds)
+    allf, chosen = tl.scan_files("k", 30, 60)
+    assert len(allf) == 4 and len(chosen) == 2  # buckets [25-49],[50-74]
+    total = 0
+    for f in chosen:
+        total += spark.read.parquet(str(tl.root / f)).where(
+            "k between 30 and 60"
+        ).count()
+    assert total == 31
+    # a column without stats scans everything (conservative)
+    allf2, chosen2 = tl.scan_files("other_col", 0, 1)
+    assert len(chosen2) == 4
