@@ -394,3 +394,106 @@ def q76_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PR_TOPK)
         .select("custkey", F.col("pr").alias("pr_scaled"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q101: single-source cheapest route (SSSP) over the nation shipping
+# graph. Vertices are nations; the edge (s -> c) exists when a
+# supplier nation shipped to a customer nation, weighted by the
+# CHEAPEST single shipment between the pair (integer cents — the
+# synthetic shipdates run before their orderdates, so latency is not a
+# usable metric here). The query: from NATION_0, the minimum total
+# cost to reach every other nation, allowing multi-hop routes (a relay
+# through a cheap intermediate beats an expensive direct edge — on
+# this data most optima are 2-3 hops).
+#
+# Scale design: the 100 TB work is the EDGE AGGREGATION — lineitem ⋈
+# orders ⋈ customer ⋈ supplier reduced to one MIN per nation pair
+# (map-side combined; the shuffle carries |nation|^2 <= 625 rows, the
+# two dimension joins broadcast). The solve itself runs on a graph
+# whose size is fixed by the schema (25 vertices), so it executes as
+# driver-side Bellman-Ford on the collected 600-row edge list — the
+# aggregate-to-small-graph-then-solve-exactly shape, same contract as
+# the BPE trainer's driver-side argmax. The oracle chains 12
+# relaxation rounds as CTEs (strictly more than the graph's diameter;
+# the Spark side asserts convergence).
+# ---------------------------------------------------------------------------
+_SSSP_ROUNDS = 12
+_SSSP_SOURCE = 0  # n_nationkey of NATION_0
+
+
+def _sssp_round(i: int) -> str:
+    prev = f"d{i - 1}"
+    return f"""
+    d{i} AS MATERIALIZED (
+      SELECT id, MIN(dist) AS dist FROM (
+        SELECT id, dist FROM {prev}
+        UNION ALL
+        SELECT e.dst AS id, p.dist + e.w AS dist
+        FROM {prev} p JOIN edges e ON e.src = p.id)
+      GROUP BY id)
+    """
+
+
+@register(
+    "q101_sssp_cheapest_route",
+    oracle=f"""
+    WITH edges AS MATERIALIZED (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+        MIN(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS w
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY 1, 2),
+    d0 AS MATERIALIZED (SELECT {_SSSP_SOURCE} AS id, CAST(0 AS BIGINT) AS dist),
+    {",".join(_sssp_round(i) for i in range(1, _SSSP_ROUNDS + 1))}
+    SELECT n.n_name, d.dist AS cost_cents
+    FROM d{_SSSP_ROUNDS} d JOIN nation n ON n.n_nationkey = d.id
+    ORDER BY n.n_name
+    """,
+)
+def q101_sssp_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.min("cents").alias("w"))
+    )
+    # the reduced graph is schema-bounded (<= 625 edges): solve exactly
+    # on the driver, Bellman-Ford until fixpoint
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for r in edges.collect():
+        adj.setdefault(int(r["src"]), []).append((int(r["dst"]), int(r["w"])))
+    dist = {_SSSP_SOURCE: 0}
+    for rounds in range(_SSSP_ROUNDS + 1):
+        changed = False
+        for u, d in list(dist.items()):
+            for v, w in adj.get(u, []):
+                if d + w < dist.get(v, float("inf")):
+                    dist[v] = d + w
+                    changed = True
+        if not changed:
+            break
+    if changed:
+        raise RuntimeError("sssp: no fixpoint within the round budget")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ddf = spark.createDataFrame(
+        [(k, v) for k, v in dist.items()], "id INT, cost_cents BIGINT"
+    )
+    return (
+        ddf.join(F.broadcast(n), ddf.id == n.n_nationkey)
+        .select("n_name", "cost_cents")
+        .orderBy("n_name")
+    )

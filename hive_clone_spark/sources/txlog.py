@@ -261,6 +261,52 @@ class TxLog:
         removes = self.active_files() if self.latest_version() >= 0 else []
         return self.commit(op, add=self.stage_data(df, n_files), remove=removes)
 
+    # -- maintenance --------------------------------------------------
+    def vacuum(self, retain_versions: int) -> dict:
+        """Retention-bounded physical cleanup: keep the newest
+        ``retain_versions`` versions readable, delete everything else —
+        data files referenced ONLY by expired versions, and the expired
+        commits themselves (a checkpoint is first pinned at the cutoff
+        so retained replay never needs them). Time travel below the
+        cutoff becomes a clean error; this is the trade every
+        production format's VACUUM makes explicit."""
+        if retain_versions < 1:
+            raise ValueError("txlog: must retain at least 1 version")
+        latest = self.latest_version()
+        if latest < 0:
+            return {"cutoff": -1, "n_data_files_removed": 0, "n_commits_removed": 0}
+        cutoff = max(0, latest - retain_versions + 1)
+        retained = [v for v in self.versions() if v >= cutoff]
+        referenced: set[str] = set()
+        for v in retained:
+            referenced.update(self.active_files(v))
+        # pin the cutoff checkpoint BEFORE dropping older commits
+        ckpt = self.log_dir / f"{cutoff:08d}.checkpoint.json"
+        if not ckpt.exists():
+            active = self.active_files(cutoff)
+            tmp = self.log_dir / f".{cutoff:08d}.checkpoint.tmp"
+            with open(tmp, "w") as f:
+                json.dump({"version": cutoff, "active": active}, f)
+            os.replace(tmp, ckpt)
+        n_files = 0
+        for part in self.data_dir.glob("*.parquet"):
+            if f"data/{part.name}" not in referenced:
+                part.unlink()
+                n_files += 1
+        n_commits = 0
+        for v in self.versions():
+            if v < cutoff:
+                (self.log_dir / self._commit_name(v)).unlink()
+                old_ckpt = self.log_dir / f"{v:08d}.checkpoint.json"
+                if old_ckpt.exists():
+                    old_ckpt.unlink()
+                n_commits += 1
+        return {
+            "cutoff": cutoff,
+            "n_data_files_removed": n_files,
+            "n_commits_removed": n_commits,
+        }
+
     # -- reading ------------------------------------------------------
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         files = [str(self.root / f) for f in self.active_files(version)]

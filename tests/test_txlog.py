@@ -134,3 +134,30 @@ def test_partitioned_stage_and_file_skipping(spark, tmp_path):
     # a column without stats scans everything (conservative)
     allf2, chosen2 = tl.scan_files("other_col", 0, 1)
     assert len(chosen2) == 4
+
+
+def test_vacuum_retention(spark, tmp_path):
+    """vacuum(retain_versions=3): newest 3 versions stay fully
+    readable, older versions error cleanly, and their exclusively-
+    referenced data files are physically deleted."""
+    tl = _mk(tmp_path)
+    for i in range(5):
+        tl.overwrite(
+            spark.range(10 * i, 10 * i + 5).withColumnRenamed("id", "k"),
+            n_files=1,
+        )
+    tl.append(spark.range(100, 102).withColumnRenamed("id", "k"), n_files=1)
+    assert tl.versions() == [0, 1, 2, 3, 4, 5]
+    assert len(list(tl.data_dir.glob("*.parquet"))) == 6
+    out = tl.vacuum(retain_versions=3)
+    assert out["cutoff"] == 3 and out["n_commits_removed"] == 3
+    # versions 3..5 reference files from overwrites 3,4 + the append
+    assert out["n_data_files_removed"] == 3
+    assert tl.versions() == [3, 4, 5]
+    assert tl.read(spark, 3).count() == 5
+    assert tl.read(spark, 5).count() == 7  # v4 overwrite + append
+    with pytest.raises(ValueError, match="no commit"):
+        tl.read(spark, 2)
+    # the table keeps working after vacuum
+    tl.append(spark.range(3).withColumnRenamed("id", "k"), n_files=1)
+    assert tl.latest_version() == 6 and tl.read(spark).count() == 10
