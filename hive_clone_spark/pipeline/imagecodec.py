@@ -229,9 +229,30 @@ def _png_file(ihdr: bytes, extra_chunks: list[bytes], idat: bytes) -> bytes:
     )
 
 
-def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
+def _interlaced_scanlines(samples: np.ndarray, bpp: int) -> bytes:
+    """Adam7 split of an (h, w, bpp) sample grid: each non-empty pass
+    is extracted and filtered independently (filters restart per
+    pass), concatenated in pass order."""
+    h, w = samples.shape[:2]
+    out = b""
+    for x0, y0, dx, dy in _ADAM7:
+        sub = samples[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        raw = sub.reshape(ph, bpp * pw).astype(np.int16)
+        out += _filter_scanlines(raw, bpp, None)
+    return out
+
+
+def encode_png(
+    pixels: np.ndarray,
+    filters: list[int] | None = None,
+    interlace: bool = False,
+) -> bytes:
     """Encode an HxWx3 uint8 RGB array as an 8-bit truecolor PNG
-    (color type 2), or an HxWx4 uint8 RGBA array as color type 6."""
+    (color type 2), or an HxWx4 uint8 RGBA array as color type 6;
+    ``interlace`` emits the Adam7 7-pass layout."""
     if (
         pixels.ndim != 3
         or pixels.shape[2] not in (3, 4)
@@ -242,19 +263,26 @@ def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
         )
     h, w, bpp = pixels.shape
     ctype = 2 if bpp == 3 else 6
-    raw = pixels.reshape(h, bpp * w).astype(np.int16)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    return _png_file(ihdr, [], _filter_scanlines(raw, bpp, filters))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, int(interlace))
+    if interlace:
+        body = _interlaced_scanlines(pixels, bpp)
+    else:
+        body = _filter_scanlines(
+            pixels.reshape(h, bpp * w).astype(np.int16), bpp, filters
+        )
+    return _png_file(ihdr, [], body)
 
 
 def encode_png_palette(
     indices: np.ndarray,
     palette: np.ndarray,
     filters: list[int] | None = None,
+    interlace: bool = False,
 ) -> bytes:
     """Encode an HxW uint8 index array + (N, 3) uint8 palette as an
     8-bit color-type-3 PNG (PLTE chunk before IDAT, 1 byte/pixel
-    scanlines through the same five row filters)."""
+    scanlines through the same five row filters); ``interlace`` emits
+    Adam7 — the layout web exporters favor for palette images."""
     if indices.ndim != 2 or indices.dtype != np.uint8:
         raise ValueError(f"expected HxW uint8 indices, got {indices.shape}")
     if palette.ndim != 2 or palette.shape[1] != 3 or len(palette) > 256:
@@ -262,10 +290,68 @@ def encode_png_palette(
     if int(indices.max(initial=0)) >= len(palette):
         raise ValueError("palette index out of range")
     h, w = indices.shape
-    raw = indices.reshape(h, w).astype(np.int16)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, int(interlace))
     plte = _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
-    return _png_file(ihdr, [plte], _filter_scanlines(raw, 1, filters))
+    if interlace:
+        body = _interlaced_scanlines(indices[:, :, None], 1)
+    else:
+        body = _filter_scanlines(
+            indices.reshape(h, w).astype(np.int16), 1, filters
+        )
+    return _png_file(ihdr, [plte], body)
+
+
+# Adam7 pass grid (W3C PNG 8.2): (x_offset, y_offset, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _defilter(stream: bytes, h: int, w: int, bpp: int) -> np.ndarray:
+    """Reverse the five scanline filters over an (h, 1 + bpp*w) byte
+    grid -> (h, bpp*w) uint8. Sub reconstructs via per-channel-phase
+    cumsum; Average/Paeth carry a true left-to-right dependency on
+    reconstructed bytes, so those rows walk x sequentially."""
+    stride = bpp * w
+    arr = np.frombuffer(stream, dtype=np.uint8).reshape(h, 1 + stride)
+    recon = np.zeros((h, stride), dtype=np.int32)
+    for y in range(h):
+        f = int(arr[y, 0])
+        cur = arr[y, 1:].astype(np.int32)
+        up = recon[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: per-channel-phase running sum mod 256
+            rec = cur.copy()
+            for ph in range(bpp):
+                rec[ph::bpp] = np.cumsum(cur[ph::bpp]) % 256
+        elif f == 2:  # Up
+            rec = (cur + up) % 256
+        elif f == 3:  # Average
+            rec = cur.copy()
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (cur[x] + (left + up[x]) // 2) % 256
+        elif f == 4:  # Paeth
+            rec = cur.copy()
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(up[x])
+                c = int(recon[y - 1, x - bpp]) if (y > 0 and x >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        recon[y] = rec
+    return recon.astype(np.uint8)
 
 
 def decode_png(payload: bytes, with_ctype: bool = False):
@@ -305,9 +391,9 @@ def decode_png(payload: bytes, with_ctype: bool = False):
     if ihdr is None or len(ihdr) != 13:
         raise ValueError("missing PNG IHDR")
     w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+    if depth != 8 or comp != 0 or filt != 0 or interlace not in (0, 1):
         raise ValueError(
-            f"only 8-bit non-interlaced supported "
+            f"only 8-bit supported "
             f"(depth={depth}, color={ctype}, interlace={interlace})"
         )
     if ctype not in (2, 3, 6):
@@ -318,42 +404,25 @@ def decode_png(payload: bytes, with_ctype: bool = False):
         raise ValueError(f"bad PNG dims {w}x{h}")
     bpp = {2: 3, 3: 1, 6: 4}[ctype]
     stream = zlib.decompress(idat)
-    stride = bpp * w
-    if len(stream) != h * (1 + stride):
-        raise ValueError("PNG stream length mismatch")
-    arr = np.frombuffer(stream, dtype=np.uint8).reshape(h, 1 + stride)
-    recon = np.zeros((h, stride), dtype=np.int32)
-    for y in range(h):
-        f = int(arr[y, 0])
-        cur = arr[y, 1:].astype(np.int32)
-        up = recon[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
-        if f == 0:
-            rec = cur
-        elif f == 1:  # Sub: per-channel-phase running sum mod 256
-            rec = cur.copy()
-            for ph in range(bpp):
-                rec[ph::bpp] = np.cumsum(cur[ph::bpp]) % 256
-        elif f == 2:  # Up
-            rec = (cur + up) % 256
-        elif f == 3:  # Average
-            rec = cur.copy()
-            for x in range(stride):
-                left = rec[x - bpp] if x >= bpp else 0
-                rec[x] = (cur[x] + (left + up[x]) // 2) % 256
-        elif f == 4:  # Paeth
-            rec = cur.copy()
-            for x in range(stride):
-                a = int(rec[x - bpp]) if x >= bpp else 0
-                b = int(up[x])
-                c = int(recon[y - 1, x - bpp]) if (y > 0 and x >= bpp) else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[x] = (cur[x] + pred) % 256
-        else:
-            raise ValueError(f"bad PNG filter byte {f}")
-        recon[y] = rec
-    flat = recon.astype(np.uint8)
+    if interlace == 0:
+        if len(stream) != h * (1 + bpp * w):
+            raise ValueError("PNG stream length mismatch")
+        flat = _defilter(stream, h, w, bpp)
+    else:  # Adam7: 7 independently-filtered passes, scattered back
+        full = np.zeros((h, w * bpp), dtype=np.uint8).reshape(h, w, bpp)
+        pos2 = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = max(0, (w - x0 + dx - 1) // dx)
+            ph = max(0, (h - y0 + dy - 1) // dy)
+            if pw == 0 or ph == 0:
+                continue  # empty pass: no scanlines at all
+            n = ph * (1 + bpp * pw)
+            sub = _defilter(stream[pos2 : pos2 + n], ph, pw, bpp)
+            pos2 += n
+            full[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        if pos2 != len(stream):
+            raise ValueError("PNG interlaced stream length mismatch")
+        flat = full.reshape(h, w * bpp)
     if ctype == 2:
         out = flat.reshape(h, w, 3).copy()
     elif ctype == 6:
@@ -456,11 +525,13 @@ def synth_image(doc_id: int) -> tuple[str, bytes]:
     if m == 1:
         return "ppm", encode_ppm(pixels)
     m9 = doc_id % 9
-    if m9 == 5:  # palette: the h row colors ARE the palette
+    if m9 == 5:  # palette: the h row colors ARE the palette; emitted
+        # Adam7-INTERLACED — the layout web exporters favor for
+        # palette images, so the fixture mix exercises the 7-pass path
         idx = np.broadcast_to(
             np.arange(h, dtype=np.uint8)[:, None], (h, w)
         ).copy()
-        return "png-pal", encode_png_palette(idx, rowvals)
+        return "png-pal", encode_png_palette(idx, rowvals, interlace=True)
     if m9 == 8:  # RGBA with a varying alpha column
         alpha = (255 - ((doc_id + 5 * y) % 64)).astype(np.uint8)  # h x 1
         rgba = np.concatenate(
@@ -505,6 +576,31 @@ _SYNTH_ORACLE_CTE = """
 """
 
 
+def adam7_stream_bytes(w: int, h: int, bpp: int) -> int:
+    """Defiltered Adam7 stream size: per non-empty pass, ph scanlines
+    of 1 filter byte + bpp*pw samples."""
+    total = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = max(0, (w - x0 + dx - 1) // dx)
+        ph = max(0, (h - y0 + dy - 1) // dy)
+        if pw and ph:
+            total += ph * (1 + bpp * pw)
+    return total
+
+
+def _sql_adam7_bytes(bpp: int) -> str:
+    """The same per-pass arithmetic over `width`/`height` columns."""
+    terms = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = f"GREATEST(0, (width - {x0} + {dx - 1}) // {dx})"
+        ph = f"GREATEST(0, (height - {y0} + {dy - 1}) // {dy})"
+        terms.append(
+            f"(CASE WHEN {pw} > 0 AND {ph} > 0"
+            f" THEN {ph} * (1 + {bpp} * {pw}) ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def _sql_px(yexpr: str, c: int) -> str:
     """SQL for the decoded channel value at row ``yexpr``, channel c:
     the base synthesis rule, with RGBA rows (doc_id % 9 = 8) composed
@@ -537,7 +633,7 @@ def _sql_px(yexpr: str, c: int) -> str:
           WHEN 'bmp' THEN 54 + ((3 * width + 3) // 4) * 4 * height
           WHEN 'ppm' THEN 3 + length(CAST(width AS VARCHAR)) + 1
              + length(CAST(height AS VARCHAR)) + 5 + 3 * width * height
-          WHEN 'png-pal' THEN height * (1 + width)
+          WHEN 'png-pal' THEN {_sql_adam7_bytes(1)}
           WHEN 'png-rgba' THEN height * (1 + 4 * width)
           ELSE height * (1 + 3 * width)
         END AS n_bytes
@@ -576,13 +672,18 @@ def p_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fmt, pix = decode_image(p)
                 sums = pix.sum(axis=(0, 1), dtype=np.int64)
                 # PNG: report the defiltered stream size at the FILE's
-                # bytes-per-pixel (deflate output size is not an
-                # invariant — see the oracle comment)
+                # bytes-per-pixel and scanline layout — Adam7 files
+                # (IHDR interlace byte, offset 28) use the 7-pass
+                # arithmetic (deflate output size is not an invariant —
+                # see the oracle comment)
                 h, w = pix.shape[:2]
                 png_bpp = {"png": 3, "png-pal": 1, "png-rgba": 4}.get(fmt)
-                n_bytes = (
-                    h * (1 + png_bpp * w) if png_bpp else len(bytes(p))
-                )
+                if png_bpp is None:
+                    n_bytes = len(bytes(p))
+                elif bytes(p)[28] == 1:
+                    n_bytes = adam7_stream_bytes(w, h, png_bpp)
+                else:
+                    n_bytes = h * (1 + png_bpp * w)
                 rows.append(
                     (
                         int(doc_id),

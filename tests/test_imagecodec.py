@@ -321,3 +321,53 @@ def test_synth_image_new_png_variants():
     base_r = (8 + 3 * y) % 256
     exp_r = (a * base_r + (255 - a) * 255) // 255
     np.testing.assert_array_equal(pix[:, 0, 0].astype(np.int64), exp_r)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 5), (7, 7), (8, 8), (16, 9), (64, 48)])
+def test_png_adam7_truecolor_roundtrip(w, h):
+    """Adam7 interlaced type-2: every pixel lands back in place across
+    all 7 passes, including sizes where several passes are empty."""
+    rng = np.random.default_rng(w * 31 + h)
+    pix = _random_pixels(rng, h, w)
+    payload = encode_png(pix, interlace=True)
+    np.testing.assert_array_equal(decode_png(payload), pix)
+
+
+def test_png_adam7_palette_and_rgba_roundtrip():
+    rng = np.random.default_rng(12)
+    pal = rng.integers(0, 256, size=(31, 3)).astype(np.uint8)
+    idx = rng.integers(0, 31, size=(13, 11)).astype(np.uint8)
+    payload = encode_png_palette(idx, pal, interlace=True)
+    pix, ctype = decode_png(payload, with_ctype=True)
+    assert ctype == 3
+    np.testing.assert_array_equal(pix, pal[idx])
+    rgba = rng.integers(0, 256, size=(9, 6, 4)).astype(np.uint8)
+    np.testing.assert_array_equal(decode_png(encode_png(rgba, interlace=True)), rgba)
+
+
+def test_png_adam7_pass_structure():
+    """The interlaced stream is genuinely 7 independently-filtered
+    passes: its defiltered size differs from the sequential layout and
+    follows the per-pass ceil arithmetic."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from hive_clone_spark.pipeline.imagecodec import _ADAM7
+
+    w, h = 10, 7
+    pix = np.zeros((h, w, 3), dtype=np.uint8)
+    payload = encode_png(pix, interlace=True)
+    pos, idat = 8, b""
+    while pos + 12 <= len(payload):
+        ln, typ = _struct.unpack_from(">I4s", payload, pos)
+        if typ == b"IDAT":
+            idat += payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    stream = _zlib.decompress(idat)
+    expect = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = max(0, (w - x0 + dx - 1) // dx)
+        ph = max(0, (h - y0 + dy - 1) // dy)
+        if pw and ph:
+            expect += ph * (1 + 3 * pw)
+    assert len(stream) == expect != h * (1 + 3 * w)
