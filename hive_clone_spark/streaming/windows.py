@@ -596,3 +596,166 @@ def q88_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q102: stream-stream FULL OUTER join — the final member of the
+# streaming join family (inner q59, left-outer q88). Both sides
+# null-complete: a click with no purchase inside its 1-hour horizon
+# AND a purchase no click ever preceded both get emitted once the
+# watermark PROVES their counterpart cannot arrive. The two proofs
+# settle at different boundaries, which is the operator's whole
+# subtlety:
+#   * an unmatched CLICK settles when wm passes click_ts + horizon
+#     (a later purchase inside the window could still have matched);
+#   * an unmatched PURCHASE settles when wm passes purchase_ts alone
+#     (its candidate clicks all lie AT OR BEFORE it — once the
+#     watermark passes purchase_ts, any such click would be rejected
+#     as late, so absence is proven with no horizon wait).
+# The entry reports only the settled region of EACH side (q88's
+# measured min-across-nodes watermark, minus 1 s flooring slack); the
+# oracle derives both regions from the batch table independently.
+#
+# Scale design: identical watermark-bounded two-sided state to
+# q59/q88 — the asymmetric settle boundaries change which rows the
+# state can DROP (purchase state is droppable a full horizon earlier
+# than click state), not how much of it exists.
+# ---------------------------------------------------------------------------
+@register(
+    "q102_stream_full_outer_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    purchases AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'),
+    wm AS (
+      SELECT LEAST((SELECT MAX(ts) FROM clicks),
+                   (SELECT MAX(ts) FROM purchases))
+             - INTERVAL 10 MINUTE - INTERVAL 1 SECOND AS b),
+    pairs AS (
+      SELECT c.event_id AS cid, p.event_id AS pid, c.user_id, p.value
+      FROM clicks c JOIN purchases p
+        ON p.user_id = c.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR),
+    settled_c AS (
+      SELECT c.* FROM clicks c, wm WHERE c.ts + INTERVAL 1 HOUR < wm.b),
+    settled_p AS (
+      SELECT p.* FROM purchases p, wm WHERE p.ts < wm.b),
+    expired_c AS (
+      SELECT s.event_id, s.user_id FROM settled_c s
+      WHERE NOT EXISTS (SELECT 1 FROM pairs x WHERE x.cid = s.event_id)),
+    orphan_p AS (
+      SELECT s.event_id, s.user_id FROM settled_p s
+      WHERE NOT EXISTS (SELECT 1 FROM pairs x WHERE x.pid = s.event_id))
+    SELECT user_id,
+      CAST((SELECT COUNT(*) FROM pairs x
+            WHERE x.user_id = u.user_id) AS BIGINT) AS n_pairs,
+      CAST((SELECT COUNT(*) FROM expired_c e
+            WHERE e.user_id = u.user_id) AS BIGINT) AS n_expired_clicks,
+      CAST((SELECT COUNT(*) FROM orphan_p o
+            WHERE o.user_id = u.user_id) AS BIGINT) AS n_orphan_purchases,
+      ROUND(CAST((SELECT COALESCE(SUM(CAST(x.value AS DECIMAL(18,6))), 0)
+                  FROM pairs x WHERE x.user_id = u.user_id) AS DOUBLE), 6)
+        AS total_value
+    FROM (SELECT DISTINCT user_id FROM pairs
+          UNION SELECT DISTINCT user_id FROM expired_c
+          UNION SELECT DISTINCT user_id FROM orphan_p) u
+    ORDER BY user_id
+    """,
+)
+def q102_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hive_clone_spark.catalog import table as _table
+    from hive_clone_spark.streaming.streams import read_events_stream, run_to_memory
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = read_events_stream(spark, os.path.join(sf_dir, "events.parque[t]"))
+    c = (
+        src.where(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        src.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 hour")),
+        "fullOuter",
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(joined, "q102_full_outer", output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    drained = spark.table("q102_full_outer")
+    ev = _table(spark, sf_dir, "events")
+    wm = ev.agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            )
+            - F.expr("INTERVAL 10 minutes")
+            - F.expr("INTERVAL 1 second")
+        ).alias("b")
+    )
+    expired_c = (
+        drained.where(F.col("purchase_id").isNull())
+        .crossJoin(F.broadcast(wm))
+        .where(F.col("click_ts") + F.expr("INTERVAL 1 hour") < F.col("b"))
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(F.count("*").alias("n_expired_clicks"))
+    )
+    orphan_p = (
+        drained.where(F.col("click_id").isNull())
+        .crossJoin(F.broadcast(wm))
+        .where(F.col("purchase_ts") < F.col("b"))
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(F.count("*").alias("n_orphan_purchases"))
+    )
+    pairs = (
+        drained.where(
+            F.col("click_id").isNotNull() & F.col("purchase_id").isNotNull()
+        )
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("purchase_value").cast("decimal(18,6)")).cast("double"),
+                6,
+            ).alias("total_value"),
+        )
+    )
+    return (
+        pairs.join(expired_c, "user_id", "full_outer")
+        .join(orphan_p, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_expired_clicks", F.lit(0)).cast("long").alias(
+                "n_expired_clicks"
+            ),
+            F.coalesce("n_orphan_purchases", F.lit(0)).cast("long").alias(
+                "n_orphan_purchases"
+            ),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )

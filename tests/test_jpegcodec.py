@@ -258,3 +258,34 @@ def test_dequant_uses_in_file_table():
     payload[dqt + 5] = 32
     pix = decode_jpeg(bytes(payload))
     assert (pix == 128 + 2 * 3 * 2).all()
+
+
+def test_422_coefficient_roundtrip_and_pixels():
+    """4:2:2 (2x1 luma sampling) rides the same generalized MCU
+    machinery: coefficients roundtrip and chroma replicates
+    horizontally only."""
+    rng = np.random.default_rng(55)
+    mx, my = 2, 3
+    luma = _random_planes(rng, my, 2 * mx, 1)[0]
+    cb = _random_planes(rng, my, mx, 1)[0]
+    cr = _random_planes(rng, my, mx, 1)[0]
+    payload = encode_jpeg(
+        [luma, cb, cr], 16 * mx, 8 * my, sampling=[(2, 1), (1, 1), (1, 1)]
+    )
+    out, w, h, _, samp = decode_jpeg_coeffs(payload)
+    assert (w, h) == (16 * mx, 8 * my)
+    assert samp == [(2, 1), (1, 1), (1, 1)]
+    for a, b in zip([luma, cb, cr], out):
+        np.testing.assert_array_equal(a, b)
+    # DC-only planes: each 8x8 luma block constant, chroma constant
+    # over 16x8 tiles (horizontal-only replication)
+    luma0 = np.zeros_like(luma); luma0[:, :, 0] = 4
+    cb0 = np.zeros_like(cb); cb0[:, :, 0] = -2
+    cr0 = np.zeros_like(cr); cr0[:, :, 0] = 1
+    pix = decode_jpeg(
+        encode_jpeg([luma0, cb0, cr0], 16 * mx, 8 * my,
+                    sampling=[(2, 1), (1, 1), (1, 1)])
+    ).astype(np.int64)
+    import math
+    y, cbv, crv = 128 + 8, 128 - 4, 128 + 2
+    assert (pix[:, :, 0] == math.floor(y + 1.402 * (crv - 128) + 0.5)).all()
