@@ -1134,3 +1134,86 @@ def p_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# p_unicode_nfc — Unicode normalization, the first cleaning pass of
+# every multilingual corpus pipeline (NFC makes byte-identical what is
+# canonically identical: 'e' + COMBINING ACUTE and precomposed U+00E9
+# are the same text but different bytes, so every downstream exact /
+# MinHash dedup and token count disagrees until normalization).
+#
+# The corpus fixture text is pure ASCII, so the entry DECORATES it
+# deterministically first (odd doc_ids: every 'e' becomes the
+# decomposed pair e+U+0301) — both engines build the identical
+# decorated string, then normalize independently: Spark with Python
+# unicodedata.normalize('NFC') inside an Arrow mapInPandas batch,
+# DuckDB with its native nfc_normalize. The value hash covers the
+# normalized string itself (JVM-side portable md5), so the two
+# engines' normalizers must agree codepoint-for-codepoint, and the
+# char counts pin the composition actually happening (decorated
+# length > NFC length on every odd row).
+#
+# Scale notes (100 TB): decoration is scan-stage JVM replace; the
+# normalize pass is the one unavoidable Python boundary (the JVM has
+# no NFC builtin) — Arrow-batched, no shuffle, ~memory-bandwidth
+# throughput; everything after (length, hash, ordering) is JVM again.
+# ---------------------------------------------------------------------------
+_NFC_COMBINING = "́"  # COMBINING ACUTE ACCENT
+
+
+@register(
+    "p_unicode_nfc",
+    oracle=f"""
+    WITH dec AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 1
+             THEN replace(text, 'e', 'e' || chr(769))
+             ELSE text END AS t
+      FROM documents)
+    SELECT doc_id,
+      CAST(length(t) AS BIGINT) AS n_chars_decorated,
+      CAST(length(nfc_normalize(t)) AS BIGINT) AS n_chars_nfc,
+      (length(t) <> length(nfc_normalize(t))) AS changed,
+      {sql_portable_hash("nfc_normalize(t)")} AS nfc_hash
+    FROM dec ORDER BY doc_id
+    """,
+)
+def p_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import unicodedata
+
+    import pandas as pd
+
+    d = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    decorated = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.replace(F.col("text"), F.lit("e"), F.lit("e" + _NFC_COMBINING)),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+
+    def normalize_batches(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_chars_decorated": [len(s) for s in pdf["t"]],
+                    "nfc": [
+                        unicodedata.normalize("NFC", s) for s in pdf["t"]
+                    ],
+                }
+            )
+
+    out = decorated.mapInPandas(
+        normalize_batches, "doc_id BIGINT, n_chars_decorated BIGINT, nfc STRING"
+    )
+    return out.select(
+        "doc_id",
+        "n_chars_decorated",
+        F.length("nfc").cast("long").alias("n_chars_nfc"),
+        (F.col("n_chars_decorated") != F.length("nfc")).alias("changed"),
+        portable_hash(F.col("nfc")).alias("nfc_hash"),
+    ).orderBy("doc_id")
