@@ -2927,3 +2927,142 @@ def q100_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_partkey", "l_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q103 — incremental view maintenance: keep a grouped aggregate (order
+# count + decimal total by status) current under a CDC change set
+# WITHOUT rescanning the base. The maintained view is
+#   view(old) + contributions(diff)
+# where each diff row contributes algebraically: insert -> +1 at its
+# new status, delete -> -1 at its old status, update -> -1/+1 across
+# the pair. The entry emits the maintained view NEXT TO a full
+# recompute over the new snapshot, with a per-group match flag — the
+# oracle recomputes both independently, so a missed update class, a
+# sign error, or a lost group fails the hash (and would show
+# matched=false even to a human reader).
+#
+# Scale design: the whole point at 100 TB — the base is NEVER
+# re-read; the maintenance job touches |diff| rows (q74's join output)
+# plus the tiny old view. COUNT and SUM are the self-maintainable
+# aggregates (MIN/MAX would need the base on deletes — the classic
+# IVM asymmetry, worth knowing at design time).
+# ---------------------------------------------------------------------------
+@register(
+    "q103_incremental_view_maintenance",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderdate < DATE '1996-01-01'),
+    new AS (
+      SELECT o_orderkey,
+        CASE WHEN o_orderstatus = 'O' THEN 'F' ELSE o_orderstatus END
+          AS o_orderstatus,
+        o_totalprice
+      FROM orders WHERE o_orderdate < DATE '1997-01-01'),
+    old_view AS (
+      SELECT o_orderstatus, COUNT(*) AS n,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+      FROM old GROUP BY o_orderstatus),
+    diff AS (
+      SELECT old.o_orderstatus AS s_old, new.o_orderstatus AS s_new,
+        old.o_totalprice AS p_old, new.o_totalprice AS p_new
+      FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+      WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+         OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus),
+    contrib AS (
+      SELECT s_old AS st, -1 AS dn,
+        -CAST(p_old AS DECIMAL(18,2)) AS ds
+      FROM diff WHERE s_old IS NOT NULL
+      UNION ALL
+      SELECT s_new, 1, CAST(p_new AS DECIMAL(18,2))
+      FROM diff WHERE s_new IS NOT NULL),
+    maintained AS (
+      SELECT st AS o_orderstatus,
+        SUM(dn) + COALESCE(MAX(v.n), 0) AS n,
+        SUM(ds) + COALESCE(MAX(v.s), 0) AS s
+      FROM contrib LEFT JOIN old_view v ON v.o_orderstatus = contrib.st
+      GROUP BY st),
+    recomputed AS (
+      SELECT o_orderstatus, COUNT(*) AS n,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+      FROM new GROUP BY o_orderstatus)
+    SELECT r.o_orderstatus,
+      CAST(m.n AS BIGINT) AS n_maintained,
+      CAST(r.n AS BIGINT) AS n_recomputed,
+      CAST(m.s AS DOUBLE) AS sum_maintained,
+      CAST(r.s AS DOUBLE) AS sum_recomputed,
+      (m.n = r.n AND m.s = r.s) AS matched
+    FROM recomputed r JOIN maintained m USING (o_orderstatus)
+    ORDER BY r.o_orderstatus
+    """,
+)
+def q103_incremental_view_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    old = o.where(F.col("o_orderdate") < F.lit("1996-01-01").cast("date")).select(
+        F.col("o_orderkey").alias("k_old"),
+        F.col("o_orderstatus").alias("s_old"),
+        dec.alias("p_old"),
+    )
+    new = o.where(F.col("o_orderdate") < F.lit("1997-01-01").cast("date")).select(
+        F.col("o_orderkey").alias("k_new"),
+        F.when(F.col("o_orderstatus") == "O", "F")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("s_new"),
+        dec.alias("p_new"),
+    )
+    old_view = old.groupBy(F.col("s_old").alias("st")).agg(
+        F.count("*").alias("n0"), F.sum("p_old").alias("s0")
+    )
+    diff = old.join(new, old.k_old == new.k_new, "full_outer").where(
+        F.col("k_old").isNull()
+        | F.col("k_new").isNull()
+        | ~F.col("s_old").eqNullSafe(F.col("s_new"))
+    )
+    contrib = (
+        diff.where(F.col("s_old").isNotNull())
+        .select(
+            F.col("s_old").alias("st"),
+            F.lit(-1).alias("dn"),
+            (-F.col("p_old")).alias("ds"),
+        )
+        .unionByName(
+            diff.where(F.col("s_new").isNotNull()).select(
+                F.col("s_new").alias("st"),
+                F.lit(1).alias("dn"),
+                F.col("p_new").alias("ds"),
+            )
+        )
+    )
+    maintained = (
+        contrib.groupBy("st")
+        .agg(F.sum("dn").alias("dn"), F.sum("ds").alias("ds"))
+        .join(old_view, "st", "left_outer")
+        .select(
+            "st",
+            (F.col("dn") + F.coalesce("n0", F.lit(0))).alias("n_m"),
+            (F.col("ds") + F.coalesce("s0", F.lit(0).cast("decimal(18,2)"))).alias(
+                "s_m"
+            ),
+        )
+    )
+    recomputed = new.groupBy(F.col("s_new").alias("st")).agg(
+        F.count("*").alias("n_r"), F.sum("p_new").alias("s_r")
+    )
+    return (
+        recomputed.join(maintained, "st")
+        .select(
+            F.col("st").alias("o_orderstatus"),
+            F.col("n_m").cast("long").alias("n_maintained"),
+            F.col("n_r").cast("long").alias("n_recomputed"),
+            F.col("s_m").cast("double").alias("sum_maintained"),
+            F.col("s_r").cast("double").alias("sum_recomputed"),
+            ((F.col("n_m") == F.col("n_r")) & (F.col("s_m") == F.col("s_r"))).alias(
+                "matched"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
