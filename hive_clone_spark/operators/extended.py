@@ -3066,3 +3066,122 @@ def q103_incremental_view_maintenance(
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q104 — data-quality expectation suite (the dbt-test / Deequ shape):
+# one entry evaluates five declared expectations — two referential-
+# integrity checks (orders→customer, lineitem→orders, both via anti
+# joins), key uniqueness, a range expectation TIGHT ENOUGH TO FIRE
+# (quantity <= 40 — ~1/5 of lineitem violates, so the violation path
+# is verified, not just the happy path), and a cross-table
+# reconciliation (does o_totalprice equal the cent-exact sum of its
+# lineitems' extended prices — on this synthetic data it never does,
+# which is precisely what a reconciliation check exists to surface).
+# Output is the audit ledger: per check, row count, violation count,
+# pass flag.
+#
+# Scale design: each expectation is one scan + map-side aggregate or
+# one anti join on the FK; the reconciliation is a single
+# orderkey-clustered join with integer cent arithmetic (no float
+# equality). At 100 TB these run as a nightly suite over the same
+# partitioning the tables already have; nothing quadratic, nothing
+# collected.
+# ---------------------------------------------------------------------------
+@register(
+    "q104_dq_expectations",
+    oracle="""
+    WITH c1 AS (
+      SELECT 'fk_orders_custkey' AS check_name,
+        (SELECT COUNT(*) FROM orders) AS n_rows,
+        (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN
+          (SELECT c_custkey FROM customer)) AS n_violations),
+    c2 AS (
+      SELECT 'fk_lineitem_orderkey',
+        (SELECT COUNT(*) FROM lineitem),
+        (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN
+          (SELECT o_orderkey FROM orders))),
+    c3 AS (
+      SELECT 'unique_customer_custkey',
+        (SELECT COUNT(*) FROM customer),
+        (SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer)),
+    c4 AS (
+      SELECT 'range_lineitem_quantity_le_40',
+        (SELECT COUNT(*) FROM lineitem),
+        (SELECT COUNT(*) FROM lineitem WHERE l_quantity > 40)),
+    c5 AS (
+      SELECT 'reconcile_order_totalprice',
+        (SELECT COUNT(*) FROM orders),
+        (SELECT COUNT(*) FROM orders o JOIN (
+           SELECT l_orderkey,
+             SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS li_cents
+           FROM lineitem GROUP BY l_orderkey) l
+         ON o.o_orderkey = l.l_orderkey
+         WHERE CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+               <> l.li_cents))
+    SELECT check_name, CAST(n_rows AS BIGINT) AS n_rows,
+      CAST(n_violations AS BIGINT) AS n_violations,
+      (n_violations = 0) AS pass
+    FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+          UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4
+          UNION ALL SELECT * FROM c5)
+    ORDER BY check_name
+    """,
+)
+def q104_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+
+    def ledger(name, n_rows_df, viol_df):
+        return n_rows_df.crossJoin(viol_df).select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("long").alias("n_rows"),
+            F.col("v").cast("long").alias("n_violations"),
+            (F.col("v") == 0).alias("pass"),
+        )
+
+    fk1 = ledger(
+        "fk_orders_custkey",
+        o.agg(F.count("*").alias("n")),
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
+            F.count("*").alias("v")
+        ),
+    )
+    fk2 = ledger(
+        "fk_lineitem_orderkey",
+        li.agg(F.count("*").alias("n")),
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(
+            F.count("*").alias("v")
+        ),
+    )
+    uniq = ledger(
+        "unique_customer_custkey",
+        c.agg(F.count("*").alias("n")),
+        c.agg((F.count("*") - F.countDistinct("c_custkey")).alias("v")),
+    )
+    rng = ledger(
+        "range_lineitem_quantity_le_40",
+        li.agg(F.count("*").alias("n")),
+        li.where(F.col("l_quantity") > 40).agg(F.count("*").alias("v")),
+    )
+    li_cents = li.groupBy("l_orderkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")).alias(
+            "li_cents"
+        )
+    )
+    recon = ledger(
+        "reconcile_order_totalprice",
+        o.agg(F.count("*").alias("n")),
+        o.join(li_cents, o.o_orderkey == li_cents.l_orderkey)
+        .where(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            != F.col("li_cents")
+        )
+        .agg(F.count("*").alias("v")),
+    )
+    out = fk1
+    for piece in (fk2, uniq, rng, recon):
+        out = out.unionAll(piece)
+    return out.orderBy("check_name")
