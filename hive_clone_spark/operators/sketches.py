@@ -287,13 +287,23 @@ def q97_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.l_orderkey == passed.k,
         "left_semi",
     )
-    n_build = build.count()
-    n_probe = probe.count()
-    n_pass = passed.count()
-    n_true = truek.count()
-    n_kept = kept_rows.count()
-    return spark.createDataFrame(
-        [(n_build, n_probe, n_pass, n_true, n_pass - n_true, n_kept)],
-        "n_build_keys BIGINT, n_probe_keys BIGINT, n_bloom_pass BIGINT, "
-        "n_true_match BIGINT, n_false_positives BIGINT, n_probe_rows_kept BIGINT",
+    # assemble the ledger as ONE composed plan (1-row aggregates
+    # crossJoined) so the whole entry is a single job — five separate
+    # .count() actions paid five scheduler round-trips for nothing
+    counts = (
+        build.agg(F.count("*").alias("n_build_keys"))
+        .crossJoin(probe.agg(F.count("*").alias("n_probe_keys")))
+        .crossJoin(passed.agg(F.count("*").alias("n_bloom_pass")))
+        .crossJoin(truek.agg(F.count("*").alias("n_true_match")))
+        .crossJoin(kept_rows.agg(F.count("*").alias("n_probe_rows_kept")))
+    )
+    return counts.select(
+        "n_build_keys",
+        "n_probe_keys",
+        "n_bloom_pass",
+        "n_true_match",
+        (F.col("n_bloom_pass") - F.col("n_true_match")).alias(
+            "n_false_positives"
+        ),
+        "n_probe_rows_kept",
     )

@@ -50,6 +50,7 @@ NESTEDLOOP_OK = {
     "p_tfidf",  # 1-row corpus-count build side (q44 pattern)
     "q95_kmv_distinct_sketch",  # 1-row kth-min x 1-row exact crossJoin
     "q104_dq_expectations",  # 1-row count x 1-row violation crossJoins
+    "q97_bloom_filter_join",  # 1-row ledger-count crossJoins (q44 pattern)
     "q18_band_join",
     "q44_upsert",
     "q69_triangle_count",  # 1-row summary-aggregate crossJoins (q44 pattern)
