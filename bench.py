@@ -158,9 +158,20 @@ def main() -> None:
                 # heavy runs were tried and blew the budget into a
                 # 12-query cold tail — anomaly-gated retries spend
                 # extra time only when a sample is provably suspect.
+                #
+                # SOFT-BUDGET DOWNSHIFT (added when the registry grew
+                # past ~155 bench queries and funding 2-run fast tiers
+                # to the end stopped fitting): past 60% of the budget,
+                # fast queries take their ONE warm measured run — a
+                # by-design warm single sample exactly like the heavy
+                # tier, NOT a degraded cold run. This trades ±jitter
+                # on sub-second tail medians for never hitting the
+                # hard-budget cold path at all (r7 first runs: 18-29
+                # cold degraded entries).
                 heavy = dt >= 2.5
                 anomalous = heavy and dt > warm_dt
-                n_measured = 1 if (heavy and not anomalous) else 2
+                tight = spent > 0.6 * BUDGET_SEC
+                n_measured = 1 if ((heavy and not anomalous) or tight) else 2
                 targets[name] = n_measured
             if len(samples) >= n_measured or spent > BUDGET_SEC:
                 break

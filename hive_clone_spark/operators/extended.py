@@ -163,7 +163,13 @@ def q27_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q28_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
+    from hive_clone_spark.pipeline.common import spread
+
+    # spread: the 1-split testdata scan would otherwise run the whole
+    # 150k-row to_json + json-path chain on ONE core (measured 2.3 s ->
+    # 1.4 s; production scans have natural splits and this is a no-op
+    # cost-wise — see pipeline.common.spread)
+    o = spread(table(spark, sf_dir, "orders"))
     doc = F.to_json(
         F.struct(
             F.col("o_orderkey").alias("k"),

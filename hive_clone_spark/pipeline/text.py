@@ -1004,9 +1004,15 @@ def bpe_train_merges(spark: SparkSession, vocab: DataFrame, n_merges: int):
 _MERGE_CACHE: dict[tuple[str, int], list] = {}
 
 
-def _corpus_merges(spark: SparkSession, sf_dir: str, n_merges: int) -> list:
+def _corpus_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int, force: bool = False
+) -> list:
+    """``force=True`` always retrains (and refreshes the cache):
+    p_bpe_train IS the trainer, so its benchmark must measure real
+    training, never a cache hit; p_bpe_apply is the artifact CONSUMER
+    and legitimately reuses the freshest learned merges."""
     key = (os.path.basename(sf_dir.rstrip("/")), n_merges)
-    if key not in _MERGE_CACHE:
+    if force or key not in _MERGE_CACHE:
         d = table(spark, sf_dir, "documents")
         vocab = (
             d.select(F.explode(words_col(F.col("text"))).alias("w"))
@@ -1040,7 +1046,7 @@ def _corpus_merges(spark: SparkSession, sf_dir: str, n_merges: int) -> list:
     """,
 )
 def p_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out_rows = _corpus_merges(spark, sf_dir, _BPE_ITERS)
+    out_rows = _corpus_merges(spark, sf_dir, _BPE_ITERS, force=True)
     return spark.createDataFrame(
         out_rows,
         "iter INT, left_sym STRING, right_sym STRING, "
