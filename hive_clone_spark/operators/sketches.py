@@ -307,3 +307,262 @@ def q97_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_probe_rows_kept",
     )
+
+
+# ---------------------------------------------------------------------------
+# Q105 — GROUPED KMV sketches: distinct customers per nation, each
+# group estimated from its own k-minimum-values sketch next to exact
+# truth. This is the shape sketch aggregation actually takes in a
+# warehouse (per-group NDV columns in a stats table, mergeable
+# partials per partition), and it is all window-free except a rank
+# over the per-group k-minima — bounded at k rows per group.
+#
+# Scale design: one shuffle keyed by (nation, hash) for the distinct,
+# then the per-group k smallest via rank <= k on a (nation)-
+# partitioned window ORDER BY hash — each group's window is capped at
+# its distinct-hash count and the rank prunes to k immediately
+# (WindowGroupLimit pushes the limit into the sort at execution).
+# The estimate is arithmetic over one row per group.
+# ---------------------------------------------------------------------------
+_GKMV_K = 64
+
+
+@register(
+    "q105_kmv_grouped_distinct",
+    oracle=f"""
+    WITH j AS (
+      SELECT n.n_name,
+        {sql_portable_hash("CAST(o.o_custkey AS VARCHAR)")} AS h
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey),
+    d AS (SELECT DISTINCT n_name, h FROM j),
+    r AS (
+      SELECT n_name, h,
+        ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY h) AS rk,
+        COUNT(*) OVER (PARTITION BY n_name) AS nd
+      FROM d),
+    kth AS (
+      SELECT n_name, MAX(h) AS kth, MAX(nd) AS exact_ndv,
+        MAX(CASE WHEN nd >= {_GKMV_K} THEN 1 ELSE 0 END) AS saturated
+      FROM r WHERE rk <= {_GKMV_K} GROUP BY n_name)
+    SELECT n_name,
+      CAST(exact_ndv AS BIGINT) AS exact_ndv,
+      CASE WHEN saturated = 1
+           THEN ROUND(({_GKMV_K} - 1) * {_HASH_SPACE} / kth, 6)
+           ELSE CAST(exact_ndv AS DOUBLE) END AS est_ndv
+    FROM kth ORDER BY n_name
+    """,
+)
+def q105_kmv_grouped_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            portable_hash(F.col("o_custkey").cast("string")).alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("n_name").orderBy("h")
+    r = j.select(
+        "n_name",
+        "h",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("n_name")).alias("nd"),
+    )
+    kth = (
+        r.where(F.col("rk") <= _GKMV_K)
+        .groupBy("n_name")
+        .agg(
+            F.max("h").alias("kth"),
+            F.max("nd").alias("exact_ndv"),
+            F.max(
+                F.when(F.col("nd") >= _GKMV_K, 1).otherwise(0)
+            ).alias("saturated"),
+        )
+    )
+    return kth.select(
+        "n_name",
+        F.col("exact_ndv").cast("long").alias("exact_ndv"),
+        F.when(
+            F.col("saturated") == 1,
+            F.round((_GKMV_K - 1) * _HASH_SPACE / F.col("kth"), 6),
+        )
+        .otherwise(F.col("exact_ndv").cast("double"))
+        .alias("est_ndv"),
+    ).orderBy("n_name")
+
+
+# ---------------------------------------------------------------------------
+# Q106 — KMV set algebra: |A ∪ B| and |A ∩ B| of two key sets
+# (customers ordering in 1995 vs 1998) WITHOUT materializing either
+# set at full size. The union sketch is the k smallest of the merged
+# sketches (the KMV merge rule); the intersection comes from the
+# Jaccard estimate over the union sketch's members (fraction present
+# in both), J * |A ∪ B| — the theta-sketch trick. Estimates sit next
+# to exact truths, so the oracle pins the sketch algebra AND its
+# observed error.
+#
+# Scale design: each side's sketch is a TakeOrdered over distinct
+# hashes; everything after operates on <= 2k driver-bounded rows.
+# Sketches merge associatively — per-partition, per-day, per-source —
+# which is why this beats COUNT(DISTINCT) at 100 TB: the exact form
+# must shuffle every key, the sketch form ships k values per grain.
+# ---------------------------------------------------------------------------
+_SKMV_K = 256
+
+
+@register(
+    "q106_kmv_set_algebra",
+    oracle=f"""
+    WITH a AS (
+      SELECT DISTINCT {sql_portable_hash("CAST(o_custkey AS VARCHAR)")} AS h
+      FROM orders WHERE o_orderdate >= DATE '1995-01-01'
+        AND o_orderdate < DATE '1996-01-01'),
+    b AS (
+      SELECT DISTINCT {sql_portable_hash("CAST(o_custkey AS VARCHAR)")} AS h
+      FROM orders WHERE o_orderdate >= DATE '1998-01-01'
+        AND o_orderdate < DATE '1999-01-01'),
+    ska AS (SELECT h FROM a ORDER BY h LIMIT {_SKMV_K}),
+    skb AS (SELECT h FROM b ORDER BY h LIMIT {_SKMV_K}),
+    merged AS (
+      SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+      ORDER BY h LIMIT {_SKMV_K}),
+    mk AS (SELECT MAX(h) AS kth, COUNT(*) AS mn FROM merged),
+    inter AS (
+      SELECT COUNT(*) AS n_both FROM merged
+      WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
+    est AS (
+      SELECT ROUND((mk.mn - 1) * {_HASH_SPACE} / mk.kth, 6) AS est_union,
+        ROUND(CAST(inter.n_both AS DOUBLE) / mk.mn
+              * ((mk.mn - 1) * {_HASH_SPACE} / mk.kth), 6) AS est_intersect
+      FROM mk, inter),
+    exact AS (
+      SELECT
+        (SELECT COUNT(*) FROM (SELECT h FROM a UNION SELECT h FROM b))
+          AS exact_union,
+        (SELECT COUNT(*) FROM a WHERE h IN (SELECT h FROM b))
+          AS exact_intersect)
+    SELECT CAST(exact.exact_union AS BIGINT) AS exact_union,
+      est.est_union,
+      CAST(exact.exact_intersect AS BIGINT) AS exact_intersect,
+      est.est_intersect
+    FROM exact, est
+    """,
+)
+def q106_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+
+    def side(lo, hi):
+        return (
+            o.where(
+                (F.col("o_orderdate") >= F.lit(lo).cast("date"))
+                & (F.col("o_orderdate") < F.lit(hi).cast("date"))
+            )
+            .select(
+                portable_hash(F.col("o_custkey").cast("string")).alias("h")
+            )
+            .distinct()
+        )
+
+    a, b = side("1995-01-01", "1996-01-01"), side("1998-01-01", "1999-01-01")
+    ska = a.orderBy("h").limit(_SKMV_K)
+    skb = b.orderBy("h").limit(_SKMV_K)
+    merged = ska.union(skb).distinct().orderBy("h").limit(_SKMV_K)
+    mk = merged.agg(F.max("h").alias("kth"), F.count("*").alias("mn"))
+    n_both = (
+        merged.join(ska, "h", "left_semi")
+        .join(skb, "h", "left_semi")
+        .agg(F.count("*").alias("n_both"))
+    )
+    exact_union = a.union(b).distinct().agg(
+        F.count("*").alias("exact_union")
+    )
+    exact_intersect = a.join(b, "h", "left_semi").agg(
+        F.count("*").alias("exact_intersect")
+    )
+    est_u = (F.col("mn") - 1) * _HASH_SPACE / F.col("kth")
+    return (
+        exact_union.crossJoin(exact_intersect)
+        .crossJoin(mk)
+        .crossJoin(n_both)
+        .select(
+            F.col("exact_union").cast("long").alias("exact_union"),
+            F.round(est_u, 6).alias("est_union"),
+            F.col("exact_intersect").cast("long").alias("exact_intersect"),
+            F.round(
+                F.col("n_both").cast("double") / F.col("mn") * est_u, 6
+            ).alias("est_intersect"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q107 — column-entropy profile: Shannon entropy (bits) + normalized
+# entropy for three categorical columns in one pass each — the
+# profiling signal that drives encoding choices (dictionary vs plain),
+# partition-key viability, and skew alarms. Integer-exact category
+# counts feed p*log2(p) as doubles rounded to 6 dp (the only
+# float step, identical IEEE arithmetic in both engines).
+#
+# Scale design: per column one map-side-combined groupBy of
+# |categories| rows, then one tiny aggregate; columns are independent
+# single passes (a real profiler fuses them into one scan with
+# grouping sets — q29 shows that machinery).
+# ---------------------------------------------------------------------------
+def _entropy_sql(tbl: str, col: str) -> str:
+    return f"""
+    SELECT '{col}' AS column_name,
+      CAST(COUNT(*) AS BIGINT) AS n_categories,
+      ROUND(SUM(-(cnt / t) * log2(cnt / t)), 6) AS entropy_bits,
+      ROUND(CASE WHEN COUNT(*) = 1 THEN 0.0
+        ELSE SUM(-(cnt / t) * log2(cnt / t)) / log2(COUNT(*)) END, 6)
+        AS entropy_norm
+    FROM (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS cnt,
+        CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS t
+      FROM {tbl} GROUP BY {col})
+    """
+
+
+@register(
+    "q107_column_entropy",
+    oracle=f"""
+    {_entropy_sql("orders", "o_orderstatus")}
+    UNION ALL {_entropy_sql("orders", "o_orderpriority")}
+    UNION ALL {_entropy_sql("lineitem", "l_returnflag")}
+    ORDER BY column_name
+    """,
+)
+def q107_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def one(tbl: str, col: str) -> DataFrame:
+        t = table(spark, sf_dir, tbl)
+        counts = t.groupBy(col).agg(F.count("*").alias("c"))
+        total = counts.agg(F.sum("c").alias("t"))
+        frac = F.col("c").cast("double") / F.col("t").cast("double")
+        per = counts.crossJoin(F.broadcast(total)).select(frac.alias("p"))
+        ent = F.sum(-F.col("p") * F.log2("p"))
+        return per.agg(
+            F.lit(col).alias("column_name"),
+            F.count("*").cast("long").alias("n_categories"),
+            F.round(ent, 6).alias("entropy_bits"),
+            F.round(
+                F.when(F.count("*") == 1, 0.0).otherwise(
+                    ent / F.log2(F.count("*").cast("double"))
+                ),
+                6,
+            ).alias("entropy_norm"),
+        )
+
+    return (
+        one("orders", "o_orderstatus")
+        .unionAll(one("orders", "o_orderpriority"))
+        .unionAll(one("lineitem", "l_returnflag"))
+        .orderBy("column_name")
+    )

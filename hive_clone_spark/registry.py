@@ -44,6 +44,7 @@ def load_all_modules() -> None:
     from hive_clone_spark.operators import asof  # noqa: F401
     from hive_clone_spark.operators import cbo  # noqa: F401
     from hive_clone_spark.operators import sketches  # noqa: F401
+    from hive_clone_spark.operators import tpch  # noqa: F401
     from hive_clone_spark.operators import graph  # noqa: F401
     from hive_clone_spark.operators import iterate  # noqa: F401
     from hive_clone_spark.hive_game import queries as game_queries  # noqa: F401

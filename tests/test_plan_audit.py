@@ -51,6 +51,8 @@ NESTEDLOOP_OK = {
     "q95_kmv_distinct_sketch",  # 1-row kth-min x 1-row exact crossJoin
     "q104_dq_expectations",  # 1-row count x 1-row violation crossJoins
     "q97_bloom_filter_join",  # 1-row ledger-count crossJoins (q44 pattern)
+    "q106_kmv_set_algebra",  # 1-row sketch-stat crossJoins (q44 pattern)
+    "q107_column_entropy",  # 1-row category-total crossJoin (q44 pattern)
     "q18_band_join",
     "q44_upsert",
     "q69_triangle_count",  # 1-row summary-aggregate crossJoins (q44 pattern)
