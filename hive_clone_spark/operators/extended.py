@@ -3191,3 +3191,59 @@ def q104_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for piece in (fk2, uniq, rng, recon):
         out = out.unionAll(piece)
     return out.orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# Q120 — RANGE-interval window frame: per user, the count and decimal
+# sum of events in the TRAILING HOUR at every event — a frame bounded
+# by VALUE distance (RANGE BETWEEN 3600000000 PRECEDING AND CURRENT
+# ROW over integer epoch MICROSECONDS), not row count. The rolling shapes elsewhere (q50)
+# are ROWS frames; RANGE frames are the time-series form that stays
+# correct under irregular sampling, and both engines implement the
+# same peer semantics: same-timestamp events are peers and aggregate
+# together regardless of tie order, which is what makes the result
+# deterministic without a unique-key ordering hack.
+#
+# Scale design: one shuffle on user_id; the frame scan is the
+# window operator's sliding aggregate (each row enters/leaves the
+# accumulator once — O(n) per partition, not O(n * frame)).
+# ---------------------------------------------------------------------------
+@register(
+    "q120_range_frame_window",
+    oracle="""
+    SELECT user_id, event_id,
+      CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def q120_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events").select(
+        # integer MICROSECONDS on both sides: the event timestamps carry
+        # sub-second components, and a seconds-truncated Spark frame vs a
+        # fractional DuckDB frame silently disagree at the boundary
+        "user_id", "event_id", F.unix_micros("ts").alias("tus"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.count("*").over(w).alias("n_last_hour"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .over(w)
+            .cast("double")
+            .alias("sum_last_hour"),
+        )
+        .orderBy("user_id", "event_id")
+    )
