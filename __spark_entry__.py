@@ -81,7 +81,11 @@ def _rounds_stale(name: str, history: list[dict]) -> int:
 # indefinitely just because it was green long ago. Entries at the floor
 # join bucket 0 alongside never-green entries; within the bucket,
 # staleness (desc) keeps brand-new entries (stale = n_rounds+1) first.
-_AGE_FLOOR = 3
+# Raised 3 -> 4 in round 7: the registry grew to 208 entries against a
+# ~50-entry checked window, so a 3-round floor needs ~53 staleness
+# slots per round (> the window) and would thrash; (208-50)/4 ≈ 40
+# slots per round leaves room for new entries too.
+_AGE_FLOOR = 4
 
 
 def _emit_key(n: str, history: list[dict], has_oracle: bool, reg_order: int):
