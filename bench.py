@@ -170,7 +170,11 @@ def main() -> None:
                 # cold degraded entries).
                 heavy = dt >= 2.5
                 anomalous = heavy and dt > warm_dt
-                tight = spent > 0.6 * BUDGET_SEC
+                # 0.6 -> 0.5 when the registry hit 208 entries: at 184
+                # bench queries the 0.6 knee still hard-blew the budget
+                # on the last 5 (cold tail again); the earlier knee
+                # buys ~10 s of second-run savings mid-suite.
+                tight = spent > 0.5 * BUDGET_SEC
                 n_measured = 1 if ((heavy and not anomalous) or tight) else 2
                 targets[name] = n_measured
             if len(samples) >= n_measured or spent > BUDGET_SEC:
