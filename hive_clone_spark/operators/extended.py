@@ -3247,3 +3247,54 @@ def q120_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q122 — nested collect/explode roundtrip: fold each order's
+# lineitems into an ordered ARRAY OF STRUCTS (the document model every
+# JSON/protobuf export uses), compute over the nested value with
+# higher-order functions (no explode: element_at, size, aggregate),
+# then verify by construction against per-order scalars. The nested
+# fold and the HOF arithmetic are where columnar engines differ from
+# row stores — this pins Spark's semantics against DuckDB's list
+# functions exactly.
+#
+# Scale design: ONE shuffle (groupBy orderkey) builds the nested
+# column; everything after is per-row HOF arithmetic at scan speed.
+# array_sort on the struct's leading field gives deterministic
+# element order cross-engine.
+# ---------------------------------------------------------------------------
+@register(
+    "q122_nested_struct_roundtrip",
+    oracle="""
+    WITH nested AS (
+      SELECT l_orderkey,
+        list_sort(list(struct_pack(l_linenumber := l_linenumber,
+                                   l_quantity := l_quantity))) AS items
+      FROM lineitem WHERE l_orderkey <= 500
+      GROUP BY l_orderkey)
+    SELECT l_orderkey,
+      CAST(len(items) AS INT) AS n_items,
+      CAST(items[1].l_linenumber AS BIGINT) AS first_line,
+      CAST(list_sum(list_transform(items, s -> s.l_quantity)) AS DOUBLE)
+        AS total_qty
+    FROM nested ORDER BY l_orderkey
+    """,
+)
+def q122_nested_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 500)
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct("l_linenumber", "l_quantity"))
+        ).alias("items")
+    )
+    return nested.select(
+        "l_orderkey",
+        F.size("items").alias("n_items"),
+        F.element_at("items", 1)["l_linenumber"].cast("long").alias("first_line"),
+        F.aggregate(
+            F.col("items"),
+            F.lit(0.0),
+            lambda acc, s: acc + s["l_quantity"],
+        ).alias("total_qty"),
+    ).orderBy("l_orderkey")

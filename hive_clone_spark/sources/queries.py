@@ -393,3 +393,94 @@ def q79_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_small).cast("long").alias("n_files_small"),
         F.lit(n_compact).cast("long").alias("n_files_compact"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q121 — corrupt-record handling on JSON ingestion: real pipelines
+# never get clean feeds, and the difference between PERMISSIVE
+# (quarantine bad rows in _corrupt_record, keep the batch) and
+# FAILFAST (reject the file) is a first-class ingestion contract.
+# The entry writes a JSONL feed where every 7th record is broken by
+# rule (doc_id % 21 picks one of three corruption modes: truncated
+# object, bare non-JSON text, wrong-type field), reads it back
+# PERMISSIVE with an explicit schema + _corrupt_record, and reports
+# the quarantine ledger: parsed rows, quarantined rows, and the
+# decimal sum over the rows that survived — all predicted by the
+# corruption rule in the oracle. A reader that silently drops bad
+# rows (no quarantine), or lets a wrong-type row through as NULLs,
+# shifts the ledger.
+#
+# Scale design: PERMISSIVE parsing is scan-stage per-partition work;
+# the quarantine column rides the normal row path (no driver
+# involvement, no retry storms). FAILFAST's behavior is pinned by a
+# pytest (it must throw on the same feed).
+# ---------------------------------------------------------------------------
+@register(
+    "q121_corrupt_record_quarantine",
+    oracle="""
+    WITH feed AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0 THEN doc_id % 21 ELSE -1 END AS mode,
+        n_chars
+      FROM documents),
+    parsed AS (
+      -- mode -1: clean row; 0/7/14: the three corruption modes, all
+      -- quarantined (wrong-type hits the schema's BIGINT n and is
+      -- quarantined under PERMISSIVE because the token is unparseable)
+      SELECT doc_id, n_chars, (mode <> -1) AS corrupt FROM feed)
+    SELECT
+      CAST(COUNT(*) FILTER (WHERE NOT corrupt) AS BIGINT) AS n_parsed,
+      CAST(COUNT(*) FILTER (WHERE corrupt) AS BIGINT) AS n_quarantined,
+      CAST(SUM(CAST(n_chars AS DECIMAL(18,2)))
+           FILTER (WHERE NOT corrupt) AS DOUBLE) AS sum_chars_parsed
+    FROM parsed
+    """,
+)
+def q121_corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    line = F.when(
+        F.col("doc_id") % 7 != 0,
+        F.concat(
+            F.lit('{"doc_id": '),
+            F.col("doc_id").cast("string"),
+            F.lit(', "n": '),
+            F.col("n_chars").cast("string"),
+            F.lit("}"),
+        ),
+    ).otherwise(
+        # three corruption modes by doc_id % 21 (0, 7, 14)
+        F.when(
+            F.col("doc_id") % 21 == 0,
+            F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string")),
+        )
+        .when(F.col("doc_id") % 21 == 7, F.lit("definitely not json"))
+        .otherwise(
+            F.concat(
+                F.lit('{"doc_id": '),
+                F.col("doc_id").cast("string"),
+                F.lit(', "n": "NaNbytes"}'),
+            )
+        )
+    )
+    feed_dir = _warehouse(sf_dir, "q121_feed")
+    docs.select(line.alias("value")).write.mode("overwrite").text(feed_dir)
+    back = (
+        spark.read.schema("doc_id BIGINT, n BIGINT, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(feed_dir)
+    )
+    return back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_parsed"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias(
+            "n_quarantined"
+        ),
+        F.sum(
+            F.when(
+                F.col("_corrupt_record").isNull(),
+                F.col("n").cast("decimal(18,2)"),
+            )
+        )
+        .cast("double")
+        .alias("sum_chars_parsed"),
+    )

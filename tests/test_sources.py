@@ -269,3 +269,22 @@ def test_q67_driver_entry_join_is_colocated(spark, sf_dir):
     assert "SortMergeJoin" in plan, plan[:2000]
     assert "Exchange hashpartitioning" not in plan, plan[:2000]
     assert joined.count() > 0
+
+
+def test_corrupt_feed_failfast_rejects(spark, tmp_path):
+    """q121's PERMISSIVE quarantine twin: the SAME corrupted feed under
+    FAILFAST must throw — the two ingestion contracts are distinct."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    feed = tmp_path / "feed"
+    lines = ['{"doc_id": 1, "n": 10}', "definitely not json"]
+    feed.mkdir()
+    (feed / "part.txt").write_text("\n".join(lines))
+    with _pytest.raises(Py4JJavaError):
+        (
+            spark.read.schema("doc_id BIGINT, n BIGINT")
+            .option("mode", "FAILFAST")
+            .json(str(feed))
+            .collect()
+        )
