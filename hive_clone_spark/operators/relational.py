@@ -280,20 +280,32 @@ def q07_semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q08 — left-anti join (NOT EXISTS; reference ¬R1 / P6 anti-occupancy,
-# ui_app.cpp:566): customers that placed no orders.
+# ui_app.cpp:566): customers with no orders since a cutoff date.
+# The cutoff restriction (r7 verdict task 2) makes the result NON-empty
+# at every scale factor (135 rows at sf0.01) — the generator gives every
+# customer at least one order, so the unrestricted form verified
+# empty-vs-empty and proved nothing. The date filter is pushed into the
+# orders scan BEFORE the anti-join, so the right side shrinks at the
+# source (PushedFilters on o_orderdate), and the anti-join itself is a
+# hash anti on the shuffled key — the scalable NOT EXISTS plan.
 # ---------------------------------------------------------------------------
 @register(
     "q08_anti_join_not_exists",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= DATE '2000-01-01')
     ORDER BY c_custkey
     """,
 )
 def q08_anti_join_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")

@@ -42,11 +42,23 @@ def test_queries_cover_registry_exactly_once():
     assert set(names) == set(registry.QUERIES)
 
 
+def _eff(n, history, registry):
+    """The entry's effective (fingerprint-valid) history slice."""
+    store = entry_mod._load_fingerprint_store()
+    return entry_mod._effective_history(
+        n, registry.QUERIES[n], history, store
+    )
+
+
 def _bucket(n, history, registry):
     """Effective primary key: 0 for never-green OR age-floor-stale
-    entries, else rounds-green (mirrors _emit_key)."""
-    green = entry_mod._rounds_green(n, history, has_oracle=n in registry.ORACLE)
-    stale = entry_mod._rounds_stale(n, history)
+    entries, else rounds-green (mirrors _emit_key, including the
+    fingerprint gate on which history rows count)."""
+    eff = _eff(n, history, registry)
+    green = entry_mod._rounds_green(n, eff, has_oracle=n in registry.ORACLE)
+    stale = entry_mod._rounds_stale(n, eff)
+    if not any(n in rows for rows in eff):
+        stale = len(history) + 1
     return 0 if stale >= entry_mod._AGE_FLOOR else green
 
 
@@ -76,10 +88,14 @@ def test_age_floor_entries_emit_in_head():
     registry.load_all_modules()
     history = _history()
     names = list(entry_mod.queries())
+    def _stale(n):
+        eff = _eff(n, history, registry)
+        if not any(n in rows for rows in eff):
+            return len(history) + 1
+        return entry_mod._rounds_stale(n, eff)
+
     stale_idx = [
-        i
-        for i, n in enumerate(names)
-        if entry_mod._rounds_stale(n, history) >= entry_mod._AGE_FLOOR
+        i for i, n in enumerate(names) if _stale(n) >= entry_mod._AGE_FLOOR
     ]
     nonstale_green_idx = [
         i for i, n in enumerate(names) if _bucket(n, history, registry) > 0
@@ -101,7 +117,9 @@ def test_new_entries_outrank_nonstale_green_entries():
     history = _history()
     names = list(entry_mod.queries())
     greens = {
-        n: entry_mod._rounds_green(n, history, has_oracle=n in registry.ORACLE)
+        n: entry_mod._rounds_green(
+            n, _eff(n, history, registry), has_oracle=n in registry.ORACLE
+        )
         for n in names
     }
     never = [n for n in names if greens[n] == 0]
@@ -127,7 +145,11 @@ def test_stalest_entries_emit_first_within_green_cohort():
     keyed = []
     for n in names:
         b, f, neg_s, _ = entry_mod._emit_key(
-            n, history, has_oracle=n in registry.ORACLE, reg_order=0
+            n,
+            _eff(n, history, registry),
+            has_oracle=n in registry.ORACLE,
+            reg_order=0,
+            n_rounds=len(history),
         )
         keyed.append((b, f, -neg_s))
     for (g1, f1, s1), (g2, f2, s2) in zip(keyed, keyed[1:]):
@@ -141,6 +163,76 @@ def test_rounds_stale_semantics():
     assert entry_mod._rounds_stale("b", history) == 0
     assert entry_mod._rounds_stale("a", history) == 2
     assert entry_mod._rounds_stale("never", history) == 4
+
+
+def test_fingerprint_store_is_current():
+    """tools/entry_fingerprints.json must cover every registered entry
+    with its LIVE source fingerprint — a stale store would silently
+    void (or worse, wrongly credit) driver history. Re-run
+    tools/update_fingerprints.py after editing any entry body."""
+    from hive_clone_spark import registry
+
+    registry.load_all_modules()
+    store = entry_mod._load_fingerprint_store()
+    missing = [n for n in registry.QUERIES if n not in store]
+    assert not missing, f"run tools/update_fingerprints.py (missing: {missing[:5]})"
+    stale = [
+        n
+        for n, fn in registry.QUERIES.items()
+        if store[n]["fp"] != entry_mod._entry_fingerprint(fn)
+    ]
+    assert not stale, f"run tools/update_fingerprints.py (changed: {stale[:5]})"
+    dangling = sorted(set(store) - set(registry.QUERIES))
+    assert not dangling, f"run tools/update_fingerprints.py (dangling: {dangling[:5]})"
+
+
+def test_rewritten_entry_resorts_into_bucket_zero():
+    """A changed source fingerprint (or a valid_from bump) must void
+    pre-rewrite driver rows: the entry's effective history goes empty,
+    it becomes maximally stale, and _emit_key lands it in bucket 0 like
+    a new registration — the round-7 verdict's change-aware rotation."""
+    from hive_clone_spark import registry
+
+    registry.load_all_modules()
+    name = next(iter(registry.QUERIES))
+    fn = registry.QUERIES[name]
+    fp = entry_mod._entry_fingerprint(fn)
+    history = [{name: {"hash_match": True, "err": None}}] * 5
+
+    # Unchanged fingerprint: full history counts, entry is green+fresh.
+    eff = entry_mod._effective_history(
+        name, fn, history, {name: {"fp": fp, "valid_from": 0}}
+    )
+    assert len(eff) == 5
+    key_green = entry_mod._emit_key(name, eff, True, 0, n_rounds=5)
+    assert key_green[0] == 5  # 5 rounds green
+
+    # Changed fingerprint: history voided, bucket 0, maximally stale.
+    eff2 = entry_mod._effective_history(
+        name, fn, history, {name: {"fp": "deadbeef", "valid_from": 0}}
+    )
+    assert eff2 == []
+    key_new = entry_mod._emit_key(name, eff2, True, 0, n_rounds=5)
+    assert key_new[0] == 0 and key_new[2] == -6
+
+    # valid_from bump voids only earlier rounds.
+    eff3 = entry_mod._effective_history(
+        name, fn, history, {name: {"fp": fp, "valid_from": 3}}
+    )
+    assert len(eff3) == 2
+
+
+def test_r7_rewrites_have_voided_history():
+    """q82/q85/q87 were rewritten in round 7 after earning green rows in
+    their vacuous forms; their stored valid_from must void those rows so
+    the driver re-checks the discriminating rewrites (VERDICT r7 #2)."""
+    store = entry_mod._load_fingerprint_store()
+    for n in (
+        "q82_nested_semijoin",
+        "q85_value_share_threshold",
+        "q87_idle_customers",
+    ):
+        assert store[n]["valid_from"] >= 7, (n, store[n])
 
 
 def test_oracle_keys_subset_of_queries():
