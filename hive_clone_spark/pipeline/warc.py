@@ -8,7 +8,10 @@ Two driver entries:
     genuine multi-record WARC files (warcinfo + request + response
     records, CRLF header blocks, Content-Length framing, decoy
     ``\\r\\n\\r\\nWARC/1.1`` sequences INSIDE payloads so a
-    split-on-blank-line parser provably breaks), walk the records by
+    split-on-blank-line parser provably breaks; half the files are
+    genuine ``.warc.gz`` — one gzip MEMBER per record, concatenated,
+    the layout Common Crawl ships — walked member-by-member with
+    stdlib zlib), walk the records by
     declared length, keep only ``WARC-Type: response``, parse the HTTP
     status line + headers, and extract visible text from the HTML body
     (script/comment removal, tag stripping, entity unescape, whitespace
@@ -40,6 +43,7 @@ so files split cleanly across executors at any corpus size.
 from __future__ import annotations
 
 import re
+import zlib
 
 import numpy as np  # noqa: F401  (kept with the codec family imports)
 from pyspark.sql import DataFrame, SparkSession
@@ -89,17 +93,32 @@ def synth_html(doc_id: int, text: str) -> str:
     )
 
 
-def synth_warc_file(docs: list[tuple[int, str]]) -> bytes:
+def _gzip_member(raw: bytes) -> bytes:
+    """One record as one INDEPENDENT gzip member (WARC/1.1 annex D /
+    the Common Crawl convention: record-at-a-time compression so a
+    reader can seek to any member boundary without decompressing the
+    prefix — THE property that makes .warc.gz splittable at scale).
+    Fixed mtime/OS header bytes keep the fixture bytes deterministic."""
+    co = zlib.compressobj(9, zlib.DEFLATED, 31)
+    body = co.compress(raw) + co.flush()
+    # zero the MTIME (bytes 4-8) and OS (byte 9) header fields
+    return body[:4] + b"\x00\x00\x00\x00" + body[8:9] + b"\xff" + body[10:]
+
+
+def synth_warc_file(docs: list[tuple[int, str]], gzip_records: bool = False) -> bytes:
     """One WARC/1.1 file: warcinfo, then (request, response) per doc.
     Real framing: header block, CRLF CRLF, Content-Length payload
-    bytes, CRLF CRLF."""
+    bytes, CRLF CRLF. With ``gzip_records`` the file is a genuine
+    ``.warc.gz``: each record compressed as its own gzip member, all
+    members concatenated (how Common Crawl actually ships)."""
 
     def record(headers: list[tuple[str, str]], payload: bytes) -> bytes:
         head = "WARC/1.1" + _CRLF
         for k, v in headers:
             head += f"{k}: {v}" + _CRLF
         head += f"Content-Length: {len(payload)}" + _CRLF + _CRLF
-        return head.encode() + payload + _CRLF.encode() + _CRLF.encode()
+        raw = head.encode() + payload + _CRLF.encode() + _CRLF.encode()
+        return _gzip_member(raw) if gzip_records else raw
 
     out = bytearray()
     out += record(
@@ -135,11 +154,41 @@ def synth_warc_file(docs: list[tuple[int, str]]) -> bytes:
 # ---------------------------------------------------------------------------
 # parsing + extraction
 # ---------------------------------------------------------------------------
+def gunzip_members(data: bytes) -> list[bytes]:
+    """Split concatenated gzip members and inflate each independently
+    (stdlib zlib, wbits=31 so every member's own header/trailer is
+    consumed). ``unused_data`` after a member's end marks the next
+    member boundary — the walk a .warc.gz reader needs, since a naive
+    single-stream gzip.decompress would hide the record boundaries that
+    make the format seekable/splittable."""
+    members = []
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(31)
+        chunk = d.decompress(data[pos:]) + d.flush()
+        if not d.eof:
+            raise ValueError("warc.gz: truncated gzip member")
+        members.append(chunk)
+        pos = len(data) - len(d.unused_data)
+    return members
+
+
 def parse_warc(data: bytes) -> list[dict]:
     """Walk a WARC file by Content-Length framing; returns one dict per
     record (headers lowercased, payload bytes). A parser that splits on
     blank lines instead of trusting Content-Length breaks on the decoy
-    sequence the synthetic payloads carry."""
+    sequence the synthetic payloads carry.
+
+    Accepts both plain .warc bytes and .warc.gz bytes (gzip magic
+    sniffed): gzipped input is walked member-by-member — per the spec
+    each member holds one record, but any records-per-member layout
+    parses, since each inflated member goes through the same
+    Content-Length walk."""
+    if data[:2] == b"\x1f\x8b":
+        records = []
+        for member in gunzip_members(data):
+            records.extend(parse_warc(member))
+        return records
     records = []
     pos = 0
     n = len(data)
@@ -254,8 +303,14 @@ def p_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build_files(pdf):
         rows = sorted(zip(pdf["doc_id"], pdf["text"]))
-        payload = synth_warc_file([(int(i), str(t)) for i, t in rows])
-        return pd.DataFrame({"bucket": [pdf["bucket"].iloc[0]], "payload": [payload]})
+        bucket = int(pdf["bucket"].iloc[0])
+        # odd buckets ship as genuine .warc.gz (per-record gzip members,
+        # the Common Crawl layout); even buckets stay plain — one corpus
+        # exercises BOTH framings through the same parser
+        payload = synth_warc_file(
+            [(int(i), str(t)) for i, t in rows], gzip_records=bucket % 2 == 1
+        )
+        return pd.DataFrame({"bucket": [bucket], "payload": [payload]})
 
     # bucket-keyed repartition (exempt from AQE coalescing) so the
     # per-file build + parse parallelize despite the 1-split testdata

@@ -70,3 +70,71 @@ def test_zero_links_for_multiple_of_five():
 
 def test_decoy_constant_has_blank_line():
     assert "\r\n\r\n" in _DECOY
+
+
+# ---------------------------------------------------------------------------
+# .warc.gz: concatenated per-record gzip members (round-7 verdict task 3)
+# ---------------------------------------------------------------------------
+def test_gzip_file_parses_identically_to_plain():
+    docs = [(1, "alpha"), (2, "beta < & >"), (7, "gamma")]
+    plain = parse_warc(synth_warc_file(docs))
+    gz = parse_warc(synth_warc_file(docs, gzip_records=True))
+    assert [(r["headers"], r["payload"]) for r in gz] == [
+        (r["headers"], r["payload"]) for r in plain
+    ]
+
+
+def test_each_record_is_its_own_gzip_member():
+    """The spec-conformant (and Common-Crawl-actual) layout: one gzip
+    member per record, so a reader can start at any member boundary.
+    Count members by walking them and check 1 record per member."""
+    from hive_clone_spark.pipeline.warc import gunzip_members
+
+    docs = [(1, "a"), (2, "b")]
+    blob = synth_warc_file(docs, gzip_records=True)
+    members = gunzip_members(blob)
+    assert len(members) == 1 + 2 * len(docs)  # warcinfo + (req, resp) per doc
+    for m in members:
+        assert len(parse_warc(m)) == 1
+
+
+def test_member_boundaries_are_exact():
+    """Re-concatenating the individually re-compressed members must
+    reproduce a parseable stream, and a member walk must consume the
+    whole input (no inter-member slack)."""
+    import zlib
+
+    from hive_clone_spark.pipeline.warc import gunzip_members
+
+    blob = synth_warc_file([(3, "x"), (4, "y")], gzip_records=True)
+    members = gunzip_members(blob)
+    total = 0
+    pos = 0
+    while pos < len(blob):
+        d = zlib.decompressobj(31)
+        d.decompress(blob[pos:])
+        consumed = len(blob) - pos - len(d.unused_data)
+        assert consumed > 0
+        total += consumed
+        pos += consumed
+    assert total == len(blob)
+    assert b"".join(members)[:5] == b"WARC/"
+
+
+def test_truncated_gzip_member_raises():
+    blob = synth_warc_file([(1, "x")], gzip_records=True)
+    with pytest.raises(ValueError, match="truncated"):
+        parse_warc(blob[:-10])
+
+
+def test_mixed_plain_then_gzip_corpus():
+    """p_warc_extract feeds both framings through one parser — emulate
+    the two file kinds and check the union of records round-trips."""
+    plain = parse_warc(synth_warc_file([(11, "p")]))
+    gz = parse_warc(synth_warc_file([(12, "g")], gzip_records=True))
+    uris = [
+        r["headers"].get("warc-target-uri")
+        for r in plain + gz
+        if r["headers"]["warc-type"] == "response"
+    ]
+    assert uris == ["https://ex.test/11", "https://ex.test/12"]
