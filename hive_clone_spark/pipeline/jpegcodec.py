@@ -1,13 +1,23 @@
-"""REAL baseline JPEG codec (pure numpy + stdlib) + decode driver entry
-under a full value-hash oracle.
+"""REAL JPEG codec (pure numpy + stdlib) + decode driver entry under a
+full value-hash oracle — baseline sequential (SOF0) AND progressive
+(SOF2), both with restart intervals.
 
 This extends the real-codec family (imagecodec.py: BMP/PPM/PNG) with the
-first LOSSY compressed format — ITU-T T.81 baseline sequential DCT JPEG,
-the format the bulk of any web-crawled multimodal corpus actually
-arrives in. Everything is parsed from the actual bytes:
+first LOSSY compressed format — ITU-T T.81 DCT JPEG, the format the
+bulk of any web-crawled multimodal corpus actually arrives in.
+Everything is parsed from the actual bytes:
 
-  * marker segment walk (SOI/APP0/COM/DQT/DHT/SOF0/SOS/EOI, multiple
-    tables per DQT/DHT segment, unknown APPn skipped by length),
+  * marker segment walk (SOI/APP0/COM/DQT/DHT/SOF0/SOF2/DRI/SOS/EOI,
+    multiple tables per DQT/DHT segment, unknown APPn skipped by
+    length),
+  * progressive multi-scan decode (T.81 Annex G): spectral-selection
+    bands, successive approximation with DC refinement bits and the
+    full AC refinement algorithm (EOBn runs, zero-HISTORY run counts,
+    correction bits consumed mid-run), accumulated across scans into
+    one coefficient store,
+  * restart intervals (DRI + RSTn): the entropy stream splits into
+    byte-aligned segments with D0..D7 cycle validation; DC predictors
+    and EOB runs reset per segment,
   * canonical Huffman table reconstruction from the DHT BITS/HUFFVAL
     lists (the decoder uses whatever tables the FILE carries — nothing
     is hard-coded between encoder and decoder),
@@ -118,13 +128,17 @@ def _canonical_codes(bits: list[int], values: list[int]):
 # never sees these constants, only the BITS/HUFFVAL bytes in the file).
 # DC: all 12 categories at length 4 (12 <= 15 codes of length 4; the
 # all-ones code stays unused per the JPEG convention). AC: EOB + ZRL +
-# every (run 0..15, size 1..10) at length 8 (162 symbols in 256 slots).
+# every (run 0..15, size 1..10) + the progressive EOBn symbols
+# (run << 4, run 1..14 — EOB-run lengths up to 2^15-1) at length 8
+# (176 symbols in 256 slots).
 _DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
 _DC_VALS = list(range(12))
-_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
-_AC_VALS = [0x00, 0xF0] + [
-    (run << 4) | size for run in range(16) for size in range(1, 11)
-]
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+_AC_VALS = (
+    [0x00, 0xF0]
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+    + [run << 4 for run in range(1, 15)]
+)
 
 
 # ---------------------------------------------------------------------------
@@ -234,13 +248,166 @@ def _encode_block(
     return dc
 
 
+class _ScanWriter:
+    """Entropy assembler for one scan: bit emission, RSTn restart
+    markers (byte-aligned, cycling D0..D7), and the progressive
+    EOB-run state — the run count plus the refinement correction bits
+    that must ride immediately after the code closing the run
+    (T.81 G.1.2.3)."""
+
+    def __init__(self, ac_codes: dict) -> None:
+        self.chunks = bytearray()
+        self.wr = _BitWriter()
+        self.ac_codes = ac_codes
+        self.rst = 0
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun:
+            nbits = self.eobrun.bit_length() - 1
+            code, length = self.ac_codes[nbits << 4]
+            self.wr.write(code, length)
+            if nbits:
+                self.wr.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for b in self.pending:
+            self.wr.write(b, 1)
+        self.pending = []
+
+    def restart(self) -> None:
+        self.flush_eobrun()
+        self.chunks += self.wr.flush()
+        self.chunks += bytes([0xFF, 0xD0 + self.rst])
+        self.rst = (self.rst + 1) & 7
+        self.wr = _BitWriter()
+
+    def finish(self) -> bytes:
+        self.flush_eobrun()
+        self.chunks += self.wr.flush()
+        return bytes(self.chunks)
+
+
+def _encode_ac_first(
+    sw: _ScanWriter, blk: np.ndarray, ss: int, se: int, al: int, ac_codes: dict
+) -> None:
+    """One block of a progressive AC FIRST scan (T.81 G.1.2.2):
+    run/size coding of the point-transformed magnitudes limited to the
+    [ss, se] spectral band; all-zero bands fold into a cross-block
+    EOB run (EOBn codes)."""
+    zz = blk[ZIGZAG]
+    vals = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        mag = abs(v) >> al
+        vals.append(mag if v >= 0 else -mag)
+    last = -1
+    for i, v in enumerate(vals):
+        if v:
+            last = i
+    if last < 0:
+        sw.eobrun += 1
+        if sw.eobrun == 0x7FFF:
+            sw.flush_eobrun()
+        return
+    sw.flush_eobrun()
+    run = 0
+    for i in range(last + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_codes[0xF0]
+            sw.wr.write(zc, zl)
+            run -= 16
+        size = _category(v)
+        code, length = ac_codes[(run << 4) | size]
+        sw.wr.write(code, length)
+        sw.wr.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last < se - ss:
+        sw.eobrun += 1
+
+
+def _encode_ac_refine(
+    sw: _ScanWriter, blk: np.ndarray, ss: int, se: int, al: int, ac_codes: dict
+) -> None:
+    """One block of a progressive AC REFINEMENT scan (T.81 G.1.2.3):
+    newly-nonzero coefficients (shifted magnitude exactly 1) get a
+    (zero-history-run, 1) code plus a sign bit; coefficients already
+    nonzero in earlier passes contribute one correction bit each and do
+    NOT count toward run lengths — their bits are buffered and emitted
+    after the code (or ZRL, or EOB run) that closes over them, in the
+    order the decoder's band walk consumes them."""
+    zz = blk[ZIGZAG]
+    shifted = []
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        shifted.append((abs(v) >> al, v > 0))
+    eob = -1  # position of the LAST newly-nonzero coefficient
+    for i, (t, _) in enumerate(shifted):
+        if t == 1:
+            eob = i
+    br: list[int] = []
+    run = 0
+    for i, (t, positive) in enumerate(shifted):
+        if t == 0:
+            run += 1
+            continue
+        # emit ZRLs only when a newly-nonzero coeff still follows;
+        # trailing zero runs fold into the EOB run instead
+        while run > 15 and i <= eob:
+            sw.flush_eobrun()
+            zc, zl = ac_codes[0xF0]
+            sw.wr.write(zc, zl)
+            run -= 16
+            for b in br:
+                sw.wr.write(b, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)  # history coefficient: correction bit only
+            continue
+        sw.flush_eobrun()
+        code, length = ac_codes[(run << 4) | 1]
+        sw.wr.write(code, length)
+        sw.wr.write(1 if positive else 0, 1)
+        for b in br:
+            sw.wr.write(b, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        sw.eobrun += 1
+        sw.pending.extend(br)
+        if sw.eobrun == 0x7FFF:
+            sw.flush_eobrun()
+
+
+def _component_grids(
+    sampling: list[tuple[int, int]], width: int, height: int
+) -> list[tuple[int, int]]:
+    """Per-component NON-INTERLEAVED block grid (h_blocks, w_blocks):
+    ceil of the component's own sample dimensions (T.81 A.1.1) — NOT
+    the MCU-padded grid, which only interleaved scans cover."""
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    out = []
+    for h, v in sampling:
+        cw = -(-(width * h) // hmax)
+        ch = -(-(height * v) // vmax)
+        out.append(((ch + 7) // 8, (cw + 7) // 8))
+    return out
+
+
 def encode_jpeg(
     coeff_planes: list[np.ndarray],
     width: int,
     height: int,
     sampling: list[tuple[int, int]] | None = None,
+    progressive: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
-    """Build a baseline JFIF file from QUANTIZED coefficient planes.
+    """Build a JFIF file from QUANTIZED coefficient planes.
 
     ``coeff_planes``: one (h_blocks, w_blocks, 64) int array per
     component in NATURAL (row-major) coefficient order; 1 plane ->
@@ -253,7 +420,18 @@ def encode_jpeg(
     per MCU and each chroma plane one block covering the same 16x16
     pixels. Each plane's block grid must match its MCU coverage
     (mcus * factor in both axes).
-    """
+
+    ``progressive``: emit SOF2 with a libjpeg-shaped scan script — an
+    interleaved DC first scan at Al=1, a DC refinement scan, then per
+    component two spectral-selection AC first scans (bands 1-5 and
+    6-63, Al=1) and one AC refinement scan (1-63, Ah=1 -> Al=0). The
+    coefficient domain is reproduced exactly, so baseline and
+    progressive encodings of the same planes decode identically.
+
+    ``restart_interval``: when > 0, a DRI segment plus RSTn markers
+    every that many MCUs (blocks, in non-interleaved progressive
+    scans), resetting the entropy state — the camera-encoder layout
+    and the parallel-decode hook."""
     if len(coeff_planes) not in (1, 3):
         raise ValueError("jpeg: 1 (gray) or 3 (ycc) components")
     ncomp = len(coeff_planes)
@@ -268,6 +446,7 @@ def encode_jpeg(
     for plane, (h, v) in zip(coeff_planes, sampling):
         if plane.shape[:2] != (mcus_y * v, mcus_x * h):
             raise ValueError("jpeg: plane grid must match the MCU coverage")
+    grids = _component_grids(sampling, width, height)
     out = bytearray()
     out += b"\xff\xd8"  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -276,26 +455,88 @@ def encode_jpeg(
     sof = struct.pack(">BHHB", 8, height, width, ncomp)
     for cid, (h, v) in zip(range(1, ncomp + 1), sampling):
         sof += bytes([cid, (h << 4) | v, 0])  # sampling factors, quant table 0
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") + struct.pack(
+        ">H", 2 + len(sof)
+    ) + sof
     out += _dht_segment(0x00, _DC_BITS, _DC_VALS)
     out += _dht_segment(0x10, _AC_BITS, _AC_VALS)
-    sos = bytes([ncomp]) + b"".join(bytes([cid, 0x00]) for cid in range(1, ncomp + 1))
-    sos += bytes([0, 63, 0])  # Ss/Se/AhAl for baseline
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
-    wr = _BitWriter()
-    preds = [0] * ncomp
-    for my in range(mcus_y):
-        for mx in range(mcus_x):  # interleaved MCU: v*h blocks per component
-            for ci, (plane, (h, v)) in enumerate(zip(coeff_planes, sampling)):
-                for by in range(v):
-                    for bx in range(h):
-                        zz = plane[my * v + by, mx * h + bx][ZIGZAG]
-                        preds[ci] = _encode_block(
-                            wr, zz, preds[ci], dc_codes, ac_codes
+
+    def sos_segment(cis: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(cis)])
+        for ci in cis:
+            body += bytes([ci + 1, 0x00])  # DC table 0 / AC table 0
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    def scan_units(cis: list[int]) -> list[list[tuple[int, int, int]]]:
+        """The scan's 'MCU' sequence: interleaved v*h blocks per
+        component, or (single-component scan) one block per unit over
+        the component's own non-padded grid."""
+        if len(cis) == 1 and ncomp > 1:
+            ci = cis[0]
+            bh, bw = grids[ci]
+            return [[(ci, r, c)] for r in range(bh) for c in range(bw)]
+        units = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                blocks = []
+                for ci in cis:
+                    h, v = sampling[ci]
+                    for by in range(v):
+                        for bx in range(h):
+                            blocks.append((ci, my * v + by, mx * h + bx))
+                units.append(blocks)
+        return units
+
+    if progressive:
+        scans = [
+            ("dc_first", list(range(ncomp)), 0, 0, 0, 1),
+            ("dc_refine", list(range(ncomp)), 0, 0, 1, 0),
+        ]
+        for ci in range(ncomp):
+            scans += [
+                ("ac_first", [ci], 1, 5, 0, 1),
+                ("ac_first", [ci], 6, 63, 0, 1),
+                ("ac_refine", [ci], 1, 63, 1, 0),
+            ]
+    else:
+        scans = [("seq", list(range(ncomp)), 0, 63, 0, 0)]
+    for kind, cis, ss, se, ah, al in scans:
+        out += sos_segment(cis, ss, se, ah, al)
+        sw = _ScanWriter(ac_codes)
+        preds = [0] * ncomp
+        for i, blocks in enumerate(scan_units(cis)):
+            if restart_interval and i and i % restart_interval == 0:
+                sw.restart()
+                preds = [0] * ncomp
+            for ci, r, c in blocks:
+                blk = coeff_planes[ci][r, c]
+                if kind == "seq":
+                    preds[ci] = _encode_block(
+                        sw.wr, blk[ZIGZAG], preds[ci], dc_codes, ac_codes
+                    )
+                elif kind == "dc_first":
+                    v = int(blk[0]) >> al  # arithmetic point transform
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    size = _category(diff)
+                    code, length = dc_codes[size]
+                    sw.wr.write(code, length)
+                    if size:
+                        sw.wr.write(
+                            diff if diff >= 0 else diff + (1 << size) - 1, size
                         )
-    out += wr.flush()
+                elif kind == "dc_refine":
+                    sw.wr.write((int(blk[0]) >> al) & 1, 1)
+                elif kind == "ac_first":
+                    _encode_ac_first(sw, blk, ss, se, al, ac_codes)
+                else:
+                    _encode_ac_refine(sw, blk, ss, se, al, ac_codes)
+        out += sw.finish()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -333,16 +574,239 @@ class _HuffTable:
         raise ValueError("jpeg: invalid Huffman code")
 
 
-def decode_jpeg_coeffs(payload: bytes):
-    """Parse a baseline JFIF file down to QUANTIZED coefficient planes.
+def _entropy_segments(data: bytes, pos: int):
+    """Destuffed entropy-coded segments of ONE scan, split at RSTn
+    markers (validated to cycle D0..D7 — an out-of-sequence marker
+    means a desynced or corrupted stream); returns (segments, pos)
+    with pos left on the terminating non-RST marker."""
+    segments = []
+    cur = bytearray()
+    expect = 0
+    n = len(data)
+    while pos < n:
+        b = data[pos]
+        if b == 0xFF:
+            nxt = data[pos + 1] if pos + 1 < n else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                pos += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                if nxt - 0xD0 != expect:
+                    raise ValueError("jpeg: out-of-sequence restart marker")
+                expect = (expect + 1) & 7
+                segments.append(bytes(cur))
+                cur = bytearray()
+                pos += 2
+                continue
+            break  # EOI / next SOS / other marker ends the scan
+        cur.append(b)
+        pos += 1
+    segments.append(bytes(cur))
+    return segments, pos
+
+
+def _decode_block_seq(
+    rd: _BitReader,
+    blk: np.ndarray,
+    dc_t: _HuffTable,
+    ac_t: _HuffTable,
+    preds: list[int],
+    si: int,
+) -> None:
+    """Sequential (baseline) block: DC difference + full-band AC
+    run/size with EOB and ZRL."""
+    size = dc_t.decode(rd)
+    preds[si] += _extend(rd.read_bits(size), size)
+    blk[0] = preds[si]
+    k = 1
+    while k < 64:
+        rs = ac_t.decode(rd)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("jpeg: AC run past block end")
+        blk[ZIGZAG[k]] = _extend(rd.read_bits(size), size)
+        k += 1
+
+
+def _decode_ac_first(
+    rd: _BitReader, blk: np.ndarray, ac_t: _HuffTable, ss: int, se: int,
+    al: int, eobrun: int,
+) -> int:
+    """Progressive AC first scan, one block (T.81 G.1.2.2). Returns the
+    remaining EOB-run count (blocks after this one that are entirely
+    zero in this band)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = ac_t.decode(rd)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = 1 << run  # EOBn: run = number of extension bits
+            if run:
+                eobrun += rd.read_bits(run)
+            return eobrun - 1
+        k += run
+        if k > se:
+            raise ValueError("jpeg: AC run past band end")
+        blk[ZIGZAG[k]] = _extend(rd.read_bits(size), size) << al
+        k += 1
+    return 0
+
+
+def _decode_ac_refine(
+    rd: _BitReader, blk: np.ndarray, ac_t: _HuffTable, ss: int, se: int,
+    al: int, eobrun: int,
+) -> int:
+    """Progressive AC refinement scan, one block (T.81 G.1.2.3): runs
+    count only zero-HISTORY positions; every coefficient already
+    nonzero consumes one correction bit as the band walk passes it —
+    including inside ZRL skips and EOB-run blocks."""
+    p1 = 1 << al
+
+    def correct(idx: int) -> None:
+        c = int(blk[idx])
+        if rd.read_bit() and (abs(c) & p1) == 0:
+            blk[idx] += p1 if c > 0 else -p1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = ac_t.decode(rd)
+            run, size = rs >> 4, rs & 0x0F
+            val = 0
+            if size == 0:
+                if run != 15:  # EOBn — this block joins the run below
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += rd.read_bits(run)
+                    break
+                # ZRL: skip 16 zero-history positions
+            else:
+                if size != 1:
+                    raise ValueError("jpeg: refinement size must be 1")
+                val = p1 if rd.read_bit() else -p1
+            while k <= se:
+                idx = int(ZIGZAG[k])
+                if blk[idx] != 0:
+                    correct(idx)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                blk[int(ZIGZAG[k])] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # the rest of this block rides inside the run
+            idx = int(ZIGZAG[k])
+            if blk[idx] != 0:
+                correct(idx)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(
+    planes: list[np.ndarray],
+    sampling: list[tuple[int, int]],
+    grids: list[tuple[int, int]],
+    mcus_x: int,
+    mcus_y: int,
+    htables: dict,
+    scan_comps: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    progressive: bool,
+    restart_interval: int,
+    segments: list[bytes],
+    ncomp: int,
+) -> None:
+    """Decode one scan's entropy segments into the coefficient planes.
+    Restart boundaries reset the DC predictors and the EOB run and
+    start a fresh byte-aligned bit reader per segment."""
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("jpeg: progressive DC scan must have Se = 0")
+        if ss > 0 and len(scan_comps) != 1:
+            raise ValueError("jpeg: progressive AC scans are single-component")
+    if len(scan_comps) == 1 and ncomp > 1:
+        ci0 = scan_comps[0][0]
+        bh, bw = grids[ci0]
+        units = [[(0, r, c)] for r in range(bh) for c in range(bw)]
+    else:
+        units = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                blocks = []
+                for si, (ci, _, _) in enumerate(scan_comps):
+                    h, v = sampling[ci]
+                    for by in range(v):
+                        for bx in range(h):
+                            blocks.append((si, my * v + by, mx * h + bx))
+                units.append(blocks)
+    ri = restart_interval or len(units)
+    for seg_i, seg_start in enumerate(range(0, len(units), ri)):
+        if seg_i >= len(segments):
+            raise ValueError("jpeg: missing restart marker")
+        rd = _BitReader(segments[seg_i])
+        preds = [0] * len(scan_comps)
+        eobrun = 0
+        for unit in units[seg_start : seg_start + ri]:
+            for si, r, c in unit:
+                ci, dc_id, ac_id = scan_comps[si]
+                blk = planes[ci][r, c]
+                if not progressive:
+                    _decode_block_seq(
+                        rd, blk, htables[(0, dc_id)], htables[(1, ac_id)],
+                        preds, si,
+                    )
+                elif ss == 0 and ah == 0:  # DC first
+                    size = htables[(0, dc_id)].decode(rd)
+                    preds[si] += _extend(rd.read_bits(size), size)
+                    blk[0] = preds[si] << al
+                elif ss == 0:  # DC refinement: one raw bit per block
+                    blk[0] += rd.read_bit() << al
+                elif ah == 0:
+                    eobrun = _decode_ac_first(
+                        rd, blk, htables[(1, ac_id)], ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = _decode_ac_refine(
+                        rd, blk, htables[(1, ac_id)], ss, se, al, eobrun
+                    )
+
+
+def decode_jpeg_coeffs(payload: bytes, with_meta: bool = False):
+    """Parse a JFIF file down to QUANTIZED coefficient planes.
+
+    Handles baseline sequential (SOF0) and progressive (SOF2 —
+    spectral-selection bands, successive approximation with DC and AC
+    refinement scans) files, both with or without restart intervals
+    (DRI + RSTn markers).
 
     Returns (planes, width, height, quant_tables_by_component,
     sampling) where ``planes`` is one (h_blocks, w_blocks, 64) int64
     array per component in natural coefficient order (each component's
     own block grid — subsampled components carry fewer blocks) and
-    ``sampling`` the per-component (h, v) factors from SOF0. Split
-    from the pixel path so the Huffman/zigzag machinery is testable
-    without the IDCT."""
+    ``sampling`` the per-component (h, v) factors from the SOF. With
+    ``with_meta`` a 6th element carries what the FILE declared:
+    {"progressive", "restart_interval", "n_scans"}. Split from the
+    pixel path so the Huffman/zigzag machinery is testable without
+    the IDCT."""
     data = bytes(payload)
     if data[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
@@ -352,13 +816,20 @@ def decode_jpeg_coeffs(payload: bytes):
     width = height = 0
     comps: list[tuple[int, int]] = []  # (component id, quant table id)
     sampling: list[tuple[int, int]] = []  # (h, v) per component
-    while True:
+    comp_index: dict[int, int] = {}
+    planes: list[np.ndarray] | None = None
+    grids: list[tuple[int, int]] = []
+    mcus_x = mcus_y = 0
+    progressive = False
+    restart_interval = 0
+    n_scans = 0
+    while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("jpeg: expected marker")
         marker = data[pos + 1]
         pos += 2
-        if marker == 0xD9:  # EOI before SOS
-            raise ValueError("jpeg: no scan data")
+        if marker == 0xD9:  # EOI
+            break
         seg_len = struct.unpack(">H", data[pos : pos + 2])[0]
         seg = data[pos + 2 : pos + seg_len]
         pos += seg_len
@@ -381,7 +852,8 @@ def decode_jpeg_coeffs(payload: bytes):
                 vals = list(seg[i + 17 : i + 17 + n])
                 htables[(tc, th)] = _HuffTable(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             precision, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise ValueError("jpeg: only 8-bit precision")
@@ -392,89 +864,64 @@ def decode_jpeg_coeffs(payload: bytes):
                     raise ValueError("jpeg: sampling factors out of range")
                 comps.append((cid, tq))
                 sampling.append((h, v))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError("jpeg: only baseline SOF0")
+                comp_index[cid] = ci
+            if len(comps) == 1:
+                # a single-component image is never interleaved —
+                # its effective sampling is 1x1 (MCU = 1 block)
+                sampling = [(1, 1)]
+            hmax = max(h for h, _ in sampling)
+            vmax = max(v for _, v in sampling)
+            mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+            planes = [
+                np.zeros((mcus_y * v, mcus_x * h, 64), dtype=np.int64)
+                for h, v in sampling
+            ]
+            grids = _component_grids(sampling, width, height)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("jpeg: only baseline SOF0 / progressive SOF2")
         elif marker == 0xDD:  # DRI
-            if struct.unpack(">H", seg[:2])[0] != 0:
-                raise ValueError("jpeg: restart intervals unsupported")
-        elif marker == 0xDA:  # SOS: header parsed, entropy data follows
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS: header, then entropy data
+            if planes is None:
+                raise ValueError("jpeg: missing SOF before SOS")
             ns = seg[0]
-            scan_tables = []
-            for ci in range(ns):
-                _cid, tdta = seg[1 + 2 * ci : 3 + 2 * ci]
-                scan_tables.append((tdta >> 4, tdta & 0x0F))
-            break
+            scan_comps = []
+            for i in range(ns):
+                cid, tdta = seg[1 + 2 * i : 3 + 2 * i]
+                scan_comps.append((comp_index[cid], tdta >> 4, tdta & 0x0F))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            segments, pos = _entropy_segments(data, pos)
+            _decode_scan(
+                planes, sampling, grids, mcus_x, mcus_y, htables,
+                scan_comps, ss, se, ahal >> 4, ahal & 0x0F,
+                progressive, restart_interval, segments, ncomp=len(comps),
+            )
+            n_scans += 1
         # else: APPn / COM — skipped by length
-    if not comps or width == 0:
-        raise ValueError("jpeg: missing SOF0 before SOS")
-    # destuff the entropy-coded segment (0xFF00 -> 0xFF; stop at a marker)
-    entropy = bytearray()
-    while pos < len(data):
-        b = data[pos]
-        if b == 0xFF:
-            nxt = data[pos + 1]
-            if nxt == 0x00:
-                entropy.append(0xFF)
-                pos += 2
-                continue
-            break  # EOI or another marker ends the scan
-        entropy.append(b)
-        pos += 1
-    rd = _BitReader(bytes(entropy))
-    # MCU geometry (T.81 A.2): components interleave v*h blocks per
-    # MCU; each component's own block grid covers mcus * factor.
-    hmax = max(h for h, _ in sampling)
-    vmax = max(v for _, v in sampling)
-    if len(comps) == 1:
-        # single-component scans are never interleaved — MCU = 1 block
-        sampling = [(1, 1)]
-        hmax = vmax = 1
-    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
-    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
-    planes = [
-        np.zeros((mcus_y * v, mcus_x * h, 64), dtype=np.int64)
-        for h, v in sampling
-    ]
-    preds = [0] * len(comps)
-    inv_zz = ZIGZAG  # zz index -> natural index
-
-    def decode_block(ci: int, blk: np.ndarray) -> None:
-        dc_t = htables[(0, scan_tables[ci][0])]
-        ac_t = htables[(1, scan_tables[ci][1])]
-        size = dc_t.decode(rd)
-        preds[ci] += _extend(rd.read_bits(size), size)
-        blk[0] = preds[ci]
-        k = 1
-        while k < 64:
-            rs = ac_t.decode(rd)
-            run, size = rs >> 4, rs & 0x0F
-            if size == 0:
-                if run == 15:  # ZRL
-                    k += 16
-                    continue
-                break  # EOB
-            k += run
-            if k > 63:
-                raise ValueError("jpeg: AC run past block end")
-            blk[inv_zz[k]] = _extend(rd.read_bits(size), size)
-            k += 1
-
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for ci, (h, v) in enumerate(sampling):
-                for by in range(v):
-                    for bx in range(h):
-                        decode_block(ci, planes[ci][my * v + by, mx * h + bx])
+    if planes is None or n_scans == 0:
+        raise ValueError("jpeg: no scan data")
     quants = [qtables[tq] for _, tq in comps]
+    if with_meta:
+        meta = {
+            "progressive": progressive,
+            "restart_interval": restart_interval,
+            "n_scans": n_scans,
+        }
+        return planes, width, height, quants, sampling, meta
     return planes, width, height, quants, sampling
 
 
-def decode_jpeg(payload: bytes, with_sampling: bool = False):
+def decode_jpeg(
+    payload: bytes, with_sampling: bool = False, with_meta: bool = False
+):
     """Full pixel decode: coefficients -> dequant -> IDCT -> level shift
     -> (chroma upsample for subsampled components) -> (YCbCr->RGB for
     3 components). Returns HxWxC uint8 (C = 1 or 3); with
     ``with_sampling`` returns (pixels, sampling) so callers can report
-    the subsampling the FILE declared (not what a fixture rule says).
+    the subsampling the FILE declared (not what a fixture rule says);
+    ``with_meta`` appends the coeff-layer meta dict (progressive /
+    restart_interval / n_scans — again, what the FILE declared).
 
     Subsampled chroma (4:2:0 / 4:2:2) is upsampled by sample
     REPLICATION (pixel (x, y) reads chroma sample (x * h // hmax,
@@ -484,7 +931,9 @@ def decode_jpeg(payload: bytes, with_sampling: bool = False):
     Rounding is floor(x + 0.5) at both the sample-reconstruction and
     color-conversion steps, chosen (over round-half-even) so an external
     engine can reproduce the arithmetic exactly."""
-    planes, width, height, quants, sampling = decode_jpeg_coeffs(payload)
+    planes, width, height, quants, sampling, meta = decode_jpeg_coeffs(
+        payload, with_meta=True
+    )
     hmax = max(h for h, _ in sampling)
     vmax = max(v for _, v in sampling)
     samples = []
@@ -500,15 +949,16 @@ def decode_jpeg(payload: bytes, with_sampling: bool = False):
             full = np.repeat(np.repeat(full, vmax // v, axis=0), hmax // h, axis=1)
         samples.append(full[:height, :width])
     if len(samples) == 1:
-        y = np.clip(samples[0], 0, 255).astype(np.uint8)
-        return (y[:, :, None], sampling) if with_sampling else y[:, :, None]
-    y, cb, cr = samples
-    r = np.floor(y + 1.402 * (cr - 128.0) + 0.5)
-    g = np.floor(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5)
-    b = np.floor(y + 1.772 * (cb - 128.0) + 0.5)
-    rgb = np.stack([r, g, b], axis=-1)
-    out = np.clip(rgb, 0, 255).astype(np.uint8)
-    return (out, sampling) if with_sampling else out
+        out = np.clip(samples[0], 0, 255).astype(np.uint8)[:, :, None]
+    else:
+        y, cb, cr = samples
+        r = np.floor(y + 1.402 * (cr - 128.0) + 0.5)
+        g = np.floor(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5)
+        b = np.floor(y + 1.772 * (cb - 128.0) + 0.5)
+        rgb = np.stack([r, g, b], axis=-1)
+        out = np.clip(rgb, 0, 255).astype(np.uint8)
+    extras = ([sampling] if with_sampling else []) + ([meta] if with_meta else [])
+    return (out, *extras) if extras else out
 
 
 # ---------------------------------------------------------------------------
@@ -534,8 +984,19 @@ def decode_jpeg(payload: bytes, with_sampling: bool = False):
 # per 16x16 tile, so an external engine predicts every sample exactly:
 # the color conversion sees Y/Cb/Cr in [112,144]/[122,134] so no
 # sample ever clamps and floor(x+0.5) is exactly reproducible.
+#
+# Coding-mode axes (orthogonal to the pixel content — baseline and
+# progressive encodings of the same coefficients decode identically,
+# so the pixel oracle is unchanged; the declared mode/DRI are emitted
+# as extra columns):
+#   doc_id % 3 == 0 -> PROGRESSIVE (SOF2 scan script: DC first Al=1,
+#                      DC refine, per-component AC bands 1-5 / 6-63
+#                      at Al=1 + AC refinement 1-63)
+#   doc_id % 5 == 2 -> restart interval 2 (DRI segment + RSTn markers)
 # ---------------------------------------------------------------------------
 def synth_jpeg(doc_id: int) -> bytes:
+    progressive = doc_id % 3 == 0
+    ri = 2 if doc_id % 5 == 2 else 0
     if doc_id % 4 == 3:  # 4:2:0 — the dominant real-web encoding
         cw = 1 + doc_id % 3
         ch = 1 + (doc_id // 4) % 3
@@ -548,7 +1009,9 @@ def synth_jpeg(doc_id: int) -> bytes:
     luma = np.zeros((hb, wb, 64), dtype=np.int64)
     luma[:, :, 0] = ((doc_id + 11 * bx + 5 * by) % 17) - 8
     if doc_id % 2 == 0:
-        return encode_jpeg([luma], 8 * wb, 8 * hb)
+        return encode_jpeg(
+            [luma], 8 * wb, 8 * hb, progressive=progressive, restart_interval=ri
+        )
     if doc_id % 4 == 3:
         cx = np.arange(cw, dtype=np.int64)[None, :]
         cy = np.arange(ch, dtype=np.int64)[:, None]
@@ -557,13 +1020,18 @@ def synth_jpeg(doc_id: int) -> bytes:
         cb[:, :, 0] = ((doc_id * 3 + 7 * cx + 2 * cy) % 7) - 3
         cr[:, :, 0] = ((doc_id * 5 + 3 * cx + 4 * cy) % 7) - 3
         return encode_jpeg(
-            [luma, cb, cr], 8 * wb, 8 * hb, sampling=[(2, 2), (1, 1), (1, 1)]
+            [luma, cb, cr], 8 * wb, 8 * hb,
+            sampling=[(2, 2), (1, 1), (1, 1)],
+            progressive=progressive, restart_interval=ri,
         )
     cb = np.zeros((hb, wb, 64), dtype=np.int64)
     cr = np.zeros((hb, wb, 64), dtype=np.int64)
     cb[:, :, 0] = ((doc_id * 3 + 7 * bx + 2 * by) % 7) - 3
     cr[:, :, 0] = ((doc_id * 5 + 3 * bx + 4 * by) % 7) - 3
-    return encode_jpeg([luma, cb, cr], 8 * wb, 8 * hb)
+    return encode_jpeg(
+        [luma, cb, cr], 8 * wb, 8 * hb,
+        progressive=progressive, restart_interval=ri,
+    )
 
 
 @register(
@@ -613,7 +1081,9 @@ def synth_jpeg(doc_id: int) -> bytes:
     SELECT doc_id,
       CASE WHEN doc_id % 2 = 0 THEN 'gray'
            WHEN doc_id % 4 = 3 THEN 'ycc420'
-           ELSE 'ycc' END AS format,
+           ELSE 'ycc' END
+        || CASE WHEN doc_id % 3 = 0 THEN '+p' ELSE '' END AS format,
+      CAST(CASE WHEN doc_id % 5 = 2 THEN 2 ELSE 0 END AS BIGINT) AS dri,
       CAST(8 * wb AS INT) AS width,
       CAST(8 * hb AS INT) AS height,
       CAST(wb * hb AS BIGINT) AS n_blocks,
@@ -653,7 +1123,9 @@ def p_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                pix, sampling = decode_jpeg(p, with_sampling=True)
+                pix, sampling, meta = decode_jpeg(
+                    p, with_sampling=True, with_meta=True
+                )
                 pix = pix.astype(np.int64)
                 h, w, c = pix.shape
                 if c == 1:
@@ -662,6 +1134,8 @@ def p_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     fmt = "ycc420"  # what the FILE's SOF declared
                 else:
                     fmt = "ycc"
+                if meta["progressive"]:  # SOF2, from the file, not a rule
+                    fmt += "+p"
                 if c == 1:
                     pix = np.repeat(pix, 3, axis=2)
                 sums = pix.sum(axis=(0, 1))
@@ -669,6 +1143,7 @@ def p_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (
                         int(doc_id),
                         fmt,
+                        int(meta["restart_interval"]),
                         w,
                         h,
                         (h // 8) * (w // 8),
@@ -682,13 +1157,14 @@ def p_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "doc_id", "format", "width", "height", "n_blocks",
+                    "doc_id", "format", "dri", "width", "height", "n_blocks",
                     "sum_r", "sum_g", "sum_b", "min_px", "max_px",
                 ],
             )
 
     schema = (
-        "doc_id BIGINT, format STRING, width INT, height INT, n_blocks BIGINT, "
-        "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT, min_px BIGINT, max_px BIGINT"
+        "doc_id BIGINT, format STRING, dri BIGINT, width INT, height INT, "
+        "n_blocks BIGINT, sum_r BIGINT, sum_g BIGINT, sum_b BIGINT, "
+        "min_px BIGINT, max_px BIGINT"
     )
     return payloads.mapInPandas(decode_batches, schema).orderBy("doc_id")
