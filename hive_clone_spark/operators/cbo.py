@@ -44,7 +44,19 @@ from hive_clone_spark.registry import register
 # default 10 MiB). Chosen so the testdata exercises both branches.
 _CBO_THRESHOLD = 256 * 1024
 
-_TYPE_WIDTH = {"bigint": 8, "double": 8, "timestamp": 8, "int": 4, "integer": 4}
+_TYPE_WIDTH = {
+    "bigint": 8,
+    "double": 8,
+    "timestamp": 8,
+    "timestamp_ntz": 8,
+    "date": 4,
+    "int": 4,
+    "integer": 4,
+    "smallint": 2,
+    "tinyint": 1,
+    "boolean": 1,
+    "float": 4,
+}
 _VARCHAR_OVERHEAD = 4
 
 
@@ -63,8 +75,14 @@ def estimate_build_side(build: DataFrame) -> tuple[int, int]:
                 F.coalesce(F.sum(F.length(f.name)), F.lit(0)).alias(f"len_{f.name}")
             )
             fixed += _VARCHAR_OVERHEAD
-        else:
+        elif t.startswith("decimal"):
+            fixed += 16  # Spark's unscaled-long/Int128 layout upper bound
+        elif t in _TYPE_WIDTH:
             fixed += _TYPE_WIDTH[t]
+        else:
+            raise ValueError(
+                f"cbo: no width estimate for column {f.name!r} of type {t!r}"
+            )
     row = build.agg(*exprs).collect()[0]
     n = int(row["n"])
     est = n * fixed + sum(int(v) for k, v in row.asDict().items() if k != "n")

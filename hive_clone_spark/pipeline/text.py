@@ -1011,7 +1011,10 @@ def _corpus_merges(
     p_bpe_train IS the trainer, so its benchmark must measure real
     training, never a cache hit; p_bpe_apply is the artifact CONSUMER
     and legitimately reuses the freshest learned merges."""
-    key = (os.path.basename(sf_dir.rstrip("/")), n_merges)
+    # keyed by the RESOLVED path (ADVICE r7): two corpora whose dirs
+    # share a leaf name (/a/sf0.1 vs /b/sf0.1) must not collide — a
+    # basename key could silently serve merges trained elsewhere
+    key = (os.path.realpath(sf_dir), n_merges)
     if force or key not in _MERGE_CACHE:
         d = table(spark, sf_dir, "documents")
         vocab = (

@@ -18,7 +18,12 @@ carries over; there is no interpretation overhead per row.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hive_clone_spark.catalog import register_views
 from hive_clone_spark.registry import register
@@ -54,3 +59,178 @@ ORDER BY region_name, nation_name
 @register("q43_sql_passthrough", oracle=_Q43_SQL)
 def q43_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, sf_dir, _Q43_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Catalog / DDL surface (round-7 verdict task 5): the first thing a
+# warehouse user migrating from HiveQL touches — CREATE DATABASE,
+# CREATE TABLE AS SELECT, INSERT INTO, SHOW TABLES, DESCRIBE, and a
+# catalog read-back — exercised end to end in a SESSION catalog.
+#
+# Tables are EXTERNAL (explicit LOCATION under the system tempdir)
+# so the entries run under any caller's vanilla session regardless of
+# where its spark.sql.warehouse.dir points (a static conf fixed at
+# session start — the one catalog knob an entry cannot set). Every
+# entry is idempotent: DROP TABLE IF EXISTS + location wipe first, so
+# the driver can re-run it in a long-lived session.
+#
+# Scale design: DDL/SHOW/DESCRIBE are metadata-only driver round trips
+# (no job). CTAS and INSERT INTO write through the ordinary parquet
+# sink — at 100 TB they take partitioned writes, and INSERT INTO is an
+# append of new files with no rewrite of existing data. The read-back
+# is a plain catalog-resolved parquet scan with full pushdown.
+# ---------------------------------------------------------------------------
+_DDL_DB = "hcs_ddl"
+
+
+def _ddl_location(name: str) -> str:
+    return os.path.join(tempfile.gettempdir(), "hcs_ddl_tables", name)
+
+
+def _ensure_db(spark: SparkSession) -> None:
+    loc = os.path.join(tempfile.gettempdir(), "hcs_ddl_tables", "_db")
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS {_DDL_DB} LOCATION '{loc}'"
+    )
+
+
+def _create_orders_by_priority(spark: SparkSession) -> str:
+    """DDL lifecycle: CTAS (5 priority rows) + INSERT INTO (a Z-TOTAL
+    rollup row appended as new files, not a rewrite)."""
+    _ensure_db(spark)
+    fq = f"{_DDL_DB}.orders_by_priority"
+    loc = _ddl_location("orders_by_priority")
+    spark.sql(f"DROP TABLE IF EXISTS {fq}")
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(
+        f"""
+        CREATE TABLE {fq}
+        USING parquet LOCATION '{loc}'
+        AS SELECT o_orderpriority AS priority,
+                  COUNT(*) AS n_orders,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS total_price
+           FROM orders GROUP BY o_orderpriority
+        """
+    )
+    spark.sql(
+        f"""
+        INSERT INTO {fq}
+        SELECT 'Z-TOTAL', COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders
+        """
+    )
+    return fq
+
+
+@register(
+    "q123_catalog_ddl_roundtrip",
+    # The oracle recomputes the table the DDL should have produced and
+    # pins the catalog metadata the entry reports from SHOW TABLES /
+    # DESCRIBE: a CTAS that drops rows, an INSERT that rewrites
+    # instead of appending, or a catalog that loses the table all
+    # shift the result.
+    oracle="""
+    SELECT priority, n_orders, total_price, n_cols, in_catalog
+    FROM (
+      SELECT o_orderpriority AS priority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+      FROM orders GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 'Z-TOTAL', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM orders
+    ) t, (SELECT 3 AS n_cols, TRUE AS in_catalog) m
+    ORDER BY priority
+    """,
+)
+def q123_catalog_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE DATABASE -> CTAS -> INSERT INTO -> SHOW TABLES ->
+    DESCRIBE -> spark.table() read-back, all against the session
+    catalog; the returned rows fuse the read-back DATA with the
+    catalog METADATA so the oracle verifies both."""
+    register_views(spark, sf_dir)
+    fq = _create_orders_by_priority(spark)
+    shown = spark.sql(f"SHOW TABLES IN {_DDL_DB}")
+    in_catalog = (
+        shown.where(
+            (F.col("tableName") == "orders_by_priority")
+            & (~F.col("isTemporary"))
+        ).count()
+        == 1
+    )
+    n_cols = spark.sql(f"DESCRIBE TABLE {fq}").where(
+        ~F.col("col_name").startswith("#")
+    ).count()
+    return (
+        spark.table(fq)
+        .select(
+            "priority",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            "total_price",
+            F.lit(int(n_cols)).cast("int").alias("n_cols"),
+            F.lit(bool(in_catalog)).alias("in_catalog"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "q124_catalog_introspection",
+    # information_schema-style check: the catalog must report back the
+    # exact (name, type, position) schema each DDL path declared —
+    # one table made by the DataFrame writer's saveAsTable, one by
+    # SQL CTAS + INSERT. Literal expected rows ARE the oracle: the
+    # subject under test is the catalog state itself.
+    oracle="""
+    SELECT * FROM (VALUES
+      ('nation_dim', 'n_nationkey', 'int', 1),
+      ('nation_dim', 'n_name', 'string', 2),
+      ('nation_dim', 'region_name', 'string', 3),
+      ('orders_by_priority', 'priority', 'string', 1),
+      ('orders_by_priority', 'n_orders', 'bigint', 2),
+      ('orders_by_priority', 'total_price', 'double', 3)
+    ) AS t(table_name, column_name, data_type, ordinal)
+    ORDER BY table_name, ordinal
+    """,
+)
+def q124_catalog_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both writer paths into the catalog (DataFrame saveAsTable and
+    SQL CTAS), then the schema read BACK from the catalog — name,
+    Spark type string, ordinal — as the query result."""
+    register_views(spark, sf_dir)
+    _create_orders_by_priority(spark)
+    loc = _ddl_location("nation_dim")
+    spark.sql(f"DROP TABLE IF EXISTS {_DDL_DB}.nation_dim")
+    shutil.rmtree(loc, ignore_errors=True)
+    nation = spark.table("nation")
+    region = spark.table("region")
+    dim = (
+        nation.join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .select("n_nationkey", "n_name", F.col("r_name").alias("region_name"))
+    )
+    (
+        dim.write.format("parquet")
+        .mode("overwrite")
+        .option("path", loc)
+        .saveAsTable(f"{_DDL_DB}.nation_dim")
+    )
+    rows = []
+    for tbl in ("nation_dim", "orders_by_priority"):
+        for i, col in enumerate(
+            spark.catalog.listColumns(f"{_DDL_DB}.{tbl}"), start=1
+        ):
+            rows.append((tbl, col.name, col.dataType, i))
+    return (
+        spark.createDataFrame(
+            rows, "table_name STRING, column_name STRING, data_type STRING, "
+            "ordinal INT"
+        )
+        .orderBy("table_name", "ordinal")
+    )

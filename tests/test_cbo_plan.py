@@ -73,3 +73,34 @@ def test_estimator_handles_all_null_strings(spark):
     df = spark.createDataFrame([(1, None)], "k BIGINT, s STRING")
     n, est = estimate_build_side(df)
     assert (n, est) == (1, 12)  # sum(length) coalesces to 0
+
+
+def test_estimate_handles_date_decimal_boolean(spark, sf_dir):
+    """ADVICE r7: non-string columns outside the original width map
+    (date, decimal, boolean) must estimate, not KeyError."""
+    from pyspark.sql import functions as F
+
+    from hive_clone_spark.operators.cbo import estimate_build_side
+
+    df = spark.range(10).select(
+        F.col("id").cast("int").alias("k"),
+        F.lit("2000-01-01").cast("date").alias("d"),
+        F.lit(1.5).cast("decimal(18,2)").alias("m"),
+        F.lit(True).alias("b"),
+    )
+    n, est = estimate_build_side(df)
+    assert n == 10
+    assert est == 10 * (4 + 4 + 16 + 1)
+
+
+def test_estimate_unknown_type_raises_clearly(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hive_clone_spark.operators.cbo import estimate_build_side
+
+    df = spark.range(3).select(F.array(F.col("id")).alias("a"))
+    try:
+        estimate_build_side(df)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "no width estimate" in str(e) and "'a'" in str(e)

@@ -161,3 +161,95 @@ def test_vacuum_retention(spark, tmp_path):
     # the table keeps working after vacuum
     tl.append(spark.range(3).withColumnRenamed("id", "k"), n_files=1)
     assert tl.latest_version() == 6 and tl.read(spark).count() == 10
+
+
+def test_scan_files_after_vacuum(spark, tmp_path):
+    """ADVICE r7: scan_files must replay stats from the checkpoint
+    floor, not commit 0 — after vacuum() deletes old commit JSONs, a
+    0-based replay crashes and loses vacuumed stats. Stats now ride in
+    checkpoints, so skipping keeps working below-history."""
+    tl = _mk(tmp_path)
+    df = spark.range(100).withColumnRenamed("id", "k")
+    # enough commits to cross a checkpoint boundary, each with stats
+    for i in range(_CHECKPOINT_EVERY + 2):
+        adds = tl.stage_data(
+            df.where(f"k >= {i * 10} and k < {i * 10 + 10}"), n_files=1
+        )
+        adds[0]["stats"] = {"k": [i * 10, i * 10 + 9]}
+        tl.commit("append", add=adds)
+    tl.vacuum(retain_versions=2)
+    # commits below the cutoff are gone; scan_files must not read them
+    all_files, chosen = tl.scan_files("k", 25, 34)
+    assert len(all_files) == _CHECKPOINT_EVERY + 2
+    # range [25, 34] intersects exactly the [20-29] and [30-39] files
+    assert len(chosen) == 2
+
+
+def test_checkpoint_carries_stats(spark, tmp_path):
+    tl = _mk(tmp_path)
+    df = spark.range(10).withColumnRenamed("id", "k")
+    for i in range(_CHECKPOINT_EVERY):
+        adds = tl.stage_data(df, n_files=1)
+        adds[0]["stats"] = {"k": [i, i]}
+        tl.commit("append", add=adds)
+    ckpts = list(tl.log_dir.glob("*.checkpoint.json"))
+    assert ckpts
+    d = json.loads(ckpts[0].read_text())
+    assert d["stats"] and all("k" in s for s in d["stats"].values())
+
+
+def test_removed_file_stats_dropped_from_replay(spark, tmp_path):
+    """A remove action must also retire the file's stats — otherwise a
+    rewritten file's stale range would keep steering scan_files."""
+    tl = _mk(tmp_path)
+    df = spark.range(10).withColumnRenamed("id", "k")
+    adds = tl.stage_data(df, n_files=1)
+    adds[0]["stats"] = {"k": [0, 9]}
+    tl.commit("append", add=adds)
+    new_adds = tl.stage_data(df, n_files=1)
+    new_adds[0]["stats"] = {"k": [100, 109]}
+    tl.commit("rewrite", add=new_adds, remove=[adds[0]["file"]])
+    _, chosen = tl.scan_files("k", 0, 9)
+    assert chosen == []  # old range gone with the old file
+
+
+def test_row_level_delete_conflict_retry(spark, tmp_path):
+    """The q125 protocol under an actual concurrent append: writer A
+    stages its copy-on-write delete against version 0, writer B lands
+    an append first, A's commit(expected_version=0) conflicts, and A's
+    retry (re-reading the log) succeeds with the append preserved."""
+    from pyspark.sql import functions as F
+
+    tl_a = _mk(tmp_path)
+    tl_b = TxLog(tl_a.root)
+    base = spark.range(100).select(F.col("id").alias("k"))
+    adds = tl_a.stage_data(base, n_files=2)
+    tl_a.commit("append", add=adds)
+
+    expected = tl_a.latest_version()
+    affected = tl_a.active_files(expected)
+    survivors = spark.read.parquet(
+        *[str(tl_a.root / f) for f in affected]
+    ).where("k % 10 != 0")
+    staged = tl_a.stage_data(survivors, n_files=2)
+
+    # concurrent append sneaks in between A's read and A's commit
+    extra = spark.range(100, 110).select(F.col("id").alias("k"))
+    tl_b.commit("append", add=tl_b.stage_data(extra, n_files=1))
+
+    with pytest.raises(CommitConflictError):
+        tl_a.commit(
+            "delete", add=staged, remove=affected, expected_version=expected
+        )
+    # retry: re-read, revalidate (the append touched disjoint files —
+    # the staged rewrite is still valid), commit against the new head
+    v = tl_a.commit(
+        "delete",
+        add=staged,
+        remove=affected,
+        expected_version=tl_a.latest_version(),
+    )
+    assert v == 2
+    final = tl_a.read(spark)
+    assert final.count() == 90 + 10  # 90 survivors + concurrent append
+    assert final.where("k % 10 = 0 and k < 100").count() == 0

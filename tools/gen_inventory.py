@@ -33,6 +33,8 @@ _CATEGORY = {
     "hive_clone_spark.operators.cbo": "Cost-based planning",
     "hive_clone_spark.operators.graph": "Graph",
     "hive_clone_spark.operators.iterate": "Iteration / recursive CTE",
+    "hive_clone_spark.operators.sketches": "Sketches (KMV / count-min / bloom)",
+    "hive_clone_spark.operators.tpch": "TPC-H family",
     "hive_clone_spark.hive_game.queries": "Hive game domain",
     "hive_clone_spark.pipeline.chunking": "LLM pipeline: chunking",
     "hive_clone_spark.pipeline.dedup": "LLM pipeline: dedup",
