@@ -1229,3 +1229,135 @@ def p_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.j").alias("best_jaccard"),
         (F.col("m.j") >= _INC_TAU).alias("is_dup"),
     ).orderBy("new_doc")
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup — the step every web-crawl pipeline runs
+# BEFORE content dedup: the same page arrives under scheme/host case
+# variants, default ports, fragments, tracking parameters, and trailing
+# slashes; canonicalize, then keep one document per canonical URL.
+#
+# Fixture rule (mirrored by the oracle): group g = doc_id // 4 is one
+# logical page; r = doc_id % 4 picks the variant —
+#   r=0  https://example.com/site/{g}/page                 (already canonical)
+#   r=1  HTTPS://EXAMPLE.COM:443/site/{g}/page#section-2   (case+port+fragment)
+#   r=2  ...?utm_source=feed&utm_medium=rss                (tracking params)
+#   r=3  https://example.com:443/site/{g}/page/            (port+trailing /)
+#
+# Canonicalizer (identical algorithm both engines): lowercase the
+# scheme+authority, strip the :443 default port, drop the fragment,
+# strip utm_* query parameters (with dangling-? cleanup), strip the
+# trailing slash. All four variants fold to r=0's form, so every
+# 4-doc group collapses to ONE row with n_variants = 4 and the kept
+# doc = min doc_id (the dedup keep-rule).
+#
+# Scale design (100 TB): the canonicalizer is a scan-stage chain of
+# lower/regexp_replace — whole-stage codegen, zero Python, zero
+# shuffle; the dedup groupBy shuffles once on the canonical key (at
+# production scale: pre-hash the canonical string to int64 first,
+# p_dedup_exact's trick, so the shuffle moves 8-byte keys).
+# ---------------------------------------------------------------------------
+@register(
+    "p_dedup_url_canonical",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id, text,
+        CASE doc_id % 4
+          WHEN 0 THEN 'https://example.com/site/' || (doc_id // 4) || '/page'
+          WHEN 1 THEN 'HTTPS://EXAMPLE.COM:443/site/' || (doc_id // 4)
+                      || '/page#section-2'
+          WHEN 2 THEN 'https://example.com/site/' || (doc_id // 4)
+                      || '/page?utm_source=feed&utm_medium=rss'
+          ELSE 'https://example.com:443/site/' || (doc_id // 4) || '/page/'
+        END AS url
+      FROM documents),
+    canon AS (
+      SELECT doc_id, text,
+        lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'))
+          AS auth0,
+        substring(url, length(
+          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) + 1)
+          AS rest0
+      FROM urls),
+    c2 AS (
+      SELECT doc_id, text,
+        regexp_replace(auth0, ':443$', '') AS auth,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(rest0, '#.*$', ''),
+              '[?&]utm_[^&#]*', '', 'g'),
+            '\\?$', ''),
+          '(.)/+$', '\\1') AS rest
+      FROM canon)
+    SELECT auth || CASE WHEN rest = '' THEN '/' ELSE rest END
+             AS canonical_url,
+      CAST(COUNT(*) AS BIGINT) AS n_variants,
+      CAST(MIN(doc_id) AS BIGINT) AS kept_doc,
+      CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+    FROM c2
+    GROUP BY canonical_url
+    ORDER BY canonical_url
+    """,
+)
+def p_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    g = (F.col("doc_id") / 4).cast("long").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("https://example.com/site/"), g, F.lit("/page")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("HTTPS://EXAMPLE.COM:443/site/"), g,
+                F.lit("/page#section-2"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://example.com/site/"), g,
+                F.lit("/page?utm_source=feed&utm_medium=rss"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example.com:443/site/"), g, F.lit("/page/")
+            )
+        )
+    )
+    u = d.withColumn("url", url)
+    auth0 = F.regexp_extract(
+        F.col("url"), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0
+    )
+    rest0 = F.expr(
+        "substring(url, length(regexp_extract(url,"
+        " '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) + 1)"
+    )
+    auth = F.regexp_replace(F.lower(auth0), ":443$", "")
+    rest = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(rest0, "#.*$", ""), r"[?&]utm_[^&#]*", ""
+            ),
+            r"\?$",
+            "",
+        ),
+        "(.)/+$",
+        "$1",
+    )
+    canon = F.concat(
+        auth, F.when(rest == "", F.lit("/")).otherwise(rest)
+    ).alias("canonical_url")
+    return (
+        u.select("doc_id", "text", canon)
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.min("doc_id").alias("kept_doc"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .orderBy("canonical_url")
+    )

@@ -484,3 +484,58 @@ def q121_corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("double")
         .alias("sum_chars_parsed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q127 — ORC sink/source roundtrip: the second columnar format in
+# FORMATS, exercised end to end — write orders as ORC partitioned by
+# o_orderstatus, read the directory back, and aggregate one partition.
+# The WHERE on the partition column prunes at file-listing time
+# (directory layout), and the o_orderkey predicate pushes into the ORC
+# reader's stripe/row-group statistics — the same two pruning layers
+# the parquet entries verify, on the format half the Hive estate still
+# runs on (the actual "hive clone" migration surface).
+#
+# Scale design: identical to q63's parquet layout — partition pruning
+# is metadata-only, ORC carries types + min/max stripe stats so
+# pushed predicates skip IO, and the aggregate is a map-side partial
+# over the surviving splits.
+# ---------------------------------------------------------------------------
+@register(
+    "q127_orc_roundtrip",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+      CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+)
+def q127_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_clone_spark.sources import io
+
+    dest = _warehouse(sf_dir, "orc_q127")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    io.write(o, dest, fmt="orc", partition_by=["o_orderstatus"])
+    back = io.read(spark, dest, fmt="orc")
+    return (
+        back.where(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 3 == 0)
+        )
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("priority")
+    )
