@@ -225,6 +225,7 @@ class TxLog:
         add: list[dict] | None = None,
         remove: list[str] | None = None,
         expected_version: int | None = None,
+        txn: str | None = None,
     ) -> int:
         """Atomically publish a commit at ``latest + 1``.
 
@@ -232,7 +233,9 @@ class TxLog:
         version the writer READ before preparing its change. If someone
         else committed since (latest != expected), or two writers race
         for the same slot (O_EXCL loses), CommitConflictError — the
-        caller re-reads, revalidates, and retries."""
+        caller re-reads, revalidates, and retries. ``txn`` stamps the
+        commit with an application transaction id (see
+        commit_idempotent)."""
         latest = self.latest_version()
         if expected_version is not None and latest != expected_version:
             raise CommitConflictError(
@@ -245,6 +248,8 @@ class TxLog:
             "add": add or [],
             "remove": remove or [],
         }
+        if txn is not None:
+            payload["txn"] = txn
         path = self.log_dir / self._commit_name(version)
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -272,6 +277,28 @@ class TxLog:
                 {"version": version, "active": sorted(files), "stats": stats}, f
             )
         os.replace(tmp, self.log_dir / f"{version:08d}.checkpoint.json")
+
+    def txn_applied(self, txn: str) -> bool:
+        """Has a commit bearing this application txn id already landed?
+        (Production formats keep the latest txn per app in checkpoints;
+        this log scans its bounded history — same contract.)"""
+        return any(self._read_commit(v).get("txn") == txn for v in self.versions())
+
+    def commit_idempotent(
+        self,
+        txn: str,
+        op: str,
+        add: list[dict] | None = None,
+        remove: list[str] | None = None,
+    ) -> int | None:
+        """Exactly-once sink contract (Delta's txnAppId/txnVersion
+        pattern): a redelivered batch carrying an already-committed txn
+        id is DROPPED — its staged files stay unreferenced (vacuum
+        fodder) and the table state is unchanged. Returns the committed
+        version, or None when the txn was already applied."""
+        if self.txn_applied(txn):
+            return None
+        return self.commit(op, add=add, remove=remove, txn=txn)
 
     def append(self, df: DataFrame, n_files: int | None = None, op: str = "append") -> int:
         return self.commit(op, add=self.stage_data(df, n_files))
@@ -789,3 +816,98 @@ def q126_txlog_merge_minimal_rewrite(
         except CommitConflictError:
             continue
     return _version_ledger(spark, tl)
+
+
+# ---------------------------------------------------------------------------
+# Q128 — exactly-once STREAM sink into the transactional table:
+# readStream(events) -> foreachBatch -> stage + commit_idempotent,
+# each micro-batch one atomic commit stamped with its batch id (the
+# Delta txnAppId/txnVersion pattern). After the drain the entry
+# REDELIVERS every batch — the at-least-once failure mode every
+# foreachBatch sink must survive — and the idempotent commit drops all
+# of them: version count unchanged, table state unchanged. The output
+# fuses the table's data aggregate with that evidence (n_commits,
+# redelivery_skipped), so duplicated rows, a lost batch, or a replayed
+# commit all fail the hash.
+#
+# q72 proves exactly-once into a FILE sink via the streaming
+# checkpoint; this entry proves it into the TABLE FORMAT via commit
+# txn ids — the half that still holds when the checkpoint is lost and
+# the job is re-run from scratch (the real-world recovery case).
+#
+# Scale design: one commit per micro-batch keeps the log proportional
+# to trigger count, not rows; staged-then-orphaned redelivery files
+# are vacuum()'s job, exactly like production formats.
+# ---------------------------------------------------------------------------
+@register(
+    "q128_stream_txlog_sink",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type, COUNT(*) AS n_events,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+          AS total_value
+      FROM events GROUP BY event_type)
+    SELECT event_type, n_events, total_value,
+      CAST(1 AS BIGINT) AS n_commits,
+      TRUE AS redelivery_skipped
+    FROM agg ORDER BY event_type
+    """,
+)
+def q128_stream_txlog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hive_clone_spark.streaming.streams import read_events_stream
+
+    tl = TxLog(_warehouse_dir(sf_dir, "txlog_q128")).create()
+    ckpt = _warehouse_dir(sf_dir, "txlog_q128_ckpt")
+    delivered: list[int] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        txn = f"q128-{batch_id}"
+        if tl.txn_applied(txn):  # fast path: skip staging entirely
+            return
+        tl.commit_idempotent(
+            txn, "stream-append", add=tl.stage_data(batch_df, n_files=2)
+        )
+        delivered.append(batch_id)
+
+    src = read_events_stream(
+        spark, os.path.join(sf_dir, "events.parque[t]"),
+        max_files_per_trigger=None,
+    )
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    versions_after_drain = tl.latest_version() + 1
+    # at-least-once failure injection: redeliver EVERY batch (staged
+    # again, as a crashed-after-write retry would), all must be dropped
+    snapshot = tl.read(spark)
+    for batch_id in delivered:
+        tl.commit_idempotent(
+            f"q128-{batch_id}",
+            "stream-append",
+            add=tl.stage_data(snapshot, n_files=1),
+        )
+    skipped = tl.latest_version() + 1 == versions_after_drain
+    back = tl.read(spark)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("total_value"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "total_value",
+            F.lit(versions_after_drain).cast("long").alias("n_commits"),
+            F.lit(bool(skipped)).alias("redelivery_skipped"),
+        )
+        .orderBy("event_type")
+    )

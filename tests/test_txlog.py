@@ -253,3 +253,18 @@ def test_row_level_delete_conflict_retry(spark, tmp_path):
     final = tl_a.read(spark)
     assert final.count() == 90 + 10  # 90 survivors + concurrent append
     assert final.where("k % 10 = 0 and k < 100").count() == 0
+
+
+def test_commit_idempotent_drops_redelivery(spark, tmp_path):
+    """Same txn id twice -> second commit dropped, state unchanged;
+    a new txn id still lands."""
+    tl = _mk(tmp_path)
+    df = spark.range(10).withColumnRenamed("id", "k")
+    v = tl.commit_idempotent("app-0", "stream-append", add=tl.stage_data(df, n_files=1))
+    assert v == 0 and tl.read(spark).count() == 10
+    orphan = tl.stage_data(df, n_files=1)  # redelivery stages again...
+    assert tl.commit_idempotent("app-0", "stream-append", add=orphan) is None
+    assert tl.latest_version() == 0 and tl.read(spark).count() == 10
+    assert tl.txn_applied("app-0") and not tl.txn_applied("app-1")
+    v2 = tl.commit_idempotent("app-1", "stream-append", add=tl.stage_data(df, n_files=1))
+    assert v2 == 1 and tl.read(spark).count() == 20
