@@ -3298,3 +3298,149 @@ def q122_nested_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, s: acc + s["l_quantity"],
         ).alias("total_qty"),
     ).orderBy("l_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Q129 — ordered funnel analysis: of users who viewed, how many
+# clicked within 24h OF THEIR FIRST VIEW, and of those, how many
+# purchased within 24h of that first qualifying click. The sequencing
+# constraint (each stage strictly AFTER the previous stage's event,
+# inside a conversion window) is what separates a funnel from three
+# independent counts — and is the product-analytics query every event
+# warehouse serves. Fixture-free: runs on the events table as-is
+# (150 -> 60 -> 25 users at sf0.01, every stage discriminating).
+#
+# Scale design: each stage is one scan filtered to ONE event type
+# (predicate pushdown on event_type) aggregated to first-timestamp per
+# user, then joined user-to-user with the previous stage. Stage
+# outputs are per-user 1-row aggregates — orders of magnitude smaller
+# than the event stream — so the joins broadcast (explicit hint); the
+# event scan is never shuffled, only the shrinking user sets move.
+# ---------------------------------------------------------------------------
+@register(
+    "q129_funnel_analysis",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+        AND e.ts <= v.t1 + INTERVAL 24 HOUR
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        AND e.ts <= c.t2 + INTERVAL 24 HOUR
+      GROUP BY e.user_id)
+    SELECT CAST(1 AS INTEGER) AS step, 'view' AS stage,
+           CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), 'click',
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), 'purchase',
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+    ORDER BY step
+    """,
+)
+def q129_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .where(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .where(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def step(n: int, stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(n).cast("int").alias("step"),
+            F.lit(stage).alias("stage"),
+            "n_users",
+        )
+
+    return (
+        step(1, "view", v)
+        .unionAll(step(2, "click", c))
+        .unionAll(step(3, "purchase", p))
+        .orderBy("step")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q130 — cohort retention: users grouped by their FIRST-ever activity
+# date, then counted as active per whole-week offset from that date —
+# the retention triangle every growth dashboard draws. Day-based
+# cohorts and integer week offsets (datediff // 7) keep the arithmetic
+# engine-exact; week-truncation functions differ across engines on
+# week-start conventions and are deliberately avoided.
+#
+# Scale design: the cohort assignment is one groupBy(user) min-date
+# aggregate; the activity fact joins it on user_id (broadcast — the
+# cohort table is |users|, tiny next to events at any scale) and the
+# retention cell count is a distinct-per-(cohort, week, user) count —
+# one shuffle on the composite key, partial-aggregated map-side.
+# ---------------------------------------------------------------------------
+@register(
+    "q130_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+      FROM events GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT e.user_id, f.d0,
+        (CAST(e.ts AS DATE) - f.d0) // 7 AS week_offset
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id)
+    SELECT CAST(d0 AS VARCHAR) AS cohort_date,
+      CAST(week_offset AS BIGINT) AS week_offset,
+      CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM act
+    GROUP BY d0, week_offset
+    ORDER BY cohort_date, week_offset
+    """,
+)
+def q130_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    first_seen = e.groupBy("user_id").agg(F.min("d").alias("d0"))
+    act = (
+        e.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "d0",
+            F.floor(F.datediff(F.col("d"), F.col("d0")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        act.groupBy(
+            F.col("d0").cast("string").alias("cohort_date"), "week_offset"
+        )
+        .agg(F.count("*").alias("n_active"))
+        .orderBy("cohort_date", "week_offset")
+    )
