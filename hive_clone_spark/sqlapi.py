@@ -84,7 +84,14 @@ _DDL_DB = "hcs_ddl"
 
 
 def _ddl_location(name: str) -> str:
-    return os.path.join(tempfile.gettempdir(), "hcs_ddl_tables", name)
+    # pid-isolated like sources/queries._warehouse: the oracle suite,
+    # plan audit, bench, and driver all execute these entries, possibly
+    # concurrently — separate processes must not race rmtree-vs-read on
+    # a shared table location (catalogs are per-session; only the
+    # filesystem is shared)
+    return os.path.join(
+        tempfile.gettempdir(), "hcs_ddl_tables", f"{name}-{os.getpid()}"
+    )
 
 
 def _ensure_db(spark: SparkSession) -> None:
