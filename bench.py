@@ -60,7 +60,12 @@ from hive_clone_spark.session import get_spark  # noqa: E402
 EXCLUDE_PREFIXES = ("g_",)
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "450"))
+# 450 -> 495 when the registry hit 221 entries (196 bench queries):
+# the r8 additions (~10 entries, ~14 s warm) pushed the warmup+samples
+# total past 450 and the last 11 alphabetical queries (q89-q99) went
+# cold-only. Wall clock ≈ budget + ~60 s startup/teardown — still
+# inside the round driver's window.
+BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "495"))
 # Session recycling: restart the SparkSession every N queries
 # (re-warming footer caches; restart time is NOT counted against the
 # measured budget). DEFAULT OFF — the round-6 A/B (NOTES.md) measured
@@ -174,7 +179,9 @@ def main() -> None:
                 # bench queries the 0.6 knee still hard-blew the budget
                 # on the last 5 (cold tail again); the earlier knee
                 # buys ~10 s of second-run savings mid-suite.
-                tight = spent > 0.5 * BUDGET_SEC
+                # 0.5 -> 0.45 at 196 bench queries, together with the
+                # 450 -> 495 budget raise, for the same reason.
+                tight = spent > 0.45 * BUDGET_SEC
                 n_measured = 1 if ((heavy and not anomalous) or tight) else 2
                 targets[name] = n_measured
             if len(samples) >= n_measured or spent > BUDGET_SEC:
