@@ -240,3 +240,27 @@ def test_oracle_keys_subset_of_queries():
     would make the driver compare against nothing)."""
     qs = set(entry_mod.queries())
     assert set(entry_mod.oracle_sql()) <= qs
+
+
+def test_update_fingerprints_tool_semantics(tmp_path, monkeypatch):
+    """tools/update_fingerprints.py: unchanged entries keep their
+    valid_from; changed fingerprints bump valid_from to the current
+    round count; removed entries drop out."""
+    import json
+    import subprocess
+    import sys
+
+    store = REPO / "tools" / "entry_fingerprints.json"
+    before = json.loads(store.read_text())
+    # run the tool against the live repo: must be a no-op (the store
+    # is committed current — drift test above guarantees it)
+    out = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "update_fingerprints.py")],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "~0 changed" in out.stdout and "+0 new" in out.stdout
+    after = json.loads(store.read_text())
+    assert after == before
