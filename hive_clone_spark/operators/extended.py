@@ -3444,3 +3444,117 @@ def q130_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_active"))
         .orderBy("cohort_date", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q131 — spatial distance self-join via grid bucketing: all customer
+# pairs within Euclidean radius r of each other, WITHOUT an all-pairs
+# comparison. Points are synthesized deterministically from c_custkey
+# in tenth-unit INTEGER coordinates (x10 = portable_md5_hash mod
+# 10000 — genuinely scattered; a multiplicative lattice was tried and
+# produced ZERO close pairs at every SF), so
+# the distance predicate dx^2 + dy^2 <= r^2 is exact integer
+# arithmetic in both engines — no float boundary disagreements.
+#
+# The grid trick (the standard distributed spatial-join plan): cell
+# side = r, each LEFT point expands to its 3x3 neighbor cells, the
+# RIGHT point keeps its own cell, equi-join on the cell key, then the
+# exact distance filter. A true pair's cells differ by at most 1 in
+# each axis, so every qualifying pair is found EXACTLY once (the right
+# point's cell is unique). The oracle brute-forces the same predicate
+# over the cross product — tractable for DuckDB at oracle scale,
+# exactly what the grid exists to avoid at 100 TB.
+#
+# Scale design: candidate pairs ∝ points-per-cell^2 x cells (local
+# density), never n^2; the only shuffle is the cell-key equi-join; the
+# 9x expansion is a scan-stage explode of a 9-element literal array.
+# Skewed hotspots (dense cells) are AQE skew-join territory — the same
+# remedy as any hot key.
+# ---------------------------------------------------------------------------
+_SPATIAL_R10 = 50  # radius in tenth-units (= 5.0 units); also cell side
+
+
+@register(
+    "q131_spatial_grid_join",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS k,
+        (('0x' || substr(md5(c_custkey || 'x'), 1, 15))::BIGINT) % 10000
+          AS x10,
+        (('0x' || substr(md5(c_custkey || 'y'), 1, 15))::BIGINT) % 10000
+          AS y10
+      FROM customer)
+    SELECT a.k AS key_a, b.k AS key_b,
+      CAST((a.x10 - b.x10) * (a.x10 - b.x10)
+           + (a.y10 - b.y10) * (a.y10 - b.y10) AS BIGINT) AS dist2_10,
+      ROUND(SQRT(CAST((a.x10 - b.x10) * (a.x10 - b.x10)
+           + (a.y10 - b.y10) * (a.y10 - b.y10) AS DOUBLE)) / 10, 6)
+        AS dist
+    FROM pts a, pts b
+    WHERE a.k < b.k
+      AND (a.x10 - b.x10) * (a.x10 - b.x10)
+          + (a.y10 - b.y10) * (a.y10 - b.y10)
+          <= {_SPATIAL_R10 * _SPATIAL_R10}
+    ORDER BY key_a, key_b
+    """,
+)
+def q131_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_clone_spark.pipeline.common import portable_hash
+
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    key_s = F.col("c_custkey").cast("string")
+    pts = c.select(
+        F.col("c_custkey").alias("k"),
+        (portable_hash(F.concat(key_s, F.lit("x"))) % 10000).alias("x10"),
+        (portable_hash(F.concat(key_s, F.lit("y"))) % 10000).alias("y10"),
+    )
+    cell = _SPATIAL_R10
+    right = pts.select(
+        F.col("k").alias("k_b"),
+        F.col("x10").alias("xb"),
+        F.col("y10").alias("yb"),
+        F.concat_ws(
+            ":",
+            F.floor(F.col("x10") / cell).cast("long"),
+            F.floor(F.col("y10") / cell).cast("long"),
+        ).alias("cell"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    left = (
+        pts.select(
+            F.col("k").alias("k_a"),
+            F.col("x10").alias("xa"),
+            F.col("y10").alias("ya"),
+            F.explode(offsets).alias("o"),
+        )
+        .select(
+            "k_a",
+            "xa",
+            "ya",
+            F.concat_ws(
+                ":",
+                (F.floor(F.col("xa") / cell) + F.col("o.dx")).cast("long"),
+                (F.floor(F.col("ya") / cell) + F.col("o.dy")).cast("long"),
+            ).alias("cell"),
+        )
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        left.join(right, "cell")
+        .where((F.col("k_a") < F.col("k_b")) & (d2 <= cell * cell))
+        .select(
+            F.col("k_a").alias("key_a"),
+            F.col("k_b").alias("key_b"),
+            d2.cast("long").alias("dist2_10"),
+            F.round(F.sqrt(d2.cast("double")) / 10, 6).alias("dist"),
+        )
+        .orderBy("key_a", "key_b")
+    )
