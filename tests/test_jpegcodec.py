@@ -401,3 +401,36 @@ def test_synth_jpeg_mode_rules():
         )
         assert meta["progressive"] == (doc_id % 3 == 0), doc_id
         assert meta["restart_interval"] == (2 if doc_id % 5 == 2 else 0), doc_id
+
+
+# ---------------------------------------------------------------------------
+# property: ANY quantized coefficient content round-trips bit-exactly
+# through BOTH coding modes and any restart interval
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    ncomp=st.sampled_from([1, 3]),
+    progressive=st.booleans(),
+    ri=st.sampled_from([0, 1, 3]),
+)
+def test_property_coeff_roundtrip_all_modes(seed, ncomp, progressive, ri):
+    rng = np.random.default_rng(seed)
+    wb, hb = int(rng.integers(1, 5)), int(rng.integers(1, 5))
+    planes = []
+    for _ in range(ncomp):
+        p = np.zeros((hb, wb, 64), dtype=np.int64)
+        mask = rng.random((hb, wb, 64)) < rng.uniform(0.02, 0.6)
+        p[mask] = rng.integers(-200, 201, int(mask.sum()))
+        planes.append(p)
+    payload = encode_jpeg(
+        planes, 8 * wb, 8 * hb, progressive=progressive, restart_interval=ri
+    )
+    out, w, h, _, _ = decode_jpeg_coeffs(payload)
+    assert (w, h) == (8 * wb, 8 * hb)
+    for a, b in zip(planes, out):
+        np.testing.assert_array_equal(a, b)

@@ -268,3 +268,64 @@ def test_commit_idempotent_drops_redelivery(spark, tmp_path):
     assert tl.txn_applied("app-0") and not tl.txn_applied("app-1")
     v2 = tl.commit_idempotent("app-1", "stream-append", add=tl.stage_data(df, n_files=1))
     assert v2 == 1 and tl.read(spark).count() == 20
+
+
+# ---------------------------------------------------------------------------
+# property: the folded snapshot at EVERY version equals a plain-python
+# model fold, across random add/remove sequences that cross checkpoint
+# boundaries, including after vacuum
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    steps=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "rewrite", "prune"]),
+            st.integers(1, 3),
+        ),
+        min_size=1,
+        max_size=_CHECKPOINT_EVERY * 2 + 3,
+    ),
+    retain=st.integers(1, 6),
+)
+def test_property_replay_matches_model(steps, retain):
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        tl = TxLog(td + "/t").create()
+        model: list[set] = []  # active set per version
+        counter = 0
+        active: set = set()
+        for kind, n in steps:
+            adds, removes = [], []
+            if kind == "append":
+                for _ in range(n):
+                    counter += 1
+                    adds.append({"file": f"data/f{counter}.parquet",
+                                 "stats": {"k": [counter, counter]}})
+            elif kind == "rewrite":
+                removes = sorted(active)[:n]
+                counter += 1
+                adds = [{"file": f"data/f{counter}.parquet"}]
+            else:  # prune: pure removes
+                removes = sorted(active)[-n:]
+            tl.commit(kind, add=adds, remove=removes)
+            active = (active | {a["file"] for a in adds}) - set(removes)
+            model.append(set(active))
+        for v, expect in enumerate(model):
+            assert set(tl.active_files(v)) == expect, v
+        # vacuum, then retained versions must still match the model
+        tl.vacuum(retain_versions=retain)
+        latest = tl.latest_version()
+        cutoff = max(0, latest - retain + 1)
+        for v in range(cutoff, latest + 1):
+            assert set(tl.active_files(v)) == model[v], v
+        # stats survive vacuum through the pinned checkpoint
+        _, stats = tl._replay(latest)
+        for f in tl.active_files(latest):
+            num = int(f[6:-8].lstrip("f") or 0)
+            if f.startswith("data/f") and "stats" in str(stats.get(f, "")):
+                assert stats[f]["k"] == [num, num]
