@@ -439,3 +439,105 @@ def p_audio_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id BIGINT, n_samples BIGINT, sum_decoded BIGINT, "
         "sum_abs_err BIGINT, max_abs_err BIGINT",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p_audio_resample — sample-rate conversion, the audio-preprocessing
+# step every speech corpus runs (16k/8k model input rates): decimate
+# by 2 with a 2-tap box filter, out[i] = floor((s[2i] + s[2i+1]) / 2),
+# in INTEGER arithmetic (numpy // == DuckDB // == floor division, also
+# on negatives) so the oracle predicts every output sample exactly.
+# The resampled signal is re-encoded as a REAL 4 kHz WAV and decoded
+# AGAIN — the ledger reflects the round-tripped container, not an
+# in-memory shortcut. An odd tail sample is dropped (n_out = n // 2),
+# including the n=1 -> 0-frame edge, which must still produce a valid
+# (headers-only) WAV.
+#
+# Scale notes: per-file numpy work inside the same Arrow mapInPandas
+# plumbing as p_audio_decode; a real anti-aliasing FIR would be a
+# convolution per file with identical distribution properties.
+# ---------------------------------------------------------------------------
+@register(
+    "p_audio_resample",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+        CAST(1 + doc_id % 2 AS INT) AS n_channels,
+        CAST(1 + (doc_id * 13) % 256 AS INT) AS n_in
+      FROM documents),
+    d2 AS (SELECT doc_id, n_channels, n_in, n_in // 2 AS n_out FROM dims),
+    sums AS (
+      SELECT doc_id,
+        CASE WHEN n_out > 0 THEN
+          list_sum(list_transform(generate_series(0, n_out - 1), i ->
+            CAST(floor(((((doc_id * 31 + (2*i) * 7) % 4001) - 2000)
+             + (((doc_id * 31 + (2*i+1) * 7) % 4001) - 2000)) / 2.0)
+             AS BIGINT)))
+        END AS sum_ch0,
+        CASE WHEN n_channels = 2 AND n_out > 0 THEN
+          list_sum(list_transform(generate_series(0, n_out - 1), i ->
+            CAST(floor(((((doc_id * 31 + (2*i) * 7 + 97) % 4001) - 2000)
+             + (((doc_id * 31 + (2*i+1) * 7 + 97) % 4001) - 2000)) / 2.0)
+             AS BIGINT)))
+        END AS sum_ch1
+      FROM d2)
+    SELECT d.doc_id, 4000 AS sample_rate, d.n_channels,
+      d.n_in AS n_frames_in, CAST(d.n_out AS INT) AS n_frames_out,
+      CAST(44 + 2 * d.n_channels * d.n_out AS BIGINT) AS n_bytes_out,
+      CAST(s.sum_ch0 AS BIGINT) AS sum_ch0,
+      CAST(s.sum_ch1 AS BIGINT) AS sum_ch1
+    FROM d2 d JOIN sums s USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def p_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the real WAV fixtures, decimate 8 kHz -> 4 kHz with an
+    exact integer box filter, re-encode at the new rate, decode again,
+    and report the round-tripped container + per-channel sums."""
+    import pandas as pd
+
+    from pyspark import cloudpickle as _cp
+    import hive_clone_spark.pipeline.audiocodec as _mod
+
+    _cp.register_pickle_by_value(_mod)
+
+    ids = spread(table(spark, sf_dir, "documents").select("doc_id"))
+
+    def resample_batches(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                doc_id = int(i)
+                rate, samples = decode_wav(synth_wav(doc_id))
+                n, c = samples.shape
+                n_out = n // 2
+                pairs = samples[: 2 * n_out].astype(np.int64)
+                out = (pairs[0::2] + pairs[1::2]) // 2  # floor division
+                wav2 = encode_wav(out.astype(np.int16), rate // 2)
+                rate2, back = decode_wav(wav2)
+                sums = back.astype(np.int64).sum(axis=0)
+                rows.append(
+                    (
+                        doc_id,
+                        rate2,
+                        c,
+                        n,
+                        int(back.shape[0]),
+                        len(wav2),
+                        int(sums[0]) if n_out > 0 else None,
+                        int(sums[1]) if (c == 2 and n_out > 0) else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_channels", "n_frames_in",
+                    "n_frames_out", "n_bytes_out", "sum_ch0", "sum_ch1",
+                ],
+            )
+
+    schema = (
+        "doc_id BIGINT, sample_rate INT, n_channels INT, n_frames_in INT, "
+        "n_frames_out INT, n_bytes_out BIGINT, sum_ch0 BIGINT, sum_ch1 BIGINT"
+    )
+    return ids.mapInPandas(resample_batches, schema).orderBy("doc_id")
