@@ -305,3 +305,113 @@ def p_video_framestats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id BIGINT, frame_idx INT, sum_y BIGINT, sum_u BIGINT, sum_v BIGINT"
     )
     return payloads.mapInPandas(frame_batches, schema).orderBy("doc_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# p_video_scene_detect — shot/scene-cut detection, the sampling
+# primitive of every video-training pipeline (pick one keyframe per
+# scene instead of every Nth frame): decode the real .y4m stream and
+# flag a cut wherever the mean absolute luma difference between
+# consecutive frames crosses a threshold.
+#
+# Fixture rule (the DC-exact strategy: flat frames keep a REAL decoder
+# + REAL per-pixel MAD under an exactly-predicting oracle):
+#   n = 4 + doc_id % 5 frames; a CUT precedes frame f iff
+#   (doc_id + f) % 3 == 0; scene(f) = cuts in 1..f;
+#   luma(f) = (doc_id*31 + 97*scene(f) + 2*f) % 256 (constant plane).
+# Intra-scene MAD is a small drift (|Δ|≈2), cuts jump by ~97 (mod
+# wrap), threshold 20 separates them — every doc has discriminating
+# cut AND non-cut transitions.
+#
+# Scale notes: per-payload sequential frame walk (format-inherent),
+# vectorized |Y_f - Y_{f-1}| over the plane, same Arrow plumbing as
+# p_video_decode; only (doc, frame) cut rows return to the JVM.
+# ---------------------------------------------------------------------------
+def synth_y4m_scenes(doc_id: int) -> bytes:
+    n = 4 + doc_id % 5
+    w = 2 + doc_id % 16
+    h = 2 + (doc_id * 5) % 12
+    frames = []
+    scene = 0
+    for f in range(n):
+        if f > 0 and (doc_id + f) % 3 == 0:
+            scene += 1
+        val = (doc_id * 31 + 97 * scene + 2 * f) % 256
+        y = np.full((h, w), val, dtype=np.uint8)
+        u = np.full((h, w), 128, dtype=np.uint8)
+        v = np.full((h, w), 128, dtype=np.uint8)
+        frames.append((y, u, v))
+    return encode_y4m(frames)
+
+
+_SCENE_THRESHOLD = 20
+
+
+@register(
+    "p_video_scene_detect",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 5 AS n FROM documents),
+    mads AS (
+      SELECT doc_id, n,
+        list_transform(generate_series(1, n - 1), f ->
+          abs(
+            CAST((doc_id*31
+              + 97 * len(list_filter(generate_series(1, f),
+                                     g -> (doc_id + g) % 3 = 0))
+              + 2*f) % 256 AS BIGINT)
+            - CAST((doc_id*31
+              + 97 * len(list_filter(generate_series(1, f - 1),
+                                     g -> (doc_id + g) % 3 = 0))
+              + 2*(f-1)) % 256 AS BIGINT))) AS mad
+      FROM dims)
+    SELECT doc_id,
+      CAST(n AS INT) AS n_frames,
+      CAST(len(list_filter(mad, m -> m >= 20)) AS BIGINT) AS n_cuts,
+      CAST(list_sum(mad) AS BIGINT) AS sum_mad
+    FROM mads ORDER BY doc_id
+    """,
+)
+def p_video_scene_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode real .y4m fixtures and detect scene cuts from consecutive
+    frame luma MADs; the oracle predicts every MAD and cut exactly."""
+    import pandas as pd
+
+    from pyspark import cloudpickle as _cp
+    import hive_clone_spark.pipeline.videocodec as _mod
+
+    _cp.register_pickle_by_value(_mod)
+
+    ids = spread(table(spark, sf_dir, "documents").select("doc_id"))
+
+    def detect_batches(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                doc_id = int(i)
+                _w, _h, _fps, frames = decode_y4m(synth_y4m_scenes(doc_id))
+                mads = []
+                for a, b in zip(frames, frames[1:]):
+                    diff = np.abs(
+                        a[0].astype(np.int64) - b[0].astype(np.int64)
+                    )
+                    # flat fixtures make the mean integer-exact; real
+                    # footage would round — keep the raw mean here and
+                    # assert integrality instead of hiding a float
+                    m = diff.mean()
+                    assert m == int(m)
+                    mads.append(int(m))
+                rows.append(
+                    (
+                        doc_id,
+                        len(frames),
+                        sum(1 for m in mads if m >= _SCENE_THRESHOLD),
+                        sum(mads),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "n_cuts", "sum_mad"]
+            )
+
+    schema = "doc_id BIGINT, n_frames INT, n_cuts BIGINT, sum_mad BIGINT"
+    return ids.mapInPandas(detect_batches, schema).orderBy("doc_id")
