@@ -1361,3 +1361,108 @@ def p_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_url")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup (average hash): the IMAGE leg of near-dup
+# detection — re-encoded/resized copies of a picture keep their
+# block-luma STRUCTURE, so a 1-bit-per-block signature (block mean >
+# image mean) collides for perceptual duplicates while raw-byte
+# hashing sees different files. Operates on the REAL JPEG fixtures:
+# decode_jpeg_coeffs gives the luma DC plane (exactly the 8x
+# box-downsampled image, which is what production aHash computes by
+# resizing), the hash is sign-of(DC*n - sum) per block — integer
+# cross-multiplied, so the oracle predicts every bit — and duplicate
+# groups are counted per (dims, hash) key.
+#
+# The fixture DC rule is periodic in doc_id (mod 17 pattern x mod-8/6
+# dims), so the corpus contains GENUINE duplicate groups (sizes 2..63
+# at sf0.01) and singletons — both paths discriminating.
+#
+# Scale design: per-image decode + hash is scan-stage Arrow work; the
+# dedup is ONE shuffle on the (dims, hash) key — hash values are
+# 8-byte ints, the ideal shuffle key. Near-dup (Hamming <= t) extends
+# this with band-of-bits bucketing, exactly p_dedup_simhash's plan.
+# ---------------------------------------------------------------------------
+@register(
+    "p_image_ahash_dedup",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 = 3 THEN 2 * (1 + doc_id % 3)
+             ELSE 1 + doc_id % 8 END AS wb,
+        CASE WHEN doc_id % 4 = 3 THEN 2 * (1 + (doc_id // 4) % 3)
+             ELSE 1 + (doc_id * 3) % 6 END AS hb
+      FROM documents),
+    sums AS (
+      SELECT doc_id, wb, hb,
+        list_sum(list_transform(generate_series(0, wb*hb - 1), k ->
+          ((doc_id + 11*(k % wb) + 5*(k // wb)) % 17) - 8)) AS sum_dc
+      FROM dims),
+    hashes AS (
+      SELECT doc_id, wb, hb,
+        CAST(list_sum(list_transform(generate_series(0, wb*hb - 1), k ->
+          CASE WHEN (wb*hb)
+                    * (((doc_id + 11*(k % wb) + 5*(k // wb)) % 17) - 8)
+                    > sum_dc
+               THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END))
+          AS BIGINT) AS ahash
+      FROM sums)
+    SELECT doc_id, ahash,
+      CAST(COUNT(*) OVER (PARTITION BY wb, hb, ahash) AS BIGINT)
+        AS group_size,
+      COUNT(*) OVER (PARTITION BY wb, hb, ahash) > 1 AS is_dup
+    FROM hashes
+    ORDER BY doc_id
+    """,
+)
+def p_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the real JPEG fixtures to luma DC planes, hash each image
+    to a 1-bit-per-block signature, and count perceptual-duplicate
+    groups on the (dims, hash) key."""
+    import pandas as pd
+
+    from pyspark import cloudpickle as _cp
+    import hive_clone_spark.pipeline.jpegcodec as _jmod
+
+    _cp.register_pickle_by_value(_jmod)
+    from hive_clone_spark.pipeline.common import spread
+    from hive_clone_spark.pipeline.jpegcodec import (
+        decode_jpeg_coeffs,
+        synth_jpeg,
+    )
+    from pyspark.sql.window import Window
+
+    ids = spread(table(spark, sf_dir, "documents").select("doc_id"))
+
+    def hash_batches(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                doc_id = int(i)
+                planes, w, h, _, _ = decode_jpeg_coeffs(synth_jpeg(doc_id))
+                dc = planes[0][:, :, 0]  # luma DC = 8x-downsampled image
+                hb, wb = dc.shape
+                flat = dc.reshape(-1)
+                n = flat.size
+                s = int(flat.sum())
+                bits = (n * flat > s).astype(np.int64)
+                ahash = int((bits << np.arange(n, dtype=np.int64)).sum())
+                rows.append((doc_id, wb, hb, ahash))
+            yield pd.DataFrame(rows, columns=["doc_id", "wb", "hb", "ahash"])
+
+    hashed = ids.mapInPandas(
+        hash_batches, "doc_id BIGINT, wb INT, hb INT, ahash BIGINT"
+    )
+    grp = Window.partitionBy("wb", "hb", "ahash")
+    return (
+        hashed.select(
+            "doc_id",
+            "ahash",
+            F.count("*").over(grp).alias("group_size"),
+            (F.count("*").over(grp) > 1).alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
