@@ -129,3 +129,65 @@ def q61_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_view_id").alias("view_id"),
         (F.unix_micros("ts") - F.unix_micros("r_ts")).alias("gap_us"),
     ).orderBy("click_id")
+
+
+# ---------------------------------------------------------------------------
+# Q132 — as-of join with a TOLERANCE bound (pandas merge_asof's
+# `tolerance`, kdb's windowed join): the most recent prior view counts
+# only if it happened within the last hour; staler matches become
+# NULL. This is the semantically-honest form for attribution windows —
+# an unbounded as-of silently credits a week-old view.
+#
+# Composition, not reimplementation: the same single-shuffle
+# merge-scan asof_join runs first, then the bound is a row-local
+# CASE on the carried gap — zero extra shuffles, so the tolerance
+# costs nothing at any scale. matched=FALSE rows keep the left side
+# (it's a LEFT join); every column nulls together because the carry is
+# one struct.
+# ---------------------------------------------------------------------------
+_ASOF_TOL_US = 3_600_000_000  # 1 hour
+
+
+@register(
+    "q132_asof_tolerance_join",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, ts, MAX(event_id) AS view_id
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts
+      FROM events WHERE event_type = 'click'),
+    j AS (
+      SELECT c.click_id, c.user_id, c.ts AS cts, v.view_id,
+        epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+      FROM c ASOF LEFT JOIN v
+        ON c.user_id = v.user_id AND v.ts <= c.ts)
+    SELECT click_id, user_id,
+      strftime(cts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+      CASE WHEN gap_us <= {_ASOF_TOL_US} THEN view_id END AS view_id,
+      CASE WHEN gap_us <= {_ASOF_TOL_US} THEN gap_us END AS gap_us,
+      COALESCE(gap_us <= {_ASOF_TOL_US}, FALSE) AS matched
+    FROM j ORDER BY click_id
+    """,
+)
+def q132_asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    views = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    joined = asof_join(clicks, views, on="user_id")
+    gap = F.unix_micros("ts") - F.unix_micros("r_ts")
+    in_tol = gap <= F.lit(_ASOF_TOL_US)
+    return joined.select(
+        "click_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.when(in_tol, F.col("r_view_id")).alias("view_id"),
+        F.when(in_tol, gap).alias("gap_us"),
+        F.coalesce(in_tol, F.lit(False)).alias("matched"),
+    ).orderBy("click_id")
