@@ -259,3 +259,88 @@ def chunk_arrays(toks: DataFrame) -> DataFrame:
         chashes.alias("chashes"),
         clens.alias("clens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# p_chunk_sliding — fixed-size sliding-window chunking with overlap
+# (window 32 tokens, stride 24 -> 8-token overlap; sized to the
+# 10-99-token fixture docs so every document exercises the multi-chunk
+# path — production uses 128/96 with identical plumbing): the RAG /
+# retrieval-index chunker, complementing CDC. Fixed windows give
+# uniform embedding inputs; the overlap keeps answers that straddle a
+# boundary findable. Chunk identity is a portable hash of the joined
+# token slice, so downstream chunk-level dedup (p_dedup_chunk's plan)
+# composes directly.
+#
+# Scale design: pure scan-stage array HOFs — split once, explode the
+# per-document chunk index range, slice + join + hash per chunk; zero
+# joins, zero pre-aggregation shuffles (the explode multiplies rows
+# ~n_tok/96x, the embedding fan-out every RAG pipeline pays by
+# design). Ordering is the only shuffle and belongs to the oracle
+# comparison, not the operator.
+# ---------------------------------------------------------------------------
+_CHUNK_W = 32
+_CHUNK_STRIDE = 24
+
+
+@register(
+    "p_chunk_sliding",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {SQL_WORDS.format(expr="text")} AS ws FROM documents),
+    dims AS (
+      SELECT doc_id, ws, len(ws) AS n_tok,
+        1 + (CASE WHEN len(ws) > {_CHUNK_W}
+              THEN (len(ws) - {_CHUNK_W} + {_CHUNK_STRIDE} - 1)
+                   // {_CHUNK_STRIDE}
+              ELSE 0 END) AS n_chunks
+      FROM toks WHERE len(ws) > 0),
+    chunks AS (
+      SELECT doc_id, n_tok, n_chunks,
+        unnest(generate_series(0, n_chunks - 1)) AS ci
+      FROM dims),
+    sliced AS (
+      SELECT c.doc_id, c.ci, c.n_chunks,
+        list_slice(t.ws, c.ci * {_CHUNK_STRIDE} + 1,
+                   c.ci * {_CHUNK_STRIDE} + {_CHUNK_W}) AS body
+      FROM chunks c JOIN toks t ON c.doc_id = t.doc_id)
+    SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+      CAST(ci * {_CHUNK_STRIDE} AS BIGINT) AS start_tok,
+      CAST(len(body) AS INT) AS n_tok,
+      (('0x' || substr(md5(array_to_string(body, ' ')), 1, 15))::BIGINT)
+        AS chunk_hash
+    FROM sliced
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def p_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = d.select("doc_id", words_col(F.col("text")).alias("ws")).where(
+        F.size("ws") > 0
+    )
+    n_chunks = F.lit(1) + F.when(
+        F.size("ws") > _CHUNK_W,
+        F.floor(
+            (F.size("ws") - _CHUNK_W + _CHUNK_STRIDE - 1) / _CHUNK_STRIDE
+        ).cast("int"),
+    ).otherwise(F.lit(0))
+    exploded = ws.select(
+        "doc_id",
+        "ws",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    body = F.slice(
+        F.col("ws"), F.col("chunk_idx") * _CHUNK_STRIDE + 1, _CHUNK_W
+    )
+    return (
+        exploded.select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            (F.col("chunk_idx").cast("long") * _CHUNK_STRIDE).alias(
+                "start_tok"
+            ),
+            F.size(body).alias("n_tok"),
+            portable_hash(F.array_join(body, " ")).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
