@@ -3558,3 +3558,120 @@ def q131_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_a", "key_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q133 — event-transition matrix (first-order Markov counts): per user,
+# order events by time and count every (event_type -> next event_type)
+# transition across the corpus — the "what do users do after X"
+# product-analytics query, and the raw material of next-action models.
+# Tie-break by event_id so simultaneous events order deterministically
+# in both engines.
+#
+# Scale design: ONE user-partitioned window (lead over (ts, event_id))
+# — state bounded per user, no self-join of the event stream — then a
+# map-side-combinable groupBy on the 25-cell (from, to) key.
+# ---------------------------------------------------------------------------
+@register(
+    "q133_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+        LEAD(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS to_type
+      FROM events)
+    SELECT from_type, to_type,
+      CAST(COUNT(*) AS BIGINT) AS n_transitions,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    ORDER BY from_type, to_type
+    """,
+)
+def q133_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    return (
+        seq.where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q134 — time-weighted average value (TWAP) per user: each event's
+# value holds until the next event, so its weight is that interval in
+# microseconds (integer-exact); the last event carries no weight.
+# Plain AVG over irregular samples overweights bursty periods — TWAP
+# is the honest aggregate for sampled gauges (prices, sensor levels).
+#
+# Determinism: value is decimal-cast to 6 places, weights are BIGINT
+# micros, the weighted sum is exact DECIMAL arithmetic in both engines
+# and ONE double division happens at the very end.
+#
+# Scale design: one user-partitioned lead window + one groupBy on the
+# same key — the partitioning is reused, so a single shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "q134_time_weighted_average",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, CAST(value AS DECIMAL(18,6)) AS v,
+        epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id))
+          - epoch_us(ts) AS w_us
+      FROM events),
+    agg AS (
+      SELECT user_id,
+        SUM(v * w_us) AS wsum,
+        SUM(w_us) AS wtot,
+        COUNT(*) AS n_events
+      FROM seq WHERE w_us IS NOT NULL
+      GROUP BY user_id)
+    SELECT user_id,
+      CAST(n_events AS BIGINT) AS n_intervals,
+      CAST(wtot AS BIGINT) AS span_us,
+      ROUND(CAST(wsum AS DOUBLE) / CAST(wtot AS DOUBLE), 6) AS twap
+    FROM agg ORDER BY user_id
+    """,
+)
+def q134_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "value", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias(
+            "w_us"
+        ),
+    )
+    agg = (
+        seq.where(F.col("w_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("v") * F.col("w_us")).alias("wsum"),
+            F.sum("w_us").alias("wtot"),
+            F.count("*").alias("n_intervals"),
+        )
+    )
+    return agg.select(
+        "user_id",
+        F.col("n_intervals").cast("long").alias("n_intervals"),
+        F.col("wtot").cast("long").alias("span_us"),
+        F.round(
+            F.col("wsum").cast("double") / F.col("wtot").cast("double"), 6
+        ).alias("twap"),
+    ).orderBy("user_id")
