@@ -195,6 +195,27 @@ def main() -> None:
     # degraded = budget-forced below the ADAPTIVE target (a 1-run heavy
     # query that targeted 1 run is by-design, not degraded)
     degraded = sorted(n for n, s in runs.items() if len(s) < targets.get(n, RUNS))
+    # contention self-diagnosis: total over the queries SHARED with the
+    # committed baseline, as a ratio. A clean run sits near 1.0; a run
+    # contended by another JVM (or a cold-degraded cascade) reads well
+    # above it — the recorded JSON then explains itself instead of
+    # looking like a 1.4x regression (observed: 254 s contended vs
+    # 183 s clean on identical code).
+    vs_baseline = None
+    try:
+        base = json.loads(
+            (Path(__file__).resolve().parent / "tools" / "bench_baseline.json")
+            .read_text()
+        )
+        shared = set(medians) & set(base.get("queries", {}))
+        if shared and base.get("sf") == sf:
+            vs_baseline = round(
+                sum(medians[q] for q in shared)
+                / sum(base["queries"][q] for q in shared),
+                3,
+            )
+    except (OSError, ValueError, ZeroDivisionError):
+        pass
     detail_path = Path(__file__).resolve().parent / "bench_detail.json"
     detail_path.write_text(
         json.dumps(
@@ -209,6 +230,7 @@ def main() -> None:
                 "recycle_every": RECYCLE_EVERY,
                 "degraded_queries": degraded,
                 "cold_only_queries": cold_only,
+                "vs_baseline_ratio": vs_baseline,
                 "sf": sf,
                 "config": {
                     "spark_version": spark.version,
@@ -239,6 +261,7 @@ def main() -> None:
                 "n_queries": len(medians),
                 "runs": RUNS,
                 "n_degraded": len(degraded),
+                "vs_baseline_ratio": vs_baseline,
                 "sf": sf,
             }
         )
