@@ -359,6 +359,113 @@ class TxLog:
             raise ValueError("txlog: empty table")
         return spark.read.parquet(*files)
 
+    def change_feed(
+        self,
+        spark: SparkSession,
+        key: str,
+        from_version: int = -1,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Row-level change-data feed derived purely from commit
+        actions (Delta's CHANGE DATA FEED, reconstructed): for every
+        commit in (from_version, to_version], read ONLY the files that
+        commit added/removed and diff them on ``key`` (assumed unique
+        per snapshot — the table's primary key). Copy-on-write rewrites
+        carry the untouched rows on both sides, so the full-outer join
+        cancels them and what survives is exactly the row-level change:
+
+          * key only in added files          -> ``insert``
+          * key only in removed files        -> ``delete``
+          * key on both sides, rows differ   -> ``update_preimage``
+                                                + ``update_postimage``
+
+        Scale design: feed cost is proportional to the files each
+        commit TOUCHED (which stats-based skipping already minimized),
+        never to table size — the whole point of deriving CDC from the
+        log instead of diffing two snapshots (q91/q74 diff snapshots;
+        at 100 TB that is two full scans per feed pull, this is not).
+        The per-commit join shuffles only rewritten rows on the key.
+        """
+        if to_version is None:
+            to_version = self.latest_version()
+        feeds: list[DataFrame] = []
+        for v in self.versions():
+            if v <= from_version or v > to_version:
+                continue
+            c = self._read_commit(v)
+            adds = [a["file"] for a in c.get("add", [])]
+            removes = c.get("remove", [])
+            a_df = (
+                spark.read.parquet(*[str(self.root / f) for f in adds])
+                if adds
+                else None
+            )
+            r_df = (
+                spark.read.parquet(*[str(self.root / f) for f in removes])
+                if removes
+                else None
+            )
+            if a_df is None and r_df is None:
+                continue
+            ver = F.lit(v).cast("long").alias("_version")
+            if r_df is None:
+                feeds.append(
+                    a_df.select(
+                        ver, F.lit("insert").alias("_change_type"), "*"
+                    )
+                )
+                continue
+            if a_df is None:
+                feeds.append(
+                    r_df.select(
+                        ver, F.lit("delete").alias("_change_type"), "*"
+                    )
+                )
+                continue
+            cols = a_df.columns
+            a = a_df.select(
+                F.col(key).alias("__k_a"), F.struct(*cols).alias("__row_a")
+            )
+            r = r_df.select(
+                F.col(key).alias("__k_r"), F.struct(*cols).alias("__row_r")
+            )
+            change = F.struct  # (tag, row) pairs, exploded below
+
+            def _tagged(tag: str, row: str):
+                return change(
+                    F.lit(tag).alias("ct"), F.col(row).alias("row")
+                )
+
+            feeds.append(
+                r.join(a, r["__k_r"] == a["__k_a"], "full_outer")
+                .select(
+                    F.when(
+                        F.col("__k_r").isNull(),
+                        F.array(_tagged("insert", "__row_a")),
+                    )
+                    .when(
+                        F.col("__k_a").isNull(),
+                        F.array(_tagged("delete", "__row_r")),
+                    )
+                    .when(
+                        ~F.col("__row_a").eqNullSafe(F.col("__row_r")),
+                        F.array(
+                            _tagged("update_preimage", "__row_r"),
+                            _tagged("update_postimage", "__row_a"),
+                        ),
+                    )
+                    # unchanged rows: no otherwise() -> NULL array, and
+                    # explode(NULL) emits zero rows — they cancel here
+                    .alias("cs")
+                )
+                .select(F.explode("cs").alias("c"))
+                .select(ver, F.col("c.ct").alias("_change_type"), "c.row.*")
+            )
+        out = feeds[0]
+        for f in feeds[1:]:
+            out = out.unionByName(f)
+        return out
+
 
 def _warehouse_dir(sf_dir: str, name: str) -> str:
     # same (entry, sf, pid) isolation contract as sources/queries.py
@@ -910,4 +1017,116 @@ def q128_stream_txlog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(bool(skipped)).alias("redelivery_skipped"),
         )
         .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q135 — change-data feed FROM THE COMMIT LOG: v0 stages orders into
+# stats-carrying bucket files, v1 is a row-level copy-on-write DELETE
+# (keys % 97 == 0 inside [m/4, m/2]), v2 is a MERGE that doubles the
+# price of every key in (m/2, 3m/4] and inserts 50 brand-new keys.
+# change_feed() then reconstructs the row-level history of v1..v2 by
+# reading ONLY each commit's touched files and letting the full-outer
+# join cancel the copy-on-write passengers. The oracle predicts every
+# (version, change_type) cell — count AND decimal price sum (the
+# postimage sum is exactly 2x the preimage sum; doubling is exact in
+# both double and decimal arithmetic) — from the construction rules
+# alone, so a feed that leaks unchanged rows, drops a preimage, or
+# reads a wrong file set fails the hash.
+#
+# Scale design: this is the q91/q74 CDC semantics at log cost instead
+# of snapshot cost — two full-table scans per feed pull become a scan
+# of just the rewritten files, which stats-based skipping (q98) already
+# bounded to the buckets intersecting the predicate.
+# ---------------------------------------------------------------------------
+_CDF_INSERTS = 50
+
+
+@register(
+    "q135_txlog_change_feed",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+    del AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+      FROM orders, mx
+      WHERE o_orderkey % 97 = 0 AND o_orderkey BETWEEN m // 4 AND m // 2),
+    upd AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+      FROM orders, mx
+      WHERE o_orderkey BETWEEN (m // 2) + 1 AND (3 * m) // 4)
+    SELECT CAST(1 AS BIGINT) AS version, 'delete' AS change_type,
+      n AS n_rows, CAST(s AS DOUBLE) AS sum_price FROM del
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'insert', CAST({_CDF_INSERTS} AS BIGINT),
+      CAST(CAST({_CDF_INSERTS} * 50.00 AS DECIMAL(18,2)) AS DOUBLE)
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'update_postimage', n, CAST(s * 2 AS DOUBLE)
+    FROM upd
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'update_preimage', n, CAST(s AS DOUBLE)
+    FROM upd
+    ORDER BY version, change_type
+    """,
+)
+def q135_txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tl, m = _stage_bucketed_orders(spark, sf_dir, "txlog_q135")
+    # v1: row-level delete (q125's protocol, different predicate)
+    lo1, hi1 = m // 4, m // 2
+    condemned = (F.col("o_orderkey") % 97 == 0) & F.col("o_orderkey").between(
+        lo1, hi1
+    )
+    expected = tl.latest_version()
+    _all, affected = tl.scan_files("o_orderkey", lo1, hi1, version=expected)
+    aff_df = spark.read.parquet(*[str(tl.root / f) for f in affected])
+    survivors = _with_bucket(aff_df.where(~condemned).drop("bucket"), m)
+    tl.commit(
+        "delete",
+        add=tl.stage_data_partitioned(
+            survivors, "bucket", _bucket_stats(survivors)
+        ),
+        remove=affected,
+        expected_version=expected,
+    )
+    # v2: MERGE — double prices in (m/2, 3m/4], insert 50 new keys
+    lo2, hi2 = (m // 2) + 1, (3 * m) // 4
+    expected = tl.latest_version()
+    _all, affected = tl.scan_files("o_orderkey", lo2, hi2, version=expected)
+    aff_df = spark.read.parquet(*[str(tl.root / f) for f in affected])
+    rewritten = _with_bucket(
+        aff_df.drop("bucket").withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey").between(lo2, hi2),
+                F.col("o_totalprice") * 2,
+            ).otherwise(F.col("o_totalprice")),
+        ),
+        m,
+    )
+    inserts = spark.range(1, _CDF_INSERTS + 1).select(
+        (F.lit(m) + F.col("id")).alias("o_orderkey"),
+        F.lit(50.0).alias("o_totalprice"),
+    )
+    ins_adds = tl.stage_data(_with_bucket(inserts, m), n_files=1)
+    for a in ins_adds:
+        a["stats"] = {"o_orderkey": [m + 1, m + _CDF_INSERTS]}
+    tl.commit(
+        "merge",
+        add=tl.stage_data_partitioned(rewritten, "bucket", _bucket_stats(rewritten))
+        + ins_adds,
+        remove=affected,
+        expected_version=expected,
+    )
+    feed = tl.change_feed(spark, "o_orderkey", from_version=0)
+    return (
+        feed.groupBy(
+            F.col("_version").alias("version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+        .orderBy("version", "change_type")
     )

@@ -329,3 +329,46 @@ def test_property_replay_matches_model(steps, retain):
             num = int(f[6:-8].lstrip("f") or 0)
             if f.startswith("data/f") and "stats" in str(stats.get(f, "")):
                 assert stats[f]["k"] == [num, num]
+
+
+def test_change_feed_classification(spark, tmp_path):
+    """insert / delete / update pre+post classified per commit;
+    copy-on-write passengers (unchanged rows) cancel out."""
+    from pyspark.sql import functions as F
+
+    tl = _mk(tmp_path)
+    base = spark.range(1, 7).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    tl.append(base, n_files=1)  # v0: k=1..6
+    # v1: copy-on-write rewrite of the whole file — delete k=2,
+    # update k=3 (v 30 -> 31), keep the rest byte-identical
+    rewritten = (
+        tl.read(spark)
+        .where(F.col("k") != 2)
+        .withColumn(
+            "v", F.when(F.col("k") == 3, F.lit(31)).otherwise(F.col("v"))
+        )
+    )
+    tl.commit(
+        "rewrite",
+        add=tl.stage_data(rewritten, n_files=1),
+        remove=tl.active_files(0),
+    )
+    # v2: pure append of k=7
+    tl.append(
+        spark.createDataFrame([(7, 70)], "k long, v long"), n_files=1
+    )
+    feed = tl.change_feed(spark, "k", from_version=0)
+    got = {
+        (r["_version"], r["_change_type"], r["k"], r["v"])
+        for r in feed.collect()
+    }
+    assert got == {
+        (1, "delete", 2, 20),
+        (1, "update_preimage", 3, 30),
+        (1, "update_postimage", 3, 31),
+        (2, "insert", 7, 70),
+    }
+    # bounded window: only v2
+    assert tl.change_feed(spark, "k", from_version=1).count() == 1
