@@ -50,6 +50,7 @@ _CATEGORY = {
     "hive_clone_spark.pipeline.webdataset": "Ingestion: WebDataset",
     "hive_clone_spark.pipeline.sampling": "LLM pipeline: sampling",
     "hive_clone_spark.pipeline.selection": "LLM pipeline: selection / scoring",
+    "hive_clone_spark.sources.avro": "Sources / sinks: Avro (clean-room OCF)",
     "hive_clone_spark.sources.queries": "Sources / sinks",
     "hive_clone_spark.sources.txlog": "Table format (commit log)",
     "hive_clone_spark.sqlapi": "SQL API",
