@@ -497,3 +497,122 @@ def q101_sssp_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", "cost_cents")
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q137 — k-core decomposition: the standard "dense community" peel
+# (repeatedly drop every vertex whose degree among SURVIVORS is < k
+# until fixpoint — Seidman 1983, the building block behind community
+# mining and graph sparsification). The graph is deterministic on the
+# 25 nation keys: a 10-clique (ids < 10) embedded in a portable-md5
+# background (~20% density), so the 5-core is a PROPER nontrivial
+# subset (the clique plus the background vertices it keeps alive —
+# 14 nodes, converging in 4 simultaneous-peel rounds; peripheral
+# vertices cascade out, the exact behavior a fixed-threshold filter
+# gets wrong).
+#
+# Oracle: 8 unrolled MATERIALIZED peel rounds (q101's lesson — without
+# MATERIALIZED, DuckDB inlines the chain and re-expands the subtree
+# 2^8x); extra rounds past convergence are no-ops because the peel is
+# monotone. The Spark side asserts fixpoint within the same budget, so
+# a fixture change that needs more rounds fails loudly on both sides.
+#
+# Scale design: the distributed phase reduces the data to a
+# schema-bounded graph (<= 25 nodes / ~300 edges); the peel itself
+# runs on the driver exactly like q101's Bellman-Ford — at 100 TB the
+# reduction is the parallel work and the peel cost is fixed by the
+# schema, not the data. For corpus-sized graphs the same peel is the
+# q32/q76 iterate-checkpoint shape (degree-filter per round).
+# ---------------------------------------------------------------------------
+_KCORE_K = 5
+_KCORE_ROUNDS = 8
+_KCORE_CLIQUE = 10
+_KCORE_MOD = 5
+
+
+def _kcore_oracle() -> str:
+    hash_expr = (
+        "(('0x' || substr(md5(CAST(a.id AS VARCHAR) || '-' "
+        "|| CAST(b.id AS VARCHAR)), 1, 15))::BIGINT)"
+    )
+    its = []
+    prev = "it0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        its.append(
+            f"it{i} AS MATERIALIZED (SELECT t.id FROM {prev} t "
+            f"JOIN sym s ON s.u = t.id JOIN {prev} t2 ON s.v = t2.id "
+            f"GROUP BY t.id HAVING COUNT(*) >= {_KCORE_K})"
+        )
+        prev = f"it{i}"
+    return f"""
+    WITH nodes AS (SELECT n_nationkey AS id FROM nation),
+    edges AS (
+      SELECT a.id AS u, b.id AS v FROM nodes a JOIN nodes b ON a.id < b.id
+      WHERE (a.id < {_KCORE_CLIQUE} AND b.id < {_KCORE_CLIQUE})
+         OR {hash_expr} % {_KCORE_MOD} = 0),
+    sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    it0 AS MATERIALIZED (SELECT id FROM nodes),
+    {','.join(its)}
+    SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM {prev} t JOIN sym s ON s.u = t.id JOIN {prev} t2 ON s.v = t2.id
+    JOIN nation n ON n.n_nationkey = t.id
+    GROUP BY n.n_name ORDER BY n.n_name
+    """
+
+
+@register("q137_kcore_decomposition", oracle=_kcore_oracle())
+def q137_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_clone_spark.pipeline.common import portable_hash
+
+    n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("id"), "n_name"
+    )
+    a = n.select(F.col("id").alias("u"))
+    b = n.select(F.col("id").alias("v"))
+    edges_df = (
+        a.join(F.broadcast(b), F.col("u") < F.col("v"))
+        .where(
+            ((F.col("u") < _KCORE_CLIQUE) & (F.col("v") < _KCORE_CLIQUE))
+            | (
+                portable_hash(
+                    F.concat_ws(
+                        "-",
+                        F.col("u").cast("string"),
+                        F.col("v").cast("string"),
+                    )
+                )
+                % _KCORE_MOD
+                == 0
+            )
+        )
+        .select("u", "v")
+    )
+    # schema-bounded graph (<= 25 nodes): exact peel on the driver
+    edges = [(int(r["u"]), int(r["v"])) for r in edges_df.collect()]
+    cur = {int(r["id"]) for r in n.select("id").collect()}
+    for _ in range(_KCORE_ROUNDS):
+        deg: dict[int, int] = {x: 0 for x in cur}
+        for u, v in edges:
+            if u in cur and v in cur:
+                deg[u] += 1
+                deg[v] += 1
+        nxt = {x for x in cur if deg[x] >= _KCORE_K}
+        if nxt == cur:
+            break
+        cur = nxt
+    else:
+        raise RuntimeError("kcore: no fixpoint within the round budget")
+    core_deg = {x: 0 for x in cur}
+    for u, v in edges:
+        if u in cur and v in cur:
+            core_deg[u] += 1
+            core_deg[v] += 1
+    out = spark.createDataFrame(
+        sorted(core_deg.items()), "id INT, core_degree BIGINT"
+    )
+    return (
+        out.join(F.broadcast(table(spark, sf_dir, "nation")),
+                 out.id == F.col("n_nationkey"))
+        .select("n_name", "core_degree")
+        .orderBy("n_name")
+    )

@@ -1466,3 +1466,125 @@ def p_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level duplicated-SPAN detection ("Deduplicating Training
+# Data Makes Language Models Better", Lee et al. 2022 — the ExactSubstr
+# variant, re-expressed for Spark): document-level dedup misses the
+# boilerplate case where two DISTINCT documents share a long verbatim
+# passage (licenses, navigation chrome, quoted articles). The
+# distributed formulation replaces the suffix array with rolling
+# 12-word windows: every window is hashed, a window whose hash occurs
+# in >= 2 distinct documents is a duplicated span member, and each doc
+# reports how much of it is covered by shared spans.
+#
+# Fixture: the corpus is documents UNION deterministic "plagiarist"
+# docs (for doc_id % 10 == 0: first 25 words of the doc + first 25
+# words of its successor), so cross-document spans exist BY
+# CONSTRUCTION at every scale factor, in both engines.
+#
+# Scale design (100 TB): windows are hashed to int64 BEFORE the
+# shuffle (never shuffle raw 12-gram strings); the distinct-doc count
+# per hash is a two-step aggregate ((hash, doc) dedup, then count —
+# map-side combinable, no countDistinct expansion); the occurrence
+# join back is an equi-join on the int64 hash. Nothing is all-pairs —
+# cost is linear in corpus windows, the property that makes
+# ExactSubstr feasible where suffix arrays are not.
+# ---------------------------------------------------------------------------
+_SPAN_N = 12
+_SPAN_COPY_WORDS = 25
+
+
+def _substring_corpus_sql() -> str:
+    ws = SQL_WORDS.format(expr="d.text")
+    return f"""
+    base AS (SELECT doc_id, {SQL_WORDS.format(expr="text")} AS ws
+             FROM documents),
+    plag AS (
+      SELECT d1.doc_id + 100000 AS doc_id,
+        list_slice(d1.ws, 1, {_SPAN_COPY_WORDS})
+          || list_slice(d2.ws, 1, {_SPAN_COPY_WORDS}) AS ws
+      FROM base d1 JOIN base d2 ON d2.doc_id = d1.doc_id + 1
+      WHERE d1.doc_id % 10 = 0),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM plag)
+    """.replace(f"{ws}", ws)  # keep f-string simple
+
+
+@register(
+    "p_dedup_substring",
+    oracle=f"""
+    WITH {_substring_corpus_sql()},
+    occ AS (
+      SELECT c.doc_id, {sql_portable_hash("s.win")} AS h
+      FROM corpus c,
+           unnest({sql_shingles("c.ws", _SPAN_N)}) AS s(win)),
+    per_hash AS (
+      SELECT h, COUNT(*) AS nd
+      FROM (SELECT DISTINCT h, doc_id FROM occ) GROUP BY h),
+    dup AS (SELECT h FROM per_hash WHERE nd >= 2),
+    per_doc AS (
+      SELECT o.doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_windows,
+        CAST(COUNT(d.h) AS BIGINT) AS n_dup_windows
+      FROM occ o LEFT JOIN dup d ON o.h = d.h
+      GROUP BY o.doc_id)
+    SELECT doc_id, n_windows, n_dup_windows,
+      ROUND(CAST(n_dup_windows AS DOUBLE) / n_windows, 6) AS dup_ratio
+    FROM per_doc
+    WHERE n_dup_windows > 0
+    ORDER BY doc_id
+    """,
+)
+def p_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", words_col(F.col("text")).alias("ws")
+    )
+    d1 = d.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id1"), F.col("ws").alias("ws1")
+    )
+    d2 = d.select((F.col("doc_id") - 1).alias("id1"), F.col("ws").alias("ws2"))
+    plag = d1.join(d2, "id1").select(
+        (F.col("id1") + 100000).alias("doc_id"),
+        F.concat(
+            F.slice("ws1", 1, _SPAN_COPY_WORDS),
+            F.slice("ws2", 1, _SPAN_COPY_WORDS),
+        ).alias("ws"),
+    )
+    # guard the Spark sequence(1, 0) => [1, 0] descending gotcha: a doc
+    # shorter than the window has zero windows on both engines, but
+    # only Spark's shingle index sequence misbehaves on it
+    corpus = d.unionByName(plag).where(F.size("ws") >= _SPAN_N)
+    occ = corpus.select(
+        "doc_id",
+        F.explode(shingles_col(F.col("ws"), _SPAN_N)).alias("win"),
+    ).select("doc_id", portable_hash(F.col("win")).alias("h"))
+    # two-step distinct-doc count: map-side combinable both steps
+    dup = (
+        occ.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    per_doc = (
+        occ.join(dup.withColumn("hit", F.lit(1)), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count("hit").alias("n_dup_windows"),
+        )
+    )
+    return (
+        per_doc.where(F.col("n_dup_windows") > 0)
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.round(
+                F.col("n_dup_windows").cast("double") / F.col("n_windows"), 6
+            ).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )

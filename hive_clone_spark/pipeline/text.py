@@ -1226,3 +1226,114 @@ def p_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars_decorated") != F.length("nfc")).alias("changed"),
         portable_hash(F.col("nfc")).alias("nfc_hash"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Code-vs-prose detection: training mixes weight code and natural
+# language differently, so a pretraining pipeline needs a cheap,
+# corpus-scale signal for "this document is source code" BEFORE any
+# model-based classifier. Three classic features, all computable at
+# the scan: indentation structure (lines starting with a 4-space
+# block), symbol density ((){}=:* per char), and reserved-word hits —
+# combined into one per-100-chars score with fixed integer weights.
+#
+# Fixture: for doc_id % 7 == 0 the text is replaced by a deterministic
+# Python-shaped snippet (3 repeated 5-line functions parameterized by
+# doc_id), so both classes exist at every SF and the oracle can mirror
+# the construction exactly (newlines built via chr(10) in SQL — DuckDB
+# string literals do NOT interpret backslash escapes).
+#
+# Scale design: zero Python, zero shuffle before the 2-row label
+# aggregate — every feature is a regexp_count/filter at the scan
+# inside whole-stage codegen; the per-doc score never materializes
+# anywhere except as an aggregate input.
+# ---------------------------------------------------------------------------
+_CODE_KW = r"\b(def|return|if|for|while|import|class)\b"
+_CODE_SYM = "[(){}=:*]"
+_CODE_THRESHOLD = 5.0
+
+
+@register(
+    "p_code_detect",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0 THEN
+          repeat('def fn_' || doc_id || '(x):' || chr(10)
+            || '    y = x * ' || (doc_id % 9) || chr(10)
+            || '    if y > 10:' || chr(10)
+            || '        return y' || chr(10)
+            || '    return x' || chr(10), 3)
+        ELSE text END AS text
+      FROM documents),
+    feats AS (
+      SELECT doc_id,
+        len(list_filter(str_split(text, chr(10)), l -> l LIKE '    %'))
+          AS indent_lines,
+        len(regexp_extract_all(text, '{_CODE_SYM}')) AS symbols,
+        len(regexp_extract_all(text, '{_CODE_KW}')) AS keywords,
+        length(text) AS n_chars
+      FROM corpus),
+    scored AS (
+      SELECT doc_id,
+        ROUND((3 * keywords + 2 * indent_lines + symbols) * 100.0
+              / n_chars, 6) AS score
+      FROM feats)
+    SELECT (score >= {_CODE_THRESHOLD}) AS is_code,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      ROUND(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+            / COUNT(*), 6) AS avg_score,
+      CAST(MAX(score) AS DOUBLE) AS max_score
+    FROM scored GROUP BY is_code ORDER BY is_code
+    """,
+)
+def p_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    nl = F.lit("\n")
+    snippet = F.concat(
+        F.lit("def fn_"), F.col("doc_id").cast("string"), F.lit("(x):"), nl,
+        F.lit("    y = x * "), (F.col("doc_id") % 9).cast("string"), nl,
+        F.lit("    if y > 10:"), nl,
+        F.lit("        return y"), nl,
+        F.lit("    return x"), nl,
+    )
+    corpus = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.repeat(snippet, 3))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    scored = corpus.select(
+        "doc_id",
+        F.round(
+            (
+                3 * F.regexp_count("text", F.lit(_CODE_KW))
+                + 2
+                * F.size(
+                    F.filter(
+                        F.split("text", "\n"),
+                        lambda l: l.startswith("    "),
+                    )
+                )
+                + F.regexp_count("text", F.lit(_CODE_SYM))
+            )
+            * 100.0
+            / F.length("text"),
+            6,
+        ).alias("score"),
+    )
+    return (
+        scored.groupBy(
+            (F.col("score") >= _CODE_THRESHOLD).alias("is_code")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_score"),
+            F.max("score").cast("double").alias("max_score"),
+        )
+        .orderBy("is_code")
+    )
