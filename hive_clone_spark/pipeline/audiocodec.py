@@ -541,3 +541,167 @@ def p_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames_out INT, n_bytes_out BIGINT, sum_ch0 BIGINT, sum_ch1 BIGINT"
     )
     return ids.mapInPandas(resample_batches, schema).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Tone detection (Goertzel-by-correlation): classify which pitch a REAL
+# WAV carries by correlating its decoded PCM against fixed cos/sin
+# tables at candidate bins — the classic DTMF / pilot-tone detector,
+# and the audio analogue of the language-ID heuristic (a cheap
+# scan-stage signal a media pipeline computes on every clip before any
+# model sees it).
+#
+# Fixture: each doc gets a square wave (period 4/8/16 samples by
+# doc_id % 3, amplitude 1500) plus a deterministic modular-noise floor,
+# synthesized into GENUINE PCM16 WAV bytes and decoded back by the real
+# RIFF parser; detection runs on the first 64 decoded samples. Measured
+# margins: the true bin carries >= 3500x the power of the runner-up, so
+# the argmax is robust while staying hash-exact.
+#
+# Determinism: the cos/sin tables are PYTHON-COMPUTED LITERALS embedded
+# in both the Spark plan and the oracle SQL — neither engine evaluates
+# trig, so there is no libm-ulp exposure (Math.cos is not
+# correctly-rounded; literal tables sidestep it). The dot products are
+# integer-sample x literal-double sequential folds — the dot_col ==
+# list_dot_product pair the ANN family already proved bit-identical.
+#
+# Scale design: synth + decode are Arrow mapInPandas stages behind
+# spread(); the correlation is pure JVM (three 64-term folds per row at
+# the scan, no shuffle until the final orderBy). At 100 TB each clip is
+# independent — embarrassingly parallel, no state.
+# ---------------------------------------------------------------------------
+_TONE_N = 64
+_TONE_BINS = (4, 8, 16)
+_TONE_AMP = 1500
+
+
+def _tone_tables() -> dict[str, dict[int, list[float]]]:
+    import math
+
+    return {
+        "cos": {
+            k: [math.cos(2 * math.pi * k * n / _TONE_N) for n in range(_TONE_N)]
+            for k in _TONE_BINS
+        },
+        "sin": {
+            k: [math.sin(2 * math.pi * k * n / _TONE_N) for n in range(_TONE_N)]
+            for k in _TONE_BINS
+        },
+    }
+
+
+def synth_tone_wav(doc_id: int) -> bytes:
+    """Square-wave tone + modular noise as a real 1-channel PCM16 WAV."""
+    period = {0: 16, 1: 8, 2: 4}[doc_id % 3]
+    n = _TONE_N + (doc_id * 13) % 128
+    i = np.arange(n, dtype=np.int64)
+    wave = np.where((i % period) < period // 2, _TONE_AMP, -_TONE_AMP)
+    noise = ((doc_id * 31 + i * 7) % 401) - 200
+    return encode_wav((wave + noise).astype(np.int16)[:, None], _RATE)
+
+
+def _tone_oracle() -> str:
+    t = _tone_tables()
+
+    def lit(vals: list[float]) -> str:
+        return "[" + ", ".join(repr(v) for v in vals) + "]::DOUBLE[]"
+
+    powers = ", ".join(
+        f"(list_dot_product(head, {lit(t['cos'][k])}) ^ 2"
+        f" + list_dot_product(head, {lit(t['sin'][k])}) ^ 2) AS p{k}"
+        for k in _TONE_BINS
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+        CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 8 ELSE 4 END AS period
+      FROM documents),
+    sig AS (
+      SELECT doc_id, period,
+        list_transform(generate_series(0, {_TONE_N - 1}), i ->
+          CAST(CASE WHEN (i % period) < period // 2
+               THEN {_TONE_AMP} ELSE -{_TONE_AMP} END
+               + ((doc_id * 31 + i * 7) % 401) - 200 AS DOUBLE)) AS head
+      FROM base),
+    pw AS (SELECT doc_id, period, {powers} FROM sig)
+    SELECT doc_id, CAST(period AS BIGINT) AS period,
+      CAST(CASE WHEN p4 >= p8 AND p4 >= p16 THEN 4
+                WHEN p8 >= p16 THEN 8 ELSE 16 END AS BIGINT) AS detected_k,
+      (CASE WHEN p4 >= p8 AND p4 >= p16 THEN 4
+            WHEN p8 >= p16 THEN 8 ELSE 16 END = {_TONE_N} // period)
+        AS correct,
+      ROUND(GREATEST(p4, p8, p16), 4) AS power
+    FROM pw ORDER BY doc_id
+    """
+
+
+@register("p_audio_tone_detect", oracle=_tone_oracle())
+def p_audio_tone_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark import cloudpickle as _cp
+    import hive_clone_spark.pipeline.audiocodec as _mod
+
+    _cp.register_pickle_by_value(_mod)
+
+    ids = spread(table(spark, sf_dir, "documents").select("doc_id"))
+
+    def synth_batches(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [synth_tone_wav(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    payloads = ids.mapInPandas(synth_batches, "doc_id BIGINT, payload BINARY")
+
+    def decode_batches(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, samples = decode_wav(bytes(p))
+                rows.append((int(doc_id), samples[: _TONE_N, 0].tolist()))
+            yield pd.DataFrame(rows, columns=["doc_id", "head"])
+
+    dec = payloads.mapInPandas(
+        decode_batches, "doc_id BIGINT, head ARRAY<BIGINT>"
+    )
+    t = _tone_tables()
+
+    def lit_arr(vals: list[float]):
+        return F.array(*[F.lit(float(v)) for v in vals])
+
+    from hive_clone_spark.pipeline.common import dot_col
+
+    pw = dec.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, 16)
+        .when(F.col("doc_id") % 3 == 1, 8)
+        .otherwise(4)
+        .cast("long")
+        .alias("period"),
+        *[
+            (
+                F.pow(dot_col(F.col("head"), lit_arr(t["cos"][k])), 2)
+                + F.pow(dot_col(F.col("head"), lit_arr(t["sin"][k])), 2)
+            ).alias(f"p{k}")
+            for k in _TONE_BINS
+        ],
+    )
+    detected = (
+        F.when(
+            (F.col("p4") >= F.col("p8")) & (F.col("p4") >= F.col("p16")), 4
+        )
+        .when(F.col("p8") >= F.col("p16"), 8)
+        .otherwise(16)
+        .cast("long")
+    )
+    return pw.select(
+        "doc_id",
+        "period",
+        detected.alias("detected_k"),
+        (detected == F.lit(_TONE_N) / F.col("period")).alias("correct"),
+        F.round(F.greatest("p4", "p8", "p16"), 4).alias("power"),
+    ).orderBy("doc_id")

@@ -398,3 +398,149 @@ def q94_stream_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("q94_sessions").orderBy("user_id", "sid")
+
+
+# ---------------------------------------------------------------------------
+# q138: BOUNDED-STATE streaming top-k — the leaderboard operator: per
+# event_type, maintain the k highest-value events seen so far. Unlike
+# a windowed aggregate (state ∝ open windows) or a running per-user
+# sum (state ∝ users), top-k state is CONSTANT per key: k
+# (value, event_id, user_id) triples — the property that makes it safe
+# on an unbounded stream with no watermark at all.
+#
+# This entry is the repo's first GENUINELY multi-batch stateful
+# stream: the events table is staged into 6 parquet files and read
+# with maxFilesPerTrigger=1, so state must survive and merge across 6
+# micro-batches. File pickup ORDER is engine-internal (mod-time) and
+# deliberately not relied on: top-k is order-INDEPENDENT, so the final
+# state is exact whatever the batch interleaving — the invariant that
+# makes a multi-batch test hash-deterministic.
+#
+# Ties broken by event_id (values have 2 decimals; collisions exist),
+# mirrored in the oracle's ORDER BY value DESC, event_id. The final
+# answer per key is its emission with the largest n_seen (a key absent
+# from the last batch emitted its final state earlier — q80's pattern).
+#
+# Scale design: state store holds n_keys x k rows; each micro-batch
+# shuffles only its own rows on the 3-key hash. At 100 TB/day this is
+# the one top-k shape that never spills.
+# ---------------------------------------------------------------------------
+_TOPK = 5
+_TOPK_FILES = 6
+
+TOPK_OUT_SCHEMA = (
+    "event_type STRING, n_seen BIGINT, vals ARRAY<DOUBLE>, "
+    "ids ARRAY<BIGINT>, users ARRAY<BIGINT>"
+)
+TOPK_STATE_SCHEMA = (
+    "vals ARRAY<DOUBLE>, ids ARRAY<BIGINT>, users ARRAY<BIGINT>, "
+    "n_seen BIGINT"
+)
+
+
+def topk_stream(events_stream: DataFrame) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupState
+    import pandas as pd
+
+    def update(
+        key: tuple, batches: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        (etype,) = key
+        if state.exists:
+            vals, ids, users, n = state.get
+            cand = list(zip(vals, ids, users))
+        else:
+            cand, n = [], 0
+        for pdf in batches:
+            n += len(pdf)
+            cand.extend(
+                zip(
+                    (float(v) for v in pdf["value"]),
+                    (int(i) for i in pdf["event_id"]),
+                    (int(u) for u in pdf["user_id"]),
+                )
+            )
+            cand.sort(key=lambda t: (-t[0], t[1]))
+            cand = cand[:_TOPK]  # re-bound per batch: state stays O(k)
+        vals = [v for v, _, _ in cand]
+        ids = [i for _, i, _ in cand]
+        users = [u for _, _, u in cand]
+        state.update((vals, ids, users, int(n)))
+        yield pd.DataFrame(
+            {
+                "event_type": [etype],
+                "n_seen": [int(n)],
+                "vals": [vals],
+                "ids": [ids],
+                "users": [users],
+            }
+        )
+
+    return events_stream.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=TOPK_OUT_SCHEMA,
+        stateStructType=TOPK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+@register(
+    "q138_stream_topk",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type, event_id, user_id, value,
+        ROW_NUMBER() OVER (
+          PARTITION BY event_type ORDER BY value DESC, event_id) AS rk,
+        COUNT(*) OVER (PARTITION BY event_type) AS n_seen
+      FROM events)
+    SELECT event_type, CAST(rk AS BIGINT) AS rank, event_id, user_id,
+      value, CAST(n_seen AS BIGINT) AS n_seen
+    FROM ranked WHERE rk <= {_TOPK}
+    ORDER BY event_type, rank
+    """,
+)
+def q138_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from hive_clone_spark.sources.queries import _warehouse
+    from hive_clone_spark.streaming.streams import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    src_dir = _warehouse(sf_dir, "topk_q138")
+    (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .repartition(_TOPK_FILES)
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    src = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(topk_stream(src), "q138_topk", output_mode="update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    t = spark.table("q138_topk")
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_seen"))
+    final = (
+        t.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+    z = F.posexplode(F.arrays_zip("vals", "ids", "users"))
+    return (
+        final.select("event_type", "n_seen", z.alias("pos", "e"))
+        .select(
+            "event_type",
+            (F.col("pos") + 1).cast("long").alias("rank"),
+            F.col("e.ids").alias("event_id"),
+            F.col("e.users").alias("user_id"),
+            F.col("e.vals").alias("value"),
+            "n_seen",
+        )
+        .orderBy("event_type", "rank")
+    )
