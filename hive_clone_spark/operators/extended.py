@@ -3675,3 +3675,145 @@ def q134_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wsum").cast("double") / F.col("wtot").cast("double"), 6
         ).alias("twap"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Q139 — bitmap-index distinct counting: exact COUNT(DISTINCT user) per
+# (event_type, day) via 32-bit bitmap words — the roaring-bitmap
+# technique every serious warehouse uses when the id domain is dense
+# and bounded. Each (group, word_index) cell ORs single-bit words
+# (map-side combinable, unlike COUNT DISTINCT's expand), and the
+# distinct count is the popcount sum. The entry carries BOTH the
+# bitmap count and the verbatim COUNT(DISTINCT) so the hash pins their
+# equality — the bitmap is verified against the thing it replaces.
+#
+# Determinism: bit index = user_id % 32 on a CAST(1 AS BIGINT) base —
+# the word never touches bit 63, so two's-complement popcount
+# semantics can't diverge between engines.
+#
+# Scale design: COUNT(DISTINCT) over a skewed group rebuilds the
+# distinct set per group in one task; the bitmap decomposes it into
+# (group, word) cells that combine associatively — partial aggregation
+# everywhere, state per cell = 8 bytes. At a 1e9-user domain each
+# group costs at most 31M words spread across the cluster, and sparse
+# groups cost only the words they touch.
+# ---------------------------------------------------------------------------
+@register(
+    "q139_bitmap_distinct",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, user_id // 32 AS w,
+        bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bits
+      FROM events GROUP BY event_type, day, w),
+    bm AS (
+      SELECT event_type, day,
+        CAST(SUM(bit_count(bits)) AS BIGINT) AS n_users_bitmap
+      FROM cells GROUP BY event_type, day),
+    exact AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact
+      FROM events GROUP BY event_type, day)
+    SELECT b.event_type, CAST(b.day AS VARCHAR) AS day,
+      b.n_users_bitmap, e.n_users_exact,
+      b.n_users_bitmap = e.n_users_exact AS bitmap_exact
+    FROM bm b JOIN exact e
+      ON b.event_type = e.event_type AND b.day = e.day
+    ORDER BY b.event_type, b.day
+    """,
+)
+def q139_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    cells = ev.groupBy(
+        "event_type", "day", (F.col("user_id") / 32).cast("long").alias("w")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+        ).alias("bits")
+    )
+    bm = cells.groupBy("event_type", "day").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("n_users_bitmap")
+    )
+    exact = ev.groupBy("event_type", "day").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users_exact")
+    )
+    return (
+        bm.join(exact, ["event_type", "day"])
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_users_bitmap",
+            "n_users_exact",
+            (F.col("n_users_bitmap") == F.col("n_users_exact")).alias(
+                "bitmap_exact"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q140 — seasonal profile (hour-of-day decomposition): the first step
+# of any time-series seasonality analysis — fold the stream onto its
+# daily cycle, average per phase, and flag the peak phase per series.
+# Irregular timestamps make this a groupBy on the extracted phase, not
+# a window: one shuffle on (event_type, hour), then a 24-row-per-type
+# ranking to mark the peak (row_number with an hour tiebreak so a
+# rounded-average tie cannot make two peaks).
+#
+# Determinism: averages are exact decimal sums divided once as
+# doubles, rounded to 6 dp on both engines; hour extraction runs under
+# the pinned UTC session zone (catalog.table contract).
+#
+# Scale design: the aggregate is map-side combinable over any data
+# volume into at most 24 x n_series cells — the profile shape is
+# constant however long the stream; the peak window sorts 24 rows per
+# series, never the data.
+# ---------------------------------------------------------------------------
+@register(
+    "q140_seasonal_profile",
+    oracle="""
+    WITH prof AS (
+      SELECT event_type, CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hour,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+              / COUNT(*), 6) AS avg_value
+      FROM events GROUP BY event_type, hour),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY avg_value DESC, hour) AS rk
+      FROM prof)
+    SELECT event_type, hour, n_events, avg_value, rk = 1 AS is_peak
+    FROM ranked ORDER BY event_type, hour
+    """,
+)
+def q140_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prof = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.hour("ts").cast("long").alias("hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_value"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("avg_value"), "hour"
+    )
+    return (
+        prof.withColumn("rk", F.row_number().over(w))
+        .select(
+            "event_type",
+            "hour",
+            "n_events",
+            "avg_value",
+            (F.col("rk") == 1).alias("is_peak"),
+        )
+        .orderBy("event_type", "hour")
+    )

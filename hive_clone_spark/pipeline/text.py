@@ -1337,3 +1337,95 @@ def p_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("is_code")
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining (PMI-family): which word PAIRS co-occur far more
+# often than their margins predict — the classic first step of phrase
+# detection / tokenizer-vocabulary seeding (word2vec's phrase pass,
+# Mikolov et al. 2013). Score = lift = n_xy * N / (n_x* * n_*y) over
+# adjacent bigrams, a strictly monotone transform of PMI computed in
+# EXACT integer products and ONE final double division — no logarithms,
+# so there is no libm-ulp exposure anywhere (the p_lm_score lesson,
+# applied by eliminating ln instead of rounding it).
+#
+# Scale design: bigrams never leave the scan as strings larger than
+# "x y"; counts, margins, and total are three map-side-combinable
+# aggregates over the same exploded frame; the final top-20 is a
+# TakeOrderedAndProject (never a global sort). The margin joins are
+# keyed on the word — vocabulary-sized, not corpus-sized.
+# ---------------------------------------------------------------------------
+_COLL_MIN_COUNT = 5
+
+
+@register(
+    "p_collocations",
+    oracle=f"""
+    WITH docs AS (
+      SELECT list_transform({SQL_WORDS.format(expr="text")},
+                            w -> lower(w)) AS ws
+      FROM documents),
+    big AS (
+      SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i + 1])) AS bg
+      FROM docs WHERE len(ws) >= 2),
+    counts AS (SELECT bg, COUNT(*) AS n_xy FROM big GROUP BY bg),
+    firsts AS (
+      SELECT split_part(bg, ' ', 1) AS x, SUM(n_xy) AS nx
+      FROM counts GROUP BY x),
+    seconds AS (
+      SELECT split_part(bg, ' ', 2) AS y, SUM(n_xy) AS ny
+      FROM counts GROUP BY y),
+    tot AS (SELECT SUM(n_xy) AS nb FROM counts)
+    SELECT bg AS bigram, CAST(n_xy AS BIGINT) AS n_pair,
+      ROUND(CAST(n_xy AS DOUBLE) * nb / (nx * ny), 6) AS lift
+    FROM counts
+    JOIN firsts ON split_part(bg, ' ', 1) = x
+    JOIN seconds ON split_part(bg, ' ', 2) = y
+    CROSS JOIN tot
+    WHERE n_xy >= {_COLL_MIN_COUNT}
+    ORDER BY lift DESC, bigram LIMIT 20
+    """,
+)
+def p_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        F.transform(
+            words_col(F.col("text")), lambda w: F.lower(w)
+        ).alias("ws")
+    ).where(F.size("ws") >= 2)
+    big = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("ws"), i),
+                    F.element_at(F.col("ws"), i + 1),
+                ),
+            )
+        ).alias("bg")
+    )
+    counts = big.groupBy("bg").agg(F.count("*").alias("n_xy"))
+    x_of = F.substring_index(F.col("bg"), " ", 1)
+    y_of = F.substring_index(F.col("bg"), " ", -1)
+    firsts = counts.groupBy(x_of.alias("x")).agg(F.sum("n_xy").alias("nx"))
+    seconds = counts.groupBy(y_of.alias("y")).agg(F.sum("n_xy").alias("ny"))
+    tot = counts.agg(F.sum("n_xy").alias("nb"))
+    return (
+        counts.where(F.col("n_xy") >= _COLL_MIN_COUNT)
+        .join(firsts, x_of == F.col("x"))
+        .join(seconds, y_of == F.col("y"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bg").alias("bigram"),
+            F.col("n_xy").cast("long").alias("n_pair"),
+            F.round(
+                F.col("n_xy").cast("double")
+                * F.col("nb")
+                / (F.col("nx") * F.col("ny")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "bigram")
+        .limit(20)
+    )

@@ -539,3 +539,137 @@ def q127_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q141 — parquet ROW-GROUP statistics skipping: the intra-file pruning
+# layer below q63 (partition dirs) and q98 (file-level commit-log
+# stats). Each bucket task writes its sorted rows through pyarrow with
+# an explicit row_group_size, so row-group boundaries are exact
+# 500-row slices of the sorted bucket — fully oracle-predictable. A
+# second distributed pass opens ONLY footers (metadata bytes, not
+# data), emits the per-row-group [min, max] ledger, decides which
+# groups a key-range predicate needs, and reads JUST those groups to
+# count matches — unchosen groups are never deserialized, which is
+# exactly what Spark's vectorized parquet reader does with a pushed
+# filter; this entry makes that decision auditable row-group by
+# row-group.
+#
+# Scale design: write and footer-scan are both per-file tasks
+# (embarrassingly parallel); footer cost is KB per file regardless of
+# data size; the matched count reads only overlapping groups. The
+# ledger itself is metadata-sized (files x groups), the thing a table
+# format would persist.
+# ---------------------------------------------------------------------------
+_RG_ROWS = 500
+_RG_BUCKETS = 16
+
+
+@register(
+    "q141_rowgroup_skipping",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+    rng AS (SELECT m // 3 AS lo, m // 2 AS hi FROM mx),
+    b AS (
+      SELECT o_orderkey,
+        (o_orderkey * {_RG_BUCKETS}) // (m + 1) AS bucket,
+        ROW_NUMBER() OVER (
+          PARTITION BY (o_orderkey * {_RG_BUCKETS}) // (m + 1)
+          ORDER BY o_orderkey) - 1 AS rn
+      FROM orders, mx),
+    rg AS (
+      SELECT bucket, rn // {_RG_ROWS} AS rg_idx,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(MIN(o_orderkey) AS BIGINT) AS kmin,
+        CAST(MAX(o_orderkey) AS BIGINT) AS kmax,
+        CAST(COUNT(*) FILTER (
+          WHERE o_orderkey BETWEEN lo AND hi) AS BIGINT) AS matched
+      FROM b, rng GROUP BY bucket, rg_idx)
+    SELECT CAST(bucket AS INT) AS bucket, CAST(rg_idx AS INT) AS rg_idx,
+      n_rows, kmin, kmax,
+      (kmin <= hi AND kmax >= lo) AS chosen, matched
+    FROM rg, rng ORDER BY bucket, rg_idx
+    """,
+)
+def q141_rowgroup_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    dest = _warehouse(sf_dir, "rgskip_q141")
+    os.makedirs(dest, exist_ok=True)
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    m = int(o.agg(F.max("o_orderkey")).collect()[0][0])
+    lo, hi = m // 3, m // 2
+    bucketed = o.withColumn(
+        "bucket",
+        F.floor((F.col("o_orderkey") * _RG_BUCKETS) / (m + 1)).cast("int"),
+    )
+
+    def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        b = int(pdf["bucket"].iloc[0])
+        pdf = pdf.sort_values("o_orderkey")
+        path = os.path.join(dest, f"bucket-{b:04d}.parquet")
+        tmp = os.path.join(dest, f".tmp-{uuid.uuid4().hex}")
+        pq.write_table(
+            pa.table({"o_orderkey": pdf["o_orderkey"].to_numpy()}),
+            tmp,
+            row_group_size=_RG_ROWS,
+        )
+        os.replace(tmp, path)  # idempotent under task retries
+        return pd.DataFrame({"bucket": [b], "path": [path]})
+
+    files = bucketed.groupBy("bucket").applyInPandas(
+        write_group, "bucket INT, path STRING"
+    )
+
+    def scan_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for b, path in zip(pdf["bucket"], pdf["path"]):
+                pf = pq.ParquetFile(path)
+                key_idx = pf.schema_arrow.names.index("o_orderkey")
+                for rg in range(pf.metadata.num_row_groups):
+                    st = pf.metadata.row_group(rg).column(key_idx).statistics
+                    chosen = st.min <= hi and st.max >= lo
+                    matched = 0
+                    if chosen:  # deserialize ONLY overlapping groups
+                        col = pf.read_row_group(rg, columns=["o_orderkey"])[
+                            "o_orderkey"
+                        ]
+                        ks = col.to_numpy()
+                        matched = int(((ks >= lo) & (ks <= hi)).sum())
+                    rows.append(
+                        (
+                            int(b),
+                            rg,
+                            pf.metadata.row_group(rg).num_rows,
+                            int(st.min),
+                            int(st.max),
+                            bool(chosen),
+                            matched,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "bucket",
+                    "rg_idx",
+                    "n_rows",
+                    "kmin",
+                    "kmax",
+                    "chosen",
+                    "matched",
+                ],
+            )
+
+    return files.mapInPandas(
+        scan_footers,
+        "bucket INT, rg_idx INT, n_rows BIGINT, kmin BIGINT, kmax BIGINT, "
+        "chosen BOOLEAN, matched BIGINT",
+    ).orderBy("bucket", "rg_idx")
