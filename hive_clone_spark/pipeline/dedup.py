@@ -1588,3 +1588,156 @@ def p_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH RECALL measurement — the dedup counterpart of
+# p_knn_recall ("measure, don't guess"): LSH banding (8 bands x 2
+# rows, N_HASH=16 — p_dedup_minhash_lsh's exact configuration) is a
+# probabilistic filter; before trusting it on a 100 TB corpus you
+# measure, on a scale you CAN afford exactly, how many truly-duplicate
+# pairs (exact Jaccard >= 0.5) the bands actually catch. Ground truth
+# uses the shared-shingle equi-join (any pair with J > 0 shares a
+# shingle — no all-pairs), candidates use the band join; the entry
+# reports truth/candidate/hit counts, recall, and candidate precision
+# in one row.
+#
+# Scale design: both pair generators are hash-equi-joins on int64 keys
+# (shingle hash / band key) — never quadratic; the truth join is the
+# expensive exact pass you run on a SAMPLE in production, which is
+# precisely the role it plays here. The final counts are three 1-row
+# aggregates crossJoined (q44 pattern).
+# ---------------------------------------------------------------------------
+_RECALL_TAU = 0.5
+
+
+@register(
+    "p_minhash_recall",
+    oracle=f"""
+    WITH {_sql_minhash()},
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band, CAST(mh{2*b} AS VARCHAR) || ':' || CAST(mh{2*b+1} AS VARCHAR) AS band_key FROM mh"
+          for b in range(8)
+      )}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+        AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(*) AS ninter
+      FROM sh sa JOIN sh sb ON sa.h = sb.h AND sa.doc_id < sb.doc_id
+      GROUP BY sa.doc_id, sb.doc_id),
+    truth AS (
+      SELECT i.doc_a, i.doc_b FROM inter i
+      JOIN sizes za ON za.doc_id = i.doc_a
+      JOIN sizes zb ON zb.doc_id = i.doc_b
+      WHERE CAST(ninter AS DOUBLE) / (za.n + zb.n - ninter)
+            >= {_RECALL_TAU}),
+    nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+    nc AS (SELECT COUNT(*) AS n_cand FROM cand),
+    nh AS (
+      SELECT COUNT(*) AS n_hits FROM truth t
+      JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+    SELECT CAST(n_truth AS BIGINT) AS n_truth,
+      CAST(n_cand AS BIGINT) AS n_cand,
+      CAST(n_hits AS BIGINT) AS n_hits,
+      ROUND(CAST(n_hits AS DOUBLE) / n_truth, 6) AS recall,
+      ROUND(CAST(n_hits AS DOUBLE) / n_cand, 6) AS precision
+    FROM nt, nc, nh
+    """,
+)
+def p_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    ssets = (
+        d.select("doc_id", words_col(F.col("text")).alias("words"))
+        .select(
+            "doc_id", F.explode(shingles_col(F.col("words"))).alias("shingle")
+        )
+        .select("doc_id", (portable_hash(F.col("shingle")) % MOD).alias("h"))
+        .dropDuplicates(["doc_id", "h"])
+        .localCheckpoint(eager=True)  # feeds minhash + both truth sides
+    )
+    aggs = [
+        F.min((F.lit(_A[i]) * F.col("h") + F.lit(_B[i])) % MOD).alias(f"mh{i}")
+        for i in range(N_HASH)
+    ]
+    mh = ssets.groupBy("doc_id").agg(*aggs)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ":",
+                    F.col(f"mh{2*b}").cast("string"),
+                    F.col(f"mh{2*b+1}").cast("string"),
+                ).alias("band_key"),
+            )
+            for b in range(8)
+        ]
+    )
+    bands = mh.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sizes = ssets.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        ssets.alias("sa")
+        .join(
+            ssets.alias("sb"),
+            (F.col("sa.h") == F.col("sb.h"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .groupBy(
+            F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("ninter"))
+    )
+    truth = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            ["doc_a"],
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            ["doc_b"],
+        )
+        .where(
+            F.col("ninter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("ninter"))
+            >= _RECALL_TAU
+        )
+        .select("doc_a", "doc_b")
+    )
+    nt = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    nc = cand.agg(F.count("*").cast("long").alias("n_cand"))
+    nh = truth.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hits",
+            F.round(F.col("n_hits").cast("double") / F.col("n_truth"), 6).alias(
+                "recall"
+            ),
+            F.round(F.col("n_hits").cast("double") / F.col("n_cand"), 6).alias(
+                "precision"
+            ),
+        )
+    )

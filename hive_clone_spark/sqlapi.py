@@ -241,3 +241,111 @@ def q124_catalog_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("table_name", "ordinal")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q142 — persistent VIEWs + ALTER TABLE through the catalog: the other
+# half of the HiveQL DDL surface q123/q124 opened. Lifecycle exercised
+# end to end, idempotently, in the session catalog:
+#
+#   CREATE TABLE (external CTAS)           -- 3 columns
+#   CREATE OR REPLACE VIEW v_pri           -- aggregate over the table
+#   CREATE OR REPLACE VIEW v_top           -- view ON view
+#   ALTER TABLE ... ADD COLUMNS (discount) -- metadata-only evolution
+#   INSERT INTO (4-column row)             -- lands as NEW files
+#   SHOW VIEWS IN db                       -- both views cataloged
+#   DESCRIBE TABLE                         -- 4 columns after ALTER
+#
+# The output fuses the view-resolved DATA (which must include the
+# post-ALTER insert — proving views re-resolve against the evolved
+# table) with the catalog METADATA (view count, column count), so a
+# broken re-resolution, a rewriting INSERT, or a no-op ALTER all fail
+# the hash. Views must reference the TABLE, not temp views — Spark
+# (correctly) refuses persistent views over session-temporary state,
+# which is exactly the production semantics.
+#
+# Scale design: every DDL here is a metadata-only driver round trip;
+# ADD COLUMNS rewrites nothing (old files read the new column as
+# NULL); INSERT INTO appends files. Views are free at plan time —
+# Catalyst inlines them, so pushdown through a view equals pushdown
+# into its text.
+# ---------------------------------------------------------------------------
+@register(
+    "q142_catalog_views",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 100 = 0),
+    all_rows AS (
+      SELECT * FROM base
+      UNION ALL SELECT -1, 0.0, 'X-NEW'),
+    agg AS (
+      SELECT o_orderpriority AS priority,
+        CAST(COUNT(*) AS BIGINT) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS total_price
+      FROM all_rows GROUP BY o_orderpriority)
+    SELECT priority, n_orders, total_price,
+      CAST(2 AS BIGINT) AS n_views, CAST(4 AS BIGINT) AS n_cols
+    FROM agg ORDER BY priority
+    """,
+)
+def q142_catalog_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    _ensure_db(spark)
+    tbl = f"{_DDL_DB}.ord_slim"
+    v_pri = f"{_DDL_DB}.v_ord_priority"
+    v_top = f"{_DDL_DB}.v_ord_top"
+    loc = _ddl_location("ord_slim")
+    spark.sql(f"DROP VIEW IF EXISTS {v_top}")
+    spark.sql(f"DROP VIEW IF EXISTS {v_pri}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(
+        f"""
+        CREATE TABLE {tbl} USING parquet LOCATION '{loc}'
+        AS SELECT o_orderkey, o_totalprice, o_orderpriority
+           FROM orders WHERE o_orderkey % 100 = 0
+        """
+    )
+    spark.sql(
+        f"""
+        CREATE OR REPLACE VIEW {v_pri} AS
+        SELECT o_orderpriority AS priority,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS total_price
+        FROM {tbl} GROUP BY o_orderpriority
+        """
+    )
+    spark.sql(
+        f"CREATE OR REPLACE VIEW {v_top} AS "
+        f"SELECT * FROM {v_pri} WHERE n_orders >= 1"
+    )
+    # metadata-only evolution, then an append that uses the new column
+    spark.sql(f"ALTER TABLE {tbl} ADD COLUMNS (discount DOUBLE)")
+    spark.sql(f"INSERT INTO {tbl} VALUES (-1, 0.0, 'X-NEW', 0.5)")
+    n_views = (
+        spark.sql(f"SHOW VIEWS IN {_DDL_DB}")
+        .where(
+            F.col("viewName").isin("v_ord_priority", "v_ord_top")
+            & ~F.col("isTemporary")
+        )
+        .count()
+    )
+    n_cols = (
+        spark.sql(f"DESCRIBE TABLE {tbl}")
+        .where(~F.col("col_name").startswith("#"))
+        .count()
+    )
+    return (
+        spark.table(v_top)
+        .select(
+            "priority",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            "total_price",
+            F.lit(int(n_views)).cast("long").alias("n_views"),
+            F.lit(int(n_cols)).cast("long").alias("n_cols"),
+        )
+        .orderBy("priority")
+    )
