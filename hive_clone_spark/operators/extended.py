@@ -3817,3 +3817,102 @@ def q140_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q143 — rolling z-score anomaly detection, in EXACT integer
+# arithmetic: flag an event whose value sits more than 3 sigma from
+# the mean of its user's previous 20 events. The standard formulation
+# divides by a floating sigma; this one clears denominators instead —
+#
+#     z^2 > 9   <=>   (n*x - S1)^2 > 9 * (n*S2 - S1^2)
+#
+# with x in integer cents, S1 = sum, S2 = sum of squares over the
+# preceding-20 frame, n the frame size. Every quantity is a BIGINT
+# (cents <= ~5e4, squares <= 2.5e9, frame sums x20 — all far inside
+# int64 after the n*S2 product at ~5e14), so the anomaly flag is
+# hash-exact with NO floating point anywhere in the detector.
+#
+# Scale design: one user-partitioned window (ordered by ts, event_id)
+# computes both running sums in a single pass; the final per-type
+# census is a map-side-combinable aggregate. State per row is two
+# bigints — this is the shape that runs on an unbounded feed.
+# ---------------------------------------------------------------------------
+_ANOM_FRAME = 20
+_ANOM_MIN_N = 10
+_ANOM_SIGMAS2 = 9  # 3-sigma, squared
+
+
+@register(
+    "q143_rolling_anomaly",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, user_id, ts, event_id,
+        CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events),
+    framed AS (
+      SELECT event_type, c,
+        COUNT(*) OVER w AS n,
+        CAST(SUM(c) OVER w AS BIGINT) AS s1,
+        CAST(SUM(c * c) OVER w AS BIGINT) AS s2
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {_ANOM_FRAME} PRECEDING AND 1 PRECEDING)),
+    scored AS (
+      SELECT event_type,
+        (n >= {_ANOM_MIN_N}) AS scored,
+        (n >= {_ANOM_MIN_N} AND
+         (n * c - s1) * (n * c - s1) >
+           {_ANOM_SIGMAS2} * (n * s2 - s1 * s1)) AS anom
+      FROM framed)
+    SELECT event_type,
+      CAST(COUNT(*) FILTER (WHERE scored) AS BIGINT) AS n_scored,
+      CAST(COUNT(*) FILTER (WHERE anom) AS BIGINT) AS n_anomalies,
+      ROUND(CAST(COUNT(*) FILTER (WHERE anom) AS DOUBLE)
+            / COUNT(*) FILTER (WHERE scored), 6) AS anomaly_rate
+    FROM scored GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q143_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_ANOM_FRAME, -1)
+    )
+    framed = ev.select(
+        "event_type",
+        "c",
+        F.count("*").over(w).alias("n"),
+        F.sum("c").over(w).cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(w).cast("long").alias("s2"),
+    )
+    dev = F.col("n") * F.col("c") - F.col("s1")
+    var_n2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    scored = framed.select(
+        "event_type",
+        (F.col("n") >= _ANOM_MIN_N).alias("scored"),
+        (
+            (F.col("n") >= _ANOM_MIN_N)
+            & (dev * dev > _ANOM_SIGMAS2 * var_n2)
+        ).alias("anom"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count_if(F.col("scored")).cast("long").alias("n_scored"),
+            F.count_if(F.col("anom")).cast("long").alias("n_anomalies"),
+            F.round(
+                F.count_if(F.col("anom")).cast("double")
+                / F.count_if(F.col("scored")),
+                6,
+            ).alias("anomaly_rate"),
+        )
+        .orderBy("event_type")
+    )

@@ -1429,3 +1429,106 @@ def p_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "bigram")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Suffix-stripping stemmer (S-stemmer + ing/ed rules — the first stage
+# of Porter 1980, the public standard): search/index pipelines
+# normalize surface forms so "scans", "scanning", "scan" count as one
+# term. The corpus vocabulary is morphologically flat by construction,
+# so the fixture DECORATES it first (for doc_id % 4 == 0, each word
+# gains 's'/'ing' by its portable hash — the planted-PII pattern) and
+# the stemmer must fold decorated and plain forms back together:
+# every decorated stem must report exactly 2 surface forms.
+#
+# Rules are FIRST-MATCH, guarded by length minima (the 'as'-stays-'as'
+# class is kept, mirroring real S-stemmer behavior on short words):
+#   sses->ss | ies->i | ss (keep) | s-> (len>3) | ing-> (len>5)
+#   | ed-> (len>4)
+#
+# Scale design: decoration, stemming, and counting are all scan-stage
+# HOF/CASE expressions; one shuffle on the stem, top-20 via
+# TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+def _stem_case_sql(w: str) -> str:
+    return f"""CASE
+      WHEN ends_with({w}, 'sses') THEN left({w}, length({w}) - 4) || 'ss'
+      WHEN ends_with({w}, 'ies') AND length({w}) > 4
+        THEN left({w}, length({w}) - 3) || 'i'
+      WHEN ends_with({w}, 'ss') THEN {w}
+      WHEN ends_with({w}, 's') AND length({w}) > 3
+        THEN left({w}, length({w}) - 1)
+      WHEN ends_with({w}, 'ing') AND length({w}) > 5
+        THEN left({w}, length({w}) - 3)
+      WHEN ends_with({w}, 'ed') AND length({w}) > 4
+        THEN left({w}, length({w}) - 2)
+      ELSE {w} END"""
+
+
+@register(
+    "p_stem_tokens",
+    oracle=f"""
+    WITH decorated AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 = 0 THEN
+          list_transform({SQL_WORDS.format(expr="lower(text)")}, w ->
+            CASE {sql_portable_hash("w")} % 3
+              WHEN 0 THEN w || 's'
+              WHEN 1 THEN w || 'ing'
+              ELSE w END)
+        ELSE {SQL_WORDS.format(expr="lower(text)")} END AS ws
+      FROM documents),
+    tok AS (SELECT unnest(ws) AS w FROM decorated),
+    stemmed AS (SELECT w, {_stem_case_sql("w")} AS stem FROM tok)
+    SELECT stem, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      CAST(COUNT(DISTINCT w) AS BIGINT) AS n_forms
+    FROM stemmed GROUP BY stem
+    ORDER BY n_tokens DESC, stem LIMIT 20
+    """,
+)
+def p_stem_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_clone_spark.pipeline.common import portable_hash as _ph
+
+    def stem(w):
+        ln = F.length(w)
+        return (
+            F.when(w.endswith("sses"), F.concat(F.substring(w, 1, ln - 4), F.lit("ss")))
+            .when(
+                w.endswith("ies") & (ln > 4),
+                F.concat(F.substring(w, 1, ln - 3), F.lit("i")),
+            )
+            .when(w.endswith("ss"), w)
+            .when(w.endswith("s") & (ln > 3), F.substring(w, 1, ln - 1))
+            .when(w.endswith("ing") & (ln > 5), F.substring(w, 1, ln - 3))
+            .when(w.endswith("ed") & (ln > 4), F.substring(w, 1, ln - 2))
+            .otherwise(w)
+        )
+
+    def decorate(w):
+        return (
+            F.when(_ph(w) % 3 == 0, F.concat(w, F.lit("s")))
+            .when(_ph(w) % 3 == 1, F.concat(w, F.lit("ing")))
+            .otherwise(w)
+        )
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", words_col(F.lower(F.col("text"))).alias("ws")
+    )
+    decorated = d.select(
+        F.when(
+            F.col("doc_id") % 4 == 0, F.transform(F.col("ws"), decorate)
+        )
+        .otherwise(F.col("ws"))
+        .alias("ws")
+    )
+    tok = decorated.select(F.explode("ws").alias("w"))
+    stemmed = tok.select("w", stem(F.col("w")).alias("stem"))
+    return (
+        stemmed.groupBy("stem")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.countDistinct("w").cast("long").alias("n_forms"),
+        )
+        .orderBy(F.desc("n_tokens"), "stem")
+        .limit(20)
+    )

@@ -1130,3 +1130,117 @@ def q135_txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version", "change_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q144 — small-file compaction POLICY (the OPTIMIZE file picker): q79
+# and q92 compact by rewriting the whole table; real OPTIMIZE must be
+# SELECTIVE — pick only the files under a size threshold, bin them
+# into right-sized replacements, and leave the big files alone, because
+# at 100 TB rewrite amplification is the whole cost. The layout is
+# constructed bimodal (16 small files of 1/64 of the rows each + 4
+# big files with the rest); the policy reads ONLY log metadata
+# (per-file n_rows stats — no data file opened to decide), picks the
+# 16 small files, and commits remove(16) + add(ceil(small/target))
+# in one atomic 'optimize'. The ledger pins per-version file counts,
+# row counts, the decimal price sum (compaction must not corrupt
+# data), and the REWRITE FRACTION — the evidence that big files were
+# never touched.
+# ---------------------------------------------------------------------------
+_OPT_SMALL_BUCKETS = 16
+_OPT_BIG_BUCKETS = 4
+_OPT_TARGET_DIV = 16  # target file size = total_rows // 16
+
+
+@register(
+    "q144_compaction_policy",
+    oracle=f"""
+    WITH tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tot,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s_tot
+      FROM orders),
+    sm AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_small FROM orders
+      WHERE o_orderkey % 64 < {_OPT_SMALL_BUCKETS}),
+    plan AS (
+      SELECT n_tot, s_tot, n_small,
+        n_tot // {_OPT_TARGET_DIV} AS target,
+        (n_small + n_tot // {_OPT_TARGET_DIV} - 1)
+          // (n_tot // {_OPT_TARGET_DIV}) AS n_new
+      FROM tot, sm)
+    SELECT CAST(0 AS BIGINT) AS version, 'append' AS op,
+      CAST({_OPT_SMALL_BUCKETS + _OPT_BIG_BUCKETS} AS BIGINT) AS n_added,
+      CAST(0 AS BIGINT) AS n_removed,
+      n_tot AS n_rows, CAST(s_tot AS DOUBLE) AS sum_price,
+      CAST(0.0 AS DOUBLE) AS rewrite_frac
+    FROM plan
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'optimize', n_new,
+      CAST({_OPT_SMALL_BUCKETS} AS BIGINT),
+      n_tot, CAST(s_tot AS DOUBLE),
+      ROUND(CAST(n_small AS DOUBLE) / n_tot, 6)
+    FROM plan
+    ORDER BY version
+    """,
+)
+def q144_compaction_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tl = TxLog(_warehouse_dir(sf_dir, "txlog_q144")).create()
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # bimodal layout: 16 small files (key % 64 == b) + 4 big ones
+    bucketed = o.withColumn(
+        "bucket",
+        F.when(
+            F.col("o_orderkey") % 64 < _OPT_SMALL_BUCKETS,
+            F.col("o_orderkey") % 64,
+        ).otherwise(_OPT_SMALL_BUCKETS + F.col("o_orderkey") % _OPT_BIG_BUCKETS)
+        .cast("int"),
+    )
+    counts = {
+        int(r["bucket"]): int(r["n"])
+        for r in bucketed.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    stats = {b: {"n_rows": [n, n]} for b, n in counts.items()}
+    tl.commit(
+        "append", add=tl.stage_data_partitioned(bucketed, "bucket", stats)
+    )
+    # policy: METADATA-ONLY decision off the log's n_rows stats
+    _files, fstats = tl._replay(tl.latest_version())
+    n_tot = sum(s["n_rows"][0] for s in fstats.values())
+    target = n_tot // _OPT_TARGET_DIV
+    small = sorted(
+        f for f, s in fstats.items() if s["n_rows"][0] < target // 2
+    )
+    small_rows = sum(fstats[f]["n_rows"][0] for f in small)
+    n_new = (small_rows + target - 1) // target
+    merged = spark.read.parquet(*[str(tl.root / f) for f in small])
+    tl.commit(
+        "optimize", add=tl.stage_data(merged, n_files=n_new), remove=small
+    )
+    rows = []
+    for h in tl.history():
+        snap = tl.read(spark, h["version"]).agg(
+            F.count("*").alias("n_rows"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+        frac = (
+            F.lit(0.0)
+            if h["version"] == 0
+            # F.round, not Python round: the Spark<->DuckDB ROUND pair
+            # is the proven half-way behavior
+            else F.round(F.lit(float(small_rows)) / F.lit(n_tot), 6)
+        )
+        rows.append(
+            snap.select(
+                F.lit(h["version"]).cast("long").alias("version"),
+                F.lit(h["op"]).alias("op"),
+                F.lit(h["n_added"]).cast("long").alias("n_added"),
+                F.lit(h["n_removed"]).cast("long").alias("n_removed"),
+                "n_rows",
+                "sum_price",
+                frac.alias("rewrite_frac"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("version")
