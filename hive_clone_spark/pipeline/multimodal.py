@@ -303,3 +303,122 @@ def p_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(resize_batches, RESIZE_SCHEMA).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Format sniffing / dispatch: the FIRST operator of any multimodal
+# ingest — a crawled payload arrives as anonymous bytes, and the
+# pipeline must route it to the right decoder by its magic numbers
+# (file(1)'s core, reduced to the formats this repo actually decodes).
+# The fixture synthesizes REAL container bytes via the five codec
+# families (doc_id % 5 routes jpeg / image(bmp|ppm|png) / gif / wav /
+# y4m), the sniffer re-identifies them from leading bytes alone, and
+# the oracle predicts the full format census from the synthesis rule —
+# plus an every-row match flag, so one mis-sniffed container (e.g. a
+# RIFF that is not WAVE, or PNG's 8-byte signature cut short) fails
+# the hash.
+#
+# Scale design: sniffing reads a BOUNDED PREFIX (12 bytes here) — at
+# 100 TB the dispatcher never touches payload bodies; spread() pins
+# the synth/sniff stages to core count past the 1-split scan.
+# ---------------------------------------------------------------------------
+_SNIFF_SCHEMA = "doc_id BIGINT, expected STRING, detected STRING"
+
+
+def sniff_format(prefix: bytes) -> str:
+    """Identify a container by magic bytes (public magics: JFIF/T.81,
+    W3C PNG, GIF87a/89a, BMP, netpbm P6, RIFF/WAVE, YUV4MPEG2)."""
+    if prefix[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if prefix[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if prefix[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if prefix[:2] == b"BM":
+        return "bmp"
+    if prefix[:2] == b"P6":
+        return "ppm"
+    if prefix[:4] == b"RIFF" and prefix[8:12] == b"WAVE":
+        return "wav"
+    if prefix[:9] == b"YUV4MPEG2":
+        return "y4m"
+    return "unknown"
+
+
+@register(
+    "p_format_sniff",
+    oracle="""
+    WITH expect AS (
+      SELECT doc_id,
+        CASE doc_id % 5
+          WHEN 0 THEN 'jpeg'
+          WHEN 1 THEN CASE doc_id % 3
+                        WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                        ELSE 'png' END
+          WHEN 2 THEN 'gif'
+          WHEN 3 THEN 'wav'
+          ELSE 'y4m' END AS fmt
+      FROM documents)
+    SELECT fmt AS detected, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      TRUE AS all_match
+    FROM expect GROUP BY fmt ORDER BY detected
+    """,
+)
+def p_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark import cloudpickle as _cp
+    import hive_clone_spark.pipeline.multimodal as _mmod
+    import hive_clone_spark.pipeline.audiocodec as _amod
+    import hive_clone_spark.pipeline.gifcodec as _gmod
+    import hive_clone_spark.pipeline.imagecodec as _imod
+    import hive_clone_spark.pipeline.jpegcodec as _jmod
+    import hive_clone_spark.pipeline.videocodec as _vmod
+
+    # ship every codec module by value: workers don't have the repo on
+    # sys.path (driver imports __spark_entry__ by file path), so the
+    # synth functions must ride in the closure, not be re-imported
+    for _m in (_mmod, _amod, _gmod, _imod, _jmod, _vmod):
+        _cp.register_pickle_by_value(_m)
+    synth_wav = _amod.synth_wav
+    synth_gif = _gmod.synth_gif
+    synth_image = _imod.synth_image
+    synth_jpeg = _jmod.synth_jpeg
+    synth_y4m = _vmod.synth_y4m
+
+    from hive_clone_spark.pipeline.common import spread
+
+    ids = spread(table(spark, sf_dir, "documents").select("doc_id"))
+
+    def synth_and_sniff(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                m = i % 5
+                if m == 0:
+                    expected, payload = "jpeg", synth_jpeg(i)
+                elif m == 1:
+                    kind, payload = synth_image(i)
+                    expected = "png" if kind.startswith("png") else kind
+                elif m == 2:
+                    expected, payload = "gif", synth_gif(i)
+                elif m == 3:
+                    expected, payload = "wav", synth_wav(i)
+                else:
+                    expected, payload = "y4m", synth_y4m(i)
+                # the dispatcher sees ONLY a bounded prefix
+                rows.append((i, expected, sniff_format(payload[:12])))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "expected", "detected"]
+            )
+
+    sniffed = ids.mapInPandas(synth_and_sniff, _SNIFF_SCHEMA)
+    return (
+        sniffed.groupBy("detected")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min(F.col("detected") == F.col("expected")).alias("all_match"),
+        )
+        .orderBy("detected")
+    )

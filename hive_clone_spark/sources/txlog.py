@@ -1244,3 +1244,112 @@ def q144_compaction_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# Q145 — PARTITION-SPEC EVOLUTION (the Iceberg capability): a table's
+# physical layout can change mid-life without rewriting history. v0
+# lands the even-key half partitioned by o_custkey range (the "old
+# spec" — stats on custkey only); v1 appends the odd-key half
+# partitioned by o_orderkey range (the "new spec"). A key-range query
+# then plans against BOTH generations at once: new-spec files prune by
+# their orderkey stats, old-spec files carry no orderkey stats and are
+# scanned conservatively — correctness never depends on the layout,
+# only scan cost does. The output fuses the scan-economics evidence
+# (files per generation scanned vs total) with the query result
+# itself, so a pruner that skips a conservative file (wrong rows) or
+# scans everything (wrong file counts) fails the hash.
+#
+# Scale design: this is why production formats version their partition
+# specs instead of rewriting 100 TB on a re-partition decision — old
+# data keeps its layout until natural compaction migrates it, and the
+# planner mixes per-file stats from both generations. scan_files'
+# conservative default (no stats on the predicate column -> scan) is
+# the exact contract.
+# ---------------------------------------------------------------------------
+_SPEC_BUCKETS = 8
+
+
+@register(
+    "q145_partition_spec_evolution",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+    rng AS (SELECT m // 4 AS lo, m // 2 AS hi FROM mx),
+    v1b AS (
+      SELECT (o_orderkey * {_SPEC_BUCKETS}) // (m + 1) AS bucket,
+        MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mxk
+      FROM orders, mx WHERE o_orderkey % 2 = 1 GROUP BY bucket),
+    v1s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_v1_scanned
+      FROM v1b, rng WHERE mn <= hi AND mxk >= lo),
+    res AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM orders, rng WHERE o_orderkey BETWEEN lo AND hi)
+    SELECT CAST({2 * _SPEC_BUCKETS} AS BIGINT) AS n_files,
+      CAST({_SPEC_BUCKETS} AS BIGINT) + n_v1_scanned AS n_scanned,
+      CAST({_SPEC_BUCKETS} AS BIGINT) AS n_v0_scanned,
+      n_v1_scanned, n_rows, sum_price
+    FROM v1s, res
+    """,
+)
+def q145_partition_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tl = TxLog(_warehouse_dir(sf_dir, "txlog_q145")).create()
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    m = int(o.agg(F.max("o_orderkey")).collect()[0][0])
+    mc = int(o.agg(F.max("o_custkey")).collect()[0][0])
+    # v0 — old spec: even keys, partitioned by CUSTKEY range
+    v0 = o.where(F.col("o_orderkey") % 2 == 0).withColumn(
+        "bucket",
+        F.floor((F.col("o_custkey") * _SPEC_BUCKETS) / (mc + 1)).cast("int"),
+    )
+    v0_stats = {
+        int(r["bucket"]): {"o_custkey": [int(r["mn"]), int(r["mx"])]}
+        for r in v0.groupBy("bucket")
+        .agg(F.min("o_custkey").alias("mn"), F.max("o_custkey").alias("mx"))
+        .collect()
+    }
+    tl.commit(
+        "append", add=tl.stage_data_partitioned(v0, "bucket", v0_stats)
+    )
+    # v1 — new spec: odd keys, partitioned by ORDERKEY range
+    v1 = o.where(F.col("o_orderkey") % 2 == 1).withColumn(
+        "bucket",
+        F.floor((F.col("o_orderkey") * _SPEC_BUCKETS) / (m + 1)).cast("int"),
+    )
+    v1_stats = {
+        int(r["bucket"]): {"o_orderkey": [int(r["mn"]), int(r["mx"])]}
+        for r in v1.groupBy("bucket")
+        .agg(F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx"))
+        .collect()
+    }
+    tl.commit(
+        "append", add=tl.stage_data_partitioned(v1, "bucket", v1_stats)
+    )
+    lo, hi = m // 4, m // 2
+    all_files, chosen = tl.scan_files("o_orderkey", lo, hi)
+    # generation split: v0 files carry no orderkey stats (conservative)
+    _f, fstats = tl._replay(tl.latest_version())
+    v0_scanned = sum(
+        1 for f in chosen if "o_orderkey" not in fstats.get(f, {})
+    )
+    v1_scanned = len(chosen) - v0_scanned
+    result = (
+        spark.read.parquet(*[str(tl.root / f) for f in chosen])
+        .where(F.col("o_orderkey").between(lo, hi))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+    )
+    return result.select(
+        F.lit(len(all_files)).cast("long").alias("n_files"),
+        F.lit(len(chosen)).cast("long").alias("n_scanned"),
+        F.lit(v0_scanned).cast("long").alias("n_v0_scanned"),
+        F.lit(v1_scanned).cast("long").alias("n_v1_scanned"),
+        "n_rows",
+        "sum_price",
+    )
