@@ -3916,3 +3916,75 @@ def q143_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q147 — foreign-key DISCOVERY by containment profiling: given a lake
+# of undocumented tables, infer which column pairs are FK candidates
+# by measuring containment = |distinct(child) ∩ distinct(parent)| /
+# |distinct(child)| (the inclusion-dependency test every data-catalog
+# profiler runs). Six candidate pairs cover true keys, a clear
+# negative (o_orderkey ⊄ c_custkey, 0.1), and the instructive FALSE
+# POSITIVE: supplier.s_nationkey ⊆ orders.o_orderkey scores a perfect
+# 1.0 (25 small ints are all valid order keys) without being a key
+# relationship — containment is necessary, not sufficient, which is
+# why profilers pair it with cardinality-ratio and naming signals.
+#
+# Scale design: each candidate is distinct(child) ⟕ semi-join
+# distinct(parent) — two map-side-combinable distincts and one
+# key-hashed join per pair, never a cross-table scan product; the six
+# legs are independent and union into a 6-row report.
+# ---------------------------------------------------------------------------
+_FK_CANDIDATES = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_orderkey", "customer", "c_custkey"),
+    ("supplier", "s_nationkey", "orders", "o_orderkey"),
+]
+
+
+def _fk_oracle() -> str:
+    legs = []
+    for ct, cc, pt, pc in _FK_CANDIDATES:
+        legs.append(f"""
+        SELECT '{ct}.{cc}' AS child, '{pt}.{pc}' AS parent,
+          CAST(COUNT(*) AS BIGINT) AS n_child_distinct,
+          CAST(COUNT(p.v) AS BIGINT) AS n_contained,
+          ROUND(CAST(COUNT(p.v) AS DOUBLE) / COUNT(*), 6) AS containment,
+          (COUNT(p.v) = COUNT(*)) AS is_fk
+        FROM (SELECT DISTINCT {cc} AS v FROM {ct}) c
+        LEFT JOIN (SELECT DISTINCT {pc} AS v FROM {pt}) p ON c.v = p.v""")
+    return (
+        " UNION ALL ".join(legs) + " ORDER BY child, parent"
+    )
+
+
+@register("q147_fk_discovery", oracle=_fk_oracle())
+def q147_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    legs = []
+    for ct, cc, pt, pc in _FK_CANDIDATES:
+        c = table(spark, sf_dir, ct).select(F.col(cc).alias("v")).distinct()
+        p = (
+            table(spark, sf_dir, pt)
+            .select(F.col(pc).alias("v"))
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        legs.append(
+            c.join(p, "v", "left").agg(
+                F.lit(f"{ct}.{cc}").alias("child"),
+                F.lit(f"{pt}.{pc}").alias("parent"),
+                F.count("*").cast("long").alias("n_child_distinct"),
+                F.count("hit").cast("long").alias("n_contained"),
+                F.round(
+                    F.count("hit").cast("double") / F.count("*"), 6
+                ).alias("containment"),
+                (F.count("hit") == F.count("*")).alias("is_fk"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("child", "parent")

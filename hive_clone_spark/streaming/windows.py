@@ -759,3 +759,92 @@ def q102_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q146 — CHAINED stateful operators in one streaming plan:
+# dropDuplicatesWithinWatermark (ingestion-edge dedup of a doubled
+# feed) feeding a tumbling-window aggregate, both stateful, one query,
+# append mode — the multi-stateful-operator capability (SPARK-40925,
+# GA in Spark 3.5/4.x) that older engines forced into two jobs with an
+# intermediate sink. The source is every event delivered TWICE (q66's
+# at-least-once injection); the dedup stage must drop the twins before
+# they reach the window state, so a leak shows up as doubled counts
+# and fails the hash.
+#
+# Emission boundary (measured on this engine, this session): append
+# mode emits a window once the watermark (max event ts - 10 min, ms
+# resolution) passes its END — at sf0.01 exactly the 5 final-hour
+# windows are withheld. The oracle mirrors that settled-region
+# predicate with epoch_ms arithmetic; window ends are hour-aligned, so
+# the ms flooring can never sit on the boundary.
+#
+# Scale design: both state stores are watermark-bounded (dedup keys
+# age out after 10 min; window state drops once emitted); the chain
+# shares one shuffle layout on the group keys. This is the production
+# shape for exactly-once ingestion + rollup in a single job.
+# ---------------------------------------------------------------------------
+@register(
+    "q146_stream_dedup_windowed",
+    oracle="""
+    WITH wm AS (
+      SELECT epoch_ms(MAX(ts)) - 600000 AS wm_ms FROM events),
+    h AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM events GROUP BY ws, event_type)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+      strftime(ws + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+      event_type, n_events, total_value
+    FROM h, wm
+    WHERE epoch_ms(ws + INTERVAL 1 HOUR) <= wm_ms
+    ORDER BY window_start, event_type
+    """,
+)
+def q146_stream_dedup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hive_clone_spark.streaming.streams import (
+        dedup_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    path = os.path.join(sf_dir, "events.parque[t]")
+    # no per-trigger cap: both redelivered copies must land within one
+    # watermark horizon (q66's pinned assumption)
+    redelivered = read_events_stream(
+        spark, path, max_files_per_trigger=None
+    ).unionByName(read_events_stream(spark, path, max_files_per_trigger=None))
+    agg = (
+        dedup_stream(redelivered)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            F.date_format("window.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_end"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(agg, "q146_dedup_windowed", output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.table("q146_dedup_windowed")
+        .orderBy("window_start", "event_type")
+    )
