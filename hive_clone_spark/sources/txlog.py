@@ -395,13 +395,21 @@ class TxLog:
             c = self._read_commit(v)
             adds = [a["file"] for a in c.get("add", [])]
             removes = c.get("remove", [])
+            # mergeSchema: a commit may mix files written under
+            # different layouts (partitionBy strips the partition
+            # column; schema evolution adds columns) — without it the
+            # read picks ONE file's schema nondeterministically
             a_df = (
-                spark.read.parquet(*[str(self.root / f) for f in adds])
+                spark.read.option("mergeSchema", "true").parquet(
+                    *[str(self.root / f) for f in adds]
+                )
                 if adds
                 else None
             )
             r_df = (
-                spark.read.parquet(*[str(self.root / f) for f in removes])
+                spark.read.option("mergeSchema", "true").parquet(
+                    *[str(self.root / f) for f in removes]
+                )
                 if removes
                 else None
             )
@@ -422,7 +430,26 @@ class TxLog:
                     )
                 )
                 continue
-            cols = a_df.columns
+            # align both sides to the UNION of columns (missing ->
+            # typed NULL): a schema-evolving rewrite then compares as
+            # an update, an untouched layout compares as unchanged
+            cols = list(
+                dict.fromkeys(
+                    a_df.columns
+                    + [c for c in r_df.columns if c not in a_df.columns]
+                )
+            )
+
+            def _align(df, other):
+                for c in cols:
+                    if c not in df.columns:
+                        df = df.withColumn(
+                            c, F.lit(None).cast(other.schema[c].dataType)
+                        )
+                return df.select(*cols)
+
+            a_df = _align(a_df, r_df)
+            r_df = _align(r_df, a_df)
             a = a_df.select(
                 F.col(key).alias("__k_a"), F.struct(*cols).alias("__row_a")
             )
@@ -1108,7 +1135,7 @@ def q135_txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(m) + F.col("id")).alias("o_orderkey"),
         F.lit(50.0).alias("o_totalprice"),
     )
-    ins_adds = tl.stage_data(_with_bucket(inserts, m), n_files=1)
+    ins_adds = tl.stage_data(inserts, n_files=1)
     for a in ins_adds:
         a["stats"] = {"o_orderkey": [m + 1, m + _CDF_INSERTS]}
     tl.commit(

@@ -372,3 +372,32 @@ def test_change_feed_classification(spark, tmp_path):
     }
     # bounded window: only v2
     assert tl.change_feed(spark, "k", from_version=1).count() == 1
+
+
+def test_change_feed_schema_evolution(spark, tmp_path):
+    """A rewrite that ADDS a column still feeds: sides are aligned to
+    the union schema with typed NULLs, so evolved rows classify as
+    updates and the mixed-layout read is deterministic (mergeSchema)."""
+    from pyspark.sql import functions as F
+
+    tl = _mk(tmp_path)
+    tl.append(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"), n_files=1
+    )
+    evolved = tl.read(spark).withColumn("extra", F.col("v") * 2)
+    tl.commit(
+        "evolve",
+        add=tl.stage_data(evolved, n_files=1),
+        remove=tl.active_files(0),
+    )
+    feed = tl.change_feed(spark, "k", from_version=0)
+    got = {
+        (r["_change_type"], r["k"], r["v"], r["extra"])
+        for r in feed.collect()
+    }
+    assert got == {
+        ("update_preimage", 1, 10, None),
+        ("update_postimage", 1, 10, 20),
+        ("update_preimage", 2, 20, None),
+        ("update_postimage", 2, 20, 40),
+    }
