@@ -68,6 +68,7 @@ class TxLog:
         self.root = pathlib.Path(root)
         self.log_dir = self.root / "_txlog"
         self.data_dir = self.root / "data"
+        self.dv_dir = self.root / "dv"
 
     # -- log layout ---------------------------------------------------
     @staticmethod
@@ -77,6 +78,7 @@ class TxLog:
     def create(self) -> "TxLog":
         self.log_dir.mkdir(parents=True, exist_ok=True)
         self.data_dir.mkdir(parents=True, exist_ok=True)
+        self.dv_dir.mkdir(parents=True, exist_ok=True)
         return self
 
     def versions(self) -> list[int]:
@@ -95,14 +97,21 @@ class TxLog:
             return json.load(f)
 
     # -- snapshot reconstruction --------------------------------------
-    def _replay(self, version: int) -> tuple[set[str], dict[str, dict]]:
-        """Fold (active files, per-file stats) up to ``version``,
-        starting from the nearest checkpoint at or below it. Stats ride
-        in checkpoints too, so replay NEVER reads commits below the
-        checkpoint floor — after vacuum() those JSONs are gone, and a
-        replay that started at commit 0 would crash on them (and lose
-        any stats they carried)."""
-        start, active, stats = 0, [], {}
+    def _replay(
+        self, version: int
+    ) -> tuple[set[str], dict[str, dict], dict[str, str]]:
+        """Fold (active files, per-file stats, per-file deletion
+        vectors) up to ``version``, starting from the nearest checkpoint
+        at or below it. Stats and DV bindings ride in checkpoints too,
+        so replay NEVER reads commits below the checkpoint floor — after
+        vacuum() those JSONs are gone, and a replay that started at
+        commit 0 would crash on them (and lose any stats they carried).
+
+        A ``dv`` action REBINDS a data file to a new deletion-vector
+        sidecar (the writer merged old + new positions before writing
+        it — Delta's DV protocol does the same superset-replace);
+        removing a data file drops its DV binding."""
+        start, active, stats, dvs = 0, [], {}, {}
         for v in range(version, -1, -1):
             ckpt = self.log_dir / f"{v:08d}.checkpoint.json"
             if ckpt.exists():
@@ -110,6 +119,7 @@ class TxLog:
                     d = json.load(f)
                 active = list(d["active"])
                 stats = dict(d.get("stats", {}))
+                dvs = dict(d.get("dvs", {}))
                 start = v + 1
                 break
         files = set(active)
@@ -122,7 +132,10 @@ class TxLog:
             for r in c.get("remove", []):
                 files.discard(r)
                 stats.pop(r, None)
-        return files, stats
+                dvs.pop(r, None)
+            for d in c.get("dv", []):
+                dvs[d["file"]] = d["dv"]
+        return files, stats, dvs
 
     def active_files(self, version: int | None = None) -> list[str]:
         """Fold add/remove actions up to ``version`` (default latest),
@@ -133,7 +146,7 @@ class TxLog:
             return []
         if version not in set(self.versions()):
             raise ValueError(f"txlog: no commit {version}")
-        files, _ = self._replay(version)
+        files, _, _ = self._replay(version)
         return sorted(files)
 
     def history(self) -> list[dict]:
@@ -211,7 +224,7 @@ class TxLog:
             version = self.latest_version()
         if version not in set(self.versions()):
             raise ValueError(f"txlog: no commit {version}")
-        active, stats = self._replay(version)
+        active, stats, _ = self._replay(version)
         chosen = []
         for f in sorted(active):
             s = stats.get(f, {}).get(col)
@@ -226,6 +239,7 @@ class TxLog:
         remove: list[str] | None = None,
         expected_version: int | None = None,
         txn: str | None = None,
+        dv: list[dict] | None = None,
     ) -> int:
         """Atomically publish a commit at ``latest + 1``.
 
@@ -248,6 +262,8 @@ class TxLog:
             "add": add or [],
             "remove": remove or [],
         }
+        if dv:
+            payload["dv"] = dv
         if txn is not None:
             payload["txn"] = txn
         path = self.log_dir / self._commit_name(version)
@@ -270,11 +286,17 @@ class TxLog:
         # checkpoint is a cache and appears atomically or not at all.
         # Per-file stats are folded in too, so scan_files never needs
         # commits below the checkpoint floor (they may be vacuumed).
-        files, stats = self._replay(version)
+        files, stats, dvs = self._replay(version)
         tmp = self.log_dir / f".{version:08d}.checkpoint.tmp"
         with open(tmp, "w") as f:
             json.dump(
-                {"version": version, "active": sorted(files), "stats": stats}, f
+                {
+                    "version": version,
+                    "active": sorted(files),
+                    "stats": stats,
+                    "dvs": dvs,
+                },
+                f,
             )
         os.replace(tmp, self.log_dir / f"{version:08d}.checkpoint.json")
 
@@ -309,6 +331,109 @@ class TxLog:
         removes = self.active_files() if self.latest_version() >= 0 else []
         return self.commit(op, add=self.stage_data(df, n_files), remove=removes)
 
+    # -- deletion vectors (merge-on-read DELETE) ----------------------
+    def dvs(self, version: int | None = None) -> dict[str, str]:
+        """Active deletion-vector bindings (data file -> DV sidecar
+        relpath) at ``version``."""
+        if version is None:
+            version = self.latest_version()
+        if version < 0:
+            return {}
+        active, _, dvs = self._replay(version)
+        return {f: p for f, p in dvs.items() if f in active}
+
+    def _read_dv(self, relpath: str) -> list[int]:
+        with open(self.root / relpath) as f:
+            return list(json.load(f)["positions"])
+
+    def _write_dv(self, data_file: str, positions: list[int]) -> str:
+        """One immutable DV sidecar: the SORTED row positions deleted
+        from ``data_file``. Production formats use a roaring bitmap in
+        a sidecar file; a sorted position list is the same contract at
+        the fidelity this log needs."""
+        name = f"{uuid.uuid4().hex}.json"
+        with open(self.dv_dir / name, "w") as f:
+            json.dump({"file": data_file, "positions": sorted(positions)}, f)
+        return f"dv/{name}"
+
+    def delete_where_mor(
+        self,
+        spark: SparkSession,
+        predicate: F.Column,
+        stats_col: str | None = None,
+        lo=None,
+        hi=None,
+        op: str = "delete-dv",
+    ) -> int:
+        """Merge-on-read row-level DELETE: instead of rewriting the
+        files that hold matches (q125's copy-on-write), write a
+        deletion-vector sidecar per affected file — the row POSITIONS
+        to hide — and commit only the DV rebindings. No data file is
+        written or removed; the delete costs O(matches), not O(files
+        containing matches). This is the GDPR-delete shape at 100 TB:
+        deleting one user's rows from a petabyte table writes kilobytes
+        of bitmaps, and compaction later folds DVs into rewrites.
+
+        Positions come from the parquet scan's ``_metadata.row_index``
+        (stable because data files are immutable), so the matching scan
+        is fully distributed and split-safe. When ``stats_col``/lo/hi
+        are given, skipping stats bound the scan to candidate files —
+        metadata-only pruning before any data read. Commits use the
+        optimistic-concurrency retry loop; a new DV for a file REPLACES
+        the old one after merging positions (superset-replace, like
+        Delta's DV protocol), so concurrent deletes serialize cleanly.
+        """
+        while True:
+            expected = self.latest_version()
+            if stats_col is not None:
+                _all, cand = self.scan_files(
+                    stats_col, lo, hi, version=expected
+                )
+            else:
+                cand = self.active_files(expected)
+            if not cand:
+                return expected
+            _, _, dvs = self._replay(expected)
+            src = spark.read.parquet(
+                *[str(self.root / f) for f in cand]
+            ).select(
+                F.concat(
+                    F.lit("data/"),
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ),
+                ).alias("__file"),
+                F.col("_metadata.row_index").alias("__pos"),
+                "*",
+            )
+            hits = (
+                src.where(predicate)
+                .groupBy("__file")
+                .agg(F.sort_array(F.collect_list("__pos")).alias("ps"))
+                .collect()
+            )
+            actions = []
+            for r in hits:
+                prior = (
+                    set(self._read_dv(dvs[r["__file"]]))
+                    if r["__file"] in dvs
+                    else set()
+                )
+                merged = sorted(prior | {int(p) for p in r["ps"]})
+                actions.append(
+                    {
+                        "file": r["__file"],
+                        "dv": self._write_dv(r["__file"], merged),
+                        "n_deleted": len(merged),
+                    }
+                )
+            try:
+                return self.commit(
+                    op, dv=actions, expected_version=expected
+                )
+            except CommitConflictError:
+                continue  # orphaned DV sidecars await vacuum
+
     # -- maintenance --------------------------------------------------
     def vacuum(self, retain_versions: int) -> dict:
         """Retention-bounded physical cleanup: keep the newest
@@ -326,8 +451,10 @@ class TxLog:
         cutoff = max(0, latest - retain_versions + 1)
         retained = [v for v in self.versions() if v >= cutoff]
         referenced: set[str] = set()
+        referenced_dvs: set[str] = set()
         for v in retained:
             referenced.update(self.active_files(v))
+            referenced_dvs.update(self.dvs(v).values())
         # pin the cutoff checkpoint (incl. stats) BEFORE dropping older
         # commits, so retained replay never reads below the cutoff
         ckpt = self.log_dir / f"{cutoff:08d}.checkpoint.json"
@@ -338,6 +465,11 @@ class TxLog:
             if f"data/{part.name}" not in referenced:
                 part.unlink()
                 n_files += 1
+        if self.dv_dir.exists():
+            for dvf in self.dv_dir.glob("*.json"):
+                if f"dv/{dvf.name}" not in referenced_dvs:
+                    dvf.unlink()
+                    n_files += 1
         n_commits = 0
         for v in self.versions():
             if v < cutoff:
@@ -354,10 +486,40 @@ class TxLog:
 
     # -- reading ------------------------------------------------------
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Snapshot read at ``version``: the active files, minus any
+        rows hidden by that version's deletion vectors. Without DVs the
+        plan is a bare parquet scan (the common fast path). With DVs,
+        each row's (file, ``_metadata.row_index``) is anti-joined
+        against the broadcast DV positions — relationally what a
+        production reader does with a pushed-down per-file bitmap
+        filter; positions are scan-order stable because data files are
+        immutable."""
         files = [str(self.root / f) for f in self.active_files(version)]
         if not files:
             raise ValueError("txlog: empty table")
-        return spark.read.parquet(*files)
+        df = spark.read.parquet(*files)
+        active_dvs = self.dvs(
+            version if version is not None else self.latest_version()
+        )
+        if not active_dvs:
+            return df
+        dead = [
+            (f, int(p))
+            for f, dv in active_dvs.items()
+            for p in self._read_dv(dv)
+        ]
+        dv_df = spark.createDataFrame(dead, "__file string, __pos bigint")
+        src = df.select(
+            "*",
+            F.concat(
+                F.lit("data/"),
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+            ).alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        return src.join(
+            F.broadcast(dv_df), ["__file", "__pos"], "left_anti"
+        ).drop("__file", "__pos")
 
     def change_feed(
         self,
@@ -1231,7 +1393,7 @@ def q144_compaction_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append", add=tl.stage_data_partitioned(bucketed, "bucket", stats)
     )
     # policy: METADATA-ONLY decision off the log's n_rows stats
-    _files, fstats = tl._replay(tl.latest_version())
+    _files, fstats, _dvs = tl._replay(tl.latest_version())
     n_tot = sum(s["n_rows"][0] for s in fstats.values())
     target = n_tot // _OPT_TARGET_DIV
     small = sorted(
@@ -1359,7 +1521,7 @@ def q145_partition_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     lo, hi = m // 4, m // 2
     all_files, chosen = tl.scan_files("o_orderkey", lo, hi)
     # generation split: v0 files carry no orderkey stats (conservative)
-    _f, fstats = tl._replay(tl.latest_version())
+    _f, fstats, _dvs = tl._replay(tl.latest_version())
     v0_scanned = sum(
         1 for f in chosen if "o_orderkey" not in fstats.get(f, {})
     )
@@ -1380,3 +1542,115 @@ def q145_partition_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_rows",
         "sum_price",
     )
+
+
+# ---------------------------------------------------------------------------
+# Q148 — DELETION VECTORS: merge-on-read row-level DELETE through the
+# commit log. q125 shows the copy-on-write path (rewrite every file
+# containing a match); this is the other half of the production design
+# space — a delete commits only per-file POSITION sidecars (Delta
+# deletion vectors / Iceberg positional deletes) and the data files are
+# never touched. Two successive deletes (orderkey % 97, then % 89,
+# inside [m/4, m/2]) exercise the DV merge rule: the second commit's
+# sidecars REPLACE the first's after a position union, so a file's DV
+# is always the full deleted set.
+#
+# The ledger row per version fuses metadata evidence with time-travel
+# data reads: n_dv_files (how many files carry a DV — the oracle
+# derives it from which buckets contain matching keys), n_files_added
+# (0 for both deletes — the merge-on-read proof), n_rows_visible /
+# sum_price (DV-aware snapshot read at that version), and
+# n_rows_physical (a RAW read of the same active files — constant
+# across versions, proving no data file was rewritten). A reader that
+# leaks deleted rows, hides too many, breaks the position union, or
+# silently rewrites files fails the hash.
+#
+# Scale design (100 TB): the delete writes O(matching rows) of sidecar
+# positions — kilobytes against a petabyte table — and the matching
+# scan is bounded by skipping stats BEFORE any data read. The DV-aware
+# read anti-joins (file, row_index) against broadcast positions; a
+# production reader pushes the same bitmap into the scan. Time travel
+# keeps working because DV bindings fold per-version like any action.
+# ---------------------------------------------------------------------------
+@register(
+    "q148_deletion_vectors",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+    rng AS (SELECT m // 4 AS lo, m // 2 AS hi FROM mx),
+    b AS (
+      SELECT o_orderkey, o_totalprice,
+        (o_orderkey * {_SKIP_BUCKETS}) // (m + 1) AS bucket
+      FROM orders, mx),
+    d1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_del,
+        COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))),
+                 CAST(0.00 AS DECIMAL(18,2))) AS s_del,
+        CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_dv
+      FROM b, rng
+      WHERE o_orderkey % 97 = 0 AND o_orderkey BETWEEN lo AND hi),
+    d2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_del,
+        COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))),
+                 CAST(0.00 AS DECIMAL(18,2))) AS s_del,
+        CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_dv
+      FROM b, rng
+      WHERE (o_orderkey % 97 = 0 OR o_orderkey % 89 = 0)
+        AND o_orderkey BETWEEN lo AND hi),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tot,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s_tot
+      FROM b)
+    SELECT CAST(0 AS BIGINT) AS version, 'append' AS op,
+      CAST(0 AS BIGINT) AS n_dv_files,
+      CAST({_SKIP_BUCKETS} AS BIGINT) AS n_files_added,
+      n_tot AS n_rows_visible, n_tot AS n_rows_physical,
+      CAST(s_tot AS DOUBLE) AS sum_price
+    FROM tot
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'delete-dv', d1.n_dv, CAST(0 AS BIGINT),
+      n_tot - d1.n_del, n_tot, CAST(s_tot - d1.s_del AS DOUBLE)
+    FROM tot, d1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'delete-dv', d2.n_dv, CAST(0 AS BIGINT),
+      n_tot - d2.n_del, n_tot, CAST(s_tot - d2.s_del AS DOUBLE)
+    FROM tot, d2
+    ORDER BY version
+    """,
+)
+def q148_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tl, m = _stage_bucketed_orders(spark, sf_dir, "txlog_q148")
+    lo, hi = m // 4, m // 2
+    for mod in (97, 89):
+        tl.delete_where_mor(
+            spark,
+            (F.col("o_orderkey") % mod == 0)
+            & F.col("o_orderkey").between(lo, hi),
+            stats_col="o_orderkey",
+            lo=lo,
+            hi=hi,
+        )
+    rows = []
+    for h in tl.history():
+        v = h["version"]
+        visible = tl.read(spark, v).agg(
+            F.count("*").alias("n_rows_visible"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+        physical = spark.read.parquet(
+            *[str(tl.root / f) for f in tl.active_files(v)]
+        ).count()
+        rows.append(
+            visible.select(
+                F.lit(v).cast("long").alias("version"),
+                F.lit(h["op"]).alias("op"),
+                F.lit(len(tl.dvs(v))).cast("long").alias("n_dv_files"),
+                F.lit(h["n_added"]).cast("long").alias("n_files_added"),
+                "n_rows_visible",
+                F.lit(physical).cast("long").alias("n_rows_physical"),
+                "sum_price",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("version")

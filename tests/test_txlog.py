@@ -324,7 +324,7 @@ def test_property_replay_matches_model(steps, retain):
         for v in range(cutoff, latest + 1):
             assert set(tl.active_files(v)) == model[v], v
         # stats survive vacuum through the pinned checkpoint
-        _, stats = tl._replay(latest)
+        _, stats, _ = tl._replay(latest)
         for f in tl.active_files(latest):
             num = int(f[6:-8].lstrip("f") or 0)
             if f.startswith("data/f") and "stats" in str(stats.get(f, "")):
@@ -401,3 +401,77 @@ def test_change_feed_schema_evolution(spark, tmp_path):
         ("update_preimage", 2, 20, None),
         ("update_postimage", 2, 20, 40),
     }
+
+
+def test_deletion_vector_mor_delete(spark, tmp_path):
+    """MOR delete hides rows without touching data files; time travel
+    below the DV commit still sees them; a second delete's sidecar is
+    the position UNION (superset-replace)."""
+    from pyspark.sql import functions as F
+
+    tl = _mk(tmp_path)
+    df = spark.range(100).withColumnRenamed("id", "k")
+    tl.append(df, n_files=4)  # v0
+    files_before = sorted(p.name for p in tl.data_dir.glob("*.parquet"))
+
+    tl.delete_where_mor(spark, F.col("k") % 10 == 0)  # v1: 10 rows
+    assert tl.read(spark, 1).count() == 90
+    assert tl.read(spark, 0).count() == 100  # time travel pre-DV
+    # no data file added, removed, or rewritten
+    assert sorted(p.name for p in tl.data_dir.glob("*.parquet")) == files_before
+    assert tl.history()[1]["n_added"] == 0
+    assert tl.history()[1]["n_removed"] == 0
+
+    tl.delete_where_mor(spark, F.col("k") % 15 == 0)  # v2: union
+    survivors = {
+        r["k"]
+        for r in tl.read(spark).select("k").collect()
+    }
+    assert survivors == {
+        k for k in range(100) if k % 10 != 0 and k % 15 != 0
+    }
+    # each bound sidecar holds the full merged positions for its file
+    total_dv_positions = sum(
+        len(tl._read_dv(p)) for p in tl.dvs().values()
+    )
+    assert total_dv_positions == sum(
+        1 for k in range(100) if k % 10 == 0 or k % 15 == 0
+    )
+
+
+def test_deletion_vector_checkpoint_and_vacuum(spark, tmp_path):
+    """DV bindings ride checkpoints (replay above the floor) and
+    vacuum keeps referenced sidecars while removing orphans."""
+    from pyspark.sql import functions as F
+
+    tl = _mk(tmp_path)
+    df = spark.range(50).withColumnRenamed("id", "k")
+    tl.append(df, n_files=2)
+    tl.delete_where_mor(spark, F.col("k") < 5)
+    orphan = tl.dv_dir / "orphan.json"
+    orphan.write_text(json.dumps({"file": "data/x", "positions": [0]}))
+    # push past a checkpoint boundary
+    for _ in range(_CHECKPOINT_EVERY):
+        tl.append(
+            spark.range(1000, 1001).withColumnRenamed("id", "k"), n_files=1
+        )
+    tl.vacuum(retain_versions=2)
+    assert not orphan.exists()
+    assert len(tl.dvs()) == 2  # both v0 files still carry their DVs
+    assert tl.read(spark).where(F.col("k") < 5).count() == 0
+
+
+def test_deletion_vector_rewrite_drops_binding(spark, tmp_path):
+    """Removing a data file (compaction/rewrite) retires its DV."""
+    from pyspark.sql import functions as F
+
+    tl = _mk(tmp_path)
+    df = spark.range(20).withColumnRenamed("id", "k")
+    tl.append(df, n_files=1)
+    tl.delete_where_mor(spark, F.col("k") % 2 == 0)
+    assert tl.read(spark).count() == 10
+    # compaction folds the DV into a rewrite: read (DV-aware) and
+    # overwrite — the new file has no DV and the same visible rows
+    tl.overwrite(tl.read(spark), n_files=1, op="compact")
+    assert tl.dvs() == {}
+    assert tl.read(spark).count() == 10
