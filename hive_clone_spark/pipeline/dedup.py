@@ -1741,3 +1741,129 @@ def p_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup (pHash, frequency domain): aHash (above) keys
+# on block-luma LEVELS, so brightness-shifted copies collide apart.
+# pHash keys on the image's low-FREQUENCY structure: downsample, 2D
+# transform, threshold the AC coefficients against their median. The
+# production recipe (32x32 resize -> float DCT-II -> top-left 8x8) uses
+# a floating transform; this implementation swaps in the H.264 4x4
+# integer transform — the standard integer-exact DCT approximation
+# video codecs use for exactly this reason (bit-reproducible across
+# machines) — so every coefficient, the median, and every hash bit are
+# integers an external SQL oracle predicts.
+#
+# Pipeline per image (REAL decode path, like aHash):
+#   1. decode_jpeg_coeffs -> luma DC plane (the 8x-downsampled image);
+#   2. nearest-neighbor resample to 4x4: sample[i][j] =
+#      dc[(i*hb)//4][(j*wb)//4] (duplicating rows/cols when the plane
+#      is smaller than 4x4 — exactly what production resizes do);
+#   3. C = T @ X @ T'  with T = [[1,1,1,1],[2,1,-1,-2],[1,-1,-1,1],
+#      [1,-2,2,-1]] (H.264 forward core transform);
+#   4. med = 8th smallest of the 15 AC coefficients; bit_k = c_k > med;
+#   5. dedup groups on (dims, phash) — one shuffle on an int64 key.
+#
+# Scale design: decode + transform is scan-stage Arrow work (a 4x4
+# integer matmul per image); the dedup shuffle key is 8 bytes. The
+# median threshold guarantees ~half the bits set for ANY image, which
+# is what keeps pHash buckets balanced at corpus scale (aHash on
+# low-contrast corpora degenerates to all-zero hashes — one hot
+# bucket; the median rule cannot).
+# ---------------------------------------------------------------------------
+@register(
+    "p_image_phash_dedup",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 = 3 THEN 2 * (1 + doc_id % 3)
+             ELSE 1 + doc_id % 8 END AS wb,
+        CASE WHEN doc_id % 4 = 3 THEN 2 * (1 + (doc_id // 4) % 3)
+             ELSE 1 + (doc_id * 3) % 6 END AS hb
+      FROM documents),
+    coefs AS (
+      SELECT doc_id, wb, hb,
+        list_transform(generate_series(0, 15), k ->
+          list_sum(list_transform(generate_series(0, 3), a ->
+            [[1,1,1,1],[2,1,-1,-2],[1,-1,-1,1],[1,-2,2,-1]][k // 4 + 1][a + 1]
+            * list_sum(list_transform(generate_series(0, 3), b ->
+                [[1,1,1,1],[2,1,-1,-2],[1,-1,-1,1],[1,-2,2,-1]][k % 4 + 1][b + 1]
+                * (((doc_id + 11 * ((b * wb) // 4)
+                             + 5 * ((a * hb) // 4)) % 17) - 8)))))) AS c
+      FROM dims),
+    hashes AS (
+      SELECT doc_id, wb, hb,
+        CAST(list_sum(list_transform(generate_series(1, 15), k ->
+          CASE WHEN c[k + 1] > list_sort(list_slice(c, 2, 16))[8]
+               THEN (CAST(1 AS BIGINT) << (k - 1))
+               ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS phash
+      FROM coefs)
+    SELECT doc_id, phash,
+      CAST(COUNT(*) OVER (PARTITION BY wb, hb, phash) AS BIGINT)
+        AS group_size,
+      COUNT(*) OVER (PARTITION BY wb, hb, phash) > 1 AS is_dup
+    FROM hashes
+    ORDER BY doc_id
+    """,
+)
+def p_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the real JPEG fixtures, downsample the luma DC plane to
+    4x4, apply the H.264 integer transform, and hash the AC signs
+    against their median; duplicate groups on (dims, phash)."""
+    import pandas as pd
+
+    from pyspark import cloudpickle as _cp
+    import hive_clone_spark.pipeline.jpegcodec as _jmod
+
+    _cp.register_pickle_by_value(_jmod)
+    from hive_clone_spark.pipeline.common import spread
+    from hive_clone_spark.pipeline.jpegcodec import (
+        decode_jpeg_coeffs,
+        synth_jpeg,
+    )
+    from pyspark.sql.window import Window
+
+    ids = spread(table(spark, sf_dir, "documents").select("doc_id"))
+
+    def hash_batches(batches):
+        import numpy as np
+
+        T = np.array(
+            [[1, 1, 1, 1], [2, 1, -1, -2], [1, -1, -1, 1], [1, -2, 2, -1]],
+            dtype=np.int64,
+        )
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                doc_id = int(i)
+                planes, w, h, _, _ = decode_jpeg_coeffs(synth_jpeg(doc_id))
+                dc = planes[0][:, :, 0]  # luma DC plane
+                hb, wb = dc.shape
+                X = dc[
+                    np.ix_(
+                        [(i_ * hb) // 4 for i_ in range(4)],
+                        [(j_ * wb) // 4 for j_ in range(4)],
+                    )
+                ]
+                C = (T @ X @ T.T).reshape(-1)
+                ac = C[1:]
+                med = int(np.sort(ac)[7])  # 8th smallest of 15
+                phash = int(
+                    sum(1 << k for k, v in enumerate(ac) if int(v) > med)
+                )
+                rows.append((doc_id, wb, hb, phash))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "wb", "hb", "phash"]
+            )
+
+    hashed = ids.mapInPandas(
+        hash_batches, "doc_id BIGINT, wb INT, hb INT, phash BIGINT"
+    )
+    grp = Window.partitionBy("wb", "hb", "phash")
+    return hashed.select(
+        "doc_id",
+        "phash",
+        F.count("*").over(grp).alias("group_size"),
+        (F.count("*").over(grp) > 1).alias("is_dup"),
+    ).orderBy("doc_id")

@@ -1532,3 +1532,127 @@ def p_stem_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_tokens"), "stem")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval: the scoring function real search backends
+# (Lucene/Elasticsearch) run over an inverted index — p_tfidf's
+# term-weighting upgraded with document-length normalization and
+# saturating term frequency. Query terms ['spark','join','window'],
+# Robertson parameters k1=1.2, b=0.75:
+#
+#   idf(t)     = ln(1 + (N - df + 0.5)/(df + 0.5))
+#   score(d,t) = idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+#   bm25(d)    = sum over matched query terms
+#
+# Float discipline (the invariant that keeps ln-bearing scores under
+# the value hash): per-term scores are computed with IDENTICAL
+# expression shapes in both engines, rounded to 6 dp, cast
+# DECIMAL(18,6), and summed EXACTLY — never raw doubles across rows.
+#
+# Scale design (100 TB): the exploded token stream is filtered to the
+# query terms AT THE SCAN (three-element IN — the inverted-index
+# access path collapsed into a predicate), so the aggregate shuffles
+# only matching postings; df and corpus stats are one-row broadcasts;
+# the final top-k is a rank over the (tiny) matched-doc set. This is
+# exactly query-time BM25 over a posting-list slice, not a corpus
+# scan per query.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_TOPK = 10
+
+
+@register(
+    "p_bm25_rank",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, lower(w) AS word, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest({{words}}) AS w FROM documents)
+      WHERE lower(w) IN ('spark', 'join', 'window')
+      GROUP BY doc_id, lower(w)),
+    dl AS (SELECT doc_id, len({{words}}) AS dl FROM documents),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(len({{words}})) AS BIGINT) AS total_words
+          FROM documents),
+    idf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word),
+    scored AS (
+      SELECT tf.doc_id,
+        ROUND(
+          ln(1.0 + (n.n_docs - idf.df + 0.5) / (idf.df + 0.5))
+          * (tf.tf * 2.2)
+          / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+               / (CAST(n.total_words AS DOUBLE) / n.n_docs))), 6) AS s
+      FROM tf
+      JOIN idf ON tf.word = idf.word
+      JOIN dl ON dl.doc_id = tf.doc_id, n),
+    ranked AS (
+      SELECT doc_id,
+        CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS bm25,
+        CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM scored GROUP BY doc_id)
+    SELECT doc_id, bm25, n_terms, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+          FROM ranked)
+    WHERE rnk <= {_BM25_TOPK}
+    ORDER BY rnk
+    """.format(words=SQL_WORDS.format(expr="text")),
+)
+def p_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    words = words_col(F.col("text"))
+    tf = (
+        d.select("doc_id", F.explode(words).alias("w"))
+        .select("doc_id", F.lower("w").alias("word"))
+        .where(F.col("word").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = d.select("doc_id", F.size(words).alias("dl"))
+    n = d.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(words)).cast("bigint").alias("total_words"),
+    )
+    idf = tf.groupBy("word").agg(F.count("*").cast("bigint").alias("df"))
+    scored = (
+        tf.join(F.broadcast(idf), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + 1.2
+                    * (
+                        F.lit(0.25)
+                        + 0.75
+                        * F.col("dl")
+                        / (
+                            F.col("total_words").cast("double")
+                            / F.col("n_docs")
+                        )
+                    )
+                ),
+                6,
+            ).alias("s"),
+        )
+    )
+    ranked = scored.groupBy("doc_id").agg(
+        F.sum(F.col("s").cast("decimal(18,6)")).cast("double").alias("bm25"),
+        F.count("*").cast("bigint").alias("n_terms"),
+    )
+    # top-k FIRST (TakeOrderedAndProject — no global shuffle-sort),
+    # then rank the k survivors (p_vocab_build's bounded-window shape)
+    top = ranked.orderBy(F.desc("bm25"), "doc_id").limit(_BM25_TOPK)
+    w = Window.orderBy(F.desc("bm25"), "doc_id")
+    return top.withColumn(
+        "rnk", F.row_number().over(w).cast("int")
+    ).orderBy("rnk")

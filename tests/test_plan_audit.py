@@ -48,6 +48,7 @@ NESTEDLOOP_OK = {
     "p_knn_recall",  # embeds p_knn_bruteforce's 5-vector broadcast
     "p_semantic_dedup",
     "p_tfidf",  # 1-row corpus-count build side (q44 pattern)
+    "p_bm25_rank",  # 1-row corpus-stats crossJoin (p_tfidf pattern)
     "q95_kmv_distinct_sketch",  # 1-row kth-min x 1-row exact crossJoin
     "q104_dq_expectations",  # 1-row count x 1-row violation crossJoins
     "q97_bloom_filter_join",  # 1-row ledger-count crossJoins (q44 pattern)
