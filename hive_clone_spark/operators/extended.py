@@ -3988,3 +3988,111 @@ def q147_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.orderBy("child", "parent")
+
+
+# ---------------------------------------------------------------------------
+# Q149 — grouped OLS linear regression (regr_slope/regr_intercept/
+# regr_r2, the SQL:2003 regression aggregates): per nation, the
+# least-squares trend of order price (cents) against order date (epoch
+# days). Every engine exposes these as float aggregates whose results
+# depend on summation order — useless under a cross-engine value hash.
+# This formulation makes them deterministic: the five moment sums
+# (Sx, Sy, Sxy, Sxx, Syy) are EXACT DECIMAL(38,0) integers (x = epoch
+# days, y = price in cents — both integers), the normal-equation
+# combinations n*Sxy - Sx*Sy etc. stay in decimal, and ONLY the final
+# slope/intercept/r2 divisions happen in double, with identical
+# expression shapes in both engines, rounded to 6 dp.
+#
+# Scale design (100 TB): one map-side-combinable aggregate per group —
+# the moments are plain SUMs, so the whole regression is a single
+# shuffle on the group key with partial aggregation upstream; no
+# second pass, no window, no collect. This is how regression at scale
+# should decompose (the moment-sum trick is also what makes it
+# streamable and mergeable across partitions).
+# ---------------------------------------------------------------------------
+@register(
+    "q149_grouped_ols",
+    oracle="""
+    WITH pts AS (
+      SELECT n_name,
+        CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS x,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM orders, customer, nation
+      WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey),
+    m AS (
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+        SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+        SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy,
+        SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+        SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy
+      FROM pts GROUP BY n_name),
+    c AS (
+      SELECT n_name, n,
+        CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS num,
+        CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS dxx,
+        CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS dyy,
+        sx, sy
+      FROM m)
+    SELECT n_name, n AS n_orders,
+      ROUND(CAST(num AS DOUBLE) / CAST(dxx AS DOUBLE), 6)
+        AS slope_cents_per_day,
+      ROUND((CAST(sy AS DOUBLE)
+             - (CAST(num AS DOUBLE) / CAST(dxx AS DOUBLE))
+               * CAST(sx AS DOUBLE)) / n, 6) AS intercept_cents,
+      ROUND((CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+            / (CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)), 6) AS r2
+    FROM c ORDER BY n_name
+    """,
+)
+def q149_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("x"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    d38 = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(d38("x")).alias("sx"),
+            F.sum(d38("y")).alias("sy"),
+            F.sum(d38("x") * d38("y")).alias("sxy"),
+            F.sum(d38("x") * d38("x")).alias("sxx"),
+            F.sum(d38("y") * d38("y")).alias("syy"),
+        )
+    )
+    comb = m.select(
+        "n_name",
+        "n",
+        (F.col("n").cast("decimal(38,0)") * F.col("sxy")
+         - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n").cast("decimal(38,0)") * F.col("sxx")
+         - F.col("sx") * F.col("sx")).alias("dxx"),
+        (F.col("n").cast("decimal(38,0)") * F.col("syy")
+         - F.col("sy") * F.col("sy")).alias("dyy"),
+        "sx",
+        "sy",
+    )
+    dbl = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    return comb.select(
+        "n_name",
+        F.col("n").alias("n_orders"),
+        F.round(dbl("num") / dbl("dxx"), 6).alias("slope_cents_per_day"),
+        F.round(
+            (dbl("sy") - (dbl("num") / dbl("dxx")) * dbl("sx")) / F.col("n"),
+            6,
+        ).alias("intercept_cents"),
+        F.round(
+            (dbl("num") * dbl("num")) / (dbl("dxx") * dbl("dyy")), 6
+        ).alias("r2"),
+    ).orderBy("n_name")

@@ -434,6 +434,130 @@ class TxLog:
             except CommitConflictError:
                 continue  # orphaned DV sidecars await vacuum
 
+    # -- branches (write-audit-publish) -------------------------------
+    # A branch is an independent commit chain LAYERED on a pinned main
+    # snapshot (Iceberg branch refs, Delta's WAP pattern): branch
+    # commits reference staged data files exactly like main commits,
+    # but fold on top of the base version, so main readers never see
+    # in-audit data. Publishing fast-forwards main with the branch's
+    # NET file diff in one atomic commit — file identity is preserved
+    # (no rewrite), which is what makes WAP free at 100 TB: audit and
+    # publish are metadata operations, the data bytes move once.
+    def _branch_dir(self, name: str) -> pathlib.Path:
+        return self.log_dir / "branches" / name
+
+    def create_branch(self, name: str, from_version: int | None = None) -> None:
+        if from_version is None:
+            from_version = self.latest_version()
+        d = self._branch_dir(name)
+        (d / "commits").mkdir(parents=True, exist_ok=False)
+        with open(d / "ref.json", "w") as f:
+            json.dump({"base": from_version}, f)
+
+    def branch_base(self, name: str) -> int:
+        with open(self._branch_dir(name) / "ref.json") as f:
+            return int(json.load(f)["base"])
+
+    def branch_versions(self, name: str) -> list[int]:
+        return sorted(
+            int(p.name[:8])
+            for p in (self._branch_dir(name) / "commits").glob("*.json")
+        )
+
+    def branch_replay(
+        self, name: str, bversion: int | None = None
+    ) -> tuple[set[str], dict[str, dict], dict[str, str]]:
+        """Branch snapshot = main fold at the base version, then the
+        branch's own commits applied with the same action rules."""
+        base = self.branch_base(name)
+        files, stats, dvs = (
+            self._replay(base) if base >= 0 else (set(), {}, {})
+        )
+        upto = (
+            self.branch_versions(name)[-1] if bversion is None else bversion
+        )
+        for v in self.branch_versions(name):
+            if v > upto:
+                break
+            with open(
+                self._branch_dir(name) / "commits" / self._commit_name(v)
+            ) as f:
+                c = json.load(f)
+            for a in c.get("add", []):
+                files.add(a["file"])
+                if "stats" in a:
+                    stats[a["file"]] = a["stats"]
+            for r in c.get("remove", []):
+                files.discard(r)
+                stats.pop(r, None)
+                dvs.pop(r, None)
+            for d in c.get("dv", []):
+                dvs[d["file"]] = d["dv"]
+        return files, stats, dvs
+
+    def branch_commit(
+        self,
+        name: str,
+        op: str,
+        add: list[dict] | None = None,
+        remove: list[str] | None = None,
+        expected_version: int | None = None,
+    ) -> int:
+        """Same exclusive-create contract as main commits, scoped to
+        the branch's chain — concurrent branch writers race on the
+        branch slot, never on main's."""
+        vs = self.branch_versions(name)
+        latest = vs[-1] if vs else -1
+        if expected_version is not None and latest != expected_version:
+            raise CommitConflictError(
+                f"txlog branch {name}: expected {expected_version}, "
+                f"found {latest}"
+            )
+        version = latest + 1
+        path = self._branch_dir(name) / "commits" / self._commit_name(version)
+        payload = {
+            "version": version,
+            "op": op,
+            "add": add or [],
+            "remove": remove or [],
+        }
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"txlog branch {name}: version {version} committed "
+                "concurrently"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f)
+        return version
+
+    def branch_read(self, spark: SparkSession, name: str) -> DataFrame:
+        files, _, dvs = self.branch_replay(name)
+        return self._read_files(spark, sorted(files), dvs)
+
+    def publish_branch(
+        self, name: str, expected_version: int | None = None
+    ) -> int:
+        """Fast-forward publish: one atomic main commit carrying the
+        branch's NET file diff against the current main snapshot. The
+        optimistic token (normally the branch's base) makes WAP safe:
+        if main moved during the audit, the publish conflicts and the
+        writer rebases instead of silently clobbering."""
+        bfiles, bstats, _ = self.branch_replay(name)
+        main = set(self.active_files()) if self.latest_version() >= 0 else set()
+        adds = [
+            {"file": f, **({"stats": bstats[f]} if f in bstats else {})}
+            for f in sorted(bfiles - main)
+        ]
+        removes = sorted(main - bfiles)
+        return self.commit(
+            f"publish-{name}",
+            add=adds,
+            remove=removes,
+            expected_version=expected_version,
+        )
+
     # -- maintenance --------------------------------------------------
     def vacuum(self, retain_versions: int) -> dict:
         """Retention-bounded physical cleanup: keep the newest
@@ -494,13 +618,20 @@ class TxLog:
         production reader does with a pushed-down per-file bitmap
         filter; positions are scan-order stable because data files are
         immutable."""
-        files = [str(self.root / f) for f in self.active_files(version)]
+        return self._read_files(
+            spark,
+            self.active_files(version),
+            self.dvs(version if version is not None else self.latest_version()),
+        )
+
+    def _read_files(
+        self, spark: SparkSession, rel_files: list[str], dvs: dict[str, str]
+    ) -> DataFrame:
+        files = [str(self.root / f) for f in rel_files]
         if not files:
             raise ValueError("txlog: empty table")
         df = spark.read.parquet(*files)
-        active_dvs = self.dvs(
-            version if version is not None else self.latest_version()
-        )
+        active_dvs = {f: p for f, p in dvs.items() if f in set(rel_files)}
         if not active_dvs:
             return df
         dead = [
@@ -1654,3 +1785,145 @@ def q148_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# Q150 — branch-based WRITE-AUDIT-PUBLISH (WAP) through the commit
+# log: the production pattern (Iceberg branch refs / Delta WAP) where
+# new data lands on an isolated BRANCH, gets audited and fixed there,
+# and reaches main only as an atomic fast-forward publish — main
+# readers can never observe unaudited rows.
+#
+# Storyline, every cell oracle-predicted from the orders table:
+#   phase 0  main v0     = pre-1996 orders (4 files);
+#   phase 1  branch write: the 1996 batch lands on branch 'audit' with
+#            PLANTED corruption (orderkey % 97 rows carry negated
+#            prices) — branch sees them, main does not;
+#   phase 2  audit fix   : violations counted ON THE BRANCH, then the
+#            fix rewrites ONLY the 2-file branch delta (remove 2 /
+#            add 2) dropping the corrupt rows;
+#   phase 3  publish     : one main commit fast-forwards the branch's
+#            net diff (add 2, remove 0 — file identity preserved, the
+#            no-rewrite evidence) gated on expected_version = base.
+#
+# Scale design (100 TB): audit and publish are metadata commits; the
+# data bytes are written once on the branch and MOVE ZERO times at
+# publish. The conflict path (main advanced during audit -> publish
+# raises, writer rebases) is pinned in tests/test_txlog.py.
+# ---------------------------------------------------------------------------
+@register(
+    "q150_txlog_branch_wap",
+    oracle="""
+    WITH p96 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+      FROM orders WHERE o_orderdate < DATE '1996-01-01'),
+    y96 AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      FROM orders
+      WHERE o_orderdate >= DATE '1996-01-01'
+        AND o_orderdate < DATE '1997-01-01'),
+    cl AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        COALESCE(SUM(p), CAST(0.00 AS DECIMAL(18,2))) AS s
+      FROM y96 WHERE o_orderkey % 97 <> 0),
+    vi AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        COALESCE(SUM(p), CAST(0.00 AS DECIMAL(18,2))) AS s
+      FROM y96 WHERE o_orderkey % 97 = 0)
+    SELECT 0 AS phase, 'main_v0' AS stage, CAST(4 AS BIGINT) AS n_files,
+      CAST(4 AS BIGINT) AS n_added, CAST(0 AS BIGINT) AS n_removed,
+      CAST(0 AS BIGINT) AS audit_violations,
+      p96.n AS n_rows, CAST(p96.s AS DOUBLE) AS sum_price
+    FROM p96
+    UNION ALL
+    SELECT 1, 'branch_write', 6, 2, 0, 0,
+      p96.n + cl.n + vi.n, CAST(p96.s + cl.s - vi.s AS DOUBLE)
+    FROM p96, cl, vi
+    UNION ALL
+    SELECT 2, 'branch_audit_fix', 6, 2, 2, vi.n,
+      p96.n + cl.n, CAST(p96.s + cl.s AS DOUBLE)
+    FROM p96, cl, vi
+    UNION ALL
+    SELECT 3, 'main_publish', 6, 2, 0, 0,
+      p96.n + cl.n, CAST(p96.s + cl.s AS DOUBLE)
+    FROM p96, cl
+    ORDER BY phase
+    """,
+)
+def q150_txlog_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tl = TxLog(_warehouse_dir(sf_dir, "txlog_q150")).create()
+    o = table(spark, sf_dir, "orders")
+    pre = o.where(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("date")
+    ).select("o_orderkey", "o_totalprice")
+    tl.append(pre, n_files=4)  # main v0
+    tl.create_branch("audit", from_version=0)
+
+    batch = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    ).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, -F.col("o_totalprice")
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    batch_adds = tl.stage_data(batch, n_files=2)
+    tl.branch_commit("audit", "append", add=batch_adds)
+
+    # audit ON the branch: main must not see the corrupt rows
+    n_viol = (
+        tl.branch_read(spark, "audit")
+        .where(F.col("o_totalprice") < 0)
+        .count()
+    )
+    delta = spark.read.parquet(
+        *[str(tl.root / a["file"]) for a in batch_adds]
+    )
+    fixed_adds = tl.stage_data(
+        delta.where(F.col("o_totalprice") >= 0), n_files=2
+    )
+    tl.branch_commit(
+        "audit",
+        "audit-fix",
+        add=fixed_adds,
+        remove=[a["file"] for a in batch_adds],
+    )
+    tl.publish_branch("audit", expected_version=0)
+
+    def _ledger_row(phase, stage, n_files, n_added, n_removed, viol, df):
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        ).select(
+            F.lit(phase).cast("int").alias("phase"),
+            F.lit(stage).alias("stage"),
+            F.lit(n_files).cast("long").alias("n_files"),
+            F.lit(n_added).cast("long").alias("n_added"),
+            F.lit(n_removed).cast("long").alias("n_removed"),
+            F.lit(viol).cast("long").alias("audit_violations"),
+            "n_rows",
+            "sum_price",
+        )
+
+    bfiles0, _, _ = tl.branch_replay("audit", bversion=0)
+    bfiles1, _, _ = tl.branch_replay("audit")
+    h = tl.history()
+    rows = [
+        _ledger_row(0, "main_v0", len(tl.active_files(0)), 4, 0, 0,
+                    tl.read(spark, 0)),
+        _ledger_row(1, "branch_write", len(bfiles0), 2, 0, 0,
+                    tl._read_files(spark, sorted(bfiles0), {})),
+        _ledger_row(2, "branch_audit_fix", len(bfiles1), 2, 2, n_viol,
+                    tl.branch_read(spark, "audit")),
+        _ledger_row(3, "main_publish", len(tl.active_files()),
+                    h[-1]["n_added"], h[-1]["n_removed"], 0,
+                    tl.read(spark)),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("phase")

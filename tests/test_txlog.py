@@ -475,3 +475,50 @@ def test_deletion_vector_rewrite_drops_binding(spark, tmp_path):
     tl.overwrite(tl.read(spark), n_files=1, op="compact")
     assert tl.dvs() == {}
     assert tl.read(spark).count() == 10
+
+
+def test_branch_isolation_publish_and_conflict(spark, tmp_path):
+    """Branch commits are invisible to main until publish; publish is
+    a fast-forward (no rewrite); a publish against a moved main
+    conflicts instead of clobbering."""
+    tl = _mk(tmp_path)
+    base = spark.range(10).withColumnRenamed("id", "k")
+    tl.append(base, n_files=2)  # main v0
+    tl.create_branch("wap", from_version=0)
+
+    adds = tl.stage_data(
+        spark.range(100, 105).withColumnRenamed("id", "k"), n_files=1
+    )
+    tl.branch_commit("wap", "append", add=adds)
+    assert tl.read(spark).count() == 10  # main unchanged
+    assert tl.branch_read(spark, "wap").count() == 15
+
+    v = tl.publish_branch("wap", expected_version=0)
+    assert v == 1
+    assert tl.read(spark).count() == 15
+    # fast-forward: the branch's file was adopted, not rewritten
+    assert tl.history()[-1]["n_added"] == 1
+    assert tl.history()[-1]["n_removed"] == 0
+
+    # moved-main conflict: a second branch published against a stale
+    # expected_version must raise, not clobber
+    tl.create_branch("wap2", from_version=1)
+    adds2 = tl.stage_data(
+        spark.range(200, 202).withColumnRenamed("id", "k"), n_files=1
+    )
+    tl.branch_commit("wap2", "append", add=adds2)
+    tl.append(spark.range(300, 301).withColumnRenamed("id", "k"), n_files=1)
+    with pytest.raises(CommitConflictError):
+        tl.publish_branch("wap2", expected_version=1)
+
+
+def test_branch_commit_optimistic_token(spark, tmp_path):
+    tl = _mk(tmp_path)
+    tl.append(spark.range(5).withColumnRenamed("id", "k"), n_files=1)
+    tl.create_branch("b", from_version=0)
+    adds = tl.stage_data(
+        spark.range(5, 8).withColumnRenamed("id", "k"), n_files=1
+    )
+    tl.branch_commit("b", "append", add=adds, expected_version=-1)
+    with pytest.raises(CommitConflictError):
+        tl.branch_commit("b", "append", add=adds, expected_version=-1)
