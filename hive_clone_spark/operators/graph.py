@@ -616,3 +616,91 @@ def q137_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", "core_degree")
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q152 — bipartite node similarity (common-neighbor Jaccard): which
+# suppliers are interchangeable? Two suppliers are similar when they
+# ship the same parts — the bipartite supplier-part graph (distinct
+# (l_suppkey, l_partkey) edges from lineitem) projected onto supplier
+# pairs, scored by Jaccard of their part sets:
+#
+#   J(s1, s2) = |P(s1) ∩ P(s2)| / (|P(s1)| + |P(s2)| - |∩|)
+#
+# This is the neighborhood-similarity primitive behind link prediction
+# and entity resolution (GraphFrames/Neo4j expose it as nodeSimilarity).
+#
+# Scale design (100 TB): pairs are generated ONLY through shared parts
+# (self-join on l_partkey with s1 < s2) — never all supplier pairs —
+# so cost is sum over parts of deg², the co-occurrence bound. The
+# production guard for hub skew is explicit: parts shipped by more
+# than _SIM_HUB_CAP suppliers are EXCLUDED from pair generation (a
+# part half the market ships carries no similarity signal but
+# quadratic cost — the standard cap in minhash/node-similarity
+# systems); the oracle applies the same cap, so the bound is part of
+# the verified semantics. Intersection counts are integers; the one
+# division happens in double, rounded, at output. Top-k via
+# TakeOrdered, no global window.
+# ---------------------------------------------------------------------------
+_SIM_HUB_CAP = 32
+_SIM_TOPK = 20
+
+
+@register(
+    "q152_node_similarity",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    ok AS (
+      SELECT p FROM e GROUP BY p HAVING COUNT(*) <= {_SIM_HUB_CAP}),
+    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY s),
+    co AS (
+      SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM e a JOIN e b ON a.p = b.p AND a.s < b.s
+      JOIN ok ON ok.p = a.p
+      GROUP BY a.s, b.s),
+    scored AS (
+      SELECT co.s1, co.s2, co.inter,
+        d1.d + d2.d - co.inter AS uni,
+        ROUND(CAST(co.inter AS DOUBLE) / (d1.d + d2.d - co.inter), 6)
+          AS jaccard
+      FROM co JOIN deg d1 ON d1.s = co.s1 JOIN deg d2 ON d2.s = co.s2)
+    SELECT s1, s2, inter, uni, jaccard
+    FROM scored
+    ORDER BY jaccard DESC, s1, s2
+    LIMIT {_SIM_TOPK}
+    """,
+)
+def q152_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    ok = e.groupBy("p").agg(F.count("*").alias("np")).where(
+        F.col("np") <= _SIM_HUB_CAP
+    ).select("p")
+    deg = e.groupBy("s").agg(F.count("*").cast("bigint").alias("d"))
+    a = e.join(ok, "p").select("p", F.col("s").alias("s1"))
+    b = e.select("p", F.col("s").alias("s2"))
+    co = (
+        a.join(b, "p")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    scored = (
+        co.join(deg.withColumnRenamed("s", "s1").withColumnRenamed("d", "d1"), "s1")
+        .join(deg.withColumnRenamed("s", "s2").withColumnRenamed("d", "d2"), "s2")
+        .select(
+            "s1",
+            "s2",
+            "inter",
+            (F.col("d1") + F.col("d2") - F.col("inter")).alias("uni"),
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("d1") + F.col("d2") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.desc("jaccard"), "s1", "s2").limit(_SIM_TOPK)

@@ -61,6 +61,16 @@ class CommitConflictError(Exception):
     """Another writer won this version — re-read the log and retry."""
 
 
+class ConstraintViolationError(Exception):
+    """Staged data violates a table CHECK constraint — commit refused.
+
+    Carries ``violations``: {constraint name -> violating row count}."""
+
+    def __init__(self, violations: dict[str, int]) -> None:
+        self.violations = violations
+        super().__init__(f"txlog: constraint violations {violations}")
+
+
 class TxLog:
     """A log-structured parquet table rooted at ``root``."""
 
@@ -99,7 +109,7 @@ class TxLog:
     # -- snapshot reconstruction --------------------------------------
     def _replay(
         self, version: int
-    ) -> tuple[set[str], dict[str, dict], dict[str, str]]:
+    ) -> tuple[set[str], dict[str, dict], dict[str, str], dict[str, str]]:
         """Fold (active files, per-file stats, per-file deletion
         vectors) up to ``version``, starting from the nearest checkpoint
         at or below it. Stats and DV bindings ride in checkpoints too,
@@ -111,7 +121,7 @@ class TxLog:
         sidecar (the writer merged old + new positions before writing
         it — Delta's DV protocol does the same superset-replace);
         removing a data file drops its DV binding."""
-        start, active, stats, dvs = 0, [], {}, {}
+        start, active, stats, dvs, cons = 0, [], {}, {}, {}
         for v in range(version, -1, -1):
             ckpt = self.log_dir / f"{v:08d}.checkpoint.json"
             if ckpt.exists():
@@ -120,6 +130,7 @@ class TxLog:
                 active = list(d["active"])
                 stats = dict(d.get("stats", {}))
                 dvs = dict(d.get("dvs", {}))
+                cons = dict(d.get("constraints", {}))
                 start = v + 1
                 break
         files = set(active)
@@ -135,7 +146,9 @@ class TxLog:
                 dvs.pop(r, None)
             for d in c.get("dv", []):
                 dvs[d["file"]] = d["dv"]
-        return files, stats, dvs
+            if "constraints" in c:
+                cons = dict(c["constraints"])
+        return files, stats, dvs, cons
 
     def active_files(self, version: int | None = None) -> list[str]:
         """Fold add/remove actions up to ``version`` (default latest),
@@ -146,7 +159,7 @@ class TxLog:
             return []
         if version not in set(self.versions()):
             raise ValueError(f"txlog: no commit {version}")
-        files, _, _ = self._replay(version)
+        files, _, _, _ = self._replay(version)
         return sorted(files)
 
     def history(self) -> list[dict]:
@@ -224,7 +237,7 @@ class TxLog:
             version = self.latest_version()
         if version not in set(self.versions()):
             raise ValueError(f"txlog: no commit {version}")
-        active, stats, _ = self._replay(version)
+        active, stats, _, _ = self._replay(version)
         chosen = []
         for f in sorted(active):
             s = stats.get(f, {}).get(col)
@@ -240,6 +253,7 @@ class TxLog:
         expected_version: int | None = None,
         txn: str | None = None,
         dv: list[dict] | None = None,
+        constraints: dict[str, str] | None = None,
     ) -> int:
         """Atomically publish a commit at ``latest + 1``.
 
@@ -264,6 +278,8 @@ class TxLog:
         }
         if dv:
             payload["dv"] = dv
+        if constraints is not None:
+            payload["constraints"] = constraints
         if txn is not None:
             payload["txn"] = txn
         path = self.log_dir / self._commit_name(version)
@@ -286,7 +302,7 @@ class TxLog:
         # checkpoint is a cache and appears atomically or not at all.
         # Per-file stats are folded in too, so scan_files never needs
         # commits below the checkpoint floor (they may be vacuumed).
-        files, stats, dvs = self._replay(version)
+        files, stats, dvs, cons = self._replay(version)
         tmp = self.log_dir / f".{version:08d}.checkpoint.tmp"
         with open(tmp, "w") as f:
             json.dump(
@@ -295,6 +311,7 @@ class TxLog:
                     "active": sorted(files),
                     "stats": stats,
                     "dvs": dvs,
+                    "constraints": cons,
                 },
                 f,
             )
@@ -339,7 +356,7 @@ class TxLog:
             version = self.latest_version()
         if version < 0:
             return {}
-        active, _, dvs = self._replay(version)
+        active, _, dvs, _ = self._replay(version)
         return {f: p for f, p in dvs.items() if f in active}
 
     def _read_dv(self, relpath: str) -> list[int]:
@@ -393,7 +410,7 @@ class TxLog:
                 cand = self.active_files(expected)
             if not cand:
                 return expected
-            _, _, dvs = self._replay(expected)
+            _, _, dvs, _ = self._replay(expected)
             src = spark.read.parquet(
                 *[str(self.root / f) for f in cand]
             ).select(
@@ -434,6 +451,66 @@ class TxLog:
             except CommitConflictError:
                 continue  # orphaned DV sidecars await vacuum
 
+    # -- CHECK constraints (commit-time enforcement) ------------------
+    def constraints(self, version: int | None = None) -> dict[str, str]:
+        """Active table CHECK constraints (name -> SQL predicate) at
+        ``version`` — table metadata folded through replay and
+        checkpoints like any other action."""
+        if version is None:
+            version = self.latest_version()
+        if version < 0:
+            return {}
+        _, _, _, cons = self._replay(version)
+        return cons
+
+    def set_constraints(self, constraints: dict[str, str]) -> int:
+        """Publish the table's CHECK constraint set as a metadata-only
+        commit (Delta's ADD CONSTRAINT). The new set REPLACES the old;
+        existing data is assumed valid (production engines validate
+        history once at ALTER time — here the caller does)."""
+        return self.commit("set-constraints", constraints=constraints)
+
+    def commit_checked(
+        self,
+        spark: SparkSession,
+        op: str,
+        add: list[dict],
+        remove: list[str] | None = None,
+        expected_version: int | None = None,
+    ) -> int:
+        """Commit gated on the table's CHECK constraints: the STAGED
+        add files (only — existing data is valid by induction, so
+        enforcement cost is O(new data), never O(table)) are scanned
+        and every constraint counted; any violation refuses the whole
+        commit atomically (ConstraintViolationError; the staged files
+        stay orphaned for vacuum) and the table is untouched. This is
+        Delta/production CHECK-constraint enforcement: a distributed
+        predicate scan over the increment inside the commit protocol.
+        """
+        cons = self.constraints()
+        if cons and add:
+            staged = spark.read.parquet(
+                *[str(self.root / a["file"]) for a in add]
+            )
+            counts = staged.agg(
+                *[
+                    F.sum(
+                        F.when(~F.expr(pred), 1).otherwise(0)
+                    ).alias(name)
+                    for name, pred in cons.items()
+                ]
+            ).collect()[0]
+            violations = {
+                name: int(counts[name] or 0)
+                for name in cons
+                if int(counts[name] or 0) > 0
+            }
+            if violations:
+                raise ConstraintViolationError(violations)
+        return self.commit(
+            op, add=add, remove=remove, expected_version=expected_version
+        )
+
     # -- branches (write-audit-publish) -------------------------------
     # A branch is an independent commit chain LAYERED on a pinned main
     # snapshot (Iceberg branch refs, Delta's WAP pattern): branch
@@ -470,8 +547,8 @@ class TxLog:
         """Branch snapshot = main fold at the base version, then the
         branch's own commits applied with the same action rules."""
         base = self.branch_base(name)
-        files, stats, dvs = (
-            self._replay(base) if base >= 0 else (set(), {}, {})
+        files, stats, dvs, _ = (
+            self._replay(base) if base >= 0 else (set(), {}, {}, {})
         )
         upto = (
             self.branch_versions(name)[-1] if bversion is None else bversion
@@ -493,7 +570,9 @@ class TxLog:
                 dvs.pop(r, None)
             for d in c.get("dv", []):
                 dvs[d["file"]] = d["dv"]
-        return files, stats, dvs
+            if "constraints" in c:
+                cons = dict(c["constraints"])
+        return files, stats, dvs, cons
 
     def branch_commit(
         self,
@@ -1524,7 +1603,7 @@ def q144_compaction_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append", add=tl.stage_data_partitioned(bucketed, "bucket", stats)
     )
     # policy: METADATA-ONLY decision off the log's n_rows stats
-    _files, fstats, _dvs = tl._replay(tl.latest_version())
+    _files, fstats, _dvs, _c = tl._replay(tl.latest_version())
     n_tot = sum(s["n_rows"][0] for s in fstats.values())
     target = n_tot // _OPT_TARGET_DIV
     small = sorted(
@@ -1652,7 +1731,7 @@ def q145_partition_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     lo, hi = m // 4, m // 2
     all_files, chosen = tl.scan_files("o_orderkey", lo, hi)
     # generation split: v0 files carry no orderkey stats (conservative)
-    _f, fstats, _dvs = tl._replay(tl.latest_version())
+    _f, fstats, _dvs, _c = tl._replay(tl.latest_version())
     v0_scanned = sum(
         1 for f in chosen if "o_orderkey" not in fstats.get(f, {})
     )
@@ -1922,6 +2001,135 @@ def q150_txlog_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ledger_row(3, "main_publish", len(tl.active_files()),
                     h[-1]["n_added"], h[-1]["n_removed"], 0,
                     tl.read(spark)),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("phase")
+
+
+# ---------------------------------------------------------------------------
+# Q151 — commit-time CHECK constraint enforcement through the commit
+# log (Delta's table constraints): the table publishes a constraint
+# set as a metadata commit, and every subsequent data commit validates
+# its STAGED INCREMENT — a distributed predicate scan over only the
+# new files — inside the commit protocol. A violating batch is refused
+# atomically: no version advances, the table bytes are untouched, and
+# the staged files are vacuum fodder.
+#
+# Storyline (oracle-predicted from orders): v0 appends the pre-1996
+# rows; v1 sets {price_positive: o_totalprice > 0, key_present:
+# o_orderkey IS NOT NULL}; a 1996 batch with orderkey%97 prices
+# negated is REJECTED (phase 2 — version stays 1, rows/sums
+# unchanged, violation count = planted corruption); the cleaned batch
+# then lands as v2 (phase 3). Enforcement evidence and data evidence
+# ride the same ledger row, so silently-committed bad rows, a lost
+# rejection, or validation against the wrong file set all fail the
+# hash.
+#
+# Scale design (100 TB): enforcement cost is O(increment), never
+# O(table) — existing data is valid by induction (the ALTER validates
+# once). The violation scan is one parquet read of the staged files
+# with all predicates fused into a single aggregate pass.
+# ---------------------------------------------------------------------------
+@register(
+    "q151_txlog_check_constraints",
+    oracle="""
+    WITH p96 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+      FROM orders WHERE o_orderdate < DATE '1996-01-01'),
+    y96 AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      FROM orders
+      WHERE o_orderdate >= DATE '1996-01-01'
+        AND o_orderdate < DATE '1997-01-01'),
+    cl AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        COALESCE(SUM(p), CAST(0.00 AS DECIMAL(18,2))) AS s
+      FROM y96 WHERE o_orderkey % 97 <> 0),
+    vi AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM y96
+           WHERE o_orderkey % 97 = 0)
+    SELECT 0 AS phase, 'append' AS op, TRUE AS accepted,
+      CAST(0 AS BIGINT) AS n_violations, CAST(0 AS BIGINT) AS version,
+      p96.n AS n_rows, CAST(p96.s AS DOUBLE) AS sum_price
+    FROM p96
+    UNION ALL
+    SELECT 1, 'set-constraints', TRUE, 0, 1, p96.n, CAST(p96.s AS DOUBLE)
+    FROM p96
+    UNION ALL
+    SELECT 2, 'append-rejected', FALSE, vi.n, 1, p96.n,
+      CAST(p96.s AS DOUBLE)
+    FROM p96, vi
+    UNION ALL
+    SELECT 3, 'append', TRUE, 0, 2, p96.n + cl.n,
+      CAST(p96.s + cl.s AS DOUBLE)
+    FROM p96, cl
+    ORDER BY phase
+    """,
+)
+def q151_txlog_check_constraints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    tl = TxLog(_warehouse_dir(sf_dir, "txlog_q151")).create()
+    o = table(spark, sf_dir, "orders")
+    pre = o.where(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("date")
+    ).select("o_orderkey", "o_totalprice")
+    tl.append(pre, n_files=4)  # v0
+    tl.set_constraints(
+        {
+            "price_positive": "o_totalprice > 0",
+            "key_present": "o_orderkey IS NOT NULL",
+        }
+    )  # v1
+
+    corrupt = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    ).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    corrupt_adds = tl.stage_data(corrupt, n_files=2)
+    try:
+        tl.commit_checked(spark, "append", add=corrupt_adds)
+        n_viol, rejected = 0, False
+    except ConstraintViolationError as e:
+        n_viol, rejected = sum(e.violations.values()), True
+    v_after_reject = tl.latest_version()
+
+    clean = spark.read.parquet(
+        *[str(tl.root / a["file"]) for a in corrupt_adds]
+    ).where(F.col("o_totalprice") > 0)
+    tl.commit_checked(
+        spark, "append", add=tl.stage_data(clean, n_files=2)
+    )  # v2
+
+    def _row(phase, op, accepted, viol, version, df):
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        ).select(
+            F.lit(phase).cast("int").alias("phase"),
+            F.lit(op).alias("op"),
+            F.lit(accepted).alias("accepted"),
+            F.lit(viol).cast("long").alias("n_violations"),
+            F.lit(version).cast("long").alias("version"),
+            "n_rows",
+            "sum_price",
+        )
+
+    # phase-2 'accepted' is the OBSERVED outcome (False when the
+    # constraint fired), not a constant the oracle can't distinguish
+    rows = [
+        _row(0, "append", True, 0, 0, tl.read(spark, 0)),
+        _row(1, "set-constraints", True, 0, 1, tl.read(spark, 1)),
+        _row(2, "append-rejected", not rejected, n_viol,
+             v_after_reject, tl.read(spark, v_after_reject)),
+        _row(3, "append", True, 0, tl.latest_version(), tl.read(spark)),
     ]
     out = rows[0]
     for r in rows[1:]:

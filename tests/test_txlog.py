@@ -324,7 +324,7 @@ def test_property_replay_matches_model(steps, retain):
         for v in range(cutoff, latest + 1):
             assert set(tl.active_files(v)) == model[v], v
         # stats survive vacuum through the pinned checkpoint
-        _, stats, _ = tl._replay(latest)
+        _, stats, _, _ = tl._replay(latest)
         for f in tl.active_files(latest):
             num = int(f[6:-8].lstrip("f") or 0)
             if f.startswith("data/f") and "stats" in str(stats.get(f, "")):
@@ -522,3 +522,36 @@ def test_branch_commit_optimistic_token(spark, tmp_path):
     tl.branch_commit("b", "append", add=adds, expected_version=-1)
     with pytest.raises(CommitConflictError):
         tl.branch_commit("b", "append", add=adds, expected_version=-1)
+
+
+def test_check_constraints_enforced_on_increment(spark, tmp_path):
+    """A violating staged batch is refused atomically (no version
+    advance, no visible rows); constraints replace on re-set and ride
+    checkpoints; a clean batch lands."""
+    from hive_clone_spark.sources.txlog import ConstraintViolationError
+    from pyspark.sql import functions as F
+
+    tl = _mk(tmp_path)
+    tl.append(spark.range(1, 6).withColumnRenamed("id", "k"), n_files=1)
+    tl.set_constraints({"k_positive": "k > 0"})
+    v_before = tl.latest_version()
+
+    bad = tl.stage_data(
+        spark.range(-3, 3).withColumnRenamed("id", "k"), n_files=1
+    )
+    with pytest.raises(ConstraintViolationError) as ei:
+        tl.commit_checked(spark, "append", add=bad)
+    assert ei.value.violations == {"k_positive": 4}
+    assert tl.latest_version() == v_before
+    assert tl.read(spark).count() == 5
+
+    good = tl.stage_data(
+        spark.range(10, 13).withColumnRenamed("id", "k"), n_files=1
+    )
+    tl.commit_checked(spark, "append", add=good)
+    assert tl.read(spark).count() == 8
+    # replacing the set relaxes enforcement
+    tl.set_constraints({})
+    tl.commit_checked(spark, "append", add=tl.stage_data(
+        spark.range(-1, 0).withColumnRenamed("id", "k"), n_files=1))
+    assert tl.read(spark).where(F.col("k") < 0).count() == 1
