@@ -239,3 +239,104 @@ def p_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted (probability-proportional-to-size) sampling: training-data
+# pipelines routinely sample "by importance" — take documents with
+# probability proportional to a quality/weight column, not uniformly.
+# The production-scalable mechanism is HASH-GATED Poisson/PPS
+# sampling: row i is included iff
+#
+#     u_i < k * w_i / W      with  u_i = hash(key) / M  in [0, 1)
+#
+# — a single stateless predicate per row (BigQuery TABLESAMPLE /
+# Spark's Bernoulli sampling generalized to weights), no sorting, no
+# reservoir state, reproducible across reruns and engines because u_i
+# comes from the portable md5 hash, not an RNG. The comparison is
+# kept INTEGER-EXACT by cross-multiplying in DECIMAL(38,0):
+# u * W < k * w * M — no float threshold anywhere, so the sampled set
+# is bit-identical in both engines at any scale factor.
+#
+# Scale design (100 TB): one broadcast of the 1-row total weight, one
+# scan-stage predicate — the sample materializes in the same pass
+# that reads the corpus; expected size k is a constant independent of
+# corpus size (min(1, k*w/W) saturates only for outlier weights).
+# ---------------------------------------------------------------------------
+_WS_K = 500  # target expected sample size
+_WS_M = 1_048_576  # hash resolution (2^20 buckets)
+
+
+@register(
+    "p_weighted_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT o_orderkey, o_orderpriority,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS wc,
+        {sql_portable_hash("'ws:' || CAST(o_orderkey AS VARCHAR)")}
+          % {_WS_M} AS u
+      FROM orders),
+    tot AS (SELECT SUM(CAST(wc AS DECIMAL(38,0))) AS tw FROM w),
+    s AS (
+      SELECT o_orderpriority, wc FROM w, tot
+      WHERE CAST(u AS DECIMAL(38,0)) * tw
+            < CAST({_WS_K} AS DECIMAL(38,0)) * wc * {_WS_M})
+    SELECT w.o_orderpriority,
+      CAST(COUNT(*) AS BIGINT) AS n_total,
+      CAST((SELECT COUNT(*) FROM s
+            WHERE s.o_orderpriority = w.o_orderpriority) AS BIGINT)
+        AS n_sampled,
+      CAST((SELECT COALESCE(SUM(CAST(wc AS DECIMAL(38,0))),
+                            CAST(0 AS DECIMAL(38,0))) FROM s
+            WHERE s.o_orderpriority = w.o_orderpriority) AS DOUBLE)
+        AS sampled_weight_cents
+    FROM w GROUP BY w.o_orderpriority
+    ORDER BY w.o_orderpriority
+    """,
+)
+def p_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_clone_spark.catalog import table
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("wc"),
+    )
+    w = o.withColumn(
+        "u",
+        portable_hash(
+            F.concat(F.lit("ws:"), F.col("o_orderkey").cast("string"))
+        )
+        % _WS_M,
+    )
+    tot = w.agg(F.sum(F.col("wc").cast("decimal(38,0)")).alias("tw"))
+    gated = w.crossJoin(F.broadcast(tot))
+    sampled = gated.where(
+        F.col("u").cast("decimal(38,0)") * F.col("tw")
+        < F.lit(_WS_K).cast("decimal(38,0)") * F.col("wc") * _WS_M
+    )
+    per_total = w.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_total")
+    )
+    per_sample = sampled.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_sampled"),
+        F.sum(F.col("wc").cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sampled_weight_cents"),
+    )
+    return (
+        per_total.join(per_sample, "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            "n_total",
+            F.coalesce("n_sampled", F.lit(0).cast("bigint")).alias(
+                "n_sampled"
+            ),
+            F.coalesce(
+                "sampled_weight_cents", F.lit(0.0)
+            ).alias("sampled_weight_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

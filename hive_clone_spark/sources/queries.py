@@ -673,3 +673,166 @@ def q141_rowgroup_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket INT, rg_idx INT, n_rows BIGINT, kmin BIGINT, kmax BIGINT, "
         "chosen BOOLEAN, matched BIGINT",
     ).orderBy("bucket", "rg_idx")
+
+
+# ---------------------------------------------------------------------------
+# Q153 — clustering-curve advisor: z-order vs HILBERT locality,
+# measured. q57 physically z-orders; the planner question it leaves
+# open is WHICH curve to cluster on. Both curves map the 2D key
+# (o_custkey%16, o_orderkey%16) onto a 1D file order; the metric that
+# decides — files touched by a 2D range query, i.e. COUNT(DISTINCT
+# curve_index // file_size) over matching rows — is computed here for
+# four query rectangles under both curves, straight off one scan.
+# Hilbert's unit-step continuity wins when file boundaries don't align
+# with quadrant boundaries (file_size=24 cells here, deliberately
+# unaligned); aligned rects tie — both outcomes are in the fixture
+# set, so the advisor's discrimination is itself verified.
+#
+# Both curve transforms are PURE INTEGER column expressions: the
+# Hilbert xy->d state machine is unrolled into 4 rounds (s = 8,4,2,1)
+# of quadrant CASEs + coordinate rotation, z-order is 4 interleaved
+# bit pairs — zero UDFs, zero floats, identical arithmetic in both
+# engines, whole-stage-codegen friendly at any scale.
+#
+# Scale design (100 TB): this is metadata-shaped work a layout
+# optimizer runs BEFORE committing to a multi-terabyte rewrite — one
+# aggregate pass per candidate curve over the clustering keys,
+# map-side combinable; the decision (fewer files touched => fewer
+# row-groups read after clustering) then feeds q57's writer.
+# ---------------------------------------------------------------------------
+_HIL_FS = 24
+_HIL_RECTS = [(0, 15, 15, 4, 15), (1, 0, 3, 0, 5), (2, 4, 11, 6, 9),
+              (3, 12, 15, 0, 3)]
+
+
+@register(
+    "q153_hilbert_vs_zorder",
+    oracle=f"""
+    WITH pts AS (
+      SELECT o_orderkey % 16 AS y, o_custkey % 16 AS x
+      FROM orders),
+    z AS (
+      SELECT x, y,
+        (x & 1) + 2 * (y & 1)
+        + 4 * ((x >> 1) & 1) + 8 * ((y >> 1) & 1)
+        + 16 * ((x >> 2) & 1) + 32 * ((y >> 2) & 1)
+        + 64 * ((x >> 3) & 1) + 128 * ((y >> 3) & 1) AS zidx
+      FROM pts),
+    r8 AS (
+      SELECT x AS x0, y AS y0, zidx,
+        CASE WHEN x < 8 AND y < 8 THEN 0
+             WHEN x < 8 AND y >= 8 THEN 1
+             WHEN x >= 8 AND y >= 8 THEN 2
+             ELSE 3 END AS q,
+        CASE WHEN y < 8 THEN (CASE WHEN x < 8 THEN y ELSE 7 - (y % 8) END)
+             ELSE x % 8 END AS xn,
+        CASE WHEN y < 8 THEN (CASE WHEN x < 8 THEN x ELSE 7 - (x % 8) END)
+             ELSE y % 8 END AS yn
+      FROM z),
+    r4 AS (
+      SELECT x0, y0, zidx, q * 64 +
+        (CASE WHEN xn < 4 AND yn < 4 THEN 0
+              WHEN xn < 4 AND yn >= 4 THEN 1
+              WHEN xn >= 4 AND yn >= 4 THEN 2
+              ELSE 3 END) * 16 AS dpart,
+        CASE WHEN yn < 4 THEN (CASE WHEN xn < 4 THEN yn
+                                    ELSE 3 - (yn % 4) END)
+             ELSE xn % 4 END AS xn2,
+        CASE WHEN yn < 4 THEN (CASE WHEN xn < 4 THEN xn
+                                    ELSE 3 - (xn % 4) END)
+             ELSE yn % 4 END AS yn2
+      FROM r8),
+    r2 AS (
+      SELECT x0, y0, zidx, dpart +
+        (CASE WHEN xn2 < 2 AND yn2 < 2 THEN 0
+              WHEN xn2 < 2 AND yn2 >= 2 THEN 1
+              WHEN xn2 >= 2 AND yn2 >= 2 THEN 2
+              ELSE 3 END) * 4 AS dpart2,
+        CASE WHEN yn2 < 2 THEN (CASE WHEN xn2 < 2 THEN yn2
+                                     ELSE 1 - (yn2 % 2) END)
+             ELSE xn2 % 2 END AS xn3,
+        CASE WHEN yn2 < 2 THEN (CASE WHEN xn2 < 2 THEN xn2
+                                     ELSE 1 - (xn2 % 2) END)
+             ELSE yn2 % 2 END AS yn3
+      FROM r4),
+    hil AS (
+      SELECT x0 AS x, y0 AS y, zidx, dpart2 +
+        (CASE WHEN xn3 = 0 AND yn3 = 0 THEN 0
+              WHEN xn3 = 0 AND yn3 = 1 THEN 1
+              WHEN xn3 = 1 AND yn3 = 1 THEN 2
+              ELSE 3 END) AS hidx
+      FROM r2),
+    rects AS (
+      SELECT * FROM (VALUES {", ".join(f"({r}, {x0}, {x1}, {y0}, {y1})" for r, x0, x1, y0, y1 in _HIL_RECTS)})
+        AS t(rect_id, qx0, qx1, qy0, qy1))
+    SELECT rect_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(COUNT(DISTINCT zidx // {_HIL_FS}) AS BIGINT) AS files_zorder,
+      CAST(COUNT(DISTINCT hidx // {_HIL_FS}) AS BIGINT) AS files_hilbert
+    FROM hil JOIN rects
+      ON x BETWEEN qx0 AND qx1 AND y BETWEEN qy0 AND qy1
+    GROUP BY rect_id ORDER BY rect_id
+    """,
+)
+def q153_hilbert_vs_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 16).cast("int").alias("x"),
+        (F.col("o_orderkey") % 16).cast("int").alias("y"),
+    )
+    z = o.withColumn(
+        "zidx",
+        F.expr(
+            "(x & 1) + 2 * (y & 1)"
+            " + 4 * (shiftright(x, 1) & 1) + 8 * (shiftright(y, 1) & 1)"
+            " + 16 * (shiftright(x, 2) & 1) + 32 * (shiftright(y, 2) & 1)"
+            " + 64 * (shiftright(x, 3) & 1) + 128 * (shiftright(y, 3) & 1)"
+        ),
+    )
+    # Hilbert xy->d, 4 unrolled rounds: quadrant CASE + rotation
+    cur = z.select(
+        "x", "y", "zidx",
+        F.col("x").alias("hx"), F.col("y").alias("hy"),
+        F.lit(0).alias("hidx"),
+    )
+    for s in (8, 4, 2, 1):
+        hx, hy = F.col("hx"), F.col("hy")
+        quad = (
+            F.when((hx < s) & (hy < s), 0)
+            .when((hx < s) & (hy >= s), 1)
+            .when((hx >= s) & (hy >= s), 2)
+            .otherwise(3)
+        )
+        # rot: ry==0 -> (flip if rx==1) then swap; ry==1 -> strip high bit
+        nx = (
+            F.when(hy < s, F.when(hx < s, hy).otherwise(F.lit(s - 1) - (hy % s)))
+            .otherwise(hx % s)
+        )
+        ny = (
+            F.when(hy < s, F.when(hx < s, hx).otherwise(F.lit(s - 1) - (hx % s)))
+            .otherwise(hy % s)
+        )
+        cur = cur.select(
+            "x", "y", "zidx",
+            nx.alias("hx"), ny.alias("hy"),
+            (F.col("hidx") + quad * (s * s)).alias("hidx"),
+        )
+    rects = spark.createDataFrame(
+        _HIL_RECTS, "rect_id INT, qx0 INT, qx1 INT, qy0 INT, qy1 INT"
+    )
+    return (
+        cur.join(
+            F.broadcast(rects),
+            F.col("x").between(F.col("qx0"), F.col("qx1"))
+            & F.col("y").between(F.col("qy0"), F.col("qy1")),
+        )
+        .groupBy("rect_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct(F.floor(F.col("zidx") / _HIL_FS))
+            .cast("bigint")
+            .alias("files_zorder"),
+            F.countDistinct(F.floor(F.col("hidx") / _HIL_FS))
+            .cast("bigint")
+            .alias("files_hilbert"),
+        )
+        .orderBy("rect_id")
+    )

@@ -49,12 +49,14 @@ NESTEDLOOP_OK = {
     "p_semantic_dedup",
     "p_tfidf",  # 1-row corpus-count build side (q44 pattern)
     "p_bm25_rank",  # 1-row corpus-stats crossJoin (p_tfidf pattern)
+    "p_weighted_sample",  # 1-row total-weight crossJoin (q44 pattern)
     "q95_kmv_distinct_sketch",  # 1-row kth-min x 1-row exact crossJoin
     "q104_dq_expectations",  # 1-row count x 1-row violation crossJoins
     "q97_bloom_filter_join",  # 1-row ledger-count crossJoins (q44 pattern)
     "q106_kmv_set_algebra",  # 1-row sketch-stat crossJoins (q44 pattern)
     "q107_column_entropy",  # 1-row category-total crossJoin (q44 pattern)
     "q18_band_join",
+    "q153_hilbert_vs_zorder",  # 4-row query-rect dim theta join (q18 pattern)
     "q44_upsert",
     "q69_triangle_count",  # 1-row summary-aggregate crossJoins (q44 pattern)
     "q77_m4_downsample",  # 1-row global time-range crossJoin (q44 pattern)
