@@ -4096,3 +4096,128 @@ def q149_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dbl("num") * dbl("num")) / (dbl("dxx") * dbl("dyy")), 6
         ).alias("r2"),
     ).orderBy("n_name")
+
+
+# ---------------------------------------------------------------------------
+# Q154 — marketing attribution, three models in one window pass: every
+# purchase distributes its value over the user's PRIOR touch events
+# (click/view/signup) under first-touch, last-touch, and linear
+# models — the warehouse workload behind every "which channel drove
+# revenue" dashboard.
+#
+# The scalable formulation: NO purchase-x-touch self-join (quadratic
+# per user, the naive attribution query). Everything a purchase needs
+# is a running aggregate over the user's event stream ordered by
+# (ts, event_id) with frame [unbounded preceding, 1 preceding]:
+# per-channel touch counts (conditional sums), first/last touch
+# channel (first_value/last_value IGNORE NULLS). Linear credit for
+# channel c is value * n_c / n — per-channel running counts make the
+# per-purchase touch MULTISET unnecessary. One shuffle on user_id,
+# then one explode-by-channel aggregate.
+#
+# Float discipline: per-purchase credits are rounded to 6 dp with
+# identical expression shapes, cast DECIMAL(18,6), summed exactly.
+# ---------------------------------------------------------------------------
+_ATTR_CHANNELS = ("click", "signup", "view")
+
+
+@register(
+    "q154_attribution_models",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type, value,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             OVER w AS BIGINT) AS n_click,
+        CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+             OVER w AS BIGINT) AS n_signup,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             OVER w AS BIGINT) AS n_view,
+        first_value(CASE WHEN event_type IN ('click', 'signup', 'view')
+                         THEN event_type END IGNORE NULLS)
+          OVER w AS fc,
+        last_value(CASE WHEN event_type IN ('click', 'signup', 'view')
+                        THEN event_type END IGNORE NULLS)
+          OVER w AS lc
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    p AS (
+      SELECT *, n_click + n_signup + n_view AS n FROM s
+      WHERE event_type = 'purchase' AND n_click + n_signup + n_view > 0),
+    x AS (
+      {" UNION ALL ".join(f'''
+      SELECT '{c}' AS channel,
+        CASE WHEN fc = '{c}' THEN 1 ELSE 0 END AS isf,
+        CASE WHEN lc = '{c}' THEN 1 ELSE 0 END AS isl,
+        CASE WHEN fc = '{c}' THEN ROUND(value, 6) ELSE 0 END AS fcr,
+        CASE WHEN lc = '{c}' THEN ROUND(value, 6) ELSE 0 END AS lcr,
+        ROUND(value * n_{c} / n, 6) AS lin
+      FROM p''' for c in _ATTR_CHANNELS)})
+    SELECT channel,
+      CAST(SUM(isf) AS BIGINT) AS n_first,
+      CAST(SUM(isl) AS BIGINT) AS n_last,
+      CAST(SUM(CAST(fcr AS DECIMAL(18,6))) AS DOUBLE) AS first_touch_total,
+      CAST(SUM(CAST(lcr AS DECIMAL(18,6))) AS DOUBLE) AS last_touch_total,
+      CAST(SUM(CAST(lin AS DECIMAL(18,6))) AS DOUBLE) AS linear_total
+    FROM x GROUP BY channel ORDER BY channel
+    """,
+)
+def q154_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_ch = F.when(
+        F.col("event_type").isin(*_ATTR_CHANNELS), F.col("event_type")
+    )
+    counts = {
+        c: F.sum(F.when(F.col("event_type") == c, 1).otherwise(0))
+        .over(w)
+        .cast("bigint")
+        .alias(f"n_{c}")
+        for c in _ATTR_CHANNELS
+    }
+    s = e.select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        *counts.values(),
+        F.first(touch_ch, ignorenulls=True).over(w).alias("fc"),
+        F.last(touch_ch, ignorenulls=True).over(w).alias("lc"),
+    )
+    n = sum(F.col(f"n_{c}") for c in _ATTR_CHANNELS)
+    p = (
+        s.where(F.col("event_type") == "purchase")
+        .withColumn("n", n)
+        .where(F.col("n") > 0)
+    )
+    structs = [
+        F.struct(
+            F.lit(c).alias("channel"),
+            F.when(F.col("fc") == c, 1).otherwise(0).alias("isf"),
+            F.when(F.col("lc") == c, 1).otherwise(0).alias("isl"),
+            F.when(F.col("fc") == c, F.round(F.col("value"), 6))
+            .otherwise(0.0)
+            .alias("fcr"),
+            F.when(F.col("lc") == c, F.round(F.col("value"), 6))
+            .otherwise(0.0)
+            .alias("lcr"),
+            F.round(
+                F.col("value") * F.col(f"n_{c}") / F.col("n"), 6
+            ).alias("lin"),
+        )
+        for c in _ATTR_CHANNELS
+    ]
+    x = p.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+    d6 = lambda c_: F.col(c_).cast("decimal(18,6)")  # noqa: E731
+    return (
+        x.groupBy("channel")
+        .agg(
+            F.sum("isf").cast("bigint").alias("n_first"),
+            F.sum("isl").cast("bigint").alias("n_last"),
+            F.sum(d6("fcr")).cast("double").alias("first_touch_total"),
+            F.sum(d6("lcr")).cast("double").alias("last_touch_total"),
+            F.sum(d6("lin")).cast("double").alias("linear_total"),
+        )
+        .orderBy("channel")
+    )

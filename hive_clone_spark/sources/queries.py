@@ -836,3 +836,90 @@ def q153_hilbert_vs_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rect_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q155 — federated multi-format join: ONE query plan over four storage
+# formats at once — the parquet fact (orders straight from the lake),
+# an ORC customer dim, a CSV nation dim (declared schema, no inference
+# pass), and a JSON region dim. This is the "Spark SQL replaces
+# HiveQL" capability in its most literal form: heterogeneous sources
+# federate behind the DataFrame API and Catalyst plans the join as if
+# they were one warehouse (TPC-H Q5's shape: revenue rollup
+# region -> nation).
+#
+# Scale design (100 TB): the columnar members (parquet fact, ORC dim)
+# keep predicate pushdown and column pruning; the text members are
+# DIMS — small, broadcast — exactly where row formats belong in a
+# production lake (a CSV fact table would forfeit pruning; the entry
+# encodes the right federation shape, not just a possible one). The
+# dims re-staged here are written once per entry run under the
+# pid-keyed warehouse dir.
+# ---------------------------------------------------------------------------
+@register(
+    "q155_federated_join",
+    oracle="""
+    SELECT r_name AS region, n_name AS nation,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        AS revenue
+    FROM orders, customer, nation, region
+    WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND o_orderdate >= DATE '1995-01-01'
+      AND o_orderdate < DATE '1996-01-01'
+    GROUP BY r_name, n_name
+    ORDER BY region, nation
+    """,
+)
+def q155_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_clone_spark.sources import io
+
+    c_dest = _warehouse(sf_dir, "fed_customer_orc")
+    n_dest = _warehouse(sf_dir, "fed_nation_csv")
+    r_dest = _warehouse(sf_dir, "fed_region_json")
+    io.write(
+        table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+        c_dest,
+        fmt="orc",
+    )
+    io.write(
+        table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_regionkey", "n_name"
+        ),
+        n_dest,
+        fmt="csv",
+    )
+    io.write(
+        table(spark, sf_dir, "region").select("r_regionkey", "r_name"),
+        r_dest,
+        fmt="json",
+    )
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+    )
+    c = io.read(spark, c_dest, fmt="orc")
+    n = io.read(
+        spark, n_dest, fmt="csv",
+        schema="n_nationkey BIGINT, n_regionkey BIGINT, n_name STRING",
+    )
+    r = io.read(
+        spark, r_dest, fmt="json",
+        schema="r_regionkey BIGINT, r_name STRING",
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("region", "nation")
+    )
