@@ -705,3 +705,135 @@ def p_audio_tone_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         (detected == F.lit(_TONE_N) / F.col("period")).alias("correct"),
         F.round(F.greatest("p4", "p8", "p16"), 4).alias("power"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Voice-activity detection (VAD): the gatekeeper of every speech-data
+# pipeline — segment raw audio into speech/silence runs BEFORE the
+# expensive transcribe/feature stages, so downstream cost scales with
+# speech seconds, not recording seconds. Energy-threshold VAD over
+# REAL codec bytes: a synthesized recording alternates silence spans
+# (|x| <= 100) with activity bursts (|x| <= 2000) on a deterministic
+# schedule, goes through encode_wav/decode_wav, frames into 40-sample
+# windows, thresholds SUM|x| (integer compare — no mean, no floats),
+# and merges consecutive active frames into segments with the
+# gaps-and-islands pattern (q46): run id = frame_idx - row_number.
+#
+# The oracle reproduces synth rule, codec-exact sample values,
+# framing, threshold, AND the island merge — so a codec bug, an
+# off-by-one frame boundary, or a broken run merge all shift the
+# per-doc segment census and fail the hash.
+#
+# Scale design (100 TB of audio): decode + frame energies are
+# scan-stage Arrow work emitting one small row per frame; the island
+# merge is a window over (doc, frame) — partitioned by doc, never
+# global. Segment output is bounded by frames/doc, not samples.
+# ---------------------------------------------------------------------------
+_VAD_SEG = 80  # samples per schedule span
+_VAD_FRAME = 40  # samples per VAD frame
+_VAD_THR = 10000  # SUM|x| threshold per frame (mean 250)
+
+
+def synth_vad_wav(doc_id: int) -> bytes:
+    """Mono recording with a deterministic speech/silence schedule:
+    span s (80 samples) is ACTIVE iff (doc_id + s) % 3 != 0."""
+    n_seg = 4 + doc_id % 5
+    n = n_seg * _VAD_SEG
+    i = np.arange(n, dtype=np.int64)
+    seg = i // _VAD_SEG
+    active = (doc_id + seg) % 3 != 0
+    loud = ((doc_id * 31 + i * 7) % 4001) - 2000
+    quiet = ((doc_id * 7 + i * 3) % 201) - 100
+    samples = np.where(active, loud, quiet).astype(np.int16)[:, None]
+    return encode_wav(samples, _RATE)
+
+
+@register(
+    "p_audio_vad",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, CAST(4 + doc_id % 5 AS BIGINT) AS n_seg
+      FROM documents),
+    frames AS (
+      SELECT doc_id, n_seg * 2 AS n_frames,
+        unnest(generate_series(0, CAST(n_seg * 2 - 1 AS INT))) AS f
+      FROM dims),
+    energy AS (
+      SELECT doc_id, n_frames, f,
+        list_sum(list_transform(
+          generate_series(f * {_VAD_FRAME}, f * {_VAD_FRAME} + {_VAD_FRAME} - 1),
+          i -> abs(CASE WHEN (doc_id + i // {_VAD_SEG}) % 3 <> 0
+                        THEN ((doc_id * 31 + i * 7) % 4001) - 2000
+                        ELSE ((doc_id * 7 + i * 3) % 201) - 100 END)))
+          AS sum_abs
+      FROM frames),
+    act AS (
+      SELECT doc_id, n_frames, f,
+        f - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+      FROM energy WHERE sum_abs > {_VAD_THR}),
+    runs AS (
+      SELECT doc_id, n_frames, grp, COUNT(*) AS run_len
+      FROM act GROUP BY doc_id, n_frames, grp)
+    SELECT doc_id,
+      CAST(n_frames AS BIGINT) AS n_frames,
+      CAST(SUM(run_len) AS BIGINT) AS n_active_frames,
+      CAST(COUNT(*) AS BIGINT) AS n_segments,
+      CAST(MAX(run_len) AS BIGINT) AS max_segment_frames
+    FROM runs GROUP BY doc_id, n_frames
+    ORDER BY doc_id
+    """,
+)
+def p_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark import cloudpickle as _cp
+    import hive_clone_spark.pipeline.audiocodec as _mod
+
+    _cp.register_pickle_by_value(_mod)
+    from pyspark.sql.window import Window
+
+    ids = spread(table(spark, sf_dir, "documents").select("doc_id"))
+
+    def energy_batches(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                doc_id = int(i)
+                _, samples = decode_wav(synth_vad_wav(doc_id))
+                x = samples[:, 0].astype(np.int64)
+                sums = np.abs(x).reshape(-1, _VAD_FRAME).sum(axis=1)
+                for f, s in enumerate(sums):
+                    rows.append((doc_id, len(sums), f, int(s)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "f", "sum_abs"]
+            )
+
+    energy = ids.mapInPandas(
+        energy_batches, "doc_id BIGINT, n_frames BIGINT, f INT, sum_abs BIGINT"
+    )
+    act = energy.where(F.col("sum_abs") > _VAD_THR).withColumn(
+        "grp",
+        F.col("f")
+        - F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("f")
+        ),
+    )
+    runs = act.groupBy("doc_id", "n_frames", "grp").agg(
+        F.count("*").alias("run_len")
+    )
+    return (
+        runs.groupBy("doc_id", "n_frames")
+        .agg(
+            F.sum("run_len").cast("bigint").alias("n_active_frames"),
+            F.count("*").cast("bigint").alias("n_segments"),
+            F.max("run_len").cast("bigint").alias("max_segment_frames"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_frames").cast("bigint").alias("n_frames"),
+            "n_active_frames",
+            "n_segments",
+            "max_segment_frames",
+        )
+        .orderBy("doc_id")
+    )

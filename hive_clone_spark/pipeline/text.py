@@ -1656,3 +1656,131 @@ def p_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rnk", F.row_number().over(w).cast("int")
     ).orderBy("rnk")
+
+
+# ---------------------------------------------------------------------------
+# Language-ID quality measurement: the confusion matrix + per-language
+# precision/recall/F1 of the p_lang_id classifier against the corpus's
+# labeled `lang` column — the "measure, don't guess" loop for the
+# langid gate (p_knn_recall and p_minhash_recall are the same loop for
+# ANN and LSH). A pipeline that filters by predicted language needs to
+# KNOW its per-language error rates, because langid errors are the
+# dominant contamination path for low-resource languages.
+#
+# All three scores are single integer divisions rendered in double
+# with identical shapes (F1 uses the algebraic 2tp/(2tp+fp+fn) form —
+# no intermediate precision*recall float product), so the measurement
+# itself is hash-exact.
+# ---------------------------------------------------------------------------
+@register(
+    "p_langid_confusion",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, lang,
+        {", ".join(f"len(regexp_extract_all(lower(text), '{pat}')) AS c_{lg}" for lg, pat in _LEXICONS)}
+      FROM documents),
+    preds AS (
+      SELECT lang AS t,
+        CASE
+          WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es
+               AND c_en >= c_zh THEN 'en'
+          WHEN c_de >= c_fr AND c_de >= c_es AND c_de >= c_zh THEN 'de'
+          WHEN c_fr >= c_es AND c_fr >= c_zh THEN 'fr'
+          WHEN c_es >= c_zh THEN 'es'
+          ELSE 'zh' END AS p
+      FROM c),
+    conf AS (SELECT t, p, COUNT(*) AS n FROM preds GROUP BY t, p),
+    per AS (
+      {" UNION ALL ".join(f'''
+      SELECT '{lg}' AS lang,
+        CAST(COALESCE(SUM(CASE WHEN t = '{lg}' AND p = '{lg}'
+                               THEN n END), 0) AS BIGINT) AS tp,
+        CAST(COALESCE(SUM(CASE WHEN t <> '{lg}' AND p = '{lg}'
+                               THEN n END), 0) AS BIGINT) AS fp,
+        CAST(COALESCE(SUM(CASE WHEN t = '{lg}' AND p <> '{lg}'
+                               THEN n END), 0) AS BIGINT) AS fn
+      FROM conf''' for lg, _ in _LEXICONS)})
+    SELECT lang, tp, fp, fn,
+      ROUND(CAST(tp AS DOUBLE) / greatest(tp + fp, 1), 6) AS precision_,
+      ROUND(CAST(tp AS DOUBLE) / greatest(tp + fn, 1), 6) AS recall_,
+      ROUND(CAST(2 * tp AS DOUBLE) / greatest(2 * tp + fp + fn, 1), 6)
+        AS f1
+    FROM per ORDER BY lang
+    """,
+)
+def p_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    counts = {
+        lg: F.size(
+            F.expr(
+                "regexp_extract_all(lower(text), '"
+                + pat.replace("\\", "\\\\")
+                + "', 0)"
+            )
+        )
+        for lg, pat in _LEXICONS
+    }
+    c = d.select(
+        "lang", *[v.alias(f"c_{k}") for k, v in counts.items()]
+    )
+    en, de, fr, es, zh = (F.col(f"c_{k}") for k in ("en", "de", "fr", "es", "zh"))
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en >= es) & (en >= zh), "en")
+        .when((de >= fr) & (de >= es) & (de >= zh), "de")
+        .when((fr >= es) & (fr >= zh), "fr")
+        .when(es >= zh, "es")
+        .otherwise("zh")
+    )
+    preds = c.select(F.col("lang").alias("t"), pred.alias("p"))
+    # ONE corpus-scale aggregation to the <=25-cell confusion matrix;
+    # per-language tp/fp/fn are metadata-size arithmetic over it
+    conf = preds.groupBy("t", "p").agg(F.count("*").alias("n")).cache()
+    legs = []
+    for lg, _pat in _LEXICONS:
+        legs.append(
+            conf.agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("t") == lg) & (F.col("p") == lg),
+                            F.col("n"),
+                        )
+                    ),
+                    F.lit(0),
+                ).cast("bigint").alias("tp"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("t") != lg) & (F.col("p") == lg),
+                            F.col("n"),
+                        )
+                    ),
+                    F.lit(0),
+                ).cast("bigint").alias("fp"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("t") == lg) & (F.col("p") != lg),
+                            F.col("n"),
+                        )
+                    ),
+                    F.lit(0),
+                ).cast("bigint").alias("fn"),
+            ).select(F.lit(lg).alias("lang"), "tp", "fp", "fn")
+        )
+    per = legs[0]
+    for leg in legs[1:]:
+        per = per.unionAll(leg)
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return per.select(
+        "lang", "tp", "fp", "fn",
+        F.round(tp.cast("double") / F.greatest(tp + fp, F.lit(1)), 6)
+        .alias("precision_"),
+        F.round(tp.cast("double") / F.greatest(tp + fn, F.lit(1)), 6)
+        .alias("recall_"),
+        F.round(
+            (2 * tp).cast("double")
+            / F.greatest(2 * tp + fp + fn, F.lit(1)),
+            6,
+        ).alias("f1"),
+    ).orderBy("lang")
