@@ -2135,3 +2135,117 @@ def q151_txlog_check_constraints(
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("phase")
+
+
+# ---------------------------------------------------------------------------
+# Q156 — BITEMPORAL dimension: the two time axes warehouses conflate —
+# VALID time (when a fact was true in the world; q73's SCD2 interval
+# columns) and TRANSACTION time (when the warehouse learned it; the
+# commit log's version axis) — composed so "what did we believe at
+# commit T about validity date D" is answerable for every (T, D).
+# Neither axis alone can answer a late-arriving correction audit; the
+# composition is the textbook bitemporal model (SQL:2011 system +
+# application time), realized as SCD2 rows inside txlog snapshots.
+#
+# Build: v0 = every customer's segment valid from 1995-01-01, open
+# ended. v1 = a correction batch LEARNED later: customers with
+# custkey % 10 = 0 change segment to 'CORRECTED' effective
+# 1996-01-01 — their old rows close (valid_to = 1996-01-01), new rows
+# open. The entry then answers four (tx, valid) probes:
+#   (v0, 1996-06-01): pre-correction belief — all original segments;
+#   (v1, 1995-06-01): corrected belief about BEFORE the effective
+#     date — still original (the correction respects history);
+#   (v1, 1996-06-01): corrected belief after — %10 customers read
+#     'CORRECTED';
+#   (v1, 1996-06-01) restricted to corrected rows — the audit count.
+# A reader that mixes the axes (applies the correction to the v0
+# snapshot, or leaks it before its effective date) shifts the census.
+#
+# Scale design: transaction travel is log replay (metadata); valid
+# travel is a partition-prunable predicate on interval columns. The
+# correction rewrite touches only affected rows' files (here one
+# batch; with q98's stats the general case prunes).
+# ---------------------------------------------------------------------------
+_BT_OPEN = "9999-12-31"
+
+
+@register(
+    "q156_bitemporal_dimension",
+    oracle=f"""
+    WITH seg AS (
+      SELECT c_custkey, c_mktsegment FROM customer),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM seg),
+    corr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corr FROM seg
+             WHERE c_custkey % 10 = 0)
+    SELECT 0 AS probe, 'v0 @ 1996-06-01' AS belief,
+      n_all AS n_rows, CAST(0 AS BIGINT) AS n_corrected
+    FROM n
+    UNION ALL
+    SELECT 1, 'v1 @ 1995-06-01', n_all, 0 FROM n
+    UNION ALL
+    SELECT 2, 'v1 @ 1996-06-01', n_all, n_corr FROM n, corr
+    UNION ALL
+    SELECT 3, 'v1 @ 1996-06-01 corrected-only', n_corr, n_corr FROM corr
+    ORDER BY probe
+    """,
+)
+def q156_bitemporal_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tl = TxLog(_warehouse_dir(sf_dir, "txlog_q156")).create()
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    open_to = F.lit(_BT_OPEN).cast("date")
+    v0 = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1995-01-01").cast("date").alias("valid_from"),
+        open_to.alias("valid_to"),
+    )
+    tl.append(v0, n_files=4)  # transaction time v0
+
+    eff = F.lit("1996-01-01").cast("date")
+    hit = F.col("c_custkey") % 10 == 0
+    closed = v0.where(hit).withColumn("valid_to", eff)
+    opened = c.where(hit).select(
+        "c_custkey",
+        F.lit("CORRECTED").alias("segment"),
+        eff.alias("valid_from"),
+        open_to.alias("valid_to"),
+    )
+    untouched = v0.where(~hit)
+    tl.overwrite(
+        untouched.unionByName(closed).unionByName(opened),
+        n_files=4,
+        op="scd2-correct",
+    )  # transaction time v1
+
+    def _probe(pid, label, tx, valid, only_corrected):
+        snap = tl.read(spark, tx)
+        d = F.lit(valid).cast("date")
+        rows = snap.where(
+            (F.col("valid_from") <= d) & (F.col("valid_to") > d)
+        )
+        if only_corrected:
+            rows = rows.where(F.col("segment") == "CORRECTED")
+        return rows.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(F.col("segment") == "CORRECTED", 1).otherwise(0)
+            ).cast("bigint").alias("n_corrected"),
+        ).select(
+            F.lit(pid).cast("int").alias("probe"),
+            F.lit(label).alias("belief"),
+            "n_rows",
+            F.coalesce("n_corrected", F.lit(0).cast("bigint")).alias(
+                "n_corrected"
+            ),
+        )
+
+    probes = [
+        _probe(0, "v0 @ 1996-06-01", 0, "1996-06-01", False),
+        _probe(1, "v1 @ 1995-06-01", 1, "1995-06-01", False),
+        _probe(2, "v1 @ 1996-06-01", 1, "1996-06-01", False),
+        _probe(3, "v1 @ 1996-06-01 corrected-only", 1, "1996-06-01", True),
+    ]
+    out = probes[0]
+    for p in probes[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("probe")

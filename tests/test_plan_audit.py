@@ -67,6 +67,7 @@ NESTEDLOOP_OK = {
     "q102_stream_full_outer_join",  # same 1-row settled-boundary crossJoins
     "q89_analyze_stats",  # 1-row global-stats crossJoin (q44 pattern)
     "q136_avro_roundtrip",  # 1-row total-block-count crossJoin (q44 pattern)
+    "p_tfrecord_roundtrip",  # 1-row corrupt-skip-count crossJoin (q136 pattern)
     "p_collocations",  # 1-row bigram-total crossJoin (q44 pattern)
     "p_minhash_recall",  # three 1-row measurement-count crossJoins (q44 pattern)
     "q137_kcore_decomposition",  # 25-row nation-pair theta join (fixture dim)
