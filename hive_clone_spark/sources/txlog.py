@@ -570,9 +570,7 @@ class TxLog:
                 dvs.pop(r, None)
             for d in c.get("dv", []):
                 dvs[d["file"]] = d["dv"]
-            if "constraints" in c:
-                cons = dict(c["constraints"])
-        return files, stats, dvs, cons
+        return files, stats, dvs
 
     def branch_commit(
         self,
