@@ -20,26 +20,27 @@ spent, remaining queries get a single run instead of three (their
 median is that run). The detail file records the actual run count per
 query so degraded entries are visible.
 
-Run counts are ADAPTIVE (BASELINE.md protocol, amended when the
-registry reached 120 bench queries and 4 runs/query stopped fitting
-the budget, re-amended at 138 and again at 153 queries): every query
-gets the discarded warmup, then: fast queries (first measured run
-< 2.5 s) take 2 runs and report the median; heavy queries take ONE
-run — unless that run is anomalous (slower than the query's own
-discarded warmup, which pays codegen and is normally the slowest
-execution), in which case one retry runs and the MIN of the two is
-reported. Heavy jitter is one-sided (a scheduler hiccup can only
-inflate a seconds-long sample), and a single-sample heavy tier once
-let one hiccup masquerade as a 2.3x gate regression, while
-unconditional second heavy runs blew the budget into a cold tail. Repeats exist to median away scheduler jitter, which is
-a fixed few-hundred-ms cost — significant against a 0.3 s query,
-noise against a 4 s one — so spending the budget on re-running the
-heavies bought nothing while forcing the tail of the suite into COLD
-single runs that measured up to 5x their warm medians and tripped the
-regression gate falsely. At 138 queries even 3 warm runs for the fast
-tier stopped fitting: the third sample bought ~50 ms of median
-stability per query while pushing the alphabetical tail (q69+) into
-cold single runs — strictly worse.
+Run counts (BASELINE.md protocol, amended as the registry grew past
+120 / 138 / 153 / 196 bench queries, re-amended at 239 when even the
+2-run fast tier stopped fitting any budget the driver window allows):
+every query gets ONE discarded warmup (codegen JIT — measured up to
+3x warm) and ONE measured run; if the measured run is ANOMALOUS
+(slower than the query's own warmup, which pays codegen and is
+normally the slowest execution — a provable scheduler hiccup), one
+retry runs and the MIN of the two is reported. The per-query floor is
+warm + codegen, so total protocol cost is ~2.3x the suite's warm
+total — the earlier 2-run fast tier cost ~3.3x and pushed the tail
+of a 239-query suite into COLD single runs (up to 5x warm, 93
+entries, a false 1.37x "regression"). Single warm samples jitter by a
+fixed few-hundred-ms; the regression gate's 0.75 s absolute floor
+exists precisely so sub-second jitter cannot trip it, and the
+anomaly retry bounds one-sided hiccups on the heavies.
+
+Queries run in order of DESCENDING known cost (committed baseline
+median; queries new since the snapshot go first at +inf — they have
+no history, so they must get honest warm samples): if the budget does
+blow, the forced-cold tail lands on the cheapest queries, where a
+cold sample misstates the total by tenths of a second, not multiples.
 """
 
 from __future__ import annotations
@@ -63,9 +64,14 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 # 450 -> 495 when the registry hit 221 entries (196 bench queries):
 # the r8 additions (~10 entries, ~14 s warm) pushed the warmup+samples
 # total past 450 and the last 11 alphabetical queries (q89-q99) went
-# cold-only. Wall clock ≈ budget + ~60 s startup/teardown — still
-# inside the round driver's window.
-BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "495"))
+# cold-only. 495 -> 660 at 239 bench queries, together with the move
+# to the uniform warmup+1-run protocol (module docstring): measured
+# suite warm total is ~285 s, protocol cost ~2.3x warm ≈ 655 s;
+# under the old 2-run fast tier no driver-window-sized budget fit and
+# 93 queries went cold. Wall clock ≈ actual spend (~660 s) + ~60 s
+# startup/teardown ≈ 12 min — the budget is a cap on the tail, not a
+# target: a clean run stops when the suite is done.
+BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "660"))
 # Session recycling: restart the SparkSession every N queries
 # (re-warming footer caches; restart time is NOT counted against the
 # measured budget). DEFAULT OFF — the round-6 A/B (NOTES.md) measured
@@ -95,15 +101,31 @@ def main() -> None:
     registry.load_all_modules()
     spark = _fresh_session(sf_dir)
 
+    # Descending-known-cost order (module docstring): new queries first
+    # (no history -> +inf), then by committed baseline median, so a
+    # blown budget forces cold runs only onto the cheapest tail.
+    base_medians: dict[str, float] = {}
+    try:
+        _b = json.loads(
+            (Path(__file__).resolve().parent / "tools" / "bench_baseline.json")
+            .read_text()
+        )
+        base_medians = _b.get("queries", {})
+    except (OSError, ValueError):
+        pass
+    bench_names = [
+        n for n in sorted(registry.QUERIES)
+        if not n.startswith(EXCLUDE_PREFIXES)
+    ]
+    bench_names.sort(key=lambda n: -base_medians.get(n, float("inf")))
+
     runs: dict[str, list[float]] = {}
     medians: dict[str, float] = {}
     targets: dict[str, int] = {}
     cold_only: list[str] = []
     spent = 0.0
     n_run = 0
-    for name in sorted(registry.QUERIES):
-        if name.startswith(EXCLUDE_PREFIXES):
-            continue
+    for name in bench_names:
         if RECYCLE_EVERY > 0 and n_run > 0 and n_run % RECYCLE_EVERY == 0:
             spark.stop()
             spark = _fresh_session(sf_dir)
@@ -136,60 +158,28 @@ def main() -> None:
             runs[name] = samples
             medians[name] = round(statistics.median(samples), 4)
             continue
-        # adaptive repeats (module docstring): jitter is a fixed
-        # few-hundred-ms cost, so long queries don't need the median's
-        # protection and short ones do; only true heavies (>6 s) drop
-        # to a single run. Classified on the FIRST MEASURED (warm) run,
-        # not the warmup — warmups run up to 3x warm time (codegen
-        # JIT), which misclassified ~2.5 s-warm queries as 1-run
-        # heavies and lost the median protection the tiering is meant
-        # to allocate by warm-equivalent cost.
-        n_measured = RUNS
-        heavy = False
-        for i in range(RUNS):
+        # uniform warmup+1 protocol (module docstring): one measured
+        # warm run; a retry ONLY when the sample is provably suspect —
+        # slower than the query's own discarded warmup, which pays
+        # codegen and is normally the slowest execution (a single
+        # hiccup sample once masqueraded as a 2.3x gate regression:
+        # q11_cube 3.01 s one run, 1.2 s steady). MIN of the retried
+        # pair, because heavy jitter is one-sided — a scheduler hiccup
+        # can only inflate a sample.
+        targets[name] = 1
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        dt = time.perf_counter() - t0
+        spent += dt
+        samples.append(round(dt, 4))
+        if dt > warm_dt and spent <= BUDGET_SEC:
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             dt = time.perf_counter() - t0
             spent += dt
             samples.append(round(dt, 4))
-            if i == 0:
-                # fast tier (< 2.5 s): 2 runs, median. Heavy tier: ONE
-                # run — unless that run is ANOMALOUS (slower than its
-                # own discarded warmup, which pays codegen and is
-                # normally the slowest execution): then one retry and
-                # MIN-of-2, because a single hiccup sample once
-                # masqueraded as a 2.3x gate regression (q11_cube
-                # 3.01 s one run, 1.2 s steady). Unconditional 2nd
-                # heavy runs were tried and blew the budget into a
-                # 12-query cold tail — anomaly-gated retries spend
-                # extra time only when a sample is provably suspect.
-                #
-                # SOFT-BUDGET DOWNSHIFT (added when the registry grew
-                # past ~155 bench queries and funding 2-run fast tiers
-                # to the end stopped fitting): past 60% of the budget,
-                # fast queries take their ONE warm measured run — a
-                # by-design warm single sample exactly like the heavy
-                # tier, NOT a degraded cold run. This trades ±jitter
-                # on sub-second tail medians for never hitting the
-                # hard-budget cold path at all (r7 first runs: 18-29
-                # cold degraded entries).
-                heavy = dt >= 2.5
-                anomalous = heavy and dt > warm_dt
-                # 0.6 -> 0.5 when the registry hit 208 entries: at 184
-                # bench queries the 0.6 knee still hard-blew the budget
-                # on the last 5 (cold tail again); the earlier knee
-                # buys ~10 s of second-run savings mid-suite.
-                # 0.5 -> 0.45 at 196 bench queries, together with the
-                # 450 -> 495 budget raise, for the same reason.
-                tight = spent > 0.45 * BUDGET_SEC
-                n_measured = 1 if ((heavy and not anomalous) or tight) else 2
-                targets[name] = n_measured
-            if len(samples) >= n_measured or spent > BUDGET_SEC:
-                break
         runs[name] = samples
-        medians[name] = round(
-            min(samples) if heavy else statistics.median(samples), 4
-        )
+        medians[name] = round(min(samples), 4)
 
     total = round(sum(medians.values()), 2)
     # degraded = budget-forced below the ADAPTIVE target (a 1-run heavy

@@ -704,3 +704,124 @@ def q152_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("jaccard"), "s1", "s2").limit(_SIM_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Q158 — synchronous label propagation (community detection): every
+# vertex starts labeled with its own id; each round, a vertex adopts
+# the label carried by the MOST of its neighbors (ties -> smallest
+# label). Raghavan et al. 2007's near-linear community detector — the
+# standard first answer to "which documents/users cluster together"
+# when modularity-grade quality isn't worth a global optimization.
+# Asynchronous LPA is run-order-dependent (useless under a value-hash
+# oracle); the SYNCHRONOUS variant with a total (count DESC, label
+# ASC) tie-break is fully deterministic, and a fixed unroll on both
+# engines pins every round.
+#
+# Graph: deterministic on the 25 nation keys — two 8-cliques (ids
+# 0-7, 8-15) joined by one bridge edge (7,8), plus a path 15-16-...-24
+# hanging off the second clique. LPA must (a) collapse each clique to
+# one label, (b) NOT merge the two cliques across the single bridge
+# (1 cross-vote never beats 7 in-clique votes), and (c) propagate one
+# hop down the path per round — so the 4-round labels distinguish a
+# correct implementation from both a connected-components collapse
+# (which would merge everything — the q32 contrast) and a
+# neighbor-min rule (which ignores vote counts).
+#
+# Scale design: each round is one shuffle of |E| label-votes into a
+# (vertex, label) count + a per-vertex argmax — the struct-max
+# pattern, map-side combinable, no window over data. Labels for the
+# next round are a schema-width DataFrame; at corpus scale the unroll
+# becomes the q32/q76 iterate-checkpoint loop (localCheckpoint per
+# round to cut lineage). Here 4 rounds over <= 25 nodes / ~70 edges.
+# ---------------------------------------------------------------------------
+_LPA_ROUNDS = 4
+_LPA_CLIQUE = 8
+
+
+def _lpa_oracle() -> str:
+    its = []
+    prev = "lab0"
+    for i in range(1, _LPA_ROUNDS + 1):
+        its.append(
+            f"""lab{i} AS MATERIALIZED (
+      SELECT id, lab FROM (
+        SELECT s.u AS id, l.lab,
+          ROW_NUMBER() OVER (PARTITION BY s.u
+            ORDER BY COUNT(*) DESC, l.lab ASC) AS rn
+        FROM sym s JOIN {prev} l ON l.id = s.v
+        GROUP BY s.u, l.lab)
+      WHERE rn = 1)"""
+        )
+        prev = f"lab{i}"
+    return f"""
+    WITH nodes AS (SELECT n_nationkey AS id FROM nation),
+    edges AS (
+      SELECT a.id AS u, b.id AS v FROM nodes a JOIN nodes b ON a.id < b.id
+      WHERE (a.id < {_LPA_CLIQUE} AND b.id < {_LPA_CLIQUE})
+         OR (a.id >= {_LPA_CLIQUE} AND a.id < {2 * _LPA_CLIQUE}
+             AND b.id >= {_LPA_CLIQUE} AND b.id < {2 * _LPA_CLIQUE})
+         OR (a.id = {_LPA_CLIQUE - 1} AND b.id = {_LPA_CLIQUE})
+         OR (a.id >= {2 * _LPA_CLIQUE - 1} AND b.id = a.id + 1)),
+    sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    lab0 AS MATERIALIZED (SELECT id, id AS lab FROM nodes),
+    {','.join(its)}
+    SELECT n.n_name, l.lab AS community,
+      CAST(COUNT(*) OVER (PARTITION BY l.lab) AS BIGINT) AS comm_size
+    FROM {prev} l JOIN nation n ON n.n_nationkey = l.id
+    ORDER BY n.n_name
+    """
+
+
+@register("q158_label_propagation", oracle=_lpa_oracle())
+def q158_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("id"), "n_name"
+    )
+    a = n.select(F.col("id").alias("u"))
+    b = n.select(F.col("id").alias("v"))
+    c1, c2 = _LPA_CLIQUE, 2 * _LPA_CLIQUE
+    edges = (
+        a.join(F.broadcast(b), F.col("u") < F.col("v"))
+        .where(
+            ((F.col("u") < c1) & (F.col("v") < c1))
+            | (
+                (F.col("u") >= c1) & (F.col("u") < c2)
+                & (F.col("v") >= c1) & (F.col("v") < c2)
+            )
+            | ((F.col("u") == c1 - 1) & (F.col("v") == c1))
+            | ((F.col("u") >= c2 - 1) & (F.col("v") == F.col("u") + 1))
+        )
+        .select("u", "v")
+    )
+    sym = edges.unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.localCheckpoint(eager=False)
+    labels = n.select("id", F.col("id").alias("lab"))
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            sym.join(labels, sym.v == labels.id)
+            .groupBy(sym.u, "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        # per-vertex argmax by (count DESC, label ASC): struct-max on
+        # (c, -lab) would break on lab=0; a bounded partitioned window
+        # keeps the total tie-break explicit.
+        w = Window.partitionBy("u").orderBy(F.desc("c"), F.asc("lab"))
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("u").alias("id"), "lab")
+            .localCheckpoint(eager=False)  # cut the per-round lineage
+        )
+    comm_w = Window.partitionBy("lab")
+    return (
+        labels.join(F.broadcast(n), "id")
+        .select(
+            "n_name",
+            F.col("lab").alias("community"),
+            F.count("*").over(comm_w).cast("long").alias("comm_size"),
+        )
+        .orderBy("n_name")
+    )

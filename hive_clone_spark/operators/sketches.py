@@ -566,3 +566,163 @@ def q107_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(one("lineitem", "l_returnflag"))
         .orderBy("column_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q157 — HdrHistogram-style log-linear quantile sketch: the mergeable
+# fixed-size histogram production engines use when percentile_approx's
+# opaque internals can't be audited. Each value lands in a bucket
+# keyed by (e, sub) where e = bit length and sub = the 4 bits after
+# the leading 1 — 16 linear sub-buckets per power of two, so every
+# bucket spans at most a 1/16 relative range. The layout is PURE
+# INTEGER arithmetic (bin-string length, shifts, masks), identical in
+# Spark and DuckDB, so the whole estimation pipeline — bucketing,
+# cumulative lookup, midpoint estimate, and the PROVABLE rank-error
+# invariant |rank(est) - k| <= bucket_count — sits under the value
+# hash.
+#
+# Scale design: the histogram aggregate is map-side combinable into a
+# SCHEMA-bounded cell set (<= 16 cells per power of two of value
+# range — ~130 for any money column, however many rows feed it), and
+# histograms merge by cell-wise addition, so per-executor partials
+# combine in O(cells). The cumulative window runs over those <= ~130
+# cells (GLOBALWINDOW_OK: bounded by construction, never by data) and
+# the verification side is a rank COUNT — a full scan with map-side
+# combine, NOT a global sort: unlike an exact quantile, nothing here
+# ever orders the data.
+# ---------------------------------------------------------------------------
+_HDR_PCTS = (50, 90, 99)
+
+
+def _hdr_oracle() -> str:
+    pct_rows = ", ".join(f"({p})" for p in _HDR_PCTS)
+    return f"""
+    WITH vals AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        AS cents FROM lineitem
+      WHERE CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) >= 32),
+    hist AS (
+      SELECT CAST(length(bin(cents)) AS INT) AS e,
+        (cents >> (CAST(length(bin(cents)) AS INT) - 5)) & 15 AS sub,
+        CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM vals GROUP BY 1, 2),
+    cum AS (
+      SELECT e, sub, cnt,
+        SUM(cnt) OVER (ORDER BY e, sub
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt
+      FROM hist),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM vals),
+    pcts AS (SELECT CAST(p AS BIGINT) AS pct FROM (VALUES {pct_rows}) t(p)),
+    targets AS (
+      SELECT pct, n_rows, (pct * n_rows + 99) // 100 AS k_target
+      FROM pcts CROSS JOIN n),
+    chosen AS (
+      SELECT t.pct, t.n_rows, t.k_target,
+        MIN(struct_pack(e := c.e, sub := c.sub, cnt := c.cnt)) AS b
+      FROM targets t JOIN cum c ON c.cum_cnt >= t.k_target
+      GROUP BY t.pct, t.n_rows, t.k_target),
+    est AS (
+      SELECT pct, n_rows, k_target,
+        CAST(b.e AS BIGINT) AS bucket_e, b.sub AS bucket_sub,
+        b.cnt AS bucket_cnt,
+        (((16 + b.sub) << (b.e - 5))
+         + (((16 + b.sub) << (b.e - 5)) + (CAST(1 AS BIGINT) << (b.e - 5)) - 1)
+        ) // 2 AS est_cents
+      FROM chosen),
+    ranked AS (
+      SELECT e.pct, CAST(COUNT(*) AS BIGINT) AS rank_of_est
+      FROM est e JOIN vals v ON v.cents <= e.est_cents
+      GROUP BY e.pct)
+    SELECT e.pct, e.n_rows, e.k_target, e.bucket_e, e.bucket_sub,
+      e.bucket_cnt, e.est_cents, r.rank_of_est,
+      abs(r.rank_of_est - e.k_target) <= e.bucket_cnt AS in_bound
+    FROM est e JOIN ranked r ON r.pct = e.pct
+    ORDER BY e.pct
+    """
+
+
+@register("q157_hdr_quantile_sketch", oracle=_hdr_oracle())
+def q157_hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.col("cents")
+    vals = li.select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents")
+    ).where(cents >= 32)
+    hist = (
+        vals.select(
+            F.expr("CAST(length(bin(cents)) AS INT)").alias("e"),
+            F.expr(
+                "(cents >> (CAST(length(bin(cents)) AS INT) - 5)) & 15"
+            ).alias("sub"),
+        )
+        .groupBy("e", "sub")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # <= ~130 cells by construction (16 per power of two of range):
+    # the global cumulative window sorts buckets, never data.
+    cum = hist.withColumn(
+        "cum_cnt",
+        F.sum("cnt").over(
+            Window.orderBy("e", "sub").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    n = vals.agg(F.count("*").alias("n_rows"))
+    pcts = spark.createDataFrame([(p,) for p in _HDR_PCTS], "pct BIGINT")
+    targets = pcts.crossJoin(F.broadcast(n)).select(
+        "pct",
+        "n_rows",
+        F.expr("(pct * n_rows + 99) div 100").alias("k_target"),
+    )
+    # bucket [lo, hi] midpoint, all integer: lo = (16+sub) << (e-5),
+    # hi = lo + 2^(e-5) - 1, est = (lo + hi) div 2
+    est = F.expr(
+        "((((16 + b.sub) << (b.e - 5)) "
+        " + (((16 + b.sub) << (b.e - 5)) "
+        "    + (CAST(1 AS BIGINT) << (b.e - 5)) - 1)) div 2)"
+    )
+    chosen = (
+        F.broadcast(targets)
+        .join(cum, F.col("cum_cnt") >= F.col("k_target"))
+        .groupBy("pct", "n_rows", "k_target")
+        .agg(F.min(F.struct("e", "sub", "cnt")).alias("b"))
+        .select(
+            "pct",
+            "n_rows",
+            "k_target",
+            F.col("b.e").cast("long").alias("bucket_e"),
+            F.col("b.sub").alias("bucket_sub"),
+            F.col("b.cnt").alias("bucket_cnt"),
+            est.alias("est_cents"),
+        )
+    )
+    ranked = (
+        F.broadcast(chosen.select("pct", "est_cents"))
+        .join(vals, F.col("cents") <= F.col("est_cents"))
+        .groupBy("pct")
+        .agg(F.count("*").alias("rank_of_est"))
+        .withColumnRenamed("pct", "rpct")
+    )
+    return (
+        chosen.join(ranked, chosen.pct == F.col("rpct"))
+        .select(
+            "pct",
+            "n_rows",
+            "k_target",
+            "bucket_e",
+            "bucket_sub",
+            "bucket_cnt",
+            "est_cents",
+            "rank_of_est",
+            (
+                F.abs(F.col("rank_of_est") - F.col("k_target"))
+                <= F.col("bucket_cnt")
+            ).alias("in_bound"),
+        )
+        .orderBy("pct")
+    )

@@ -72,6 +72,9 @@ NESTEDLOOP_OK = {
     "p_minhash_recall",  # three 1-row measurement-count crossJoins (q44 pattern)
     "q137_kcore_decomposition",  # 25-row nation-pair theta join (fixture dim)
     "q90_benford_audit",  # 9-row digit dim + 1-row total crossJoin (q44 pattern)
+    "q157_hdr_quantile_sketch",  # 3-row pct dim theta joins over the
+    # <=130-cell histogram + rank probe (q18 band pattern)
+    "q158_label_propagation",  # 25-row nation-pair theta join (q137 pattern)
 }
 
 # Queries whose unpartitioned Window is the intended plan: the window
@@ -86,6 +89,8 @@ NESTEDLOOP_OK = {
 GLOBALWINDOW_OK = {
     "p_domain_mix",  # selection.py: Window.partitionBy() over per-domain aggs
     "p_mix_temperature",  # selection.py: one row per source before the window
+    "q157_hdr_quantile_sketch",  # cumulative window over the <=130-cell
+    # histogram — bounded by the value range's bit layout, never by data
 }
 
 
