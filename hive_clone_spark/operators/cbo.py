@@ -171,3 +171,237 @@ def q93_stats_driven_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = one("supplier_dim", li, supp, "l_suppkey", "s_suppkey", "l_quantity")
     b = one("orders_fact", li, ords, "l_orderkey", "o_orderkey", "l_extendedprice")
     return a.unionAll(b).orderBy("join_name")
+
+
+# ---------------------------------------------------------------------------
+# Q160 — Selinger-style dynamic-programming join ordering (System R,
+# Selinger et al. 1979): the planning step q93's binary
+# broadcast-vs-shuffle decision doesn't cover — GIVEN a multi-way
+# join, in which ORDER should the joins run? The entry plans the
+# 4-table chain region(ASIA) - nation - customer - orders:
+#
+#   * one tiny stats pass per table (COUNT + join-key NDVs — the
+#     catalog numbers a real CBO reads; the orders fact table is
+#     scanned for stats ONLY, never materialized for planning);
+#   * estimated cardinality of adding table T through link L:
+#     |S ⋈ T| = |S| * |T| div max(ndv_left(L), ndv_right(L)) — the
+#     textbook independence/containment assumption, INTEGER div so
+#     DuckDB reproduces every intermediate estimate bit-for-bit;
+#   * cost of a left-deep order = sum of its intermediate
+#     cardinalities; the DP minimizes over connected subsets, and the
+#     oracle EXHAUSTIVELY enumerates all 2^(n-1) = 8 connected
+#     left-deep orders of the chain — the DP's chosen optimum must
+#     coincide with the enumeration's argmin (a wrong memo table or a
+#     missed subset surfaces as a flipped `chosen` flag);
+#   * the chosen order then actually EXECUTES (small dims broadcast)
+#     and the ledger carries actual_final next to every estimate.
+#
+# Scale design: planning cost is O(stats scans) + a driver DP over
+# schema-bounded subsets (2^4), independent of data volume — the
+# shape of every production optimizer. The estimates being integer
+# and under the value hash makes the PLANNER itself a tested
+# component, not a heuristic.
+# ---------------------------------------------------------------------------
+_JO_FILTER_REGION = "ASIA"
+# chain links: (left table, right table, left key col, right key col)
+_JO_LINKS = (
+    ("region", "nation", "r_regionkey", "n_regionkey"),
+    ("nation", "customer", "n_nationkey", "c_nationkey"),
+    ("customer", "orders", "c_custkey", "o_custkey"),
+)
+_JO_TABLES = ("region", "nation", "customer", "orders")
+
+
+def _jo_orders() -> list[tuple[str, ...]]:
+    """All join orders of the chain whose every prefix is connected
+    (contiguous intervals of a path graph: 2^(n-1) = 8 of them)."""
+    import itertools
+
+    adj: dict[str, set[str]] = {t: set() for t in _JO_TABLES}
+    for lt, rt, _, _ in _JO_LINKS:
+        adj[lt].add(rt)
+        adj[rt].add(lt)
+    out = []
+    for perm in itertools.permutations(_JO_TABLES):
+        ok = all(
+            any(t in perm[:i] for t in adj[perm[i]])
+            for i in range(1, len(perm))
+        )
+        if ok:
+            out.append(perm)
+    return out
+
+
+def _jo_link_for(new: str, prefix: tuple[str, ...]):
+    for lt, rt, lk, rk in _JO_LINKS:
+        if new == rt and lt in prefix:
+            return lt, rt, lk, rk
+        if new == lt and rt in prefix:
+            return lt, rt, lk, rk
+    raise ValueError(f"no link joins {new} to {prefix}")
+
+
+def _jo_stats_sql() -> dict[str, str]:
+    """Named scalar stats subqueries, shared shape with the Spark pass."""
+    f = f"WHERE r_name = '{_JO_FILTER_REGION}'"
+    return {
+        "c_region": f"(SELECT COUNT(*) FROM region {f})",
+        "c_nation": "(SELECT COUNT(*) FROM nation)",
+        "c_customer": "(SELECT COUNT(*) FROM customer)",
+        "c_orders": "(SELECT COUNT(*) FROM orders)",
+        "v_region_r_regionkey":
+            f"(SELECT COUNT(DISTINCT r_regionkey) FROM region {f})",
+        "v_nation_n_regionkey":
+            "(SELECT COUNT(DISTINCT n_regionkey) FROM nation)",
+        "v_nation_n_nationkey":
+            "(SELECT COUNT(DISTINCT n_nationkey) FROM nation)",
+        "v_customer_c_nationkey":
+            "(SELECT COUNT(DISTINCT c_nationkey) FROM customer)",
+        "v_customer_c_custkey":
+            "(SELECT COUNT(DISTINCT c_custkey) FROM customer)",
+        "v_orders_o_custkey":
+            "(SELECT COUNT(DISTINCT o_custkey) FROM orders)",
+    }
+
+
+def _jo_cost_exprs(order: tuple[str, ...]) -> list[str]:
+    """SQL expressions for the running estimate after each join, in
+    terms of the stats CTE's columns — the arithmetic both engines run."""
+    est = f"c_{order[0]}"
+    steps = []
+    for i in range(1, len(order)):
+        lt, rt, lk, rk = _jo_link_for(order[i], order[:i])
+        vmax = f"GREATEST(v_{lt}_{lk}, v_{rt}_{rk})"
+        est = f"(({est}) * c_{order[i]} // {vmax})"
+        steps.append(est)
+    return steps
+
+
+def _jo_oracle() -> str:
+    stats = ", ".join(f"{sql} AS {name}" for name, sql in _jo_stats_sql().items())
+    cands = []
+    for order in _jo_orders():
+        s2, s3, s4 = _jo_cost_exprs(order)
+        nm = ">".join(order)
+        cands.append(
+            f"SELECT '{nm}' AS join_order, {s2} AS est_after2, "
+            f"{s3} AS est_after3, {s4} AS est_final, "
+            f"{s2} + {s3} + {s4} AS est_cost FROM st"
+        )
+    union = " UNION ALL ".join(cands)
+    return f"""
+    WITH st AS (SELECT {stats}),
+    cands AS ({union}),
+    actual AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS actual_final
+      FROM region
+      JOIN nation ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      JOIN orders ON o_custkey = c_custkey
+      WHERE r_name = '{_JO_FILTER_REGION}')
+    SELECT join_order,
+      CAST(est_after2 AS BIGINT) AS est_after2,
+      CAST(est_after3 AS BIGINT) AS est_after3,
+      CAST(est_final AS BIGINT) AS est_final,
+      CAST(est_cost AS BIGINT) AS est_cost,
+      ROW_NUMBER() OVER (ORDER BY est_cost, join_order) = 1 AS chosen,
+      actual_final
+    FROM cands CROSS JOIN actual
+    ORDER BY join_order
+    """
+
+
+@register("q160_dp_join_ordering", oracle=_jo_oracle())
+def q160_dp_join_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region").where(
+        F.col("r_name") == _JO_FILTER_REGION
+    )
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    dfs = {"region": r, "nation": n, "customer": c, "orders": o}
+
+    # stats pass: COUNT + join-key NDVs per table (one tiny aggregate
+    # each; the orders fact is scanned for stats only)
+    key_cols = {t: [] for t in _JO_TABLES}
+    for lt, rt, lk, rk in _JO_LINKS:
+        key_cols[lt].append(lk)
+        key_cols[rt].append(rk)
+    stats: dict[str, int] = {}
+    for t, df in dfs.items():
+        aggs = [F.count(F.lit(1)).alias("c")] + [
+            F.countDistinct(k).alias(k) for k in key_cols[t]
+        ]
+        row = df.agg(*aggs).collect()[0]
+        stats[f"c_{t}"] = int(row["c"])
+        for k in key_cols[t]:
+            stats[f"v_{t}_{k}"] = int(row[k])
+
+    def est_steps(order: tuple[str, ...]) -> list[int]:
+        est = stats[f"c_{order[0]}"]
+        out = []
+        for i in range(1, len(order)):
+            lt, rt, lk, rk = _jo_link_for(order[i], order[:i])
+            vmax = max(stats[f"v_{lt}_{lk}"], stats[f"v_{rt}_{rk}"])
+            est = est * stats[f"c_{order[i]}"] // vmax
+            out.append(est)
+        return out
+
+    # Selinger DP over connected subsets (left-deep): memo maps a
+    # frozenset to (best cost, best order). Schema-bounded: 2^4 states.
+    memo: dict[frozenset, tuple[int, tuple[str, ...]]] = {
+        frozenset([t]): (0, (t,)) for t in _JO_TABLES
+    }
+    for size in range(2, len(_JO_TABLES) + 1):
+        import itertools
+
+        for sub in itertools.combinations(_JO_TABLES, size):
+            best = None
+            for t in sub:
+                rest = frozenset(sub) - {t}
+                if rest not in memo:
+                    continue
+                prev_cost, prev_order = memo[rest]
+                try:
+                    _jo_link_for(t, prev_order)
+                except ValueError:
+                    continue
+                steps = est_steps(prev_order + (t,))
+                cost = sum(steps)
+                cand = (cost, prev_order + (t,))
+                if best is None or cand < best:
+                    best = cand
+            if best is not None:
+                memo[frozenset(sub)] = best
+    dp_cost, dp_order = memo[frozenset(_JO_TABLES)]
+
+    ledger = []
+    for order in _jo_orders():
+        s2, s3, s4 = est_steps(order)
+        ledger.append((">".join(order), s2, s3, s4, s2 + s3 + s4))
+    chosen_name = min(ledger, key=lambda r: (r[4], r[0]))[0]
+    if dp_order and sum(est_steps(dp_order)) != dp_cost:
+        raise RuntimeError("dp memo inconsistent with its own estimates")
+    if dp_cost != min(r[4] for r in ledger):
+        raise RuntimeError(
+            f"DP optimum {dp_cost} != enumeration optimum "
+            f"{min(r[4] for r in ledger)}"
+        )
+
+    # execute the chosen physical order: dims broadcast, fact probes
+    actual = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .count()
+    )
+    out = spark.createDataFrame(
+        [
+            (nm, s2, s3, s4, cost, nm == chosen_name, actual)
+            for nm, s2, s3, s4, cost in ledger
+        ],
+        "join_order STRING, est_after2 BIGINT, est_after3 BIGINT, "
+        "est_final BIGINT, est_cost BIGINT, chosen BOOLEAN, "
+        "actual_final BIGINT",
+    )
+    return out.orderBy("join_order")

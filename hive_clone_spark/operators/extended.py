@@ -4221,3 +4221,149 @@ def q154_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q159 — point-in-polygon spatial join (ray casting): the geofencing
+# primitive behind "which events happened inside this delivery zone /
+# census tract". q131 joins points to points via grid cells; this
+# entry joins points to POLYGONS — including a concave one, where the
+# bounding-box prefilter provably over-admits and only the
+# edge-crossing parity test (Franklin's PNPOLY) gives the truth.
+#
+# Geometry is ALL INTEGER: points hash onto a 65536-grid (q131's
+# portable-md5 lesson — multiplicative lattices never make interesting
+# geometry), polygon vertices are integer literals, and the crossing
+# test is the cross-product form of PNPOLY — px < x1 + (x2-x1)(py-y1)
+# / (y2-y1) rewritten as sign((x2-x1)(py-y1) - (px-x1)(y2-y1)) ==
+# sign(y2-y1) so NO DIVISION EVER RUNS: products stay < 2^34, exact
+# in int64, bit-identical in DuckDB.
+#
+# Scale design: stage 1 prunes with a broadcast bbox band join (the
+# q18 shape — at 100 TB with many polygons this becomes a grid-cell
+# equi-join on polygon tiles, q131's layout); only the ~6% of
+# (point, polygon) candidate pairs reach stage 2, which explodes the
+# polygon's edges from a broadcast dim and reduces crossings with one
+# map-side-combinable parity aggregate. The output proves concavity
+# is handled: bbox_candidates > inside_pts for the L-shape.
+# ---------------------------------------------------------------------------
+_POLYGONS: dict[str, list[tuple[int, int]]] = {
+    # concave L-shape: bbox [0,40000]^2 but the notch
+    # (20000,20000)-(40000,40000) is OUTSIDE the polygon
+    "lshape": [
+        (0, 0), (40000, 0), (40000, 20000),
+        (20000, 20000), (20000, 40000), (0, 40000),
+    ],
+    # convex diamond (no axis-aligned edges: the y1>py != y2>py
+    # branch is exercised on every edge)
+    "diamond": [(48000, 32000), (64000, 48000), (48000, 64000), (32000, 48000)],
+    # scalene triangle overlapping the L-shape's bbox but not its area
+    "triangle": [(25000, 42000), (45000, 58000), (22000, 62000)],
+}
+
+
+def _poly_edges() -> list[tuple[str, int, int, int, int, int]]:
+    rows = []
+    for name, vs in _POLYGONS.items():
+        for i, (x1, y1) in enumerate(vs):
+            x2, y2 = vs[(i + 1) % len(vs)]
+            rows.append((name, i, x1, y1, x2, y2))
+    return rows
+
+
+def _poly_bboxes() -> list[tuple[str, int, int, int, int]]:
+    rows = []
+    for name, vs in _POLYGONS.items():
+        xs = [v[0] for v in vs]
+        ys = [v[1] for v in vs]
+        rows.append((name, min(xs), max(xs), min(ys), max(ys)))
+    return rows
+
+
+def _pip_oracle() -> str:
+    from hive_clone_spark.pipeline.common import sql_portable_hash
+
+    edges = ", ".join(
+        f"('{n}', {i}, {x1}, {y1}, {x2}, {y2})"
+        for n, i, x1, y1, x2, y2 in _poly_edges()
+    )
+    bboxes = ", ".join(
+        f"('{n}', {x0}, {x1}, {y0}, {y1})"
+        for n, x0, x1, y0, y1 in _poly_bboxes()
+    )
+    hx = sql_portable_hash("CAST(event_id AS VARCHAR) || 'x'")
+    hy = sql_portable_hash("CAST(event_id AS VARCHAR) || 'y'")
+    return f"""
+    WITH pts AS (
+      SELECT event_id, {hx} % 65536 AS px, {hy} % 65536 AS py FROM events),
+    bbox(poly, x_min, x_max, y_min, y_max) AS (VALUES {bboxes}),
+    edges(poly, seq, x1, y1, x2, y2) AS (VALUES {edges}),
+    cand AS (
+      SELECT p.event_id, p.px, p.py, b.poly
+      FROM pts p JOIN bbox b
+        ON p.px BETWEEN b.x_min AND b.x_max
+       AND p.py BETWEEN b.y_min AND b.y_max),
+    par AS (
+      SELECT c.event_id, c.poly,
+        SUM(CASE WHEN ((e.y1 > c.py) <> (e.y2 > c.py))
+              AND (((e.x2 - e.x1) * (c.py - e.y1)
+                    - (c.px - e.x1) * (e.y2 - e.y1) > 0)
+                   = (e.y2 > e.y1))
+            THEN 1 ELSE 0 END) AS crossings
+      FROM cand c JOIN edges e ON e.poly = c.poly
+      GROUP BY c.event_id, c.poly)
+    SELECT poly,
+      CAST(COUNT(*) AS BIGINT) AS bbox_candidates,
+      CAST(SUM(CASE WHEN crossings % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS inside_pts
+    FROM par GROUP BY poly ORDER BY poly
+    """
+
+
+@register("q159_point_in_polygon", oracle=_pip_oracle())
+def q159_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_clone_spark.pipeline.common import portable_hash
+
+    ev = table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        (portable_hash(F.concat(F.col("event_id").cast("string"), F.lit("x")))
+         % 65536).alias("px"),
+        (portable_hash(F.concat(F.col("event_id").cast("string"), F.lit("y")))
+         % 65536).alias("py"),
+    )
+    bbox = spark.createDataFrame(
+        _poly_bboxes(),
+        "poly STRING, x_min BIGINT, x_max BIGINT, y_min BIGINT, y_max BIGINT",
+    )
+    edges = spark.createDataFrame(
+        _poly_edges(),
+        "poly STRING, seq INT, x1 BIGINT, y1 BIGINT, x2 BIGINT, y2 BIGINT",
+    )
+    cand = pts.join(
+        F.broadcast(bbox),
+        F.col("px").between(F.col("x_min"), F.col("x_max"))
+        & F.col("py").between(F.col("y_min"), F.col("y_max")),
+    ).select("event_id", "px", "py", "poly")
+    cross = (F.col("x2") - F.col("x1")) * (F.col("py") - F.col("y1")) - (
+        F.col("px") - F.col("x1")
+    ) * (F.col("y2") - F.col("y1"))
+    crossing = (
+        ((F.col("y1") > F.col("py")) != (F.col("y2") > F.col("py")))
+        & ((cross > 0) == (F.col("y2") > F.col("y1")))
+    )
+    par = (
+        cand.join(F.broadcast(edges), "poly")
+        .groupBy("event_id", "poly")
+        .agg(F.sum(F.when(crossing, 1).otherwise(0)).alias("crossings"))
+    )
+    return (
+        par.groupBy("poly")
+        .agg(
+            F.count("*").alias("bbox_candidates"),
+            F.sum(F.when(F.col("crossings") % 2 == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("inside_pts"),
+        )
+        .orderBy("poly")
+    )

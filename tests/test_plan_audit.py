@@ -75,6 +75,7 @@ NESTEDLOOP_OK = {
     "q157_hdr_quantile_sketch",  # 3-row pct dim theta joins over the
     # <=130-cell histogram + rank probe (q18 band pattern)
     "q158_label_propagation",  # 25-row nation-pair theta join (q137 pattern)
+    "q159_point_in_polygon",  # 3-row polygon-bbox dim band join (q18 pattern)
 }
 
 # Queries whose unpartitioned Window is the intended plan: the window
