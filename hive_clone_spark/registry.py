@@ -47,6 +47,7 @@ def load_all_modules() -> None:
     from hive_clone_spark.operators import tpch  # noqa: F401
     from hive_clone_spark.operators import graph  # noqa: F401
     from hive_clone_spark.operators import iterate  # noqa: F401
+    from hive_clone_spark.operators import mview  # noqa: F401
     from hive_clone_spark.hive_game import queries as game_queries  # noqa: F401
     from hive_clone_spark.pipeline import chunking  # noqa: F401
     from hive_clone_spark.pipeline import dedup  # noqa: F401

@@ -848,3 +848,151 @@ def q146_stream_dedup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("q146_dedup_windowed")
         .orderBy("window_start", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q162 — late-data routing at the ingestion edge: how much data is
+# the pipeline's lateness policy actually rejecting? Ops teams tune
+# watermarks against a MEASURED drop rate; this entry builds the
+# measurement. The events feed is staged into two mtime-ordered files
+# (the file source processes oldest-first): batch 0 carries the
+# on-time mid-range, batch 1 carries the fresh tail PLUS stragglers
+# from the stream's first two days — ~12 days late against the
+# watermark batch 0 established.
+#
+# The router is EXPLICIT, in foreachBatch: the driver carries the
+# running max event time across batches (the watermark definition),
+# and each batch splits into accepted rows (aggregated per day/type,
+# distributed) and a quarantined late set (counted, the dead-letter
+# path). Explicit because Spark 4.1's own stateful operators do NOT
+# reject late input (measured this session: a row 9 days behind the
+# watermark is admitted into aggregation AND dedup state, emitted on
+# the next eviction, numRowsDroppedByWatermark stays 0) — so a
+# pipeline that needs late-data accounting must own the policy, and
+# owning it puts the whole thing under the value-hash oracle: the
+# oracle reproduces the watermark arithmetic (max of batch 0 minus
+# the 10-minute horizon) and predicts BOTH the per-day accepted
+# counts and the quarantined total exactly.
+#
+# Scale design: per batch, the router is one filter + one map-side-
+# combinable aggregate; the cross-batch state is ONE scalar (max
+# event ts). Collected per-batch partials are schema-bounded
+# (days x types). The quarantine path in production appends the late
+# rows to a dead-letter table (q121's shape); here their count is the
+# ledger column.
+# ---------------------------------------------------------------------------
+_Q162_LATE_END = "2024-01-03 00:00:00"  # ts < this => straggler subset
+_Q162_SPLIT = "2024-01-15 00:00:00"  # batch 0 = [late_end, split)
+_Q162_HORIZON_MS = 600_000  # 10-minute lateness allowance
+
+
+@register(
+    "q162_stream_late_audit",
+    oracle=f"""
+    WITH b0 AS (
+      SELECT * FROM events
+      WHERE ts >= TIMESTAMP '{_Q162_LATE_END}'
+        AND ts < TIMESTAMP '{_Q162_SPLIT}'),
+    wm AS (SELECT epoch_ms(MAX(ts)) - {_Q162_HORIZON_MS} AS wm_ms FROM b0),
+    b1 AS (
+      SELECT * FROM events
+      WHERE ts < TIMESTAMP '{_Q162_LATE_END}'
+         OR ts >= TIMESTAMP '{_Q162_SPLIT}'),
+    late AS (SELECT b1.* FROM b1, wm WHERE epoch_ms(b1.ts) < wm.wm_ms),
+    accepted AS (
+      SELECT * FROM b0
+      UNION ALL
+      SELECT b1.* FROM b1, wm WHERE epoch_ms(b1.ts) >= wm.wm_ms),
+    d AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+        CAST(COUNT(*) AS BIGINT) AS n_accepted
+      FROM accepted GROUP BY day, event_type)
+    SELECT CAST(day AS VARCHAR) AS day, event_type, n_accepted,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM late) AS quarantined_late,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS input_rows
+    FROM d ORDER BY day, event_type
+    """,
+)
+def q162_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+
+    from hive_clone_spark.sources.queries import _warehouse
+    from hive_clone_spark.streaming.streams import read_events_stream
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    src_dir = _warehouse(sf_dir, "late_q162")
+    b0 = ev.where(
+        (F.col("ts") >= _Q162_LATE_END) & (F.col("ts") < _Q162_SPLIT)
+    )
+    b1 = ev.where(
+        (F.col("ts") < _Q162_LATE_END) | (F.col("ts") >= _Q162_SPLIT)
+    )
+    for df, sub, name, mt in (
+        (b0, "b0", "batch0.parquet", 1_000_000_000),
+        (b1, "b1", "batch1.parquet", 1_000_000_600),
+    ):
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src_dir, sub)
+        )
+        part = glob.glob(os.path.join(src_dir, sub, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src_dir, name))
+        shutil.rmtree(os.path.join(src_dir, sub))
+        # pinned mtimes: the file source processes oldest-first
+        # (latestFirst=false), so the two-batch order is deterministic
+        os.utime(os.path.join(src_dir, name), (mt, mt))
+
+    # cross-batch router state: ONE scalar + schema-bounded partials
+    state = {"max_ms": None, "late": 0, "counts": {}}
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        wm_ms = (
+            None
+            if state["max_ms"] is None
+            else state["max_ms"] - _Q162_HORIZON_MS
+        )
+        ts_ms = F.unix_micros("ts") / 1000
+        if wm_ms is None:
+            acc, n_late = batch_df, 0
+        else:
+            acc = batch_df.where(ts_ms >= wm_ms)
+            n_late = batch_df.where(ts_ms < wm_ms).count()
+        rows = (
+            acc.groupBy(F.to_date("ts").alias("day"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.max(F.unix_micros("ts")).alias("mx_us"),
+            )
+            .collect()
+        )
+        state["late"] += n_late
+        for r in rows:
+            k = (str(r["day"]), r["event_type"])
+            state["counts"][k] = state["counts"].get(k, 0) + int(r["n"])
+            mx_ms = int(r["mx_us"]) // 1000
+            if state["max_ms"] is None or mx_ms > state["max_ms"]:
+                state["max_ms"] = mx_ms
+
+    src = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+    q = (
+        src.writeStream.foreachBatch(route)
+        .option(
+            "checkpointLocation", os.path.join(src_dir, "_chk")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    input_rows = ev.count()
+    out = spark.createDataFrame(
+        [
+            (day, etype, n, state["late"], input_rows)
+            for (day, etype), n in sorted(state["counts"].items())
+        ],
+        "day STRING, event_type STRING, n_accepted BIGINT, "
+        "quarantined_late BIGINT, input_rows BIGINT",
+    )
+    return out.orderBy("day", "event_type")
