@@ -837,3 +837,100 @@ def p_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# p_audio_loudness — loudness normalization with clip accounting: the
+# conditioning step before any audio corpus mixes sources recorded at
+# different levels. Loudness here is the integer mean-absolute level
+# (the same energy measure the VAD thresholds on — no sqrt, so the
+# whole chain stays integer-exact); each channel is scaled toward a
+# target level with y = sign(x) * (|x| * TARGET div loud), samples
+# that would exceed int16 clamp to 32767, and the entry reports the
+# BEFORE level, the clip count, and the AFTER level — the ledger a
+# mastering pass logs. Division only ever runs on non-negative
+# integers (sign reapplied after), so floor == trunc and DuckDB's
+# truncating // agrees with numpy's floor // everywhere.
+#
+# Spark decodes the REAL WAV bytes (including the spliced junk-chunk
+# layouts); the oracle reproduces every sample from the generator
+# arithmetic — the p_audio_framestats strategy.
+#
+# Scale notes: per-payload vectorized numpy over the PCM block; one
+# output row per (doc, channel). The normalize-then-clamp pipeline is
+# a pure map — no shuffle until the bounded per-channel aggregate.
+# ---------------------------------------------------------------------------
+_LOUD_TARGET = 20000  # target mean-abs level: gain ~20x, real clipping
+
+
+@register(
+    "p_audio_loudness",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, 1 + doc_id % 2 AS c, 1 + (doc_id * 13) % 256 AS n
+      FROM documents),
+    chans AS (
+      SELECT doc_id, n, unnest(generate_series(0, c - 1)) AS ch FROM dims),
+    samp AS (
+      SELECT doc_id, ch, n,
+        abs(((doc_id * 31 + unnest(generate_series(0, n - 1)) * 7
+              + ch * 97) % 4001) - 2000) AS ax
+      FROM chans),
+    loud AS (
+      SELECT doc_id, ch, n, SUM(ax) // n AS loud_before,
+        list(ax ORDER BY ax) AS axs
+      FROM samp GROUP BY doc_id, ch, n),
+    norm AS (
+      SELECT doc_id, ch, n, loud_before,
+        list_transform(axs, a ->
+          a * {_LOUD_TARGET} // GREATEST(loud_before, 1)) AS ys
+      FROM loud)
+    SELECT doc_id, CAST(ch AS BIGINT) AS channel,
+      CAST(n AS BIGINT) AS n_samples,
+      CAST(loud_before AS BIGINT) AS loud_before,
+      CAST(len(list_filter(ys, y -> y > 32767)) AS BIGINT) AS clipped,
+      CAST(list_sum(list_transform(ys, y -> LEAST(y, 32767))) // n
+        AS BIGINT) AS loud_after
+    FROM norm ORDER BY doc_id, channel
+    """,
+)
+def p_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode real WAV fixtures, normalize each channel to the target
+    mean-abs level with int-exact gain, clamp to int16, and report the
+    before/clip/after loudness ledger."""
+    import pandas as pd
+
+    from pyspark import cloudpickle as _cp
+    import hive_clone_spark.pipeline.audiocodec as _mod
+
+    _cp.register_pickle_by_value(_mod)
+
+    ids = spread(table(spark, sf_dir, "documents").select("doc_id"))
+
+    def norm_batches(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                doc_id = int(i)
+                _rate, samples = decode_wav(synth_wav(doc_id))
+                n = samples.shape[0]
+                for ch in range(samples.shape[1]):
+                    ax = np.abs(samples[:, ch].astype(np.int64))
+                    loud = int(ax.sum()) // n
+                    ys = ax * _LOUD_TARGET // max(loud, 1)
+                    clipped = int((ys > 32767).sum())
+                    after = int(np.minimum(ys, 32767).sum()) // n
+                    rows.append((doc_id, ch, n, loud, clipped, after))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "channel", "n_samples",
+                    "loud_before", "clipped", "loud_after",
+                ],
+            )
+
+    schema = (
+        "doc_id BIGINT, channel BIGINT, n_samples BIGINT, "
+        "loud_before BIGINT, clipped BIGINT, loud_after BIGINT"
+    )
+    return ids.mapInPandas(norm_batches, schema).orderBy("doc_id", "channel")

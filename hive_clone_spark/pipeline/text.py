@@ -1784,3 +1784,108 @@ def p_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f1"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# p_zipf_fit — rank-frequency (Zipf) profile: the corpus-health
+# diagnostic every tokenizer/dedup decision leans on — natural text
+# follows freq ~ 1/rank, so per-OCTAVE-of-rank total frequency is
+# roughly constant; a corpus whose octave totals collapse is
+# template spam, one whose totals explode is shredded tokenization.
+# Buckets are powers of two of rank (octave = bit length of rank —
+# integer, no logs anywhere), totals are exact counts, and the
+# octave-to-octave decay ratio is one integer division per bucket:
+# the whole fit is under the value hash.
+#
+# Scale design: the word count is the map-side-combinable shuffle of
+# |vocab| rows; ranking then runs over the orderBy().limit(K=1023)
+# SURVIVORS only (TakeOrderedAndProject — the p_vocab_build shape,
+# never a vocab-sized global window), and everything beyond K is
+# accounted as one exact tail row from the global aggregate (no
+# silent cap). The octave table itself is <= 11 rows by construction.
+# ---------------------------------------------------------------------------
+_ZIPF_K = 1023  # ranks 1..1023 = octaves 1..10
+
+
+@register(
+    "p_zipf_fit",
+    oracle=f"""
+    WITH w AS (
+      SELECT lower(w) AS word
+      FROM (SELECT unnest({SQL_WORDS.format(expr="text")}) AS w
+            FROM documents)),
+    counts AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word),
+    ranked AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rnk
+      FROM counts),
+    oct AS (
+      SELECT 'o' || CAST(length(bin(rnk)) AS VARCHAR) AS bucket,
+        CAST(MIN(rnk) AS BIGINT) AS min_rank,
+        CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(n) AS BIGINT) AS total_freq
+      FROM ranked WHERE rnk <= {_ZIPF_K} GROUP BY bucket),
+    tail AS (
+      SELECT 'tail' AS bucket, CAST({_ZIPF_K} + 1 AS BIGINT) AS min_rank,
+        CAST(GREATEST((SELECT COUNT(*) FROM counts) - {_ZIPF_K}, 0)
+          AS BIGINT) AS n_words,
+        CAST((SELECT SUM(n) FROM counts)
+          - (SELECT SUM(total_freq) FROM oct) AS BIGINT) AS total_freq),
+    allb AS (SELECT * FROM oct UNION ALL SELECT * FROM tail)
+    SELECT bucket, min_rank, n_words, total_freq,
+      LAG(total_freq) OVER (ORDER BY min_rank) * 1000 // 
+        CASE WHEN total_freq = 0 THEN 1 ELSE total_freq END AS decay_millis
+    FROM allb ORDER BY min_rank
+    """,
+)
+def p_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(words_col(F.col("text"))).alias("w"))
+        .select(F.lower("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    # TakeOrdered: only the K survivors are ever ranked
+    top = counts.orderBy(F.desc("n"), "word").limit(_ZIPF_K)
+    ranked = top.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("n"), "word"))
+    )
+    oct_ = ranked.groupBy(
+        F.concat(F.lit("o"), F.length(F.expr("bin(rnk)")).cast("string"))
+        .alias("bucket")
+    ).agg(
+        F.min("rnk").cast("long").alias("min_rank"),
+        F.count("*").alias("n_words"),
+        F.sum("n").alias("total_freq"),
+    )
+    totals = counts.agg(
+        F.count("*").alias("vocab"), F.sum("n").alias("freq")
+    )
+    top_totals = oct_.agg(
+        F.sum("total_freq").alias("top_freq")
+    )
+    tail = (
+        totals.crossJoin(top_totals)
+        .select(
+            F.lit("tail").alias("bucket"),
+            F.lit(_ZIPF_K + 1).cast("long").alias("min_rank"),
+            F.greatest(F.col("vocab") - _ZIPF_K, F.lit(0))
+            .cast("long")
+            .alias("n_words"),
+            (F.col("freq") - F.col("top_freq")).alias("total_freq"),
+        )
+    )
+    allb = oct_.unionByName(tail)
+    # <= 11 rows by construction: octave table, never data
+    return allb.select(
+        "bucket",
+        "min_rank",
+        "n_words",
+        "total_freq",
+        F.expr(
+            "lag(total_freq) over (order by min_rank) * 1000 div "
+            "(case when total_freq = 0 then 1 else total_freq end)"
+        ).alias("decay_millis"),
+    ).orderBy("min_rank")

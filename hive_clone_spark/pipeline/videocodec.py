@@ -415,3 +415,106 @@ def p_video_scene_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "doc_id BIGINT, n_frames INT, n_cuts BIGINT, sum_mad BIGINT"
     return ids.mapInPandas(detect_batches, schema).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p_keyframe_extract — one keyframe per scene: the sampling step that
+# turns scene cuts (p_video_scene_detect) into a training set — a
+# video contributes one representative frame per shot, not every Nth
+# frame of a static scene. The decoder walks the REAL .y4m stream,
+# segments scenes with the same MAD>=threshold rule, and emits the
+# FIRST frame of each scene (the I-frame convention) with its mean
+# luma, so the oracle checks scene boundaries AND the extracted
+# pixel content per scene.
+#
+# Same flat-frame fixture family as scene detect (synth_y4m_scenes):
+# cut jumps are 99 or 157 grey levels (97*Δscene + 2 mod 256), drift
+# is 2 — threshold 20 separates exactly, so the rule-level oracle
+# predicts the detector's segmentation frame for frame.
+#
+# Scale notes: per-payload sequential frame walk, one output row per
+# scene (data reduction ~n_frames -> n_scenes); frames never leave
+# the worker — exactly the shape that makes keyframe sampling viable
+# on petabyte video corpora.
+# ---------------------------------------------------------------------------
+@register(
+    "p_keyframe_extract",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 5 AS n FROM documents),
+    fr AS (
+      SELECT doc_id, unnest(generate_series(0, n - 1)) AS f FROM dims),
+    lum AS (
+      -- the PIXEL lumas (fixture arithmetic defines the planes); the
+      -- detector below segments on these, so a mod-256 wrap inside a
+      -- rule-scene (|delta| = 254 >= 20) is a cut HERE too - the
+      -- oracle mirrors the detector, not the generator's intent
+      SELECT doc_id, f,
+        (doc_id * 31
+         + 97 * len(list_filter(generate_series(1, f),
+                                g -> (doc_id + g) % 3 = 0))
+         + 2 * f) % 256 AS lum
+      FROM fr),
+    cuts AS (
+      SELECT doc_id, f, lum,
+        CASE WHEN f > 0 AND abs(lum - LAG(lum) OVER
+               (PARTITION BY doc_id ORDER BY f)) >= 20
+             THEN 1 ELSE 0 END AS cut
+      FROM lum),
+    sc AS (
+      SELECT doc_id, f, lum,
+        SUM(cut) OVER (PARTITION BY doc_id ORDER BY f
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene
+      FROM cuts)
+    SELECT doc_id, CAST(scene AS BIGINT) AS scene,
+      CAST(MIN(f) AS BIGINT) AS start_frame,
+      CAST(COUNT(*) AS BIGINT) AS scene_len,
+      CAST(arg_min(lum, f) AS BIGINT) AS key_luma
+    FROM sc GROUP BY doc_id, scene ORDER BY doc_id, scene
+    """,
+)
+def p_keyframe_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment real decoded .y4m streams into scenes and extract the
+    first frame of each as the keyframe (index + mean luma)."""
+    import pandas as pd
+
+    from pyspark import cloudpickle as _cp
+    import hive_clone_spark.pipeline.videocodec as _mod
+
+    _cp.register_pickle_by_value(_mod)
+
+    ids = spread(table(spark, sf_dir, "documents").select("doc_id"))
+
+    def extract_batches(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                doc_id = int(i)
+                _w, _h, _fps, frames = decode_y4m(synth_y4m_scenes(doc_id))
+                lumas = []
+                for y, _u, _v in frames:
+                    m = y.astype(np.int64).mean()
+                    assert m == int(m)  # flat fixture planes
+                    lumas.append(int(m))
+                scene, start = 0, 0
+                scenes = []  # (scene, start_frame, len, key_luma)
+                for f in range(1, len(frames)):
+                    if abs(lumas[f] - lumas[f - 1]) >= _SCENE_THRESHOLD:
+                        scenes.append((scene, start, f - start, lumas[start]))
+                        scene, start = scene + 1, f
+                scenes.append(
+                    (scene, start, len(frames) - start, lumas[start])
+                )
+                rows.extend((doc_id, s, st, ln, kl) for s, st, ln, kl in scenes)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "scene", "start_frame", "scene_len", "key_luma"
+                ],
+            )
+
+    schema = (
+        "doc_id BIGINT, scene BIGINT, start_frame BIGINT, "
+        "scene_len BIGINT, key_luma BIGINT"
+    )
+    return ids.mapInPandas(extract_batches, schema).orderBy("doc_id", "scene")

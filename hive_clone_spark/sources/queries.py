@@ -923,3 +923,156 @@ def q155_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region", "nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q163 — JSON schema inference over a heterogeneous feed: the
+# ingestion step before q58's schema evolution can even run — what
+# fields does this semi-structured feed contain, how often, and with
+# what types? A deterministic JSON-lines feed is built from events
+# (field set and token type vary by event_type: ints, floats, quoted
+# strings, booleans, nulls, and a field present in only one type), and
+# the inference operator reads the RAW TEXT back: extract key/token
+# pairs with two aligned regexp_extract_all passes, classify each
+# token lexically (quoted -> string, true/false -> bool, null, '.' ->
+# double, else int), and fold per-key counts into the widening verdict
+# every loader needs (any string -> string, else any double ->
+# double, else int ...) — the same lattice spark.read.json's sampler
+# applies, here fully under the value-hash oracle.
+#
+# Scale design: zero Python — the tokenizer is two regexes at the
+# scan, the explode carries (key, token-class) pairs only, and the
+# aggregate is map-side combinable into a schema-bounded (n_keys)
+# result. At 100 TB this is exactly the one-pass profile a loader
+# runs; nothing materializes parsed documents.
+# ---------------------------------------------------------------------------
+_Q163_PAIR = '"([a-z]+)"\\s*:\\s*("[^"]*"|true|false|null|[-0-9.eE]+)'
+
+
+def _q163_feed_sql() -> str:
+    """The deterministic JSON-lines feed, as DuckDB SQL (the Spark
+    side mirrors it expression for expression)."""
+    return """
+      SELECT '{"id": ' || CAST(event_id AS VARCHAR) || ', "val": '
+        || CASE event_type
+             WHEN 'click' THEN CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR)
+             WHEN 'view' THEN CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR)
+                              || '.5'
+             WHEN 'purchase' THEN '"' || CAST(CAST(FLOOR(value) AS BIGINT)
+                              AS VARCHAR) || '"'
+             WHEN 'signup' THEN 'null'
+             ELSE CASE WHEN value > 50 THEN 'true' ELSE 'false' END
+           END
+        || CASE WHEN event_type = 'signup' THEN ', "extra": "s"' ELSE '' END
+        || '}' AS js
+      FROM events
+    """
+
+
+@register(
+    "q163_json_schema_inference",
+    oracle=f"""
+    WITH feed AS ({_q163_feed_sql()}),
+    pairs AS (
+      SELECT unnest(regexp_extract_all(js, '{_Q163_PAIR}', 1)) AS k,
+             unnest(regexp_extract_all(js, '{_Q163_PAIR}', 2)) AS tok
+      FROM feed),
+    cls AS (
+      SELECT k,
+        CASE WHEN tok LIKE '"%' THEN 'string'
+             WHEN tok IN ('true', 'false') THEN 'bool'
+             WHEN tok = 'null' THEN 'null'
+             WHEN tok LIKE '%.%' THEN 'double'
+             ELSE 'int' END AS ty
+      FROM pairs)
+    SELECT k AS field,
+      CAST(COUNT(*) AS BIGINT) AS n_present,
+      CAST(SUM(CASE WHEN ty = 'int' THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+      CAST(SUM(CASE WHEN ty = 'double' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_double,
+      CAST(SUM(CASE WHEN ty = 'string' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_string,
+      CAST(SUM(CASE WHEN ty = 'bool' THEN 1 ELSE 0 END) AS BIGINT) AS n_bool,
+      CAST(SUM(CASE WHEN ty = 'null' THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      CASE WHEN SUM(CASE WHEN ty = 'string' THEN 1 ELSE 0 END) > 0
+             THEN 'string'
+           WHEN SUM(CASE WHEN ty = 'double' THEN 1 ELSE 0 END) > 0
+             THEN 'double'
+           WHEN SUM(CASE WHEN ty = 'int' THEN 1 ELSE 0 END) > 0 THEN 'bigint'
+           WHEN SUM(CASE WHEN ty = 'bool' THEN 1 ELSE 0 END) > 0
+             THEN 'boolean'
+           ELSE 'null' END AS promoted
+    FROM cls GROUP BY k ORDER BY k
+    """,
+)
+def q163_json_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    int_tok = F.floor("value").cast("long").cast("string")
+    js = F.concat(
+        F.lit('{"id": '),
+        F.col("event_id").cast("string"),
+        F.lit(', "val": '),
+        F.when(F.col("event_type") == "click", int_tok)
+        .when(F.col("event_type") == "view", F.concat(int_tok, F.lit(".5")))
+        .when(
+            F.col("event_type") == "purchase",
+            F.concat(F.lit('"'), int_tok, F.lit('"')),
+        )
+        .when(F.col("event_type") == "signup", F.lit("null"))
+        .otherwise(
+            F.when(F.col("value") > 50, F.lit("true")).otherwise(F.lit("false"))
+        ),
+        F.when(
+            F.col("event_type") == "signup", F.lit(', "extra": "s"')
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    feed = ev.select(js.alias("js"))
+    pat = F.lit(_Q163_PAIR)
+    pairs = (
+        feed.select(
+            F.explode(
+                F.arrays_zip(
+                    F.regexp_extract_all("js", pat, 1).alias("k"),
+                    F.regexp_extract_all("js", pat, 2).alias("tok"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.k").alias("k"), F.col("p.tok").alias("tok"))
+    )
+    ty = (
+        F.when(F.col("tok").startswith('"'), "string")
+        .when(F.col("tok").isin("true", "false"), "bool")
+        .when(F.col("tok") == "null", "null")
+        .when(F.col("tok").contains("."), "double")
+        .otherwise("int")
+    )
+    cnt = lambda t: F.sum(F.when(F.col("ty") == t, 1).otherwise(0)).cast("long")  # noqa: E731
+    return (
+        pairs.select("k", ty.alias("ty"))
+        .groupBy(F.col("k").alias("field"))
+        .agg(
+            F.count("*").alias("n_present"),
+            cnt("int").alias("n_int"),
+            cnt("double").alias("n_double"),
+            cnt("string").alias("n_string"),
+            cnt("bool").alias("n_bool"),
+            cnt("null").alias("n_null"),
+        )
+        .select(
+            "field",
+            "n_present",
+            "n_int",
+            "n_double",
+            "n_string",
+            "n_bool",
+            "n_null",
+            F.when(F.col("n_string") > 0, "string")
+            .when(F.col("n_double") > 0, "double")
+            .when(F.col("n_int") > 0, "bigint")
+            .when(F.col("n_bool") > 0, "boolean")
+            .otherwise("null")
+            .alias("promoted"),
+        )
+        .orderBy("field")
+    )

@@ -76,6 +76,7 @@ NESTEDLOOP_OK = {
     # <=130-cell histogram + rank probe (q18 band pattern)
     "q158_label_propagation",  # 25-row nation-pair theta join (q137 pattern)
     "q159_point_in_polygon",  # 3-row polygon-bbox dim band join (q18 pattern)
+    "p_zipf_fit",  # 1-row vocab-totals crossJoin for the tail row (q44 pattern)
 }
 
 # Queries whose unpartitioned Window is the intended plan: the window
