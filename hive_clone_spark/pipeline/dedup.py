@@ -1867,3 +1867,123 @@ def p_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(grp).alias("group_size"),
         (F.count("*").over(grp) > 1).alias("is_dup"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Color-histogram image dedup: the third leg of perceptual image
+# near-dup (aHash = block-luma STRUCTURE, pHash = frequency shape;
+# histograms catch palette/geometry-INVARIANT copies — the same
+# artwork re-rendered at a different width has an identical color
+# distribution even though every block hash changes). Each REAL
+# fixture image (BMP/PPM/PNG truecolor/palette/RGBA-over-white)
+# decodes to RGB, quantizes to 64 bins (top 2 bits per channel), and
+# normalizes to integer PERMILLE of total pixels — the row-broadcast
+# fixture geometry makes the permille vector provably independent of
+# image WIDTH (each row contributes w pixels; w cancels under the
+# integer division), so docs sharing row-color structure at different
+# widths form GENUINE duplicate groups that byte- and block-hashing
+# both miss.
+#
+# The signature is the canonical "bin:permille" string (bins
+# zero-padded so lexical order = numeric order); grouping is ONE
+# shuffle on its portable 60-bit hash. The oracle reproduces decode
+# (incl. RGBA alpha-compositing over white), quantization,
+# normalization, and grouping from the fixture arithmetic.
+#
+# Scale design: decode + histogram is scan-stage Arrow work emitting
+# one short string per image; the dedup key is schema-width. Near-dup
+# (histogram intersection >= t) extends this with dominant-bin
+# blocking — never all-pairs.
+# ---------------------------------------------------------------------------
+@register(
+    "p_image_histogram_dedup",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, 1 + (doc_id * 7) % 48 AS h, doc_id % 3 AS m,
+        doc_id % 9 AS m9
+      FROM documents),
+    rows_ AS (
+      SELECT doc_id, h, m9, unnest(generate_series(0, h - 1)) AS y
+      FROM dims),
+    rgb AS (
+      SELECT doc_id, h, y,
+        (doc_id + 3 * y) % 256 AS r0,
+        (doc_id + 3 * y + 7) % 256 AS g0,
+        (doc_id + 3 * y + 14) % 256 AS b0,
+        CASE WHEN m9 = 8 THEN 255 - ((doc_id + 5 * y) % 64) ELSE 255 END
+          AS a
+      FROM rows_),
+    comp AS (
+      SELECT doc_id, h, y,
+        (a * r0 + (255 - a) * 255) // 255 AS r,
+        (a * g0 + (255 - a) * 255) // 255 AS g,
+        (a * b0 + (255 - a) * 255) // 255 AS b
+      FROM rgb),
+    bins AS (
+      SELECT doc_id, h,
+        (r >> 6) * 16 + (g >> 6) * 4 + (b >> 6) AS bin,
+        COUNT(*) AS rows_in_bin
+      FROM comp GROUP BY doc_id, h, bin),
+    perm AS (
+      SELECT doc_id,
+        lpad(CAST(bin AS VARCHAR), 2, '0') || ':'
+          || CAST(rows_in_bin * 1000 // h AS VARCHAR) AS cell
+      FROM bins),
+    sig AS (
+      SELECT doc_id, string_agg(cell, ',' ORDER BY cell) AS s
+      FROM perm GROUP BY doc_id)
+    SELECT doc_id,
+      {sql_portable_hash("s")} AS sig_hash,
+      CAST(COUNT(*) OVER (PARTITION BY s) AS BIGINT) AS group_size,
+      COUNT(*) OVER (PARTITION BY s) > 1 AS is_dup
+    FROM sig ORDER BY doc_id
+    """,
+)
+def p_image_histogram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode the real image fixtures, quantize each to a 64-bin RGB
+    permille histogram, and group width-invariant color duplicates on
+    the canonical signature string."""
+    import pandas as pd
+
+    from pyspark import cloudpickle as _cp
+    import hive_clone_spark.pipeline.imagecodec as _imod
+
+    _cp.register_pickle_by_value(_imod)
+    from pyspark.sql.window import Window
+
+    from hive_clone_spark.pipeline.common import portable_hash, spread
+    from hive_clone_spark.pipeline.imagecodec import decode_image, synth_image
+
+    ids = spread(table(spark, sf_dir, "documents").select("doc_id"))
+
+    def sig_batches(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                doc_id = int(i)
+                _fmt, px = decode_image(synth_image(doc_id)[1])
+                q = px.astype(np.int64) >> 6
+                bins = q[:, :, 0] * 16 + q[:, :, 1] * 4 + q[:, :, 2]
+                counts = np.bincount(bins.reshape(-1), minlength=64)
+                total = bins.size
+                cells = [
+                    f"{b:02d}:{int(c) * 1000 // total}"
+                    for b, c in enumerate(counts)
+                    if c > 0
+                ]
+                rows.append((doc_id, ",".join(sorted(cells))))
+            yield pd.DataFrame(rows, columns=["doc_id", "s"])
+
+    sigs = ids.mapInPandas(sig_batches, "doc_id BIGINT, s STRING")
+    grp = Window.partitionBy("s")
+    return (
+        sigs.select(
+            "doc_id",
+            portable_hash(F.col("s")).alias("sig_hash"),
+            F.count("*").over(grp).alias("group_size"),
+            (F.count("*").over(grp) > 1).alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2247,3 +2247,181 @@ def q156_bitemporal_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in probes[1:]:
         out = out.unionAll(p)
     return out.orderBy("probe")
+
+
+# ---------------------------------------------------------------------------
+# Q164 — incremental view maintenance FROM THE CHANGE FEED: q103
+# maintains an aggregate from batch deltas it was handed; q135 derives
+# row-level deltas from the commit log; this entry CLOSES the loop —
+# the materialized aggregate (per-bucket count + price sum over the
+# q98 range-bucket layout) is maintained by APPLYING the feed's
+# signed algebra (insert/postimage add, delete/preimage subtract,
+# groups reaching zero rows disappear), never rescanning the base
+# table. The base evolves through a copy-on-write row DELETE (v1) and
+# a MERGE that doubles a key range's prices and inserts 40 new keys
+# (v2, landing in a brand-new bucket 16 — group CREATION through the
+# feed). The entry emits the incrementally-maintained MV NEXT TO a
+# full rebuild of the final snapshot, and the oracle predicts both
+# from the construction arithmetic — so `matches` = TRUE is verified
+# against truth on BOTH paths, not just self-consistency.
+#
+# Scale design: maintenance cost is O(feed) = O(files touched by each
+# commit), not O(table) — the only way a 100 TB table's hourly MV
+# refresh is affordable. The signed-aggregate application is one
+# map-side-combinable shuffle of |changed keys| rows into
+# schema-bounded groups; the full rebuild exists here only as the
+# verification arm.
+# ---------------------------------------------------------------------------
+_IVM_INSERTS = 40
+
+
+@register(
+    "q164_mv_incremental_from_feed",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+    fin AS (
+      SELECT o_orderkey AS k,
+        CASE WHEN o_orderkey > (2 * m) // 5 AND o_orderkey <= (3 * m) // 5
+             THEN CAST(o_totalprice AS DECIMAL(18,2)) * 2
+             ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS p
+      FROM orders, mx
+      WHERE NOT (o_orderkey % 31 = 0
+                 AND o_orderkey BETWEEN m // 5 AND (2 * m) // 5)
+      UNION ALL
+      SELECT m + i, CAST(50.00 AS DECIMAL(18,2))
+      FROM mx, (SELECT unnest(generate_series(1, {_IVM_INSERTS})) AS i)),
+    g AS (
+      SELECT (k * 16) // (m + 1) AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS n, SUM(p) AS s
+      FROM fin, mx GROUP BY bucket)
+    SELECT CAST(bucket AS INT) AS bucket,
+      n AS n_rows_inc, CAST(s AS DOUBLE) AS sum_inc,
+      n AS n_rows_rebuild, CAST(s AS DOUBLE) AS sum_rebuild,
+      TRUE AS matches
+    FROM g ORDER BY bucket
+    """,
+)
+def q164_mv_incremental_from_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tl, m = _stage_bucketed_orders(spark, sf_dir, "txlog_q164")
+
+    def bucket_of(df: DataFrame) -> DataFrame:
+        # always derived from the key (partition columns are stripped
+        # from partitioned data files; feed rows must not depend on
+        # which layout a row was stored under)
+        return df.withColumn(
+            "mv_bucket",
+            F.floor((F.col("o_orderkey") * _SKIP_BUCKETS) / (m + 1)).cast(
+                "int"
+            ),
+        )
+
+    # the MV as of v0 (one aggregate over the initial snapshot)
+    mv0 = (
+        bucket_of(tl.read(spark))
+        .groupBy("mv_bucket")
+        .agg(
+            F.count("*").alias("n0"),
+            F.sum(_dec("o_totalprice")).alias("s0"),
+        )
+    )
+    # pin the v0 aggregate NOW: later commits must not leak into the
+    # lazily-evaluated plan (localCheckpoint returns the pinned frame)
+    mv0 = mv0.localCheckpoint(eager=True)
+
+    # v1: copy-on-write row-level DELETE
+    lo1, hi1 = m // 5, (2 * m) // 5
+    condemned = (F.col("o_orderkey") % 31 == 0) & F.col(
+        "o_orderkey"
+    ).between(lo1, hi1)
+    expected = tl.latest_version()
+    _all, affected = tl.scan_files("o_orderkey", lo1, hi1, version=expected)
+    aff_df = spark.read.parquet(*[str(tl.root / f) for f in affected])
+    survivors = _with_bucket(aff_df.where(~condemned).drop("bucket"), m)
+    tl.commit(
+        "delete",
+        add=tl.stage_data_partitioned(
+            survivors, "bucket", _bucket_stats(survivors)
+        ),
+        remove=affected,
+        expected_version=expected,
+    )
+    # v2: MERGE — double prices in ((2m)/5, (3m)/5], insert 40 new keys
+    lo2, hi2 = (2 * m) // 5 + 1, (3 * m) // 5
+    expected = tl.latest_version()
+    _all, affected = tl.scan_files("o_orderkey", lo2, hi2, version=expected)
+    aff_df = spark.read.parquet(*[str(tl.root / f) for f in affected])
+    rewritten = _with_bucket(
+        aff_df.drop("bucket").withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey").between(lo2, hi2),
+                F.col("o_totalprice") * 2,
+            ).otherwise(F.col("o_totalprice")),
+        ),
+        m,
+    )
+    inserts = spark.range(1, _IVM_INSERTS + 1).select(
+        (F.lit(m) + F.col("id")).alias("o_orderkey"),
+        F.lit(50.0).alias("o_totalprice"),
+    )
+    ins_adds = tl.stage_data(inserts, n_files=1)
+    for a in ins_adds:
+        a["stats"] = {"o_orderkey": [m + 1, m + _IVM_INSERTS]}
+    tl.commit(
+        "merge",
+        add=tl.stage_data_partitioned(
+            rewritten, "bucket", _bucket_stats(rewritten)
+        )
+        + ins_adds,
+        remove=affected,
+        expected_version=expected,
+    )
+
+    # the maintenance arm: signed application of the v1..v2 feed
+    feed = bucket_of(tl.change_feed(spark, "o_orderkey", from_version=0))
+    sign = (
+        F.when(F.col("_change_type").isin("insert", "update_postimage"), 1)
+        .when(F.col("_change_type").isin("delete", "update_preimage"), -1)
+    )
+    delta = feed.groupBy("mv_bucket").agg(
+        F.sum(sign).alias("dn"),
+        F.sum(sign * _dec("o_totalprice")).alias("ds"),
+    )
+    inc = (
+        mv0.join(delta, "mv_bucket", "full_outer")
+        .select(
+            "mv_bucket",
+            (F.coalesce("n0", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
+                "n_rows_inc"
+            ),
+            (
+                F.coalesce(F.col("s0"), F.lit(0).cast("decimal(18,2)"))
+                + F.coalesce(F.col("ds"), F.lit(0).cast("decimal(18,2)"))
+            ).alias("s_inc"),
+        )
+        .where(F.col("n_rows_inc") > 0)
+    )
+    # the verification arm: full rebuild of the final snapshot
+    rebuild = (
+        bucket_of(tl.read(spark))
+        .groupBy("mv_bucket")
+        .agg(
+            F.count("*").alias("n_rows_rebuild"),
+            F.sum(_dec("o_totalprice")).alias("s_reb"),
+        )
+    )
+    return (
+        inc.join(rebuild, "mv_bucket", "full_outer")
+        .select(
+            F.col("mv_bucket").alias("bucket"),
+            "n_rows_inc",
+            F.col("s_inc").cast("double").alias("sum_inc"),
+            "n_rows_rebuild",
+            F.col("s_reb").cast("double").alias("sum_rebuild"),
+            (
+                (F.col("n_rows_inc") == F.col("n_rows_rebuild"))
+                & (F.col("s_inc") == F.col("s_reb"))
+            ).alias("matches"),
+        )
+        .orderBy("bucket")
+    )
