@@ -4367,3 +4367,85 @@ def q159_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("poly")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q165 — market-basket co-occurrence (association mining): which part
+# pairs are ordered TOGETHER more than chance predicts — the
+# recommender/assortment primitive (Agrawal's support/confidence/lift,
+# reduced to its warehouse-query core). Pair generation is a
+# self-join WITHIN the order (a.partkey < b.partkey, after a distinct
+# so a part twice in one order — different suppliers — counts once);
+# support counts shuffle on the pair key; lift and confidence use
+# p_collocations' integer-permille trick (lift = N * supp_ab /
+# (supp_a * supp_b), cross-multiplied — monotone in the real lift, no
+# floats in the ranking).
+#
+# Scale design: the pair explosion is bounded by order SIZE (TPC-H
+# orders hold <= 7 items: <= 21 pairs/order — never |parts|^2), the
+# pair aggregate is map-side combinable, the final ranking is a
+# TakeOrdered(15), and the per-part support table joins AFTER the
+# limit against 15 rows (broadcast), so the expensive side is one
+# co-partitioned self-join on the natural orderkey layout.
+# ---------------------------------------------------------------------------
+@register(
+    "q165_market_basket",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
+    supp AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS s FROM items GROUP BY pk),
+    pairs AS (
+      SELECT a.pk AS pa, b.pk AS pb, CAST(COUNT(*) AS BIGINT) AS s_ab
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk),
+    top AS (
+      SELECT pa, pb, s_ab FROM pairs
+      ORDER BY s_ab DESC, pa, pb LIMIT 15)
+    SELECT t.pa AS part_a, t.pb AS part_b, t.s_ab AS supp_pair,
+      sa.s AS supp_a, sb.s AS supp_b,
+      n.n_orders * t.s_ab * 1000 // (sa.s * sb.s) AS lift_millis,
+      t.s_ab * 1000 // sa.s AS confidence_millis
+    FROM top t
+    JOIN supp sa ON sa.pk = t.pa
+    JOIN supp sb ON sb.pk = t.pb
+    CROSS JOIN n
+    ORDER BY supp_pair DESC, part_a, part_b
+    """,
+)
+def q165_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n = items.agg(F.countDistinct("ok").alias("n_orders"))
+    supp = items.groupBy("pk").agg(F.count("*").alias("s"))
+    a = items.select(F.col("ok"), F.col("pk").alias("pa"))
+    b = items.select(F.col("ok"), F.col("pk").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("s_ab"))
+    )
+    top = pairs.orderBy(F.desc("s_ab"), "pa", "pb").limit(15)
+    sa = supp.select(F.col("pk").alias("pa"), F.col("s").alias("supp_a"))
+    sb = supp.select(F.col("pk").alias("pb"), F.col("s").alias("supp_b"))
+    return (
+        F.broadcast(top)
+        .join(sa, "pa")
+        .join(sb, "pb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("s_ab").alias("supp_pair"),
+            "supp_a",
+            "supp_b",
+            F.expr("n_orders * s_ab * 1000 div (supp_a * supp_b)").alias(
+                "lift_millis"
+            ),
+            F.expr("s_ab * 1000 div supp_a").alias("confidence_millis"),
+        )
+        .orderBy(F.desc("supp_pair"), "part_a", "part_b")
+    )

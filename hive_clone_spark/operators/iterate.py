@@ -150,3 +150,67 @@ ORDER BY custkey, streak_start
 def q64_recursive_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("__streak_orders")
     return spark.sql(_STREAK_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q166 — bill-of-materials explosion (recursive rollup): the classic
+# manufacturing query — every part needs quantity q of its parent
+# assembly's input; how much of each ANCESTOR does one unit of each
+# leaf ultimately require? The hierarchy is derived from the part
+# table (parent(k) = k div 7, a 7-ary tree rooted at 0; edge quantity
+# 1 + k mod 5), the explosion multiplies quantities along the
+# ancestor path, and the per-DEPTH ledger aggregates the whole
+# traversal into a schema-bounded (log_7 |part|) result.
+#
+# This is the MONOTONE recursion Spark 4's WITH RECURSIVE executes
+# natively (depth strictly increases, a tree gives each path exactly
+# one derivation — the q64 criterion; cyclic/min-label shapes stay on
+# the fixpoint() driver loop, see module docstring). The oracle runs
+# the structurally identical recursive CTE in DuckDB.
+#
+# Scale design: each recursion level is one co-partitioned
+# self-derivation of the frontier (no dedup, no aggregate inside the
+# recursion — exactly what Spark's recursive CTE permits); path
+# quantities stay in int64 (<= 5^8); the final aggregate is map-side
+# combinable into <= 8 depth rows.
+# ---------------------------------------------------------------------------
+_BOM_SPARK_SQL = """
+WITH RECURSIVE bom(part, anc, qty, depth) AS (
+  SELECT p_partkey, p_partkey div 7, 1 + p_partkey % 5, 1
+  FROM __bom_parts WHERE p_partkey >= 1
+  UNION ALL
+  SELECT part, anc div 7, qty * (1 + anc % 5), depth + 1
+  FROM bom WHERE anc >= 1
+)
+SELECT depth,
+  CAST(COUNT(*) AS BIGINT) AS n_paths,
+  CAST(COUNT(DISTINCT anc) AS BIGINT) AS n_ancestors,
+  CAST(SUM(qty) AS BIGINT) AS total_qty
+FROM bom
+GROUP BY depth
+ORDER BY depth
+"""
+
+
+@register(
+    "q166_bom_explosion",
+    oracle="""
+    WITH RECURSIVE bom(part, anc, qty, depth) AS (
+      SELECT p_partkey, p_partkey // 7, 1 + p_partkey % 5, 1
+      FROM part WHERE p_partkey >= 1
+      UNION ALL
+      SELECT part, anc // 7, qty * (1 + anc % 5), depth + 1
+      FROM bom WHERE anc >= 1
+    )
+    SELECT CAST(depth AS INT) AS depth,
+      CAST(COUNT(*) AS BIGINT) AS n_paths,
+      CAST(COUNT(DISTINCT anc) AS BIGINT) AS n_ancestors,
+      CAST(SUM(qty) AS BIGINT) AS total_qty
+    FROM bom
+    GROUP BY depth
+    ORDER BY depth
+    """,
+)
+def q166_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "part").createOrReplaceTempView("__bom_parts")
+    return spark.sql(_BOM_SPARK_SQL)

@@ -90,3 +90,12 @@ def spread(df):
     single-threaded decode visible — p_image_decode 1.2 s → 7.9 s —
     because the whole codec family inherited the 1-split scan.)"""
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def py_portable_hash(s: str) -> int:
+    """Driver/worker-side twin of `portable_hash` (md5 hex prefix ->
+    60-bit int) for code that must compute the SAME hash outside a
+    Spark plan — e.g. probing a bloom sidecar from the driver."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)

@@ -1076,3 +1076,196 @@ def q163_json_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("field")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q167 — bloom-filter FILE INDEX: equality skipping when min/max stats
+# can't help. q98's range skipping works because files are range-
+# clustered; here orders are HASH-bucketed into 16 files, so every
+# file's [min, max] spans the whole key domain and range stats prune
+# NOTHING for a point lookup — the honest production motivation for
+# per-file bloom sidecars (Delta/Iceberg puffin files, ORC bloom
+# streams). The index build is distributed (k=3 portable-md5 bit
+# positions per key, OR-folded into 64-word bitmaps per file with one
+# map-side-combinable aggregate); sidecar JSONs land next to the data
+# files; the lookup consults 512-byte sidecars, scans ONLY passing
+# files, and the ledger carries the evidence: files_minmax (16 for
+# every in-domain probe — range stats are useless here), files_bloom
+# (1 + false positives), and n_found.
+#
+# The oracle reproduces the ENTIRE index: a file's bit j is set iff
+# some key hashed into that file sets j, so bloom membership — and
+# therefore each probe's false-positive count — is pure md5
+# arithmetic DuckDB replays exactly. Probes: 6 present keys (smallest
+# key >= j*m/7) + 6 absent keys (m + j).
+#
+# Scale design: the build shuffles (file, word) cells — 16*64 rows —
+# never raw keys; lookups read 512 bytes per file instead of the
+# file; false-positive rate is capped by sizing m_bits/k to the
+# per-file key count (4096/3 here -> ~2% at 1k keys/file).
+# ---------------------------------------------------------------------------
+_BF_FILES = 16
+_BF_BITS = 4096
+_BF_K = 3
+
+
+def _bf_sql_hash(expr: str) -> str:
+    from hive_clone_spark.pipeline.common import sql_portable_hash
+
+    return sql_portable_hash(expr)
+
+
+def _q167_oracle() -> str:
+    h = _bf_sql_hash
+    return f"""
+    WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+    keyed AS (
+      SELECT DISTINCT o_orderkey AS k,
+        {h("CAST(o_orderkey AS VARCHAR)")} % {_BF_FILES} AS f
+      FROM orders),
+    probes AS (
+      SELECT j, TRUE AS present,
+        (SELECT MIN(k) FROM keyed, mx WHERE k >= j * m // 7) AS q
+      FROM (SELECT unnest(generate_series(1, 6)) AS j)
+      UNION ALL
+      SELECT j + 6, FALSE, m + j
+      FROM (SELECT unnest(generate_series(1, 6)) AS j), mx),
+    cells AS (
+      -- SEGMENTED (partitioned) bloom: hash function i owns bit range
+      -- [i*BITS, (i+1)*BITS) - one merged array, no cross-i aliasing
+      SELECT DISTINCT f,
+        i * {_BF_BITS}
+          + {h("CAST(i AS VARCHAR) || ':' || CAST(k AS VARCHAR)")}
+            % {_BF_BITS} AS bit
+      FROM keyed, (SELECT unnest(generate_series(0, {_BF_K - 1})) AS i)),
+    stats AS (SELECT f, MIN(k) AS mn, MAX(k) AS mx_k FROM keyed GROUP BY f),
+    pbits AS (
+      SELECT j, q,
+        i * {_BF_BITS}
+          + {h("CAST(i AS VARCHAR) || ':' || CAST(q AS VARCHAR)")}
+            % {_BF_BITS} AS bit
+      FROM probes, (SELECT unnest(generate_series(0, {_BF_K - 1})) AS i)),
+    pass_bloom AS (
+      SELECT pb.j, c.f
+      FROM pbits pb JOIN cells c ON c.bit = pb.bit
+      GROUP BY pb.j, c.f
+      HAVING COUNT(DISTINCT pb.bit) = {_BF_K}),
+    ledger AS (
+      SELECT p.j, p.q, p.present,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM stats s
+         WHERE p.q BETWEEN s.mn AND s.mx_k) AS files_minmax,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM pass_bloom b
+         WHERE b.j = p.j) AS files_bloom,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM keyed k2
+         WHERE k2.k = p.q) AS n_found
+      FROM probes p)
+    SELECT CAST(q AS BIGINT) AS probe_key, present, files_minmax,
+      files_bloom, n_found
+    FROM ledger ORDER BY probe_key
+    """
+
+
+@register("q167_bloom_file_index", oracle=_q167_oracle())
+def q167_bloom_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    from hive_clone_spark.pipeline.common import (
+        portable_hash,
+        py_portable_hash,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    keyed = o.select(F.col("o_orderkey").alias("k")).distinct()
+    fcol = (portable_hash(F.col("k").cast("string")) % _BF_FILES).alias("f")
+    keyed_f = keyed.select("k", fcol)
+    dest = _warehouse(sf_dir, "bloomidx_q167")
+    keyed_f.write.partitionBy("f").mode("overwrite").parquet(dest)
+
+    # distributed index build: keys -> k bit positions -> (file, word)
+    # cells OR-folded map-side; only 16 x 64 words ever reach the driver
+    bit = (
+        F.col("i") * _BF_BITS
+        + portable_hash(
+            F.concat(
+                F.col("i").cast("string"),
+                F.lit(":"),
+                F.col("k").cast("string"),
+            )
+        )
+        % _BF_BITS
+    ).alias("bit")
+    words = (
+        keyed_f.select(
+            "f", "k",
+            F.explode(F.sequence(F.lit(0), F.lit(_BF_K - 1))).alias("i"),
+        )
+        .select("f", bit)
+        .select(
+            "f",
+            F.expr("bit div 64").alias("w"),
+            F.expr("CAST(1 AS BIGINT) << CAST(bit % 64 AS INT)").alias("m"),
+        )
+        .groupBy("f", "w")
+        .agg(F.bit_or("m").alias("bm"))
+        .collect()
+    )
+    blooms: dict[int, dict[int, int]] = {}
+    for r in words:
+        blooms.setdefault(int(r["f"]), {})[int(r["w"])] = int(r["bm"])
+    idx_dir = pathlib.Path(dest) / "_bloom"
+    idx_dir.mkdir(parents=True, exist_ok=True)
+    for f, ws in blooms.items():
+        (idx_dir / f"f={f}.json").write_text(json.dumps(ws))
+
+    # per-file range stats (the useless-here baseline) + probe keys
+    stats = {
+        int(r["f"]): (int(r["mn"]), int(r["mx"]))
+        for r in keyed_f.groupBy("f")
+        .agg(F.min("k").alias("mn"), F.max("k").alias("mx"))
+        .collect()
+    }
+    m = int(keyed.agg(F.max("k")).collect()[0][0])
+    jdim = spark.range(1, 7).select(F.col("id").alias("j"))
+    present = {
+        int(r["j"]): int(r["q"])
+        for r in keyed.crossJoin(F.broadcast(jdim))
+        .where(F.col("k") >= F.expr(f"(j * {m}) div 7"))
+        .groupBy("j")
+        .agg(F.min("k").alias("q"))
+        .collect()
+    }
+    probes = [(present[j], True) for j in sorted(present)] + [
+        (m + j, False) for j in range(1, 7)
+    ]
+
+    ledger = []
+    for q, is_present in probes:
+        needed = [
+            i * _BF_BITS + py_portable_hash(f"{i}:{q}") % _BF_BITS
+            for i in range(_BF_K)
+        ]
+        passing = []
+        for f in range(_BF_FILES):
+            side = json.loads((idx_dir / f"f={f}.json").read_text())
+            if all(
+                side.get(str(b // 64), 0) >> (b % 64) & 1 for b in needed
+            ):
+                passing.append(f)
+        files_minmax = sum(
+            1 for mn, mx in stats.values() if mn <= q <= mx
+        )
+        # the actual skip: scan ONLY the bloom-passing files
+        n_found = 0
+        if passing:
+            n_found = (
+                spark.read.parquet(*[f"{dest}/f={f}" for f in passing])
+                .where(F.col("k") == q)
+                .count()
+            )
+        ledger.append((q, is_present, files_minmax, len(passing), n_found))
+
+    return spark.createDataFrame(
+        ledger,
+        "probe_key BIGINT, present BOOLEAN, files_minmax BIGINT, "
+        "files_bloom BIGINT, n_found BIGINT",
+    ).orderBy("probe_key")

@@ -77,6 +77,7 @@ NESTEDLOOP_OK = {
     "q158_label_propagation",  # 25-row nation-pair theta join (q137 pattern)
     "q159_point_in_polygon",  # 3-row polygon-bbox dim band join (q18 pattern)
     "p_zipf_fit",  # 1-row vocab-totals crossJoin for the tail row (q44 pattern)
+    "q165_market_basket",  # 1-row n_orders crossJoin for lift (q44 pattern)
 }
 
 # Queries whose unpartitioned Window is the intended plan: the window
