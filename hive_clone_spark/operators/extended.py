@@ -4449,3 +4449,90 @@ def q165_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("supp_pair"), "part_a", "part_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q168 — sessionized path mining (trigram journeys): q133 counts raw
+# transitions; product analytics wants PATHS — "view > click >
+# purchase" as one unit, and only WITHIN a session (a trigram
+# spanning yesterday's visit and today's is noise). Sessions are
+# 30-minute-gap islands (the q46 gaps-and-islands shape), trigrams
+# are two LEADs inside the (user, session) window — both NULL-fenced
+# so paths never cross a session boundary — and the result is the
+# top-10 journeys with full tie-breaking.
+#
+# Scale design: one shuffle on user_id covers sessionization AND both
+# leads (same window spec -> one sort); the trigram aggregate is
+# map-side combinable on a short string key; the final ranking is a
+# TakeOrdered(10). Nothing global ever sorts raw events.
+# ---------------------------------------------------------------------------
+@register(
+    "q168_path_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+        CASE WHEN LAG(ts) OVER w IS NULL
+               OR epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
+             THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM seq),
+    tri AS (
+      SELECT user_id, sid, event_type AS a,
+        LEAD(event_type, 1) OVER w2 AS b,
+        LEAD(event_type, 2) OVER w2 AS c
+      FROM sess
+      WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts, event_id)),
+    paths AS (
+      SELECT a || '>' || b || '>' || c AS path,
+        CAST(COUNT(*) AS BIGINT) AS n_paths,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM tri WHERE b IS NOT NULL AND c IS NOT NULL
+      GROUP BY path)
+    SELECT path, n_paths, n_users FROM paths
+    ORDER BY n_paths DESC, path LIMIT 10
+    """,
+)
+def q168_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = F.unix_micros("ts") / 1000 - F.unix_micros(
+        F.lag("ts").over(w)
+    ) / 1000
+    sess = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap_ms > 1_800_000), 1
+        ).otherwise(0),
+    ).withColumn(
+        "sid",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w2 = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    tri = sess.select(
+        "user_id",
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w2).alias("b"),
+        F.lead("event_type", 2).over(w2).alias("c"),
+    ).where(F.col("b").isNotNull() & F.col("c").isNotNull())
+    return (
+        tri.select(
+            "user_id",
+            F.concat_ws(">", "a", "b", "c").alias("path"),
+        )
+        .groupBy("path")
+        .agg(
+            F.count("*").alias("n_paths"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_paths"), "path")
+        .limit(10)
+    )

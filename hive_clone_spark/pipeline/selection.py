@@ -797,3 +797,97 @@ def _register_lm_buckets() -> None:
 
 
 _register_lm_buckets()
+
+
+# ---------------------------------------------------------------------------
+# p_quantile_normalize — sketch-based score normalization: mixing
+# corpora means mixing score SCALES (one quality model emits 0-80,
+# another 40-990); selection wants percentile ranks, and the exact
+# answer is a global sort. This entry normalizes through the q157
+# HdrHistogram instead: one map-side-combinable pass builds the
+# <=130-cell log-linear histogram of the score (documents.n_chars),
+# the cumulative table broadcasts, and every row maps to its
+# estimated permille rank with a broadcast equi-join on its bucket
+# key — zero shuffles of the data, rank error bounded by bucket
+# population exactly as q157 proves. The decile ledger (count + score
+# range per decile) is the verifiable outcome: quantile-normalized
+# deciles hold ~10% of rows each whatever the input distribution.
+#
+# Scale design: this is how percentile features are actually computed
+# at 100 TB — sketch once, broadcast the quantile table, map rows;
+# the alternative (rank = global sort) is the exact antipattern the
+# plan audit exists to catch.
+# ---------------------------------------------------------------------------
+@register(
+    "p_quantile_normalize",
+    oracle="""
+    WITH vals AS (
+      SELECT doc_id, GREATEST(n_chars, 32) AS v FROM documents),
+    hist AS (
+      SELECT CAST(length(bin(v)) AS INT) AS e,
+        (v >> (CAST(length(bin(v)) AS INT) - 5)) & 15 AS sub,
+        CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM vals GROUP BY 1, 2),
+    cum AS (
+      SELECT e, sub,
+        SUM(cnt) OVER (ORDER BY e, sub
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt
+      FROM hist),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM vals),
+    mapped AS (
+      SELECT t.doc_id, t.v, c.cum_cnt * 1000 // n.n_rows AS permille
+      FROM (SELECT doc_id, v, CAST(length(bin(v)) AS INT) AS e,
+              (v >> (CAST(length(bin(v)) AS INT) - 5)) & 15 AS sub
+            FROM vals) t
+      JOIN cum c ON c.e = t.e AND c.sub = t.sub
+      CROSS JOIN n)
+    SELECT CAST(permille // 100 AS BIGINT) AS decile,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(MIN(v) AS BIGINT) AS min_score,
+      CAST(MAX(v) AS BIGINT) AS max_score
+    FROM mapped GROUP BY decile ORDER BY decile
+    """,
+)
+def p_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    vals = docs.select(
+        "doc_id", F.greatest(F.col("n_chars"), F.lit(32)).alias("v")
+    )
+    e = "CAST(length(bin(v)) AS INT)"
+    keyed = vals.select(
+        "doc_id",
+        "v",
+        F.expr(e).alias("e"),
+        F.expr(f"(v >> ({e} - 5)) & 15").alias("sub"),
+    )
+    hist = keyed.groupBy("e", "sub").agg(F.count("*").alias("cnt"))
+    # <= ~130 cells by construction (q157): sorts buckets, never data
+    cum = hist.withColumn(
+        "cum_cnt",
+        F.sum("cnt").over(
+            Window.orderBy("e", "sub").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    ).select("e", "sub", "cum_cnt")
+    n = vals.agg(F.count("*").alias("n_rows"))
+    mapped = (
+        keyed.join(F.broadcast(cum), ["e", "sub"])
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "v",
+            F.expr("cum_cnt * 1000 div n_rows").alias("permille"),
+        )
+    )
+    return (
+        mapped.groupBy(F.expr("permille div 100").alias("decile"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("v").cast("long").alias("min_score"),
+            F.max("v").cast("long").alias("max_score"),
+        )
+        .orderBy("decile")
+    )

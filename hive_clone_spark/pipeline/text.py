@@ -1889,3 +1889,82 @@ def p_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(case when total_freq = 0 then 1 else total_freq end)"
         ).alias("decay_millis"),
     ).orderBy("min_rank")
+
+
+# ---------------------------------------------------------------------------
+# p_sentence_split — sentence segmentation + readability ledger: the
+# text-side unit everything from chunking to quality scoring wants is
+# the SENTENCE, not the line. Segmentation is a terminator-run split
+# ([.!?]+ followed by whitespace or end) done entirely with one
+# regexp at the scan; per doc the ledger carries sentence count, word
+# totals, the longest sentence, and the long-sentence fraction in
+# integer permille — the skeleton of every readability score
+# (Flesch-ish) without a single float.
+#
+# Scale design: zero Python — split + transform HOFs at the scan,
+# one map-side-combinable per-doc reduction, bounded output (a row
+# per doc with six ints). The corpus-level rollup any quality gate
+# thresholds on is one further tiny aggregate.
+# ---------------------------------------------------------------------------
+_SENT_SPLIT = r"[.!?]+(\s+|$)"
+_SENT_SPLIT_SQL = "[.!?]+(\\s+|$)"
+_LONG_WORDS = 12  # "long sentence" threshold
+
+
+@register(
+    "p_sentence_split",
+    oracle=f"""
+    WITH sents AS (
+      SELECT doc_id,
+        list_filter(
+          list_transform(
+            regexp_split_to_array(text, '{_SENT_SPLIT_SQL}'),
+            s -> trim(s)),
+          s -> s <> '') AS ss
+      FROM documents),
+    per AS (
+      SELECT doc_id,
+        list_transform(ss,
+          s -> len(list_filter(str_split_regex(s, '\\s+'),
+                               w -> w <> ''))) AS wc
+      FROM sents)
+    SELECT doc_id,
+      CAST(len(wc) AS BIGINT) AS n_sentences,
+      CAST(list_sum(wc) AS BIGINT) AS n_words,
+      CAST(list_max(wc) AS BIGINT) AS max_sentence_words,
+      CAST(len(list_filter(wc, c -> c >= {_LONG_WORDS})) AS BIGINT)
+        AS n_long,
+      CAST(len(list_filter(wc, c -> c >= {_LONG_WORDS})) * 1000
+           // GREATEST(len(wc), 1) AS BIGINT) AS long_permille
+    FROM per ORDER BY doc_id
+    """,
+)
+def p_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    ss = F.filter(
+        F.transform(
+            F.split(F.col("text"), _SENT_SPLIT), lambda s: F.trim(s)
+        ),
+        lambda s: s != F.lit(""),
+    )
+    wc = F.transform(
+        ss, lambda s: F.size(F.filter(F.split(s, r"\s+"), lambda w: w != F.lit("")))
+    )
+    n_long = F.size(F.filter(F.col("wc"), lambda c: c >= F.lit(_LONG_WORDS)))
+    return (
+        docs.select("doc_id", wc.alias("wc"))
+        .select(
+            "doc_id",
+            F.size("wc").cast("long").alias("n_sentences"),
+            F.aggregate(
+                "wc", F.lit(0).cast("long"), lambda acc, c: acc + c
+            ).alias("n_words"),
+            F.array_max("wc").cast("long").alias("max_sentence_words"),
+            n_long.cast("long").alias("n_long"),
+            F.expr(
+                f"size(filter(wc, c -> c >= {_LONG_WORDS})) * 1000 "
+                "div greatest(size(wc), 1)"
+            ).alias("long_permille"),
+        )
+        .orderBy("doc_id")
+    )

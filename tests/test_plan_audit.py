@@ -78,6 +78,7 @@ NESTEDLOOP_OK = {
     "q159_point_in_polygon",  # 3-row polygon-bbox dim band join (q18 pattern)
     "p_zipf_fit",  # 1-row vocab-totals crossJoin for the tail row (q44 pattern)
     "q165_market_basket",  # 1-row n_orders crossJoin for lift (q44 pattern)
+    "p_quantile_normalize",  # 1-row total crossJoin (q44 pattern)
 }
 
 # Queries whose unpartitioned Window is the intended plan: the window
@@ -94,6 +95,7 @@ GLOBALWINDOW_OK = {
     "p_mix_temperature",  # selection.py: one row per source before the window
     "q157_hdr_quantile_sketch",  # cumulative window over the <=130-cell
     # histogram — bounded by the value range's bit layout, never by data
+    "p_quantile_normalize",  # same <=130-cell histogram cumulative window
 }
 
 
