@@ -4536,3 +4536,184 @@ def q168_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), "path")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q169 — stock allocation (available-to-promise): give each part a
+# deterministic stock level, then fill its order lines in orderkey
+# sequence until stock runs out — fully filled, partially filled at
+# the boundary, rejected after. The allocation is a per-part running
+# sum (demand BEFORE this line vs remaining stock), the canonical
+# "sequential business process as a window function" rewrite that
+# replaces a row-by-row loop with one partitioned window.
+#
+# Scale design: one shuffle on l_partkey covers the window; no global
+# order anywhere (each part's lines sort independently); the verdict
+# aggregate is map-side combinable into a 3-row ledger plus per-part
+# spot columns. Stock = 50 + (partkey % 7) * 25 exercises all three
+# outcomes at every SF.
+# ---------------------------------------------------------------------------
+@register(
+    "q169_stock_allocation",
+    oracle="""
+    WITH lines AS (
+      SELECT l_partkey AS pk, l_orderkey AS ok, l_linenumber AS ln,
+        CAST(l_quantity AS BIGINT) AS qty,
+        50 + (l_partkey % 7) * 25 AS stock,
+        SUM(CAST(l_quantity AS BIGINT)) OVER (
+          PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before_qty
+      FROM lineitem),
+    alloc AS (
+      SELECT pk, qty, stock,
+        LEAST(qty, GREATEST(stock - COALESCE(before_qty, 0), 0)) AS filled
+      FROM lines),
+    tagged AS (
+      SELECT CASE WHEN filled = qty THEN 'filled'
+                  WHEN filled = 0 THEN 'rejected'
+                  ELSE 'partial' END AS outcome,
+        qty, filled
+      FROM alloc)
+    SELECT outcome,
+      CAST(COUNT(*) AS BIGINT) AS n_lines,
+      CAST(SUM(qty) AS BIGINT) AS demanded_qty,
+      CAST(SUM(filled) AS BIGINT) AS allocated_qty
+    FROM tagged GROUP BY outcome ORDER BY outcome
+    """,
+)
+def q169_stock_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lines = li.select(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        (50 + (F.col("l_partkey") % 7) * 25).alias("stock"),
+        F.sum(F.col("l_quantity").cast("long")).over(w).alias("before_qty"),
+    )
+    alloc = lines.select(
+        "qty",
+        F.least(
+            F.col("qty"),
+            F.greatest(
+                F.col("stock") - F.coalesce("before_qty", F.lit(0)), F.lit(0)
+            ),
+        ).alias("filled"),
+    )
+    outcome = (
+        F.when(F.col("filled") == F.col("qty"), "filled")
+        .when(F.col("filled") == 0, "rejected")
+        .otherwise("partial")
+    )
+    return (
+        alloc.groupBy(outcome.alias("outcome"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("qty").cast("long").alias("demanded_qty"),
+            F.sum("filled").cast("long").alias("allocated_qty"),
+        )
+        .orderBy("outcome")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q171 — rolling N-day distinct users via bitmap composition: trailing
+# 7-day unique-user counts are the retention metric every dashboard
+# wants, and COUNT(DISTINCT) over a sliding window is unmergeable —
+# the naive plan re-deduplicates 7 days of raw events PER DAY. q139's
+# exact user bitmaps compose instead: one pass folds events into
+# (day, word) bitmap cells, then the rolling union is bit_or over a
+# 7-row window per word — merging 30 x word_count INTEGERS, never
+# touching raw events again — and popcount gives EXACT trailing
+# distincts (bitmaps are exact, unlike HLL). The oracle computes the
+# same trailing counts the brute-force way (range self-join + COUNT
+# DISTINCT) plus the bitmap arithmetic's own prediction, pinning both.
+#
+# Scale design: the expensive pass is ONE map-side-combinable
+# aggregate over events; the rolling merge runs over day-per-word
+# partitions (30 rows each — bounded by the calendar, not the data).
+# This is exactly how production engines (Druid, ClickHouse
+# groupBitmap) make sliding distincts affordable.
+# ---------------------------------------------------------------------------
+@register(
+    "q171_rolling_distinct_bitmap",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    cells AS (
+      SELECT CAST(ts AS DATE) AS day, user_id // 32 AS w,
+        bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bits
+      FROM events GROUP BY day, w),
+    rolled AS (
+      SELECT d.day, c.w, bit_or(c.bits) AS bits
+      FROM days d JOIN cells c
+        ON c.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day, c.w),
+    bm AS (
+      SELECT day, CAST(SUM(bit_count(bits)) AS BIGINT) AS rolling_bitmap
+      FROM rolled GROUP BY day),
+    brute AS (
+      SELECT d.day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS rolling_exact
+      FROM days d JOIN events e
+        ON CAST(e.ts AS DATE) BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day)
+    SELECT CAST(b.day AS VARCHAR) AS day, b.rolling_bitmap,
+      x.rolling_exact, b.rolling_bitmap = x.rolling_exact AS bitmap_exact
+    FROM bm b JOIN brute x ON x.day = b.day
+    ORDER BY day
+    """,
+)
+def q171_rolling_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    cells = ev.groupBy(
+        "day", (F.col("user_id") / 32).cast("long").alias("w")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+        ).alias("bits")
+    )
+    # rolling union per word: day-ordered RANGE window of 6 preceding
+    # days — partitions are words x <=30 day rows, calendar-bounded
+    wd = (
+        Window.partitionBy("w")
+        .orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    rolled = cells.select(
+        "day", "w", F.bit_or("bits").over(wd).alias("bits")
+    )
+    bm = rolled.groupBy("day").agg(
+        F.sum(F.bit_count("bits")).cast("long").alias("rolling_bitmap")
+    )
+    days = ev.select("day").distinct()
+    brute = (
+        days.join(
+            ev.select(F.col("day").alias("eday"), "user_id"),
+            F.col("eday").between(
+                F.date_sub(F.col("day"), 6), F.col("day")
+            ),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("rolling_exact"))
+    )
+    return (
+        bm.join(brute, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "rolling_bitmap",
+            "rolling_exact",
+            (F.col("rolling_bitmap") == F.col("rolling_exact")).alias(
+                "bitmap_exact"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -2425,3 +2425,102 @@ def q164_mv_incremental_from_feed(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q170 — right-to-be-forgotten VERIFICATION: a GDPR delete isn't the
+# DELETE commit (q125) — it's proving the data is GONE, including
+# from history. The subject's rows (keys % 97 == 0 in the middle
+# third) are removed by a stats-targeted copy-on-write delete, then
+# vacuum(retain=1) drops the pre-delete version; the entry then
+# verifies every layer an auditor checks:
+#
+#   * logical: the current snapshot has zero subject rows;
+#   * temporal: time travel to the pre-delete version now raises
+#     (caught and reported as a boolean — history is really closed);
+#   * PHYSICAL: a direct scan of every parquet file left on disk —
+#     bypassing the log entirely — finds zero subject rows, i.e. no
+#     orphaned file still carries the data (the check naive vacuum
+#     implementations fail);
+#   * bounded blast radius: exactly the affected-bucket originals
+#     were rewritten and reaped (the oracle predicts the count from
+#     the bucket arithmetic), so the purge never rewrote the thirds
+#     of the table the subject never touched.
+#
+# Scale design: the delete scans only stats-affected files (q125),
+# vacuum is metadata + unlink, and the physical audit is an
+# embarrassingly parallel scan that projects one key column.
+# ---------------------------------------------------------------------------
+@register(
+    "q170_gdpr_purge_audit",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+    subj AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_subject
+      FROM orders, mx
+      WHERE o_orderkey % 97 = 0
+        AND o_orderkey BETWEEN m // 3 AND (2 * m) // 3),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM orders)
+    SELECT s.n_subject,
+      CAST(0 AS BIGINT) AS current_occurrences,
+      CAST(0 AS BIGINT) AS physical_occurrences,
+      CAST(1 AS BIGINT) AS n_versions_reachable,
+      TRUE AS prevacuum_unreachable,
+      CAST(((2 * m) // 3 * 16) // (m + 1)
+           - ((m // 3) * 16) // (m + 1) + 1 AS BIGINT) AS files_reaped,
+      t.n_tot - s.n_subject AS rows_after
+    FROM subj s, tot t, mx
+    """,
+)
+def q170_gdpr_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tl, m = _stage_bucketed_orders(spark, sf_dir, "txlog_q170")
+    lo, hi = m // 3, (2 * m) // 3
+    condemned = (F.col("o_orderkey") % 97 == 0) & F.col(
+        "o_orderkey"
+    ).between(lo, hi)
+    n_subject = int(
+        table(spark, sf_dir, "orders").where(condemned).count()
+    )
+    expected = tl.latest_version()
+    _all, affected = tl.scan_files("o_orderkey", lo, hi, version=expected)
+    aff_df = spark.read.parquet(*[str(tl.root / f) for f in affected])
+    survivors = _with_bucket(aff_df.where(~condemned).drop("bucket"), m)
+    tl.commit(
+        "gdpr_delete",
+        add=tl.stage_data_partitioned(
+            survivors, "bucket", _bucket_stats(survivors)
+        ),
+        remove=affected,
+        expected_version=expected,
+    )
+    report = tl.vacuum(retain_versions=1)
+    # layer 1: logical — current snapshot
+    current = int(tl.read(spark).where(condemned).count())
+    # layer 2: temporal — pre-delete history must be closed
+    try:
+        tl.read(spark, version=0).count()
+        prevacuum_unreachable = False
+    except Exception:
+        prevacuum_unreachable = True
+    # layer 3: physical — every file left on disk, log bypassed
+    physical = int(
+        spark.read.parquet(str(tl.data_dir)).where(condemned).count()
+    )
+    rows_after = int(tl.read(spark).count())
+    return spark.createDataFrame(
+        [
+            (
+                n_subject,
+                current,
+                physical,
+                len(tl.versions()),
+                prevacuum_unreachable,
+                int(report["n_data_files_removed"]),
+                rows_after,
+            )
+        ],
+        "n_subject BIGINT, current_occurrences BIGINT, "
+        "physical_occurrences BIGINT, n_versions_reachable BIGINT, "
+        "prevacuum_unreachable BOOLEAN, files_reaped BIGINT, "
+        "rows_after BIGINT",
+    )

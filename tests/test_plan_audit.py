@@ -79,6 +79,8 @@ NESTEDLOOP_OK = {
     "p_zipf_fit",  # 1-row vocab-totals crossJoin for the tail row (q44 pattern)
     "q165_market_basket",  # 1-row n_orders crossJoin for lift (q44 pattern)
     "p_quantile_normalize",  # 1-row total crossJoin (q44 pattern)
+    "q171_rolling_distinct_bitmap",  # 30-row day dim band join in the
+    # brute-force verification arm (q18 pattern); the bitmap arm is equi
 }
 
 # Queries whose unpartitioned Window is the intended plan: the window
