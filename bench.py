@@ -65,13 +65,16 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 # the r8 additions (~10 entries, ~14 s warm) pushed the warmup+samples
 # total past 450 and the last 11 alphabetical queries (q89-q99) went
 # cold-only. 495 -> 660 at 239 bench queries, together with the move
-# to the uniform warmup+1-run protocol (module docstring): measured
-# suite warm total is ~285 s, protocol cost ~2.3x warm ≈ 655 s;
-# under the old 2-run fast tier no driver-window-sized budget fit and
-# 93 queries went cold. Wall clock ≈ actual spend (~660 s) + ~60 s
-# startup/teardown ≈ 12 min — the budget is a cap on the tail, not a
-# target: a clean run stops when the suite is done.
-BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "660"))
+# to the uniform warmup+1-run protocol (module docstring). 660 -> 780
+# at 261 bench queries AND a measured ~1.35x machine-speed swing
+# between driver VMs (min-of-3 on an idle machine vs the committed
+# baseline — the detail file's calibration_sec probe makes
+# this visible per run): on a fast VM the suite finishes around
+# ~640 s and never touches the cap; on a slow one 780 covers ~95%
+# warm and the descending-cost order confines any cold tail to
+# sub-second queries. The budget is a cap, not a target — a clean
+# run stops when the suite is done.
+BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "780"))
 # Session recycling: restart the SparkSession every N queries
 # (re-warming footer caches; restart time is NOT counted against the
 # measured budget). DEFAULT OFF — the round-6 A/B (NOTES.md) measured
@@ -85,12 +88,25 @@ BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "660"))
 RECYCLE_EVERY = int(os.environ.get("SPARK_GRAFT_BENCH_RECYCLE", "0"))
 
 
+_CALIBRATION_SEC = None  # machine-speed probe, recorded in the detail
+
+
 def _fresh_session(sf_dir: str):
+    global _CALIBRATION_SEC
     spark = get_spark(app_name="hive-clone-spark-bench")
     # Warm up the JVM / parquet footer caches with throwaway actions on
-    # each fact table the query families scan.
+    # each fact table the query families scan. The SECOND timing below
+    # is the machine-speed calibration: a fixed warm workload whose
+    # wall time varies only with the VM (measured swing between round
+    # drivers: ~1.35x), so a slow recorded run is diagnosable from the
+    # detail file alone instead of reading as a code regression.
     for t in ("lineitem", "events", "documents", "embeddings"):
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+    t0 = time.perf_counter()
+    for t in ("lineitem", "events"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+    if _CALIBRATION_SEC is None:
+        _CALIBRATION_SEC = round(time.perf_counter() - t0, 4)
     return spark
 
 
@@ -221,6 +237,7 @@ def main() -> None:
                 "degraded_queries": degraded,
                 "cold_only_queries": cold_only,
                 "vs_baseline_ratio": vs_baseline,
+                "calibration_sec": _CALIBRATION_SEC,
                 "sf": sf,
                 "config": {
                     "spark_version": spark.version,
@@ -249,9 +266,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": slowest,
                 "n_queries": len(medians),
-                "runs": RUNS,
+                "runs": 1,
                 "n_degraded": len(degraded),
                 "vs_baseline_ratio": vs_baseline,
+                "calibration_sec": _CALIBRATION_SEC,
                 "sf": sf,
             }
         )

@@ -33,10 +33,13 @@ _CATEGORY = {
     "hive_clone_spark.operators.cbo": "Cost-based planning",
     "hive_clone_spark.operators.graph": "Graph",
     "hive_clone_spark.operators.iterate": "Iteration / recursive CTE",
+    "hive_clone_spark.operators.mview": "Materialized views / rewrite",
     "hive_clone_spark.operators.sketches": "Sketches (KMV / count-min / bloom)",
     "hive_clone_spark.operators.tpch": "TPC-H family",
     "hive_clone_spark.hive_game.queries": "Hive game domain",
     "hive_clone_spark.pipeline.chunking": "LLM pipeline: chunking",
+    "hive_clone_spark.pipeline.tfexample": "Codecs: tf.Example (protobuf)",
+    "hive_clone_spark.pipeline.exif": "Codecs: EXIF/TIFF",
     "hive_clone_spark.pipeline.dedup": "LLM pipeline: dedup",
     "hive_clone_spark.pipeline.similarity": "LLM pipeline: ANN / similarity",
     "hive_clone_spark.pipeline.text": "LLM pipeline: text analysis",
@@ -51,6 +54,7 @@ _CATEGORY = {
     "hive_clone_spark.pipeline.sampling": "LLM pipeline: sampling",
     "hive_clone_spark.pipeline.selection": "LLM pipeline: selection / scoring",
     "hive_clone_spark.sources.avro": "Sources / sinks: Avro (clean-room OCF)",
+    "hive_clone_spark.sources.tfrecord": "Sources / sinks: TFRecord (clean-room)",
     "hive_clone_spark.sources.queries": "Sources / sinks",
     "hive_clone_spark.sources.txlog": "Table format (commit log)",
     "hive_clone_spark.sqlapi": "SQL API",
