@@ -726,3 +726,155 @@ def q157_hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q172 — GROUPED quantile sketches: per-series p50/p99 is the
+# monitoring query (latency per endpoint, value per event type), and
+# it composes from q157's log-linear histogram for free because
+# histograms are mergeable PER GROUP: one map-side-combinable pass
+# builds (group, e, sub) cells, the cumulative walk runs inside each
+# group's <=130-cell partition (calendar/schema-bounded, never data),
+# and the same |rank(est) - k| <= bucket_count invariant is verified
+# per (group, percentile) by one broadcast rank probe. Values are
+# clamped to >= 32 cents (GREATEST) so the e > 4 layout holds without
+# dropping rows.
+# ---------------------------------------------------------------------------
+_GHDR_PCTS = (50, 99)
+
+
+def _ghdr_oracle() -> str:
+    pct_rows = ", ".join(f"({p})" for p in _GHDR_PCTS)
+    return f"""
+    WITH vals AS (
+      SELECT event_type AS g,
+        GREATEST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 32)
+          AS cents
+      FROM events),
+    hist AS (
+      SELECT g, CAST(length(bin(cents)) AS INT) AS e,
+        (cents >> (CAST(length(bin(cents)) AS INT) - 5)) & 15 AS sub,
+        CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM vals GROUP BY 1, 2, 3),
+    cum AS (
+      SELECT g, e, sub, cnt,
+        SUM(cnt) OVER (PARTITION BY g ORDER BY e, sub
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt
+      FROM hist),
+    n AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_rows FROM vals GROUP BY g),
+    targets AS (
+      SELECT n.g, pct, n_rows, (pct * n_rows + 99) // 100 AS k_target
+      FROM n, (SELECT CAST(p AS BIGINT) AS pct FROM (VALUES {pct_rows}) t(p))),
+    chosen AS (
+      SELECT t.g, t.pct, t.n_rows, t.k_target,
+        MIN(struct_pack(e := c.e, sub := c.sub, cnt := c.cnt)) AS b
+      FROM targets t JOIN cum c ON c.g = t.g AND c.cum_cnt >= t.k_target
+      GROUP BY t.g, t.pct, t.n_rows, t.k_target),
+    est AS (
+      SELECT g, pct, n_rows, k_target, b.cnt AS bucket_cnt,
+        (((16 + b.sub) << (b.e - 5))
+         + (((16 + b.sub) << (b.e - 5)) + (CAST(1 AS BIGINT) << (b.e - 5)) - 1)
+        ) // 2 AS est_cents
+      FROM chosen),
+    ranked AS (
+      SELECT e.g, e.pct, CAST(COUNT(*) AS BIGINT) AS rank_of_est
+      FROM est e JOIN vals v ON v.g = e.g AND v.cents <= e.est_cents
+      GROUP BY e.g, e.pct)
+    SELECT e.g AS event_type, e.pct, e.n_rows, e.k_target, e.bucket_cnt,
+      e.est_cents, r.rank_of_est,
+      abs(r.rank_of_est - e.k_target) <= e.bucket_cnt AS in_bound
+    FROM est e JOIN ranked r ON r.g = e.g AND r.pct = e.pct
+    ORDER BY event_type, e.pct
+    """
+
+
+@register("q172_grouped_quantile_sketch", oracle=_ghdr_oracle())
+def q172_grouped_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    vals = ev.select(
+        F.col("event_type").alias("g"),
+        F.greatest(
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long"),
+            F.lit(32),
+        ).alias("cents"),
+    )
+    hist = (
+        vals.select(
+            "g",
+            F.expr("CAST(length(bin(cents)) AS INT)").alias("e"),
+            F.expr(
+                "(cents >> (CAST(length(bin(cents)) AS INT) - 5)) & 15"
+            ).alias("sub"),
+        )
+        .groupBy("g", "e", "sub")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # per-group cumulative walk: partitions are <=130 cells each
+    cum = hist.withColumn(
+        "cum_cnt",
+        F.sum("cnt").over(
+            Window.partitionBy("g")
+            .orderBy("e", "sub")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    n = vals.groupBy("g").agg(F.count("*").alias("n_rows"))
+    pcts = spark.createDataFrame([(p,) for p in _GHDR_PCTS], "pct BIGINT")
+    targets = n.crossJoin(F.broadcast(pcts)).select(
+        "g", "pct", "n_rows",
+        F.expr("(pct * n_rows + 99) div 100").alias("k_target"),
+    )
+    est = F.expr(
+        "((((16 + b.sub) << (b.e - 5)) "
+        " + (((16 + b.sub) << (b.e - 5)) "
+        "    + (CAST(1 AS BIGINT) << (b.e - 5)) - 1)) div 2)"
+    )
+    chosen = (
+        F.broadcast(targets)
+        .join(cum, (cum.g == targets.g) & (F.col("cum_cnt") >= F.col("k_target")))
+        .drop(cum.g)
+        .groupBy("g", "pct", "n_rows", "k_target")
+        .agg(F.min(F.struct("e", "sub", "cnt")).alias("b"))
+        .select(
+            "g", "pct", "n_rows", "k_target",
+            F.col("b.cnt").alias("bucket_cnt"),
+            est.alias("est_cents"),
+        )
+    )
+    ranked = (
+        F.broadcast(
+            chosen.select(
+                F.col("g").alias("rg"),
+                F.col("pct").alias("rpct"),
+                "est_cents",
+            )
+        )
+        .join(
+            vals,
+            (vals.g == F.col("rg")) & (F.col("cents") <= F.col("est_cents")),
+        )
+        .groupBy("rg", "rpct")
+        .agg(F.count("*").alias("rank_of_est"))
+    )
+    return (
+        chosen.join(
+            ranked,
+            (chosen.g == ranked.rg) & (chosen.pct == ranked.rpct),
+        )
+        .select(
+            chosen.g.alias("event_type"),
+            chosen.pct.alias("pct"),
+            "n_rows",
+            "k_target",
+            "bucket_cnt",
+            "est_cents",
+            "rank_of_est",
+            (
+                F.abs(F.col("rank_of_est") - F.col("k_target"))
+                <= F.col("bucket_cnt")
+            ).alias("in_bound"),
+        )
+        .orderBy("event_type", "pct")
+    )

@@ -501,3 +501,202 @@ def p_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(words_col(F.col("text"))).cast("long").alias("n_words"),
         portable_hash(F.col("text")).alias("text_hash"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p_robots_parse — robots.txt evaluation (RFC 9309): before a crawl
+# pipeline fetches anything, every URL must clear the origin's
+# robots.txt — parse the file, collect the allow/disallow groups, and
+# apply the longest-match rule (most specific path prefix wins; a tie
+# goes to Allow). One robots.txt is generated per document source
+# (20 origins) with the layouts real files have — comments, blank
+# lines, an unknown directive (Crawl-delay) the parser must skip, a
+# broad Disallow with a narrower Allow carve-out, and a
+# language-section Disallow — and every document contributes a URL
+# path. The per-origin census counts allowed/disallowed plus RESCUED
+# paths (a Disallow matched but a longer Allow overrode it — the
+# carve-out case naive first-match parsers get wrong).
+#
+# Both the FILE and its parse are under the oracle: DuckDB rebuilds
+# the same robots text, splits lines, applies the same directive
+# regex, and evaluates the same longest-match rule.
+#
+# Scale design: rules are origins x O(1) lines — a broadcast dim;
+# the path-vs-rule prefix join is per-origin (equi on origin +
+# starts_with predicate against the broadcast), then one struct-max
+# argmax per path and a map-side-combinable census. At
+# full-web scale origins shard naturally; no all-pairs anywhere.
+# ---------------------------------------------------------------------------
+_ROBOTS_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def _robots_text_sql() -> str:
+    """The per-source robots.txt body, as identical SQL/Spark string
+    arithmetic: n = the numeric source suffix."""
+    return (
+        "'# robots for ' || source || chr(10)"
+        " || 'User-agent: *' || chr(10)"
+        " || 'Crawl-delay: 5' || chr(10)"
+        " || 'Disallow: /a' || chr(10)"
+        " || 'Allow: /a/' || lang_allow || chr(10)"
+        " || chr(10)"
+        " || 'Disallow: /' || lang_block || chr(10)"
+    )
+
+
+@register(
+    "p_robots_parse",
+    oracle=f"""
+    WITH langs(i, lang) AS (VALUES (0, 'de'), (1, 'en'), (2, 'es'),
+                                   (3, 'fr'), (4, 'zh')),
+    origins AS (
+      SELECT source, CAST(substr(source, 4) AS BIGINT) AS n
+      FROM (SELECT DISTINCT source FROM documents)),
+    cfg AS (
+      SELECT o.source, la.lang AS lang_allow, lb.lang AS lang_block
+      FROM origins o
+      JOIN langs la ON la.i = o.n % 5
+      JOIN langs lb ON lb.i = (o.n + 2) % 5),
+    robots AS (
+      SELECT source, {_robots_text_sql()} AS body FROM cfg),
+    lines AS (
+      SELECT source, unnest(str_split(body, chr(10))) AS line FROM robots),
+    rules AS (
+      SELECT source,
+        lower(regexp_extract(line, '^(Allow|Disallow):\\s*(\\S+)$', 1))
+          AS verb,
+        regexp_extract(line, '^(Allow|Disallow):\\s*(\\S+)$', 2) AS prefix
+      FROM lines
+      WHERE regexp_matches(line, '^(Allow|Disallow):')),
+    paths AS (
+      SELECT source,
+        CASE WHEN doc_id % 3 = 0
+             THEN '/a/' || lang || '/' || CAST(doc_id AS VARCHAR)
+             ELSE '/' || lang || '/' || CAST(doc_id AS VARCHAR) END AS path
+      FROM documents),
+    matched AS (
+      SELECT p.source, p.path,
+        MAX(struct_pack(l := length(r.prefix),
+                        a := CASE WHEN r.verb = 'allow' THEN 1 ELSE 0 END))
+          AS best,
+        SUM(CASE WHEN r.verb = 'disallow' THEN 1 ELSE 0 END) AS n_dis
+      FROM paths p
+      LEFT JOIN rules r
+        ON r.source = p.source AND starts_with(p.path, r.prefix)
+      GROUP BY p.source, p.path),
+    verdicts AS (
+      SELECT source, path,
+        best.l IS NULL OR best.a = 1 AS allowed,
+        best.l IS NOT NULL AND best.a = 1 AND n_dis > 0 AS rescued
+      FROM matched)
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_paths,
+      CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+      CAST(SUM(CASE WHEN NOT allowed THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_disallowed,
+      CAST(SUM(CASE WHEN rescued THEN 1 ELSE 0 END) AS BIGINT) AS n_rescued
+    FROM verdicts GROUP BY source ORDER BY source
+    """,
+)
+def p_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    langs = spark.createDataFrame(
+        list(enumerate(_ROBOTS_LANGS)), "i BIGINT, lang STRING"
+    )
+    origins = docs.select("source").distinct().select(
+        "source", F.expr("CAST(substr(source, 4) AS BIGINT)").alias("n")
+    )
+    cfg = (
+        origins.join(
+            F.broadcast(langs.withColumnRenamed("lang", "lang_allow")),
+            origins.n % 5 == F.col("i"),
+        )
+        .drop("i")
+        .join(
+            F.broadcast(langs.withColumnRenamed("lang", "lang_block")),
+            (origins.n + 2) % 5 == F.col("i"),
+        )
+        .select("source", "lang_allow", "lang_block")
+    )
+    body = F.expr(_robots_text_sql())  # chr(10) parses in both dialects
+    robots = cfg.select("source", body.alias("body"))
+    lines = robots.select(
+        "source", F.explode(F.split("body", "\n")).alias("line")
+    )
+    rules = (
+        lines.where(F.col("line").rlike("^(Allow|Disallow):"))
+        .select(
+            "source",
+            F.lower(
+                F.regexp_extract("line", r"^(Allow|Disallow):\s*(\S+)$", 1)
+            ).alias("verb"),
+            F.regexp_extract("line", r"^(Allow|Disallow):\s*(\S+)$", 2)
+            .alias("prefix"),
+        )
+    )
+    paths = docs.select(
+        "source",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("/a/"), "lang", F.lit("/"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("/"), "lang", F.lit("/"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+        .alias("path"),
+    )
+    rules_r = rules.withColumnRenamed("source", "rsource")
+    matched = (
+        paths.join(
+            F.broadcast(rules_r),
+            (F.col("source") == F.col("rsource"))
+            & F.col("path").startswith(F.col("prefix")),
+            "left",
+        )
+        .drop("rsource")
+        .groupBy("source", "path")
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("prefix").alias("l"),
+                    F.when(F.col("verb") == "allow", 1)
+                    .otherwise(0)
+                    .alias("a"),
+                )
+            ).alias("best"),
+            F.sum(
+                F.when(F.col("verb") == "disallow", 1).otherwise(0)
+            ).alias("n_dis"),
+        )
+    )
+    verdicts = matched.select(
+        "source",
+        (F.col("best.l").isNull() | (F.col("best.a") == 1)).alias("allowed"),
+        (
+            F.col("best.l").isNotNull()
+            & (F.col("best.a") == 1)
+            & (F.col("n_dis") > 0)
+        ).alias("rescued"),
+    )
+    return (
+        verdicts.groupBy("source")
+        .agg(
+            F.count("*").alias("n_paths"),
+            F.sum(F.when(F.col("allowed"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_allowed"),
+            F.sum(F.when(~F.col("allowed"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_disallowed"),
+            F.sum(F.when(F.col("rescued"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_rescued"),
+        )
+        .orderBy("source")
+    )

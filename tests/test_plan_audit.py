@@ -81,6 +81,8 @@ NESTEDLOOP_OK = {
     "p_quantile_normalize",  # 1-row total crossJoin (q44 pattern)
     "q171_rolling_distinct_bitmap",  # 30-row day dim band join in the
     # brute-force verification arm (q18 pattern); the bitmap arm is equi
+    "q172_grouped_quantile_sketch",  # <=130-cell histogram + 10-row
+    # target dims in theta joins (q157 pattern, grouped)
 }
 
 # Queries whose unpartitioned Window is the intended plan: the window
