@@ -4717,3 +4717,301 @@ def q171_rolling_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q173 — skyline (Pareto frontier) per brand: the parts no other part
+# of the same brand beats on BOTH price (lower is better) and size
+# (higher is better). The textbook formulation is an O(n^2) dominance
+# anti-join (NOT EXISTS a dominator); the scalable form used here is
+# the sweep: pre-aggregate to one row per (brand, price) keeping the
+# best size, then a single RANGE-frame window — max(size) over all
+# strictly-cheaper price points — marks a point dominated iff its size
+# fails to beat that running best. Exact same frontier, one window.
+#
+# Scale design: per-(brand, price) pre-aggregation is map-side
+# combinable and collapses the window input to distinct price points;
+# the window partitions by brand (25-way here, unbounded in general —
+# never a global sort); the RANGE frame ending at 1 PRECEDING is what
+# makes price TIES correct (a tie is not "cheaper", so equal-price
+# points never dominate each other — the pre-aggregation already kept
+# only the best of them). No pairwise join anywhere: O(n log n) vs the
+# naive O(n^2) per brand.
+# ---------------------------------------------------------------------------
+@register(
+    "q173_skyline_pareto",
+    oracle="""
+    WITH pts AS (
+      SELECT p_brand,
+        CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+        CAST(MAX(p_size) AS BIGINT) AS best_size
+      FROM part
+      GROUP BY p_brand, CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)),
+    sweep AS (
+      SELECT p_brand, price_cents, best_size,
+        MAX(best_size) OVER (PARTITION BY p_brand ORDER BY price_cents
+          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best
+      FROM pts)
+    SELECT p_brand, price_cents, best_size
+    FROM sweep
+    WHERE prev_best IS NULL OR best_size > prev_best
+    ORDER BY p_brand, price_cents
+    """,
+)
+def q173_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    pts = (
+        part.select(
+            "p_brand",
+            F.floor(F.col("p_retailprice") * 100 + 0.5)
+            .cast("long")
+            .alias("price_cents"),
+            F.col("p_size").cast("long").alias("sz"),
+        )
+        .groupBy("p_brand", "price_cents")
+        .agg(F.max("sz").alias("best_size"))
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    sweep = pts.withColumn("prev_best", F.max("best_size").over(w))
+    return (
+        sweep.where(
+            F.col("prev_best").isNull()
+            | (F.col("best_size") > F.col("prev_best"))
+        )
+        .select("p_brand", "price_cents", "best_size")
+        .orderBy("p_brand", "price_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q174 — sweep-line concurrency: treat each order as an open interval
+# [orderdate, orderdate + (15 + orderkey % 45) days) and find, per
+# order priority, the PEAK number of simultaneously-open orders and
+# the first day it is reached. The classic formulation turns intervals
+# into +1/-1 events and takes the max of a running sum; the subtlety
+# is tie handling — this entry pre-aggregates events to DAY grain
+# (net = opens - closes per day), which makes the running sum's order
+# deterministic (one row per day) AND correct: with closes applied
+# before opens within a day, the intra-day maximum always sits at the
+# day's end value, so max(running net) IS the peak.
+#
+# Scale design: the day-grain pre-aggregation is map-side combinable
+# and bounds the window input to #days (thousands), not #orders
+# (billions) — that reduction is what lets the per-priority running
+# sum scale; the peak row is picked by a second tiny window over the
+# same partitioning (no re-shuffle: same key, Exchange reused).
+# ---------------------------------------------------------------------------
+@register(
+    "q174_interval_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS d0,
+        CAST(o_orderdate AS DATE) + CAST(15 + o_orderkey % 45 AS INTEGER) AS d1
+      FROM orders),
+    ev AS (
+      SELECT pri, d0 AS d, 1 AS delta FROM iv
+      UNION ALL
+      SELECT pri, d1 AS d, -1 AS delta FROM iv),
+    days AS (
+      SELECT pri, d, CAST(SUM(delta) AS BIGINT) AS net
+      FROM ev GROUP BY pri, d),
+    run AS (
+      SELECT pri, d, CAST(SUM(net) OVER (PARTITION BY pri ORDER BY d
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS conc
+      FROM days),
+    pick AS (
+      SELECT pri, d, conc,
+        ROW_NUMBER() OVER (PARTITION BY pri ORDER BY conc DESC, d) AS rn
+      FROM run)
+    SELECT pri AS o_orderpriority, conc AS peak_concurrency,
+      strftime(d, '%Y-%m-%d') AS peak_date
+    FROM pick WHERE rn = 1
+    ORDER BY o_orderpriority
+    """,
+)
+def q174_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.to_date("o_orderdate").alias("d0"),
+        F.date_add(
+            F.to_date("o_orderdate"),
+            (F.lit(15) + F.col("o_orderkey") % 45).cast("int"),
+        ).alias("d1"),
+    )
+    ev = iv.select("pri", F.col("d0").alias("d"), F.lit(1).alias("delta")).unionAll(
+        iv.select("pri", F.col("d1").alias("d"), F.lit(-1).alias("delta"))
+    )
+    days = ev.groupBy("pri", "d").agg(F.sum("delta").alias("net"))
+    w = (
+        Window.partitionBy("pri")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = days.withColumn("conc", F.sum("net").over(w))
+    pick = run.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("pri").orderBy(F.desc("conc"), "d")
+        ),
+    )
+    return (
+        pick.where(F.col("rn") == 1)
+        .select(
+            F.col("pri").alias("o_orderpriority"),
+            F.col("conc").alias("peak_concurrency"),
+            F.date_format("d", "yyyy-MM-dd").alias("peak_date"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q175 — conformed calendar dimension: generate the date dimension the
+# warehouse way (a continuous day spine spanning the fact table, with
+# derived calendar AND fiscal attributes computed once in the dim, not
+# per-fact-row), then roll orders up by fiscal quarter (FY starts
+# July 1). The dim also reports attributes no fact aggregate can give
+# — days-in-quarter from the spine itself, including the truncated
+# edge quarters — which is exactly why real warehouses join a calendar
+# table instead of sprinkling date functions over facts.
+#
+# Scale design: the spine is O(days) — a few thousand rows for decades
+# of data — so it always broadcasts; the fact side aggregates to day
+# grain BEFORE the dim join (map-side combinable, shrinks billions of
+# orders to thousands of day rows), so the join is day-spine ×
+# day-aggregate, never day-spine × raw facts.
+# ---------------------------------------------------------------------------
+@register(
+    "q175_calendar_dim",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MIN(o_orderdate) AS DATE) AS mind,
+             CAST(MAX(o_orderdate) AS DATE) AS maxd
+      FROM orders),
+    spine AS (
+      SELECT CAST(unnest(generate_series(mind, maxd, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds),
+    dim AS (
+      SELECT d,
+        CAST(year(d) + CASE WHEN month(d) >= 7 THEN 1 ELSE 0 END AS BIGINT)
+          AS fiscal_year,
+        CAST(((month(d) + 5) % 12) // 3 + 1 AS BIGINT) AS fiscal_quarter
+      FROM spine),
+    facts AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+        CAST(COUNT(*) AS BIGINT) AS n_orders,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY CAST(o_orderdate AS DATE))
+    SELECT dim.fiscal_year, dim.fiscal_quarter,
+      CAST(COUNT(*) AS BIGINT) AS n_days,
+      strftime(MIN(dim.d), '%Y-%m-%d') AS q_start,
+      CAST(COALESCE(SUM(f.n_orders), 0) AS BIGINT) AS n_orders,
+      CAST(COALESCE(SUM(f.rev), 0) AS DOUBLE) AS revenue
+    FROM dim LEFT JOIN facts f ON f.d = dim.d
+    GROUP BY dim.fiscal_year, dim.fiscal_quarter
+    ORDER BY fiscal_year, fiscal_quarter
+    """,
+)
+def q175_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("mind"),
+        F.max(F.to_date("o_orderdate")).alias("maxd"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("mind", "maxd")).alias("d")
+    )
+    m = F.month("d")
+    dim = spine.select(
+        "d",
+        (F.year("d") + F.when(m >= 7, 1).otherwise(0))
+        .cast("long")
+        .alias("fiscal_year"),
+        (((m + 5) % 12) / 3).cast("long").alias("_fq0"),
+    ).withColumn("fiscal_quarter", (F.floor("_fq0") + 1).cast("long")).drop(
+        "_fq0"
+    )
+    facts = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).alias("rev"),
+        )
+    )
+    return (
+        dim.join(facts, "d", "left")
+        .groupBy("fiscal_year", "fiscal_quarter")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.date_format(F.min("d"), "yyyy-MM-dd").alias("q_start"),
+            F.coalesce(F.sum("n_orders"), F.lit(0))
+            .cast("long")
+            .alias("n_orders"),
+            F.coalesce(F.sum("rev"), F.lit(0)).cast("double").alias("revenue"),
+        )
+        .orderBy("fiscal_year", "fiscal_quarter")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q176 — column masking + row-level security policy: the governance
+# view an analyst role actually queries. Row policy: customers in
+# embargoed nations (nationkey % 5 = 0) are filtered OUT of the view
+# entirely. Column policy: the name is masked to its first character +
+# '***'; the account balance is coarsened to a 100-unit band (floor
+# toward -inf — balances go negative, so this is the one place the
+# truncating integer `//` would diverge between engines and is spelled
+# floor()); identity survives only as a pseudonymous portable-hash key
+# so masked rows stay joinable without being re-identifiable.
+#
+# Scale design: pure scan-stage projection and filter — both push into
+# the parquet scan; the masking expressions are whole-stage-codegen
+# string/arithmetic ops with zero Python; the pseudonym is the same
+# portable md5 both engines compute, so downstream joins on it stay
+# oracle-checkable.
+# ---------------------------------------------------------------------------
+def _q176_oracle() -> str:
+    from hive_clone_spark.pipeline.common import sql_portable_hash
+
+    return f"""
+    SELECT
+      {sql_portable_hash('c_name')} % 1000000 AS pseudo_key,
+      substr(c_name, 1, 1) || '***' AS name_masked,
+      n_name,
+      c_mktsegment,
+      CAST(floor(c_acctbal / 100.0) AS BIGINT) * 100 AS acctbal_band
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_nationkey % 5 <> 0
+    ORDER BY pseudo_key, name_masked LIMIT 100
+    """
+
+
+@register("q176_column_masking", oracle=_q176_oracle())
+def q176_column_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_clone_spark.pipeline.common import portable_hash
+
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.where(F.col("c_nationkey") % 5 != 0)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            (portable_hash(F.col("c_name")) % 1000000).alias("pseudo_key"),
+            F.concat(F.substring("c_name", 1, 1), F.lit("***")).alias(
+                "name_masked"
+            ),
+            "n_name",
+            "c_mktsegment",
+            (
+                F.floor(F.col("c_acctbal") / 100.0).cast("long") * 100
+            ).alias("acctbal_band"),
+        )
+        .orderBy("pseudo_key", "name_masked")
+        .limit(100)
+    )
