@@ -1987,3 +1987,123 @@ def p_image_histogram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered set-similarity join (PPJoin's position-free core):
+# exact Jaccard >= 0.6 over 3-gram shingle sets, but — unlike
+# p_dedup_ngram_jaccard, which meets candidates on ANY shared shingle —
+# only a doc's PREFIX generates candidates: order every doc's shingles
+# by global rarity (document frequency asc, hash asc) and keep the
+# first n - ceil(0.6*n) + 1. Two sets with Jaccard >= t MUST share a
+# prefix token (pigeonhole: disjoint prefixes leave fewer than
+# ceil(t*n) common tokens), so the filter is lossless at the
+# threshold while candidates drop from "any shared shingle" (every
+# doc pair sharing one common trigram) to "shared RARE shingle".
+#
+# Scale design (100 TB): this is the exact-similarity complement to
+# MinHash — no probabilistic recall, yet still no all-pairs stage. The
+# df table is a map-side-combinable aggregate on hashed shingles
+# (int64 keys, never raw strings); the prefix explode shrinks the
+# self-join input ~60% at t=0.6; verification joins only candidate
+# pairs back through the shingle table (co-partitioned on doc_id).
+# ceil(0.6*n) is the integer (3n+4)//5 on both engines (n >= 0, so
+# DuckDB's truncating // == floor).
+# ---------------------------------------------------------------------------
+@register(
+    "p_setsim_join",
+    oracle=f"""
+    WITH ss AS (
+      SELECT DISTINCT d.doc_id, {sql_portable_hash("s.shingle")} AS h
+      FROM documents d,
+           unnest({sql_shingles(SQL_WORDS.format(expr="d.text"))}) AS s(shingle)),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM ss GROUP BY doc_id),
+    dfreq AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM ss GROUP BY h),
+    ranked AS (
+      SELECT ss.doc_id, ss.h,
+        ROW_NUMBER() OVER (PARTITION BY ss.doc_id ORDER BY dfreq.df, ss.h)
+          AS rn
+      FROM ss JOIN dfreq ON dfreq.h = ss.h),
+    pref AS (
+      SELECT r.doc_id, r.h
+      FROM ranked r JOIN sizes z ON z.doc_id = r.doc_id
+      WHERE r.rn <= z.n - (3 * z.n + 4) // 5 + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS ninter
+      FROM cand c
+      JOIN ss sa ON sa.doc_id = c.doc_a
+      JOIN ss sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT i.doc_a, i.doc_b, i.ninter,
+      za.n + zb.n - i.ninter AS union_sz,
+      i.ninter * 1000 // (za.n + zb.n - i.ninter) AS jaccard_permille
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE 5 * i.ninter >= 3 * (za.n + zb.n - i.ninter)
+    ORDER BY jaccard_permille DESC, doc_a, doc_b
+    """,
+)
+def p_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    ss = (
+        d.select(
+            "doc_id",
+            F.explode(shingles_col(words_col(F.col("text")))).alias("s"),
+        )
+        .select("doc_id", portable_hash(F.col("s")).alias("h"))
+        .distinct()
+    )
+    sizes = ss.groupBy("doc_id").agg(F.count("*").alias("n"))
+    dfreq = ss.groupBy("h").agg(F.count("*").alias("df"))
+    ranked = ss.join(dfreq, "h").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")),
+    )
+    pref = (
+        ranked.join(sizes, "doc_id")
+        .where(
+            F.col("rn")
+            <= F.col("n") - F.floor((3 * F.col("n") + 4) / 5) + 1
+        )
+        .select("doc_id", "h")
+    )
+    a = pref.select(F.col("doc_id").alias("doc_a"), "h")
+    b = pref.select(F.col("doc_id").alias("doc_b"), "h")
+    cand = (
+        a.join(b, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = ss.select(F.col("doc_id").alias("doc_a"), "h")
+    sb = ss.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ninter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    un = F.col("na") + F.col("nb") - F.col("ninter")
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .where(5 * F.col("ninter") >= 3 * un)
+        .select(
+            "doc_a",
+            "doc_b",
+            "ninter",
+            un.alias("union_sz"),
+            F.expr("ninter * 1000 div (na + nb - ninter)").alias(
+                "jaccard_permille"
+            ),
+        )
+        .orderBy(F.desc("jaccard_permille"), "doc_a", "doc_b")
+    )

@@ -1968,3 +1968,71 @@ def p_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# word dispersion / burstiness: for each vocabulary word, is it spread
+# evenly across the corpus or does it clump into few documents? The
+# statistic is the Fano factor (variance-to-mean ratio) of the word's
+# per-document count, INCLUDING the zero counts of documents that
+# never use it: F = (N*SS - S^2) / (N*S) for S = total occurrences,
+# SS = sum of squared per-doc counts, N = corpus size. F ~ 1 is
+# Poisson (even spread), larger is burstier. Emitted integer-exact as
+# permille via cross-multiplication — no float accumulates anywhere,
+# and Cauchy-Schwarz guarantees N*SS >= S^2 so the numerator never
+# goes negative (no truncation-vs-floor divergence).
+#
+# Scale design: one explode + a map-side-combinable (doc, word) count,
+# then a per-word aggregate of three integer moments — the same
+# two-pass moment shape as q149's OLS. The zero-count documents enter
+# through N (a 1-row broadcast), never through materialized zero rows.
+# Top-20 with full tie ordering.
+# ---------------------------------------------------------------------------
+@register(
+    "p_word_dispersion",
+    oracle=f"""
+    WITH w AS (
+      SELECT d.doc_id, t.w AS word
+      FROM documents d, unnest({SQL_WORDS.format(expr="d.text")}) AS t(w)),
+    per AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM w GROUP BY doc_id, word),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+    mom AS (
+      SELECT word,
+        CAST(COUNT(*) AS BIGINT) AS df,
+        CAST(SUM(c) AS BIGINT) AS s,
+        CAST(SUM(c * c) AS BIGINT) AS ss
+      FROM per GROUP BY word)
+    SELECT word, df, s AS total,
+      (nd * ss - s * s) * 1000 // (nd * s) AS burst_permille
+    FROM mom CROSS JOIN n
+    ORDER BY burst_permille DESC, word LIMIT 20
+    """,
+)
+def p_word_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    per = (
+        d.select("doc_id", F.explode(words_col(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    n = d.agg(F.count("*").alias("nd"))
+    mom = per.groupBy("word").agg(
+        F.count("*").alias("df"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    return (
+        mom.crossJoin(F.broadcast(n))
+        .select(
+            "word",
+            "df",
+            F.col("s").alias("total"),
+            F.expr("(nd * ss - s * s) * 1000 div (nd * s)").alias(
+                "burst_permille"
+            ),
+        )
+        .orderBy(F.desc("burst_permille"), "word")
+        .limit(20)
+    )
