@@ -544,3 +544,129 @@ def q138_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q177: per-key rate limiting (throttle / debounce) as a stateful
+# stream — the ingestion-edge operator that admits an event only if at
+# least _THROTTLE_US has passed since the key's last ADMITTED event
+# (first event always admitted). Unlike a windowed count limit, the
+# greedy throttle's decision depends on the full admitted HISTORY (an
+# admitted event resets the clock; a rejected one does not), which is
+# exactly why it is a keyed-state operator and not a window function —
+# and why the oracle is a per-user recursive CTE walking the same
+# sequence, not an aggregate.
+#
+# State is O(1) per user (last admitted timestamp + two counters) —
+# the state-store story at 100 TB is "number of active keys", never
+# history. Determinism: single-file events source => all rows in
+# micro-batch 0 (the q66/q80/q94 pinned assumption), sorted
+# (ts, event_id) inside the update fn.
+# ---------------------------------------------------------------------------
+_THROTTLE_US = 12 * 3600 * 1_000_000  # one admission per 12h per user
+
+THR_OUT_SCHEMA = (
+    "user_id BIGINT, n_total BIGINT, n_accepted BIGINT, "
+    "last_accept_us BIGINT"
+)
+THR_STATE_SCHEMA = "last_acc BIGINT, n_acc BIGINT, n_tot BIGINT"
+
+
+def throttle_stream(events_stream: DataFrame) -> DataFrame:
+    """events stream -> per-user admission census under the greedy
+    12h throttle."""
+    from pyspark.sql.streaming.state import GroupState
+    import numpy as np
+    import pandas as pd
+
+    period = _THROTTLE_US
+
+    def update(
+        key: tuple, batches: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        (user_id,) = key
+        last_acc, n_acc, n_tot = state.get if state.exists else (None, 0, 0)
+        pdf = pd.concat(list(batches)).sort_values(["ts", "event_id"])
+        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        for t in ts_us:
+            t = int(t)
+            n_tot += 1
+            if last_acc is None or t >= last_acc + period:
+                last_acc = t
+                n_acc += 1
+        state.update((last_acc, int(n_acc), int(n_tot)))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_total": [n_tot],
+                "n_accepted": [n_acc],
+                "last_accept_us": [last_acc],
+            }
+        )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=THR_OUT_SCHEMA,
+        stateStructType=THR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+@register(
+    "q177_stream_throttle",
+    oracle=f"""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, epoch_us(ts) AS t,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    sz AS (SELECT user_id, MAX(rn) AS m FROM ev GROUP BY user_id),
+    th(user_id, rn, last_acc, n_acc) AS (
+      SELECT user_id, rn, t, 1 FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn,
+        CASE WHEN e.t >= th.last_acc + {_THROTTLE_US}
+             THEN e.t ELSE th.last_acc END,
+        th.n_acc + CASE WHEN e.t >= th.last_acc + {_THROTTLE_US}
+                        THEN 1 ELSE 0 END
+      FROM th JOIN ev e ON e.user_id = th.user_id AND e.rn = th.rn + 1)
+    SELECT th.user_id,
+      CAST(th.rn AS BIGINT) AS n_total,
+      CAST(th.n_acc AS BIGINT) AS n_accepted,
+      CAST(th.last_acc AS BIGINT) AS last_accept_us,
+      th.n_acc * 1000 // th.rn AS accept_permille
+    FROM th JOIN sz ON sz.user_id = th.user_id AND th.rn = sz.m
+    ORDER BY th.user_id
+    """,
+)
+def q177_stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql.window import Window
+
+    from hive_clone_spark.streaming.streams import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    src = read_events_stream(spark, os.path.join(sf_dir, "events.parque[t]"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(throttle_stream(src), "q177_throttle", output_mode="update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    t = spark.table("q177_throttle")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_total"))
+    return (
+        t.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "n_total",
+            "n_accepted",
+            "last_accept_us",
+            F.expr("n_accepted * 1000 div n_total").alias("accept_permille"),
+        )
+        .orderBy("user_id")
+    )
