@@ -135,7 +135,10 @@ def _rounds_stale(name: str, history: list[dict]) -> int:
 # ~50-entry checked window, so a 3-round floor needs ~53 staleness
 # slots per round (> the window) and would thrash; (208-50)/4 ≈ 40
 # slots per round leaves room for new entries too.
-_AGE_FLOOR = 4
+# Raised 4 -> 5 in round 8: at ~296 entries, (296-50)/4 ≈ 61 > the
+# window again; (296-50)/5 ≈ 49 fits. Recheck whenever a sizeable
+# entry batch lands.
+_AGE_FLOOR = 5
 
 
 def _emit_key(

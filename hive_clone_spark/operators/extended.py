@@ -5015,3 +5015,476 @@ def q176_column_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pseudo_key", "name_masked")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q178 — encoding advisor: for each candidate column, compute the
+# EXACT byte cost of the three classic columnar encodings — fixed-width
+# plain, page-bounded RLE, and bit-packed dictionary — and pick the
+# winner, the per-column decision a columnar writer (Parquet's
+# encoding chooser) makes per page. RLE runs are counted WITHIN each
+# order (partition by l_orderkey, lag by l_linenumber): real formats
+# never run-length across page boundaries, and that framing is also
+# what keeps the window partitioned (the run count is a sum of
+# per-order boundary counts — no global order anywhere). Dictionary
+# width is ceil(log2(card)) computed as length(bin(card-1)) — both
+# engines' bin() drops leading zeros, so no log/floats.
+#
+# Scale design: one partitioned window pass produces all four lag
+# columns (one shuffle on l_orderkey, which is the table's natural
+# layout — at scale this is a zero-shuffle scan-local sort), one
+# map-side-combinable aggregate folds every moment into a single row,
+# and stack() unpivots 1 row to 4 — the advisor's cost is one scan.
+# ---------------------------------------------------------------------------
+@register(
+    "q178_encoding_advisor",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag AS rf, l_linestatus AS ls,
+        CAST(l_quantity AS BIGINT) AS qty, l_suppkey AS sk,
+        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS ep,
+        LAG(l_returnflag) OVER w AS p_rf,
+        LAG(l_linestatus) OVER w AS p_ls,
+        LAG(CAST(l_quantity AS BIGINT)) OVER w AS p_qty,
+        LAG(l_suppkey) OVER w AS p_sk,
+        LAG(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) OVER w
+          AS p_ep
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber,
+        l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT),
+        l_suppkey, CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(COUNT(DISTINCT rf) AS BIGINT) AS card_rf,
+        CAST(SUM(CASE WHEN p_rf IS NULL OR rf <> p_rf THEN 1 ELSE 0 END)
+          AS BIGINT) AS runs_rf,
+        CAST(COUNT(DISTINCT ls) AS BIGINT) AS card_ls,
+        CAST(SUM(CASE WHEN p_ls IS NULL OR ls <> p_ls THEN 1 ELSE 0 END)
+          AS BIGINT) AS runs_ls,
+        CAST(COUNT(DISTINCT qty) AS BIGINT) AS card_qty,
+        CAST(SUM(CASE WHEN p_qty IS NULL OR qty <> p_qty THEN 1 ELSE 0 END)
+          AS BIGINT) AS runs_qty,
+        CAST(COUNT(DISTINCT sk) AS BIGINT) AS card_sk,
+        CAST(SUM(CASE WHEN p_sk IS NULL OR sk <> p_sk THEN 1 ELSE 0 END)
+          AS BIGINT) AS runs_sk,
+        CAST(COUNT(DISTINCT ep) AS BIGINT) AS card_ep,
+        CAST(SUM(CASE WHEN p_ep IS NULL OR ep <> p_ep THEN 1 ELSE 0 END)
+          AS BIGINT) AS runs_ep
+      FROM s),
+    po AS (
+      SELECT l_orderkey,
+        CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS d_rf,
+        CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS d_ls,
+        CAST(COUNT(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT) AS d_qty,
+        CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS d_sk,
+        CAST(COUNT(DISTINCT CAST(floor(l_extendedprice * 100 + 0.5)
+          AS BIGINT)) AS BIGINT) AS d_ep
+      FROM lineitem GROUP BY l_orderkey),
+    ms AS (
+      SELECT CAST(SUM(d_rf) AS BIGINT) AS srt_rf,
+        CAST(SUM(d_ls) AS BIGINT) AS srt_ls,
+        CAST(SUM(d_qty) AS BIGINT) AS srt_qty,
+        CAST(SUM(d_sk) AS BIGINT) AS srt_sk,
+        CAST(SUM(d_ep) AS BIGINT) AS srt_ep
+      FROM po),
+    cols AS (
+      SELECT 'l_returnflag' AS column_name, n, card_rf AS card,
+        runs_rf AS runs, srt_rf AS sorted_runs, CAST(1 AS BIGINT) AS w
+      FROM m, ms
+      UNION ALL SELECT 'l_linestatus', n, card_ls, runs_ls, srt_ls,
+        CAST(1 AS BIGINT) FROM m, ms
+      UNION ALL SELECT 'l_quantity', n, card_qty, runs_qty, srt_qty,
+        CAST(8 AS BIGINT) FROM m, ms
+      UNION ALL SELECT 'l_suppkey', n, card_sk, runs_sk, srt_sk,
+        CAST(8 AS BIGINT) FROM m, ms
+      UNION ALL SELECT 'l_extendedprice', n, card_ep, runs_ep, srt_ep,
+        CAST(8 AS BIGINT) FROM m, ms),
+    enc AS (
+      SELECT column_name, n, card, runs, sorted_runs,
+        n * w AS plain_bytes,
+        runs * (w + 2) AS rle_bytes,
+        sorted_runs * (w + 2) AS rle_sorted_bytes,
+        (n * length(bin(card - 1)) + 7) // 8 + card * (w + 1)
+          AS dict_bytes
+      FROM cols)
+    SELECT column_name, n, card, runs, sorted_runs,
+      plain_bytes, rle_bytes, rle_sorted_bytes, dict_bytes,
+      CASE WHEN plain_bytes <= rle_bytes AND plain_bytes <= rle_sorted_bytes
+                AND plain_bytes <= dict_bytes THEN 'plain'
+           WHEN rle_bytes <= rle_sorted_bytes AND rle_bytes <= dict_bytes
+             THEN 'rle'
+           WHEN rle_sorted_bytes <= dict_bytes THEN 'rle_sorted'
+           ELSE 'dict' END AS best_encoding
+    FROM enc ORDER BY column_name
+    """,
+)
+def q178_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in this generator (dupes
+    # up to 6x): the tie-break extends the ORDER BY with every compared
+    # column, so rows still tied are value-identical and run counts are
+    # permutation-invariant.
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("long"),
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"),
+    )
+    ep = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    s = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.col("l_suppkey").alias("sk"),
+        ep.alias("ep"),
+        F.lag("l_returnflag").over(w).alias("p_rf"),
+        F.lag("l_linestatus").over(w).alias("p_ls"),
+        F.lag(F.col("l_quantity").cast("long")).over(w).alias("p_qty"),
+        F.lag("l_suppkey").over(w).alias("p_sk"),
+        F.lag(ep).over(w).alias("p_ep"),
+    )
+
+    def _runs(c, p):
+        return F.sum(
+            F.when(
+                F.col(p).isNull() | (F.col(c) != F.col(p)), 1
+            ).otherwise(0)
+        ).cast("long")
+
+    m = s.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("rf").alias("card_rf"),
+        _runs("rf", "p_rf").alias("runs_rf"),
+        F.countDistinct("ls").alias("card_ls"),
+        _runs("ls", "p_ls").alias("runs_ls"),
+        F.countDistinct("qty").alias("card_qty"),
+        _runs("qty", "p_qty").alias("runs_qty"),
+        F.countDistinct("sk").alias("card_sk"),
+        _runs("sk", "p_sk").alias("runs_sk"),
+        F.countDistinct("ep").alias("card_ep"),
+        _runs("ep", "p_ep").alias("runs_ep"),
+    )
+    po = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_returnflag").alias("d_rf"),
+        F.countDistinct("l_linestatus").alias("d_ls"),
+        F.countDistinct(F.col("l_quantity").cast("long")).alias("d_qty"),
+        F.countDistinct("l_suppkey").alias("d_sk"),
+        F.countDistinct(
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        ).alias("d_ep"),
+    )
+    ms = po.agg(
+        F.sum("d_rf").alias("srt_rf"),
+        F.sum("d_ls").alias("srt_ls"),
+        F.sum("d_qty").alias("srt_qty"),
+        F.sum("d_sk").alias("srt_sk"),
+        F.sum("d_ep").alias("srt_ep"),
+    )
+    cols = m.crossJoin(F.broadcast(ms)).select(
+        F.expr(
+            "stack(5, "
+            "'l_returnflag', card_rf, runs_rf, srt_rf, CAST(1 AS BIGINT), "
+            "'l_linestatus', card_ls, runs_ls, srt_ls, CAST(1 AS BIGINT), "
+            "'l_quantity', card_qty, runs_qty, srt_qty, CAST(8 AS BIGINT), "
+            "'l_suppkey', card_sk, runs_sk, srt_sk, CAST(8 AS BIGINT), "
+            "'l_extendedprice', card_ep, runs_ep, srt_ep, CAST(8 AS BIGINT)"
+            ") AS (column_name, card, runs, sorted_runs, w)"
+        ),
+        "n",
+    )
+    enc = cols.select(
+        "column_name",
+        "n",
+        "card",
+        "runs",
+        "sorted_runs",
+        (F.col("n") * F.col("w")).alias("plain_bytes"),
+        (F.col("runs") * (F.col("w") + 2)).alias("rle_bytes"),
+        (F.col("sorted_runs") * (F.col("w") + 2)).alias("rle_sorted_bytes"),
+        F.expr(
+            "(n * length(bin(card - 1)) + 7) div 8 + card * (w + 1)"
+        ).alias("dict_bytes"),
+    )
+    return enc.select(
+        "column_name",
+        "n",
+        "card",
+        "runs",
+        "sorted_runs",
+        "plain_bytes",
+        "rle_bytes",
+        "rle_sorted_bytes",
+        "dict_bytes",
+        F.when(
+            (F.col("plain_bytes") <= F.col("rle_bytes"))
+            & (F.col("plain_bytes") <= F.col("rle_sorted_bytes"))
+            & (F.col("plain_bytes") <= F.col("dict_bytes")),
+            "plain",
+        )
+        .when(
+            (F.col("rle_bytes") <= F.col("rle_sorted_bytes"))
+            & (F.col("rle_bytes") <= F.col("dict_bytes")),
+            "rle",
+        )
+        .when(F.col("rle_sorted_bytes") <= F.col("dict_bytes"), "rle_sorted")
+        .otherwise("dict")
+        .alias("best_encoding"),
+    ).orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# Q179 — functional-dependency discovery (data profiling): for each
+# candidate FD A -> B over the denormalized orders x customer view,
+# count the A-values that map to more than one distinct B. The
+# candidate set is chosen to produce BOTH outcomes on this schema
+# (key-driven FDs hold; behavioral ones fail with thousands of
+# violations), so `holds` discriminates rather than rubber-stamps —
+# the q147-FK-discovery companion on the column-dependency axis.
+#
+# Scale design: each candidate is one two-level aggregate — a
+# map-side-combinable groupBy(A) x count(distinct B), then a 1-row
+# summary — and candidates union into one plan; nothing joins
+# row-to-row. The denormalized input joins orders to customer on the
+# natural key once (broadcast at this SF; co-partitioned at scale) and
+# every candidate shares that one scan via the common subplan.
+# ---------------------------------------------------------------------------
+@register(
+    "q179_fd_discovery",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority, o_orderstatus,
+             c_nationkey, c_mktsegment
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    fd AS (
+      SELECT 'o_custkey' AS lhs, 'c_mktsegment' AS rhs,
+        CAST(COUNT(*) AS BIGINT) AS n_lhs,
+        CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+      FROM (SELECT o_custkey AS a, COUNT(DISTINCT c_mktsegment) AS d
+            FROM t GROUP BY o_custkey)
+      UNION ALL
+      SELECT 'o_custkey', 'c_nationkey',
+        CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT o_custkey AS a, COUNT(DISTINCT c_nationkey) AS d
+            FROM t GROUP BY o_custkey)
+      UNION ALL
+      SELECT 'o_custkey', 'o_orderpriority',
+        CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT o_custkey AS a, COUNT(DISTINCT o_orderpriority) AS d
+            FROM t GROUP BY o_custkey)
+      UNION ALL
+      SELECT 'o_orderkey', 'o_orderstatus',
+        CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT o_orderkey AS a, COUNT(DISTINCT o_orderstatus) AS d
+            FROM t GROUP BY o_orderkey)
+      UNION ALL
+      SELECT 'c_nationkey', 'c_mktsegment',
+        CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT c_nationkey AS a, COUNT(DISTINCT c_mktsegment) AS d
+            FROM t GROUP BY c_nationkey)
+      UNION ALL
+      SELECT 'o_orderpriority', 'o_orderstatus',
+        CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT o_orderpriority AS a, COUNT(DISTINCT o_orderstatus) AS d
+            FROM t GROUP BY o_orderpriority))
+    SELECT lhs, rhs, n_lhs, n_violating, n_violating = 0 AS holds
+    FROM fd ORDER BY lhs, rhs
+    """,
+)
+def q179_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    t = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        "o_orderstatus",
+        "c_nationkey",
+        "c_mktsegment",
+    )
+
+    def fd(lhs: str, rhs: str) -> DataFrame:
+        g = t.groupBy(F.col(lhs).alias("a")).agg(
+            F.countDistinct(rhs).alias("d")
+        )
+        return g.agg(
+            F.lit(lhs).alias("lhs"),
+            F.lit(rhs).alias("rhs"),
+            F.count("*").alias("n_lhs"),
+            F.sum(F.when(F.col("d") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating"),
+        )
+
+    cands = [
+        ("o_custkey", "c_mktsegment"),
+        ("o_custkey", "c_nationkey"),
+        ("o_custkey", "o_orderpriority"),
+        ("o_orderkey", "o_orderstatus"),
+        ("c_nationkey", "c_mktsegment"),
+        ("o_orderpriority", "o_orderstatus"),
+    ]
+    out = fd(*cands[0])
+    for cand in cands[1:]:
+        out = out.unionAll(fd(*cand))
+    return out.select(
+        "lhs",
+        "rhs",
+        "n_lhs",
+        "n_violating",
+        (F.col("n_violating") == 0).alias("holds"),
+    ).orderBy("lhs", "rhs")
+
+
+# ---------------------------------------------------------------------------
+# Q180 — distribution drift monitor: compare the price histogram and
+# the priority mix of a reference period (orders before 1998) against
+# the current period (1998+), per-bucket and as a total L1 distance —
+# the training-data / feature-store monitoring primitive ("did this
+# month's data shift?"). Proportions are integer permille
+# (cnt*1000//n), so the drift scores are exact on both engines — the
+# usual PSI's ln() never appears (no libm divergence risk), and L1 on
+# permille is monotone in the same decision.
+#
+# Scale design: each period collapses to a <=25-row histogram via one
+# map-side-combinable aggregate; the FULL OUTER join of the two
+# histograms (buckets can exist in only one period) joins sketches,
+# never rows. At 100 TB the reference histogram would be precomputed
+# once and broadcast — the plan shape here is already that.
+# ---------------------------------------------------------------------------
+@register(
+    "q180_distribution_drift",
+    oracle="""
+    WITH lab AS (
+      SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'a'
+                  ELSE 'b' END AS period,
+        'price' AS metric,
+        CAST(LEAST(CAST(floor(o_totalprice / 30000.0) AS BIGINT), 19)
+          AS VARCHAR) AS bucket
+      FROM orders
+      UNION ALL
+      SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'a'
+                  ELSE 'b' END,
+        'priority', o_orderpriority
+      FROM orders),
+    h AS (
+      SELECT period, metric, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lab GROUP BY period, metric, bucket),
+    n AS (
+      SELECT period, metric, CAST(SUM(cnt) AS BIGINT) AS total
+      FROM h GROUP BY period, metric),
+    ab AS (
+      SELECT COALESCE(ha.metric, hb.metric) AS metric,
+        COALESCE(ha.bucket, hb.bucket) AS bucket,
+        COALESCE(ha.cnt, 0) AS cnt_a, COALESCE(hb.cnt, 0) AS cnt_b
+      FROM (SELECT * FROM h WHERE period = 'a') ha
+      FULL OUTER JOIN (SELECT * FROM h WHERE period = 'b') hb
+        ON ha.metric = hb.metric AND ha.bucket = hb.bucket),
+    p AS (
+      SELECT ab.metric, ab.bucket, ab.cnt_a, ab.cnt_b,
+        ab.cnt_a * 1000 // na.total AS pa_permille,
+        ab.cnt_b * 1000 // nb.total AS pb_permille
+      FROM ab
+      JOIN n na ON na.metric = ab.metric AND na.period = 'a'
+      JOIN n nb ON nb.metric = ab.metric AND nb.period = 'b')
+    SELECT metric, bucket, cnt_a, cnt_b, pa_permille, pb_permille,
+      abs(pa_permille - pb_permille) AS drift_permille
+    FROM p
+    UNION ALL
+    SELECT metric, '_total', CAST(SUM(cnt_a) AS BIGINT),
+      CAST(SUM(cnt_b) AS BIGINT),
+      CAST(1000 AS BIGINT), CAST(1000 AS BIGINT),
+      CAST(SUM(abs(pa_permille - pb_permille)) AS BIGINT)
+    FROM p GROUP BY metric
+    ORDER BY metric, bucket
+    """,
+)
+def q180_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    period = F.when(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), "a"
+    ).otherwise("b")
+    price_b = F.least(
+        F.floor(F.col("o_totalprice") / 30000.0).cast("long"), F.lit(19)
+    ).cast("string")
+    lab = o.select(
+        period.alias("period"),
+        F.lit("price").alias("metric"),
+        price_b.alias("bucket"),
+    ).unionAll(
+        o.select(
+            period.alias("period"),
+            F.lit("priority").alias("metric"),
+            F.col("o_orderpriority").alias("bucket"),
+        )
+    )
+    h = lab.groupBy("period", "metric", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+    n = h.groupBy("period", "metric").agg(F.sum("cnt").alias("total"))
+    ha = h.where(F.col("period") == "a").select(
+        "metric", "bucket", F.col("cnt").alias("cnt_a")
+    )
+    hb = h.where(F.col("period") == "b").select(
+        "metric", "bucket", F.col("cnt").alias("cnt_b")
+    )
+    ab = (
+        ha.join(hb, ["metric", "bucket"], "full_outer")
+        .select(
+            "metric",
+            "bucket",
+            F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+        )
+    )
+    na = n.where(F.col("period") == "a").select(
+        "metric", F.col("total").alias("ta")
+    )
+    nb = n.where(F.col("period") == "b").select(
+        "metric", F.col("total").alias("tb")
+    )
+    p = (
+        ab.join(F.broadcast(na), "metric")
+        .join(F.broadcast(nb), "metric")
+        .select(
+            "metric",
+            "bucket",
+            "cnt_a",
+            "cnt_b",
+            F.expr("cnt_a * 1000 div ta").alias("pa_permille"),
+            F.expr("cnt_b * 1000 div tb").alias("pb_permille"),
+        )
+    )
+    rows = p.select(
+        "metric",
+        "bucket",
+        "cnt_a",
+        "cnt_b",
+        "pa_permille",
+        "pb_permille",
+        F.abs(F.col("pa_permille") - F.col("pb_permille")).alias(
+            "drift_permille"
+        ),
+    )
+    tot = p.groupBy("metric").agg(
+        F.lit("_total").alias("bucket"),
+        F.sum("cnt_a").alias("cnt_a"),
+        F.sum("cnt_b").alias("cnt_b"),
+        F.lit(1000).cast("long").alias("pa_permille"),
+        F.lit(1000).cast("long").alias("pb_permille"),
+        F.sum(F.abs(F.col("pa_permille") - F.col("pb_permille")))
+        .cast("long")
+        .alias("drift_permille"),
+    ).select(
+        "metric", "bucket", "cnt_a", "cnt_b", "pa_permille",
+        "pb_permille", "drift_permille",
+    )
+    return rows.unionAll(tot).orderBy("metric", "bucket")

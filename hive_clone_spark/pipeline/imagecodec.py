@@ -900,3 +900,106 @@ def p_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dst_width INT, dst_height INT, sum_r BIGINT, sum_g BIGINT, sum_b BIGINT"
     )
     return payloads.mapInPandas(resize_batches, schema).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ViT-style patch extraction: decode every image and cut the pixel
+# grid into non-overlapping 8x8 patches (partial edge patches kept —
+# real preprocessing crops or pads them; keeping them pins the
+# boundary arithmetic), with an integer luma (2R + 5G + B) // 8 mean
+# per patch. The synthetic images are row-constant, so every patch in
+# a horizontal band must have the SAME mean — `band_uniform` is a
+# real decoded-pixel check (any stride/BGR/defilter bug breaks it),
+# and the per-band means are SQL-predictable from the synthesis rule
+# (floor identity: (A*pw)//(bh*pw) = A//bh, so partial-width patches
+# don't change the band mean).
+#
+# Scale design: patching is per-image work inside the same Arrow
+# mapInPandas pass as the decode (no second Python crossing); the
+# band aggregate is map-side combinable. At 100 TB the patch tensors
+# would stream straight into the training shard writer — the schema
+# (doc, band, patch grid dims, content stat) is that interface.
+# ---------------------------------------------------------------------------
+_PATCH = 8
+
+
+@register(
+    "p_image_patches",
+    oracle=f"""
+    WITH {_SYNTH_ORACLE_CTE},
+    bands AS (
+      SELECT doc_id, width, height, py
+      FROM dims, unnest(generate_series(0, (height - 1) // {_PATCH}))
+        AS t(py)),
+    px AS (
+      SELECT doc_id, py,
+        CAST((width + {_PATCH} - 1) // {_PATCH} AS BIGINT) AS n_patches_x,
+        CAST(LEAST(height - py * {_PATCH}, {_PATCH}) AS BIGINT) AS patch_h,
+        CAST(list_sum(list_transform(
+          generate_series(py * {_PATCH},
+                          LEAST(height - 1, py * {_PATCH} + {_PATCH} - 1)),
+          y -> (2 * ({_sql_px('y', 0)}) + 5 * ({_sql_px('y', 1)})
+                + ({_sql_px('y', 2)})) // 8))
+          // LEAST(height - py * {_PATCH}, {_PATCH}) AS BIGINT)
+          AS mean_luma
+      FROM bands)
+    SELECT doc_id, CAST(py AS BIGINT) AS py, n_patches_x, patch_h,
+      mean_luma, TRUE AS band_uniform
+    FROM px ORDER BY doc_id, py
+    """,
+)
+def p_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark import cloudpickle as _cp
+    import hive_clone_spark.pipeline.imagecodec as _mod
+
+    _cp.register_pickle_by_value(_mod)
+
+    payloads = _synth_payload_df(spark, sf_dir)
+
+    def patch_batches(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _fmt, pix = decode_image(bytes(payload))
+                h, w = pix.shape[:2]
+                luma = (
+                    2 * pix[:, :, 0].astype(np.int64)
+                    + 5 * pix[:, :, 1].astype(np.int64)
+                    + pix[:, :, 2].astype(np.int64)
+                ) // 8
+                for py in range((h + _PATCH - 1) // _PATCH):
+                    y0, y1 = py * _PATCH, min(h, (py + 1) * _PATCH)
+                    means = []
+                    for qx in range((w + _PATCH - 1) // _PATCH):
+                        x0, x1 = qx * _PATCH, min(w, (qx + 1) * _PATCH)
+                        patch = luma[y0:y1, x0:x1]
+                        means.append(int(patch.sum()) // patch.size)
+                    rows.append(
+                        (
+                            int(doc_id),
+                            py,
+                            len(means),
+                            y1 - y0,
+                            means[0],
+                            len(set(means)) == 1,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "py",
+                    "n_patches_x",
+                    "patch_h",
+                    "mean_luma",
+                    "band_uniform",
+                ],
+            )
+
+    return payloads.mapInPandas(
+        patch_batches,
+        "doc_id BIGINT, py BIGINT, n_patches_x BIGINT, patch_h BIGINT, "
+        "mean_luma BIGINT, band_uniform BOOLEAN",
+    ).orderBy("doc_id", "py")

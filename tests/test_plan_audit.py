@@ -84,6 +84,7 @@ NESTEDLOOP_OK = {
     "q172_grouped_quantile_sketch",  # <=130-cell histogram + 10-row
     # target dims in theta joins (q157 pattern, grouped)
     "p_word_dispersion",  # 1-row corpus-size crossJoin (q44 pattern)
+    "q178_encoding_advisor",  # 1-row moment-aggregate crossJoin (q44 pattern)
 }
 
 # Queries whose unpartitioned Window is the intended plan: the window
