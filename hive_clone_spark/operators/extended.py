@@ -5488,3 +5488,211 @@ def q180_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pb_permille", "drift_permille",
     )
     return rows.unionAll(tot).orderBy("metric", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# Q181 — time-to-convert: the latency distribution between a user's
+# first 'view' and their first 'purchase' AFTER it — the funnel
+# entries (q70/q129) count WHO converts; this measures HOW FAST, the
+# number a growth team actually watches. Latencies land in four
+# half-open buckets (<1h, <1d, <1w, >=1w) plus an explicit
+# no-conversion bucket so the denominator is visible; per-bucket
+# average latency is an exact integer division (sums and counts are
+# both BIGINT, all nonnegative).
+#
+# Scale design: both "first event" reductions are map-side-combinable
+# min-aggregates; the purchase-after-view condition is an equi join on
+# user_id with a range predicate (never a cross product); the final
+# histogram is a 5-row aggregate. One shuffle on user_id end to end.
+# ---------------------------------------------------------------------------
+@register(
+    "q181_time_to_convert",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    conv AS (
+      SELECT v.user_id, MIN(e.ts) AS t1, ANY_VALUE(v.t0) AS t0
+      FROM v JOIN events e ON e.user_id = v.user_id
+        AND e.event_type = 'purchase' AND e.ts > v.t0
+      GROUP BY v.user_id),
+    lat AS (
+      SELECT user_id,
+        (epoch_us(t1) - epoch_us(t0)) // 1000000 AS sec
+      FROM conv),
+    conv_b AS (
+      SELECT CASE WHEN sec < 3600 THEN '0_lt_1h'
+                  WHEN sec < 86400 THEN '1_lt_1d'
+                  WHEN sec < 604800 THEN '2_lt_1w'
+                  ELSE '3_gte_1w' END AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_users,
+        CAST(SUM(sec) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+          AS avg_latency_sec
+      FROM lat GROUP BY 1),
+    nc AS (
+      SELECT '4_no_convert' AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_users,
+        CAST(-1 AS BIGINT) AS avg_latency_sec
+      FROM v WHERE user_id NOT IN (SELECT user_id FROM conv))
+    SELECT * FROM conv_b UNION ALL SELECT * FROM nc
+    ORDER BY bucket
+    """,
+)
+def q181_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    conv = (
+        v.join(p, "user_id")
+        .where(F.col("pts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("t1"), F.first("t0").alias("t0"))
+    )
+    lat = conv.select(
+        "user_id",
+        ((F.unix_micros("t1") - F.unix_micros("t0")) / 1000000)
+        .cast("long")
+        .alias("sec"),
+    )
+    conv_b = (
+        lat.select(
+            F.when(F.col("sec") < 3600, "0_lt_1h")
+            .when(F.col("sec") < 86400, "1_lt_1d")
+            .when(F.col("sec") < 604800, "2_lt_1w")
+            .otherwise("3_gte_1w")
+            .alias("bucket"),
+            "sec",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.expr("CAST(sum(sec) AS BIGINT) div count(*)").alias(
+                "avg_latency_sec"
+            ),
+        )
+    )
+    nc = (
+        v.join(conv.select("user_id"), "user_id", "left_anti")
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            F.lit("4_no_convert").alias("bucket"),
+            "n_users",
+            F.lit(-1).cast("long").alias("avg_latency_sec"),
+        )
+    )
+    return conv_b.unionAll(nc).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# Q182b/Q183 — classical time-series decomposition (trend + daily
+# seasonal + remainder) of the hourly event-count series: trend is a
+# centered 24h moving average (ROWS [-11, +12] — partial at the series
+# edges, same frame both engines), seasonal is the per-hour-of-day
+# mean of the detrended series, remainder is what's left. The fit
+# metric — how much of the detrended variation the seasonal component
+# absorbs, in permille of absolute mass — is what an anomaly pipeline
+# checks before trusting the seasonal baseline (q143's rolling
+# detector assumes one exists; this entry MEASURES it). Every mean is
+# floor(sum/count) in double (exact at these magnitudes) because
+# detrended values go negative — the one place truncating integer
+# division would diverge between engines.
+#
+# Scale design: the raw scan collapses to hour grain first (720 rows
+# for a month — bounded by the CALENDAR, not the data), the spine
+# gap-fills missing hours with real zeros, and every window runs over
+# that bounded series; the seasonal join is a 24-row broadcast.
+# ---------------------------------------------------------------------------
+@register(
+    "q183_timeseries_decompose",
+    oracle="""
+    WITH hr AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hr),
+    spine AS (
+      SELECT unnest(generate_series(h0, h1)) AS h FROM bounds),
+    series AS (
+      SELECT s.h, COALESCE(hr.n, 0) AS n
+      FROM spine s LEFT JOIN hr ON hr.h = s.h),
+    tr AS (
+      SELECT h, n,
+        CAST(floor(
+          CAST(SUM(n) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE)
+        ) AS BIGINT) AS trend
+      FROM series
+      WINDOW w AS (ORDER BY h ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
+    det AS (SELECT h, n, trend, n - trend AS detrended FROM tr),
+    seas AS (
+      SELECT h % 24 AS hod,
+        CAST(COUNT(*) AS BIGINT) AS n_obs,
+        CAST(floor(CAST(SUM(detrended) AS DOUBLE) / COUNT(*)) AS BIGINT)
+          AS seasonal
+      FROM det GROUP BY h % 24),
+    rem AS (
+      SELECT d.h, d.detrended, d.detrended - s.seasonal AS remainder
+      FROM det d JOIN seas s ON s.hod = d.h % 24),
+    fit AS (
+      SELECT CAST(SUM(abs(detrended)) AS BIGINT) AS mass_detrended,
+        CAST(SUM(abs(remainder)) AS BIGINT) AS mass_remainder
+      FROM rem)
+    SELECT s.hod, s.n_obs, s.seasonal,
+      f.mass_detrended, f.mass_remainder,
+      1000 - f.mass_remainder * 1000 // f.mass_detrended AS fit_permille
+    FROM seas s CROSS JOIN fit f
+    ORDER BY s.hod
+    """,
+)
+def q183_timeseries_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hr = ev.groupBy(
+        (F.unix_micros("ts") / 3600000000).cast("long").alias("h")
+    ).agg(F.count("*").alias("n"))
+    bounds = hr.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(F.explode(F.sequence("h0", "h1")).alias("h"))
+    series = spine.join(hr, "h", "left").select(
+        "h", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w = Window.orderBy("h").rowsBetween(-11, 12)
+    tr = series.withColumn(
+        "trend",
+        F.floor(
+            F.sum("n").over(w).cast("double") / F.count("*").over(w)
+        ).cast("long"),
+    )
+    det = tr.withColumn("detrended", F.col("n") - F.col("trend"))
+    seas = det.groupBy((F.col("h") % 24).alias("hod")).agg(
+        F.count("*").alias("n_obs"),
+        F.floor(
+            F.sum("detrended").cast("double") / F.count("*")
+        ).cast("long").alias("seasonal"),
+    )
+    rem = det.withColumn("hod", F.col("h") % 24).join(
+        F.broadcast(seas.select("hod", "seasonal")), "hod"
+    ).select(
+        "detrended",
+        (F.col("detrended") - F.col("seasonal")).alias("remainder"),
+    )
+    fit = rem.agg(
+        F.sum(F.abs("detrended")).alias("mass_detrended"),
+        F.sum(F.abs("remainder")).alias("mass_remainder"),
+    )
+    return (
+        seas.crossJoin(F.broadcast(fit))
+        .select(
+            "hod",
+            "n_obs",
+            "seasonal",
+            "mass_detrended",
+            "mass_remainder",
+            F.expr(
+                "1000 - mass_remainder * 1000 div mass_detrended"
+            ).alias("fit_permille"),
+        )
+        .orderBy("hod")
+    )

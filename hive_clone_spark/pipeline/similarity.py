@@ -726,3 +726,100 @@ def p_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining: for each anchor vector, the 3 most-similar
+# vectors of a DIFFERENT label (the negatives that sit closest to the
+# decision boundary — what contrastive embedding training pairs with
+# each anchor), plus the margin to the anchor's best same-label
+# positive. A negative with positive margin (closer than the best
+# positive) is the signal the curriculum wants first.
+#
+# Scale design: anchors are a fixed tiny set (broadcast side), the
+# corpus scan computes one cosine per (anchor, vector) — the
+# p_knn_bruteforce shape — and the label split happens in the same
+# pass (conditional aggregates + per-anchor window), so mining costs
+# exactly one corpus scan regardless of how many negatives are kept.
+# Margins subtract two independently-6dp-rounded cosines, so both
+# engines do identical double arithmetic.
+# ---------------------------------------------------------------------------
+@register(
+    "p_hard_negatives",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+        c.vec_id AS neighbor_id, c.label AS neighbor_label,
+        ROUND({sql_cosine("q.embedding", "c.embedding")}, 6) AS cosine
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id),
+    pos AS (
+      SELECT anchor_id, MAX(cosine) AS best_pos
+      FROM pairs WHERE neighbor_label = anchor_label
+      GROUP BY anchor_id),
+    neg AS (
+      SELECT anchor_id, neighbor_id, cosine,
+        ROW_NUMBER() OVER (PARTITION BY anchor_id
+          ORDER BY cosine DESC, neighbor_id) AS neg_rank
+      FROM pairs WHERE neighbor_label <> anchor_label)
+    SELECT n.anchor_id, CAST(n.neg_rank AS INT) AS neg_rank,
+      n.neighbor_id, n.cosine AS neg_cosine,
+      p.best_pos AS best_pos_cosine,
+      p.best_pos - n.cosine AS margin,
+      n.cosine > p.best_pos AS boundary_violation
+    FROM neg n JOIN pos p ON p.anchor_id = n.anchor_id
+    WHERE n.neg_rank <= 3
+    ORDER BY n.anchor_id, n.neg_rank
+    """,
+)
+def p_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("qe"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("ce"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(cosine_col(F.col("qe"), F.col("ce")), 6).alias("cosine"),
+        )
+    )
+    pos = (
+        pairs.where(F.col("neighbor_label") == F.col("anchor_label"))
+        .groupBy("anchor_id")
+        .agg(F.max("cosine").alias("best_pos"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), "neighbor_id"
+    )
+    neg = (
+        pairs.where(F.col("neighbor_label") != F.col("anchor_label"))
+        .withColumn("neg_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("neg_rank") <= 3)
+    )
+    return (
+        neg.join(F.broadcast(pos), "anchor_id")
+        .select(
+            "anchor_id",
+            "neg_rank",
+            "neighbor_id",
+            F.col("cosine").alias("neg_cosine"),
+            F.col("best_pos").alias("best_pos_cosine"),
+            (F.col("best_pos") - F.col("cosine")).alias("margin"),
+            (F.col("cosine") > F.col("best_pos")).alias(
+                "boundary_violation"
+            ),
+        )
+        .orderBy("anchor_id", "neg_rank")
+    )

@@ -1269,3 +1269,133 @@ def q167_bloom_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_key BIGINT, present BOOLEAN, files_minmax BIGINT, "
         "files_bloom BIGINT, n_found BIGINT",
     ).orderBy("probe_key")
+
+
+# ---------------------------------------------------------------------------
+# Q182 — CSV dialect sniffing: three raw text files land with unknown
+# dialects (comma + header / semicolon / tab); the sniffer reads them
+# as PLAIN LINES and infers delimiter and header purely from content —
+# a candidate delimiter wins iff it splits every line into the same
+# field count > 1 (ties broken by candidate order), and a header is
+# declared iff exactly one line has a non-numeric first field. This is
+# the inference step real lake ingestion runs BEFORE q62's typed read
+# can even be configured.
+#
+# Scale design: the score is one pass over lines — per (line,
+# candidate) a split + size, then a map-side-combinable (file,
+# candidate) aggregate of min/max/count; nothing ever materializes
+# parsed fields. The 4-candidate explode is a constant fan-out, and at
+# 100 TB the sniff would run on a head sample per file — the plan
+# shape (aggregate over a line scan) is already that.
+# ---------------------------------------------------------------------------
+_DIALECTS = [("comma", ","), ("semicolon", ";"), ("tab", "\t"), ("pipe", "|")]
+
+
+@register(
+    "q182_csv_dialect_sniff",
+    oracle="""
+    WITH src AS (
+      SELECT 'comma' AS file_tag,
+        CAST(n_nationkey AS VARCHAR) || ',' || n_name || ',' || r_name
+          AS line
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      UNION ALL
+      SELECT 'comma', 'id,name,region'
+      UNION ALL
+      SELECT 'semicolon',
+        CAST(n_nationkey AS VARCHAR) || ';' || n_name || ';' || r_name
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      UNION ALL
+      SELECT 'tab',
+        CAST(n_nationkey AS VARCHAR) || chr(9) || n_name || chr(9) || r_name
+      FROM nation JOIN region ON n_regionkey = r_regionkey),
+    cand(delim_name, delim, ord) AS (VALUES
+      ('comma', ',', 1), ('semicolon', ';', 2),
+      ('tab', chr(9), 3), ('pipe', '|', 4)),
+    scored AS (
+      SELECT s.file_tag, c.delim_name, c.ord,
+        MIN(len(str_split(s.line, c.delim))) AS min_f,
+        MAX(len(str_split(s.line, c.delim))) AS max_f,
+        CAST(COUNT(*) AS BIGINT) AS n_lines,
+        CAST(SUM(CASE WHEN NOT regexp_matches(
+            str_split(s.line, c.delim)[1], '^[0-9]+$')
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_nonnum_first
+      FROM src s CROSS JOIN cand c
+      GROUP BY s.file_tag, c.delim_name, c.ord),
+    ok AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY file_tag
+          ORDER BY ord) AS rk
+      FROM scored WHERE min_f = max_f AND min_f > 1)
+    SELECT file_tag, delim_name AS detected_delim,
+      CAST(min_f AS BIGINT) AS n_fields, n_lines,
+      n_nonnum_first = 1 AS has_header
+    FROM ok WHERE rk = 1
+    ORDER BY file_tag
+    """,
+)
+def q182_csv_dialect_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    base = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+
+    dest = _warehouse(sf_dir, "q182_sniff")
+    for tag, delim in _DIALECTS[:3]:
+        lines = base.select(
+            F.concat_ws(
+                delim, F.col("n_nationkey").cast("string"), "n_name", "r_name"
+            ).alias("value")
+        )
+        if tag == "comma":
+            lines = lines.unionAll(
+                spark.createDataFrame([("id,name,region",)], "value STRING")
+            )
+        lines.coalesce(1).write.mode("overwrite").text(
+            os.path.join(dest, tag)
+        )
+
+    parts = [
+        spark.read.text(os.path.join(dest, tag)).select(
+            F.lit(tag).alias("file_tag"), "value"
+        )
+        for tag, _ in _DIALECTS[:3]
+    ]
+    src = parts[0].unionAll(parts[1]).unionAll(parts[2])
+
+    import re as _re
+
+    scored = None
+    for name, d, ord_ in [
+        (nm, dd, i + 1) for i, (nm, dd) in enumerate(_DIALECTS)
+    ]:
+        fields = F.split(F.col("value"), _re.escape(d), -1)
+        s = src.select(
+            "file_tag",
+            F.lit(name).alias("delim_name"),
+            F.lit(ord_).alias("ord"),
+            F.size(fields).alias("nf"),
+            F.element_at(fields, 1).alias("f1"),
+        ).groupBy("file_tag", "delim_name", "ord").agg(
+            F.min("nf").alias("min_f"),
+            F.max("nf").alias("max_f"),
+            F.count("*").alias("n_lines"),
+            F.sum(
+                F.when(~F.col("f1").rlike("^[0-9]+$"), 1).otherwise(0)
+            ).cast("long").alias("n_nonnum_first"),
+        )
+        scored = s if scored is None else scored.unionAll(s)
+
+    w = Window.partitionBy("file_tag").orderBy("ord")
+    ok = (
+        scored.where((F.col("min_f") == F.col("max_f")) & (F.col("min_f") > 1))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+    )
+    return ok.select(
+        "file_tag",
+        F.col("delim_name").alias("detected_delim"),
+        F.col("min_f").cast("long").alias("n_fields"),
+        "n_lines",
+        (F.col("n_nonnum_first") == 1).alias("has_header"),
+    ).orderBy("file_tag")

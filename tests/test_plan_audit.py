@@ -85,6 +85,8 @@ NESTEDLOOP_OK = {
     # target dims in theta joins (q157 pattern, grouped)
     "p_word_dispersion",  # 1-row corpus-size crossJoin (q44 pattern)
     "q178_encoding_advisor",  # 1-row moment-aggregate crossJoin (q44 pattern)
+    "p_hard_negatives",  # 5-anchor broadcast theta join (p_knn_bruteforce)
+    "q183_timeseries_decompose",  # 1-row fit-mass crossJoin (q44 pattern)
 }
 
 # Queries whose unpartitioned Window is the intended plan: the window
