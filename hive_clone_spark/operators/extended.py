@@ -5696,3 +5696,157 @@ def q183_timeseries_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hod")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q185 — VARIANT semi-structured access (Spark 4's open-variant
+# type, the engine-native answer to "JSON columns without a schema"):
+# nested JSON built from row columns is parsed ONCE into a VARIANT
+# (binary-encoded, no re-tokenizing per access), then read back with
+# typed `variant_get` paths — object fields, nested objects, and an
+# array index — plus a `schema_of_variant` census proving the encoded
+# type structure is uniform. Because the JSON is constructed from the
+# source columns, every extraction has ground truth: the oracle
+# recomputes the same values from the raw columns via DuckDB's JSON
+# ops on the props string, so a VARIANT path bug (wrong index base,
+# lossy narrowing) breaks the hash.
+#
+# Scale design: parse_json is a scan-stage expression (one binary
+# encode per row, no shuffle); every variant_get is a codegen
+# expression over that binary — the entire plan up to the final
+# aggregate is one narrow projection. At 100 TB VARIANT's win is
+# exactly this: parse cost paid once per row, never per path access.
+# ---------------------------------------------------------------------------
+@register(
+    "q185_variant_access",
+    oracle="""
+    WITH t AS (
+      SELECT event_type,
+        CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        user_id % 7 AS tag
+      FROM events)
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(k) AS BIGINT) AS sum_k,
+      CAST(SUM(CASE WHEN tag = user_id_mod THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_arr_match,
+      CAST(COUNT(DISTINCT schema_str) AS BIGINT) AS n_schemas
+    FROM (
+      SELECT event_type, k, tag, tag AS user_id_mod,
+        'OBJECT<meta: OBJECT<k: BIGINT, type: STRING>, '
+        || 'user: OBJECT<id: BIGINT>, vals: ARRAY<BIGINT>>' AS schema_str
+      FROM t)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q185_variant_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    js = F.concat(
+        F.lit('{"meta":{"k":'),
+        k.cast("string"),
+        F.lit(',"type":"'),
+        F.col("event_type"),
+        F.lit('"},"user":{"id":'),
+        F.col("user_id").cast("string"),
+        F.lit('},"vals":['),
+        k.cast("string"),
+        F.lit(","),
+        (F.col("user_id") % 7).cast("string"),
+        F.lit("]}"),
+    )
+    v = ev.select(
+        "event_type",
+        (F.col("user_id") % 7).alias("tag"),
+        F.parse_json(js).alias("v"),
+    )
+    got = v.select(
+        "event_type",
+        "tag",
+        F.expr("variant_get(v, '$.meta.k', 'bigint')").alias("k"),
+        F.expr("variant_get(v, '$.vals[1]', 'bigint')").alias("arr1"),
+        F.expr("schema_of_variant(v)").alias("schema_str"),
+    )
+    return (
+        got.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.sum(
+                F.when(F.col("arr1") == F.col("tag"), 1).otherwise(0)
+            ).cast("long").alias("n_arr_match"),
+            F.countDistinct("schema_str").alias("n_schemas"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q186 — trending leaderboard with rank deltas: weekly top-5 users by
+# event volume, each carrying its movement against the PREVIOUS
+# week's leaderboard (climbed/fell/new) — the "trending" surface a
+# product dashboard serves, and the canonical rank-join shape: rank
+# within period, then self-join period k against period k-1 on the
+# entity. Week = absolute epoch-week index (integer division of epoch
+# days), so the period key is engine-independent.
+#
+# Scale design: the per-(week, user) count is map-side combinable;
+# ranking partitions by week (bounded parallelism = #periods, each
+# partition ranks only its own aggregates, never raw events); the
+# delta join meets two already-tiny leaderboards on (week-1, user).
+# Nothing global, nothing quadratic.
+# ---------------------------------------------------------------------------
+@register(
+    "q186_trending_rank_delta",
+    oracle="""
+    WITH wk AS (
+      SELECT epoch_us(ts) // 1000000 // 86400 // 7 AS week, user_id,
+        CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2),
+    rk AS (
+      SELECT week, user_id, n_events,
+        CAST(ROW_NUMBER() OVER (PARTITION BY week
+          ORDER BY n_events DESC, user_id) AS BIGINT) AS rnk
+      FROM wk),
+    top AS (SELECT * FROM rk WHERE rnk <= 5)
+    SELECT t.week, t.rnk AS rank, t.user_id, t.n_events,
+      p.rnk AS prev_rank,
+      COALESCE(p.rnk - t.rnk, 0) AS delta,
+      p.rnk IS NULL AS is_new
+    FROM top t
+    LEFT JOIN rk p ON p.week = t.week - 1 AND p.user_id = t.user_id
+    ORDER BY t.week, t.rnk
+    """,
+)
+def q186_trending_rank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        (F.unix_micros("ts") / 1000000 / 86400 / 7)
+        .cast("long")
+        .alias("week"),
+        "user_id",
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy("week").orderBy(F.desc("n_events"), "user_id")
+    rk = wk.withColumn("rnk", F.row_number().over(w).cast("long"))
+    top = rk.where(F.col("rnk") <= 5)
+    prev = rk.select(
+        (F.col("week") + 1).alias("week"),
+        F.col("user_id"),
+        F.col("rnk").alias("prev_rank"),
+    )
+    return (
+        top.join(prev, ["week", "user_id"], "left")
+        .select(
+            "week",
+            F.col("rnk").alias("rank"),
+            "user_id",
+            "n_events",
+            "prev_rank",
+            F.coalesce(
+                F.col("prev_rank") - F.col("rnk"), F.lit(0)
+            ).alias("delta"),
+            F.col("prev_rank").isNull().alias("is_new"),
+        )
+        .orderBy("week", "rank")
+    )

@@ -2524,3 +2524,151 @@ def q170_gdpr_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prevacuum_unreachable BOOLEAN, files_reaped BIGINT, "
         "rows_after BIGINT",
     )
+
+
+# ---------------------------------------------------------------------------
+# Q187 — streaming MERGE (CDC apply) into the commit log: a multi-
+# batch event stream upserts a per-user profile table via foreachBatch
+# — existing users accumulate counts and roll their last-event field
+# forward, new users insert — with one idempotent transactional commit
+# per micro-batch (q128's exactly-once txn contract) and a full
+# redelivery pass proving replays no-op. This is the lakehouse
+# "streaming upsert" pattern (Delta's foreachBatch-MERGE): q128 showed
+# exactly-once APPEND; this shows exactly-once STATE.
+#
+# Determinism under real multi-batch (events staged to 4 files,
+# maxFilesPerTrigger=1, so batch boundaries are engine-chosen): the
+# merged state is ORDER-INDEPENDENT — counts are associative sums and
+# last-event is an argmax over the totally-ordered (ts_us, event_id)
+# struct (greatest() is associative and commutative) — the q138
+# lesson applied to MERGE. The oracle computes the same final state
+# from the raw events in one shot.
+#
+# Scale design: each batch aggregates to per-user grain BEFORE
+# touching the table (map-side combinable), and the upsert is a
+# full-outer join of two keyed aggregates. The rewrite here is
+# copy-on-write of the whole profile table per batch — at 100 TB the
+# rewrite set narrows to the stats-affected files exactly as q126
+# does batch-side; the commit protocol (stage, idempotent txn,
+# remove+add) is unchanged.
+# ---------------------------------------------------------------------------
+@register(
+    "q187_stream_cdc_upsert",
+    oracle="""
+    WITH sel AS (
+      SELECT user_id, event_type,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events),
+    last AS (
+      SELECT user_id, event_type AS last_type FROM sel WHERE rn = 1),
+    cnt AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id)
+    SELECT l.last_type,
+      CAST(COUNT(*) AS BIGINT) AS n_users,
+      CAST(SUM(c.n_events) AS BIGINT) AS sum_events,
+      CAST(4 AS BIGINT) AS n_versions,
+      TRUE AS redelivery_skipped
+    FROM last l JOIN cnt c ON c.user_id = l.user_id
+    GROUP BY l.last_type
+    ORDER BY l.last_type
+    """,
+)
+def q187_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hive_clone_spark.catalog import table as _table
+    from hive_clone_spark.streaming.streams import EVENTS_SCHEMA
+
+    # stage the events into 4 files -> a genuine 4-batch stream
+    staged = _warehouse_dir(sf_dir, "cdc_q187_src")
+    _table(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(staged)
+
+    tl = TxLog(_warehouse_dir(sf_dir, "txlog_q187")).create()
+    ckpt = _warehouse_dir(sf_dir, "txlog_q187_ckpt")
+    delivered: list[int] = []
+
+    def batch_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.max(
+                F.struct(
+                    F.unix_micros("ts").alias("ts_us"),
+                    F.col("event_id").alias("eid"),
+                    F.col("event_type").alias("etype"),
+                )
+            ).alias("last"),
+        )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        txn = f"q187-{batch_id}"
+        if tl.txn_applied(txn):
+            return
+        b = batch_agg(batch_df)
+        if tl.active_files():
+            cur = tl.read(spark).select(
+                F.col("user_id"),
+                F.col("n_events").alias("cur_n"),
+                F.col("last").alias("cur_last"),
+            )
+            merged = cur.join(b, "user_id", "full_outer").select(
+                "user_id",
+                (
+                    F.coalesce("cur_n", F.lit(0))
+                    + F.coalesce("n_events", F.lit(0))
+                ).alias("n_events"),
+                F.greatest("cur_last", "last").alias("last"),
+            )
+            removes = tl.active_files()
+        else:
+            merged, removes = b, []
+        tl.commit_idempotent(
+            txn, "stream-merge", add=tl.stage_data(merged, 2),
+            remove=removes,
+        )
+        delivered.append(batch_id)
+
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(staged, "*.parquet"))
+    )
+    q = (
+        src.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+
+    versions_after_drain = tl.latest_version() + 1
+    snapshot = tl.read(spark)
+    for batch_id in delivered:  # full redelivery: every txn must no-op
+        tl.commit_idempotent(
+            f"q187-{batch_id}", "stream-merge",
+            add=tl.stage_data(snapshot, 1),
+        )
+    skipped = tl.latest_version() + 1 == versions_after_drain
+
+    back = tl.read(spark)
+    return (
+        back.select(
+            F.col("last.etype").alias("last_type"), F.col("n_events")
+        )
+        .groupBy("last_type")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("n_events").cast("long").alias("sum_events"),
+        )
+        .select(
+            "last_type",
+            "n_users",
+            "sum_events",
+            F.lit(versions_after_drain).cast("long").alias("n_versions"),
+            F.lit(bool(skipped)).alias("redelivery_skipped"),
+        )
+        .orderBy("last_type")
+    )

@@ -349,3 +349,65 @@ def q142_catalog_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q184: SQL scalar UDFs — the HiveQL "CREATE FUNCTION" surface done
+# the Spark-4 way: `CREATE OR REPLACE TEMPORARY FUNCTION ... RETURNS
+# ... RETURN <expr>` declares the function IN SQL, so Catalyst
+# INLINES the body into the calling plan (constant-foldable,
+# pushdown-transparent, whole-stage-codegen — the plan audit's
+# no-BatchEvalPython gate proves no Python boundary exists). This is
+# the porting path for a warehouse's UDF library: row-at-a-time Hive
+# UDFs become declarative expressions, not py4j calls.
+#
+# Two functions compose (band uses tier's output), and the query uses
+# them in SELECT, WHERE and GROUP BY positions — the three call sites
+# a migration actually hits. Idempotent under the driver's long-lived
+# session (OR REPLACE, session-scoped temporaries).
+# ---------------------------------------------------------------------------
+@register(
+    "q184_sql_scalar_udf",
+    oracle="""
+    WITH t AS (
+      SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                  WHEN o_totalprice < 200000 THEN 'medium'
+                  ELSE 'large' END AS band,
+        CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 'expedited' ELSE 'standard' END AS tier,
+        o_totalprice
+      FROM orders)
+    SELECT band, tier,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM t WHERE band <> 'small' OR tier = 'expedited'
+    GROUP BY band, tier
+    ORDER BY band, tier
+    """,
+)
+def q184_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_band(x DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN x < 50000 THEN 'small' "
+        "WHEN x < 200000 THEN 'medium' ELSE 'large' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION ship_tier(p STRING) "
+        "RETURNS STRING RETURN CASE WHEN p IN ('1-URGENT', '2-HIGH') "
+        "THEN 'expedited' ELSE 'standard' END"
+    )
+    return spark.sql(
+        """
+        SELECT price_band(o_totalprice) AS band,
+          ship_tier(o_orderpriority) AS tier,
+          CAST(COUNT(*) AS BIGINT) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS revenue
+        FROM orders
+        WHERE price_band(o_totalprice) <> 'small'
+           OR ship_tier(o_orderpriority) = 'expedited'
+        GROUP BY price_band(o_totalprice), ship_tier(o_orderpriority)
+        ORDER BY band, tier
+        """
+    )
