@@ -5850,3 +5850,213 @@ def q186_trending_rank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q188 — robust outlier detection via MAD (median absolute
+# deviation): per market segment, flag customers whose balance sits
+# more than 3 scaled-MADs from the segment median — the robust
+# alternative to q143's z-score (one whale cannot drag the fence,
+# because medians don't average). Balances are lifted to integer
+# cents first so the only doubles are the two median interpolations,
+# computed as exact .5 midpoints of integers — identical in Spark's
+# median() and DuckDB's quantile_cont() (DuckDB's plain median() on
+# DECIMAL returns the LOWER median, a measured cross-engine trap).
+# The fence is 1.8 MADs, cross-multiplied to the integer 18000/10000
+# so no engine rounds a constant differently: the generator's
+# balances are UNIFORM, where the Gaussian-consistent 3*1.4826 fence
+# sits beyond the maximum possible deviation (2 MADs) and flags
+# nothing — 1.8 keeps the detector exercised (~10% tail) while still
+# demonstrating the robust-fence shape.
+#
+# Scale design: two grouped exact medians = two shuffles on the same
+# segment key (the second reuses the first's partitioning); the fence
+# test is a broadcast join of 5 segment rows back to the scan. At
+# 100 TB the medians would come from q172's mergeable sketches — the
+# exact form here is the oracle-checkable ground truth for them.
+# ---------------------------------------------------------------------------
+@register(
+    "q188_grouped_mad_outliers",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment AS seg,
+        CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer),
+    med AS (
+      SELECT seg, quantile_cont(CAST(cents AS DOUBLE), 0.5) AS m
+      FROM c GROUP BY seg),
+    dev AS (
+      SELECT c.seg, c.cents, abs(CAST(c.cents AS DOUBLE) - med.m) AS d,
+        med.m
+      FROM c JOIN med ON med.seg = c.seg),
+    mad AS (
+      SELECT seg, quantile_cont(d, 0.5) AS mad_v FROM dev GROUP BY seg)
+    SELECT d.seg,
+      CAST(COUNT(*) AS BIGINT) AS n_customers,
+      ROUND(ANY_VALUE(d.m), 6) AS median_cents,
+      ROUND(ANY_VALUE(mad.mad_v), 6) AS mad_cents,
+      CAST(SUM(CASE WHEN d.d * 10000 > 18000 * mad.mad_v
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad ON mad.seg = d.seg
+    GROUP BY d.seg
+    ORDER BY d.seg
+    """,
+)
+def q188_grouped_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    med = c.groupBy("seg").agg(
+        F.median(F.col("cents").cast("double")).alias("m")
+    )
+    dev = c.join(F.broadcast(med), "seg").select(
+        "seg",
+        "cents",
+        "m",
+        F.abs(F.col("cents").cast("double") - F.col("m")).alias("d"),
+    )
+    mad = dev.groupBy("seg").agg(F.median("d").alias("mad_v"))
+    return (
+        dev.join(F.broadcast(mad), "seg")
+        .groupBy("seg")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.first("m"), 6).alias("median_cents"),
+            F.round(F.first("mad_v"), 6).alias("mad_cents"),
+            F.sum(
+                F.when(
+                    F.col("d") * 10000 > 18000 * F.col("mad_v"), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+        .orderBy("seg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q189 — Holt-Winters forecast + backtest: additive triple exponential
+# smoothing (level/trend/24h season, alpha .3 / beta .1 / gamma .2)
+# over the gap-filled hourly event series, trained on everything but
+# the last day, forecasting the 24 held-out hours, scored by MAE.
+# The recurrence is inherently sequential, but the SERIES is
+# calendar-bounded (~720 rows for a month regardless of data volume —
+# the q183 reduction), so the sequential part walks a driver-side
+# array the same way SSSP walks its schema-bounded graph; everything
+# before (the reduction) and after (rounding, MAE) stays in the plan.
+# The oracle replays the identical recurrence as a recursive CTE
+# whose state row carries (level, trend, season-list[24]) — same
+# IEEE double ops in the same order, so forecasts hash-match without
+# any tolerance. Per-hour errors are rounded to 6dp and summed
+# through DECIMAL before the MAE division (the no-raw-double-sums
+# invariant).
+#
+# Init is pinned: level = mean of the first 24 hours, trend = 0,
+# season[j] = x_j - level — deterministic, SQL-expressible, and the
+# one part of HW every textbook leaves implementation-defined.
+# ---------------------------------------------------------------------------
+_HW_A, _HW_B, _HW_G = 0.3, 0.1, 0.2
+
+
+@register(
+    "q189_holt_winters",
+    oracle=f"""
+    WITH RECURSIVE hr AS (
+      SELECT epoch_us(ts) // 3600000000 AS h, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hr),
+    spine AS (SELECT unnest(generate_series(h0, h1)) AS h FROM bounds),
+    series AS (
+      SELECT s.h - b.h0 AS t, COALESCE(hr.n, 0) AS n
+      FROM spine s CROSS JOIN bounds b LEFT JOIN hr ON hr.h = s.h),
+    tt AS (SELECT MAX(t) + 1 AS total FROM series),
+    init AS (
+      SELECT CAST(23 AS BIGINT) AS t,
+        (SELECT SUM(n) FROM series WHERE t < 24) / 24.0 AS l,
+        CAST(0.0 AS DOUBLE) AS b,
+        (SELECT list(CAST(n AS DOUBLE)
+            - (SELECT SUM(n) FROM series WHERE t < 24) / 24.0
+            ORDER BY t)
+         FROM series WHERE t < 24) AS s,
+        (SELECT total - 24 FROM tt) AS tmax),
+    hw(t, l, b, s, tmax) AS (
+      SELECT * FROM init
+      UNION ALL
+      SELECT e.t,
+        {_HW_A} * (e.x - hw.s[1]) + {1 - _HW_A} * (hw.l + hw.b),
+        {_HW_B} * (({_HW_A} * (e.x - hw.s[1])
+            + {1 - _HW_A} * (hw.l + hw.b)) - hw.l) + {1 - _HW_B} * hw.b,
+        list_append(hw.s[2:24],
+          {_HW_G} * (e.x - ({_HW_A} * (e.x - hw.s[1])
+              + {1 - _HW_A} * (hw.l + hw.b))) + {1 - _HW_G} * hw.s[1]),
+        hw.tmax
+      FROM hw
+      JOIN (SELECT t, CAST(n AS DOUBLE) AS x FROM series) e
+        ON e.t = hw.t + 1
+      WHERE e.t < hw.tmax),
+    fin AS (SELECT * FROM hw ORDER BY t DESC LIMIT 1),
+    fc AS (
+      SELECT g.h, fin.l + g.h * fin.b + fin.s[g.h] AS f
+      FROM fin, unnest(generate_series(1, 24)) AS g(h)),
+    hold AS (
+      SELECT t - (tt.total - 24) + 1 AS h, n
+      FROM series CROSS JOIN tt WHERE t >= tt.total - 24),
+    errs AS (
+      SELECT hold.h, hold.n AS actual,
+        ROUND(fc.f, 6) AS forecast,
+        ROUND(abs(hold.n - fc.f), 6) AS abs_err
+      FROM hold JOIN fc ON fc.h = hold.h),
+    mae AS (
+      SELECT ROUND(
+        CAST(SUM(CAST(abs_err AS DECIMAL(18,6))) AS DOUBLE) / 24, 6)
+        AS mae FROM errs)
+    SELECT e.h, e.actual, e.forecast, e.abs_err, m.mae
+    FROM errs e CROSS JOIN mae m
+    ORDER BY e.h
+    """,
+)
+def q189_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hr = ev.groupBy(
+        (F.unix_micros("ts") / 3600000000).cast("long").alias("h")
+    ).agg(F.count("*").alias("n"))
+    bounds = hr.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(F.explode(F.sequence("h0", "h1")).alias("h"))
+    series = (
+        spine.join(hr, "h", "left")
+        .select("h", F.coalesce("n", F.lit(0)).alias("n"))
+        .orderBy("h")
+    )
+    # calendar-bounded collect (~720 rows/month): the sequential
+    # recurrence walks the reduced series, never raw events.
+    xs = [int(r["n"]) for r in series.collect()]
+    total = len(xs)
+    a, bcoef, g = _HW_A, _HW_B, _HW_G
+    l = sum(xs[:24]) / 24.0
+    b = 0.0
+    s = [float(x) - l for x in xs[:24]]
+    for t in range(24, total - 24):
+        x = float(xs[t])
+        l_new = a * (x - s[0]) + (1 - a) * (l + b)
+        b = bcoef * (l_new - l) + (1 - bcoef) * b
+        s = s[1:] + [g * (x - l_new) + (1 - g) * s[0]]
+        l = l_new
+    rows = [
+        (h, xs[total - 24 + h - 1], l + h * b + s[h - 1])
+        for h in range(1, 25)
+    ]
+    raw = spark.createDataFrame(rows, "h BIGINT, actual BIGINT, f DOUBLE")
+    errs = raw.select(
+        "h",
+        "actual",
+        F.round("f", 6).alias("forecast"),
+        F.round(F.abs(F.col("actual") - F.col("f")), 6).alias("abs_err"),
+    )
+    mae = errs.agg(
+        F.round(
+            F.sum(F.col("abs_err").cast("decimal(18,6)")).cast("double")
+            / 24,
+            6,
+        ).alias("mae")
+    )
+    return errs.crossJoin(F.broadcast(mae)).orderBy("h")

@@ -2036,3 +2036,134 @@ def p_word_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("burst_permille"), "word")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-1/2 recall (summarization-style eval): pair doc 2k (reference)
+# with doc 2k+1 (candidate) and score the candidate's CLIPPED n-gram
+# recall against the reference — per gram, credit is
+# min(count_ref, count_cand), the clipping that stops a candidate from
+# farming credit by repeating one overlapping word. Integer permille
+# everywhere; the eval-metrics companion to p_langid_confusion on the
+# text-generation axis.
+#
+# Scale design: gram counting is a map-side-combinable (pair, gram)
+# aggregate per side; the overlap is a LEFT join from reference grams
+# only (candidate-only grams can't contribute to recall, so they are
+# never shuffled into the join); unigrams and bigrams share one scan
+# each. Pairs are independent — the whole metric shards by pair id.
+# ---------------------------------------------------------------------------
+@register(
+    "p_rouge_pairs",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id // 2 AS pid, doc_id % 2 AS side, t.w AS g
+      FROM documents d, unnest({SQL_WORDS.format(expr="d.text")}) AS t(w)),
+    bi AS (
+      SELECT doc_id // 2 AS pid, doc_id % 2 AS side,
+        ws[i] || ' ' || ws[i + 1] AS g
+      FROM (SELECT doc_id, {SQL_WORDS.format(expr="text")} AS ws
+            FROM documents) d,
+        unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS t(i)),
+    ok_pid AS (
+      SELECT pid FROM (SELECT doc_id // 2 AS pid, COUNT(DISTINCT doc_id % 2) ns
+                       FROM documents GROUP BY 1) WHERE ns = 2),
+    uni AS (
+      SELECT r.pid,
+        CAST(SUM(r.n) AS BIGINT) AS n_ref,
+        CAST(SUM(LEAST(r.n, COALESCE(c.n, 0))) AS BIGINT) AS n_hit
+      FROM (SELECT pid, g, COUNT(*) AS n FROM w WHERE side = 0
+            GROUP BY pid, g) r
+      LEFT JOIN (SELECT pid, g, COUNT(*) AS n FROM w WHERE side = 1
+                 GROUP BY pid, g) c ON c.pid = r.pid AND c.g = r.g
+      GROUP BY r.pid),
+    big AS (
+      SELECT r.pid,
+        CAST(SUM(r.n) AS BIGINT) AS n_ref,
+        CAST(SUM(LEAST(r.n, COALESCE(c.n, 0))) AS BIGINT) AS n_hit
+      FROM (SELECT pid, g, COUNT(*) AS n FROM bi WHERE side = 0
+            GROUP BY pid, g) r
+      LEFT JOIN (SELECT pid, g, COUNT(*) AS n FROM bi WHERE side = 1
+                 GROUP BY pid, g) c ON c.pid = r.pid AND c.g = r.g
+      GROUP BY r.pid)
+    SELECT u.pid, u.n_ref AS n_ref_uni, u.n_hit AS n_hit_uni,
+      u.n_hit * 1000 // u.n_ref AS rouge1_permille,
+      b.n_ref AS n_ref_bi, b.n_hit AS n_hit_bi,
+      b.n_hit * 1000 // b.n_ref AS rouge2_permille
+    FROM uni u
+    JOIN big b ON b.pid = u.pid
+    JOIN ok_pid ON ok_pid.pid = u.pid
+    ORDER BY u.pid
+    """,
+)
+def p_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    ws = words_col(F.col("text"))
+    base = d.select(
+        (F.col("doc_id") / 2).cast("long").alias("pid"),
+        (F.col("doc_id") % 2).alias("side"),
+        ws.alias("ws"),
+    )
+    ok_pid = (
+        base.groupBy("pid")
+        .agg(F.countDistinct("side").alias("ns"))
+        .where(F.col("ns") == 2)
+        .select("pid")
+    )
+    uni_g = base.select("pid", "side", F.explode("ws").alias("g"))
+    bi_arr = F.expr(
+        "transform(sequence(1, greatest(size(ws) - 1, 0)), "
+        "i -> concat(ws[i - 1], ' ', ws[i]))"
+    )
+    bi_g = base.select("pid", "side", F.explode(bi_arr).alias("g"))
+
+    def recall(g):
+        r = (
+            g.where(F.col("side") == 0)
+            .groupBy("pid", "g")
+            .agg(F.count("*").alias("nr"))
+        )
+        c = (
+            g.where(F.col("side") == 1)
+            .groupBy("pid", "g")
+            .agg(F.count("*").alias("nc"))
+        )
+        return (
+            r.join(c, ["pid", "g"], "left")
+            .groupBy("pid")
+            .agg(
+                F.sum("nr").alias("n_ref"),
+                F.sum(
+                    F.least(F.col("nr"), F.coalesce("nc", F.lit(0)))
+                ).alias("n_hit"),
+            )
+        )
+
+    uni = recall(uni_g).select(
+        "pid",
+        F.col("n_ref").alias("n_ref_uni"),
+        F.col("n_hit").alias("n_hit_uni"),
+    )
+    big = recall(bi_g).select(
+        "pid",
+        F.col("n_ref").alias("n_ref_bi"),
+        F.col("n_hit").alias("n_hit_bi"),
+    )
+    return (
+        uni.join(big, "pid")
+        .join(ok_pid, "pid")
+        .select(
+            "pid",
+            "n_ref_uni",
+            "n_hit_uni",
+            F.expr("n_hit_uni * 1000 div n_ref_uni").alias(
+                "rouge1_permille"
+            ),
+            "n_ref_bi",
+            "n_hit_bi",
+            F.expr("n_hit_bi * 1000 div n_ref_bi").alias(
+                "rouge2_permille"
+            ),
+        )
+        .orderBy("pid")
+    )

@@ -87,6 +87,7 @@ NESTEDLOOP_OK = {
     "q178_encoding_advisor",  # 1-row moment-aggregate crossJoin (q44 pattern)
     "p_hard_negatives",  # 5-anchor broadcast theta join (p_knn_bruteforce)
     "q183_timeseries_decompose",  # 1-row fit-mass crossJoin (q44 pattern)
+    "q189_holt_winters",  # 1-row MAE crossJoin over 24 rows (q44 pattern)
 }
 
 # Queries whose unpartitioned Window is the intended plan: the window
