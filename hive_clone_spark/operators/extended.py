@@ -6060,3 +6060,383 @@ def q189_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mae")
     )
     return errs.crossJoin(F.broadcast(mae)).orderBy("h")
+
+
+# ---------------------------------------------------------------------------
+# Q190 — A/B experiment readout: users are assigned to control /
+# treatment by the portable hash (the same deterministic bucketing a
+# real experimentation platform uses, so assignment is reproducible
+# across engines and runs), the metric is FAST conversion — first
+# purchase within 24h of the user's first view (every user in this
+# generator eventually purchases, so plain conversion is vacuously
+# 100% in both arms; the latency-gated metric splits ~40/60) —
+# and significance is a chi-square independence test decided WITHOUT
+# floats: N*(ad-bc)^2 is compared cross-multiplied against the 3.841
+# critical value (95%, 1 dof) scaled by the margin product, all in
+# DECIMAL(38,0) — counts at 100 TB overflow int64 inside the squared
+# term, which is exactly the q149 lesson (wide-decimal moments,
+# narrow result).
+#
+# Scale design: per-user conversion flags are one map-side-combinable
+# aggregate; the 2x2 contingency table is 2 rows; everything after is
+# arithmetic on those 2 rows. Assignment-by-hash means no assignment
+# table exists to join — the experiment is stateless at any scale.
+# ---------------------------------------------------------------------------
+def _q190_oracle() -> str:
+    from hive_clone_spark.pipeline.common import sql_portable_hash
+
+    arm = f"CASE WHEN {sql_portable_hash('CAST(user_id AS VARCHAR)')} % 2 = 0 THEN 'control' ELSE 'treatment' END"
+    return f"""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    conv AS (
+      SELECT v.user_id, MIN(e.ts) AS t1, ANY_VALUE(v.t0) AS t0
+      FROM v JOIN events e ON e.user_id = v.user_id
+        AND e.event_type = 'purchase' AND e.ts > v.t0
+      GROUP BY v.user_id),
+    u AS (
+      SELECT v.user_id, {arm.replace('user_id', 'v.user_id')} AS arm,
+        CASE WHEN c.user_id IS NOT NULL
+          AND epoch_us(c.t1) - epoch_us(c.t0) < 86400000000
+          THEN 1 ELSE 0 END AS converted
+      FROM v LEFT JOIN conv c ON c.user_id = v.user_id),
+    t AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+        CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM u GROUP BY arm),
+    w AS (
+      SELECT
+        MAX(CASE WHEN arm = 'control' THEN n_converted END) AS a,
+        MAX(CASE WHEN arm = 'control' THEN n_users - n_converted END) AS b,
+        MAX(CASE WHEN arm = 'treatment' THEN n_converted END) AS c,
+        MAX(CASE WHEN arm = 'treatment' THEN n_users - n_converted END)
+          AS d
+      FROM t),
+    sig AS (
+      SELECT (CAST(a + b + c + d AS DECIMAL(38,0))
+          * CAST(a*d - b*c AS DECIMAL(38,0))
+          * CAST(a*d - b*c AS DECIMAL(38,0)) * 1000)
+        > (CAST(3841 AS DECIMAL(38,0)) * CAST(a + b AS DECIMAL(38,0))
+          * CAST(c + d AS DECIMAL(38,0)) * CAST(a + c AS DECIMAL(38,0))
+          * CAST(b + d AS DECIMAL(38,0))) AS significant
+      FROM w)
+    SELECT t.arm, t.n_users, t.n_converted,
+      t.n_converted * 1000 // t.n_users AS conv_permille,
+      s.significant
+    FROM t CROSS JOIN sig s
+    ORDER BY t.arm
+    """
+
+
+@register("q190_ab_experiment", oracle=_q190_oracle())
+def q190_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_clone_spark.pipeline.common import portable_hash
+
+    ev = table(spark, sf_dir, "events")
+    arm = F.when(
+        portable_hash(F.col("user_id").cast("string")) % 2 == 0, "control"
+    ).otherwise("treatment")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    conv = (
+        v.join(p, "user_id")
+        .where(F.col("pts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("t1"), F.first("t0").alias("ct0"))
+    )
+    u = (
+        v.join(conv, "user_id", "left")
+        .select(
+            "user_id",
+            arm.alias("arm"),
+            F.when(
+                F.col("t1").isNotNull()
+                & (
+                    F.unix_micros("t1") - F.unix_micros("ct0")
+                    < 86400000000
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("converted"),
+        )
+    )
+    t = u.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    w = t.agg(
+        F.max(F.when(F.col("arm") == "control", F.col("n_converted"))).alias("a"),
+        F.max(
+            F.when(
+                F.col("arm") == "control",
+                F.col("n_users") - F.col("n_converted"),
+            )
+        ).alias("b"),
+        F.max(
+            F.when(F.col("arm") == "treatment", F.col("n_converted"))
+        ).alias("c"),
+        F.max(
+            F.when(
+                F.col("arm") == "treatment",
+                F.col("n_users") - F.col("n_converted"),
+            )
+        ).alias("d"),
+    )
+    sig = w.select(
+        (
+            (
+                (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast(
+                    "decimal(38,0)"
+                )
+                * (F.col("a") * F.col("d") - F.col("b") * F.col("c")).cast(
+                    "decimal(38,0)"
+                )
+                * (F.col("a") * F.col("d") - F.col("b") * F.col("c")).cast(
+                    "decimal(38,0)"
+                )
+                * 1000
+            )
+            > (
+                F.lit(3841).cast("decimal(38,0)")
+                * (F.col("a") + F.col("b")).cast("decimal(38,0)")
+                * (F.col("c") + F.col("d")).cast("decimal(38,0)")
+                * (F.col("a") + F.col("c")).cast("decimal(38,0)")
+                * (F.col("b") + F.col("d")).cast("decimal(38,0)")
+            )
+        ).alias("significant")
+    )
+    return (
+        t.crossJoin(F.broadcast(sig))
+        .select(
+            "arm",
+            "n_users",
+            "n_converted",
+            F.expr("n_converted * 1000 div n_users").alias("conv_permille"),
+            "significant",
+        )
+        .orderBy("arm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q191 — interval union (active-time / SLA arithmetic): each order
+# opens an interval [orderdate, orderdate + 15 + orderkey % 45 days);
+# per customer, the TOTAL DISTINCT days covered — overlapping and
+# touching intervals merged first (the q46 gaps-and-islands shape
+# lifted from points to intervals: an island starts where an interval
+# begins past the running max of all previous ends), then summed.
+# Double-counting overlap is the classic bug this primitive exists to
+# avoid; cover_days < raw_days proves the merge did real work.
+#
+# Scale design: one shuffle on custkey covers both windows (running
+# max end, then island id); islands aggregate map-side. Interval
+# union is O(n log n) per key this way — never the O(n^2)
+# interval-vs-interval overlap join.
+# ---------------------------------------------------------------------------
+@register(
+    "q191_interval_union",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d0,
+        CAST(o_orderdate AS DATE) + CAST(15 + o_orderkey % 45 AS INTEGER)
+          AS d1,
+        o_orderkey AS ok
+      FROM orders),
+    m AS (
+      SELECT ck, d0, d1, ok,
+        MAX(d1) OVER (PARTITION BY ck ORDER BY d0, d1, ok
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM iv),
+    isl AS (
+      SELECT ck, d0, d1,
+        CAST(SUM(CASE WHEN prev_max IS NULL OR d0 > prev_max
+                 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY ck ORDER BY d0, d1, ok
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS island
+      FROM m),
+    merged AS (
+      SELECT ck, island,
+        MIN(d0) AS s, MAX(d1) AS e
+      FROM isl GROUP BY ck, island),
+    per AS (
+      SELECT ck,
+        CAST(SUM(date_diff('day', s, e)) AS BIGINT) AS cover_days,
+        CAST(COUNT(*) AS BIGINT) AS n_islands
+      FROM merged GROUP BY ck),
+    raw AS (
+      SELECT ck, CAST(SUM(date_diff('day', d0, d1)) AS BIGINT)
+        AS raw_days, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM iv GROUP BY ck)
+    SELECT p.ck AS custkey, r.n_orders, p.n_islands,
+      r.raw_days, p.cover_days,
+      (r.raw_days - p.cover_days) AS overlap_days
+    FROM per p JOIN raw r ON r.ck = p.ck
+    ORDER BY overlap_days DESC, custkey LIMIT 50
+    """,
+)
+def q191_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.to_date("o_orderdate").alias("d0"),
+        F.date_add(
+            F.to_date("o_orderdate"),
+            (F.lit(15) + F.col("o_orderkey") % 45).cast("int"),
+        ).alias("d1"),
+        F.col("o_orderkey").alias("ok"),
+    )
+    wprev = (
+        Window.partitionBy("ck")
+        .orderBy("d0", "d1", "ok")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = iv.withColumn("prev_max", F.max("d1").over(wprev))
+    # same TOTAL order as wprev so island assignment is deterministic
+    # even for duplicate (d0, d1) intervals of one customer
+    wrun = (
+        Window.partitionBy("ck")
+        .orderBy("d0", "d1", "ok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = m.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull()
+                | (F.col("d0") > F.col("prev_max")),
+                1,
+            ).otherwise(0)
+        ).over(wrun),
+    )
+    merged = isl.groupBy("ck", "island").agg(
+        F.min("d0").alias("s"), F.max("d1").alias("e")
+    )
+    per = merged.groupBy("ck").agg(
+        F.sum(F.datediff("e", "s")).cast("long").alias("cover_days"),
+        F.count("*").alias("n_islands"),
+    )
+    raw = iv.groupBy("ck").agg(
+        F.sum(F.datediff("d1", "d0")).cast("long").alias("raw_days"),
+        F.count("*").alias("n_orders"),
+    )
+    return (
+        per.join(raw, "ck")
+        .select(
+            F.col("ck").alias("custkey"),
+            "n_orders",
+            "n_islands",
+            "raw_days",
+            "cover_days",
+            (F.col("raw_days") - F.col("cover_days")).alias("overlap_days"),
+        )
+        .orderBy(F.desc("overlap_days"), "custkey")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q192 — survivorship (golden-record merge): after entity resolution
+# clusters duplicates (p_dedup_resolve's output shape; here the
+# cluster key is a deterministic mod so both engines see identical
+# clusters), MDM picks ONE value per field, each by its own rule:
+# canonical name = lexicographic min, balance = max, segment = mode
+# with lexicographic tie-break, nation = taken from the richest
+# member (an argmax-by-other-field rule — the struct-max idiom).
+# Conflict visibility (distinct segment count) rides along so data
+# stewards see what the merge hid.
+#
+# Scale design: one shuffle on the cluster key; mode is a two-level
+# map-side-combinable count + one row_number over per-cluster segment
+# counts (never raw members); the argmax is a single struct-max
+# aggregate. Every rule composes into the same grouped pass.
+# ---------------------------------------------------------------------------
+@register(
+    "q192_survivorship",
+    oracle="""
+    WITH m AS (
+      SELECT c_custkey % 50 AS cluster, c_custkey, c_name,
+        CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+        c_nationkey, c_mktsegment
+      FROM customer),
+    segc AS (
+      SELECT cluster, c_mktsegment,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        ROW_NUMBER() OVER (PARTITION BY cluster
+          ORDER BY COUNT(*) DESC, c_mktsegment) AS rk
+      FROM m GROUP BY cluster, c_mktsegment),
+    agg AS (
+      SELECT cluster,
+        CAST(COUNT(*) AS BIGINT) AS n_members,
+        MIN(c_name) AS survivor_name,
+        MAX(cents) AS best_balance_cents,
+        MAX(struct_pack(c := cents, k := c_custkey, n := c_nationkey))
+          AS rich,
+        CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+      FROM m GROUP BY cluster)
+    SELECT a.cluster, a.n_members, a.survivor_name,
+      a.best_balance_cents,
+      CAST(struct_extract(a.rich, 'n') AS BIGINT) AS nation_of_richest,
+      s.c_mktsegment AS segment_mode, a.n_segments
+    FROM agg a JOIN segc s ON s.cluster = a.cluster AND s.rk = 1
+    ORDER BY a.cluster
+    """,
+)
+def q192_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    m = c.select(
+        (F.col("c_custkey") % 50).alias("cluster"),
+        "c_custkey",
+        "c_name",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("cents"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    segc = (
+        m.groupBy("cluster", "c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("cluster").orderBy(
+                    F.desc("n"), "c_mktsegment"
+                )
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("cluster", F.col("c_mktsegment").alias("segment_mode"))
+    )
+    agg = m.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        F.min("c_name").alias("survivor_name"),
+        F.max("cents").alias("best_balance_cents"),
+        F.max(
+            F.struct(
+                F.col("cents").alias("c"),
+                F.col("c_custkey").alias("k"),
+                F.col("c_nationkey").alias("n"),
+            )
+        ).alias("rich"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+    )
+    return (
+        agg.join(segc, "cluster")
+        .select(
+            "cluster",
+            "n_members",
+            "survivor_name",
+            "best_balance_cents",
+            F.col("rich.n").cast("long").alias("nation_of_richest"),
+            "segment_mode",
+            "n_segments",
+        )
+        .orderBy("cluster")
+    )
