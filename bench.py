@@ -70,11 +70,14 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 # between driver VMs (min-of-3 on an idle machine vs the committed
 # baseline — the detail file's calibration_sec probe makes
 # this visible per run): on a fast VM the suite finishes around
-# ~640 s and never touches the cap; on a slow one 780 covers ~95%
+# ~640 s and never touches the cap; on a slow one 780 covers ~95%.
+# 780 -> 900 at 289 bench queries (round-8 session 5: the 780 cap
+# cold-degraded a 68-query tail on a fast-epoch machine once warmups
+# were counted; measured wall ~2.3x the 360 s measured total).
 # warm and the descending-cost order confines any cold tail to
 # sub-second queries. The budget is a cap, not a target — a clean
 # run stops when the suite is done.
-BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "780"))
+BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900"))
 # Session recycling: restart the SparkSession every N queries
 # (re-warming footer caches; restart time is NOT counted against the
 # measured budget). DEFAULT OFF — the round-6 A/B (NOTES.md) measured

@@ -2050,7 +2050,14 @@ def p_image_histogram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    d = table(spark, sf_dir, "documents")
+    from hive_clone_spark.pipeline.common import spread
+
+    # spread() first: the 1-split documents scan would run the whole
+    # explode+md5 single-threaded (measured 9.7 s of the entry's 11 s
+    # at sf0.1); then pin ss once — it feeds FIVE subtrees (sizes,
+    # dfreq, ranked, both verify sides) that would each re-run the
+    # explode otherwise.
+    d = spread(table(spark, sf_dir, "documents"))
     ss = (
         d.select(
             "doc_id",
@@ -2058,6 +2065,7 @@ def p_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", portable_hash(F.col("s")).alias("h"))
         .distinct()
+        .localCheckpoint()
     )
     sizes = ss.groupBy("doc_id").agg(F.count("*").alias("n"))
     dfreq = ss.groupBy("h").agg(F.count("*").alias("df"))

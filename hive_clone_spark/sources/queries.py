@@ -1365,18 +1365,35 @@ def q182_csv_dialect_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import re as _re
 
-    scored = None
-    for name, d, ord_ in [
-        (nm, dd, i + 1) for i, (nm, dd) in enumerate(_DIALECTS)
-    ]:
-        fields = F.split(F.col("value"), _re.escape(d), -1)
-        s = src.select(
+    # one pass: explode the 4 candidate splits per line (an array of
+    # structs), then a single (file, candidate) aggregate — 4 separate
+    # scoring branches cost 4 scans and ~2x the wall time.
+    cand_struct = F.array(
+        *[
+            F.struct(
+                F.lit(nm).alias("delim_name"),
+                F.lit(i + 1).alias("ord"),
+                F.size(
+                    F.split(F.col("value"), _re.escape(dd), -1)
+                ).alias("nf"),
+                F.element_at(
+                    F.split(F.col("value"), _re.escape(dd), -1), 1
+                ).alias("f1"),
+            )
+            for i, (nm, dd) in enumerate(_DIALECTS)
+        ]
+    )
+    scored = (
+        src.select("file_tag", F.explode(cand_struct).alias("c"))
+        .select(
             "file_tag",
-            F.lit(name).alias("delim_name"),
-            F.lit(ord_).alias("ord"),
-            F.size(fields).alias("nf"),
-            F.element_at(fields, 1).alias("f1"),
-        ).groupBy("file_tag", "delim_name", "ord").agg(
+            F.col("c.delim_name").alias("delim_name"),
+            F.col("c.ord").alias("ord"),
+            F.col("c.nf").alias("nf"),
+            F.col("c.f1").alias("f1"),
+        )
+        .groupBy("file_tag", "delim_name", "ord")
+        .agg(
             F.min("nf").alias("min_f"),
             F.max("nf").alias("max_f"),
             F.count("*").alias("n_lines"),
@@ -1384,7 +1401,7 @@ def q182_csv_dialect_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(~F.col("f1").rlike("^[0-9]+$"), 1).otherwise(0)
             ).cast("long").alias("n_nonnum_first"),
         )
-        scored = s if scored is None else scored.unionAll(s)
+    )
 
     w = Window.partitionBy("file_tag").orderBy("ord")
     ok = (
