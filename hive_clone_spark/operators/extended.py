@@ -6440,3 +6440,188 @@ def q192_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q193 — row-pattern detection (MATCH_RECOGNIZE's most-used shape):
+# per part, scan the price sequence in shipdate order and count
+# V-patterns — at least two consecutive price declines followed
+# immediately by a rise — via two lagged move signs, the pure-window
+# rewrite of the row-pattern quantifier DOWN{2,} UP. The ORDER BY
+# carries every compared column ((orderkey, linenumber) is NOT unique
+# in this generator — q178's lesson), so tied rows are value-identical
+# and the sign sequence is permutation-invariant.
+#
+# Scale design: one shuffle on l_partkey covers the ordering window
+# and both lags (same spec -> one sort); the pattern test is a
+# stateless expression over three signs; the ranking is a
+# TakeOrdered(20). Detecting an unbounded-length pattern would need
+# gaps-and-islands (q46); the {2,}-then-rise core needs only lags.
+# ---------------------------------------------------------------------------
+@register(
+    "q193_price_vshape",
+    oracle="""
+    WITH px AS (
+      SELECT l_partkey AS pk,
+        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+        l_shipdate, l_orderkey, l_linenumber
+      FROM lineitem),
+    sgn AS (
+      SELECT pk, l_shipdate, l_orderkey, l_linenumber, p,
+        CASE WHEN LAG(p) OVER w IS NULL THEN NULL
+             WHEN p > LAG(p) OVER w THEN 1
+             WHEN p < LAG(p) OVER w THEN -1
+             ELSE 0 END AS s
+      FROM px
+      WINDOW w AS (PARTITION BY pk ORDER BY l_shipdate, l_orderkey,
+        l_linenumber, p)),
+    pat AS (
+      SELECT pk, s,
+        LAG(s, 1) OVER w2 AS s1, LAG(s, 2) OVER w2 AS s2
+      FROM sgn
+      WINDOW w2 AS (PARTITION BY pk ORDER BY l_shipdate, l_orderkey,
+        l_linenumber, p)),
+    cnt AS (
+      SELECT pk,
+        CAST(COUNT(*) AS BIGINT) AS n_moves,
+        CAST(SUM(CASE WHEN s = 1 AND s1 = -1 AND s2 = -1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_vshapes
+      FROM pat GROUP BY pk)
+    SELECT pk AS partkey, n_moves, n_vshapes
+    FROM cnt WHERE n_vshapes > 0
+    ORDER BY n_vshapes DESC, partkey LIMIT 20
+    """,
+)
+def q193_price_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    w = Window.partitionBy("pk").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "p"
+    )
+    px = li.select(
+        F.col("l_partkey").alias("pk"),
+        p.alias("p"),
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    sgn = px.select(
+        "pk",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        "p",
+        F.when(F.col("p") > F.lag("p").over(w), 1)
+        .when(F.col("p") < F.lag("p").over(w), -1)
+        .otherwise(0)
+        .alias("s"),
+    ).withColumn("s", F.when(F.lag("p").over(w).isNull(), None).otherwise(F.col("s")))
+    pat = sgn.select(
+        "pk",
+        "s",
+        F.lag("s", 1).over(w).alias("s1"),
+        F.lag("s", 2).over(w).alias("s2"),
+    )
+    cnt = pat.groupBy("pk").agg(
+        F.count("*").alias("n_moves"),
+        F.sum(
+            F.when(
+                (F.col("s") == 1) & (F.col("s1") == -1) & (F.col("s2") == -1),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_vshapes"),
+    )
+    return (
+        cnt.where(F.col("n_vshapes") > 0)
+        .select(F.col("pk").alias("partkey"), "n_moves", "n_vshapes")
+        .orderBy(F.desc("n_vshapes"), "partkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q194 — gap-constrained sequence conversion: for each 'view' event,
+# does a 'purchase' by the SAME user occur within the next g events
+# (g = 1..5)? The output is the conversion-by-gap curve — the
+# sequential-pattern question ("A then B within k steps") that q168's
+# adjacent trigrams can't answer and q181's wall-clock latency
+# doesn't (event-step distance, not time). Each g is a window frame
+# ROWS [1 FOLLOWING, g FOLLOWING] counting purchases — five frames
+# over ONE user-ordered sort, no self-join, no explode.
+#
+# Scale design: one shuffle on user_id serves all five frames (same
+# window spec family -> one sort); the curve aggregate is 5 rows of
+# map-side-combinable sums. The naive form — self-join events to
+# events on user with a row-distance band — is the quadratic shape
+# this rewrite exists to avoid.
+# ---------------------------------------------------------------------------
+@register(
+    "q194_sequence_gap_curve",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 1 FOLLOWING AND 1 FOLLOWING) AS h1,
+        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS h2,
+        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS h3,
+        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 1 FOLLOWING AND 4 FOLLOWING) AS h4,
+        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 1 FOLLOWING AND 5 FOLLOWING) AS h5
+      FROM events),
+    v AS (SELECT * FROM seq WHERE event_type = 'view'),
+    curve AS (
+      SELECT 1 AS gap, CAST(COUNT(*) AS BIGINT) AS n_views,
+        CAST(SUM(CASE WHEN COALESCE(h1, 0) > 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_hit FROM v
+      UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CASE WHEN COALESCE(h2, 0) > 0 THEN 1 ELSE 0 END)
+          AS BIGINT) FROM v
+      UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CASE WHEN COALESCE(h3, 0) > 0 THEN 1 ELSE 0 END)
+          AS BIGINT) FROM v
+      UNION ALL SELECT 4, CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CASE WHEN COALESCE(h4, 0) > 0 THEN 1 ELSE 0 END)
+          AS BIGINT) FROM v
+      UNION ALL SELECT 5, CAST(COUNT(*) AS BIGINT),
+        CAST(SUM(CASE WHEN COALESCE(h5, 0) > 0 THEN 1 ELSE 0 END)
+          AS BIGINT) FROM v)
+    SELECT gap, n_views, n_hit, n_hit * 1000 // n_views AS hit_permille
+    FROM curve ORDER BY gap
+    """,
+)
+def q194_sequence_gap_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_p = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    seq = ev.select(
+        "event_type",
+        *[
+            F.sum(is_p).over(base.rowsBetween(1, g)).alias(f"h{g}")
+            for g in range(1, 6)
+        ],
+    )
+    v = seq.where(F.col("event_type") == "view")
+    curve = None
+    for g in range(1, 6):
+        arm = v.agg(
+            F.lit(g).alias("gap"),
+            F.count("*").alias("n_views"),
+            F.sum(
+                F.when(F.coalesce(F.col(f"h{g}"), F.lit(0)) > 0, 1).otherwise(0)
+            ).cast("long").alias("n_hit"),
+        )
+        curve = arm if curve is None else curve.unionAll(arm)
+    return curve.select(
+        "gap",
+        "n_views",
+        "n_hit",
+        F.expr("n_hit * 1000 div n_views").alias("hit_permille"),
+    ).orderBy("gap")
