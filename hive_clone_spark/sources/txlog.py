@@ -2672,3 +2672,85 @@ def q187_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("last_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q195 — tamper-evident audit chain over the commit log: each commit's
+# ledger entry is hash-chained to its predecessor
+# (h_v = md5(h_{v-1} || v:op:n_added), genesis-seeded), so any
+# historical commit edit invalidates every later hash — the
+# append-only audit property compliance regimes ask of a warehouse
+# changelog, layered on the REAL txlog (the entry builds the table,
+# reads history() back from the log, and derives per-commit row deltas
+# from version snapshots; tests/test_txlog.py pins that a tampered
+# commit json breaks the chain). The oracle recomputes the identical
+# chain from the construction rule with DuckDB's md5 — same digest,
+# same canonical string, so a chain computed over the wrong history
+# hash-mismatches.
+#
+# Scale design: the chain walks COMMIT METADATA (bounded by log
+# length, checkpoint-truncated in production), never data; the
+# per-version row deltas come from snapshot counts, each a
+# metadata-cheap aggregate over the version's file set.
+# ---------------------------------------------------------------------------
+def chain_ledger(tl: "TxLog", spark: SparkSession) -> list[tuple]:
+    """(version, op, n_rows_added, chain_hash) for every commit."""
+    import hashlib
+
+    rows = []
+    h = "genesis"
+    prev_count = 0
+    for entry in tl.history():
+        v = int(entry["version"])
+        n = tl.read(spark, version=v).count()
+        added = n - prev_count
+        prev_count = n
+        h = hashlib.md5(
+            f"{h}{v}:{entry['op']}:{added}".encode()
+        ).hexdigest()
+        rows.append((v, entry["op"], added, h))
+    return rows
+
+
+@register(
+    "q195_txlog_audit_chain",
+    oracle="""
+    WITH n AS (
+      SELECT
+        CAST(SUM(CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n0,
+        CAST(SUM(CASE WHEN o_orderkey % 4 = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN o_orderkey % 4 = 2 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n2
+      FROM orders),
+    h AS (
+      SELECT n0, n1, n2,
+        md5('genesis' || '0:append:' || CAST(n0 AS VARCHAR)) AS h0
+      FROM n),
+    h2 AS (
+      SELECT *, md5(h0 || '1:append:' || CAST(n1 AS VARCHAR)) AS h1
+      FROM h),
+    h3 AS (
+      SELECT *, md5(h1 || '2:append:' || CAST(n2 AS VARCHAR)) AS h2x
+      FROM h2)
+    SELECT CAST(0 AS BIGINT) AS version, 'append' AS op,
+      n0 AS n_rows_added, h0 AS chain_hash FROM h3
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'append', n1, h1 FROM h3
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'append', n2, h2x FROM h3
+    ORDER BY version
+    """,
+)
+def q195_txlog_audit_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_clone_spark.catalog import table as _table
+
+    tl = TxLog(_warehouse_dir(sf_dir, "txlog_q195")).create()
+    o = _table(spark, sf_dir, "orders")
+    for m in (0, 1, 2):
+        tl.append(o.where(F.col("o_orderkey") % 4 == m), n_files=2)
+    rows = chain_ledger(tl, spark)
+    return spark.createDataFrame(
+        rows, "version BIGINT, op STRING, n_rows_added BIGINT, chain_hash STRING"
+    ).orderBy("version")

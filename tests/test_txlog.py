@@ -555,3 +555,29 @@ def test_check_constraints_enforced_on_increment(spark, tmp_path):
     tl.commit_checked(spark, "append", add=tl.stage_data(
         spark.range(-1, 0).withColumnRenamed("id", "k"), n_files=1))
     assert tl.read(spark).where(F.col("k") < 0).count() == 1
+
+
+def test_audit_chain_detects_tamper(spark, tmp_path):
+    """q195's chain: editing a historical commit's op invalidates its
+    hash AND every later hash (the append-only audit property)."""
+    import json
+
+    from hive_clone_spark.sources.txlog import TxLog, chain_ledger
+
+    tl = TxLog(str(tmp_path / "chain")).create()
+    for lo in (0, 5, 10):
+        tl.append(spark.range(lo, lo + 5).withColumnRenamed("id", "k"), n_files=1)
+    before = chain_ledger(tl, spark)
+    assert len(before) == 3
+    assert len({h for *_x, h in before}) == 3  # all hashes distinct
+
+    # tamper commit 1's op in place
+    cpath = tl.log_dir / tl._commit_name(1)
+    c = json.loads(cpath.read_text())
+    c["op"] = "overwrite"
+    cpath.write_text(json.dumps(c))
+
+    after = chain_ledger(tl, spark)
+    assert after[0][3] == before[0][3]  # pre-tamper prefix unchanged
+    assert after[1][3] != before[1][3]  # tampered commit diverges
+    assert after[2][3] != before[2][3]  # ...and everything after it
