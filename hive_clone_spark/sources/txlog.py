@@ -2754,3 +2754,91 @@ def q195_txlog_audit_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version BIGINT, op STRING, n_rows_added BIGINT, chain_hash STRING"
     ).orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# Q196 — RESTORE (rollback as a forward commit): reverting a table to
+# an earlier version is published as a NEW commit whose file set is
+# the old version's — history stays append-only (the audit chain
+# q195 protects keeps every step, including the mistake and its
+# correction), time travel still reaches the bad version, and
+# concurrent readers never see a log rewrite. The entry makes three
+# versions, "fat-fingers" v2 as an overwrite that drops half the
+# rows, restores v1, and proves (a) the restored read equals the v1
+# snapshot exactly and (b) history shows 4 commits, not 3.
+#
+# Scale design: restore is METADATA-ONLY — the commit re-references
+# the old version's files (no data copied, no rewrite); cost is the
+# log append, independent of table size. That property is the whole
+# point of log-structured tables.
+# ---------------------------------------------------------------------------
+def restore(tl: "TxLog", version: int) -> int:
+    """Publish version's file set as a new commit (Delta RESTORE)."""
+    old_files = tl.active_files(version)
+    cur_files = tl.active_files()
+    return tl.commit(
+        f"restore-v{version}",
+        add=[{"file": f} for f in old_files if f not in set(cur_files)],
+        remove=[f for f in cur_files if f not in set(old_files)],
+    )
+
+
+@register(
+    "q196_txlog_restore",
+    oracle="""
+    WITH good AS (
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM orders WHERE o_orderkey % 2 = 0
+      GROUP BY o_orderstatus)
+    SELECT o_orderstatus, n_orders, sum_price,
+      CAST(4 AS BIGINT) AS n_commits,
+      'restore-v1' AS last_op,
+      TRUE AS matches_v1
+    FROM good ORDER BY o_orderstatus
+    """,
+)
+def q196_txlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_clone_spark.catalog import table as _table
+
+    tl = TxLog(_warehouse_dir(sf_dir, "txlog_q196")).create()
+    o = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tl.append(o.where(F.col("o_orderkey") % 4 == 0), n_files=2)  # v0
+    tl.append(o.where(F.col("o_orderkey") % 4 == 2), n_files=2)  # v1: evens
+    # v2: the bad overwrite (loses the %4==2 half)
+    tl.overwrite(o.where(F.col("o_orderkey") % 4 == 0), n_files=2)
+    restore(tl, 1)  # v3: metadata-only rollback to the full even set
+
+    back = tl.read(spark)
+    v1 = tl.read(spark, version=1)
+    same = (
+        back.unionAll(v1)
+        .groupBy("o_orderkey", "o_orderstatus", "o_totalprice")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") != 2)
+        .count()
+        == 0
+    ) and back.count() == v1.count()
+    n_commits = tl.latest_version() + 1
+    last_op = tl.history()[-1]["op"]
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            "sum_price",
+            F.lit(int(n_commits)).cast("long").alias("n_commits"),
+            F.lit(last_op).alias("last_op"),
+            F.lit(bool(same)).alias("matches_v1"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -411,3 +411,62 @@ def q184_sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY band, tier
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q197: CACHE TABLE — the warehouse hot-set surface (`CACHE TABLE t AS
+# SELECT ...` materializes the result columnar in executor memory;
+# later reads are InMemoryTableScan, no parquet re-scan). The entry
+# caches a pre-aggregated day-grain rollup — the right GRAIN to cache:
+# caching raw facts burns memory on data every query re-aggregates
+# anyway, while the day rollup serves the dashboard family below it —
+# then answers a month-level query from the cache and reports the
+# catalog's isCached verdict as an output column. Explicit UNCACHE
+# first keeps the entry idempotent under the driver's long-lived
+# session (re-running must re-derive, not silently serve stale cache:
+# exactly the staleness contract CACHE TABLE AS has).
+#
+# tests/test_catalog_ddl.py pins the physical side: the second read's
+# plan contains InMemoryTableScan and no parquet scan.
+# ---------------------------------------------------------------------------
+@register(
+    "q197_cache_table",
+    oracle="""
+    WITH day AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1)
+    SELECT strftime(d, '%Y-%m') AS month,
+      CAST(SUM(n) AS BIGINT) AS n_orders,
+      CAST(SUM(rev) AS DOUBLE) AS revenue,
+      TRUE AS served_from_cache
+    FROM day GROUP BY strftime(d, '%Y-%m')
+    ORDER BY month
+    """,
+)
+def q197_cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    spark.sql("UNCACHE TABLE IF EXISTS q197_day_rollup")
+    spark.catalog.dropTempView("q197_day_rollup")
+    spark.sql(
+        """
+        CACHE TABLE q197_day_rollup AS
+        SELECT CAST(o_orderdate AS DATE) AS d,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+        """
+    )
+    cached = bool(spark.catalog.isCached("q197_day_rollup"))
+    return spark.sql(
+        f"""
+        SELECT date_format(d, 'yyyy-MM') AS month,
+          CAST(SUM(n) AS BIGINT) AS n_orders,
+          CAST(SUM(rev) AS DOUBLE) AS revenue,
+          {str(cached).upper()} AS served_from_cache
+        FROM q197_day_rollup
+        GROUP BY date_format(d, 'yyyy-MM')
+        ORDER BY month
+        """
+    )

@@ -77,3 +77,16 @@ def test_saveastable_roundtrip_and_recreate(spark, sf_dir):
     }
     assert cols == {"k": "int", "v": "string"}
     spark.sql(f"DROP TABLE {_DDL_DB}.t_test")
+
+
+def test_q197_cache_table_serves_from_memory(spark):
+    """q197's rollup reads must hit the in-memory relation — Spark 4
+    renders the cached scan as 'Scan In-memory table'; the parquet
+    text deeper in the string is the cache's BUILD recipe inside
+    InMemoryRelation, not a live re-scan."""
+    from hive_clone_spark.sqlapi import q197_cache_table
+
+    df = q197_cache_table(spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan In-memory table q197_day_rollup" in plan
+    assert spark.catalog.isCached("q197_day_rollup")
