@@ -6625,3 +6625,68 @@ def q194_sequence_gap_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hit",
         F.expr("n_hit * 1000 div n_views").alias("hit_permille"),
     ).orderBy("gap")
+
+
+# ---------------------------------------------------------------------------
+# Q198 — time-decayed engagement score: each event contributes
+# value * 2^(-age_days) relative to the corpus's newest event — the
+# recency-weighted feature recommendation and ranking systems
+# maintain. The half-life decay uses division by a SHIFTED INTEGER
+# (1 << age), never pow(): powers of two are exactly representable,
+# so the per-event term is a single identical IEEE multiply-divide on
+# both engines; terms become integer MICRO-units via floor(x*1e6+0.5)
+# (ROUND(x, 6) hits half-way doubles differently across engines —
+# measured here) and sum exactly in BIGINT (the no-raw-double-sums
+# invariant — a float Σ over a shuffle is order-dependent).
+#
+# Scale design: the anchor date is a 1-row broadcast; scoring is a
+# scan-stage expression; the per-user reduction is map-side
+# combinable; ranking is TakeOrdered(20). In production the anchor is
+# the batch date and this is one incremental pass per day — halving
+# yesterday's score and adding today's, which is exactly what the
+# 2^-k form makes cheap.
+# ---------------------------------------------------------------------------
+@register(
+    "q198_decayed_engagement",
+    oracle="""
+    WITH anchor AS (
+      SELECT CAST(MAX(ts) AS DATE) AS d_max FROM events),
+    term AS (
+      SELECT user_id,
+        CAST(floor(value / CAST(CAST(1 AS BIGINT)
+          << date_diff('day', CAST(ts AS DATE), a.d_max) AS DOUBLE)
+          * 1000000 + 0.5) AS BIGINT) AS t
+      FROM events CROSS JOIN anchor a),
+    sc AS (
+      SELECT user_id,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(SUM(t) AS BIGINT) AS score_micros
+      FROM term GROUP BY user_id)
+    SELECT user_id, n_events, score_micros
+    FROM sc ORDER BY score_micros DESC, user_id LIMIT 20
+    """,
+)
+def q198_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("d_max"))
+    term = ev.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.floor(
+            F.col("value")
+            / F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), "
+                "datediff(d_max, CAST(ts AS DATE))) AS DOUBLE)"
+            )
+            * 1000000
+            + 0.5
+        ).cast("long").alias("t"),
+    )
+    return (
+        term.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("t").cast("long").alias("score_micros"),
+        )
+        .orderBy(F.desc("score_micros"), "user_id")
+        .limit(20)
+    )

@@ -2167,3 +2167,128 @@ def p_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pid")
     )
+
+
+# ---------------------------------------------------------------------------
+# delta+varint posting-list compression: the index layout every search
+# engine ships — per word, sort the doc ids, delta-encode the gaps,
+# LEB128-varint-pack them into ONE binary blob, then decode the blob
+# back and prove losslessness. Unlike the LZ4/DEFLATE entries (whose
+# compressed sizes are encoder-defined), varint sizes are a pure
+# function of the data — bytes(gap) = ceil(bits(gap)/7) — so the
+# ORACLE predicts the exact packed byte count per word arithmetically
+# (length(bin(gap)) has no leading zeros on either engine) while the
+# Spark side earns the same number by actually packing bytes. A size
+# mismatch means a real encoder bug; a decoded-checksum mismatch
+# means a real decoder bug.
+#
+# Scale design: gaps and their sizes are computed by a partitioned
+# lag window (one shuffle on word); the physical pack/unpack runs in
+# one Arrow pass over per-word sorted id lists (collect_list bounded
+# by df, the same cap discipline as p_inverted_index). Delta+varint
+# is WHY posting lists fit in memory at web scale — ids of 8 bytes
+# become 1-2 byte gaps.
+# ---------------------------------------------------------------------------
+@register(
+    "p_postings_varint",
+    oracle=f"""
+    WITH w AS (
+      SELECT DISTINCT d.doc_id, t.w AS word
+      FROM documents d, unnest({SQL_WORDS.format(expr="d.text")}) AS t(w)),
+    gaps AS (
+      SELECT word, doc_id,
+        doc_id - COALESCE(LAG(doc_id) OVER (PARTITION BY word
+          ORDER BY doc_id), -1) AS gap
+      FROM w),
+    sz AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS df,
+        CAST(SUM((length(bin(gap)) + 6) // 7) AS BIGINT) AS packed_bytes,
+        CAST(COUNT(*) * 8 AS BIGINT) AS raw_bytes,
+        CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+      FROM gaps GROUP BY word)
+    SELECT word, df, raw_bytes, packed_bytes,
+      packed_bytes * 1000 // raw_bytes AS ratio_permille,
+      id_checksum, TRUE AS roundtrip_ok
+    FROM sz ORDER BY word
+    """,
+)
+def p_postings_varint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents")
+    w = (
+        d.select("doc_id", F.explode(words_col(F.col("text"))).alias("word"))
+        .distinct()
+    )
+    lists = w.groupBy("word").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+
+    def pack_batches(batches):
+        def varint(n: int) -> bytes:
+            out = bytearray()
+            while True:
+                b = n & 0x7F
+                n >>= 7
+                if n:
+                    out.append(b | 0x80)
+                else:
+                    out.append(b)
+                    return bytes(out)
+
+        def unpack(blob: bytes) -> list:
+            vals, cur, shift, prev = [], 0, 0, -1
+            for byte in blob:
+                cur |= (byte & 0x7F) << shift
+                if byte & 0x80:
+                    shift += 7
+                else:
+                    prev = prev + cur
+                    vals.append(prev)
+                    cur, shift = 0, 0
+            return vals
+
+        for pdf in batches:
+            rows = []
+            for word, ids in zip(pdf["word"], pdf["ids"]):
+                ids = [int(x) for x in ids]
+                blob = b"".join(
+                    varint(b - a) for a, b in zip([-1] + ids, ids)
+                )
+                back = unpack(blob)
+                rows.append(
+                    (
+                        word,
+                        len(ids),
+                        8 * len(ids),
+                        len(blob),
+                        sum(ids),
+                        back == ids,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "word",
+                    "df",
+                    "raw_bytes",
+                    "packed_bytes",
+                    "id_checksum",
+                    "roundtrip_ok",
+                ],
+            )
+
+    packed = lists.mapInPandas(
+        pack_batches,
+        "word STRING, df BIGINT, raw_bytes BIGINT, packed_bytes BIGINT, "
+        "id_checksum BIGINT, roundtrip_ok BOOLEAN",
+    )
+    return packed.select(
+        "word",
+        "df",
+        "raw_bytes",
+        "packed_bytes",
+        F.expr("packed_bytes * 1000 div raw_bytes").alias("ratio_permille"),
+        "id_checksum",
+        "roundtrip_ok",
+    ).orderBy("word")

@@ -89,6 +89,7 @@ NESTEDLOOP_OK = {
     "q183_timeseries_decompose",  # 1-row fit-mass crossJoin (q44 pattern)
     "q189_holt_winters",  # 1-row MAE crossJoin over 24 rows (q44 pattern)
     "q190_ab_experiment",  # 1-row chi-square verdict crossJoin (q44 pattern)
+    "q198_decayed_engagement",  # 1-row anchor-date crossJoin (q44 pattern)
 }
 
 # Queries whose unpartitioned Window is the intended plan: the window
