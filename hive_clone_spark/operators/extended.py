@@ -6690,3 +6690,86 @@ def q198_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_micros"), "user_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q199 — sessionized bounce rate by day of week: sessions are 30-min
+# inactivity islands (the q46/q168 shape); a BOUNCE is a single-event
+# session — the engagement-quality metric product analytics reads
+# next to traffic volume (volume without bounce rate hides dead
+# arrivals). Sessions are attributed to the weekday of their FIRST
+# event; weekday numbering is pinned to ISO (Mon=1..Sun=7) explicitly
+# on both engines (Spark's dayofweek() is Sunday=1, DuckDB's
+# isodow() is Monday=1 — the cross-engine calendar trap).
+#
+# Scale design: one shuffle on user_id sessionizes; the session
+# aggregate (first ts + event count) is map-side combinable; the
+# weekday rollup is 7 rows. Bounce classification never re-touches
+# raw events.
+# ---------------------------------------------------------------------------
+@register(
+    "q199_bounce_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN LAG(ts) OVER w IS NULL
+               OR epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
+             THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts,
+        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM seq),
+    per AS (
+      SELECT user_id, sid, MIN(ts) AS t0,
+        CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, sid),
+    wk AS (
+      SELECT isodow(CAST(t0 AS DATE)) AS dow,
+        CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_bounces
+      FROM per GROUP BY 1)
+    SELECT CAST(dow AS BIGINT) AS dow, n_sessions, n_bounces,
+      n_bounces * 1000 // n_sessions AS bounce_permille
+    FROM wk ORDER BY dow
+    """,
+)
+def q199_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = (
+        F.unix_micros("ts") / 1000
+        - F.unix_micros(F.lag("ts").over(w)) / 1000
+    )
+    sess = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap_ms > 1_800_000), 1
+        ).otherwise(0),
+    ).withColumn(
+        "sid",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("t0"), F.count("*").alias("n_events")
+    )
+    # ISO weekday Mon=1..Sun=7 (Spark weekday() is Mon=0)
+    wk = per.groupBy(
+        (F.weekday(F.to_date("t0")) + 1).cast("long").alias("dow")
+    ).agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+    )
+    return wk.select(
+        "dow",
+        "n_sessions",
+        "n_bounces",
+        F.expr("n_bounces * 1000 div n_sessions").alias("bounce_permille"),
+    ).orderBy("dow")

@@ -891,3 +891,122 @@ def p_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion: combine three independent document rankings
+# (length, lexical diversity, stopword-cleanliness) into one list via
+# RRF — score(d) = sum over rankings of 1e6 // (60 + rank_r(d)) — the
+# standard way retrieval stacks merge heterogeneous scorers WITHOUT
+# calibrating their score scales (only ranks enter, so a scorer with
+# wild magnitudes can't dominate). The 60-offset is the canonical
+# RRF damping; integer micro-credits keep the fusion exact on both
+# engines. Rankings are computed WITHIN each language shard — the
+# scalable formulation: a corpus-global rank needs a single-partition
+# sort (the global-window class this repo's plan audit bans), while
+# per-shard ranks partition cleanly and are what a multilingual
+# pipeline fuses anyway. Every ranking carries a doc_id tie-break.
+#
+# Scale design: three windows, all partitioned by lang over one
+# per-doc metric row; the fusion is arithmetic on the three rank
+# columns of that same row (no join at all — the windows share one
+# pass); output is top-3 per shard via one more partitioned window.
+# ---------------------------------------------------------------------------
+@register(
+    "p_rrf_fusion",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, lang,
+        len({SQL_WORDS.format(expr="text")}) AS n_words,
+        len(list_distinct({SQL_WORDS.format(expr="text")})) AS n_distinct,
+        len(list_filter({SQL_WORDS.format(expr="text")},
+          w -> w IN ('a', 'the'))) AS n_stop
+      FROM documents),
+    r AS (
+      SELECT doc_id, lang,
+        ROW_NUMBER() OVER (PARTITION BY lang
+          ORDER BY n_words DESC, doc_id) AS r_len,
+        ROW_NUMBER() OVER (PARTITION BY lang
+          ORDER BY n_distinct * 1000 // GREATEST(n_words, 1) DESC,
+          doc_id) AS r_div,
+        ROW_NUMBER() OVER (PARTITION BY lang
+          ORDER BY n_stop * 1000 // GREATEST(n_words, 1) ASC,
+          doc_id) AS r_clean
+      FROM m),
+    sc AS (
+      SELECT doc_id, lang,
+        CAST(r_len AS BIGINT) AS r_len,
+        CAST(r_div AS BIGINT) AS r_div,
+        CAST(r_clean AS BIGINT) AS r_clean,
+        CAST(1000000 // (60 + r_len) + 1000000 // (60 + r_div)
+          + 1000000 // (60 + r_clean) AS BIGINT) AS rrf_micros
+      FROM r),
+    top AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+        ORDER BY rrf_micros DESC, doc_id) AS rk
+      FROM sc)
+    SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id,
+      r_len, r_div, r_clean, rrf_micros
+    FROM top WHERE rk <= 3
+    ORDER BY lang, rk
+    """,
+)
+def p_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from hive_clone_spark.pipeline.common import words_col
+
+    d = table(spark, sf_dir, "documents")
+    ws = words_col(F.col("text"))
+    m = d.select(
+        "doc_id",
+        "lang",
+        F.size(ws).alias("n_words"),
+        F.size(F.array_distinct(ws)).alias("n_distinct"),
+        F.size(
+            F.filter(ws, lambda w: w.isin("a", "the"))
+        ).alias("n_stop"),
+    )
+    by = Window.partitionBy("lang")
+    r = m.select(
+        "doc_id",
+        "lang",
+        F.row_number()
+        .over(by.orderBy(F.desc("n_words"), "doc_id"))
+        .cast("long")
+        .alias("r_len"),
+        F.row_number()
+        .over(
+            by.orderBy(
+                F.expr("n_distinct * 1000 div greatest(n_words, 1)").desc(),
+                F.col("doc_id"),
+            )
+        )
+        .cast("long")
+        .alias("r_div"),
+        F.row_number()
+        .over(
+            by.orderBy(
+                F.expr("n_stop * 1000 div greatest(n_words, 1)").asc(),
+                F.col("doc_id"),
+            )
+        )
+        .cast("long")
+        .alias("r_clean"),
+    )
+    sc = r.withColumn(
+        "rrf_micros",
+        F.expr(
+            "1000000 div (60 + r_len) + 1000000 div (60 + r_div) "
+            "+ 1000000 div (60 + r_clean)"
+        ).cast("long"),
+    )
+    top = sc.withColumn(
+        "rk",
+        F.row_number()
+        .over(by.orderBy(F.desc("rrf_micros"), "doc_id"))
+        .cast("long"),
+    ).where(F.col("rk") <= 3)
+    return top.select(
+        "lang", "rk", "doc_id", "r_len", "r_div", "r_clean", "rrf_micros"
+    ).orderBy("lang", "rk")
