@@ -6773,3 +6773,394 @@ def q199_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bounces",
         F.expr("n_bounces * 1000 div n_sessions").alias("bounce_permille"),
     ).orderBy("dow")
+
+
+# ---------------------------------------------------------------------------
+# Q200 — autocorrelation function of the daily-revenue series at lags
+# 1..7: the diagnostic that decides whether a forecast model (q189's
+# Holt-Winters, q183's decomposition) needs a weekly seasonal term at
+# all — a spike at lag 7 says yes. Pearson r between the series and
+# its k-step lead over the overlapping pairs.
+#
+# Numeric discipline (the q149 OLS rules): per-day revenue becomes
+# integer CENTS at the scan (floor(x*100+0.5) — never a raw double
+# SUM, which is shuffle-order-dependent); all five moment sums
+# (Sx, Sy, Sxy, Sxx, Syy) accumulate in DECIMAL(38,0) / HUGEINT
+# (n*Sxx ~ 1e24 at this scale — BIGINT overflows, 38 digits do not);
+# ONLY the final r = num / (sqrt(d1) * sqrt(d2)) happens in double,
+# spelled identically on both engines (div, sqrt, mul are all
+# exactly-rounded IEEE ops, so identical shapes give identical bits),
+# then rounded half-up to permille in integer space.
+#
+# Scale design: the day grain (~2.4k rows at sf0.01, bounded by the
+# calendar horizon at ANY data scale) is the only shuffle — one
+# groupBy reduces 100 TB of orders to a calendar-bounded series with
+# map-side combine; the 7 lead windows share ONE sort of that tiny
+# series, and the 7 per-lag aggregates are unions over it. Nothing
+# downstream of the first reduction depends on the fact-table size.
+# ---------------------------------------------------------------------------
+@register(
+    "q200_autocorrelation",
+    oracle="""
+    WITH day AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+        SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1),
+    seq AS (
+      SELECT rev, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM day),
+    pair AS (
+      SELECT l.lag_k, CAST(a.rev AS HUGEINT) AS x,
+             CAST(b.rev AS HUGEINT) AS y
+      FROM (SELECT UNNEST(generate_series(1, 7)) AS lag_k) l
+      JOIN seq a ON TRUE
+      JOIN seq b ON b.rn = a.rn + l.lag_k),
+    mom AS (
+      SELECT lag_k, CAST(COUNT(*) AS HUGEINT) AS n,
+        SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM pair GROUP BY lag_k),
+    r AS (
+      SELECT lag_k, n,
+        CAST(n * sxy - sx * sy AS DOUBLE)
+          / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS acf
+      FROM mom)
+    SELECT CAST(lag_k AS BIGINT) AS lag_k, CAST(n AS BIGINT) AS n_pairs,
+      CAST(floor(acf * 1000 + 0.5) AS BIGINT) AS acf_permille
+    FROM r ORDER BY lag_k
+    """,
+)
+def q200_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    day = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias("rev")
+    )
+    w = Window.orderBy("d")
+    seq = day.select(
+        F.col("rev").cast("decimal(38,0)").alias("x"),
+        *[
+            F.lead("rev", k).over(w).cast("decimal(38,0)").alias(f"y{k}")
+            for k in range(1, 8)
+        ],
+    )
+    arms = []
+    for k in range(1, 8):
+        y = F.col(f"y{k}")
+        arm = seq.where(y.isNotNull()).agg(
+            F.lit(k).cast("long").alias("lag_k"),
+            F.count("*").cast("decimal(38,0)").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(F.col("x") * y).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+        )
+        arms.append(arm)
+    mom = arms[0]
+    for a in arms[1:]:
+        mom = mom.unionAll(a)
+    acf = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (
+            F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+            * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+        )
+    )
+    return mom.select(
+        "lag_k",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.floor(acf * 1000 + 0.5).cast("long").alias("acf_permille"),
+    ).orderBy("lag_k")
+
+
+# ---------------------------------------------------------------------------
+# Q201 — CUSUM changepoint scan over the daily order-count series:
+# where did the arrival rate shift? The classic statistic is
+# S_t = sum_{i<=t}(c_i - mean); its extremum locates the change. A
+# float mean would poison every partial sum, so the scan uses the
+# SCALED form D_t = N*S_t = N*prefix_t - t*total — pure BIGINT (the
+# mean never gets divided out; N ~ 2.4k days, prefix <= |orders|, so
+# D < 2^53 by orders of magnitude even at 100 TB's calendar span).
+# Output: the top-5 |D| days with their left/right daily-mean
+# estimates in integer millis.
+#
+# Scale design: like q200, ONE map-side-combinable groupBy collapses
+# the fact table to the calendar grain; the prefix sum is a single
+# window over the bounded series; top-5 is a TakeOrdered. The two
+# 1-row aggregates (N, total) ride along as a broadcast cross join,
+# not a second scan of the facts.
+# ---------------------------------------------------------------------------
+@register(
+    "q201_cusum_changepoint",
+    oracle="""
+    WITH day AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+        CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1),
+    seq AS (
+      SELECT d, c,
+        ROW_NUMBER() OVER (ORDER BY d) AS t,
+        SUM(c) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS prefix
+      FROM day),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        CAST(SUM(c) AS BIGINT) AS total FROM day),
+    scan AS (
+      SELECT s.d, s.t, s.prefix,
+        t2.n_days * s.prefix - s.t * t2.total AS d_stat,
+        t2.n_days, t2.total
+      FROM seq s CROSS JOIN tot t2)
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+      CAST(abs(d_stat) AS BIGINT) AS abs_stat,
+      CAST(prefix * 1000 // t AS BIGINT) AS left_mean_millis,
+      CAST((total - prefix) * 1000 // (n_days - t) AS BIGINT)
+        AS right_mean_millis
+    FROM scan
+    WHERE t < n_days
+    ORDER BY abs(d_stat) DESC, d LIMIT 5
+    """,
+)
+def q201_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    day = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count("*").alias("c")
+    )
+    w = Window.orderBy("d")
+    seq = day.select(
+        "d",
+        "c",
+        F.row_number().over(w).alias("t"),
+        F.sum("c")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("prefix"),
+    )
+    tot = day.agg(
+        F.count("*").alias("n_days"), F.sum("c").cast("long").alias("total")
+    )
+    scan = seq.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "t",
+        "prefix",
+        "n_days",
+        "total",
+        (F.col("n_days") * F.col("prefix") - F.col("t") * F.col("total")).alias(
+            "d_stat"
+        ),
+    )
+    return (
+        scan.where(F.col("t") < F.col("n_days"))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.abs(F.col("d_stat")).alias("abs_stat"),
+            F.expr("prefix * 1000 div t").alias("left_mean_millis"),
+            F.expr("(total - prefix) * 1000 div (n_days - t)").alias(
+                "right_mean_millis"
+            ),
+        )
+        .orderBy(F.desc("abs_stat"), "day")
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q202 — decision-stump training (best Gini split): scan every
+# candidate threshold on l_quantity and score how well qty <= t
+# separates the l_returnflag classes — the inner loop of decision-tree
+# / GBDT node training, run as one relational pass. Gini impurity is
+# RATIONAL in the class counts (1 - sum p_c^2 = (n^2 - sum c^2)/n^2),
+# so the whole curve is exact integer arithmetic until one final
+# division: score(t) = (nL^2-AL)/nL + (nR^2-AR)/nR (AL/AR = sums of
+# squared left/right class counts), identically spelled in double on
+# both engines (nL^2 <= 3.6e11 at sf0.1 — integer-exact in a double),
+# then rounded half-up to permille of the mean impurity. No logs, no
+# entropy — Gini exists precisely so split scoring stays rational.
+#
+# Scale design: the histogram groupBy (50 qty values x 3 classes) is
+# the ONLY pass over the facts, map-side combinable to a value-domain
+# -bounded table; the threshold scan is a prefix-sum window over that
+# 50-row table (bounded by the value domain, not the data); class
+# totals ride a 1-row broadcast. This is exactly how distributed GBDT
+# (LightGBM/XGBoost-style) trains: histogram first, split scan on the
+# histogram.
+# ---------------------------------------------------------------------------
+@register(
+    "q202_gini_split",
+    oracle="""
+    WITH hist AS (
+      SELECT CAST(l_quantity AS BIGINT) AS qty,
+        CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cn,
+        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+      FROM lineitem GROUP BY 1),
+    cum AS (
+      SELECT qty,
+        SUM(ca) OVER w AS la, SUM(cn) OVER w AS ln_, SUM(cr) OVER w AS lr
+      FROM hist
+      WINDOW w AS (ORDER BY qty ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)),
+    tot AS (
+      SELECT SUM(ca) AS ta, SUM(cn) AS tn, SUM(cr) AS tr,
+        SUM(ca + cn + cr) AS n
+      FROM hist),
+    scored AS (
+      SELECT c.qty,
+        la + ln_ + lr AS n_left,
+        t.n - (la + ln_ + lr) AS n_right,
+        (CAST((la + ln_ + lr) * (la + ln_ + lr)
+              - (la*la + ln_*ln_ + lr*lr) AS DOUBLE)
+           / CAST(la + ln_ + lr AS DOUBLE)
+         + CAST((t.n - la - ln_ - lr) * (t.n - la - ln_ - lr)
+              - ((t.ta-la)*(t.ta-la) + (t.tn-ln_)*(t.tn-ln_)
+                 + (t.tr-lr)*(t.tr-lr)) AS DOUBLE)
+           / CAST(t.n - la - ln_ - lr AS DOUBLE)) AS score,
+        CAST(t.n AS DOUBLE) AS n_dbl
+      FROM cum c CROSS JOIN tot t
+      WHERE la + ln_ + lr > 0 AND t.n - (la + ln_ + lr) > 0),
+    curve AS (
+      SELECT qty AS threshold,
+        CAST(n_left AS BIGINT) AS n_left,
+        CAST(n_right AS BIGINT) AS n_right,
+        CAST(floor(score / n_dbl * 1000 + 0.5) AS BIGINT) AS gini_permille
+      FROM scored)
+    SELECT threshold, n_left, n_right, gini_permille,
+      CASE WHEN gini_permille = MIN(gini_permille) OVER ()
+           THEN TRUE ELSE FALSE END AS is_best
+    FROM curve ORDER BY threshold
+    """,
+)
+def q202_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    hist = li.groupBy(F.col("l_quantity").cast("long").alias("qty")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0)).alias("cn"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("cr"),
+    )
+    w = Window.orderBy("qty").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "qty",
+        F.sum("ca").over(w).alias("la"),
+        F.sum("cn").over(w).alias("ln_"),
+        F.sum("cr").over(w).alias("lr"),
+    )
+    tot = hist.agg(
+        F.sum("ca").alias("ta"),
+        F.sum("cn").alias("tn"),
+        F.sum("cr").alias("tr"),
+        F.sum(F.col("ca") + F.col("cn") + F.col("cr")).alias("n"),
+    )
+    nl = F.col("la") + F.col("ln_") + F.col("lr")
+    nr = F.col("n") - nl
+    al = F.col("la") * F.col("la") + F.col("ln_") * F.col("ln_") + F.col("lr") * F.col("lr")
+    ra = F.col("ta") - F.col("la")
+    rn = F.col("tn") - F.col("ln_")
+    rr = F.col("tr") - F.col("lr")
+    ar = ra * ra + rn * rn + rr * rr
+    score = (nl * nl - al).cast("double") / nl.cast("double") + (
+        nr * nr - ar
+    ).cast("double") / nr.cast("double")
+    curve = (
+        cum.crossJoin(F.broadcast(tot))
+        .where((nl > 0) & (nr > 0))
+        .select(
+            F.col("qty").alias("threshold"),
+            nl.cast("long").alias("n_left"),
+            nr.cast("long").alias("n_right"),
+            F.floor(score / F.col("n").cast("double") * 1000 + 0.5)
+            .cast("long")
+            .alias("gini_permille"),
+        )
+    )
+    wall = Window.partitionBy()
+    return curve.select(
+        "threshold",
+        "n_left",
+        "n_right",
+        "gini_permille",
+        (
+            F.col("gini_permille") == F.min("gini_permille").over(wall)
+        ).alias("is_best"),
+    ).orderBy("threshold")
+
+
+# ---------------------------------------------------------------------------
+# Q203 — k-anonymity audit across a generalization ladder: for each
+# generalization level of the quasi-identifier set (nation, market
+# segment, account-balance band), how many customers sit in an
+# equivalence class smaller than k=5 — i.e. are re-identifiable? The
+# privacy-engineering pass a dataset runs before release: pick the
+# FINEST level whose violation count is zero. Levels: L0 = (nation,
+# segment, balance-to-1000 band), L1 = (nation, segment), L2 =
+# (region, segment), L3 = (region). Balance bands use true floor()
+# (acctbal goes negative; DuckDB's // truncates toward zero — the
+# p_audio_resample trap — so both engines spell floor(x/1000.0)).
+#
+# Scale design: each level is one map-side-combinable groupBy over the
+# quasi-identifier columns followed by a tiny second aggregate over
+# class sizes; the nation->region dim join is a broadcast. At 100 TB
+# the ladder is a linear scan per level (or one cube pass if levels
+# nest); nothing materializes per-row state.
+# ---------------------------------------------------------------------------
+@register(
+    "q203_k_anonymity",
+    oracle="""
+    WITH enriched AS (
+      SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment,
+        CAST(floor(c.c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+        n.n_regionkey
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey),
+    l0 AS (SELECT COUNT(*) AS sz FROM enriched
+           GROUP BY c_nationkey, c_mktsegment, bal_band),
+    l1 AS (SELECT COUNT(*) AS sz FROM enriched
+           GROUP BY c_nationkey, c_mktsegment),
+    l2 AS (SELECT COUNT(*) AS sz FROM enriched
+           GROUP BY n_regionkey, c_mktsegment),
+    l3 AS (SELECT COUNT(*) AS sz FROM enriched GROUP BY n_regionkey),
+    ladder AS (
+      SELECT 0 AS level, * FROM l0 UNION ALL
+      SELECT 1, * FROM l1 UNION ALL
+      SELECT 2, * FROM l2 UNION ALL
+      SELECT 3, * FROM l3)
+    SELECT CAST(level AS BIGINT) AS level,
+      CAST(COUNT(*) AS BIGINT) AS n_classes,
+      CAST(MIN(sz) AS BIGINT) AS min_class_size,
+      CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+        AS n_rows_violating,
+      CAST(MIN(sz) >= 5 AS BOOLEAN) AS k5_anonymous
+    FROM ladder GROUP BY level ORDER BY level
+    """,
+)
+def q203_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    enriched = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+        "n_regionkey",
+    )
+    levels = [
+        (0, ["c_nationkey", "c_mktsegment", "bal_band"]),
+        (1, ["c_nationkey", "c_mktsegment"]),
+        (2, ["n_regionkey", "c_mktsegment"]),
+        (3, ["n_regionkey"]),
+    ]
+    out = None
+    for lvl, keys in levels:
+        classes = enriched.groupBy(*keys).agg(F.count("*").alias("sz"))
+        arm = classes.agg(
+            F.lit(lvl).cast("long").alias("level"),
+            F.count("*").alias("n_classes"),
+            F.min("sz").alias("min_class_size"),
+            F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0))
+            .cast("long")
+            .alias("n_rows_violating"),
+            (F.min("sz") >= 5).alias("k5_anonymous"),
+        )
+        out = arm if out is None else out.unionAll(arm)
+    return out.orderBy("level")

@@ -214,3 +214,113 @@ ORDER BY depth
 def q166_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "part").createOrReplaceTempView("__bom_parts")
     return spark.sql(_BOM_SPARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q204 — topological generations of a dependency DAG (longest-path
+# depth per node): the build-scheduler / dataflow-planner query —
+# generation g contains everything whose deepest dependency chain has
+# length g, i.e. the earliest wave it may execute in. The DAG derives
+# from the part table (node k>=1 depends on k div 2 AND k div 3 —
+# two converging parents make it a genuine DAG, not a tree, so depth
+# really is a longest-path problem, and kahn-style/ BFS level order
+# would be WRONG without the max).
+#
+# Execution is iterative RELAXATION, not path enumeration:
+# g_{i+1}(k) = max(g_i(k), max_parents(g_i(parent)+1)), repeated until
+# no row changes — O(V) state and O(E) work per round for
+# critical-path-length rounds (~log2 N here), each round one
+# co-partitioned join + map-side-combinable max, lineage cut by
+# localCheckpoint (the fixpoint() discipline above). Enumerating
+# root-to-node paths instead multiplies rows by the path count
+# (superpolynomial on converging DAGs) — the oracle CAN afford it at
+# test scale via DuckDB's deduplicating recursive UNION on (node,
+# depth) pairs, which is exactly the check the engine's relaxation
+# must reproduce.
+# ---------------------------------------------------------------------------
+@register(
+    "q204_topo_generations",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT child, par FROM (
+        SELECT p_partkey AS child, p_partkey // 2 AS par
+        FROM part WHERE p_partkey >= 1
+        UNION ALL
+        SELECT p_partkey, p_partkey // 3 FROM part WHERE p_partkey >= 1) t),
+    reach(node, depth) AS (
+      SELECT CAST(0 AS BIGINT), 0
+      UNION
+      SELECT e.child, r.depth + 1 FROM reach r JOIN edges e ON e.par = r.node),
+    gen AS (SELECT node, MAX(depth) AS g FROM reach GROUP BY node)
+    SELECT CAST(g AS BIGINT) AS generation,
+      CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      CAST(MIN(node) AS BIGINT) AS min_node,
+      CAST(SUM(node) AS BIGINT) AS node_key_sum
+    FROM gen GROUP BY g ORDER BY generation
+    """,
+)
+def q204_topo_generations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    p = table(spark, sf_dir, "part").where(F.col("p_partkey") >= 1)
+    edges = (
+        p.select(
+            F.col("p_partkey").alias("child"),
+            F.expr("p_partkey div 2").alias("par"),
+        )
+        .unionAll(
+            p.select(
+                F.col("p_partkey").alias("child"),
+                F.expr("p_partkey div 3").alias("par"),
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # reused once per relaxation round
+    )
+    # g := 0 for every node (root included); relax until stable.
+    gen = (
+        edges.select(F.col("child").alias("node"))
+        .distinct()
+        .unionByName(
+            edges.select(F.col("par").alias("node")).distinct()
+        )
+        .distinct()
+        .select("node", F.lit(0).cast("int").alias("g"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(64):
+        cand = (
+            edges.join(gen, edges.par == gen.node)
+            .groupBy("child")
+            .agg((F.max("g") + 1).alias("gp"))
+        )
+        new_gen = (
+            gen.join(cand, gen.node == cand.child, "left")
+            .select(
+                "node",
+                F.greatest(F.col("g"), F.coalesce(F.col("gp"), F.lit(0)))
+                .cast("int")
+                .alias("g"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_gen.alias("a").join(
+            gen.alias("b"),
+            (F.col("a.node") == F.col("b.node"))
+            & (F.col("a.g") != F.col("b.g")),
+        )
+        stable = changed.isEmpty()
+        gen = new_gen
+        if stable:
+            break
+    else:
+        raise RuntimeError("topo relaxation did not converge")
+    return (
+        gen.groupBy(F.col("g").cast("long").alias("generation"))
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.sum("node").alias("node_key_sum"),
+        )
+        .orderBy("generation")
+    )

@@ -2292,3 +2292,166 @@ def p_postings_varint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_checksum",
         "roundtrip_ok",
     ).orderBy("word")
+
+# ---------------------------------------------------------------------------
+# phrase search over a POSITIONAL index: exact multi-word phrase
+# matching — the query class a bag-of-words index (p_inverted_index)
+# cannot answer, and the reason production IR systems keep token
+# positions in their postings. The engine builds (doc_id, pos, word)
+# postings with posexplode and intersects adjacent positions (w1 at p
+# joining w2 at p+1 within the doc) — the classical positional-
+# intersection algorithm — then equi-joins the candidates against the
+# broadcast phrase dim on BOTH words.
+#
+# Scale design: the position explode is scan-stage and immediately
+# filtered to words that start or end some query phrase (tiny literal
+# IN-lists), so only relevant postings ever shuffle; the pos+1
+# self-intersection shuffles on doc_id — the partitioning a sharded
+# index already has; phrase aggregation output is bounded by the
+# query list. A right join from the phrase dim keeps phrases with no
+# hits in the result (the 0-row arm 'data quality' exercises it).
+# The oracle reproduces the counts from word bigrams — positional
+# adjacency IS bigram equality — one list_transform in DuckDB.
+# ---------------------------------------------------------------------------
+_PHRASES = [
+    ("fast", "table"),
+    ("table", "table"),
+    ("scan", "slow"),
+    ("data", "quality"),  # absent pair: exercises the no-hit arm
+]
+_SQL_PHRASE_VALUES = ", ".join(f"('{a}', '{b}')" for a, b in _PHRASES)
+_SQL_BIGRAMS = (
+    "list_transform(generate_series(1, greatest(len(ws) - 1, 0)), "
+    "i -> ws[i] || ' ' || ws[i + 1])"
+)
+
+
+@register(
+    "p_phrase_search",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, unnest({_SQL_BIGRAMS}) AS g
+      FROM (SELECT doc_id, {SQL_WORDS.format(expr="lower(text)")} AS ws
+            FROM documents) t),
+    phrases(w1, w2) AS (VALUES {_SQL_PHRASE_VALUES}),
+    hits AS (
+      SELECT p.w1, p.w2, g.doc_id
+      FROM phrases p LEFT JOIN grams g ON g.g = p.w1 || ' ' || p.w2)
+    SELECT w1 || ' ' || w2 AS phrase,
+      CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      CAST(COUNT(doc_id) AS BIGINT) AS n_occurrences,
+      MIN(doc_id) AS first_doc
+    FROM hits GROUP BY w1, w2 ORDER BY phrase
+    """,
+)
+def p_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    starts = sorted({a for a, _ in _PHRASES})
+    ends = sorted({b for _, b in _PHRASES})
+    toks = d.select(
+        "doc_id",
+        F.posexplode(words_col(F.lower(F.col("text")))).alias("pos", "word"),
+    )
+    a = toks.where(F.col("word").isin(starts)).select(
+        "doc_id", F.col("pos").alias("p1"), F.col("word").alias("w1")
+    )
+    b = toks.where(F.col("word").isin(ends)).select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("p2"),
+        F.col("word").alias("w2"),
+    )
+    cand = a.join(
+        b,
+        (a.doc_id == b.doc_b) & (b.p2 == a.p1 + 1),
+    ).select("doc_id", "w1", "w2")
+    phrases = d.sparkSession.createDataFrame(_PHRASES, ["w1", "w2"])
+    hits = F.broadcast(phrases).join(cand, ["w1", "w2"], "left")
+    return (
+        hits.groupBy("w1", "w2")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("doc_id").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("phrase"),
+            "n_docs",
+            "n_occurrences",
+            "first_doc",
+        )
+        .orderBy("phrase")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty decay: for each cohort of documents (in doc_id
+# ingestion order), what fraction of their distinct bigrams has never
+# appeared in ANY earlier document? The curve data-curation pipelines
+# watch while crawling: novelty falling toward zero means the corpus
+# stopped teaching the model new n-grams and further ingestion from
+# the source is near-duplicate mass (the dedup families measure
+# pairwise sameness; this measures marginal NEW information).
+#
+# Exact, not sketched: a bigram's first occurrence is min(doc_id)
+# over its carriers — one window by bigram on the distinct (doc,
+# bigram) pairs; a doc's bigram is novel iff the doc IS that minimum.
+# Scale design: one shuffle keyed by bigram (the window), one
+# map-side-combinable rollup to the bounded cohort grain; nothing
+# pairwise, nothing iterative — novelty at 100 TB costs one pass over
+# the shingle stream. Ratios leave integer space only as permille.
+# ---------------------------------------------------------------------------
+_NOVELTY_BUCKET = 50
+
+
+@register(
+    "p_ngram_novelty",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT doc_id, g
+      FROM (SELECT doc_id, unnest({_SQL_BIGRAMS}) AS g
+            FROM (SELECT doc_id, {SQL_WORDS.format(expr="lower(text)")} AS ws
+                  FROM documents) t) u),
+    flagged AS (
+      SELECT doc_id, g,
+        CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY g)
+             THEN 1 ELSE 0 END AS novel
+      FROM pairs)
+    SELECT CAST(doc_id // {_NOVELTY_BUCKET} AS BIGINT) AS cohort,
+      CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      CAST(SUM(novel) AS BIGINT) AS n_novel,
+      CAST(SUM(novel) * 1000 // COUNT(*) AS BIGINT) AS novelty_permille
+    FROM flagged GROUP BY 1 ORDER BY cohort
+    """,
+)
+def p_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    from hive_clone_spark.pipeline.common import shingles_col
+
+    d = table(spark, sf_dir, "documents")
+    pairs = d.select(
+        "doc_id",
+        F.explode(shingles_col(words_col(F.lower(F.col("text"))), 2)).alias("g"),
+    ).distinct()
+    w = Window.partitionBy("g")
+    flagged = pairs.select(
+        "doc_id",
+        F.when(F.col("doc_id") == F.min("doc_id").over(w), 1)
+        .otherwise(0)
+        .alias("novel"),
+    )
+    return (
+        flagged.groupBy(
+            F.expr(f"doc_id div {_NOVELTY_BUCKET}").alias("cohort")
+        )
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("novel").cast("long").alias("n_novel"),
+        )
+        .select(
+            "cohort",
+            "n_bigrams",
+            "n_novel",
+            F.expr("n_novel * 1000 div n_bigrams").alias("novelty_permille"),
+        )
+        .orderBy("cohort")
+    )

@@ -90,6 +90,8 @@ NESTEDLOOP_OK = {
     "q189_holt_winters",  # 1-row MAE crossJoin over 24 rows (q44 pattern)
     "q190_ab_experiment",  # 1-row chi-square verdict crossJoin (q44 pattern)
     "q198_decayed_engagement",  # 1-row anchor-date crossJoin (q44 pattern)
+    "q201_cusum_changepoint",  # 1-row (N, total) crossJoin (q44 pattern)
+    "q202_gini_split",  # 1-row class-totals crossJoin (q44 pattern)
 }
 
 # Queries whose unpartitioned Window is the intended plan: the window
@@ -107,6 +109,10 @@ GLOBALWINDOW_OK = {
     "q157_hdr_quantile_sketch",  # cumulative window over the <=130-cell
     # histogram — bounded by the value range's bit layout, never by data
     "p_quantile_normalize",  # same <=130-cell histogram cumulative window
+    "q200_autocorrelation",  # lead windows over the calendar-bounded
+    # day-grain aggregate (~2.4k rows at any data scale)
+    "q202_gini_split",  # prefix-sum + argmin windows over the 50-row
+    # value-domain-bounded quantity histogram
 }
 
 
