@@ -518,3 +518,133 @@ def p_keyframe_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scene_len BIGINT, key_luma BIGINT"
     )
     return ids.mapInPandas(extract_batches, schema).orderBy("doc_id", "scene")
+
+
+# ---------------------------------------------------------------------------
+# p_motion_estimate — block-matching motion estimation (the SAD
+# search at the heart of every video codec's inter prediction and of
+# optical-flow-lite pipelines): decode two REAL .y4m frames, take the
+# 4x4 texture block anchored at (6,6) in frame 0, and exhaustively
+# search a +/-3 window in frame 1 for the offset minimizing the sum
+# of absolute differences. Ties break lexicographically on
+# (sad, dy, dx) — deterministic even on pathological fixtures.
+#
+# Fixture rule (DC-exact strategy): 16x16 constant background
+# (doc_id*13 % 256) carrying a non-constant 4x4 block
+# ((doc_id + 37*i + 101*j) % 256) at (6,6); frame 1 translates the
+# block by dx = doc_id % 5 - 2, dy = (doc_id div 5) % 5 - 2. The
+# translated block is the unique zero-SAD candidate (every other
+# candidate is background or partial overlap against a non-constant
+# patch), so the oracle predicts the full result arithmetically —
+# the estimated vector from doc_id, sad_min = 0, and the block
+# checksum from the pattern formula — while the engine earns it from
+# decoded pixels.
+#
+# Scale design: one Arrow pass synthesizes, decodes, and searches
+# (49 offsets x 16 pixels per doc — integer SIMD inside numpy);
+# per-payload work is independent, shuffle-free, and the returned
+# census is one row per document. At 100 TB the search is the same
+# embarrassingly parallel map over shards.
+# ---------------------------------------------------------------------------
+_ME_BLOCK = 4
+_ME_ANCHOR = 6
+_ME_SEARCH = 3
+
+
+def synth_y4m_motion(doc_id: int) -> bytes:
+    """Two 16x16 frames: constant background + a textured 4x4 block
+    that translates by (dx, dy) between frames."""
+    w = h = 16
+    bg = (doc_id * 13) % 256
+    dx = doc_id % 5 - 2
+    dy = (doc_id // 5) % 5 - 2
+    ii = np.arange(_ME_BLOCK, dtype=np.int64)
+    patt = (doc_id + 37 * ii[:, None] + 101 * ii[None, :]) % 256
+    frames = []
+    for x0, y0 in ((_ME_ANCHOR, _ME_ANCHOR), (_ME_ANCHOR + dx, _ME_ANCHOR + dy)):
+        y = np.full((h, w), bg, dtype=np.uint8)
+        y[y0 : y0 + _ME_BLOCK, x0 : x0 + _ME_BLOCK] = patt.astype(np.uint8)
+        u = np.full((h, w), 128, dtype=np.uint8)
+        v = np.full((h, w), 128, dtype=np.uint8)
+        frames.append((y, u, v))
+    return encode_y4m(frames)
+
+
+@register(
+    "p_motion_estimate",
+    oracle=f"""
+    WITH mv AS (
+      SELECT doc_id,
+        CAST(doc_id % 5 - 2 AS BIGINT) AS dx_est,
+        CAST((doc_id // 5) % 5 - 2 AS BIGINT) AS dy_est
+      FROM documents),
+    ck AS (
+      SELECT doc_id,
+        CAST(list_sum(flatten(list_transform(
+          generate_series(0, {_ME_BLOCK - 1}), i ->
+            list_transform(generate_series(0, {_ME_BLOCK - 1}), j ->
+              (doc_id + 37 * i + 101 * j) % 256)))) AS BIGINT) AS block_sum
+      FROM documents)
+    SELECT m.doc_id, m.dx_est, m.dy_est,
+      CAST(0 AS BIGINT) AS sad_min,
+      (m.dx_est <> 0 OR m.dy_est <> 0) AS moved,
+      c.block_sum
+    FROM mv m JOIN ck c ON c.doc_id = m.doc_id
+    ORDER BY m.doc_id
+    """,
+)
+def p_motion_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from pyspark import cloudpickle as _cp
+    import hive_clone_spark.pipeline.videocodec as _mod
+
+    _cp.register_pickle_by_value(_mod)
+
+    ids = spread(table(spark, sf_dir, "documents").select("doc_id"))
+
+    def search_batches(batches):
+        B, A, S = _ME_BLOCK, _ME_ANCHOR, _ME_SEARCH
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                _, _, _, frames = decode_y4m(synth_y4m_motion(doc_id))
+                f0 = frames[0][0].astype(np.int64)
+                f1 = frames[1][0].astype(np.int64)
+                ref = f0[A : A + B, A : A + B]
+                best = None  # (sad, dy, dx)
+                for dy in range(-S, S + 1):
+                    for dx in range(-S, S + 1):
+                        cand = f1[A + dy : A + dy + B, A + dx : A + dx + B]
+                        sad = int(np.abs(cand - ref).sum())
+                        key = (sad, dy, dx)
+                        if best is None or key < best:
+                            best = key
+                sad_min, dy_e, dx_e = best
+                blk = f1[
+                    A + dy_e : A + dy_e + B, A + dx_e : A + dx_e + B
+                ]
+                rows.append(
+                    (
+                        doc_id,
+                        dx_e,
+                        dy_e,
+                        sad_min,
+                        dx_e != 0 or dy_e != 0,
+                        int(blk.sum(dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "dx_est", "dy_est", "sad_min", "moved",
+                    "block_sum",
+                ],
+            )
+
+    return ids.mapInPandas(
+        search_batches,
+        "doc_id BIGINT, dx_est BIGINT, dy_est BIGINT, sad_min BIGINT, "
+        "moved BOOLEAN, block_sum BIGINT",
+    ).orderBy("doc_id")

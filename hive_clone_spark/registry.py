@@ -67,6 +67,7 @@ def load_all_modules() -> None:
     from hive_clone_spark.sources import avro  # noqa: F401
     from hive_clone_spark.sources import lz4  # noqa: F401
     from hive_clone_spark.sources import inflate  # noqa: F401
+    from hive_clone_spark.sources import msgpack  # noqa: F401
     from hive_clone_spark.sources import tfrecord  # noqa: F401
     from hive_clone_spark.pipeline import tfexample  # noqa: F401
     from hive_clone_spark.sources import queries as source_queries  # noqa: F401

@@ -2842,3 +2842,139 @@ def q196_txlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q206 — SHALLOW CLONE (zero-copy table fork): a new table whose
+# first commit REFERENCES the source snapshot's data files instead of
+# copying them — Delta's CLONE / Iceberg's snapshot-ref pattern. The
+# clone then evolves independently: its appends land in its OWN data
+# dir and its commits never touch the source log, so dev/test forks
+# of a 100 TB production table cost one metadata commit, not 100 TB
+# of copy. Because both logs name immutable files, isolation needs no
+# coordination at all — the source can vacuum only ITS unreferenced
+# files (a production system tracks cross-clone references before
+# physical delete; this clone's commit records `cloned_from` so such
+# a reference walk has its anchor).
+#
+# The entry proves the three clone contracts: (1) the clone's read at
+# the fork equals the source snapshot exactly (value-checked via the
+# status rollup), (2) a post-fork append to the clone is invisible to
+# the source, (3) zero data files were copied — every source-snapshot
+# file in the clone's active set is the SOURCE's physical path.
+# ---------------------------------------------------------------------------
+def shallow_clone(src: TxLog, dest_root: str, version: int | None = None) -> TxLog:
+    """Create a new TxLog at ``dest_root`` whose commit 0 references
+    the source snapshot's files by absolute path (stats and DV
+    bindings carried along; nothing is copied)."""
+    at = src.latest_version() if version is None else version
+    files, stats, dvs, _ = src._replay(at)
+    add = []
+    for f in sorted(files):
+        a = {"file": str((src.root / f).resolve())}
+        if f in stats:
+            a["stats"] = stats[f]
+        add.append(a)
+    dv = [
+        {"file": str((src.root / f).resolve()), "dv": str((src.root / p).resolve())}
+        for f, p in sorted(dvs.items())
+        if f in files
+    ]
+    dest = TxLog(dest_root).create()
+    dest.commit(f"clone-from-v{at}", add=add, dv=dv or None)
+    return dest
+
+
+@register(
+    "q206_txlog_shallow_clone",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_src,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS src_price
+      FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      GROUP BY o_orderstatus),
+    cl AS (
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_clone,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS clone_price
+      FROM orders GROUP BY o_orderstatus)
+    SELECT s.o_orderstatus, s.n_src, s.src_price,
+      c.n_clone, c.clone_price,
+      TRUE AS fork_matches_source,
+      TRUE AS source_isolated,
+      CAST(0 AS BIGINT) AS n_files_copied,
+      TRUE AS all_fork_files_shared
+    FROM src s JOIN cl c ON c.o_orderstatus = s.o_orderstatus
+    ORDER BY s.o_orderstatus
+    """,
+)
+def q206_txlog_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_clone_spark.catalog import table as _table
+
+    src = TxLog(_warehouse_dir(sf_dir, "txlog_q206_src")).create()
+    o = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    src.append(o.where(F.col("o_orderkey") % 3 == 0), n_files=2)  # v0
+    src.append(o.where(F.col("o_orderkey") % 3 == 1), n_files=2)  # v1
+    fork_version = src.latest_version()
+    src_files_at_fork = {
+        str((src.root / f).resolve()) for f in src.active_files(fork_version)
+    }
+
+    clone = shallow_clone(
+        src, _warehouse_dir(sf_dir, "txlog_q206_clone"), fork_version
+    )
+    fork_read = clone.read(spark)
+    src_read = src.read(spark, version=fork_version)
+    fork_matches = (
+        fork_read.unionAll(src_read)
+        .groupBy("o_orderkey", "o_orderstatus", "o_totalprice")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") != 2)
+        .count()
+        == 0
+    ) and fork_read.count() == src_read.count()
+
+    # diverge the clone; the source must not see it
+    clone.append(o.where(F.col("o_orderkey") % 3 == 2), n_files=2)
+    source_isolated = (
+        src.latest_version() == fork_version
+        and src.read(spark).count() == src_read.count()
+    )
+    # zero-copy evidence: the fork-snapshot files in the clone's active
+    # set ARE the source's physical paths (no data/ copies were made)
+    clone_active = {
+        str((clone.root / f).resolve()) for f in clone.active_files(0)
+    }
+    all_shared = clone_active == src_files_at_fork
+    n_copied = len(clone_active - src_files_at_fork)
+
+    def rollup(df: DataFrame, n_col: str, p_col: str) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias(n_col),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias(p_col),
+        )
+
+    return (
+        rollup(src_read, "n_src", "src_price")
+        .join(
+            rollup(clone.read(spark), "n_clone", "clone_price"),
+            "o_orderstatus",
+        )
+        .select(
+            "o_orderstatus",
+            "n_src",
+            "src_price",
+            "n_clone",
+            "clone_price",
+            F.lit(bool(fork_matches)).alias("fork_matches_source"),
+            F.lit(bool(source_isolated)).alias("source_isolated"),
+            F.lit(int(n_copied)).cast("long").alias("n_files_copied"),
+            F.lit(bool(all_shared)).alias("all_fork_files_shared"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_clone_spark.catalog import table
+from hive_clone_spark.pipeline.common import sql_portable_hash
 from hive_clone_spark.registry import register
 
 ALPHA = 0.2  # reference smoothing rate (ui_app.cpp:15)
@@ -669,4 +670,169 @@ def q177_stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_accepted * 1000 div n_total").alias("accept_permille"),
         )
         .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q205: KMV distinct-count sketch AS STREAM STATE — per event_type,
+# maintain the k smallest distinct user-id hashes across micro-
+# batches and answer "approximately how many distinct users so far"
+# at every emission. The composition this entry pins: q95's KMV
+# sketch (mergeable, oracle-exact estimate arithmetic) living inside
+# applyInPandasWithState (q138's bounded-state discipline). State per
+# key is O(k) FOREVER on an unbounded stream — the reason streaming
+# systems carry sketches instead of exact distinct sets, whose state
+# is O(ndv) and unbounded.
+#
+# Order independence makes the multi-batch test deterministic: a
+# min-k set and a row count are the same whatever file-pickup order
+# the engine chooses (q138's invariant). Hashes are computed by the
+# JVM (portable md5) while STAGING the stream source, so the Python
+# state function only merges integers — no per-row Python hashing.
+#
+# Scale design: state = n_keys x k longs; each micro-batch shuffles
+# only its own rows; the final estimate is the same (k-1)*H/kth
+# integer-exact formula q95's oracle replays. At 100 TB/day the
+# sketch answer is always one state lookup — no scan, no rescan.
+# ---------------------------------------------------------------------------
+_SKMV_K = 64
+_SKMV_FILES = 4
+
+SKMV_OUT_SCHEMA = "event_type STRING, n_seen BIGINT, n_sketch BIGINT, kth BIGINT"
+SKMV_STATE_SCHEMA = "mins ARRAY<BIGINT>, n_seen BIGINT"
+
+
+def kmv_stream(hashed_stream: DataFrame) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(
+        key: tuple, batches: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        (etype,) = key
+        if state.exists:
+            mins, n = state.get
+            mins = set(mins)
+        else:
+            mins, n = set(), 0
+        for pdf in batches:
+            n += len(pdf)
+            mins.update(int(h) for h in pdf["h"])
+            # re-bound per batch: keep the k smallest distinct hashes
+            if len(mins) > _SKMV_K:
+                mins = set(sorted(mins)[:_SKMV_K])
+        out = sorted(mins)
+        state.update((out, int(n)))
+        yield pd.DataFrame(
+            {
+                "event_type": [etype],
+                "n_seen": [int(n)],
+                "n_sketch": [len(out)],
+                "kth": [out[-1] if len(out) == _SKMV_K else None],
+            }
+        )
+
+    return hashed_stream.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=SKMV_OUT_SCHEMA,
+        stateStructType=SKMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+@register(
+    "q205_stream_kmv_distinct",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+        {sql_portable_hash("CAST(user_id AS VARCHAR)")} AS h
+      FROM events),
+    ranked AS (
+      SELECT event_type, h,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM hashed),
+    sk AS (
+      SELECT event_type,
+        CAST(COUNT(*) AS BIGINT) AS n_sketch,
+        MAX(h) AS kth
+      FROM ranked WHERE rk <= {_SKMV_K} GROUP BY event_type),
+    base AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_seen,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_ndv
+      FROM events GROUP BY event_type)
+    SELECT b.event_type, b.n_seen, s.n_sketch,
+      CASE WHEN s.n_sketch = {_SKMV_K} THEN s.kth ELSE NULL END AS kth,
+      CASE WHEN s.n_sketch = {_SKMV_K}
+           THEN ROUND(({_SKMV_K} - 1) * {float(1 << 60)} / s.kth, 6)
+           ELSE CAST(s.n_sketch AS DOUBLE) END AS est_ndv,
+      b.exact_ndv
+    FROM base b JOIN sk s ON s.event_type = b.event_type
+    ORDER BY b.event_type
+    """,
+)
+def q205_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql.window import Window
+
+    from hive_clone_spark.pipeline.common import portable_hash
+    from hive_clone_spark.sources.queries import _warehouse
+    from hive_clone_spark.streaming.streams import run_to_memory
+
+    src_dir = _warehouse(sf_dir, "kmv_q205")
+    (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "ts",
+            "event_type",
+            portable_hash(F.col("user_id").cast("string")).alias("h"),
+        )
+        .repartition(_SKMV_FILES)
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    src = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, event_type STRING, h BIGINT"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(kmv_stream(src), "q205_kmv", output_mode="update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    t = spark.table("q205_kmv")
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_seen"))
+    final = (
+        t.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+    exact = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_ndv"))
+    )
+    est = F.when(
+        F.col("n_sketch") == _SKMV_K,
+        F.round(
+            F.lit(_SKMV_K - 1) * F.lit(float(1 << 60)) / F.col("kth"), 6
+        ),
+    ).otherwise(F.col("n_sketch").cast("double"))
+    return (
+        final.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_seen",
+            "n_sketch",
+            "kth",
+            est.alias("est_ndv"),
+            "exact_ndv",
+        )
+        .orderBy("event_type")
     )
