@@ -7164,3 +7164,73 @@ def q203_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = arm if out is None else out.unionAll(arm)
     return out.orderBy("level")
+
+
+# ---------------------------------------------------------------------------
+# Q208 — candidate-key discovery: which column combinations uniquely
+# identify a lineitem row? The catalog-population pass (primary-key
+# inference for migrated tables without declared constraints) that
+# complements q179's FD discovery and q147's FK discovery: a
+# candidate set is a key iff its distinct count equals the row count.
+# The ladder tests the single columns plus the pairs a modeler would
+# guess — including (l_orderkey, l_linenumber), which TPC-H declares
+# as the primary key but which is NOT unique under this generator
+# (the entry's result records that surprise as data, the reason key
+# DISCOVERY exists instead of key assumption).
+#
+# Scale design: every candidate is one exact distinct-count — each a
+# map-side partially-aggregated shuffle on the candidate's own key
+# (the same pass ANALYZE runs per column); no row ever carries more
+# than the candidate's columns. dup_factor_millis = rows*1000 div
+# distinct quantifies HOW non-unique a failed candidate is.
+# ---------------------------------------------------------------------------
+_KEY_CANDIDATES = [
+    ("l_orderkey",),
+    ("l_partkey",),
+    ("l_orderkey", "l_linenumber"),
+    ("l_partkey", "l_suppkey"),
+    ("l_orderkey", "l_partkey"),
+    ("l_orderkey", "l_partkey", "l_suppkey"),
+]
+
+
+def _key_arm_sql(cols: tuple[str, ...]) -> str:
+    combo = ", ".join(cols)
+    return f"""
+    SELECT '{"+".join(cols)}' AS candidate,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows,
+      CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      CAST(COUNT(*) = (SELECT COUNT(*) FROM lineitem) AS BOOLEAN)
+        AS is_key,
+      CAST((SELECT COUNT(*) FROM lineitem) * 1000 // COUNT(*) AS BIGINT)
+        AS dup_factor_millis
+    FROM (SELECT DISTINCT {combo} FROM lineitem)
+    """
+
+
+@register(
+    "q208_key_discovery",
+    oracle=" UNION ALL ".join(_key_arm_sql(c) for c in _KEY_CANDIDATES)
+    + " ORDER BY candidate",
+)
+def q208_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    total = li.count()
+    out = None
+    for cols in _KEY_CANDIDATES:
+        nd = li.select(*cols).distinct().count()
+        arm = li.sparkSession.createDataFrame(
+            [
+                (
+                    "+".join(cols),
+                    total,
+                    nd,
+                    nd == total,
+                    total * 1000 // nd,
+                )
+            ],
+            "candidate STRING, n_rows BIGINT, n_distinct BIGINT, "
+            "is_key BOOLEAN, dup_factor_millis BIGINT",
+        )
+        out = arm if out is None else out.unionAll(arm)
+    return out.orderBy("candidate")

@@ -878,3 +878,129 @@ def q172_grouped_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q207 — HyperLogLog distinct-count sketch, the industry-standard NDV
+# summary (Spark's own approx_count_distinct is an opaque HLL++; this
+# is the same estimator built transparently so the oracle can replay
+# every register): the 60-bit portable hash splits into a 6-bit
+# bucket (top bits) and a 54-bit tail; each of m=64 registers keeps
+# the maximum leading-zero rank rho(tail) seen in its bucket; the
+# estimate is alpha_m * m^2 / sum_j 2^-M[j].
+#
+# Everything stays exact until one final division: rho comes from the
+# BINARY-STRING length of the tail (bin() is pure integer formatting
+# — no log2 anywhere, whose rounding differs across libms at exact
+# powers); the harmonic sum is scaled by 2^60 so it is an exact
+# integer (HUGEINT / DECIMAL(38,0) — 64 * 2^60 overflows BIGINT); the
+# register checksum sum((j+1) * M[j]) pins every register value, so a
+# single wrong rank anywhere breaks the hash, not just the rounded
+# estimate. Alpha_64 = 0.709 (Flajolet et al. 2007, the public HLL
+# paper) as an identical literal on both engines.
+#
+# Scale design: registers have the max-merge algebra — map-side
+# combine produces 64 rows per partition, the final merge is
+# elementwise MAX over 64-row vectors, and the whole sketch costs 64
+# bytes of state per column at ANY data size. This is the sketch the
+# cost model (q89/q93) would persist per file at 100 TB.
+# ---------------------------------------------------------------------------
+_HLL_M = 64  # 6-bit bucket index
+_HLL_TAIL = 54  # 60 - 6 tail bits
+_HLL_ALPHA = 0.709  # alpha_64 from the public HLL constants
+_HLL_SCALE = 1 << 60
+
+
+def _hll_sql(col: str) -> str:
+    h = sql_portable_hash(f"CAST({col} AS VARCHAR)")
+    return f"""
+    SELECT '{col}' AS column_name,
+      CAST({_HLL_M} AS BIGINT) AS m,
+      n_empty, register_checksum,
+      ROUND({_HLL_ALPHA} * {_HLL_M} * {_HLL_M} * {float(_HLL_SCALE)}
+            / CAST(scaled_sum AS DOUBLE), 6) AS est_ndv,
+      (SELECT CAST(COUNT(DISTINCT {col}) AS BIGINT) FROM lineitem)
+        AS exact_ndv
+    FROM (
+      SELECT
+        CAST(SUM(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+        CAST(SUM((j + 1) * mj) AS BIGINT) AS register_checksum,
+        SUM(CAST(CAST(1 AS BIGINT) << (60 - mj) AS HUGEINT)) AS scaled_sum
+      FROM (
+        SELECT s.j, COALESCE(r.mj, 0) AS mj
+        FROM (SELECT unnest(generate_series(0, {_HLL_M - 1})) AS j) s
+        LEFT JOIN (
+          SELECT h // {1 << _HLL_TAIL} AS j,
+            MAX(CASE WHEN h % {1 << _HLL_TAIL} = 0 THEN {_HLL_TAIL + 1}
+                     ELSE {_HLL_TAIL + 1}
+                          - length(bin(h % {1 << _HLL_TAIL})) END) AS mj
+          FROM (SELECT DISTINCT {h} AS h FROM lineitem)
+          GROUP BY 1) r ON r.j = s.j))
+    """
+
+
+@register(
+    "q207_hll_distinct",
+    oracle=f"""
+    {_hll_sql("l_partkey")}
+    UNION ALL {_hll_sql("l_suppkey")}
+    UNION ALL {_hll_sql("l_orderkey")}
+    ORDER BY column_name
+    """,
+)
+def q207_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    spine = spark.range(_HLL_M).select(F.col("id").cast("long").alias("j"))
+
+    def one(col: str) -> DataFrame:
+        h = portable_hash(F.col(col).cast("string"))
+        tail = F.col("h") % (1 << _HLL_TAIL)
+        rho = F.when(tail == 0, F.lit(_HLL_TAIL + 1)).otherwise(
+            F.lit(_HLL_TAIL + 1) - F.length(F.bin(tail))
+        )
+        regs = (
+            li.select(h.alias("h"))
+            .distinct()
+            .select(
+                (F.col("h") / (1 << _HLL_TAIL)).cast("long").alias("j"),
+                rho.alias("rho"),
+            )
+            .groupBy("j")
+            .agg(F.max("rho").alias("mj"))
+        )
+        full = spine.join(regs, "j", "left").select(
+            "j", F.coalesce("mj", F.lit(0)).alias("mj")
+        )
+        agg = full.agg(
+            F.sum(F.when(F.col("mj") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_empty"),
+            F.sum((F.col("j") + 1) * F.col("mj"))
+            .cast("long")
+            .alias("register_checksum"),
+            F.sum(
+                F.expr(
+                    "CAST(shiftleft(CAST(1 AS BIGINT), 60 - mj) "
+                    "AS DECIMAL(38,0))"
+                )
+            ).alias("scaled_sum"),
+        )
+        exact = li.agg(F.countDistinct(col).cast("long").alias("exact_ndv"))
+        return agg.crossJoin(exact).select(
+            F.lit(col).alias("column_name"),
+            F.lit(_HLL_M).cast("long").alias("m"),
+            "n_empty",
+            "register_checksum",
+            F.round(
+                F.lit(_HLL_ALPHA)
+                * _HLL_M
+                * _HLL_M
+                * F.lit(float(_HLL_SCALE))
+                / F.col("scaled_sum").cast("double"),
+                6,
+            ).alias("est_ndv"),
+            "exact_ndv",
+        )
+
+    out = one("l_partkey").unionAll(one("l_suppkey")).unionAll(one("l_orderkey"))
+    return out.orderBy("column_name")

@@ -340,3 +340,187 @@ def p_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# p_fim_transform — fill-in-the-middle restructuring (the PSM format
+# from the public FIM literature: the document splits into
+# prefix/middle/suffix and serializes as <PRE> prefix <SUF> suffix
+# <MID> middle, teaching an autoregressive model to infill): pivots
+# are DETERMINISTIC word-count fractions (40% / 70%), so the exact
+# rendered string — and therefore its md5 — is a pure function of
+# the text, which is what makes a 100 TB transform auditable: any
+# nondeterministic splitter (random pivots, unseeded RNG per task)
+# produces an unreproducible dataset no two reruns agree on.
+#
+# Scale design: pure scan-stage string work (split/slice/concat HOFs,
+# zero Python, zero shuffle before the ordered output); at scale this
+# runs inside whole-stage codegen next to the parquet reader.
+# ---------------------------------------------------------------------------
+_FIM_PRE = b"<PRE>"  # documented sentinels (bytes only for clarity)
+
+
+@register(
+    "p_fim_transform",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id,
+        list_filter(str_split_regex(text, '\\s+'), w -> w <> '') AS w
+      FROM documents),
+    cut AS (
+      SELECT doc_id, w, len(w) AS n,
+        len(w) * 40 // 100 AS m0,
+        len(w) * 70 // 100 AS m1
+      FROM ws),
+    fim AS (
+      SELECT doc_id, n, m0, m1,
+        '<PRE>' || array_to_string(list_slice(w, 1, m0), ' ')
+          || '<SUF>' || array_to_string(list_slice(w, m1 + 1, n), ' ')
+          || '<MID>' || array_to_string(list_slice(w, m0 + 1, m1), ' ')
+          AS rendered
+      FROM cut)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+      CAST(m0 AS BIGINT) AS prefix_words,
+      CAST(m1 - m0 AS BIGINT) AS middle_words,
+      CAST(n - m1 AS BIGINT) AS suffix_words,
+      CAST(strlen(rendered) AS BIGINT) AS rendered_len,
+      md5(rendered) AS rendered_md5
+    FROM fim ORDER BY doc_id
+    """,
+)
+def p_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))
+    base = d.select(
+        "doc_id",
+        w.alias("w"),
+        F.size(w).alias("n"),
+        (F.size(w) * 40 / 100).cast("int").alias("m0"),
+        (F.size(w) * 70 / 100).cast("int").alias("m1"),
+    )
+    rendered = F.concat(
+        F.lit("<PRE>"),
+        F.array_join(F.slice("w", F.lit(1), F.col("m0")), " "),
+        F.lit("<SUF>"),
+        F.array_join(
+            F.slice("w", F.col("m1") + 1, F.greatest(F.col("n") - F.col("m1"), F.lit(0))),
+            " ",
+        ),
+        F.lit("<MID>"),
+        F.array_join(
+            F.slice("w", F.col("m0") + 1, F.col("m1") - F.col("m0")), " "
+        ),
+    )
+    return base.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_words"),
+        F.col("m0").cast("long").alias("prefix_words"),
+        (F.col("m1") - F.col("m0")).cast("long").alias("middle_words"),
+        (F.col("n") - F.col("m1")).cast("long").alias("suffix_words"),
+        F.octet_length(rendered).cast("long").alias("rendered_len"),
+        F.md5(rendered.cast("binary")).alias("rendered_md5"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p_chat_template — conversation rendering with loss masks: each
+# user's first 6 events (event-time order) become alternating
+# user/assistant turns; the template serializes them as
+# <|role|>event_type:value_cents segments, and the entry reports the
+# characters attributable to ASSISTANT turns — the span an SFT loss
+# mask keeps (loss is computed on assistant tokens only; masking the
+# wrong spans silently trains on user text, an error only an exact
+# per-example accounting like this surfaces).
+#
+# Scale design: one shuffle keyed by user_id (rank + the ordered
+# collect share it); the per-user turn list is capped at 6 BEFORE
+# collect_list, so aggregation state is bounded (the p_inverted_index
+# cap discipline); rendering is a scan-stage concat over the capped
+# array. Value cents are exact integers — no float ever reaches a
+# string.
+# ---------------------------------------------------------------------------
+_CHAT_TURNS = 6
+
+
+@register(
+    "p_chat_template",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn
+      FROM events),
+    capped AS (
+      SELECT user_id, rn,
+        CASE WHEN rn % 2 = 1 THEN 'user' ELSE 'assistant' END AS role,
+        event_type, cents
+      FROM ranked WHERE rn <= {_CHAT_TURNS}),
+    seg AS (
+      SELECT user_id, rn, role,
+        '<|' || role || '|>' || event_type || ':'
+          || CAST(cents AS VARCHAR) AS s
+      FROM capped),
+    doc AS (
+      SELECT user_id,
+        CAST(COUNT(*) AS BIGINT) AS n_turns,
+        array_to_string(list(s ORDER BY rn), '') AS rendered,
+        CAST(SUM(CASE WHEN role = 'assistant' THEN strlen(s)
+                 ELSE 0 END) AS BIGINT) AS assistant_chars
+      FROM seg GROUP BY user_id)
+    SELECT user_id, n_turns,
+      CAST(strlen(rendered) AS BIGINT) AS total_chars,
+      assistant_chars, md5(rendered) AS rendered_md5
+    FROM doc ORDER BY user_id
+    """,
+)
+def p_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = e.select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        F.row_number().over(w).alias("rn"),
+    ).where(F.col("rn") <= _CHAT_TURNS)
+    seg = ranked.select(
+        "user_id",
+        "rn",
+        F.when(F.col("rn") % 2 == 1, "user").otherwise("assistant").alias(
+            "role"
+        ),
+        F.concat(
+            F.lit("<|"),
+            F.when(F.col("rn") % 2 == 1, "user").otherwise("assistant"),
+            F.lit("|>"),
+            F.col("event_type"),
+            F.lit(":"),
+            F.col("cents").cast("string"),
+        ).alias("s"),
+    )
+    doc = seg.groupBy("user_id").agg(
+        F.count("*").alias("n_turns"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "s"))
+                ),
+                lambda x: x["s"],
+            ),
+            "",
+        ).alias("rendered"),
+        F.sum(
+            F.when(F.col("role") == "assistant", F.octet_length("s")).otherwise(0)
+        )
+        .cast("long")
+        .alias("assistant_chars"),
+    )
+    return doc.select(
+        "user_id",
+        "n_turns",
+        F.octet_length("rendered").cast("long").alias("total_chars"),
+        "assistant_chars",
+        F.md5(F.col("rendered").cast("binary")).alias("rendered_md5"),
+    ).orderBy("user_id")

@@ -91,6 +91,8 @@ NESTEDLOOP_OK = {
     "q190_ab_experiment",  # 1-row chi-square verdict crossJoin (q44 pattern)
     "q198_decayed_engagement",  # 1-row anchor-date crossJoin (q44 pattern)
     "q201_cusum_changepoint",  # 1-row (N, total) crossJoin (q44 pattern)
+    "q207_hll_distinct",  # 1-row register-aggregate x 1-row exact
+    # crossJoins (q95 pattern); the register spine join itself is equi
     "q202_gini_split",  # 1-row class-totals crossJoin (q44 pattern)
 }
 
