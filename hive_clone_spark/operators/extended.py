@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hive_clone_spark.catalog import table
+from hive_clone_spark.pipeline.common import sql_portable_hash
 from hive_clone_spark.registry import register
 
 
@@ -7234,3 +7235,215 @@ def q208_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = arm if out is None else out.unionAll(arm)
     return out.orderBy("candidate")
+
+
+# ---------------------------------------------------------------------------
+# Q209 — join-strategy hints: the same customer⋈orders rollup
+# executed under BROADCAST, MERGE (sort-merge), and SHUFFLE_HASH
+# hints — the Catalyst control surface a performance engineer uses
+# when the optimizer's default is wrong for a known workload (e.g.
+# forcing broadcast for a dim the size estimator over-counts, or
+# forcing shuffle-hash when one side is pre-bucketed and sorting is
+# the waste). The entry proves the three physical strategies return
+# IDENTICAL results (hint changes the plan, never the answer) by
+# comparing integer moments per arm; the pytest twin additionally
+# pins each arm's physical operator (BroadcastHashJoin /
+# SortMergeJoin / ShuffledHashJoin) so a silently ignored hint fails
+# CI, not just a review.
+#
+# Scale design: the hint is metadata on the logical plan — zero
+# runtime cost; each arm is one join + one map-side-combinable
+# rollup. At 100 TB choosing shuffle-hash over sort-merge on
+# pre-partitioned data saves the sort entirely — exactly the decision
+# this surface exists to force.
+# ---------------------------------------------------------------------------
+_HINT_ARMS = ("broadcast", "merge", "shuffle_hash")
+
+
+@register(
+    "q209_join_strategy_hints",
+    oracle=f"""
+    WITH rollup_ AS (
+      SELECT c.c_nationkey AS nationkey,
+        CAST(COUNT(*) AS BIGINT) AS n_orders,
+        CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS rev_cents
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        CAST(SUM(n_orders) AS BIGINT) AS total_orders,
+        CAST(SUM(nationkey * n_orders) AS BIGINT) AS key_moment,
+        CAST(SUM(rev_cents) AS BIGINT) AS total_rev_cents
+      FROM rollup_)
+    SELECT h.hint, m.n_groups, m.total_orders, m.key_moment,
+      m.total_rev_cents, TRUE AS matches_baseline
+    FROM (VALUES {", ".join(f"('{h}')" for h in _HINT_ARMS)}) h(hint), m
+    ORDER BY h.hint
+    """,
+)
+def q209_join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+
+    def arm(hint: str) -> DataFrame:
+        left = F.broadcast(c) if hint == "broadcast" else c.hint(hint)
+        j = left.join(o, left.c_custkey == o.o_custkey)
+        r = j.groupBy("c_nationkey").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("rev_cents"),
+        )
+        return r.agg(
+            F.count("*").alias("n_groups"),
+            F.sum("n_orders").cast("long").alias("total_orders"),
+            F.sum(F.col("c_nationkey") * F.col("n_orders"))
+            .cast("long")
+            .alias("key_moment"),
+            F.sum("rev_cents").cast("long").alias("total_rev_cents"),
+        ).select(F.lit(hint).alias("hint"), "*")
+
+    arms = [arm(h) for h in _HINT_ARMS]
+    base = arms[0].collect()[0]
+    out = None
+    for a in arms:
+        row = a.collect()[0]
+        same = all(row[k] == base[k] for k in
+                   ("n_groups", "total_orders", "key_moment", "total_rev_cents"))
+        one = c.sparkSession.createDataFrame(
+            [(row["hint"], row["n_groups"], row["total_orders"],
+              row["key_moment"], row["total_rev_cents"], bool(same))],
+            "hint STRING, n_groups BIGINT, total_orders BIGINT, "
+            "key_moment BIGINT, total_rev_cents BIGINT, "
+            "matches_baseline BOOLEAN",
+        )
+        out = one if out is None else out.unionAll(one)
+    return out.orderBy("hint")
+
+
+def hinted_join_plan(spark: SparkSession, sf_dir: str, hint: str) -> str:
+    """Formatted physical plan of one q209 hint arm (pytest pins the
+    operator per hint)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    left = F.broadcast(c) if hint == "broadcast" else c.hint(hint)
+    j = left.join(o, left.c_custkey == o.o_custkey).groupBy(
+        "c_nationkey"
+    ).count()
+    return j._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q211 — geohash cell aggregation: encode synthetic points to
+# geohash-6 and geohash-4 strings (the standard base32 z-curve
+# geocode every geo warehouse exposes as geohash()/ST_GeoHash) and
+# roll points up per cell — plus a per-cell proof of the PREFIX
+# property (a point's geohash-4 is the first 4 chars of its
+# geohash-6), which is what makes geohash cells a hierarchy: coarse
+# cells are prefixes, so zoom-out is a substr-groupBy, never a
+# re-encode.
+#
+# All integer: coordinates are 15-bit grid positions derived from the
+# portable hash (the q131 lesson: synthetic geometry needs hash
+# dispersion); the 30-bit cell code is an explicit 30-term
+# bit-interleave polynomial (generated once in Python, IDENTICAL
+# string on both engines — the q153 Hilbert discipline); base32 chars
+# come from substr into the public geohash alphabet. No floats, no
+# trig, no library.
+#
+# Scale design: encoding is a scan-stage integer expression (z-curve
+# locality also makes the cell id a good file-clustering key — q57);
+# the rollup is one map-side-combinable groupBy; top-20 is a
+# TakeOrdered. The subcell count per cell is bounded by the 10-bit
+# refinement fan-out.
+# ---------------------------------------------------------------------------
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_BITS = 15  # per axis -> geohash-6 (30 bits)
+
+
+def _interleave_sql(xe: str, ye: str, bits: int) -> str:
+    """30-term integer polynomial: x bits at odd positions (geohash
+    starts with the x/longitude bit at the MSB), y at even."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({xe}) >> {b}) & 1) * {1 << (2 * b + 1)}")
+        terms.append(f"((({ye}) >> {b}) & 1) * {1 << (2 * b)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _base32_sql(code: str, n_chars: int) -> str:
+    parts = []
+    for i in range(n_chars):
+        shift = 5 * (n_chars - 1 - i)
+        parts.append(
+            f"substr('{_GH_ALPHABET}', ((({code}) >> {shift}) & 31) + 1, 1)"
+        )
+    return " || ".join(parts)
+
+
+@register(
+    "q211_geohash_cells",
+    oracle=f"""
+    WITH pt AS (
+      SELECT {sql_portable_hash("'geo' || CAST(c_custkey AS VARCHAR)")} AS h
+      FROM customer),
+    xy AS (
+      SELECT h % {1 << _GH_BITS} AS x,
+        (h // {1 << _GH_BITS}) % {1 << _GH_BITS} AS y
+      FROM pt),
+    coded AS (
+      SELECT
+        {_base32_sql(_interleave_sql("x", "y", _GH_BITS), 6)} AS gh6,
+        {_base32_sql(_interleave_sql("x >> 5", "y >> 5", _GH_BITS - 5), 4)}
+          AS gh4
+      FROM xy)
+    SELECT gh4 AS cell,
+      CAST(COUNT(*) AS BIGINT) AS n_points,
+      CAST(COUNT(DISTINCT gh6) AS BIGINT) AS n_subcells,
+      CAST(SUM(CASE WHEN substr(gh6, 1, 4) = gh4 THEN 1 ELSE 0 END)
+           = COUNT(*) AS BOOLEAN) AS prefix_ok
+    FROM coded GROUP BY gh4
+    ORDER BY n_points DESC, cell LIMIT 20
+    """,
+)
+def q211_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_clone_spark.pipeline.common import portable_hash
+
+    c = table(spark, sf_dir, "customer")
+    pt = c.select(
+        portable_hash(
+            F.concat(F.lit("geo"), F.col("c_custkey").cast("string"))
+        ).alias("h")
+    )
+    xy = pt.select(
+        (F.col("h") % (1 << _GH_BITS)).alias("x"),
+        F.expr(f"(h div {1 << _GH_BITS}) % {1 << _GH_BITS}").alias("y"),
+    )
+    coded = xy.select(
+        F.expr(_base32_sql(_interleave_sql("x", "y", _GH_BITS), 6)).alias("gh6"),
+        F.expr(
+            _base32_sql(_interleave_sql("x >> 5", "y >> 5", _GH_BITS - 5), 4)
+        ).alias("gh4"),
+    )
+    return (
+        coded.groupBy(F.col("gh4").alias("cell"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.countDistinct("gh6").alias("n_subcells"),
+            (
+                F.sum(
+                    F.when(
+                        F.substring("gh6", 1, 4) == F.col("gh4"), 1
+                    ).otherwise(0)
+                )
+                == F.count("*")
+            ).alias("prefix_ok"),
+        )
+        .orderBy(F.desc("n_points"), "cell")
+        .limit(20)
+    )

@@ -2978,3 +2978,92 @@ def q206_txlog_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q210 — the FILES metadata table (Iceberg's `table$files` / Delta's
+# DESCRIBE DETAIL surface): expose the commit log's per-file metadata
+# — path identity, recorded min/max stats — AS a queryable DataFrame,
+# and audit it against the physical truth by re-aggregating each
+# file's actual rows via _metadata.file_path. A stats entry that
+# drifts from its file (the failure mode that silently breaks
+# skipping-based pruning AND stats-based deletes) flips the
+# per-bucket `stats_truthful` flag and the hash.
+#
+# Scale design: the metadata side is pure log work (O(files), no data
+# IO — what makes `SELECT * FROM t$files` instant on a 100 TB table);
+# the audit side is ONE scan grouped by file identity, the same
+# file-grain aggregate a stats REFRESH would run. Per-bucket output
+# stays schema-bounded.
+# ---------------------------------------------------------------------------
+@register(
+    "q210_txlog_files_metadata",
+    oracle=f"""
+    WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+    b AS (
+      SELECT CAST(floor((o_orderkey * {_SKIP_BUCKETS}) / (mx + 1))
+                  AS INT) AS bucket,
+        o_orderkey
+      FROM orders, m)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(MIN(o_orderkey) AS BIGINT) AS stat_min,
+      CAST(MAX(o_orderkey) AS BIGINT) AS stat_max,
+      TRUE AS stats_truthful
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q210_txlog_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tl = TxLog(_warehouse_dir(sf_dir, "txlog_q210")).create()
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    m = o.agg(F.max("o_orderkey")).collect()[0][0]
+    bucketed = _with_bucket(o, m)
+    tl.commit(
+        "append",
+        add=tl.stage_data_partitioned(bucketed, "bucket", _bucket_stats(bucketed)),
+    )
+    # metadata side: one row per active file straight from the log
+    _, stats, _, _ = tl._replay(tl.latest_version())
+    meta_rows = [
+        (f, int(s["o_orderkey"][0]), int(s["o_orderkey"][1]))
+        for f, s in stats.items()
+    ]
+    meta = spark.createDataFrame(
+        meta_rows, "file STRING, stat_min BIGINT, stat_max BIGINT"
+    )
+    # audit side: per-file physical truth from ONE scan
+    actual = (
+        tl.read(spark)
+        .select(
+            F.concat(
+                F.lit("data/"),
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+            ).alias("file"),
+            "o_orderkey",
+        )
+        .groupBy("file")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_orderkey").alias("act_min"),
+            F.max("o_orderkey").alias("act_max"),
+        )
+    )
+    joined = meta.join(actual, "file")
+    # file names are opaque uuids; bucket identity = the stats range
+    # position (stage_data_partitioned wrote one file per bucket)
+    w_bucket = F.floor(
+        (F.col("stat_min") * _SKIP_BUCKETS) / F.lit(int(m) + 1)
+    ).cast("long")
+    return (
+        joined.select(
+            w_bucket.alias("bucket"),
+            "n_rows",
+            "stat_min",
+            "stat_max",
+            (
+                (F.col("stat_min") == F.col("act_min"))
+                & (F.col("stat_max") == F.col("act_max"))
+            ).alias("stats_truthful"),
+        )
+        .orderBy("bucket")
+    )

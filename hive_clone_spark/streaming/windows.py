@@ -996,3 +996,83 @@ def q162_stream_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quarantined_late BIGINT, input_rows BIGINT",
     )
     return out.orderBy("day", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# q212: COMPLETE-mode streaming aggregate — the third output mode
+# (append: q23/q94; update: q68/q138/q205), previously unexercised.
+# Complete mode re-emits the ENTIRE result table every micro-batch —
+# the semantics behind live leaderboards/dashboards, where the sink
+# replaces its contents rather than appending deltas. The memory sink
+# holds exactly the latest full table, so the final state is
+# deterministic regardless of how the engine splits the input into
+# batches (grouped sums/counts/maxes are order-independent — the
+# q138 invariant, applied to the output mode instead of the state).
+#
+# Money stays integer (cents at the scan, BIGINT sums; a raw double
+# sum over a shuffle is order-dependent — the standing invariant).
+#
+# Scale design: complete mode keeps O(|groups|) state (5 event types
+# here — bounded by the domain, not the stream); its cost is
+# re-emission, which is why it fits ONLY domain-bounded groupings —
+# a per-user complete aggregate would re-emit 10^8 rows per batch,
+# and the right tool there is update mode (q68). That boundary is
+# the operational lesson this entry encodes.
+# ---------------------------------------------------------------------------
+_LEADER_FILES = 5
+
+
+@register(
+    "q212_stream_complete_leaderboard",
+    oracle="""
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        AS sum_cents,
+      CAST(MAX(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        AS max_cents
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q212_stream_complete_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hive_clone_spark.sources.queries import _warehouse
+    from hive_clone_spark.streaming.streams import run_to_memory
+
+    src_dir = _warehouse(sf_dir, "leader_q212")
+    (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "ts",
+            "event_type",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .repartition(_LEADER_FILES)
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    src = (
+        spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, event_type STRING, cents BIGINT"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    agg = src.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(agg, "q212_leader", output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.table("q212_leader")
+        .select("event_type", "n_events", "sum_cents", "max_cents")
+        .orderBy("event_type")
+    )

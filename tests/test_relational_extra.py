@@ -3,6 +3,8 @@ express: approximation accuracy bounds and salted-join plan shape."""
 
 from __future__ import annotations
 
+import pytest
+
 from hive_clone_spark import registry
 
 registry.load_all_modules()
@@ -452,3 +454,20 @@ def test_asof_join_matches_bruteforce_property(spark):
             assert got[i] == want, (i, k, ts, got[i], want)
 
     check()
+
+
+@pytest.mark.parametrize(
+    "hint,operator",
+    [
+        ("broadcast", "BroadcastHashJoin"),
+        ("merge", "SortMergeJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+    ],
+)
+def test_q209_hint_selects_physical_join(spark, sf_dir, hint, operator):
+    """Each q209 hint must actually flip the physical join strategy —
+    a silently ignored hint is a perf regression CI should catch."""
+    from hive_clone_spark.operators.extended import hinted_join_plan
+
+    plan = hinted_join_plan(spark, sf_dir, hint)
+    assert operator in plan, f"{hint}: expected {operator} in plan"
