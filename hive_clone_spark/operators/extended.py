@@ -7447,3 +7447,89 @@ def q211_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_points"), "cell")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q213 — late-arriving dimension handling: facts stream in before
+# their dimension rows exist (the classic warehouse race — an order
+# referencing a customer whose master-data record hasn't replicated
+# yet). The protocol: join facts against the dimension-as-of-now;
+# misses divert to an ORPHAN holding area (never dropped, never
+# blocking the matched rows' load); when the next dimension batch
+# lands, ONLY the holding area is retried. The entry runs both
+# phases (dimension arrives split by customer-key parity) and
+# reconciles: every fact is accounted for exactly once across
+# phase-1 matches, backfilled orphans, and residual orphans (zero
+# here), with revenue totals per phase proving no row was double-
+# loaded or lost.
+#
+# Scale design: each phase is one broadcast-or-shuffle equi join; the
+# retry joins ONLY the orphan set (proportional to the miss rate, not
+# the fact table); the holding area is exactly the left-anti side of
+# the phase-1 join, materialized once. At 100 TB the orphan retry is
+# the cheap pass — which is the point of the pattern.
+# ---------------------------------------------------------------------------
+@register(
+    "q213_late_arriving_dimension",
+    oracle="""
+    WITH f AS (
+      SELECT o_orderkey, o_custkey,
+        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    phase1 AS (SELECT * FROM f WHERE o_custkey % 2 = 0),
+    phase2 AS (SELECT * FROM f WHERE o_custkey % 2 = 1)
+    SELECT 'phase1_matched' AS stage,
+      CAST(COUNT(*) AS BIGINT) AS n_facts,
+      CAST(SUM(cents) AS BIGINT) AS rev_cents FROM phase1
+    UNION ALL
+    SELECT 'phase1_orphaned', CAST(COUNT(*) AS BIGINT),
+      CAST(SUM(cents) AS BIGINT) FROM phase2
+    UNION ALL
+    SELECT 'phase2_backfilled', CAST(COUNT(*) AS BIGINT),
+      CAST(SUM(cents) AS BIGINT) FROM phase2
+    UNION ALL
+    SELECT 'residual_orphans', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'reconciled_total', CAST(COUNT(*) AS BIGINT),
+      CAST(SUM(cents) AS BIGINT) FROM f
+    ORDER BY stage
+    """,
+)
+def q213_late_arriving_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    dim1 = c.where(F.col("c_custkey") % 2 == 0).select("c_custkey")
+    dim2 = c.where(F.col("c_custkey") % 2 == 1).select("c_custkey")
+
+    matched1 = o.join(
+        F.broadcast(dim1), o.o_custkey == dim1.c_custkey, "left_semi"
+    )
+    orphans = o.join(
+        F.broadcast(dim1), o.o_custkey == dim1.c_custkey, "left_anti"
+    ).localCheckpoint(eager=True)  # the holding area, materialized once
+    backfilled = orphans.join(
+        F.broadcast(dim2), orphans.o_custkey == dim2.c_custkey, "left_semi"
+    )
+    residual = orphans.join(
+        F.broadcast(dim2), orphans.o_custkey == dim2.c_custkey, "left_anti"
+    )
+
+    def arm(df: DataFrame, stage: str) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.count("*").alias("n_facts"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("rev_cents"),
+        )
+
+    return (
+        arm(matched1, "phase1_matched")
+        .unionAll(arm(orphans, "phase1_orphaned"))
+        .unionAll(arm(backfilled, "phase2_backfilled"))
+        .unionAll(arm(residual, "residual_orphans"))
+        .unionAll(arm(o, "reconciled_total"))
+        .orderBy("stage")
+    )

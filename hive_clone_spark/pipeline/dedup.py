@@ -2115,3 +2115,127 @@ def p_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("jaccard_permille"), "doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# p_lsh_tuning — the MinHash-LSH design calculation: for a fixed
+# 128-hash signature, which (bands b, rows-per-band r) split best
+# matches a target Jaccard threshold t=0.5? The S-curve
+# p(s) = 1 - (1 - s^r)^b gives each config's collision probability at
+# similarity s; integrating p below t (false-positive mass) and 1-p
+# above t (false-negative mass) over the s-grid scores the tradeoff
+# — the calculation behind p_dedup_minhash_lsh's chosen parameters,
+# exposed as the design tool ("measure, don't guess" applied to the
+# sketch's own parameters).
+#
+# Float discipline: every b and r is a POWER OF TWO, so s^r and
+# (1-s^r)^b evaluate as explicit squaring chains — only multiplies,
+# each exactly rounded, generated as ONE string both engines parse
+# (pow()/exp/ln never appear: libm pow is not correctly rounded and
+# differs across engines). Grid masses become integer micros per
+# point BEFORE summation (a float sum over a shuffle is order-
+# dependent). The recommended config is the integer argmin.
+#
+# Scale note: this is O(configs x grid) driver-size arithmetic — the
+# point of registering it is that parameter sweeps belong IN the
+# pipeline (versioned, oracle-checked) rather than in a notebook
+# nobody can reproduce.
+# ---------------------------------------------------------------------------
+_LSH_CONFIGS = [(64, 2, 6, 1), (32, 4, 5, 2), (16, 8, 4, 3), (8, 16, 3, 4)]
+_LSH_GRID = 20  # s = i / 20, i in 1..19
+_LSH_T_IDX = 10  # threshold t = 0.5
+
+
+def _sq_chain(expr: str, k: int) -> str:
+    for _ in range(k):
+        expr = f"(({expr}) * ({expr}))"
+    return expr
+
+
+def _lsh_p_sql(s_expr: str) -> str:
+    """CASE over configs: p(s) = 1 - (1 - s^r)^b via squaring chains."""
+    arms = []
+    for b, r, b_log, r_log in _LSH_CONFIGS:
+        sr = _sq_chain(s_expr, r_log)
+        p = f"1.0 - {_sq_chain(f'(1.0 - {sr})', b_log)}"
+        arms.append(f"WHEN b = {b} AND r = {r} THEN {p}")
+    return "CASE " + " ".join(arms) + " ELSE 0.0 END"
+
+
+_LSH_S = "(CAST(i AS DOUBLE) / 20.0)"
+
+
+@register(
+    "p_lsh_tuning",
+    oracle=f"""
+    WITH cfg(b, r) AS (VALUES {", ".join(f"({b}, {r})" for b, r, _, _ in _LSH_CONFIGS)}),
+    grid AS (
+      SELECT b, r, i, {_lsh_p_sql(_LSH_S)} AS p
+      FROM cfg, (SELECT unnest(generate_series(1, {_LSH_GRID - 1})) AS i)),
+    scored AS (
+      SELECT b, r,
+        CAST(SUM(CASE WHEN i < {_LSH_T_IDX}
+                 THEN CAST(floor(p * 1000000 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS fp_micros,
+        CAST(SUM(CASE WHEN i > {_LSH_T_IDX}
+                 THEN CAST(floor((1.0 - p) * 1000000 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS fn_micros,
+        CAST(MAX(CASE WHEN i = {_LSH_T_IDX}
+                 THEN CAST(floor(p * 1000 + 0.5) AS BIGINT) END) AS BIGINT)
+          AS p_at_t_permille
+      FROM grid GROUP BY b, r),
+    best AS (SELECT MIN(fp_micros + fn_micros) AS c FROM scored)
+    SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band,
+      fp_micros, fn_micros, p_at_t_permille,
+      (fp_micros + fn_micros = best.c) AS recommended
+    FROM scored, best ORDER BY bands DESC
+    """,
+)
+def p_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = spark.createDataFrame(
+        [(b, r) for b, r, _, _ in _LSH_CONFIGS], "b INT, r INT"
+    )
+    grid = cfg.crossJoin(
+        spark.range(1, _LSH_GRID).select(F.col("id").cast("int").alias("i"))
+    ).select("b", "r", "i", F.expr(_lsh_p_sql(_LSH_S)).alias("p"))
+    scored = grid.groupBy("b", "r").agg(
+        F.sum(
+            F.when(
+                F.col("i") < _LSH_T_IDX,
+                F.floor(F.col("p") * 1000000 + 0.5).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("fp_micros"),
+        F.sum(
+            F.when(
+                F.col("i") > _LSH_T_IDX,
+                F.floor((1.0 - F.col("p")) * 1000000 + 0.5).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("fn_micros"),
+        F.max(
+            F.when(
+                F.col("i") == _LSH_T_IDX,
+                F.floor(F.col("p") * 1000 + 0.5).cast("long"),
+            )
+        ).alias("p_at_t_permille"),
+    )
+    best = scored.agg(
+        F.min(F.col("fp_micros") + F.col("fn_micros")).alias("c")
+    )
+    return (
+        scored.crossJoin(F.broadcast(best))
+        .select(
+            F.col("b").cast("long").alias("bands"),
+            F.col("r").cast("long").alias("rows_per_band"),
+            "fp_micros",
+            "fn_micros",
+            "p_at_t_permille",
+            (F.col("fp_micros") + F.col("fn_micros") == F.col("c")).alias(
+                "recommended"
+            ),
+        )
+        .orderBy(F.desc("bands"))
+    )

@@ -524,3 +524,101 @@ def p_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
         "assistant_chars",
         F.md5(F.col("rendered").cast("binary")).alias("rendered_md5"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# p_curriculum_order — curriculum data ordering WITHOUT a global
+# sort: training wants easy-to-hard example order (difficulty here =
+# document length band), but a total order over 100 TB via one
+# ORDER BY funnels everything through a single-partition sort. The
+# distributed construction: (1) per-band counts -> exclusive prefix
+# offsets (5 rows of driver arithmetic); (2) rank WITHIN each band
+# (a band-partitioned window — every partition sorts only its own
+# slice); (3) global_pos = band_offset + within_rank - 1. The entry
+# proves the result IS a total order (per band: contiguous position
+# ranges, max-min+1 == count) and pins the exact assignment with a
+# position-weighted checksum. Within a band the order is hash-
+# scrambled (portable md5) so the curriculum is shuffled WITHIN
+# difficulty — deterministic epoch shuffling, the p_stratified_sample
+# reproducibility rule applied to ordering.
+#
+# The oracle affords the single global ROW_NUMBER at test scale —
+# verifying that offset-composition and the global sort agree is
+# exactly the point.
+# ---------------------------------------------------------------------------
+_CURR_BANDS_SQL = (
+    "CASE WHEN n_chars < 150 THEN 0 WHEN n_chars < 280 THEN 1 "
+    "WHEN n_chars < 400 THEN 2 WHEN n_chars < 500 THEN 3 ELSE 4 END"
+)
+
+
+@register(
+    "p_curriculum_order",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, {_CURR_BANDS_SQL} AS band,
+        {sql_portable_hash("'curr' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents),
+    ordered AS (
+      SELECT doc_id, band,
+        ROW_NUMBER() OVER (ORDER BY band, h, doc_id) - 1 AS pos
+      FROM scored)
+    SELECT CAST(band AS BIGINT) AS band,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(MIN(pos) AS BIGINT) AS first_pos,
+      CAST(MAX(pos) AS BIGINT) AS last_pos,
+      CAST(MAX(pos) - MIN(pos) + 1 = COUNT(*) AS BOOLEAN) AS contiguous,
+      CAST(SUM(pos * doc_id) AS BIGINT) AS order_checksum
+    FROM ordered GROUP BY band ORDER BY band
+    """,
+)
+def p_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.expr(_CURR_BANDS_SQL).alias("band"),
+        portable_hash(
+            F.concat(F.lit("curr"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    # (1) band counts -> exclusive offsets: 5 rows, driver arithmetic
+    counts = {
+        r["band"]: r["n"]
+        for r in scored.groupBy("band").agg(F.count("*").alias("n")).collect()
+    }
+    offset, offsets = 0, {}
+    for b in sorted(counts):
+        offsets[b] = offset
+        offset += counts[b]
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(b, offsets[b]) for b in sorted(offsets)], "band INT, off BIGINT"
+        )
+    )
+    # (2) band-partitioned rank; (3) offset composition
+    w = Window.partitionBy("band").orderBy("h", "doc_id")
+    pos = (
+        scored.join(off_df, "band")
+        .select(
+            "doc_id",
+            "band",
+            (F.col("off") + F.row_number().over(w) - 1).alias("pos"),
+        )
+    )
+    return (
+        pos.groupBy(F.col("band").cast("long").alias("band"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("pos").alias("first_pos"),
+            F.max("pos").alias("last_pos"),
+            (F.max("pos") - F.min("pos") + 1 == F.count("*")).alias(
+                "contiguous"
+            ),
+            F.sum(F.col("pos") * F.col("doc_id"))
+            .cast("long")
+            .alias("order_checksum"),
+        )
+        .orderBy("band")
+    )

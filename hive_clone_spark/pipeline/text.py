@@ -2455,3 +2455,141 @@ def p_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+# ---------------------------------------------------------------------------
+# p_eval_exact_f1 — the eval-harness scoring pass (SQuAD-style exact
+# match + token F1): model predictions land as a table next to the
+# references; scoring them is a data-pipeline job, not a notebook —
+# at fleet scale the eval set is millions of rows scored after every
+# checkpoint. Predictions here are DETERMINISTIC perturbations of the
+# reference (one class identical, one truncated, one with a
+# substituted token), so every F1 value has a closed-form truth while
+# the engine still computes the real multiset-overlap metric:
+# overlap = sum over distinct tokens of min(count_ref, count_pred) —
+# the tagged-union + conditional-aggregate shape (one shuffle keyed
+# by (doc, token), no join), then F1 = 2*overlap/(n_pred + n_ref) as
+# an exact integer permille.
+#
+# Scale design: reference and prediction tokens unify into ONE
+# exploded stream (side tag), so the per-(doc,token) min needs no
+# full-outer join; both reductions (token-level, then doc-level)
+# are map-side combinable; the class rollup is 3 rows.
+# ---------------------------------------------------------------------------
+_EVAL_REF_WORDS = 10
+
+
+@register(
+    "p_eval_exact_f1",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, doc_id % 3 AS cls,
+        list_slice(list_filter(str_split_regex(text, '\\s+'),
+                               w -> w <> ''), 1, {_EVAL_REF_WORDS}) AS ref
+      FROM documents),
+    pred AS (
+      SELECT doc_id, cls, ref,
+        CASE cls
+          WHEN 0 THEN ref
+          WHEN 1 THEN list_slice(ref, 1, len(ref) - 2)
+          ELSE list_concat(LIST_VALUE('foo'), list_slice(ref, 2, len(ref)))
+        END AS pr
+      FROM base),
+    toks AS (
+      SELECT doc_id, cls, word, side, COUNT(*) AS c
+      FROM (
+        SELECT doc_id, cls, unnest(ref) AS word, 'r' AS side FROM pred
+        UNION ALL
+        SELECT doc_id, cls, unnest(pr), 'p' FROM pred)
+      GROUP BY ALL),
+    per_tok AS (
+      SELECT doc_id, cls, word,
+        LEAST(COALESCE(SUM(CASE WHEN side = 'r' THEN c END), 0),
+              COALESCE(SUM(CASE WHEN side = 'p' THEN c END), 0)) AS ov
+      FROM toks GROUP BY doc_id, cls, word),
+    per_doc AS (
+      SELECT p.doc_id, p.cls,
+        len(p.ref) AS nr, len(p.pr) AS np,
+        array_to_string(p.pr, ' ') = array_to_string(p.ref, ' ') AS exact,
+        COALESCE((SELECT SUM(ov) FROM per_tok t
+                  WHERE t.doc_id = p.doc_id), 0) AS overlap
+      FROM pred p)
+    SELECT CAST(cls AS BIGINT) AS cls,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+      CAST(SUM(2000 * overlap // (np + nr)) AS BIGINT) AS sum_f1_permille,
+      CAST(SUM(2000 * overlap // (np + nr)) // COUNT(*) AS BIGINT)
+        AS mean_f1_permille
+    FROM per_doc GROUP BY cls ORDER BY cls
+    """,
+)
+def p_eval_exact_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    ref = F.slice(words_col(F.col("text")), 1, _EVAL_REF_WORDS)
+    base = d.select(
+        "doc_id", (F.col("doc_id") % 3).alias("cls"), ref.alias("ref")
+    )
+    pred = base.select(
+        "doc_id",
+        "cls",
+        "ref",
+        F.when(F.col("cls") == 0, F.col("ref"))
+        .when(
+            F.col("cls") == 1,
+            F.slice("ref", F.lit(1), F.greatest(F.size("ref") - 2, F.lit(0))),
+        )
+        .otherwise(
+            F.concat(
+                F.array(F.lit("foo")),
+                F.slice(
+                    "ref", F.lit(2), F.greatest(F.size("ref") - 1, F.lit(0))
+                ),
+            )
+        )
+        .alias("pr"),
+    )
+    toks = (
+        pred.select(
+            "doc_id", "cls", F.explode("ref").alias("word"), F.lit("r").alias("side")
+        )
+        .unionAll(
+            pred.select(
+                "doc_id", "cls", F.explode("pr").alias("word"), F.lit("p")
+            )
+        )
+        .groupBy("doc_id", "cls", "word", "side")
+        .agg(F.count("*").alias("c"))
+    )
+    per_tok = toks.groupBy("doc_id", "cls", "word").agg(
+        F.least(
+            F.coalesce(F.sum(F.when(F.col("side") == "r", F.col("c"))), F.lit(0)),
+            F.coalesce(F.sum(F.when(F.col("side") == "p", F.col("c"))), F.lit(0)),
+        ).alias("ov")
+    )
+    overlaps = per_tok.groupBy("doc_id").agg(F.sum("ov").alias("overlap"))
+    per_doc = pred.join(overlaps, "doc_id", "left").select(
+        "cls",
+        F.size("ref").alias("nr"),
+        F.size("pr").alias("np"),
+        (F.array_join("pr", " ") == F.array_join("ref", " ")).alias("exact"),
+        F.coalesce("overlap", F.lit(0)).alias("overlap"),
+    )
+    f1 = F.expr("2000 * overlap div (np + nr)")
+    return (
+        per_doc.groupBy(F.col("cls").cast("long").alias("cls"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("exact"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_exact"),
+            F.sum(f1).cast("long").alias("sum_f1_permille"),
+        )
+        .select(
+            "cls",
+            "n_docs",
+            "n_exact",
+            "sum_f1_permille",
+            F.expr("sum_f1_permille div n_docs").alias("mean_f1_permille"),
+        )
+        .orderBy("cls")
+    )

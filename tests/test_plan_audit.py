@@ -94,6 +94,8 @@ NESTEDLOOP_OK = {
     "q207_hll_distinct",  # 1-row register-aggregate x 1-row exact
     # crossJoins (q95 pattern); the register spine join itself is equi
     "q202_gini_split",  # 1-row class-totals crossJoin (q44 pattern)
+    "p_lsh_tuning",  # 4-row config grid + 1-row argmin crossJoins over
+    # constant-size design arithmetic (q44 pattern)
 }
 
 # Queries whose unpartitioned Window is the intended plan: the window
