@@ -138,7 +138,9 @@ def _rounds_stale(name: str, history: list[dict]) -> int:
 # Raised 4 -> 5 in round 8: at ~296 entries, (296-50)/4 ≈ 61 > the
 # window again; (296-50)/5 ≈ 49 fits. Recheck whenever a sizeable
 # entry batch lands.
-_AGE_FLOOR = 5
+# Raised 5 -> 6 late in round 8: at ~347 entries, (347-50)/5 ≈ 59 >
+# the window; (347-50)/6 ≈ 50 fits (at the edge — recheck next batch).
+_AGE_FLOOR = 6
 
 
 def _emit_key(

@@ -405,3 +405,146 @@ def q160_dp_join_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         "actual_final BIGINT",
     )
     return out.orderBy("join_order")
+
+
+# ---------------------------------------------------------------------------
+# Q214 — equi-height histogram statistics + selectivity estimation:
+# the ANALYZE artifact min/max/NDV stats (q89/q93/q160) cannot
+# provide — range-predicate selectivity on a SKEWED column. Bucket
+# boundaries sit at exact count deciles with equal values kept
+# together (the same rule Spark's ANALYZE ... FOR COLUMNS histogram
+# applies); estimating rows in [lo, hi) counts fully-covered buckets
+# exactly and linearly interpolates the boundary buckets — integer
+# arithmetic until the interpolation fractions, each rounded to
+# micros BEFORE the final sum (a raw double sum over the bucket
+# contributions is order-dependent — caught live at sf0.01).
+#
+# Scale design: the heavy pass is ONE map-side-combinable rollup to
+# the distinct-value grain (|values| << |rows|); the cumulative
+# window then runs over that reduced table, never over raw rows (the
+# first draft ranked every row through a single-partition sort — the
+# p_dedup_chunk defect class; this rewrite is the fix). At true 100
+# TB scale production engines sample boundaries instead — the
+# distinct-grain exact form is the strongest construction that
+# remains oracle-checkable.
+# ---------------------------------------------------------------------------
+_EH_BUCKETS = 10
+_EH_LO_CENTS = 15_000_00  # probe predicate: price in [15k, 40k)
+_EH_HI_CENTS = 40_000_00
+
+
+@register(
+    "q214_equiheight_histogram",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    vals AS (
+      SELECT cents, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY cents),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vals),
+    cum AS (
+      SELECT cents, c,
+        SUM(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) - c
+          AS before_
+      FROM vals),
+    bucketed AS (
+      SELECT cents, c,
+        CAST(before_ * {_EH_BUCKETS} // t.n AS BIGINT) AS b
+      FROM cum, tot t),
+    hist AS (
+      SELECT b, CAST(MIN(cents) AS BIGINT) AS lo,
+        CAST(MAX(cents) AS BIGINT) AS hi,
+        CAST(SUM(c) AS BIGINT) AS height
+      FROM bucketed GROUP BY b),
+    est AS (
+      SELECT CAST(SUM(CAST(floor(
+        CASE
+          WHEN lo >= {_EH_HI_CENTS} OR hi < {_EH_LO_CENTS} THEN 0.0
+          WHEN lo >= {_EH_LO_CENTS} AND hi < {_EH_HI_CENTS}
+            THEN CAST(height AS DOUBLE)
+          ELSE CAST(height AS DOUBLE)
+            * (CAST(least(hi, {_EH_HI_CENTS - 1}) AS DOUBLE)
+               - CAST(greatest(lo, {_EH_LO_CENTS}) AS DOUBLE) + 1.0)
+            / (CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE) + 1.0)
+        END * 1000000 + 0.5) AS BIGINT)) // 1000000 AS BIGINT) AS est_rows
+      FROM hist),
+    act AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows FROM v
+      WHERE cents >= {_EH_LO_CENTS} AND cents < {_EH_HI_CENTS})
+    SELECT CAST(h.b AS BIGINT) AS bucket, h.lo, h.hi, h.height,
+      e.est_rows, a.actual_rows
+    FROM hist h, est e, act a
+    ORDER BY bucket
+    """,
+)
+def q214_equiheight_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    v = o.select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents")
+    )
+    vals = v.groupBy("cents").agg(F.count("*").alias("c"))
+    tot = vals.agg(F.sum("c").cast("long").alias("n"))
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vals.select(
+        "cents", "c", (F.sum("c").over(w) - F.col("c")).alias("before_")
+    )
+    bucketed = cum.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        "c",
+        F.expr(f"before_ * {_EH_BUCKETS} div n").alias("b"),
+    )
+    hist = (
+        bucketed.groupBy("b")
+        .agg(
+            F.min("cents").alias("lo"),
+            F.max("cents").alias("hi"),
+            F.sum("c").cast("long").alias("height"),
+        )
+        .localCheckpoint(eager=True)  # metadata artifact: reused twice
+    )
+    lo_c, hi_c = _EH_LO_CENTS, _EH_HI_CENTS
+    contrib = (
+        F.when(
+            (F.col("lo") >= hi_c) | (F.col("hi") < lo_c), F.lit(0.0)
+        )
+        .when(
+            (F.col("lo") >= lo_c) & (F.col("hi") < hi_c),
+            F.col("height").cast("double"),
+        )
+        .otherwise(
+            F.col("height").cast("double")
+            * (
+                F.least(F.col("hi"), F.lit(hi_c - 1)).cast("double")
+                - F.greatest(F.col("lo"), F.lit(lo_c)).cast("double")
+                + 1.0
+            )
+            / (F.col("hi").cast("double") - F.col("lo").cast("double") + 1.0)
+        )
+    )
+    # per-bucket integer micros BEFORE the sum (order-independence)
+    est = hist.select(contrib.alias("__c")).agg(
+        F.expr(
+            "CAST(sum(CAST(floor(__c * 1000000 + 0.5) AS BIGINT)) "
+            "div 1000000 AS BIGINT)"
+        ).alias("est_rows")
+    )
+    act = v.where(
+        (F.col("cents") >= lo_c) & (F.col("cents") < hi_c)
+    ).agg(F.count("*").alias("actual_rows"))
+    return (
+        hist.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(act))
+        .select(
+            F.col("b").cast("long").alias("bucket"),
+            "lo",
+            "hi",
+            "height",
+            "est_rows",
+            "actual_rows",
+        )
+        .orderBy("bucket")
+    )

@@ -2593,3 +2593,86 @@ def p_eval_exact_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cls")
     )
+
+
+# ---------------------------------------------------------------------------
+# p_cloze_pairs — synthetic QA generation by cloze deletion: from
+# each document, mask a deterministically-chosen token and emit
+# (question-with-blank, answer) — the self-supervised pair
+# construction behind cloze pretraining evals and weak-label QA
+# bootstrapping. The mask index derives from the portable hash of
+# doc_id (never from RNG — the p_stratified_sample reproducibility
+# rule: a pair set nobody can regenerate is not a dataset), pinned
+# inside the middle third of the token stream so both context sides
+# are non-empty.
+#
+# Scale design: pure scan-stage array ops (split, index arithmetic,
+# slice, concat) — zero Python, zero shuffle before the ordered
+# output; generation at 100 TB is one codegen'd pass. The md5 of the
+# rendered question pins the exact serialization.
+# ---------------------------------------------------------------------------
+@register(
+    "p_cloze_pairs",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id,
+        list_filter(str_split_regex(text, '\\s+'), w -> w <> '') AS w,
+        {sql_portable_hash("'cloze' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents),
+    pick AS (
+      SELECT doc_id, w, len(w) AS n,
+        CAST(len(w) // 3 + h % greatest(len(w) // 3, 1) + 1 AS BIGINT)
+          AS k
+      FROM ws WHERE len(w) >= 6),
+    pair AS (
+      SELECT doc_id, n, k,
+        w[k] AS answer,
+        array_to_string(list_slice(w, 1, k - 1), ' ')
+          || ' ___ ' || array_to_string(list_slice(w, k + 1, n), ' ')
+          AS question
+      FROM pick)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, k AS mask_pos, answer,
+      CAST(strlen(question) AS BIGINT) AS question_len,
+      md5(question) AS question_md5
+    FROM pair ORDER BY doc_id
+    """,
+)
+def p_cloze_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = words_col(F.col("text"))
+    ws = d.select(
+        "doc_id",
+        w.alias("w"),
+        portable_hash(
+            F.concat(F.lit("cloze"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    ).where(F.size("w") >= 6)
+    n = F.size("w")
+    k = (
+        (n / 3).cast("long")
+        + F.col("h") % F.greatest((n / 3).cast("long"), F.lit(1))
+        + 1
+    )
+    pick = ws.select("doc_id", "w", n.alias("n"), k.alias("k"))
+    question = F.concat(
+        F.array_join(
+            F.slice("w", F.lit(1), (F.col("k") - 1).cast("int")), " "
+        ),
+        F.lit(" ___ "),
+        F.array_join(
+            F.slice(
+                "w",
+                (F.col("k") + 1).cast("int"),
+                F.greatest(F.col("n") - F.col("k"), F.lit(0)).cast("int"),
+            ),
+            " ",
+        ),
+    )
+    return pick.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("k").alias("mask_pos"),
+        F.element_at("w", F.col("k").cast("int")).alias("answer"),
+        F.octet_length(question).cast("long").alias("question_len"),
+        F.md5(question.cast("binary")).alias("question_md5"),
+    ).orderBy("doc_id")

@@ -3067,3 +3067,145 @@ def q210_txlog_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q215 — OPTIMIZE with re-clustering (Delta's OPTIMIZE ZORDER /
+# Iceberg's rewrite_data_files sort strategy, in its 1-D form): the
+# table starts HASH-laid-out (o_orderkey % 8 — every file spans the
+# whole o_custkey domain, so custkey-range stats prune nothing),
+# then ONE atomic commit replaces all files with a custkey-RANGE
+# clustering and fresh stats. The ledger proves what OPTIMIZE is
+# for: the same probe predicate that scanned 8/8 files before scans
+# only the overlapping few after, while row counts and the decimal-
+# exact revenue prove the rewrite changed layout and nothing else.
+# The oracle replays the skipping decision bit-for-bit (per-bucket
+# min/max vs the probe range — q167's replay discipline applied to
+# clustering).
+#
+# Scale design: clustering cost is one range-shuffle write; its
+# payoff is metadata-only forever after (every stats-gated read,
+# delete, and MERGE touches fewer files). The commit is atomic —
+# readers see the old or the new layout, never a mix; concurrency
+# follows the optimistic token like every other txlog write.
+# ---------------------------------------------------------------------------
+_OPT_FILES = 8
+
+
+@register(
+    "q215_txlog_optimize_clustering",
+    oracle=f"""
+    WITH m AS (SELECT MAX(o_custkey) AS mx FROM orders),
+    probe AS (
+      SELECT mx // 4 AS lo, mx // 2 AS hi FROM m),
+    hash_layout AS (
+      SELECT o_orderkey % {_OPT_FILES} AS b,
+        MIN(o_custkey) AS mn, MAX(o_custkey) AS mxk
+      FROM orders GROUP BY 1),
+    range_layout AS (
+      SELECT CAST(floor((o_custkey * {_OPT_FILES}) / (mx + 1)) AS INT) AS b,
+        MIN(o_custkey) AS mn, MAX(o_custkey) AS mxk
+      FROM orders, m GROUP BY 1),
+    hits AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+          AS rev_cents
+      FROM orders, probe WHERE o_custkey BETWEEN lo AND hi)
+    SELECT 'before_optimize' AS phase,
+      CAST({_OPT_FILES} AS BIGINT) AS n_files_active,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM hash_layout, probe
+       WHERE mn <= hi AND mxk >= lo) AS n_files_scanned,
+      h.n_rows, h.rev_cents
+    FROM hits h
+    UNION ALL
+    SELECT 'after_optimize',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM range_layout),
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM range_layout, probe
+       WHERE mn <= hi AND mxk >= lo),
+      h.n_rows, h.rev_cents
+    FROM hits h
+    ORDER BY phase
+    """,
+)
+def q215_txlog_optimize_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_clone_spark.catalog import table as _table
+
+    tl = TxLog(_warehouse_dir(sf_dir, "txlog_q215")).create()
+    o = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    m = o.agg(F.max("o_custkey")).collect()[0][0]
+    lo, hi = m // 4, m // 2
+
+    def custkey_stats(df: DataFrame) -> dict[int, dict[str, list]]:
+        return {
+            int(r["bucket"]): {"o_custkey": [int(r["mn"]), int(r["mx"])]}
+            for r in df.groupBy("bucket")
+            .agg(F.min("o_custkey").alias("mn"), F.max("o_custkey").alias("mx"))
+            .collect()
+        }
+
+    hash_df = o.withColumn(
+        "bucket", (F.col("o_orderkey") % _OPT_FILES).cast("int")
+    )
+    tl.commit(
+        "append", add=tl.stage_data_partitioned(hash_df, "bucket", custkey_stats(hash_df))
+    )
+
+    def probe(version: int) -> tuple[int, int]:
+        all_f, chosen = tl.scan_files("o_custkey", lo, hi, version=version)
+        return len(all_f), len(chosen)
+
+    before_active, before_scanned = probe(tl.latest_version())
+    pruned0 = spark.read.parquet(
+        *[str(tl.root / f) for f in tl.scan_files("o_custkey", lo, hi)[1]]
+    )
+    hit0 = pruned0.where(F.col("o_custkey").between(lo, hi)).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("rev_cents"),
+    ).collect()[0]
+
+    # OPTIMIZE: one atomic commit swaps hash layout for range clustering
+    range_df = o.withColumn(
+        "bucket",
+        F.floor((F.col("o_custkey") * _OPT_FILES) / (int(m) + 1)).cast("int"),
+    )
+    tl.commit(
+        "optimize-cluster",
+        add=tl.stage_data_partitioned(range_df, "bucket", custkey_stats(range_df)),
+        remove=tl.active_files(),
+        expected_version=tl.latest_version(),
+    )
+    after_active, after_scanned = probe(tl.latest_version())
+    pruned1 = spark.read.parquet(
+        *[str(tl.root / f) for f in tl.scan_files("o_custkey", lo, hi)[1]]
+    )
+    hit1 = pruned1.where(F.col("o_custkey").between(lo, hi)).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("rev_cents"),
+    ).collect()[0]
+
+    return spark.createDataFrame(
+        [
+            (
+                "before_optimize",
+                before_active,
+                before_scanned,
+                int(hit0["n_rows"]),
+                int(hit0["rev_cents"]),
+            ),
+            (
+                "after_optimize",
+                after_active,
+                after_scanned,
+                int(hit1["n_rows"]),
+                int(hit1["rev_cents"]),
+            ),
+        ],
+        "phase STRING, n_files_active BIGINT, n_files_scanned BIGINT, "
+        "n_rows BIGINT, rev_cents BIGINT",
+    ).orderBy("phase")

@@ -96,6 +96,8 @@ NESTEDLOOP_OK = {
     "q202_gini_split",  # 1-row class-totals crossJoin (q44 pattern)
     "p_lsh_tuning",  # 4-row config grid + 1-row argmin crossJoins over
     # constant-size design arithmetic (q44 pattern)
+    "q214_equiheight_histogram",  # 1-row total + 1-row estimate + 1-row
+    # actual crossJoins around the 10-row histogram (q44 pattern)
 }
 
 # Queries whose unpartitioned Window is the intended plan: the window
