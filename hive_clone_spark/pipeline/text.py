@@ -2676,3 +2676,111 @@ def p_cloze_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(question).cast("long").alias("question_len"),
         F.md5(question.cast("binary")).alias("question_md5"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p_span_corruption — T5-style span-corruption pretraining pairs: the
+# seq2seq complement of p_cloze_pairs. Three 2-token spans (one per
+# document third, offsets hash-derived — disjoint BY CONSTRUCTION,
+# no overlap resolution pass needed) are replaced by sentinels
+# <X>/<Y>/<Z> in the encoder input; the decoder target is the
+# sentinel-delimited sequence of the removed spans — exactly the
+# objective construction of the public T5 paper, reproducible
+# because every offset is a pure function of (doc_id, n_tokens).
+#
+# Both renderings are built as TOKEN ARRAYS concatenated before one
+# final join (never string-gluing slices with literal spaces — empty
+# boundary slices would double separators and break the md5).
+#
+# Scale design: scan-stage HOFs only — zero Python, zero shuffle
+# before the ordered output; the objective transform at 100 TB is
+# one codegen'd pass over the token stream, like p_fim_transform.
+# ---------------------------------------------------------------------------
+_SPAN_LEN = 2
+
+
+@register(
+    "p_span_corruption",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id,
+        list_filter(str_split_regex(text, '\\s+'), w -> w <> '') AS w,
+        {sql_portable_hash("'span' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents),
+    dims AS (
+      SELECT doc_id, w, len(w) AS n, len(w) // 3 AS z, h
+      FROM ws WHERE len(w) >= 12),
+    starts AS (
+      SELECT doc_id, w, n,
+        CAST(0 * z + 1 + (h // 1) % (z - 2) AS BIGINT) AS a0,
+        CAST(1 * z + 1 + (h // 2) % (z - 2) AS BIGINT) AS a1,
+        CAST(2 * z + 1 + (h // 4) % (z - 2) AS BIGINT) AS a2
+      FROM dims),
+    built AS (
+      SELECT doc_id, n, a0, a1, a2,
+        list_slice(w, 1, a0 - 1) || LIST_VALUE('<X>')
+          || list_slice(w, a0 + {_SPAN_LEN}, a1 - 1) || LIST_VALUE('<Y>')
+          || list_slice(w, a1 + {_SPAN_LEN}, a2 - 1) || LIST_VALUE('<Z>')
+          || list_slice(w, a2 + {_SPAN_LEN}, n) AS input_toks,
+        LIST_VALUE('<X>') || list_slice(w, a0, a0 + {_SPAN_LEN - 1})
+          || LIST_VALUE('<Y>') || list_slice(w, a1, a1 + {_SPAN_LEN - 1})
+          || LIST_VALUE('<Z>') || list_slice(w, a2, a2 + {_SPAN_LEN - 1})
+          AS target_toks
+      FROM starts)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+      CAST(len(input_toks) AS BIGINT) AS n_input_tokens,
+      md5(array_to_string(input_toks, ' ')) AS input_md5,
+      array_to_string(target_toks, ' ') AS target
+    FROM built ORDER BY doc_id
+    """,
+)
+def p_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    ws = d.select(
+        "doc_id",
+        words_col(F.col("text")).alias("w"),
+        portable_hash(
+            F.concat(F.lit("span"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    ).where(F.size("w") >= 12)
+    n = F.size("w")
+    z = F.expr("size(w) div 3")
+    starts = ws.select(
+        "doc_id",
+        "w",
+        n.alias("n"),
+        (F.lit(1) + F.expr("h div 1") % (z - 2)).alias("a0"),
+        (z + 1 + F.expr("h div 2") % (z - 2)).alias("a1"),
+        (z * 2 + 1 + F.expr("h div 4") % (z - 2)).alias("a2"),
+    )
+
+    def sl(a, b):  # tokens w[a..b] inclusive, 1-indexed; empty when b < a
+        length = F.greatest(b - a + 1, F.lit(0))
+        return F.slice("w", a.cast("int"), length.cast("int"))
+
+    a0, a1, a2 = F.col("a0"), F.col("a1"), F.col("a2")
+    nn = F.col("n")
+    input_toks = F.concat(
+        sl(F.lit(1), a0 - 1),
+        F.array(F.lit("<X>")),
+        sl(a0 + _SPAN_LEN, a1 - 1),
+        F.array(F.lit("<Y>")),
+        sl(a1 + _SPAN_LEN, a2 - 1),
+        F.array(F.lit("<Z>")),
+        sl(a2 + _SPAN_LEN, nn),
+    )
+    target_toks = F.concat(
+        F.array(F.lit("<X>")),
+        sl(a0, a0 + (_SPAN_LEN - 1)),
+        F.array(F.lit("<Y>")),
+        sl(a1, a1 + (_SPAN_LEN - 1)),
+        F.array(F.lit("<Z>")),
+        sl(a2, a2 + (_SPAN_LEN - 1)),
+    )
+    return starts.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.size(input_toks).cast("long").alias("n_input_tokens"),
+        F.md5(F.array_join(input_toks, " ").cast("binary")).alias("input_md5"),
+        F.array_join(target_toks, " ").alias("target"),
+    ).orderBy("doc_id")

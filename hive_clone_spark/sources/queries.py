@@ -1416,3 +1416,90 @@ def q182_csv_dialect_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines",
         (F.col("n_nonnum_first") == 1).alias("has_header"),
     ).orderBy("file_tag")
+
+
+# ---------------------------------------------------------------------------
+# Q216 — DYNAMIC partition pruning (DPP): q63 prunes with a literal
+# predicate the planner sees at compile time; here the pruning values
+# only exist at RUNTIME — they come out of a dimension filtered on a
+# NON-partition attribute (era = 'modern'), so static pruning is
+# impossible. Spark's DPP rewrites the fact scan with a dynamic
+# pruning subquery fed by the broadcast dimension, skipping partition
+# directories whose join key cannot match — the single biggest scan
+# saver for star-schema joins over partitioned 100 TB facts (without
+# it, the fact side reads EVERY partition and throws rows away in
+# the join). tests/test_sources.py pins `dynamicpruning` in the
+# physical plan, so a config regression or a broken broadcast path
+# fails CI, not a production scan.
+#
+# Oracle: the same join + rollup straight from source parquet — DPP
+# must change IO, never results.
+# ---------------------------------------------------------------------------
+@register(
+    "q216_dynamic_partition_pruning",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y
+      FROM orders),
+    modern AS (SELECT y FROM dim WHERE y >= 1997)
+    SELECT CAST(o.yy AS BIGINT) AS order_year,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        AS rev_cents
+    FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yy,
+                 o_totalprice FROM orders) o
+    JOIN modern m ON m.y = o.yy
+    GROUP BY o.yy ORDER BY order_year
+    """,
+)
+def q216_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = _dpp_fact(spark, sf_dir)
+    dim = _dpp_dim(spark, sf_dir)
+    j = fact.join(F.broadcast(dim), fact.o_year == dim.y)
+    return (
+        j.groupBy(F.col("o_year").cast("long").alias("order_year"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").cast("long").alias("rev_cents"),
+        )
+        .orderBy("order_year")
+    )
+
+
+def _dpp_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders written partitioned by order year (the DPP fact side)."""
+    dest = _warehouse(sf_dir, "dpp_q216")
+    src = table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    src.write.mode("overwrite").partitionBy("o_year").parquet(dest)
+    return spark.read.parquet(dest)
+
+
+def _dpp_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year dimension with a non-partition attribute; the runtime
+    filter era='modern' is what makes the pruning DYNAMIC."""
+    years = (
+        table(spark, sf_dir, "orders")
+        .select(F.year("o_orderdate").cast("int").alias("y"))
+        .distinct()
+        .withColumn(
+            "era", F.when(F.col("y") >= 1997, "modern").otherwise("classic")
+        )
+    )
+    return years.where(F.col("era") == "modern").select("y")
+
+
+def dpp_plan(spark: SparkSession, sf_dir: str) -> str:
+    """Formatted plan of the q216 join (pytest pins dynamicpruning)."""
+    fact = _dpp_fact(spark, sf_dir)
+    dim = _dpp_dim(spark, sf_dir)
+    j = fact.join(F.broadcast(dim), fact.o_year == dim.y).groupBy(
+        "o_year"
+    ).count()
+    return j._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )

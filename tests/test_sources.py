@@ -288,3 +288,13 @@ def test_corrupt_feed_failfast_rejects(spark, tmp_path):
             .json(str(feed))
             .collect()
         )
+
+
+def test_q216_plan_has_dynamic_pruning(spark, sf_dir):
+    """DPP must actually fire: the fact scan carries a dynamicpruning
+    subquery fed by the filtered dimension. A config regression that
+    silently disables it would leave results right but scans full."""
+    from hive_clone_spark.sources.queries import dpp_plan
+
+    plan = dpp_plan(spark, sf_dir)
+    assert "dynamicpruning" in plan.lower()
