@@ -825,3 +825,114 @@ def q158_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q218 — distributed maximal matching by handshake rounds: each round,
+# every live supplier and every live part nominates its MINIMUM
+# incident edge (priority = the packed edge key s*1000000+p); an edge
+# matched iff BOTH endpoints nominated it; matched endpoints leave
+# the graph. This is the classic symmetry-breaking primitive of
+# distributed graph algorithms (assignment seeding, b-matching
+# capacity planning) — embarrassingly parallel per round: two
+# map-side-combinable MIN aggregations and one self-join per round,
+# state bounded by |live edges|, lineage cut per round.
+#
+# The entry runs a FIXED 4 rounds (not to-convergence) so the oracle
+# can replay the identical rounds as chained CTEs (the q137/q158
+# unrolled-rounds discipline); `is_maximal_after` reports whether the
+# greedy handshake already exhausted the graph — on this bipartite
+# supplier×part graph the 100-node supplier side saturates within
+# the budget, and the flag PROVES it instead of assuming it.
+#
+# Scale: each round shuffles live edges twice (once per endpoint MIN)
+# — at 100 TB the live-edge set shrinks geometrically per round,
+# which is the whole reason the handshake primitive scales.
+# ---------------------------------------------------------------------------
+_HSM_ROUNDS = 4
+
+
+def _hsm_oracle() -> str:
+    parts = [
+        "WITH e0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p"
+        " FROM lineitem)"
+    ]
+    for k in range(1, _HSM_ROUNDS + 1):
+        prev = f"e{k - 1}"
+        parts.append(
+            f"""
+    s{k} AS MATERIALIZED (SELECT s, MIN(s * 1000000 + p) AS m FROM {prev} GROUP BY s),
+    p{k} AS MATERIALIZED (SELECT p, MIN(s * 1000000 + p) AS m FROM {prev} GROUP BY p),
+    m{k} AS MATERIALIZED (
+      SELECT e.s, e.p FROM {prev} e
+      JOIN s{k} ON s{k}.s = e.s AND s{k}.m = e.s * 1000000 + e.p
+      JOIN p{k} ON p{k}.p = e.p AND p{k}.m = e.s * 1000000 + e.p),
+    e{k} AS MATERIALIZED (
+      SELECT s, p FROM {prev}
+      WHERE s NOT IN (SELECT s FROM m{k})
+        AND p NOT IN (SELECT p FROM m{k}))"""
+        )
+    rounds_sql = []
+    for k in range(1, _HSM_ROUNDS + 1):
+        cum = " UNION ALL ".join(f"SELECT * FROM m{j}" for j in range(1, k + 1))
+        rounds_sql.append(
+            f"""
+    SELECT CAST({k} AS BIGINT) AS round,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM m{k}) AS n_matched,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM ({cum})) AS cum_matched,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM e{k}) AS n_live_edges_after,
+      (SELECT COUNT(*) FROM e{k}) = 0 AS is_maximal_after,
+      (SELECT CAST(COALESCE(SUM(s * p), 0) AS BIGINT) FROM ({cum}))
+        AS match_checksum"""
+        )
+    return (
+        ",\n".join(parts)
+        + "\n"
+        + " UNION ALL ".join(rounds_sql)
+        + "\n    ORDER BY round"
+    )
+
+
+@register("q218_handshake_matching", oracle=_hsm_oracle())
+def q218_handshake_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    live = (
+        li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ekey = F.col("s") * 1000000 + F.col("p")
+    rows = []
+    cum_matched = 0
+    cum_checksum = 0
+    for k in range(1, _HSM_ROUNDS + 1):
+        smin = live.groupBy("s").agg(F.min(ekey).alias("ms"))
+        pmin = live.groupBy("p").agg(F.min(ekey).alias("mp"))
+        matched = (
+            live.join(smin, "s")
+            .join(pmin, "p")
+            .where((ekey == F.col("ms")) & (ekey == F.col("mp")))
+            .select("s", "p")
+            .localCheckpoint(eager=True)
+        )
+        stats = matched.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.col("s") * F.col("p")), F.lit(0)).alias("ck"),
+        ).collect()[0]
+        live = (
+            live.join(matched.select("s"), "s", "left_anti")
+            .join(matched.select("p"), "p", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        n_live = live.count()
+        cum_matched += int(stats["n"])
+        cum_checksum += int(stats["ck"])
+        rows.append(
+            (k, int(stats["n"]), cum_matched, n_live, n_live == 0, cum_checksum)
+        )
+    return spark.createDataFrame(
+        rows,
+        "round BIGINT, n_matched BIGINT, cum_matched BIGINT, "
+        "n_live_edges_after BIGINT, is_maximal_after BOOLEAN, "
+        "match_checksum BIGINT",
+    ).orderBy("round")

@@ -1076,3 +1076,102 @@ def q212_stream_complete_leaderboard(spark: SparkSession, sf_dir: str) -> DataFr
         .select("event_type", "n_events", "sum_cents", "max_cents")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q217: CHECKPOINT RESTART — the durability half of Structured
+# Streaming that availableNow tests usually skip: a streaming
+# aggregate runs, STOPS (process exit, deploy, crash), more data
+# lands, and a NEW query instance resumes from the same checkpoint.
+# Correct behavior requires two things at once: the restarted run
+# must (a) restore its aggregate state (counts over run-1 files
+# survive) and (b) process ONLY files the source log has not seen
+# (no double counting on redelivery). The proof is the strongest one
+# available: the post-restart complete-mode table must equal the
+# batch truth over ALL data exactly — any state loss undercounts,
+# any re-read overcounts, and either breaks the value hash.
+#
+# The checkpoint directory is pid-scoped (the q67 reaper discipline)
+# so concurrent test sessions never share WALs.
+#
+# Scale design: checkpoint cost is O(state + source log), not O(data)
+# — which is why a 100 TB/day pipeline restarts in seconds; the
+# entry's two-run protocol is exactly a deploy cycle.
+# ---------------------------------------------------------------------------
+@register(
+    "q217_stream_checkpoint_restart",
+    oracle="""
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        AS sum_cents,
+      TRUE AS restarted
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q217_stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from hive_clone_spark.sources.queries import _warehouse
+
+    src_dir = _warehouse(sf_dir, "ckpt_q217_src")
+    ckpt_dir = _warehouse(sf_dir, f"ckpt_q217_wal_{os.getpid()}")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    # phase A lands, run 1 drains it
+    ev.where(F.col("event_id") % 4 < 2).repartition(2).write.mode(
+        "append"
+    ).parquet(src_dir)
+
+    def run(name: str) -> None:
+        src = (
+            spark.readStream.schema(
+                "event_id BIGINT, ts TIMESTAMP, event_type STRING, cents BIGINT"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        agg = src.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run("q217_run1")
+        # the process "redeploys"; phase B lands while it is down
+        ev.where(F.col("event_id") % 4 >= 2).repartition(2).write.mode(
+            "append"
+        ).parquet(src_dir)
+        run("q217_run2")  # same checkpoint: restore state, read only new files
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return (
+        spark.table("q217_run2")
+        .select(
+            "event_type",
+            "n_events",
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+            F.lit(True).alias("restarted"),
+        )
+        .orderBy("event_type")
+    )
