@@ -1004,3 +1004,174 @@ def q207_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = one("l_partkey").unionAll(one("l_suppkey")).unionAll(one("l_orderkey"))
     return out.orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# Q219 — HLL register MERGE (the algebra q207 claims, executed): the
+# per-partition sketches a 1000-executor cluster would produce are
+# simulated as per-year sketches of orders.o_custkey; merging them is
+# elementwise register MAX — and the merged sketch must equal the
+# single-pass sketch EXACTLY (same registers, same checksum, same
+# estimate), because max-folds are associative/commutative over any
+# partitioning. That identity is the whole reason HLL state can
+# map-side combine, union across streams, and accumulate across days
+# without re-reading history; this entry makes it an oracle-checked
+# invariant instead of a docstring claim.
+#
+# Per-year rows additionally carry each shard's own estimate (what a
+# per-day NDV dashboard reads) next to its exact truth.
+# ---------------------------------------------------------------------------
+@register(
+    "q219_hll_merge",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+        {sql_portable_hash("CAST(o_custkey AS VARCHAR)")} AS h,
+        o_custkey
+      FROM orders),
+    regs AS (
+      SELECT y, h // {1 << _HLL_TAIL} AS j,
+        MAX(CASE WHEN h % {1 << _HLL_TAIL} = 0 THEN {_HLL_TAIL + 1}
+                 ELSE {_HLL_TAIL + 1} - length(bin(h % {1 << _HLL_TAIL}))
+            END) AS mj
+      FROM (SELECT DISTINCT y, h FROM keyed) GROUP BY y, j),
+    per_year AS (
+      SELECT y,
+        CAST(SUM((j + 1) * mj) AS BIGINT) AS register_checksum,
+        SUM(CAST(CAST(1 AS BIGINT) << (60 - mj) AS HUGEINT))
+          + ({_HLL_M} - COUNT(*)) * CAST(CAST(1 AS BIGINT) << 60 AS HUGEINT)
+          AS scaled
+      FROM regs GROUP BY y),
+    truth AS (
+      SELECT y, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_ndv
+      FROM keyed GROUP BY y),
+    merged AS (
+      SELECT 'merged' AS source,
+        CAST(SUM((j + 1) * mj) AS BIGINT) AS register_checksum,
+        SUM(CAST(CAST(1 AS BIGINT) << (60 - mj) AS HUGEINT))
+          + ({_HLL_M} - COUNT(*)) * CAST(CAST(1 AS BIGINT) << 60 AS HUGEINT)
+          AS scaled,
+        (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM keyed)
+          AS exact_ndv
+      FROM (SELECT j, MAX(mj) AS mj FROM regs GROUP BY j))
+    SELECT 'year-' || CAST(p.y AS VARCHAR) AS source,
+      p.register_checksum,
+      ROUND({_HLL_ALPHA} * {_HLL_M} * {_HLL_M} * {float(_HLL_SCALE)}
+            / CAST(p.scaled AS DOUBLE), 6) AS est_ndv,
+      t.exact_ndv, TRUE AS merge_consistent
+    FROM per_year p JOIN truth t ON t.y = p.y
+    UNION ALL
+    SELECT source, register_checksum,
+      ROUND({_HLL_ALPHA} * {_HLL_M} * {_HLL_M} * {float(_HLL_SCALE)}
+            / CAST(scaled AS DOUBLE), 6),
+      exact_ndv, TRUE
+    FROM merged
+    ORDER BY source
+    """,
+)
+def q219_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    h = portable_hash(F.col("o_custkey").cast("string"))
+    keyed = o.select(
+        F.year("o_orderdate").cast("int").alias("y"),
+        h.alias("h"),
+        "o_custkey",
+    )
+    tail = F.col("h") % (1 << _HLL_TAIL)
+    rho = F.when(tail == 0, F.lit(_HLL_TAIL + 1)).otherwise(
+        F.lit(_HLL_TAIL + 1) - F.length(F.bin(tail))
+    )
+    regs = (
+        keyed.select("y", "h")
+        .distinct()
+        .select(
+            "y",
+            (F.col("h") / (1 << _HLL_TAIL)).cast("long").alias("j"),
+            rho.alias("rho"),
+        )
+        .groupBy("y", "j")
+        .agg(F.max("rho").alias("mj"))
+        .localCheckpoint(eager=True)  # shards reused by both fold orders
+    )
+    scaled_term = F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), 60 - mj) AS DECIMAL(38,0))"
+    )
+    empty_fill = (
+        F.lit(_HLL_M) - F.count("*")
+    ).cast("decimal(38,0)") * F.lit(1 << 60).cast("decimal(38,0)")
+
+    def census(df, src_col):
+        return df.agg(
+            src_col.alias("source"),
+            F.sum((F.col("j") + 1) * F.col("mj"))
+            .cast("long")
+            .alias("register_checksum"),
+            (F.sum(scaled_term) + empty_fill).alias("scaled"),
+        )
+
+    per_year_regs = regs.groupBy("y").agg(
+        F.sum((F.col("j") + 1) * F.col("mj"))
+        .cast("long")
+        .alias("register_checksum"),
+        (F.sum(scaled_term) + empty_fill).alias("scaled"),
+    )
+    truth = keyed.groupBy("y").agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_ndv")
+    )
+    est = lambda c: F.round(  # noqa: E731
+        F.lit(_HLL_ALPHA)
+        * _HLL_M
+        * _HLL_M
+        * F.lit(float(_HLL_SCALE))
+        / c.cast("double"),
+        6,
+    )
+    years = per_year_regs.join(truth, "y").select(
+        F.concat(F.lit("year-"), F.col("y").cast("string")).alias("source"),
+        "register_checksum",
+        est(F.col("scaled")).alias("est_ndv"),
+        "exact_ndv",
+        F.lit(True).alias("merge_consistent"),
+    )
+    # merge = elementwise MAX across shards; must equal the direct pass
+    merged_regs = regs.groupBy("j").agg(F.max("mj").alias("mj"))
+    direct_regs = (
+        keyed.select("h")
+        .distinct()
+        .select(
+            (F.col("h") / (1 << _HLL_TAIL)).cast("long").alias("j"),
+            rho.alias("rho"),
+        )
+        .groupBy("j")
+        .agg(F.max("rho").alias("mj"))
+    )
+    m_row = census(merged_regs, F.lit("merged")).collect()[0]
+    d_row = census(direct_regs, F.lit("direct")).collect()[0]
+    consistent = (
+        m_row["register_checksum"] == d_row["register_checksum"]
+        and m_row["scaled"] == d_row["scaled"]
+    )
+    total_ndv = keyed.agg(F.countDistinct("o_custkey")).collect()[0][0]
+    merged_row = spark.createDataFrame(
+        [
+            (
+                "merged",
+                int(m_row["register_checksum"]),
+                float(
+                    round(
+                        _HLL_ALPHA
+                        * _HLL_M
+                        * _HLL_M
+                        * float(_HLL_SCALE)
+                        / float(m_row["scaled"]),
+                        6,
+                    )
+                ),
+                int(total_ndv),
+                bool(consistent),
+            )
+        ],
+        "source STRING, register_checksum BIGINT, est_ndv DOUBLE, "
+        "exact_ndv BIGINT, merge_consistent BOOLEAN",
+    )
+    return years.unionByName(merged_row).orderBy("source")

@@ -470,3 +470,155 @@ def q197_cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY month
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Q220 — parameterized SQL (Spark 4's spark.sql(query, args)): the
+# injection-safe templating surface a SQL-first shop migrates its
+# report library onto — named :parameters bound server-side, never
+# string-spliced. The entry binds a status filter, a price floor,
+# and a limit through real parameter markers; the oracle runs the
+# equivalent with DuckDB's own prepared-parameter semantics inlined.
+# Binding happens at PARSE time, so the bound plan constant-folds and
+# pushes down exactly like a literal (no opaque-parameter plan
+# penalty — the reason to prefer this over a UDF wrapper).
+# ---------------------------------------------------------------------------
+@register(
+    "q220_parameterized_sql",
+    oracle="""
+    SELECT o_orderpriority,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        AS rev_cents
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice >= 1000.0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q220_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+            AS rev_cents
+        FROM orders
+        WHERE o_orderstatus = :status AND o_totalprice >= :floor
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"status": "O", "floor": 1000.0},
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q221 — ANSI-safe TRY arithmetic: under ANSI SQL semantics (Spark
+# 4's default), divide-by-zero and overflowing casts RAISE; the
+# try_* family (try_divide, try_cast, try_add) converts those raises
+# to NULLs — the migration contract for pipelines that must never
+# die on one bad row while still running in ANSI mode. The entry
+# exercises each failure lane on real data (zero-discount divisors,
+# out-of-range casts) and counts the NULLs it survived; the oracle
+# spells the same semantics with guards (NULLIF / CASE), which is
+# exactly what try_* desugars to.
+# ---------------------------------------------------------------------------
+@register(
+    "q221_try_arithmetic",
+    oracle="""
+    WITH t AS (
+      SELECT l_returnflag,
+        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents,
+        CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct,
+        l_quantity
+      FROM lineitem),
+    x AS (
+      SELECT l_returnflag,
+        CAST(price_cents AS DOUBLE) / NULLIF(CAST(disc_pct AS DOUBLE), 0.0)
+          AS per_disc,
+        CASE WHEN l_quantity BETWEEN -128 AND 127
+             THEN CAST(l_quantity AS TINYINT) END AS qty_tiny,
+        CASE WHEN price_cents <= 127 THEN CAST(price_cents AS TINYINT) END
+          AS price_tiny
+      FROM t)
+    SELECT l_returnflag,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CASE WHEN per_disc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_div_by_zero,
+      CAST(SUM(CASE WHEN qty_tiny IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_qty_overflow,
+      CAST(SUM(CASE WHEN price_tiny IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_price_overflow,
+      CAST(SUM(CAST(floor(COALESCE(per_disc, 0.0) * 100 + 0.5) AS BIGINT))
+        AS BIGINT) AS sum_per_disc_scaled
+    FROM x GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q221_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH t AS (
+          SELECT l_returnflag,
+            CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents,
+            CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct,
+            l_quantity
+          FROM lineitem),
+        x AS (
+          SELECT l_returnflag,
+            try_divide(CAST(price_cents AS DOUBLE),
+                       nullif(CAST(disc_pct AS DOUBLE), 0.0D)) AS per_disc,
+            try_cast(l_quantity AS TINYINT) AS qty_tiny,
+            try_cast(price_cents AS TINYINT) AS price_tiny
+          FROM t)
+        SELECT l_returnflag,
+          COUNT(*) AS n_rows,
+          CAST(SUM(CASE WHEN per_disc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_div_by_zero,
+          CAST(SUM(CASE WHEN qty_tiny IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_qty_overflow,
+          CAST(SUM(CASE WHEN price_tiny IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_price_overflow,
+          CAST(SUM(CAST(floor(COALESCE(per_disc, 0.0D) * 100 + 0.5)
+            AS BIGINT)) AS BIGINT) AS sum_per_disc_scaled
+        FROM x GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q222 — SQL PIVOT syntax: the `FROM ... PIVOT (agg FOR col IN (...))`
+# clause — HiveQL/warehouse report queries arrive written this way,
+# and q27's DataFrame .pivot() does not cover the TEXT surface. The
+# pivot value list is explicit (required by Spark's clause, and the
+# right call at scale anyway: implicit value discovery is an extra
+# distinct scan). Oracle spells the same table with conditional
+# aggregates — the desugaring PIVOT is defined as.
+# ---------------------------------------------------------------------------
+@register(
+    "q222_sql_pivot_syntax",
+    oracle="""
+    SELECT l_returnflag,
+      CAST(SUM(CASE WHEN l_linestatus = 'F'
+          THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) END)
+        AS BIGINT) AS F_cents,
+      CAST(SUM(CASE WHEN l_linestatus = 'O'
+          THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) END)
+        AS BIGINT) AS O_cents
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q222_sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT l_returnflag, l_linestatus,
+            CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM lineitem)
+        PIVOT (SUM(cents) FOR l_linestatus IN ('F' AS F_cents, 'O' AS O_cents))
+        ORDER BY l_returnflag
+        """
+    )
