@@ -76,8 +76,10 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 # were counted; measured wall ~2.3x the 360 s measured total).
 # warm and the descending-cost order confines any cold tail to
 # sub-second queries. The budget is a cap, not a target — a clean
-# run stops when the suite is done.
-BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "900"))
+# run stops when the suite is done. 900 -> 1080 at 333 bench queries
+# (round-8 session 6: the 299-query run measured ~830 s wall on this
+# VM, already brushing the cap before +34 entries landed).
+BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1080"))
 # Session recycling: restart the SparkSession every N queries
 # (re-warming footer caches; restart time is NOT counted against the
 # measured budget). DEFAULT OFF — the round-6 A/B (NOTES.md) measured

@@ -823,3 +823,105 @@ def p_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id", "neg_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# p_binary_embeddings — 1-bit (sign) embedding quantization + Hamming
+# top-k: the binary-passage-retrieval trick — 64 floats collapse to
+# 64 BITS (32x smaller than float32, 256x smaller than float64), and
+# candidate search becomes xor + popcount, which runs at memory
+# bandwidth. The bits pack into TWO 32-bit words (never bit 63 — the
+# q139 sign-bit rule keeps every intermediate a clean nonnegative
+# BIGINT on both engines); Hamming(a, b) = bit_count(w0a^w0b) +
+# bit_count(w1a^w1b). Sign extraction (v > 0) involves NO float
+# arithmetic, so a lossy-looking transform is exactly reproducible.
+#
+# Scale design: the probe set broadcasts (the p_knn_bruteforce
+# shape); the corpus side streams through a scan-stage xor/popcount
+# — at 100 TB this is the cheap first pass that feeds the float
+# re-ranker (p_knn_recall measures that loop for LSH; the binary
+# lane plugs into the same harness). Top-k per probe is one
+# window-limit over (probe, hamming, vec_id).
+# ---------------------------------------------------------------------------
+_BIN_PROBES = 5
+_BIN_TOPK = 5
+
+
+def _pack_sql(lo: int) -> str:  # 32 dims starting at 1-based index lo
+    return (
+        f"CAST(list_sum(list_transform(generate_series({lo}, {lo + 31}), "
+        f"i -> CASE WHEN embedding[i] > 0 THEN (CAST(1 AS BIGINT) "
+        f"<< (i - {lo})) ELSE 0 END)) AS BIGINT)"
+    )
+
+
+_PACK_SPARK = (
+    "aggregate(transform(sequence({lo}, {hi}), "
+    "i -> IF(element_at(embedding, i) > CAST(0 AS FLOAT), "
+    "shiftleft(CAST(1 AS BIGINT), i - {lo}), CAST(0 AS BIGINT))), "
+    "CAST(0 AS BIGINT), (a, x) -> a + x)"
+)
+
+
+@register(
+    "p_binary_embeddings",
+    oracle=f"""
+    WITH packed AS (
+      SELECT vec_id,
+        {_pack_sql(1)} AS w0,
+        {_pack_sql(33)} AS w1
+      FROM embeddings),
+    probes AS (SELECT * FROM packed WHERE vec_id < {_BIN_PROBES}),
+    dist AS (
+      SELECT p.vec_id AS probe_id, c.vec_id,
+        bit_count(xor(p.w0, c.w0)) + bit_count(xor(p.w1, c.w1)) AS hamming
+      FROM probes p JOIN packed c ON c.vec_id <> p.vec_id),
+    ranked AS (
+      SELECT probe_id, vec_id, hamming,
+        ROW_NUMBER() OVER (PARTITION BY probe_id
+                           ORDER BY hamming, vec_id) AS rk
+      FROM dist)
+    SELECT probe_id, CAST(rk AS BIGINT) AS rank, vec_id,
+      CAST(hamming AS BIGINT) AS hamming
+    FROM ranked WHERE rk <= {_BIN_TOPK}
+    ORDER BY probe_id, rank
+    """,
+)
+def p_binary_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    packed = e.select(
+        "vec_id",
+        F.expr(_PACK_SPARK.format(lo=1, hi=32)).alias("w0"),
+        F.expr(_PACK_SPARK.format(lo=33, hi=64)).alias("w1"),
+    )
+    probes = packed.where(F.col("vec_id") < _BIN_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("w0").alias("pw0"),
+        F.col("w1").alias("pw1"),
+    )
+    dist = (
+        packed.crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            (
+                F.bit_count(F.col("pw0").bitwiseXOR(F.col("w0")))
+                + F.bit_count(F.col("pw1").bitwiseXOR(F.col("w1")))
+            ).alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy("hamming", "vec_id")
+    return (
+        dist.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _BIN_TOPK)
+        .select(
+            "probe_id",
+            F.col("rank").cast("long").alias("rank"),
+            "vec_id",
+            F.col("hamming").cast("long").alias("hamming"),
+        )
+        .orderBy("probe_id", "rank")
+    )

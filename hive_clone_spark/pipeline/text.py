@@ -2784,3 +2784,79 @@ def p_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join(input_toks, " ").cast("binary")).alias("input_md5"),
         F.array_join(target_toks, " ").alias("target"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p_table_linearize — structured-to-text serialization: relational
+# rows rendered as natural-language records ("order 42 by customer 7:
+# status O, priority 1-URGENT, total $123.45, placed 1995-03-15") —
+# the dataset construction behind tabular-QA and table-grounded
+# training sets, where the serialization must be STABLE (a format
+# drift invalidates every cached tokenization downstream). Money is
+# rendered from integer cents (dollars || '.' || zero-padded
+# remainder) — never by formatting a float, whose shortest-repr
+# rules differ across engines.
+#
+# The per-year checksum is the SUM of each rendered row's portable
+# hash — order-independent, so it pins every byte of every rendered
+# record without a corpus-wide sort or string_agg. Scale: rendering
+# is scan-stage string concat; the rollup is map-side combinable.
+# ---------------------------------------------------------------------------
+@register(
+    "p_table_linearize",
+    oracle=f"""
+    WITH r AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+        'order ' || CAST(o_orderkey AS VARCHAR)
+          || ' by customer ' || CAST(o_custkey AS VARCHAR)
+          || ': status ' || o_orderstatus
+          || ', priority ' || o_orderpriority
+          || ', total $'
+          || CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // 100
+                  AS VARCHAR)
+          || '.'
+          || lpad(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) % 100
+                       AS VARCHAR), 2, '0')
+          || ', placed ' || strftime(o_orderdate, '%Y-%m-%d')
+          AS rendered
+      FROM orders)
+    SELECT y AS order_year,
+      CAST(COUNT(*) AS BIGINT) AS n_records,
+      CAST(SUM(strlen(rendered)) AS BIGINT) AS total_chars,
+      CAST(SUM({sql_portable_hash("rendered")} % 1000000007) AS BIGINT)
+        AS corpus_checksum
+    FROM r GROUP BY y ORDER BY order_year
+    """,
+)
+def p_table_linearize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    rendered = F.concat(
+        F.lit("order "), F.col("o_orderkey").cast("string"),
+        F.lit(" by customer "), F.col("o_custkey").cast("string"),
+        F.lit(": status "), F.col("o_orderstatus"),
+        F.lit(", priority "), F.col("o_orderpriority"),
+        F.lit(", total $"),
+        F.expr(
+            "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) div 100 "
+            "AS STRING)"
+        ),
+        F.lit("."),
+        F.lpad((cents % 100).cast("string"), 2, "0"),
+        F.lit(", placed "), F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+    r = o.select(
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        rendered.alias("rendered"),
+    )
+    return (
+        r.groupBy("order_year")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum(F.octet_length("rendered")).cast("long").alias("total_chars"),
+            F.sum(portable_hash(F.col("rendered")) % 1000000007)
+            .cast("long")
+            .alias("corpus_checksum"),
+        )
+        .orderBy("order_year")
+    )

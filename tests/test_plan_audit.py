@@ -86,6 +86,7 @@ NESTEDLOOP_OK = {
     "p_word_dispersion",  # 1-row corpus-size crossJoin (q44 pattern)
     "q178_encoding_advisor",  # 1-row moment-aggregate crossJoin (q44 pattern)
     "p_hard_negatives",  # 5-anchor broadcast theta join (p_knn_bruteforce)
+    "p_binary_embeddings",  # 5-probe broadcast theta join (p_knn_bruteforce)
     "q183_timeseries_decompose",  # 1-row fit-mass crossJoin (q44 pattern)
     "q189_holt_winters",  # 1-row MAE crossJoin over 24 rows (q44 pattern)
     "q190_ab_experiment",  # 1-row chi-square verdict crossJoin (q44 pattern)
