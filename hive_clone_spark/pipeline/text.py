@@ -2860,3 +2860,63 @@ def p_table_linearize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# p_prefix_cache — shared-prefix mass analysis (KV-cache planning):
+# inference servers batch requests whose token streams share a
+# prefix so the transformer KV cache is computed once per prefix;
+# choosing WHICH prefixes to pin needs exactly this query — group
+# the corpus by its leading-k tokens, count members, and price the
+# recomputation saved if each group's prefix were cached once:
+# saved = (n_docs - 1) * k tokens per group. Top groups by saving
+# are the pin set.
+#
+# Scale design: the prefix key is a scan-stage slice+join (no
+# tokenizer round trip needed for planning); one map-side-combinable
+# groupBy; top-N via TakeOrdered. At fleet scale this runs over
+# request logs instead of documents with the same plan.
+# ---------------------------------------------------------------------------
+_PFX_K = 4
+_PFX_TOP = 15
+
+
+@register(
+    "p_prefix_cache",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+        array_to_string(list_slice(list_filter(
+          str_split_regex(text, '\\s+'), w -> w <> ''), 1, {_PFX_K}), ' ')
+          AS prefix,
+        len(list_filter(str_split_regex(text, '\\s+'), w -> w <> ''))
+          AS n_toks
+      FROM documents),
+    g AS (
+      SELECT prefix, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+        CAST((COUNT(*) - 1) * {_PFX_K} AS BIGINT) AS tokens_saved
+      FROM p GROUP BY prefix)
+    SELECT prefix, n_docs, total_tokens, tokens_saved
+    FROM g WHERE n_docs > 1
+    ORDER BY tokens_saved DESC, prefix LIMIT {_PFX_TOP}
+    """,
+)
+def p_prefix_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = words_col(F.col("text"))
+    p = d.select(
+        "doc_id",
+        F.array_join(F.slice(w, 1, _PFX_K), " ").alias("prefix"),
+        F.size(w).alias("n_toks"),
+    )
+    g = p.groupBy("prefix").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        ((F.count("*") - 1) * _PFX_K).cast("long").alias("tokens_saved"),
+    )
+    return (
+        g.where(F.col("n_docs") > 1)
+        .orderBy(F.desc("tokens_saved"), "prefix")
+        .limit(_PFX_TOP)
+    )

@@ -622,3 +622,71 @@ def q222_sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Q223 — NOT IN vs NOT EXISTS under NULLs: the single most common
+# silent-wrong-answer trap in SQL migration. `x NOT IN (subquery)`
+# is three-valued: ONE null in the subquery's result makes the whole
+# predicate UNKNOWN for every row, returning ZERO rows — while NOT
+# EXISTS (and the anti-join it plans to) returns the expected
+# complement. The entry manufactures a nullable key column (custkey
+# 13 mapped to NULL via NULLIF) and runs the three spellings; the
+# result ledger shows 0 / n / n — the shape every migration
+# checklist warns about, here pinned as data so a future engine or
+# optimizer change that alters the semantics fails the hash.
+#
+# Scale note: this is also why production pipelines spell
+# anti-membership as NOT EXISTS/anti-join — besides correctness,
+# NOT IN with a nullable subquery blocks the anti-join rewrite and
+# can degenerate to a nested-loop NULL-aware join.
+# ---------------------------------------------------------------------------
+@register(
+    "q223_not_in_null_semantics",
+    oracle="""
+    WITH dim AS (
+      SELECT NULLIF(c_custkey, 13) AS k FROM customer
+      WHERE c_custkey <= 100),
+    probe AS (SELECT o_custkey FROM orders WHERE o_custkey > 90)
+    SELECT 'not_in' AS spelling,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM probe
+       WHERE o_custkey NOT IN (SELECT k FROM dim)) AS n_rows,
+      TRUE AS null_poisoned
+    UNION ALL
+    SELECT 'not_exists',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM probe p
+       WHERE NOT EXISTS (SELECT 1 FROM dim d WHERE d.k = p.o_custkey)),
+      FALSE
+    UNION ALL
+    SELECT 'anti_join',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM probe p
+       LEFT JOIN dim d ON d.k = p.o_custkey WHERE d.k IS NULL),
+      FALSE
+    ORDER BY spelling
+    """,
+)
+def q223_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH dim AS (
+          SELECT NULLIF(c_custkey, 13) AS k FROM customer
+          WHERE c_custkey <= 100),
+        probe AS (SELECT o_custkey FROM orders WHERE o_custkey > 90)
+        SELECT 'not_in' AS spelling,
+          (SELECT COUNT(*) FROM probe
+           WHERE o_custkey NOT IN (SELECT k FROM dim)) AS n_rows,
+          TRUE AS null_poisoned
+        UNION ALL
+        SELECT 'not_exists',
+          (SELECT COUNT(*) FROM probe p
+           WHERE NOT EXISTS (SELECT 1 FROM dim d WHERE d.k = p.o_custkey)),
+          FALSE
+        UNION ALL
+        SELECT 'anti_join',
+          (SELECT COUNT(*) FROM probe p
+           LEFT JOIN dim d ON d.k = p.o_custkey WHERE d.k IS NULL),
+          FALSE
+        ORDER BY spelling
+        """
+    )
