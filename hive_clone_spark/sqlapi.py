@@ -690,3 +690,228 @@ def q223_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY spelling
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Q224 — GROUP BY ALL / ORDER BY ALL: the modern-warehouse shorthand
+# (every non-aggregate select expression becomes a grouping key; ORDER
+# BY ALL sorts by the full select list left-to-right). Spark 4 and
+# DuckDB both implement the inference, so this is a one-text-two-
+# engines entry like q43 — the SAME string runs on both, pinning that
+# the two engines infer the SAME grouping keys (returnflag, linestatus,
+# and the derived ship_year expression — an alias-of-expression, the
+# case where inference rules could plausibly diverge).
+#
+# Scale design: GROUP BY ALL is pure front-end sugar — the resolved
+# plan is the identical hash-aggregate with partial (map-side) combine;
+# nothing about key inference survives into the physical plan.
+# ---------------------------------------------------------------------------
+_Q224_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(YEAR(l_shipdate) AS INT) AS ship_year,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS rev_cents
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01'
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register("q224_group_by_all", oracle=_Q224_SQL)
+def q224_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q224_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q225 — schema-flexible UNION BY NAME: appending two relations whose
+# column sets only PARTIALLY overlap — the everyday shape when a fact
+# feed gains columns mid-history or two entity tables are stacked into
+# one ledger. Positional UNION would silently misalign (or refuse);
+# by-name union aligns shared columns and null-fills each side's
+# missing ones. Spark spells it df.unionByName(allowMissingColumns=
+# True); DuckDB has the SQL form `UNION ALL BY NAME` — same semantics,
+# pinned equal here (customer rows carry segment but no nation_key,
+# supplier rows the reverse).
+#
+# Scale design: by-name union is a zero-shuffle plan (two scans + a
+# union node with null projections); the alignment happens at analysis
+# time, not per row.
+# ---------------------------------------------------------------------------
+@register(
+    "q225_union_by_name",
+    oracle="""
+    SELECT c_custkey AS ent_key, c_name AS name,
+      CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS balance_cents,
+      c_mktsegment AS segment, 'customer' AS src
+    FROM customer WHERE c_custkey <= 50
+    UNION ALL BY NAME
+    SELECT s_suppkey AS ent_key, s_name AS name,
+      CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS balance_cents,
+      CAST(s_nationkey AS INT) AS nation_key, 'supplier' AS src
+    FROM supplier WHERE s_suppkey <= 50
+    ORDER BY src, ent_key
+    """,
+)
+def q225_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_clone_spark.catalog import table
+
+    cust = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 50)
+        .select(
+            F.col("c_custkey").alias("ent_key"),
+            F.col("c_name").alias("name"),
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("balance_cents"),
+            F.col("c_mktsegment").alias("segment"),
+            F.lit("customer").alias("src"),
+        )
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") <= 50)
+        .select(
+            F.col("s_suppkey").alias("ent_key"),
+            F.col("s_name").alias("name"),
+            F.floor(F.col("s_acctbal") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("balance_cents"),
+            F.col("s_nationkey").cast("int").alias("nation_key"),
+            F.lit("supplier").alias("src"),
+        )
+    )
+    return cust.unionByName(supp, allowMissingColumns=True).orderBy(
+        "src", "ent_key"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q226 — SQL scripting (BEGIN ... END): Spark 4's procedural surface —
+# DECLARE'd variables, subquery assignment, a WHILE loop — the direct
+# replacement for HiveQL-era driver scripts and stored-procedure
+# migrations. The script amortizes a loan whose principal is DATA-
+# DERIVED (total order value of custkeys <= 3, in cents): each month
+# accrues floor(balance * 7 / 1000) interest and repays a fixed
+# payment; the loop runs until payoff. Every step is BIGINT (DIV) so
+# the trajectory is exact; the oracle replays the identical recurrence
+# as a DuckDB recursive CTE and keeps the terminal row. All values
+# positive throughout, so truncating `DIV` / `//` agree with floor on
+# both engines.
+#
+# Scale design: scripting executes on the DRIVER, one Catalyst query
+# per statement — the right tool for control flow around queries, not
+# per-row logic; the per-iteration state here is three scalars.
+# ---------------------------------------------------------------------------
+@register(
+    "q226_sql_scripting",
+    oracle="""
+    WITH RECURSIVE init AS (
+      SELECT CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS p
+      FROM orders WHERE o_custkey <= 3),
+    steps AS (
+      SELECT 0 AS months, p AS bal, CAST(0 AS BIGINT) AS interest,
+             p // 20 + 1 AS pay
+      FROM init
+      UNION ALL
+      SELECT months + 1,
+             bal + bal * 7 // 1000 - pay,
+             interest + bal * 7 // 1000,
+             pay
+      FROM steps WHERE bal > 0 AND months < 60)
+    SELECT CAST(months AS INT) AS months,
+      CAST(bal AS BIGINT) AS final_balance_cents,
+      CAST(interest AS BIGINT) AS total_interest_cents
+    FROM steps
+    WHERE NOT (bal > 0 AND months < 60)
+    """,
+)
+def q226_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE bal BIGINT DEFAULT 0;
+          DECLARE pay BIGINT DEFAULT 0;
+          DECLARE interest BIGINT DEFAULT 0;
+          DECLARE months INT DEFAULT 0;
+          SET bal = (SELECT SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT))
+                     FROM orders WHERE o_custkey <= 3);
+          SET pay = bal DIV 20 + 1;
+          WHILE bal > 0 AND months < 60 DO
+            SET interest = interest + bal * 7 DIV 1000;
+            SET bal = bal + bal * 7 DIV 1000 - pay;
+            SET months = months + 1;
+          END WHILE;
+          SELECT months,
+            bal AS final_balance_cents,
+            interest AS total_interest_cents;
+        END
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q227 — dynamic SQL, injection-safe: the two Spark 4 mechanisms for
+# queries whose TABLE/COLUMN names arrive at runtime (metadata-driven
+# pipelines, multi-tenant fan-over-tables): IDENTIFIER(:param) binds a
+# name through the parameter channel (never string-spliced — the
+# binding rejects anything that is not a lone identifier), and
+# EXECUTE IMMEDIATE runs a query string with `?` value parameters.
+# The entry runs the SAME balance-ledger aggregate over customer and
+# supplier, one via each mechanism, and stacks the results; the
+# oracle is the static union.
+#
+# Scale design: both mechanisms bind BEFORE analysis, so the bound
+# plan constant-folds and pushes down exactly like literal SQL; the
+# IDENTIFIER lane keeps name-parameterized fan-out cacheable (one
+# parse shape, n tables).
+# ---------------------------------------------------------------------------
+@register(
+    "q227_dynamic_sql",
+    oracle="""
+    SELECT 'customer' AS src, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        AS bal_cents
+    FROM customer WHERE c_nationkey < 10
+    UNION ALL
+    SELECT 'supplier', CAST(COUNT(*) AS BIGINT),
+      CAST(SUM(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    FROM supplier WHERE s_nationkey < 10
+    ORDER BY src
+    """,
+)
+def q227_dynamic_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    cust = spark.sql(
+        """
+        SELECT 'customer' AS src, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(floor(IDENTIFIER(:balcol) * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS bal_cents
+        FROM IDENTIFIER(:tbl) WHERE IDENTIFIER(:natcol) < :cap
+        """,
+        args={
+            "tbl": "customer",
+            "balcol": "c_acctbal",
+            "natcol": "c_nationkey",
+            "cap": 10,
+        },
+    )
+    supp = spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT ''supplier'' AS src, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS bal_cents
+           FROM supplier WHERE s_nationkey < ?'
+          USING 10
+        """
+    )
+    return cust.unionByName(supp).orderBy("src")
