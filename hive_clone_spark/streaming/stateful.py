@@ -836,3 +836,221 @@ def q205_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q228: composite-state per-user census — one keyed stream operator
+# holding TWO state shapes at once: scalar running totals (event count
+# + exact cents sum) AND a per-event-type count MAP. This is the
+# natural fit for Spark 4's transformWithStateInPandas (a
+# StatefulProcessor with named ValueState + MapState variables on the
+# RocksDB provider), and `user_census_tws` below IS that spelling —
+# but the TWS Python lane speaks protobuf to its state server
+# (pyspark.sql.streaming.proto needs google.protobuf), a dependency
+# this container does not ship. The registered entry therefore probes
+# for the dependency and otherwise runs `user_census_fallback`:
+# applyInPandasWithState with the map encoded as two aligned ARRAY
+# state columns (array-typed state is proven since q138). Both forms
+# share every semantic decision, so the choice is a deployment detail,
+# not a behavior change.
+#
+# Determinism (q138 discipline): events staged to 4 files, one file
+# per micro-batch; every transition is a commutative monoid (counts,
+# integer cents, per-type counts), so the final emission per user is
+# exact under any engine-internal batch order. Final answer = the
+# emission with the largest n_events per user (strictly increasing).
+#
+# At 100 TB: state is O(1) per user (two BIGINTs + a small-domain type
+# map); stateful shuffle keyed by user_id; on a real cluster the TWS/
+# RocksDB lane adds off-heap state + incremental changelog checkpoints.
+# ---------------------------------------------------------------------------
+_TWS_FILES = 4
+
+TWS_OUT_SCHEMA = (
+    "user_id BIGINT, n_events BIGINT, sum_cents BIGINT, n_types INT, "
+    "top_type STRING, top_type_n BIGINT"
+)
+TWS_STATE_SCHEMA = (
+    "n BIGINT, cents BIGINT, types ARRAY<STRING>, counts ARRAY<BIGINT>"
+)
+
+
+def _census_merge(census: dict, pdf) -> tuple[int, int]:
+    """Fold one pandas batch into the per-type census dict; returns
+    (rows_added, cents_added). Shared by both stream forms — the same
+    IEEE expression the oracle runs: floor(value*100 + 0.5)."""
+    import numpy as np
+
+    v = pdf["value"].to_numpy(dtype="float64")
+    cents = int(np.floor(v * 100.0 + 0.5).astype(np.int64).sum())
+    for et, cnt in pdf.groupby("event_type").size().items():
+        census[et] = census.get(et, 0) + int(cnt)
+    return len(pdf), cents
+
+
+def _census_row(user_id, n, cents, census):
+    import pandas as pd
+
+    # tie-break count DESC then type ASC (mirrors the oracle's rk)
+    top_type, top_n = sorted(census.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "sum_cents": [cents],
+            "n_types": [len(census)],
+            "top_type": [top_type],
+            "top_type_n": [top_n],
+        }
+    )
+
+
+def user_census_fallback(events_stream: DataFrame) -> DataFrame:
+    """applyInPandasWithState form: the census map rides as two aligned
+    array state columns (sorted by type for a canonical encoding)."""
+
+    def update(key: tuple, batches: Iterator, state) -> Iterator:
+        (user_id,) = key
+        if state.exists:
+            n, cents, types, counts = state.get
+            census = dict(zip(list(types), (int(c) for c in counts)))
+        else:
+            n, cents, census = 0, 0, {}
+        for pdf in batches:
+            dn, dc = _census_merge(census, pdf)
+            n += dn
+            cents += dc
+        ts = sorted(census)
+        state.update((n, cents, ts, [census[t] for t in ts]))
+        yield _census_row(user_id, n, cents, census)
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=TWS_OUT_SCHEMA,
+        stateStructType=TWS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def user_census_tws(events_stream: DataFrame) -> DataFrame:
+    """transformWithStateInPandas form (requires google.protobuf and
+    the RocksDB state store provider — see module comment)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class UserCensusProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, cents BIGINT"
+            )
+            self._types = handle.getMapState(
+                "types", "event_type STRING", "n BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            n, cents = (
+                self._totals.get() if self._totals.exists() else (0, 0)
+            )
+            census = {k[0]: v[0] for k, v in self._types.iterator()}
+            for pdf in rows:
+                dn, dc = _census_merge(census, pdf)
+                n += dn
+                cents += dc
+            self._totals.update((n, cents))
+            for et, cnt in census.items():
+                self._types.updateValue((et,), (cnt,))
+            yield _census_row(user_id, n, cents, census)
+
+        def close(self) -> None:
+            pass
+
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserCensusProcessor(),
+        outputStructType=TWS_OUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )
+
+
+def _tws_available() -> bool:
+    """The TWS Python lane needs google.protobuf for its state-server
+    protocol; probe instead of crashing the stream mid-query."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # parent 'google' namespace absent
+        return False
+
+
+@register(
+    "q228_stream_composite_state",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    per_type AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY user_id, event_type),
+    top AS (
+      SELECT user_id, event_type, n,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY n DESC, event_type) AS rk
+      FROM per_type),
+    tot AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        CAST(COUNT(DISTINCT event_type) AS INT) AS n_types
+      FROM e GROUP BY user_id)
+    SELECT t.user_id, t.n_events, t.sum_cents, t.n_types,
+      top.event_type AS top_type, top.n AS top_type_n
+    FROM tot t JOIN top ON top.user_id = t.user_id AND top.rk = 1
+    ORDER BY t.user_id
+    """,
+)
+def q228_stream_composite_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from hive_clone_spark.sources.queries import _warehouse
+    from hive_clone_spark.streaming.streams import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    src_dir = _warehouse(sf_dir, "tws_q228")
+    (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "ts", "value")
+        .repartition(_TWS_FILES)
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    src = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    use_tws = _tws_available()
+    if use_tws:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        stream = user_census_tws(src)
+    else:
+        stream = user_census_fallback(src)
+    try:
+        run_to_memory(stream, "q228_census", output_mode="update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if use_tws:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    t = spark.table("q228_census")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        t.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+        .orderBy("user_id")
+    )
