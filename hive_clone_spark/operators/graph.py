@@ -936,3 +936,136 @@ def q218_handshake_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_live_edges_after BIGINT, is_maximal_after BOOLEAN, "
         "match_checksum BIGINT",
     ).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# Q229 — minimum spanning tree (Borůvka): the classic distributed MST
+# algorithm — every round, each component selects its cheapest
+# outgoing edge under a STRICT total order, all selected edges join
+# the forest at once, components merge; O(log V) rounds. The strict
+# order (w, u, v) makes all edge weights distinct, so the MST is
+# UNIQUE and any correct algorithm must produce the identical edge
+# set — which is exactly how the oracle verifies it: DuckDB runs
+# PRIM (a sequential cut-growing recursive CTE carrying the visited
+# set as a LIST, one min-crossing edge per step under the same
+# order), and the two algorithms' outputs hash-match edge for edge.
+#
+# Graph: nations as vertices; undirected edge (u,v) = cheapest
+# lineitem (in cents) shipped between a supplier nation and a
+# customer nation, canonicalized u < v with MIN over both directions.
+#
+# Scale design: the distributed phase is the whole cost — a fact-scale
+# 3-join reduced by groupBy MIN to a schema-bounded graph (<= 300
+# edges), the q101/q137 pattern; Borůvka itself runs on the driver in
+# O(E log V) on that bounded set. For corpus-scale graphs the same
+# per-round primitive (min-edge per component = groupBy(component)
+# .min(edge struct), then CC-merge) is the q32 iterate-checkpoint
+# shape — Borůvka is the MST algorithm BECAUSE its rounds are
+# shuffle-parallel, unlike Prim's sequential cut.
+# ---------------------------------------------------------------------------
+def _mst_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.least("s_nationkey", "c_nationkey").alias("u"),
+            F.greatest("s_nationkey", "c_nationkey").alias("v"),
+        )
+        .agg(F.min("cents").alias("w"))
+    )
+
+
+@register(
+    "q229_mst_boruvka",
+    oracle="""
+    WITH RECURSIVE edges AS MATERIALIZED (
+      SELECT LEAST(s.s_nationkey, c.c_nationkey) AS u,
+             GREATEST(s.s_nationkey, c.c_nationkey) AS v,
+             MIN(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS w
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY 1, 2),
+    steps AS (
+      SELECT 0 AS it, [CAST(0 AS INTEGER)] AS visited,
+             CAST(NULL AS INTEGER) AS eu, CAST(NULL AS INTEGER) AS ev,
+             CAST(NULL AS BIGINT) AS ew
+      UNION ALL
+      SELECT * FROM (
+        SELECT s.it + 1,
+          list_append(s.visited,
+            CASE WHEN list_contains(s.visited, e.u) THEN e.v ELSE e.u END),
+          CAST(e.u AS INTEGER), CAST(e.v AS INTEGER), e.w
+        FROM steps s JOIN edges e
+          ON list_contains(s.visited, e.u) <> list_contains(s.visited, e.v)
+        WHERE s.it < 24
+        ORDER BY e.w, e.u, e.v LIMIT 1) t)
+    SELECT CAST(st.eu AS INT) AS u, CAST(st.ev AS INT) AS v,
+      st.ew AS w_cents, nu.n_name AS u_name, nv.n_name AS v_name
+    FROM steps st
+    JOIN nation nu ON nu.n_nationkey = st.eu
+    JOIN nation nv ON nv.n_nationkey = st.ev
+    WHERE st.eu IS NOT NULL
+    ORDER BY w_cents, u, v
+    """,
+)
+def q229_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = [
+        (int(r["u"]), int(r["v"]), int(r["w"]))
+        for r in _mst_edges(spark, sf_dir).collect()
+    ]
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    comp = {x: x for x in nodes}  # union-find with path compression
+
+    def find(x: int) -> int:
+        while comp[x] != x:
+            comp[x] = comp[comp[x]]
+            x = comp[x]
+        return x
+
+    chosen: list[tuple[int, int, int]] = []
+    # Boruvka: O(log V) rounds, each selecting every component's
+    # cheapest outgoing edge under the strict (w, u, v) order
+    for _round in range(16):
+        best: dict[int, tuple[int, int, int]] = {}
+        for u, v, w in edges:
+            cu, cv = find(u), find(v)
+            if cu == cv:
+                continue
+            key = (w, u, v)
+            for side in (cu, cv):
+                if side not in best or key < (best[side][2], best[side][0], best[side][1]):
+                    best[side] = (u, v, w)
+        if not best:
+            break
+        for u, v, w in set(best.values()):
+            cu, cv = find(u), find(v)
+            if cu != cv:
+                comp[cu] = cv
+                chosen.append((u, v, w))
+    if len(chosen) != len(nodes) - 1:
+        raise RuntimeError(
+            f"mst: forest has {len(chosen)} edges for {len(nodes)} nodes "
+            "(graph disconnected?)"
+        )
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    mst = spark.createDataFrame(chosen, "u INT, v INT, w_cents BIGINT")
+    nu = n.select(F.col("n_nationkey").alias("u"), F.col("n_name").alias("u_name"))
+    nv = n.select(F.col("n_nationkey").alias("v"), F.col("n_name").alias("v_name"))
+    return (
+        mst.join(F.broadcast(nu), "u")
+        .join(F.broadcast(nv), "v")
+        .select("u", "v", "w_cents", "u_name", "v_name")
+        .orderBy("w_cents", "u", "v")
+    )

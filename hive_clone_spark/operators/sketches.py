@@ -1175,3 +1175,112 @@ def q219_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_ndv BIGINT, merge_consistent BOOLEAN",
     )
     return years.unionByName(merged_row).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Q230 — join-size estimation via count-min inner product (AMS-style):
+# |A ⋈_k B| = Σ_k f_A(k)·f_B(k), and the inner product of two
+# count-min rows built with the SAME hash row over-estimates it by
+# exactly the collision cross-terms — so est_j = Σ_b cmA[j][b]·cmB[j][b]
+# per hash row j, and EST = min_j est_j ≥ TRUTH always. This is the
+# pre-join cardinality probe a planner runs before committing to a
+# fact×fact join (the CBO loop's q93/q160 use row counts; this is the
+# sketch that answers the same question without scanning either side
+# twice): events.user_id ⋈ orders.o_custkey, a genuinely multi×multi
+# pair (every user has many events AND many orders).
+#
+# Scale design: each side reduces to exact per-key counts first (the
+# shuffle carries |distinct keys| rows), folds into a d×w counter
+# matrix (d·w = 4096 cells — broadcastable), and the estimate is a
+# 4096-row join; the EXACT arm (for the oracle's error pin) is the
+# keyed join the sketch exists to avoid, affordable here and the
+# point of the "measure, don't guess" discipline. The two matrices
+# merge elementwise, so at 100 TB each side's matrix builds map-side
+# and ships once.
+# ---------------------------------------------------------------------------
+def _cm_cells_sql(src: str) -> str:
+    """DuckDB: fold a (k, cnt) relation into d*w count-min cells."""
+    return f"""
+      SELECT i,
+        {sql_portable_hash("i || ':' || CAST(k AS VARCHAR)")} % {_CM_W}
+          AS bucket,
+        SUM(cnt) AS cell
+      FROM {src}, (SELECT unnest(generate_series(0, {_CM_D - 1})) AS i)
+      GROUP BY 1, 2"""
+
+
+@register(
+    "q230_cm_join_size",
+    oracle=f"""
+    WITH ka AS (SELECT user_id AS k, COUNT(*) AS cnt
+                FROM events GROUP BY user_id),
+    kb AS (SELECT o_custkey AS k, COUNT(*) AS cnt
+           FROM orders GROUP BY o_custkey),
+    ca AS ({_cm_cells_sql("ka")}),
+    cb AS ({_cm_cells_sql("kb")}),
+    per_row AS (
+      SELECT ca.i, SUM(ca.cell * cb.cell) AS est
+      FROM ca JOIN cb ON ca.i = cb.i AND ca.bucket = cb.bucket
+      GROUP BY ca.i),
+    est AS (SELECT MIN(est) AS est_size FROM per_row),
+    exact AS (
+      SELECT SUM(ka.cnt * kb.cnt) AS exact_size
+      FROM ka JOIN kb ON ka.k = kb.k)
+    SELECT CAST(exact_size AS BIGINT) AS exact_size,
+      CAST(est_size AS BIGINT) AS est_size,
+      CAST(est_size - exact_size AS BIGINT) AS overcount,
+      CAST((est_size - exact_size) * 1000 // exact_size AS BIGINT)
+        AS err_permille
+    FROM est, exact
+    """,
+)
+def q230_cm_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ka = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    kb = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+    def cells(keyed: DataFrame) -> DataFrame:
+        rows = F.explode(F.sequence(F.lit(0), F.lit(_CM_D - 1))).alias("i")
+        bucket = (
+            portable_hash(
+                F.concat(
+                    F.col("i").cast("string"), F.lit(":"), F.col("k").cast("string")
+                )
+            )
+            % _CM_W
+        )
+        return (
+            keyed.select("k", "cnt", rows)
+            .select("i", bucket.alias("bucket"), "cnt")
+            .groupBy("i", "bucket")
+            .agg(F.sum("cnt").alias("cell"))
+        )
+
+    ca, cb = cells(ka), cells(kb)
+    est = (
+        ca.join(
+            cb.withColumnRenamed("cell", "cell_b"), ["i", "bucket"]
+        )
+        .groupBy("i")
+        .agg(F.sum(F.col("cell") * F.col("cell_b")).alias("est"))
+        .agg(F.min("est").alias("est_size"))
+    )
+    exact = (
+        ka.join(kb.withColumnRenamed("cnt", "cnt_b"), "k")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("exact_size"))
+    )
+    return exact.crossJoin(est).select(
+        "exact_size",
+        "est_size",
+        (F.col("est_size") - F.col("exact_size")).alias("overcount"),
+        F.expr("(est_size - exact_size) * 1000 DIV exact_size").alias(
+            "err_permille"
+        ),
+    )

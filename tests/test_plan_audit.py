@@ -54,6 +54,7 @@ NESTEDLOOP_OK = {
     "q104_dq_expectations",  # 1-row count x 1-row violation crossJoins
     "q97_bloom_filter_join",  # 1-row ledger-count crossJoins (q44 pattern)
     "q106_kmv_set_algebra",  # 1-row sketch-stat crossJoins (q44 pattern)
+    "q230_cm_join_size",  # 1-row exact x 1-row estimate crossJoin (q44 pattern)
     "q107_column_entropy",  # 1-row category-total crossJoin (q44 pattern)
     "q18_band_join",
     "q153_hilbert_vs_zorder",  # 4-row query-rect dim theta join (q18 pattern)
