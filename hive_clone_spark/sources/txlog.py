@@ -254,6 +254,7 @@ class TxLog:
         txn: str | None = None,
         dv: list[dict] | None = None,
         constraints: dict[str, str] | None = None,
+        meta: dict | None = None,
     ) -> int:
         """Atomically publish a commit at ``latest + 1``.
 
@@ -280,6 +281,8 @@ class TxLog:
             payload["dv"] = dv
         if constraints is not None:
             payload["constraints"] = constraints
+        if meta is not None:
+            payload["meta"] = meta
         if txn is not None:
             payload["txn"] = txn
         path = self.log_dir / self._commit_name(version)
@@ -312,10 +315,35 @@ class TxLog:
                     "stats": stats,
                     "dvs": dvs,
                     "constraints": cons,
+                    "meta": self.table_meta(version),
                 },
                 f,
             )
         os.replace(tmp, self.log_dir / f"{version:08d}.checkpoint.json")
+
+    def table_meta(self, version: int | None = None) -> dict:
+        """Table-level metadata (column mapping, identity high-water
+        mark, ...) at ``version``: the latest commit's ``meta`` dict at
+        or below it, FULL-REPLACEMENT semantics like constraints.
+        Folded into checkpoints, so replay starts at the checkpoint
+        floor and survives vacuum."""
+        if version is None:
+            version = self.latest_version()
+        if version < 0:
+            return {}
+        start, meta = 0, {}
+        for v in range(version, -1, -1):
+            ckpt = self.log_dir / f"{v:08d}.checkpoint.json"
+            if ckpt.exists():
+                with open(ckpt) as f:
+                    meta = dict(json.load(f).get("meta", {}))
+                start = v + 1
+                break
+        for v in range(start, version + 1):
+            c = self._read_commit(v)
+            if "meta" in c:
+                meta = dict(c["meta"])
+        return meta
 
     def txn_applied(self, txn: str) -> bool:
         """Has a commit bearing this application txn id already landed?
@@ -3209,3 +3237,276 @@ def q215_txlog_optimize_clustering(spark: SparkSession, sf_dir: str) -> DataFram
         "phase STRING, n_files_active BIGINT, n_files_scanned BIGINT, "
         "n_rows BIGINT, rev_cents BIGINT",
     ).orderBy("phase")
+
+
+# ---------------------------------------------------------------------------
+# Q231 — column mapping: rename a column WITHOUT rewriting a byte of
+# data (Delta's column-mapping protocol, Iceberg's field-ids). Data
+# files carry opaque PHYSICAL names (c1, c2, c3); the logical schema
+# lives in table metadata (TxLog.table_meta — full-replacement
+# commits folded into checkpoints like constraints). A rename is then
+# a METADATA-ONLY commit: the v1 history row shows 0 files
+# added/removed while the logical name changes — the zero-rewrite
+# evidence — and reads at v0 and v1 return byte-identical data under
+# the two names (identical n_rows / cents-sum / name-length checksum
+# on both arms).
+#
+# At 100 TB this is the difference between an O(1) catalog operation
+# and a full-table rewrite; physical-name indirection is also what
+# makes dropping/re-adding a same-named column safe (the physical
+# name is never reused, so stale files can't resurrect old data).
+# ---------------------------------------------------------------------------
+_Q231_MAP_V0 = {"part_id": "c1", "part_name": "c2", "retail_cents": "c3"}
+_Q231_MAP_V1 = {"part_id": "c1", "part_title": "c2", "retail_cents": "c3"}
+
+
+def _read_mapped(spark: SparkSession, tl: TxLog, version: int) -> DataFrame:
+    mapping = tl.table_meta(version)["mapping"]
+    df = spark.read.parquet(
+        *[str(tl.root / f) for f in tl.active_files(version)]
+    )
+    return df.select(
+        *[F.col(phys).alias(logical) for logical, phys in sorted(mapping.items())]
+    )
+
+
+@register(
+    "q231_txlog_column_mapping",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+          AS sum_cents,
+        CAST(SUM(length(p_name)) AS BIGINT) AS name_len_sum
+      FROM part),
+    schema_rows AS (
+      SELECT * FROM (VALUES
+        ('schema', 0, 'part_id', 'c1', 4),
+        ('schema', 0, 'part_name', 'c2', 4),
+        ('schema', 0, 'retail_cents', 'c3', 4),
+        ('schema', 1, 'part_id', 'c1', 0),
+        ('schema', 1, 'part_title', 'c2', 0),
+        ('schema', 1, 'retail_cents', 'c3', 0)
+      ) t(arm, version, logical, physical, n_files_changed))
+    SELECT arm, CAST(version AS INT) AS version, logical, physical,
+      CAST(n_files_changed AS INT) AS n_files_changed,
+      CAST(NULL AS BIGINT) AS n_rows, CAST(NULL AS BIGINT) AS sum_cents,
+      CAST(NULL AS BIGINT) AS name_len_sum
+    FROM schema_rows
+    UNION ALL
+    SELECT 'data', v.version, v.logical, 'c2', NULL,
+      agg.n_rows, agg.sum_cents, agg.name_len_sum
+    FROM agg,
+      (VALUES (CAST(0 AS INT), 'part_name'), (CAST(1 AS INT), 'part_title'))
+        v(version, logical)
+    ORDER BY arm, version, logical
+    """,
+)
+def q231_txlog_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tl = TxLog(_warehouse_dir(sf_dir, "txlog_q231")).create()
+    p = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("c1"),
+        F.col("p_name").alias("c2"),
+        F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long").alias("c3"),
+    )
+    tl.commit("create", add=tl.stage_data(p, 4), meta={"mapping": _Q231_MAP_V0})
+    # the rename: metadata-only — zero add/remove actions
+    tl.commit("rename-column", meta={"mapping": _Q231_MAP_V1})
+
+    hist = {h["version"]: h for h in tl.history()}
+    schema_rows = []
+    for version, mapping in ((0, _Q231_MAP_V0), (1, _Q231_MAP_V1)):
+        changed = hist[version]["n_added"] + hist[version]["n_removed"]
+        for logical, phys in sorted(mapping.items()):
+            schema_rows.append(("schema", version, logical, phys, changed))
+    schema_df = spark.createDataFrame(
+        schema_rows,
+        "arm STRING, version INT, logical STRING, physical STRING, "
+        "n_files_changed INT",
+    ).select(
+        "*",
+        F.lit(None).cast("long").alias("n_rows"),
+        F.lit(None).cast("long").alias("sum_cents"),
+        F.lit(None).cast("long").alias("name_len_sum"),
+    )
+
+    def data_arm(version: int, name_col: str) -> DataFrame:
+        df = _read_mapped(spark, tl, version)
+        return df.agg(
+            F.lit("data").alias("arm"),
+            F.lit(version).cast("int").alias("version"),
+            F.lit(name_col).alias("logical"),
+            F.lit("c2").alias("physical"),
+            F.lit(None).cast("int").alias("n_files_changed"),
+            F.count("*").alias("n_rows"),
+            F.sum("retail_cents").cast("long").alias("sum_cents"),
+            F.sum(F.length(name_col)).cast("long").alias("name_len_sum"),
+        )
+
+    return (
+        schema_df.unionByName(data_arm(0, "part_name"))
+        .unionByName(data_arm(1, "part_title"))
+        .orderBy("arm", "version", "logical")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q232 — identity columns via reserved ranges: monotonically-assigned
+# unique row ids WITHOUT a global sort or a single-writer counter —
+# the Delta identity-column mechanism. Each commit reserves a range
+# [high-water-mark, hwm + n) from table metadata; each add-action records
+# its file's base offset within the range; a row's id materializes at
+# READ time as base + _metadata.row_index (position-based, the q148
+# DV trick — no id column is ever written to parquet). Uniqueness and
+# contiguity are structural: ranges don't overlap and bases partition
+# the range.
+#
+# Determinism for the oracle: files are bucket-sliced (o_orderkey % 4)
+# and written sorted by orderkey, so every row's id is a pure function
+# of the data — the oracle recomputes ids with window functions (base
+# = cumulative bucket counts in (batch, bucket) order, offset = rank
+# within bucket) and pins an id⊗key association checksum, so a row
+# order scramble anywhere in write or read fails the hash.
+#
+# At 100 TB: id assignment is O(1) metadata per commit + a zero-cost
+# virtual column per read; no shuffle, no coordination beyond the
+# optimistic commit itself. Concurrent writers conflict on the commit
+# slot (not the range) and retry with a fresh hwm — ids stay unique.
+# ---------------------------------------------------------------------------
+_Q232_BUCKETS = 4
+
+
+def _stage_sorted_buckets(tl: TxLog, df: DataFrame, bucket_col: str, order_col: str) -> list[tuple[int, str, int]]:
+    """One sorted parquet file per bucket value; returns
+    (bucket, relpath, n_rows) in bucket order."""
+    import pyarrow.parquet as pq
+
+    stage = tl.root / f"_stage-{uuid.uuid4().hex}"
+    (
+        df.repartition(F.col(bucket_col))
+        .sortWithinPartitions(bucket_col, order_col)
+        .write.mode("overwrite")
+        .partitionBy(bucket_col)
+        .parquet(str(stage))
+    )
+    out = []
+    for vdir in sorted(
+        stage.glob(f"{bucket_col}=*"), key=lambda p: int(p.name.split("=")[1])
+    ):
+        bucket = int(vdir.name.split("=", 1)[1])
+        parts = sorted(vdir.glob("*.parquet"))
+        assert len(parts) == 1, f"bucket {bucket}: {len(parts)} files"
+        name = f"{uuid.uuid4().hex}.parquet"
+        n = pq.read_metadata(parts[0]).num_rows
+        os.replace(parts[0], tl.data_dir / name)
+        out.append((bucket, f"data/{name}", n))
+    shutil.rmtree(stage)
+    return out
+
+
+@register(
+    "q232_txlog_identity_columns",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS k,
+        CASE WHEN o_orderdate < DATE '1997-01-01' THEN 0 ELSE 1 END AS batch,
+        o_orderkey % 4 AS bucket
+      FROM orders),
+    fc AS (
+      SELECT batch, bucket, CAST(COUNT(*) AS BIGINT) AS n
+      FROM o GROUP BY batch, bucket),
+    fb AS (
+      SELECT batch, bucket, n,
+        COALESCE(SUM(n) OVER (ORDER BY batch, bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+      FROM fc),
+    ids AS (
+      SELECT o.k,
+        fb.base + ROW_NUMBER() OVER (PARTITION BY o.batch, o.bucket
+                                     ORDER BY o.k) - 1 AS id
+      FROM o JOIN fb ON fb.batch = o.batch AND fb.bucket = o.bucket),
+    file_rows AS (
+      SELECT 'file' AS arm, CAST(batch * 10 + bucket AS INT) AS seq,
+        CAST(base AS BIGINT) AS base, n AS n_rows,
+        CAST(NULL AS BIGINT) AS min_id, CAST(NULL AS BIGINT) AS max_id,
+        CAST(NULL AS BIGINT) AS n_distinct, CAST(NULL AS BIGINT) AS checksum
+      FROM fb),
+    table_row AS (
+      SELECT 'table' AS arm, CAST(NULL AS INT) AS seq,
+        CAST(NULL AS BIGINT) AS base,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(MIN(id) AS BIGINT) AS min_id, CAST(MAX(id) AS BIGINT) AS max_id,
+        CAST(COUNT(DISTINCT id) AS BIGINT) AS n_distinct,
+        CAST(SUM(id * (k % 97)) AS BIGINT) AS checksum
+      FROM ids)
+    SELECT * FROM file_rows
+    UNION ALL SELECT * FROM table_row
+    ORDER BY arm, seq
+    """,
+)
+def q232_txlog_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tl = TxLog(_warehouse_dir(sf_dir, "txlog_q232")).create()
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % _Q232_BUCKETS).alias("bucket"),
+        F.col("o_orderdate"),
+    )
+    batches = [
+        o.where(F.col("o_orderdate") < F.lit("1997-01-01").cast("date")),
+        o.where(F.col("o_orderdate") >= F.lit("1997-01-01").cast("date")),
+    ]
+    file_rows = []
+    for bi, bdf in enumerate(batches):
+        hwm = int(tl.table_meta().get("identity_next", 0))
+        staged = _stage_sorted_buckets(tl, bdf.drop("o_orderdate"), "bucket", "k")
+        adds, base = [], hwm
+        for bucket, relpath, n in staged:
+            adds.append(
+                {"file": relpath, "identity_base": base, "n_rows": n}
+            )
+            file_rows.append(("file", bi * 10 + bucket, base, n))
+            base += n
+        tl.commit(
+            "append", add=adds, meta={"identity_next": base},
+            expected_version=tl.latest_version(),
+        )
+
+    # read path: id = per-file reserved base + _metadata.row_index
+    bases = []
+    for v in tl.versions():
+        for a in tl._read_commit(v).get("add", []):
+            bases.append(
+                (os.path.basename(a["file"]), int(a["identity_base"]))
+            )
+    bases_df = spark.createDataFrame(bases, "fname STRING, base BIGINT")
+    data = spark.read.parquet(*[str(tl.root / f) for f in tl.active_files()])
+    data = data.select(
+        "k",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+            "fname"
+        ),
+        F.col("_metadata.row_index").alias("row_index"),
+    )
+    ids = data.join(F.broadcast(bases_df), "fname").select(
+        "k", (F.col("base") + F.col("row_index")).alias("id")
+    )
+    table_row = ids.agg(
+        F.lit("table").alias("arm"),
+        F.lit(None).cast("int").alias("seq"),
+        F.lit(None).cast("long").alias("base"),
+        F.count("*").alias("n_rows"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+        F.countDistinct("id").alias("n_distinct"),
+        F.sum(F.col("id") * (F.col("k") % 97)).cast("long").alias("checksum"),
+    )
+    files_df = spark.createDataFrame(
+        file_rows, "arm STRING, seq INT, base BIGINT, n_rows BIGINT"
+    ).select(
+        "*",
+        F.lit(None).cast("long").alias("min_id"),
+        F.lit(None).cast("long").alias("max_id"),
+        F.lit(None).cast("long").alias("n_distinct"),
+        F.lit(None).cast("long").alias("checksum"),
+    )
+    return files_df.unionByName(table_row).orderBy("arm", "seq")
