@@ -2920,3 +2920,316 @@ def p_prefix_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tokens_saved"), "prefix")
         .limit(_PFX_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# p_readability — Flesch-Kincaid grade / Flesch reading-ease, the
+# classic length-free quality features (a corpus-filter staple next to
+# p_text_stats' ratios). Syllables are the standard heuristic: vowel
+# GROUPS ([aeiouy]+) per word, min 1; sentences are [.!?]+ runs, min 1
+# (the fixture corpus is sentence-less word soup — every doc is one
+# "sentence", which the min-1 guard makes explicit rather than
+# divide-by-zero).
+#
+# Determinism: both formulas are evaluated over the common denominator
+# S*W as ONE integer polynomial divided once in double and floored —
+# identical IEEE expression shapes both engines (the q149 OLS rule),
+# no per-term rounding drift, exact integers up to 2^53 in the
+# numerator.
+#
+# 100 TB: pure scan-stage HOFs (split, per-word regexp counts,
+# aggregate) — zero shuffle, zero Python, whole-stage codegen.
+# ---------------------------------------------------------------------------
+@register(
+    "p_readability",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+        CAST(len({SQL_WORDS.format(expr="text")}) AS BIGINT) AS nw,
+        CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+          AS ns,
+        CAST(list_sum(list_transform({SQL_WORDS.format(expr="lower(text)")},
+          x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1)))
+          AS BIGINT) AS syl
+      FROM documents),
+    f AS (
+      SELECT doc_id, nw, ns, syl,
+        CAST(floor((39 * nw * nw + 1180 * syl * ns - 1559 * ns * nw) * 10.0
+                   / (ns * nw)) AS BIGINT) AS fk_grade_milli,
+        CAST(floor((206835 * ns * nw - 1015 * nw * nw - 84600 * syl * ns)
+                   * 1.0 / (ns * nw)) AS BIGINT) AS ease_milli
+      FROM w WHERE nw > 0)
+    SELECT doc_id, nw AS n_words, ns AS n_sentences, syl AS n_syllables,
+      fk_grade_milli, ease_milli,
+      CASE WHEN ease_milli >= 90000 THEN 'very_easy'
+           WHEN ease_milli >= 60000 THEN 'standard'
+           WHEN ease_milli >= 30000 THEN 'difficult'
+           ELSE 'very_difficult' END AS band
+    FROM f ORDER BY doc_id
+    """,
+)
+def p_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    nw = F.size(words_col(F.col("text"))).cast("bigint")
+    ns = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    ).cast("bigint")
+    syl = F.aggregate(
+        F.transform(
+            words_col(F.lower(F.col("text"))),
+            lambda x: F.greatest(
+                F.size(F.regexp_extract_all(x, F.lit("[aeiouy]+"), F.lit(0))),
+                F.lit(1),
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    base = d.select(
+        "doc_id", nw.alias("nw"), ns.alias("ns"), syl.alias("syl")
+    ).where(F.col("nw") > 0)
+    fk = F.floor(
+        (
+            39 * F.col("nw") * F.col("nw")
+            + 1180 * F.col("syl") * F.col("ns")
+            - 1559 * F.col("ns") * F.col("nw")
+        )
+        * F.lit(10.0)
+        / (F.col("ns") * F.col("nw"))
+    ).cast("bigint")
+    ease = F.floor(
+        (
+            206835 * F.col("ns") * F.col("nw")
+            - 1015 * F.col("nw") * F.col("nw")
+            - 84600 * F.col("syl") * F.col("ns")
+        )
+        * F.lit(1.0)
+        / (F.col("ns") * F.col("nw"))
+    ).cast("bigint")
+    return (
+        base.select(
+            "doc_id",
+            F.col("nw").alias("n_words"),
+            F.col("ns").alias("n_sentences"),
+            F.col("syl").alias("n_syllables"),
+            fk.alias("fk_grade_milli"),
+            ease.alias("ease_milli"),
+        )
+        .withColumn(
+            "band",
+            F.when(F.col("ease_milli") >= 90000, "very_easy")
+            .when(F.col("ease_milli") >= 60000, "standard")
+            .when(F.col("ease_milli") >= 30000, "difficult")
+            .otherwise("very_difficult"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p_script_detect — Unicode-script census: the writing-system
+# classifier that runs BEFORE n-gram language-ID (p_lang_id can only
+# separate languages within a script; Cyrillic vs Greek vs CJK is a
+# codepoint-range question, and a cheap scan-stage one). The ASCII
+# fixture corpus is decorated deterministically (p_unicode_nfc's
+# pattern): doc_id%4==1 transliterates vowels to Cyrillic lookalikes,
+# %4==2 to Greek, %4==3 maps 's'/'t' to CJK ideographs — both engines
+# build the identical decorated string with translate(), then census
+# independently with codepoint-class regexes.
+#
+# 100 TB: translate + four regexp_extract_all counts are per-row
+# whole-stage-codegen expressions; zero shuffle, zero Python.
+# ---------------------------------------------------------------------------
+_CYR = "аеіоу"
+_GRK = "αειου"
+_CJK = "数据"
+
+
+@register(
+    "p_script_detect",
+    oracle=f"""
+    WITH dec AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 1 THEN translate(text, 'aeiou', '{_CYR}')
+          WHEN 2 THEN translate(text, 'aeiou', '{_GRK}')
+          WHEN 3 THEN translate(text, 'st', '{_CJK}')
+          ELSE text END AS t
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '[a-z]')) AS BIGINT) AS n_latin,
+        CAST(len(regexp_extract_all(t, '[а-яі]')) AS BIGINT) AS n_cyrillic,
+        CAST(len(regexp_extract_all(t, '[α-ω]')) AS BIGINT) AS n_greek,
+        CAST(len(regexp_extract_all(t, '[数据]')) AS BIGINT) AS n_cjk
+      FROM dec)
+    SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk,
+      CAST(n_latin * 1000 // greatest(n_latin + n_cyrillic + n_greek + n_cjk, 1)
+           AS BIGINT) AS latin_permille,
+      CASE WHEN n_cyrillic > 0 AND doc_id % 4 = 1 THEN 'cyrillic_mixed'
+           WHEN n_greek > 0 THEN 'greek_mixed'
+           WHEN n_cjk > 0 THEN 'cjk_mixed'
+           WHEN n_cyrillic > 0 THEN 'cyrillic_mixed'
+           ELSE 'latin' END AS script_class
+    FROM c ORDER BY doc_id
+    """,
+)
+def p_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    dec = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 1, F.translate("text", "aeiou", _CYR))
+        .when(F.col("doc_id") % 4 == 2, F.translate("text", "aeiou", _GRK))
+        .when(F.col("doc_id") % 4 == 3, F.translate("text", "st", _CJK))
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+
+    def census(cls: str) -> F.Column:
+        return F.size(
+            F.regexp_extract_all(F.col("t"), F.lit(cls), F.lit(0))
+        ).cast("bigint")
+
+    c = dec.select(
+        "doc_id",
+        census("[a-z]").alias("n_latin"),
+        census("[а-яі]").alias("n_cyrillic"),
+        census("[α-ω]").alias("n_greek"),
+        census("[数据]").alias("n_cjk"),
+    )
+    total = F.greatest(
+        F.col("n_latin") + F.col("n_cyrillic") + F.col("n_greek") + F.col("n_cjk"),
+        F.lit(1),
+    )
+    return c.select(
+        "*",
+        F.expr(
+            "CAST(n_latin * 1000 DIV "
+            "greatest(n_latin + n_cyrillic + n_greek + n_cjk, 1) AS BIGINT)"
+        ).alias("latin_permille"),
+        F.when((F.col("n_cyrillic") > 0) & (F.col("doc_id") % 4 == 1), "cyrillic_mixed")
+        .when(F.col("n_greek") > 0, "greek_mixed")
+        .when(F.col("n_cjk") > 0, "cjk_mixed")
+        .when(F.col("n_cyrillic") > 0, "cyrillic_mixed")
+        .otherwise("latin")
+        .alias("script_class"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p_rake_keywords — RAKE (Rapid Automatic Keyword Extraction, Rose et
+# al. 2010): split each document into candidate phrases at stopword
+# boundaries, score every word by degree/frequency (degree = summed
+# length of the phrase occurrences containing it — words that travel
+# in long phrases outrank words that appear alone), score a phrase as
+# the sum of its words' scores, keep the top 3 phrases per document.
+#
+# Determinism: word score is floored to integer permille BEFORE the
+# phrase sum (per-term floor → order-independent integer sums — the
+# documented deviation from RAKE's real-valued scores); ties broken
+# by phrase text. Phrases capped at 4 words (RAKE convention; also
+# bounds the token explosion at ≤ text length).
+#
+# 100 TB: phrase extraction is scan-stage HOFs; the only shuffles are
+# two bounded aggregations keyed by (doc, word) and (doc, phrase) —
+# cardinality ≤ token count — and the per-doc top-3 window is
+# doc-partitioned, never global.
+# ---------------------------------------------------------------------------
+_RAKE_STOPS = r"\b(the|and|of|a|to|in|is|it|for|on)\b"
+
+
+@register(
+    "p_rake_keywords",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+        regexp_replace(lower(text), '{_RAKE_STOPS}', '|', 'g') AS t
+      FROM documents),
+    ph AS (
+      SELECT doc_id,
+        list_filter(
+          list_transform(str_split(t, '|'),
+            s -> list_filter(str_split_regex(trim(s), '\\s+'),
+                             w -> w <> '')),
+          a -> len(a) BETWEEN 1 AND 4) AS phs
+      FROM d),
+    occ AS (SELECT doc_id, unnest(phs) AS words FROM ph),
+    tok AS (
+      SELECT doc_id, array_to_string(words, ' ') AS phrase,
+        len(words) AS plen, unnest(words) AS w
+      FROM occ),
+    ws AS (
+      SELECT doc_id, w,
+        (1000 * CAST(SUM(plen) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+          AS milli
+      FROM tok GROUP BY doc_id, w),
+    dph AS (SELECT DISTINCT doc_id, phrase FROM tok),
+    dtok AS (
+      SELECT doc_id, phrase, unnest(str_split(phrase, ' ')) AS w FROM dph),
+    scored AS (
+      SELECT t.doc_id, t.phrase,
+        CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(s.milli) AS BIGINT) AS score_milli
+      FROM dtok t JOIN ws s ON s.doc_id = t.doc_id AND s.w = t.w
+      GROUP BY t.doc_id, t.phrase)
+    SELECT doc_id, CAST(rk AS INT) AS rank, phrase, n_words, score_milli
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        ORDER BY score_milli DESC, phrase) AS rk
+      FROM scored) z
+    WHERE rk <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def p_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.col("text")), _RAKE_STOPS, "|").alias("t"),
+    )
+    phrases = d.select(
+        "doc_id",
+        F.filter(
+            F.transform(
+                F.split(F.col("t"), r"\|"),
+                lambda s: F.filter(
+                    F.split(F.trim(s), r"\s+"), lambda w: w != ""
+                ),
+            ),
+            lambda a: (F.size(a) >= 1) & (F.size(a) <= 4),
+        ).alias("phs"),
+    )
+    occ = phrases.select("doc_id", F.explode("phs").alias("words"))
+    tok = occ.select(
+        "doc_id",
+        F.array_join("words", " ").alias("phrase"),
+        F.size("words").alias("plen"),
+        F.explode("words").alias("w"),
+    )
+    ws = tok.groupBy("doc_id", "w").agg(
+        F.expr("(1000 * CAST(SUM(plen) AS BIGINT)) DIV COUNT(*)").alias(
+            "milli"
+        )
+    )
+    dph = tok.select("doc_id", "phrase").distinct()
+    dtok = dph.select(
+        "doc_id", "phrase", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    scored = (
+        dtok.join(ws, ["doc_id", "w"])
+        .groupBy("doc_id", "phrase")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("milli").cast("bigint").alias("score_milli"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_milli"), F.asc("phrase")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "rank", "phrase", "n_words", "score_milli")
+        .orderBy("doc_id", "rank")
+    )
