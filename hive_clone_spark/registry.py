@@ -66,6 +66,7 @@ def load_all_modules() -> None:
     from hive_clone_spark.pipeline import selection  # noqa: F401
     from hive_clone_spark.sources import avro  # noqa: F401
     from hive_clone_spark.sources import lz4  # noqa: F401
+    from hive_clone_spark.sources import snappy  # noqa: F401
     from hive_clone_spark.sources import inflate  # noqa: F401
     from hive_clone_spark.sources import msgpack  # noqa: F401
     from hive_clone_spark.sources import tfrecord  # noqa: F401
