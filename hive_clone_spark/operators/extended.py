@@ -7533,3 +7533,234 @@ def q213_late_arriving_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(arm(o, "reconciled_total"))
         .orderBy("stage")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q236 — RFM segmentation, the classic CRM scoring operator: per
+# customer, Recency (days since last order, anchored to the corpus
+# max date), Frequency (order count), Monetary (lifetime cents);
+# each dimension bucketed into quintiles and the (r,f,m) code mapped
+# to a marketing segment. Output at the rfm-code grain (<= 125 rows).
+#
+# Scale design — NO global ranking window: quintile BREAKPOINTS come
+# from percentile_disc, a distributed single-pass aggregate whose
+# discrete definition (smallest element with cumulative fraction
+# >= p) Spark and DuckDB share on integer inputs (probed exact);
+# customers then bucket by four comparisons against the broadcast
+# 1-row threshold table. Under heavy ties quintiles are unequal in
+# size — the deterministic, documented behavior of disc quantiles
+# (every tied value lands in the same bucket).
+# ---------------------------------------------------------------------------
+_RFM_SEGMENTS = """CASE
+  WHEN r_q <= 2 AND f_q >= 4 AND m_q >= 4 THEN 'champion'
+  WHEN f_q >= 4 THEN 'loyal'
+  WHEN m_q >= 4 THEN 'big_spender'
+  WHEN r_q >= 4 AND f_q <= 2 THEN 'hibernating'
+  WHEN r_q >= 4 THEN 'at_risk'
+  ELSE 'regular' END"""
+
+
+@register(
+    "q236_rfm_segmentation",
+    oracle=f"""
+    WITH m AS (
+      SELECT o_custkey,
+        date_diff('day', MAX(o_orderdate),
+                  (SELECT MAX(o_orderdate) FROM orders)) AS rec,
+        CAST(COUNT(*) AS BIGINT) AS freq,
+        CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+          AS mon
+      FROM orders GROUP BY o_custkey),
+    t AS (
+      SELECT
+        quantile_disc(rec, 0.2) AS r1, quantile_disc(rec, 0.4) AS r2,
+        quantile_disc(rec, 0.6) AS r3, quantile_disc(rec, 0.8) AS r4,
+        quantile_disc(freq, 0.2) AS f1, quantile_disc(freq, 0.4) AS f2,
+        quantile_disc(freq, 0.6) AS f3, quantile_disc(freq, 0.8) AS f4,
+        quantile_disc(mon, 0.2) AS m1, quantile_disc(mon, 0.4) AS m2,
+        quantile_disc(mon, 0.6) AS m3, quantile_disc(mon, 0.8) AS m4
+      FROM m),
+    scored AS (
+      SELECT o_custkey, mon,
+        1 + CAST(rec > r1 AS INT) + CAST(rec > r2 AS INT)
+          + CAST(rec > r3 AS INT) + CAST(rec > r4 AS INT) AS r_q,
+        1 + CAST(freq > f1 AS INT) + CAST(freq > f2 AS INT)
+          + CAST(freq > f3 AS INT) + CAST(freq > f4 AS INT) AS f_q,
+        1 + CAST(mon > m1 AS INT) + CAST(mon > m2 AS INT)
+          + CAST(mon > m3 AS INT) + CAST(mon > m4 AS INT) AS m_q
+      FROM m, t)
+    SELECT CAST(r_q * 100 + f_q * 10 + m_q AS INT) AS rfm_code,
+      {_RFM_SEGMENTS} AS segment,
+      CAST(COUNT(*) AS BIGINT) AS n_customers,
+      CAST(SUM(mon) AS BIGINT) AS sum_cents
+    FROM scored
+    GROUP BY rfm_code, segment
+    ORDER BY rfm_code
+    """,
+)
+def q236_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("anchor"))
+    m = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("freq"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("mon"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("anchor"), F.col("last_order")).cast("long").alias("rec"),
+            "freq",
+            "mon",
+        )
+    )
+    t = m.agg(
+        *[
+            F.expr(
+                f"CAST(percentile_disc({p}) WITHIN GROUP (ORDER BY {c}) AS BIGINT)"
+            ).alias(f"{c[0]}{i}")
+            for c in ("rec", "freq", "mon")
+            for i, p in enumerate((0.2, 0.4, 0.6, 0.8), start=1)
+        ]
+    )
+
+    def quint(c: str, pfx: str) -> F.Column:
+        q = F.lit(1)
+        for i in range(1, 5):
+            q = q + (F.col(c) > F.col(f"{pfx}{i}")).cast("int")
+        return q
+
+    scored = m.crossJoin(F.broadcast(t)).select(
+        "o_custkey",
+        "mon",
+        quint("rec", "r").alias("r_q"),
+        quint("freq", "f").alias("f_q"),
+        quint("mon", "m").alias("m_q"),
+    )
+    return (
+        scored.select(
+            (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
+            .cast("int")
+            .alias("rfm_code"),
+            F.expr(_RFM_SEGMENTS).alias("segment"),
+            "mon",
+        )
+        .groupBy("rfm_code", "segment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("mon").cast("long").alias("sum_cents"),
+        )
+        .orderBy("rfm_code")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q237 — ABC (Pareto) classification: parts ranked by revenue, class A
+# = the head covering 70% of total revenue, B the next 20%, C the
+# tail. The defining computation is a cumulative share over a GLOBAL
+# revenue ranking — which this entry refuses to spell as one global
+# window. Instead (p_curriculum_order's band-offset decomposition):
+# parts band by revenue magnitude (bit length of cents — monotone in
+# revenue, so band order embeds the global order), band totals
+# cumulate over a <= 64-row bounded window, and the within-band
+# running sum is a band-PARTITIONED window; a part's global
+# cumulative-before = its band's offset + its in-band prefix. Class
+# thresholds compare integer cross-products (cum*10 < total*7 ⇔
+# share < 70%) — no division anywhere.
+#
+# 100 TB: the only windows are 64-row (bounded) and band-partitioned;
+# ties inside a band are totally ordered by (cents DESC, partkey).
+# The oracle runs the textbook global-window form — two decompositions
+# of the same ranking must agree exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "q237_abc_classification",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey,
+        CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM pr),
+    c AS (
+      SELECT l_partkey, cents,
+        CAST(COALESCE(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS cum_before
+      FROM pr),
+    cls AS (
+      SELECT CASE WHEN cum_before * 10 < total * 7 THEN 'A'
+                  WHEN cum_before * 10 < total * 9 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cents, total
+      FROM c, tot)
+    SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+      CAST(SUM(cents) * 1000 // MAX(total) AS BIGINT) AS share_permille
+    FROM cls GROUP BY abc_class ORDER BY abc_class
+    """,
+)
+def q237_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pr = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .withColumn("band", F.length(F.bin("cents")))
+    )
+    band_tot = pr.groupBy("band").agg(F.sum("cents").cast("long").alias("band_cents"))
+    w_bands = (
+        Window.orderBy(F.desc("band"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = band_tot.select(
+        "band",
+        F.coalesce(F.sum("band_cents").over(w_bands), F.lit(0))
+        .cast("long")
+        .alias("band_offset"),
+    )
+    w_in = (
+        Window.partitionBy("band")
+        .orderBy(F.desc("cents"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    total = pr.agg(F.sum("cents").cast("long").alias("total"))
+    c = (
+        pr.withColumn(
+            "cum_in_band",
+            F.coalesce(F.sum("cents").over(w_in), F.lit(0)).cast("long"),
+        )
+        .join(F.broadcast(offsets), "band")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cents",
+            "total",
+            (F.col("band_offset") + F.col("cum_in_band")).alias("cum_before"),
+        )
+    )
+    cls = c.select(
+        F.when(F.col("cum_before") * 10 < F.col("total") * 7, "A")
+        .when(F.col("cum_before") * 10 < F.col("total") * 9, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "cents",
+        "total",
+    )
+    return (
+        cls.groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.expr("CAST(SUM(cents) * 1000 DIV MAX(total) AS BIGINT)").alias(
+                "share_permille"
+            ),
+        )
+        .orderBy("abc_class")
+    )

@@ -55,6 +55,9 @@ NESTEDLOOP_OK = {
     "q97_bloom_filter_join",  # 1-row ledger-count crossJoins (q44 pattern)
     "q106_kmv_set_algebra",  # 1-row sketch-stat crossJoins (q44 pattern)
     "q230_cm_join_size",  # 1-row exact x 1-row estimate crossJoin (q44 pattern)
+    "q236_rfm_segmentation",  # 1-row anchor-date + 1-row quintile-threshold
+    # crossJoins (q44 pattern)
+    "q237_abc_classification",  # 1-row revenue-total crossJoin (q44 pattern)
     "q107_column_entropy",  # 1-row category-total crossJoin (q44 pattern)
     "q18_band_join",
     "q153_hilbert_vs_zorder",  # 4-row query-rect dim theta join (q18 pattern)
@@ -121,6 +124,8 @@ GLOBALWINDOW_OK = {
     # day-grain aggregate (~2.4k rows at any data scale)
     "q202_gini_split",  # prefix-sum + argmin windows over the 50-row
     # value-domain-bounded quantity histogram
+    "q237_abc_classification",  # band-offset cumulative over the <=64-row
+    # revenue-bit-length band table (p_curriculum_order decomposition)
 }
 
 
