@@ -7764,3 +7764,151 @@ def q237_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q234 — matrix-profile motif & discord discovery (integer SAD): for
+# every 7-day window of the daily order-count series, the profile is
+# the minimum distance to ANY other window at least m=7 days away
+# (the exclusion zone that bans trivial self-matches). The two
+# smallest-profile pairs are MOTIFS (repeated weekly patterns); the
+# windows with the LARGEST profile are DISCORDS (the week unlike any
+# other — the classic anomaly definition that needs no model). The
+# UCR matrix profile uses z-normalized Euclidean; this entry uses SAD
+# (sum of absolute differences, p_motion_estimate's metric) so every
+# distance is an exact BIGINT and the full profile sits under the
+# value hash.
+#
+# Scale design: the series is DAY-grain — calendar-bounded (~2.4k
+# windows at any SF), so the all-pairs stage is schema-bounded
+# (≤ ~3M comparisons) regardless of data volume; the distributed work
+# is the reduction to the series. The pair join is a theta join
+# against a broadcast of the calendar-bounded window table (q18/q137
+# BNLJ class); windows come from 6 lead()s over the bounded day
+# spine (q200's calendar-grain global-window precedent).
+# ---------------------------------------------------------------------------
+_MP_M = 7  # window length = exclusion zone
+
+
+@register(
+    "q234_motif_discovery",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+             MAX(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+    spine AS (
+      SELECT unnest(generate_series(0,
+        date_diff('day', d0, d1))) AS idx FROM bounds),
+    daily AS (
+      SELECT date_diff('day', b.d0, CAST(o.o_orderdate AS DATE)) AS idx,
+        CAST(COUNT(*) AS BIGINT) AS v
+      FROM orders o, bounds b GROUP BY 1),
+    series AS (
+      SELECT s.idx, COALESCE(d.v, 0) AS v
+      FROM spine s LEFT JOIN daily d ON d.idx = s.idx),
+    win AS (
+      SELECT idx,
+        v AS v0,
+        lead(v, 1) OVER w AS v1, lead(v, 2) OVER w AS v2,
+        lead(v, 3) OVER w AS v3, lead(v, 4) OVER w AS v4,
+        lead(v, 5) OVER w AS v5, lead(v, 6) OVER w AS v6
+      FROM series WINDOW w AS (ORDER BY idx)),
+    wf AS (SELECT * FROM win WHERE v6 IS NOT NULL),
+    pairs AS (
+      SELECT a.idx AS i, b.idx AS j,
+        CAST(abs(a.v0-b.v0) + abs(a.v1-b.v1) + abs(a.v2-b.v2)
+           + abs(a.v3-b.v3) + abs(a.v4-b.v4) + abs(a.v5-b.v5)
+           + abs(a.v6-b.v6) AS BIGINT) AS sad
+      FROM wf a JOIN wf b ON b.idx - a.idx >= {_MP_M}),
+    motifs AS (
+      SELECT 'motif' AS arm,
+        CAST(ROW_NUMBER() OVER (ORDER BY sad, i, j) AS INT) AS rank,
+        CAST(i AS BIGINT) AS i_idx, CAST(j AS BIGINT) AS j_idx, sad
+      FROM pairs QUALIFY rank <= 10),
+    profile AS (
+      SELECT idx, MIN(sad) AS psad FROM (
+        SELECT i AS idx, sad FROM pairs
+        UNION ALL SELECT j, sad FROM pairs) u
+      GROUP BY idx),
+    discords AS (
+      SELECT 'discord' AS arm,
+        CAST(ROW_NUMBER() OVER (ORDER BY psad DESC, idx) AS INT) AS rank,
+        CAST(idx AS BIGINT) AS i_idx, CAST(NULL AS BIGINT) AS j_idx,
+        CAST(psad AS BIGINT) AS sad
+      FROM profile QUALIFY rank <= 3)
+    SELECT * FROM motifs
+    UNION ALL SELECT * FROM discords
+    ORDER BY arm, rank
+    """,
+)
+def q234_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d")
+    )
+    bounds = o.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.datediff("d1", "d0"))).alias("idx")
+    )
+    daily = (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy(F.datediff("d", "d0").alias("idx"))
+        .agg(F.count("*").alias("v"))
+    )
+    series = spine.join(daily, "idx", "left").select(
+        "idx", F.coalesce("v", F.lit(0)).cast("long").alias("v")
+    )
+    w = Window.orderBy("idx")
+    win = series.select(
+        "idx",
+        F.col("v").alias("v0"),
+        *[F.lead("v", k).over(w).alias(f"v{k}") for k in range(1, _MP_M)],
+    ).where(F.col(f"v{_MP_M - 1}").isNotNull())
+    a = win.select(
+        F.col("idx").alias("i"), *[F.col(f"v{k}").alias(f"a{k}") for k in range(_MP_M)]
+    )
+    b = win.select(
+        F.col("idx").alias("j"), *[F.col(f"v{k}").alias(f"b{k}") for k in range(_MP_M)]
+    )
+    sad = sum(
+        F.abs(F.col(f"a{k}") - F.col(f"b{k}")) for k in range(_MP_M)
+    ).cast("long")
+    pairs = (
+        a.join(F.broadcast(b), F.col("j") - F.col("i") >= _MP_M)
+        .select("i", "j", sad.alias("sad"))
+        .localCheckpoint(eager=True)  # reused by motifs AND the profile
+    )
+    motifs = (
+        pairs.orderBy("sad", "i", "j")
+        .limit(10)
+        .select(
+            F.lit("motif").alias("arm"),
+            F.row_number()
+            .over(Window.orderBy("sad", "i", "j"))
+            .cast("int")
+            .alias("rank"),
+            F.col("i").cast("long").alias("i_idx"),
+            F.col("j").cast("long").alias("j_idx"),
+            "sad",
+        )
+    )
+    profile = (
+        pairs.select(F.col("i").alias("idx"), "sad")
+        .unionByName(pairs.select(F.col("j").alias("idx"), "sad"))
+        .groupBy("idx")
+        .agg(F.min("sad").alias("psad"))
+    )
+    discords = (
+        profile.orderBy(F.desc("psad"), "idx")
+        .limit(3)
+        .select(
+            F.lit("discord").alias("arm"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("psad"), "idx"))
+            .cast("int")
+            .alias("rank"),
+            F.col("idx").cast("long").alias("i_idx"),
+            F.lit(None).cast("long").alias("j_idx"),
+            F.col("psad").cast("long").alias("sad"),
+        )
+    )
+    return motifs.unionByName(discords).orderBy("arm", "rank")

@@ -1069,3 +1069,215 @@ def q229_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v", "w_cents", "u_name", "v_name")
         .orderBy("w_cents", "u", "v")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q233 — DBSCAN (grid-accelerated): density-based clustering — a point
+# with >= minPts-1 neighbors within eps is a CORE; clusters are the
+# connected components of the core-core eps-graph; a non-core point
+# adjacent to a core is a BORDER of that core's cluster (min label on
+# ties); everything else is NOISE. The classic density clusterer for
+# the shapes k-means gets wrong, here over the q131 synthetic geometry
+# (portable-md5 coordinates — the multiplicative-lattice lesson).
+#
+# DENSITY NORMALIZATION: coordinates live in [0, S)² with
+# S = isqrt(n_points)·260, so mean eps-degree is SF-INVARIANT (~0.8 at
+# eps=130) — the subcritical regime where clusters exist at every SF
+# but no giant component forms. Both engines derive S from the same
+# count (floor∘sqrt == isqrt exactly for n < 2^52).
+#
+# Scale design: neighbor pairs come from the q131 3x3 grid-cell
+# equi-join (pairs ∝ local density, never n²); degrees, core filter,
+# and border assignment are keyed aggregations; the core-graph CC is
+# the distributed min-label loop (connected_components — the q32
+# machinery, checkpointed per round). The oracle brute-forces pairs
+# and floods labels through DuckDB's deduplicating recursive UNION —
+# diameter-proof, unlike a fixed unrolled round budget.
+# ---------------------------------------------------------------------------
+_DBSCAN_EPS = 130
+_DBSCAN_MINPTS = 3  # core ⇔ >= minPts-1 = 2 eps-neighbors
+
+
+@register(
+    "q233_dbscan_grid",
+    oracle=f"""
+    WITH RECURSIVE s AS (
+      SELECT CAST(floor(sqrt(COUNT(*))) * 260 AS BIGINT) AS S FROM customer),
+    pts AS (
+      SELECT c_custkey AS k,
+        (('0x' || substr(md5(c_custkey || 'x'), 1, 15))::BIGINT)
+          % (SELECT S FROM s) AS x,
+        (('0x' || substr(md5(c_custkey || 'y'), 1, 15))::BIGINT)
+          % (SELECT S FROM s) AS y
+      FROM customer),
+    nb AS (
+      SELECT a.k AS ka, b.k AS kb FROM pts a JOIN pts b
+      ON a.k <> b.k
+        AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+            <= {_DBSCAN_EPS * _DBSCAN_EPS}),
+    core AS (
+      SELECT ka AS k FROM nb GROUP BY ka
+      HAVING COUNT(*) >= {_DBSCAN_MINPTS - 1}),
+    ce AS (
+      SELECT ka, kb FROM nb
+      WHERE ka IN (SELECT k FROM core) AND kb IN (SELECT k FROM core)),
+    reach(id, lbl) AS (
+      SELECT k, k FROM core
+      UNION
+      SELECT e.kb, r.lbl FROM reach r JOIN ce e ON e.ka = r.id
+      WHERE r.lbl < e.kb),
+    lab AS (SELECT id AS k, MIN(lbl) AS comp FROM reach GROUP BY id),
+    border AS (
+      SELECT nb.ka AS k, MIN(lab.comp) AS comp
+      FROM nb JOIN lab ON lab.k = nb.kb
+      WHERE nb.ka NOT IN (SELECT k FROM core)
+      GROUP BY nb.ka),
+    clusters AS (
+      SELECT comp,
+        CAST(SUM(CASE WHEN src = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS n_core,
+        CAST(SUM(CASE WHEN src = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_border
+      FROM (SELECT comp, 'c' AS src FROM lab
+            UNION ALL SELECT comp, 'b' FROM border) u
+      GROUP BY comp),
+    census AS (
+      SELECT
+        CAST((SELECT COUNT(*) FROM core) AS BIGINT) AS n_core,
+        CAST((SELECT COUNT(*) FROM border) AS BIGINT) AS n_border,
+        CAST((SELECT COUNT(*) FROM customer)
+             - (SELECT COUNT(*) FROM core)
+             - (SELECT COUNT(*) FROM border) AS BIGINT) AS n_noise,
+        CAST((SELECT COUNT(DISTINCT comp) FROM lab) AS BIGINT) AS n_clusters),
+    unioned AS (
+      SELECT 'census' AS arm, CAST(NULL AS BIGINT) AS cluster_label,
+        n_core, n_border, n_noise, n_clusters
+      FROM census
+      UNION ALL
+      SELECT 'cluster', comp, n_core, n_border, NULL, NULL
+      FROM clusters)
+    SELECT * FROM unioned
+    ORDER BY arm, (n_core + COALESCE(n_border, 0)) DESC, cluster_label
+    LIMIT 11
+    """,
+)
+def q233_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_clone_spark.pipeline.common import portable_hash
+
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    n_points = c.count()  # 1-row action: sizes the coordinate space
+    import math
+
+    S = math.isqrt(n_points) * 260
+    key_s = F.col("c_custkey").cast("string")
+    pts = c.select(
+        F.col("c_custkey").alias("k"),
+        (portable_hash(F.concat(key_s, F.lit("x"))) % S).alias("x"),
+        (portable_hash(F.concat(key_s, F.lit("y"))) % S).alias("y"),
+    )
+    cell = _DBSCAN_EPS
+    right = pts.select(
+        F.col("k").alias("kb"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.concat_ws(
+            ":",
+            F.floor(F.col("x") / cell).cast("long"),
+            F.floor(F.col("y") / cell).cast("long"),
+        ).alias("cell"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    left = pts.select(
+        F.col("k").alias("ka"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(offsets).alias("o"),
+    ).select(
+        "ka",
+        "xa",
+        "ya",
+        F.concat_ws(
+            ":",
+            (F.floor(F.col("xa") / cell) + F.col("o.dx")).cast("long"),
+            (F.floor(F.col("ya") / cell) + F.col("o.dy")).cast("long"),
+        ).alias("cell"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    nb = (
+        left.join(right, "cell")
+        .where((F.col("ka") != F.col("kb")) & (d2 <= cell * cell))
+        .select("ka", "kb")
+        .localCheckpoint(eager=True)  # reused by degree, CC, and border
+    )
+    core = (
+        nb.groupBy("ka")
+        .agg(F.count("*").alias("d"))
+        .where(F.col("d") >= _DBSCAN_MINPTS - 1)
+        .select(F.col("ka").alias("k"))
+    )
+    ce = (
+        nb.join(core.select(F.col("k").alias("ka")), "ka")
+        .join(core.select(F.col("k").alias("kb")), "kb")
+        .select(F.col("ka").alias("src"), F.col("kb").alias("dst"))
+    )
+    lab = connected_components(
+        core.select(F.col("k").alias("id")), ce
+    ).select(F.col("id").alias("k"), F.col("component").alias("comp"))
+    border = (
+        nb.join(lab.select(F.col("k").alias("kb"), "comp"), "kb")
+        .join(core.select(F.col("k").alias("ka")), "ka", "left_anti")
+        .groupBy("ka")
+        .agg(F.min("comp").alias("comp"))
+    )
+    clusters = (
+        lab.select("comp", F.lit("c").alias("src"))
+        .unionByName(border.select("comp", F.lit("b").alias("src")))
+        .groupBy("comp")
+        .agg(
+            F.sum((F.col("src") == "c").cast("long")).alias("n_core"),
+            F.sum((F.col("src") == "b").cast("long")).alias("n_border"),
+        )
+    )
+    n_core_t = lab.count()
+    n_border_t = border.count()
+    n_clusters = clusters.count()
+    census = spark.createDataFrame(
+        [
+            (
+                "census",
+                None,
+                n_core_t,
+                n_border_t,
+                n_points - n_core_t - n_border_t,
+                n_clusters,
+            )
+        ],
+        "arm STRING, cluster_label BIGINT, n_core BIGINT, n_border BIGINT, "
+        "n_noise BIGINT, n_clusters BIGINT",
+    )
+    top = (
+        clusters.select(
+            F.lit("cluster").alias("arm"),
+            F.col("comp").alias("cluster_label"),
+            "n_core",
+            "n_border",
+            F.lit(None).cast("long").alias("n_noise"),
+            F.lit(None).cast("long").alias("n_clusters"),
+        )
+        .orderBy(
+            F.desc(F.col("n_core") + F.coalesce(F.col("n_border"), F.lit(0))),
+            "cluster_label",
+        )
+        .limit(10)
+    )
+    return census.unionByName(top).orderBy(
+        "arm",
+        F.desc(F.col("n_core") + F.coalesce(F.col("n_border"), F.lit(0))),
+        "cluster_label",
+    )

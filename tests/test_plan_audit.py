@@ -58,6 +58,8 @@ NESTEDLOOP_OK = {
     "q236_rfm_segmentation",  # 1-row anchor-date + 1-row quintile-threshold
     # crossJoins (q44 pattern)
     "q237_abc_classification",  # 1-row revenue-total crossJoin (q44 pattern)
+    "q234_motif_discovery",  # calendar-bounded (~2.4k-row) window-table
+    # broadcast theta join + 1-row date-bounds crossJoin (q18/q44 patterns)
     "q107_column_entropy",  # 1-row category-total crossJoin (q44 pattern)
     "q18_band_join",
     "q153_hilbert_vs_zorder",  # 4-row query-rect dim theta join (q18 pattern)
@@ -126,6 +128,8 @@ GLOBALWINDOW_OK = {
     # value-domain-bounded quantity histogram
     "q237_abc_classification",  # band-offset cumulative over the <=64-row
     # revenue-bit-length band table (p_curriculum_order decomposition)
+    "q234_motif_discovery",  # lead windows over the calendar-bounded day
+    # spine (q200 precedent) + rank windows over <=10 post-limit rows
 }
 
 
