@@ -55,6 +55,7 @@ def load_all_modules() -> None:
     from hive_clone_spark.pipeline import text  # noqa: F401
     from hive_clone_spark.pipeline import multimodal  # noqa: F401
     from hive_clone_spark.pipeline import imagecodec  # noqa: F401
+    from hive_clone_spark.pipeline import qoicodec  # noqa: F401
     from hive_clone_spark.pipeline import jpegcodec  # noqa: F401
     from hive_clone_spark.pipeline import exif  # noqa: F401
     from hive_clone_spark.pipeline import warc  # noqa: F401
