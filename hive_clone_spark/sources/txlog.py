@@ -3510,3 +3510,168 @@ def q232_txlog_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("checksum"),
     )
     return files_df.unionByName(table_row).orderBy("arm", "seq")
+
+
+# ---------------------------------------------------------------------------
+# Q235 — the change feed as a STREAMING SOURCE: q187 streamed INTO the
+# log; this closes the other half — a downstream consumer that wakes,
+# reads only the commits past its persisted cursor, folds the signed
+# row-level changes into a materialized aggregate, and saves cursor +
+# state for the next wake (the Delta "streaming from a table" / CDF-
+# source contract, including restart durability).
+#
+# Two consumer runs: run 1 processes v0 (bulk insert) + v1 (copy-on-
+# write status update) and persists state; v2 (mixed insert+delete
+# rewrite) lands AFTER run 1, and run 2 — restarted from the cursor
+# file like a checkpoint-recovered stream — processes exactly the one
+# new version. Exactly-once evidence: the ledger pins per-run change
+# and version counts (feed cost ∝ commits processed, never table
+# size), and the incrementally-maintained per-status counts match the
+# final-snapshot batch truth with zero mismatches.
+#
+# At 100 TB this IS the materialized-view maintenance loop (q164) with
+# the commit log as the delta transport: consumers never rescan the
+# table, state merge is a keyed full-outer coalesce, and the cursor
+# is the only coordination.
+# ---------------------------------------------------------------------------
+@register(
+    "q235_change_feed_stream",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS s,
+        o_orderdate < TIMESTAMP '1997-01-01' AS is_old
+      FROM orders),
+    old AS (SELECT k, s FROM base WHERE is_old),
+    upd AS (
+      SELECT k, CASE WHEN s = 'O' AND k % 10 = 3 THEN 'P' ELSE s END AS s
+      FROM old),
+    final AS (
+      SELECT k, s FROM upd WHERE k % 10 <> 7
+      UNION ALL SELECT k, s FROM base WHERE NOT is_old),
+    n0 AS (SELECT COUNT(*) AS n FROM old),
+    nupd AS (SELECT COUNT(*) AS n FROM old WHERE s = 'O' AND k % 10 = 3),
+    nins AS (SELECT COUNT(*) AS n FROM base WHERE NOT is_old),
+    ndel AS (SELECT COUNT(*) AS n FROM upd WHERE k % 10 = 7),
+    runs AS (
+      SELECT 'run' AS arm, 1 AS run, CAST(NULL AS VARCHAR) AS status,
+        CAST(n0.n + 2 * nupd.n AS BIGINT) AS n,
+        CAST(2 AS BIGINT) AS m
+      FROM n0, nupd
+      UNION ALL
+      SELECT 'run', 2, NULL, CAST(nins.n + ndel.n AS BIGINT), 1
+      FROM nins, ndel),
+    state AS (
+      SELECT 'state' AS arm, CAST(NULL AS INT) AS run, s AS status,
+        CAST(COUNT(*) AS BIGINT) AS n, CAST(NULL AS BIGINT) AS m
+      FROM final GROUP BY s),
+    verify AS (
+      SELECT 'verify' AS arm, CAST(NULL AS INT), CAST(NULL AS VARCHAR),
+        CAST(0 AS BIGINT), CAST(NULL AS BIGINT))
+    SELECT * FROM runs
+    UNION ALL SELECT * FROM state
+    UNION ALL SELECT * FROM verify
+    ORDER BY arm, run, status
+    """,
+)
+def q235_change_feed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    root = pathlib.Path(_warehouse_dir(sf_dir, "txlog_q235"))
+    tl = TxLog(str(root / "tbl")).create()
+    cursor_file = root / "consumer.json"
+    state_dir = root / "state"
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s"),
+        F.col("o_orderdate").alias("d"),
+    )
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    old = o.where(F.col("d") < cutoff).select("k", "s")
+    upd = old.select(
+        "k",
+        F.when((F.col("s") == "O") & (F.col("k") % 10 == 3), "P")
+        .otherwise(F.col("s"))
+        .alias("s"),
+    )
+    new_rows = o.where(F.col("d") >= cutoff).select("k", "s")
+
+    def consume(run_id: int) -> tuple[int, int]:
+        """Wake, fold commits past the cursor into the state parquet,
+        advance the cursor. Returns (n_changes, n_versions)."""
+        cur = (
+            _json.loads(cursor_file.read_text())["cursor"]
+            if cursor_file.exists()
+            else -1
+        )
+        latest = tl.latest_version()
+        feed = tl.change_feed(spark, "k", from_version=cur, to_version=latest)
+        feed = feed.localCheckpoint(eager=True)  # one pass, reused twice
+        n_changes = feed.count()
+        sign = (
+            F.when(F.col("_change_type").isin("insert", "update_postimage"), 1)
+            .otherwise(-1)
+            .cast("long")
+        )
+        deltas = feed.groupBy("s").agg(F.sum(sign).alias("dn"))
+        if state_dir.exists():
+            prev = spark.read.parquet(str(state_dir))
+            merged = (
+                prev.join(deltas, "s", "full_outer")
+                .select(
+                    "s",
+                    (
+                        F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))
+                    ).alias("n"),
+                )
+                .where(F.col("n") != 0)
+            )
+        else:
+            merged = deltas.select("s", F.col("dn").alias("n")).where(
+                F.col("n") != 0
+            )
+        tmp = root / f"state-next-{run_id}"
+        merged.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        if state_dir.exists():
+            shutil.rmtree(state_dir)
+        os.replace(tmp, state_dir)
+        cursor_file.write_text(_json.dumps({"cursor": latest}))
+        return n_changes, latest - cur
+
+    tl.append(old, n_files=4)  # v0
+    tl.overwrite(upd, n_files=4, op="cow-update")  # v1
+    run1 = consume(1)
+    # v2 lands only after run 1 finished — the consumer must pick up
+    # exactly this one version on its next wake
+    tl.overwrite(
+        upd.where(F.col("k") % 10 != 7).unionByName(new_rows),
+        n_files=4,
+        op="mixed-rewrite",
+    )  # v2
+    run2 = consume(2)
+
+    state = spark.read.parquet(str(state_dir)).select(
+        F.lit("state").alias("arm"),
+        F.lit(None).cast("int").alias("run"),
+        F.col("s").alias("status"),
+        F.col("n").cast("long").alias("n"),
+        F.lit(None).cast("long").alias("m"),
+    )
+    truth = tl.read(spark).groupBy("s").agg(F.count("*").alias("tn"))
+    mismatches = (
+        spark.read.parquet(str(state_dir))
+        .join(truth, "s", "full_outer")
+        .where(
+            ~F.coalesce("n", F.lit(0)).eqNullSafe(F.coalesce("tn", F.lit(0)))
+        )
+        .count()
+    )
+    ledger = spark.createDataFrame(
+        [
+            ("run", 1, None, run1[0], run1[1]),
+            ("run", 2, None, run2[0], run2[1]),
+            ("verify", None, None, mismatches, None),
+        ],
+        "arm STRING, run INT, status STRING, n BIGINT, m BIGINT",
+    )
+    return ledger.unionByName(state).orderBy("arm", "run", "status")
