@@ -2239,3 +2239,164 @@ def p_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("bands"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q238 — Fellegi-Sunter record linkage (the 1969 probabilistic-
+# matching framework every entity-resolution system descends from):
+# two sources are blocked, every in-block pair gets an AGREEMENT
+# VECTOR over compared fields, each field contributes its log-odds
+# weight (agreement: log m/u > 0; disagreement: log (1-m)/(1-u) < 0),
+# and the summed weight classifies the pair match / possible /
+# non-match. Weights here are integer MILLI log-odds literals — the
+# standard practice of fitting weights offline and shipping constants
+# — so the whole scorer is exact integer arithmetic.
+#
+# Source B is a deterministically corrupted copy of customer (A):
+# %5==0 names take a character substitution, %7==0 balances drift one
+# cent, %13==0 segments are vandalized (which breaks BLOCKING — the
+# recall loss every real linkage suffers and this entry MEASURES),
+# and %11==0 keys are absent from B entirely. Ground truth is the
+# shared key, so precision/recall of the classifier are exact.
+#
+# Scale design: candidate pairs exist only WITHIN (nation, segment)
+# blocks — the quadratic term is per-block, the standard linkage
+# shape (at 100 TB you block finer, e.g. on phonetic name keys; the
+# all-names-share-a-prefix fixture makes name-prefix blocks useless
+# here, documented). Scoring is scan-stage CASE arithmetic on the
+# joined pairs; the census aggregations are keyed.
+# ---------------------------------------------------------------------------
+_FS_W_NAME_A, _FS_W_NAME_D = 2200, -1500
+_FS_W_BAL_EXACT, _FS_W_BAL_NEAR, _FS_W_BAL_D = 1200, 400, -700
+_FS_MATCH, _FS_POSSIBLE = 1500, -500
+
+
+@register(
+    "p_record_linkage_fs",
+    oracle=f"""
+    WITH a AS (
+      SELECT c_custkey AS k, c_name AS nm, c_nationkey AS nat,
+        c_mktsegment AS seg,
+        CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer),
+    b AS (
+      SELECT k,
+        CASE WHEN k % 5 = 0
+             THEN substr(nm, 1, 2) || 'X' || substr(nm, 4) ELSE nm END AS nm,
+        nat,
+        CASE WHEN k % 13 = 0 THEN 'CORRUPT' ELSE seg END AS seg,
+        CASE WHEN k % 7 = 0 THEN cents + 1 ELSE cents END AS cents
+      FROM a WHERE k % 11 <> 0),
+    pairs AS (
+      SELECT a.k AS ka, b.k AS kb,
+        (CASE WHEN a.nm = b.nm THEN {_FS_W_NAME_A}
+              ELSE {_FS_W_NAME_D} END)
+        + (CASE WHEN a.cents = b.cents THEN {_FS_W_BAL_EXACT}
+                WHEN abs(a.cents - b.cents) <= 1 THEN {_FS_W_BAL_NEAR}
+                ELSE {_FS_W_BAL_D} END) AS w
+      FROM a JOIN b ON a.nat = b.nat AND a.seg = b.seg),
+    cls AS (
+      SELECT ka, kb, w,
+        CASE WHEN w >= {_FS_MATCH} THEN 'match'
+             WHEN w >= {_FS_POSSIBLE} THEN 'possible'
+             ELSE 'non_match' END AS verdict
+      FROM pairs),
+    bands AS (
+      SELECT 'band' AS arm, CAST(floor(w / 1000.0) AS BIGINT) AS band,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(SUM(CASE WHEN ka = kb THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_same_key,
+        CAST(NULL AS BIGINT) AS permille
+      FROM cls GROUP BY 2),
+    tp AS (SELECT COUNT(*) AS n FROM cls
+           WHERE verdict = 'match' AND ka = kb),
+    fp AS (SELECT COUNT(*) AS n FROM cls
+           WHERE verdict = 'match' AND ka <> kb),
+    truth AS (SELECT COUNT(*) AS n FROM b),
+    metrics AS (
+      SELECT 'precision' AS arm, CAST(NULL AS BIGINT) AS band,
+        CAST(tp.n AS BIGINT), CAST(tp.n + fp.n AS BIGINT),
+        CAST(tp.n * 1000 // greatest(tp.n + fp.n, 1) AS BIGINT)
+      FROM tp, fp
+      UNION ALL
+      SELECT 'recall', NULL, CAST(tp.n AS BIGINT), CAST(truth.n AS BIGINT),
+        CAST(tp.n * 1000 // greatest(truth.n, 1) AS BIGINT)
+      FROM tp, truth)
+    SELECT * FROM bands
+    UNION ALL SELECT * FROM metrics
+    ORDER BY arm, band
+    """,
+)
+def p_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("nm"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    b = a.where(F.col("k") % 11 != 0).select(
+        "k",
+        F.when(
+            F.col("k") % 5 == 0,
+            F.concat(
+                F.substring("nm", 1, 2), F.lit("X"), F.substring("nm", 4, 100000)
+            ),
+        )
+        .otherwise(F.col("nm"))
+        .alias("nm"),
+        "nat",
+        F.when(F.col("k") % 13 == 0, "CORRUPT").otherwise(F.col("seg")).alias("seg"),
+        F.when(F.col("k") % 7 == 0, F.col("cents") + 1)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    aa = a.select(
+        F.col("k").alias("ka"), F.col("nm").alias("nma"), "nat", "seg",
+        F.col("cents").alias("ca"),
+    )
+    bb = b.select(
+        F.col("k").alias("kb"), F.col("nm").alias("nmb"), "nat", "seg",
+        F.col("cents").alias("cb"),
+    )
+    w = (
+        F.when(F.col("nma") == F.col("nmb"), _FS_W_NAME_A).otherwise(_FS_W_NAME_D)
+        + F.when(F.col("ca") == F.col("cb"), _FS_W_BAL_EXACT)
+        .when(F.abs(F.col("ca") - F.col("cb")) <= 1, _FS_W_BAL_NEAR)
+        .otherwise(_FS_W_BAL_D)
+    ).cast("long")
+    cls = (
+        aa.join(bb, ["nat", "seg"])
+        .select("ka", "kb", w.alias("w"))
+        .withColumn(
+            "verdict",
+            F.when(F.col("w") >= _FS_MATCH, "match")
+            .when(F.col("w") >= _FS_POSSIBLE, "possible")
+            .otherwise("non_match"),
+        )
+        .localCheckpoint(eager=True)  # reused by bands + both metrics
+    )
+    bands = cls.groupBy(
+        F.floor(F.col("w") / 1000.0).cast("long").alias("band")
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum((F.col("ka") == F.col("kb")).cast("long")).alias("n_same_key"),
+    ).select(
+        F.lit("band").alias("arm"),
+        "band",
+        "n_pairs",
+        "n_same_key",
+        F.lit(None).cast("long").alias("permille"),
+    )
+    tp = cls.where((F.col("verdict") == "match") & (F.col("ka") == F.col("kb"))).count()
+    fp = cls.where((F.col("verdict") == "match") & (F.col("ka") != F.col("kb"))).count()
+    truth = b.count()
+    metrics = spark.createDataFrame(
+        [
+            ("precision", None, tp, tp + fp, tp * 1000 // max(tp + fp, 1)),
+            ("recall", None, tp, truth, tp * 1000 // max(truth, 1)),
+        ],
+        "arm STRING, band BIGINT, n_pairs BIGINT, n_same_key BIGINT, "
+        "permille BIGINT",
+    )
+    return bands.unionByName(metrics).orderBy("arm", "band")
