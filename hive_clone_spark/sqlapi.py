@@ -915,3 +915,69 @@ def q227_dynamic_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return cust.unionByName(supp).orderBy("src")
+
+
+# ---------------------------------------------------------------------------
+# Q239 — Python UDTF (Spark 4's user-defined TABLE function, the
+# HiveQL-UDTF / LATERAL VIEW migration target): a SQL-callable
+# function returning ROWS, registered once and used in a LATERAL
+# join. The function expands each order into its installment
+# schedule — total_cents split over n months, remainder pennies
+# assigned to the earliest installments (banker's-schedule rule), so
+# the expansion is exactly penny-conserving and the oracle can
+# replay it with generate_series.
+#
+# Scale design: useArrow=True plans the call as ArrowEvalPythonUDTF —
+# Arrow-batched columnar transfer, NOT the row-at-a-time
+# BatchEvalPython the plan audit bans; expansion factor is bounded
+# (n = 1 + orderkey % 4 <= 4); everything around the UDTF stays in
+# whole-stage codegen. A UDTF is still the slow path vs explode() —
+# the right use is logic that genuinely needs per-row Python, and the
+# census here pins that the fast-path rewrite (the oracle's explode)
+# is semantically identical.
+# ---------------------------------------------------------------------------
+@register(
+    "q239_python_udtf",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS k,
+        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        CAST(1 + o_orderkey % 4 AS INT) AS n
+      FROM orders),
+    inst AS (
+      SELECT o.k, o.n, s.seq,
+        o.cents // o.n
+          + CASE WHEN s.seq < o.cents % o.n THEN 1 ELSE 0 END AS amount
+      FROM o JOIN LATERAL (
+        SELECT unnest(generate_series(0, o.n - 1)) AS seq) s ON TRUE)
+    SELECT CAST(n AS INT) AS n_installments, CAST(seq AS INT) AS seq,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(amount) AS BIGINT) AS sum_cents
+    FROM inst GROUP BY n, seq ORDER BY n_installments, seq
+    """,
+)
+def q239_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="seq INT, amount BIGINT", useArrow=True)
+    class Installments:
+        def eval(self, cents: int, n: int):
+            base, rem = divmod(int(cents), int(n))
+            for i in range(int(n)):
+                yield i, base + (1 if i < rem else 0)
+
+    spark.udtf.register("installments_q239", Installments)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH o AS (
+          SELECT o_orderkey AS k,
+            CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+            CAST(1 + o_orderkey % 4 AS INT) AS n
+          FROM orders)
+        SELECT n AS n_installments, i.seq, COUNT(*) AS n_orders,
+          CAST(SUM(i.amount) AS BIGINT) AS sum_cents
+        FROM o, LATERAL installments_q239(o.cents, o.n) i
+        GROUP BY n, i.seq ORDER BY n_installments, seq
+        """
+    )
