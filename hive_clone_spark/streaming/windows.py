@@ -1175,3 +1175,84 @@ def q217_stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q240: stream-stream LEFT SEMI join — the last member of the
+# stream-join family (inner q59, left outer q88, full outer q102):
+# "which clicks converted?" WITHOUT materializing the purchase
+# columns. Semi-join state semantics are the asymmetric case worth
+# pinning: each left row emits AT MOST ONCE (on its first match) and
+# carries no right-side payload, so the left state drops a row the
+# moment it matches — strictly smaller state than the inner join's
+# keep-until-watermark on both sides.
+#
+# Determinism: single-file source (all rows in micro-batch 0, the
+# q66/q80 pinned assumption), and the output set — clicks with at
+# least one same-user purchase within [ts, ts + 1h] — is match-order
+# independent by definition of SEMI. The census aggregates per user.
+#
+# At 100 TB: watermark bounds both state stores; the 1-hour interval
+# condition lets the right state expire at wm - 1h; semi means the
+# matched-left set never re-emits on later duplicate purchases — the
+# dedup the inner join would force downstream.
+# ---------------------------------------------------------------------------
+@register(
+    "q240_stream_semi_join",
+    oracle="""
+    WITH conv AS (
+      SELECT DISTINCT c.event_id, c.user_id, c.ts
+      FROM events c JOIN events p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      WHERE c.event_type = 'click' AND p.event_type = 'purchase')
+    SELECT user_id,
+      CAST(COUNT(*) AS BIGINT) AS n_converted_clicks,
+      strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_converted,
+      strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_converted
+    FROM conv GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q240_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hive_clone_spark.streaming.streams import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = read_events_stream(spark, os.path.join(sf_dir, "events.parque[t]"))
+    clicks = (
+        src.where(F.col("event_type") == "click")
+        .select("event_id", "user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        src.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+    )
+    semi = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_to_memory(semi, "q240_semi", output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = spark.table("q240_semi")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_converted_clicks"),
+            F.date_format(F.min("click_ts"), _FMT).alias("first_converted"),
+            F.date_format(F.max("click_ts"), _FMT).alias("last_converted"),
+        )
+        .orderBy("user_id")
+    )
