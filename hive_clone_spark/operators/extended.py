@@ -7912,3 +7912,248 @@ def q234_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return motifs.unionByName(discords).orderBy("arm", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Q241 — depth-2 decision tree (recursive Gini): q202 trained ONE
+# node; this trains a tree — root split on l_quantity, then each
+# child independently picks its best l_discount split, then four leaf
+# class distributions — and the defining scale property is that ALL
+# of it derives from ONE joint histogram pass over the facts
+# ((qty, disc) x class ≤ 550 cells): root scan marginalizes disc,
+# child scans condition on the root side, leaves aggregate the same
+# cells. That is the LightGBM/XGBoost histogram-tree shape: data
+# passes ∝ tree DEPTH in theory, ∝ 1 here because the full joint
+# histogram is value-domain bounded.
+#
+# Scoring is q202's exactly: Gini impurity kept rational
+# ((n² − Σc²)/n per side, summed, one final double division, rounded
+# half-up to permille) with the identical expression shape on both
+# engines; argmins tie-break on the threshold value.
+# ---------------------------------------------------------------------------
+def _gini_best_split(hist: DataFrame, grp: str, val: str) -> DataFrame:
+    """hist(grp, val, ca, cn, cr) -> best (threshold, n_left, n_right,
+    gini_permille) per grp. Windows are partitioned by grp and ordered
+    over the value domain — bounded by construction."""
+    w = (
+        Window.partitionBy(grp)
+        .orderBy(val)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        grp,
+        val,
+        F.sum("ca").over(w).alias("la"),
+        F.sum("cn").over(w).alias("ln_"),
+        F.sum("cr").over(w).alias("lr"),
+    )
+    tot = hist.groupBy(grp).agg(
+        F.sum("ca").alias("ta"),
+        F.sum("cn").alias("tn"),
+        F.sum("cr").alias("tr"),
+        F.sum(F.col("ca") + F.col("cn") + F.col("cr")).alias("n"),
+    )
+    j = cum.join(F.broadcast(tot), grp)
+    nl = F.col("la") + F.col("ln_") + F.col("lr")
+    nr = F.col("n") - nl
+    sq_l = (
+        F.col("la") * F.col("la")
+        + F.col("ln_") * F.col("ln_")
+        + F.col("lr") * F.col("lr")
+    )
+    ra, rn, rr = (
+        F.col("ta") - F.col("la"),
+        F.col("tn") - F.col("ln_"),
+        F.col("tr") - F.col("lr"),
+    )
+    sq_r = ra * ra + rn * rn + rr * rr
+    score = (nl * nl - sq_l).cast("double") / nl.cast("double") + (
+        nr * nr - sq_r
+    ).cast("double") / nr.cast("double")
+    scored = j.where((nl > 0) & (nr > 0)).select(
+        grp,
+        F.col(val).alias("threshold"),
+        nl.cast("long").alias("n_left"),
+        nr.cast("long").alias("n_right"),
+        F.floor(score / F.col("n").cast("double") * 1000 + 0.5)
+        .cast("long")
+        .alias("gini_permille"),
+    )
+    rk = Window.partitionBy(grp).orderBy("gini_permille", "threshold")
+    return (
+        scored.withColumn("rk", F.row_number().over(rk))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+def _gini_sql_best(src: str, grp: str, val: str) -> str:
+    """DuckDB twin of _gini_best_split over CTE ``src``."""
+    return f"""
+      SELECT {grp}, threshold, n_left, n_right, gini_permille FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY {grp}
+          ORDER BY gini_permille, threshold) AS rk
+        FROM (
+          SELECT c.{grp}, c.{val} AS threshold,
+            CAST(c.nl AS BIGINT) AS n_left,
+            CAST(t.n - c.nl AS BIGINT) AS n_right,
+            CAST(floor(
+              (CAST(c.nl * c.nl - (c.la*c.la + c.ln_*c.ln_ + c.lr*c.lr)
+                    AS DOUBLE) / CAST(c.nl AS DOUBLE)
+               + CAST((t.n - c.nl) * (t.n - c.nl)
+                    - ((t.ta-c.la)*(t.ta-c.la) + (t.tn-c.ln_)*(t.tn-c.ln_)
+                       + (t.tr-c.lr)*(t.tr-c.lr)) AS DOUBLE)
+                 / CAST(t.n - c.nl AS DOUBLE))
+              / CAST(t.n AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+              AS gini_permille
+          FROM (
+            SELECT {grp}, {val},
+              SUM(ca) OVER w AS la, SUM(cn) OVER w AS ln_,
+              SUM(cr) OVER w AS lr,
+              SUM(ca + cn + cr) OVER w AS nl
+            FROM {src}
+            WINDOW w AS (PARTITION BY {grp} ORDER BY {val}
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          ) c
+          JOIN (
+            SELECT {grp}, SUM(ca) AS ta, SUM(cn) AS tn, SUM(cr) AS tr,
+                   SUM(ca + cn + cr) AS n
+            FROM {src} GROUP BY {grp}
+          ) t USING ({grp})
+          WHERE c.nl > 0 AND t.n - c.nl > 0
+        ) s
+      ) z WHERE rk = 1"""
+
+
+@register(
+    "q241_decision_tree",
+    oracle=f"""
+    WITH joint AS (
+      SELECT CAST(l_quantity AS BIGINT) AS qty,
+        CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc,
+        CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+          AS ca,
+        CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT)
+          AS cn,
+        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+          AS cr
+      FROM lineitem GROUP BY 1, 2),
+    rhist AS (
+      SELECT 'root' AS g, qty, SUM(ca) AS ca, SUM(cn) AS cn, SUM(cr) AS cr
+      FROM joint GROUP BY qty),
+    rbest AS ({_gini_sql_best("rhist", "g", "qty")}),
+    sides AS (
+      SELECT CASE WHEN j.qty <= r.threshold THEN 'L' ELSE 'R' END AS g,
+        j.disc, SUM(j.ca) AS ca, SUM(j.cn) AS cn, SUM(j.cr) AS cr
+      FROM joint j, rbest r GROUP BY 1, 2),
+    cbest AS ({_gini_sql_best("sides", "g", "disc")}),
+    leaves AS (
+      SELECT s.g || '.' || CASE WHEN s.disc <= c.threshold
+                                THEN 'l' ELSE 'r' END AS node,
+        SUM(s.ca) AS ca, SUM(s.cn) AS cn, SUM(s.cr) AS cr
+      FROM sides s JOIN cbest c ON c.g = s.g
+      GROUP BY 1),
+    leafrows AS (
+      SELECT 'leaf' AS kind, node, CAST(NULL AS VARCHAR) AS feature,
+        CAST(NULL AS BIGINT) AS threshold,
+        CAST(ca + cn + cr AS BIGINT) AS n_rows,
+        CAST(NULL AS BIGINT) AS gini_permille,
+        CASE GREATEST(ca, cn, cr) WHEN ca THEN 'A'
+             WHEN cn THEN 'N' ELSE 'R' END AS majority
+      FROM leaves),
+    noderows AS (
+      SELECT 'split' AS kind, 'root' AS node, 'l_quantity' AS feature,
+        threshold, CAST(n_left + n_right AS BIGINT) AS n_rows,
+        gini_permille, CAST(NULL AS VARCHAR) AS majority
+      FROM rbest
+      UNION ALL
+      SELECT 'split', g, 'disc_pct', threshold,
+        CAST(n_left + n_right AS BIGINT), gini_permille, NULL
+      FROM cbest)
+    SELECT * FROM noderows
+    UNION ALL SELECT * FROM leafrows
+    ORDER BY kind, node
+    """,
+)
+def q241_decision_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    joint = (
+        li.groupBy(
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("disc"),
+        )
+        .agg(
+            F.sum((F.col("l_returnflag") == "A").cast("long")).alias("ca"),
+            F.sum((F.col("l_returnflag") == "N").cast("long")).alias("cn"),
+            F.sum((F.col("l_returnflag") == "R").cast("long")).alias("cr"),
+        )
+        .localCheckpoint(eager=True)  # one fact pass feeds every stage
+    )
+    rhist = joint.groupBy("qty").agg(
+        F.sum("ca").alias("ca"), F.sum("cn").alias("cn"), F.sum("cr").alias("cr")
+    ).withColumn("g", F.lit("root"))
+    rbest = _gini_best_split(rhist, "g", "qty")
+    sides = (
+        joint.crossJoin(F.broadcast(rbest.select(F.col("threshold").alias("t0"))))
+        .groupBy(
+            F.when(F.col("qty") <= F.col("t0"), "L").otherwise("R").alias("g"),
+            "disc",
+        )
+        .agg(
+            F.sum("ca").alias("ca"),
+            F.sum("cn").alias("cn"),
+            F.sum("cr").alias("cr"),
+        )
+    )
+    cbest = _gini_best_split(sides, "g", "disc")
+    leaves = (
+        sides.join(
+            cbest.select("g", F.col("threshold").alias("t1")), "g"
+        )
+        .groupBy(
+            F.concat(
+                F.col("g"),
+                F.lit("."),
+                F.when(F.col("disc") <= F.col("t1"), "l").otherwise("r"),
+            ).alias("node")
+        )
+        .agg(
+            F.sum("ca").alias("ca"),
+            F.sum("cn").alias("cn"),
+            F.sum("cr").alias("cr"),
+        )
+    )
+    leafrows = leaves.select(
+        F.lit("leaf").alias("kind"),
+        "node",
+        F.lit(None).cast("string").alias("feature"),
+        F.lit(None).cast("long").alias("threshold"),
+        (F.col("ca") + F.col("cn") + F.col("cr")).cast("long").alias("n_rows"),
+        F.lit(None).cast("long").alias("gini_permille"),
+        F.when(
+            F.greatest("ca", "cn", "cr") == F.col("ca"), "A"
+        )
+        .when(F.greatest("ca", "cn", "cr") == F.col("cn"), "N")
+        .otherwise("R")
+        .alias("majority"),
+    )
+    noderows = rbest.select(
+        F.lit("split").alias("kind"),
+        F.lit("root").alias("node"),
+        F.lit("l_quantity").alias("feature"),
+        "threshold",
+        (F.col("n_left") + F.col("n_right")).cast("long").alias("n_rows"),
+        "gini_permille",
+        F.lit(None).cast("string").alias("majority"),
+    ).unionByName(
+        cbest.select(
+            F.lit("split").alias("kind"),
+            F.col("g").alias("node"),
+            F.lit("disc_pct").alias("feature"),
+            "threshold",
+            (F.col("n_left") + F.col("n_right")).cast("long").alias("n_rows"),
+            "gini_permille",
+            F.lit(None).cast("string").alias("majority"),
+        )
+    )
+    return noderows.unionByName(leafrows).orderBy("kind", "node")

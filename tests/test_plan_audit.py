@@ -60,6 +60,7 @@ NESTEDLOOP_OK = {
     "q237_abc_classification",  # 1-row revenue-total crossJoin (q44 pattern)
     "q234_motif_discovery",  # calendar-bounded (~2.4k-row) window-table
     # broadcast theta join + 1-row date-bounds crossJoin (q18/q44 patterns)
+    "q241_decision_tree",  # 1-row root-split-threshold crossJoin (q44 pattern)
     "q107_column_entropy",  # 1-row category-total crossJoin (q44 pattern)
     "q18_band_join",
     "q153_hilbert_vs_zorder",  # 4-row query-rect dim theta join (q18 pattern)
@@ -130,6 +131,8 @@ GLOBALWINDOW_OK = {
     # revenue-bit-length band table (p_curriculum_order decomposition)
     "q234_motif_discovery",  # lead windows over the calendar-bounded day
     # spine (q200 precedent) + rank windows over <=10 post-limit rows
+    "q241_decision_tree",  # prefix-sum/argmin windows over the <=50-row
+    # qty and <=11-row discount histograms (q202 precedent, per node)
 }
 
 
