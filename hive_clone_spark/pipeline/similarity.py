@@ -925,3 +925,121 @@ def p_binary_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka-truncation retrieval eval: MRL-trained embedding models
+# promise that the FIRST d dimensions of a D-dim vector are themselves
+# a usable embedding — the serving trick that cuts index memory 2-4x.
+# Whether that holds for a given model is an empirical question, and
+# this entry is the measurement: brute-force top-k at full DIM is the
+# truth; top-k over the d=32 and d=16 PREFIXES are the candidates;
+# recall@k per query per truncation is the curve a capacity decision
+# reads. (The fixture vectors are hash-synthesized, not MRL-trained,
+# so the measured degradation is the honest no-structure baseline.)
+#
+# Scale design: identical to p_knn_bruteforce (broadcast query set,
+# one corpus scan per truncation — the slice happens scan-stage, so
+# the d=16 pass reads the same column and does 1/4 the multiplies);
+# recall joins are keyed on (query, neighbor).
+# ---------------------------------------------------------------------------
+_MRL_DIMS = (32, 16)
+
+
+def _mrl_pairs(spark: SparkSession, sf_dir: str, d: int) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    trunc = e.select(
+        "vec_id", F.slice("embedding", 1, d).alias("v")
+    )
+    q = trunc.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = trunc.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    return _ranked(pairs).select("query_id", "neighbor_id")
+
+
+def _mrl_oracle() -> str:
+    # the truncated-cosine SQL is built inline (sql_cosine substitutes
+    # bare identifiers; the slice expression needs explicit casts):
+    def bf(d: int | None, name: str) -> str:
+        ve_q = f"CAST((q.embedding)[1:{d}] AS DOUBLE[])" if d else "CAST(q.embedding AS DOUBLE[])"
+        ve_c = f"CAST((c.embedding)[1:{d}] AS DOUBLE[])" if d else "CAST(c.embedding AS DOUBLE[])"
+        cos = (
+            f"(list_dot_product({ve_q}, {ve_c}) / "
+            f"(sqrt(list_dot_product({ve_q}, {ve_q})) * "
+            f"sqrt(list_dot_product({ve_c}, {ve_c}))))"
+        )
+        return f"""
+    {name} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY ROUND({cos}, 6) DESC, c.vec_id) AS rk
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id) z
+      WHERE rk <= {TOP_K})"""
+
+    arms = ",".join(
+        [bf(None, "bf_truth")] + [bf(d, f"t{d}") for d in _MRL_DIMS]
+    )
+    unions = " UNION ALL ".join(
+        f"""
+      SELECT b.query_id, {d} AS dims, COUNT(t.neighbor_id) AS n_hits
+      FROM bf_truth b LEFT JOIN t{d} t
+        ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
+      GROUP BY b.query_id"""
+        for d in _MRL_DIMS
+    )
+    return f"""
+    WITH {arms},
+    hits AS ({unions})
+    SELECT query_id, CAST(dims AS INT) AS dims,
+      CAST(n_hits AS BIGINT) AS n_hits,
+      ROUND(CAST(n_hits AS DOUBLE) / {TOP_K}, 6) AS recall
+    FROM hits ORDER BY query_id, dims DESC
+    """
+
+
+@register("p_matryoshka_recall", oracle=_mrl_oracle())
+def p_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    full = p_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    full = full.localCheckpoint(eager=True)  # truth arm reused per dim
+    outs = []
+    for d in _MRL_DIMS:
+        t = _mrl_pairs(spark, sf_dir, d)
+        hits = (
+            full.join(
+                t.withColumnRenamed("neighbor_id", "hit_id"), ["query_id"]
+            )
+            .where(F.col("neighbor_id") == F.col("hit_id"))
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_hits"))
+        )
+        outs.append(
+            full.select("query_id")
+            .distinct()
+            .join(hits, "query_id", "left")
+            .select(
+                "query_id",
+                F.lit(d).cast("int").alias("dims"),
+                F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+                F.round(
+                    F.coalesce("n_hits", F.lit(0)).cast("double") / TOP_K, 6
+                ).alias("recall"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("query_id", F.desc("dims"))

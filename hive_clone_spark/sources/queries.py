@@ -1503,3 +1503,70 @@ def dpp_plan(spark: SparkSession, sf_dir: str) -> str:
             "formatted"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q242 — RFC 4180 multiline CSV: fields containing embedded newlines,
+# commas, and double quotes — the CSV corner that breaks every naive
+# line-based splitter (a quoted field may span physical lines, and ""
+# inside quotes is a literal quote). The entry writes a CSV whose
+# every field is adversarial (name decorated with , " and a real
+# newline), then reads it back with Spark's multiLine parser and
+# reconstructs the original — the oracle predicts the parsed rows
+# from the source table, so a writer that mis-escapes or a parser
+# that splits on raw newlines shifts the hash.
+#
+# Scale note: multiLine=true is the documented trade — quoted
+# newlines make record boundaries context-dependent, so each FILE
+# becomes one split (no intra-file parallelism). That is why the
+# entry writes a handful of files, and why production pipelines
+# prefer newline-free escapes when they control the writer; this
+# entry exists for the feeds they don't control.
+# ---------------------------------------------------------------------------
+@register(
+    "q242_csv_multiline",
+    oracle="""
+    SELECT n_nationkey AS k,
+      n_name || ',"' || chr(10) || n_name AS decorated,
+      CAST(length(n_name) * 2 + 3 AS BIGINT) AS n_chars,
+      TRUE AS roundtrip_ok
+    FROM nation ORDER BY k
+    """,
+)
+def q242_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dest = _warehouse(sf_dir, "csv_multiline_q242")
+    n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"),
+        F.concat(
+            F.col("n_name"), F.lit(',"'), F.lit("\n"), F.col("n_name")
+        ).alias("decorated"),
+    )
+    (
+        n.repartition(2)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .option("escape", '"')  # RFC 4180: quotes escape by doubling
+        .csv(dest)
+    )
+    back = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .schema("k BIGINT, decorated STRING")
+        .csv(dest)
+    )
+    return back.select(
+        "k",
+        "decorated",
+        F.length("decorated").cast("long").alias("n_chars"),
+        (
+            F.col("decorated")
+            == F.concat(
+                F.regexp_extract("decorated", r"^([^,]+),", 1),
+                F.lit(',"'),
+                F.lit("\n"),
+                F.regexp_extract("decorated", r"\n(.+)$", 1),
+            )
+        ).alias("roundtrip_ok"),
+    ).orderBy("k")

@@ -61,6 +61,8 @@ NESTEDLOOP_OK = {
     "q234_motif_discovery",  # calendar-bounded (~2.4k-row) window-table
     # broadcast theta join + 1-row date-bounds crossJoin (q18/q44 patterns)
     "q241_decision_tree",  # 1-row root-split-threshold crossJoin (q44 pattern)
+    "p_matryoshka_recall",  # 5-query broadcast theta joins per truncation
+    # (p_knn_bruteforce pattern)
     "q107_column_entropy",  # 1-row category-total crossJoin (q44 pattern)
     "q18_band_join",
     "q153_hilbert_vs_zorder",  # 4-row query-rect dim theta join (q18 pattern)
