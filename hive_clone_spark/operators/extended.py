@@ -8157,3 +8157,87 @@ def q241_decision_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return noderows.unionByName(leafrows).orderBy("kind", "node")
+
+
+# ---------------------------------------------------------------------------
+# Q243 — top-k TIES semantics: the three ranking functions give three
+# DIFFERENT top-5 result sets on tied data, and migrations break when
+# a report silently switches between them. ROW_NUMBER cuts ties
+# arbitrarily (needs an explicit tiebreak to be deterministic at
+# all), RANK admits every row tied with the 5th (k grows — SQL's
+# FETCH FIRST ... WITH TIES), DENSE_RANK admits every row in the top
+# 5 VALUE CLASSES. The entry runs all three cuts over the same tied
+# ranking (2-decimal prices tie constantly) and reports each cut's
+# row count + admitted-value census per return flag, pinning the
+# divergence as data.
+#
+# Scale design: one flag-partitioned window pass computes all three
+# ranks (same sort, zero extra shuffle); the census aggregates after
+# the cut. Never a global window.
+# ---------------------------------------------------------------------------
+@register(
+    "q243_topk_ties",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag AS flag,
+        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+        l_orderkey, l_linenumber,
+        ROW_NUMBER() OVER w AS rn,
+        RANK() OVER w AS rk,
+        DENSE_RANK() OVER w AS dr
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_returnflag
+                   ORDER BY floor(l_extendedprice * 100 + 0.5) DESC,
+                            l_orderkey, l_linenumber)),
+    cuts AS (
+      SELECT 'row_number' AS method, flag, cents FROM r WHERE rn <= 5
+      UNION ALL
+      SELECT 'rank', flag, cents FROM r WHERE rk <= 5
+      UNION ALL
+      SELECT 'dense_rank', flag, cents FROM r WHERE dr <= 5)
+    SELECT method, flag,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(COUNT(DISTINCT cents) AS BIGINT) AS n_distinct_prices,
+      CAST(MIN(cents) AS BIGINT) AS min_admitted_cents,
+      CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM cuts GROUP BY method, flag ORDER BY method, flag
+    """,
+)
+def q243_topk_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("flag").orderBy(
+        F.desc("cents"), "l_orderkey", "l_linenumber"
+    )
+    r = li.select(
+        "flag",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("dr"),
+    )
+    cuts = (
+        r.where(F.col("rn") <= 5).select(F.lit("row_number").alias("method"), "flag", "cents")
+        .unionByName(
+            r.where(F.col("rk") <= 5).select(F.lit("rank").alias("method"), "flag", "cents")
+        )
+        .unionByName(
+            r.where(F.col("dr") <= 5).select(
+                F.lit("dense_rank").alias("method"), "flag", "cents"
+            )
+        )
+    )
+    return (
+        cuts.groupBy("method", "flag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("cents").alias("n_distinct_prices"),
+            F.min("cents").alias("min_admitted_cents"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("method", "flag")
+    )
