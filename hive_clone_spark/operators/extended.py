@@ -8241,3 +8241,122 @@ def q243_topk_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method", "flag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q244 — whole-table checksums: the migration-validation operator (the
+# first thing run after any copy/engine swap — "did every row arrive
+# intact?"). Each row canonicalizes to a '|'-joined string (cents for
+# money, ISO dates — the registry's determinism rules applied to the
+# ROW level), hashes through the portable 60-bit md5, and the table
+# checksum is the SUM of row hashes mod 2^60 — order-independent and
+# incrementally maintainable (an insert ADDS its hash, a delete
+# SUBTRACTS; the same algebra as the q164 signed feed). Row counts
+# ride along so a checksum collision can't hide a cardinality bug.
+#
+# Scale design: one scan per table, map-side-combinable SUM — no
+# shuffle beyond the 1-row aggregate; at 100 TB this is the cheapest
+# full-integrity pass that exists, and per-partition checksums (the
+# same expression grouped by any key) localize a mismatch without
+# rescanning everything.
+# ---------------------------------------------------------------------------
+_CKSUM_MOD = 1 << 60
+
+
+@register(
+    "q244_table_checksum",
+    oracle=f"""
+    WITH n AS (
+      SELECT 'nation' AS tbl, COUNT(*) AS n_rows,
+        SUM({sql_portable_hash(
+            "CAST(n_nationkey AS VARCHAR) || '|' || n_name || '|' || "
+            "CAST(n_regionkey AS VARCHAR)")}) % {_CKSUM_MOD} AS checksum
+      FROM nation),
+    c AS (
+      SELECT 'customer', COUNT(*),
+        SUM({sql_portable_hash(
+            "CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' || "
+            "CAST(c_nationkey AS VARCHAR) || '|' || "
+            "CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS VARCHAR) "
+            "|| '|' || c_mktsegment")}) % {_CKSUM_MOD}
+      FROM customer),
+    o AS (
+      SELECT 'orders', COUNT(*),
+        SUM({sql_portable_hash(
+            "CAST(o_orderkey AS VARCHAR) || '|' || "
+            "CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' || "
+            "CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) "
+            "AS VARCHAR) || '|' || strftime(o_orderdate, '%Y-%m-%d')")})
+          % {_CKSUM_MOD}
+      FROM orders),
+    u AS (
+      SELECT * FROM n UNION ALL SELECT * FROM c UNION ALL SELECT * FROM o)
+    SELECT tbl, CAST(n_rows AS BIGINT) AS n_rows,
+      CAST(checksum AS BIGINT) AS checksum
+    FROM u
+    UNION ALL
+    SELECT 'TOTAL', CAST(SUM(n_rows) AS BIGINT),
+      CAST(SUM(checksum) % {_CKSUM_MOD} AS BIGINT)
+    FROM u
+    ORDER BY tbl
+    """,
+)
+def q244_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_clone_spark.pipeline.common import portable_hash
+
+    def canon_cents(col: str) -> F.Column:
+        return F.floor(F.col(col) * 100 + 0.5).cast("long").cast("string")
+
+    def arm(tbl: str, row_expr: F.Column) -> DataFrame:
+        return (
+            table(spark, sf_dir, tbl)
+            .agg(
+                F.lit(tbl).alias("tbl"),
+                F.count("*").alias("n_rows"),
+                # hashes are < 2^60 but their SUM overflows a long under
+                # ANSI — accumulate exactly in DECIMAL(38,0), then mod
+                (F.sum(portable_hash(row_expr).cast("decimal(38,0)"))
+                 % _CKSUM_MOD)
+                .cast("long")
+                .alias("checksum"),
+            )
+        )
+
+    n = arm(
+        "nation",
+        F.concat_ws(
+            "|",
+            F.col("n_nationkey").cast("string"),
+            "n_name",
+            F.col("n_regionkey").cast("string"),
+        ),
+    )
+    c = arm(
+        "customer",
+        F.concat_ws(
+            "|",
+            F.col("c_custkey").cast("string"),
+            "c_name",
+            F.col("c_nationkey").cast("string"),
+            canon_cents("c_acctbal"),
+            "c_mktsegment",
+        ),
+    )
+    o = arm(
+        "orders",
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            "o_orderstatus",
+            canon_cents("o_totalprice"),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+        ),
+    )
+    per = n.unionByName(c).unionByName(o)
+    total = per.agg(
+        F.lit("TOTAL").alias("tbl"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        (F.sum("checksum") % _CKSUM_MOD).cast("long").alias("checksum"),
+    )
+    return per.unionByName(total).orderBy("tbl")
