@@ -8360,3 +8360,61 @@ def q244_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("checksum") % _CKSUM_MOD).cast("long").alias("checksum"),
     )
     return per.unionByName(total).orderBy("tbl")
+
+
+# ---------------------------------------------------------------------------
+# Q246 — null-skew join mitigation: NULL join keys never match in SQL,
+# but a hash shuffle still routes EVERY null-key row to ONE partition
+# — on a fact table where 30% of rows have a nullable FK, that single
+# task is the job. The standard rewrite splits the outer join into
+# (non-null keys: real join) UNION ALL (null keys: pass-through with
+# null-extended columns) — null rows never enter the shuffle at all.
+# The fixture nulls out s_suppkey-multiples-of-5 lineitem suppliers
+# (20% skew mass); the entry runs the SPLIT plan, and the oracle runs
+# the textbook single LEFT JOIN — equality proves the rewrite is
+# semantics-preserving, which is the property that lets you apply it
+# blindly at 100 TB.
+# ---------------------------------------------------------------------------
+@register(
+    "q246_null_skew_join",
+    oracle="""
+    WITH li AS (
+      SELECT CASE WHEN l_suppkey % 5 = 0 THEN NULL ELSE l_suppkey END AS sk,
+        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem)
+    SELECT COALESCE(s.s_name, '<no-supplier>') AS supplier,
+      CAST(COUNT(*) AS BIGINT) AS n_items,
+      CAST(SUM(li.cents) AS BIGINT) AS rev_cents
+    FROM li LEFT JOIN supplier s ON li.sk = s.s_suppkey
+    GROUP BY 1 ORDER BY supplier
+    """,
+)
+def q246_null_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_suppkey") % 5 == 0, None)
+        .otherwise(F.col("l_suppkey"))
+        .alias("sk"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    matched = (
+        li.where(F.col("sk").isNotNull())
+        .join(F.broadcast(s), F.col("sk") == F.col("s_suppkey"), "left")
+        .select(F.col("s_name"), "cents")
+    )
+    nulls = li.where(F.col("sk").isNull()).select(
+        F.lit(None).cast("string").alias("s_name"), "cents"
+    )
+    return (
+        matched.unionByName(nulls)
+        .select(
+            F.coalesce("s_name", F.lit("<no-supplier>")).alias("supplier"),
+            "cents",
+        )
+        .groupBy("supplier")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("cents").cast("long").alias("rev_cents"),
+        )
+        .orderBy("supplier")
+    )

@@ -3233,3 +3233,112 @@ def p_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rank", "phrase", "n_words", "score_milli")
         .orderBy("doc_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# p_license_detect — license-header detection, the compliance filter
+# every code/web pretraining corpus runs (keep permissive, drop
+# copyleft, quarantine unknown). The ASCII fixture is decorated
+# deterministically (p_script_detect's discipline): doc_id%6 selects
+# an injected header — MIT / Apache-2.0 / GPL-3.0 / BSD phrasing, a
+# generic copyright line, or nothing — and both engines then detect
+# INDEPENDENTLY with the same phrase regexes over the decorated text.
+# Output: per-doc verdict + corpus census with the keep/drop policy
+# applied (permissive kept, copyleft dropped, unknown-copyright
+# quarantined).
+#
+# 100 TB: decoration is fixture-only; detection is scan-stage regex
+# (whole-stage codegen), census is one bounded groupBy — the filter
+# adds no shuffle to an ingest pipeline.
+# ---------------------------------------------------------------------------
+_LIC_HDRS = {
+    1: "Permission is hereby granted, free of charge (MIT License). ",
+    2: "Licensed under the Apache License, Version 2.0. ",
+    3: "GNU General Public License as published by the Free Software "
+       "Foundation. ",
+    4: "Redistribution and use in source and binary forms (BSD). ",
+    5: "Copyright (c) 2024 Example Corp. All rights reserved. ",
+}
+
+
+def _lic_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN doc_id % 6 = {k} THEN '{v}' || text" for k, v in _LIC_HDRS.items()
+    )
+    return f"CASE {whens} ELSE text END"
+
+
+@register(
+    "p_license_detect",
+    oracle=f"""
+    WITH dec AS (
+      SELECT doc_id, {_lic_case_sql()} AS t FROM documents),
+    det AS (
+      SELECT doc_id,
+        CASE
+          WHEN t LIKE '%Permission is hereby granted, free of charge%'
+            THEN 'mit'
+          WHEN t LIKE '%Apache License, Version 2.0%' THEN 'apache-2.0'
+          WHEN t LIKE '%GNU General Public License%' THEN 'gpl'
+          WHEN t LIKE '%Redistribution and use in source and binary forms%'
+            THEN 'bsd'
+          WHEN regexp_matches(t, 'Copyright \\(c\\) [0-9]{{4}}')
+            THEN 'unknown-copyright'
+          ELSE 'none' END AS license
+      FROM dec),
+    pol AS (
+      SELECT doc_id, license,
+        CASE WHEN license IN ('mit', 'apache-2.0', 'bsd', 'none')
+             THEN 'keep'
+             WHEN license = 'gpl' THEN 'drop'
+             ELSE 'quarantine' END AS action
+      FROM det)
+    SELECT license, action,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM pol GROUP BY license, action ORDER BY license
+    """,
+)
+def p_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    dec = F.col("text")
+    for k, v in _LIC_HDRS.items():
+        dec = F.when(F.col("doc_id") % 6 == k, F.concat(F.lit(v), F.col("text"))).otherwise(dec)
+    t = d.select("doc_id", dec.alias("t"))
+    lic = (
+        F.when(
+            F.col("t").contains("Permission is hereby granted, free of charge"),
+            "mit",
+        )
+        .when(F.col("t").contains("Apache License, Version 2.0"), "apache-2.0")
+        .when(F.col("t").contains("GNU General Public License"), "gpl")
+        .when(
+            F.col("t").contains(
+                "Redistribution and use in source and binary forms"
+            ),
+            "bsd",
+        )
+        .when(
+            F.col("t").rlike(r"Copyright \(c\) [0-9]{4}"), "unknown-copyright"
+        )
+        .otherwise("none")
+    )
+    pol = t.select(
+        "doc_id",
+        lic.alias("license"),
+    ).withColumn(
+        "action",
+        F.when(
+            F.col("license").isin("mit", "apache-2.0", "bsd", "none"), "keep"
+        )
+        .when(F.col("license") == "gpl", "drop")
+        .otherwise("quarantine"),
+    )
+    return (
+        pol.groupBy("license", "action")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("license")
+    )

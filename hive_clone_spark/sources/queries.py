@@ -1570,3 +1570,93 @@ def q242_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("roundtrip_ok"),
     ).orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# Q245 — dynamic partition overwrite: INSERT OVERWRITE that replaces
+# ONLY the partitions present in the incoming batch (Hive's
+# hive.exec.dynamic.partition semantics, Spark's
+# partitionOverwriteMode=dynamic) — the nightly-restate pattern: a
+# corrected feed for status 'O' must rewrite the O partitions and
+# leave F and P untouched. STATIC overwrite (the default!) would drop
+# the whole table first — the classic migration data-loss foot-gun,
+# which is why the entry pins the surviving partitions as data.
+#
+# Write 1: all three statuses, revenue as-is. Write 2 (dynamic):
+# only status 'O' rows, revenue DOUBLED. Expected final state: O
+# doubled, F/P original — plus a file-level proof that the F/P files
+# were not rewritten (their paths survive write 2 unchanged).
+#
+# At 100 TB: dynamic overwrite is a metadata swap per touched
+# partition directory; untouched partitions cost zero I/O. The knob
+# is per-write here (option), not session-global.
+# ---------------------------------------------------------------------------
+@register(
+    "q245_dynamic_partition_overwrite",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderstatus AS status,
+        CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+          AS cents,
+        CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY o_orderstatus)
+    SELECT status,
+      CASE WHEN status = 'O' THEN cents * 2 ELSE cents END AS rev_cents,
+      n_rows,
+      (status <> 'O') AS files_untouched
+    FROM base ORDER BY status
+    """,
+)
+def q245_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dest = _warehouse(sf_dir, "dynpart_q245")
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    (
+        o.repartition("status")
+        .write.mode("overwrite")
+        .partitionBy("status")
+        .parquet(dest)
+    )
+    import os as _os
+
+    def files_by_status():
+        out = {}
+        for d in sorted(_os.listdir(dest)):
+            if d.startswith("status="):
+                s = d.split("=", 1)[1]
+                out[s] = sorted(
+                    f for f in _os.listdir(_os.path.join(dest, d))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = files_by_status()
+    corrected = o.where(F.col("status") == "O").select(
+        "status", (F.col("cents") * 2).alias("cents")
+    )
+    (
+        corrected.repartition("status")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("status")
+        .parquet(dest)
+    )
+    after = files_by_status()
+    untouched = {
+        s: before.get(s) == after.get(s) for s in after
+    }
+    back = spark.read.parquet(dest)
+    utf = F.create_map(
+        *[x for s, ok in sorted(untouched.items()) for x in (F.lit(s), F.lit(ok))]
+    )
+    return (
+        back.groupBy("status")
+        .agg(
+            F.sum("cents").cast("long").alias("rev_cents"),
+            F.count("*").alias("n_rows"),
+        )
+        .withColumn("files_untouched", utf[F.col("status")])
+        .orderBy("status")
+    )

@@ -983,3 +983,100 @@ def q239_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n, i.seq ORDER BY n_installments, seq
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Q247 — HiveQL dialect surface: LATERAL VIEW explode + DISTRIBUTE BY
+# / SORT BY — the exact text a HiveQL migration carries in. LATERAL
+# VIEW is Hive's row-expansion clause (q56 covered the DataFrame
+# lateral; this is the TEXT form); DISTRIBUTE BY k SORT BY k is
+# Hive's "shuffle by k, sort within partitions" — a physical layout
+# directive with NO semantic effect on the aggregate built on top,
+# which is exactly what the oracle pins (DuckDB has neither clause;
+# it computes the same result relationally).
+#
+# The expansion: every order explodes into a (net, gross) measure
+# pair — gross adds the 7% tax in integer cents. At scale LATERAL
+# VIEW explode is a scan-stage Generate (no shuffle); DISTRIBUTE BY
+# inserts exactly one hash exchange — the clause migrators use to
+# pre-shape writes.
+# ---------------------------------------------------------------------------
+@register(
+    "q247_hiveql_dialect",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority AS priority, v.measure,
+        CASE WHEN v.measure = 'net'
+             THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 107 // 100
+        END AS cents
+      FROM orders, (VALUES ('net'), ('gross')) v(measure))
+    SELECT priority, measure,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM m GROUP BY priority, measure ORDER BY priority, measure
+    """,
+)
+def q247_hiveql_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT priority, measure,
+          COUNT(*) AS n_rows,
+          CAST(SUM(CASE WHEN measure = 'net' THEN cents
+                        ELSE cents * 107 DIV 100 END) AS BIGINT) AS sum_cents
+        FROM (
+          SELECT o_orderpriority AS priority,
+            CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM orders
+          DISTRIBUTE BY o_orderpriority SORT BY o_orderpriority
+        ) base
+        LATERAL VIEW explode(array('net', 'gross')) m AS measure
+        GROUP BY priority, measure
+        ORDER BY priority, measure
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q248 — Hive script TRANSFORM: `SELECT TRANSFORM(...) USING 'cmd'`
+# pipes rows through an EXTERNAL process as tab-separated text — the
+# HiveQL escape hatch for shell/awk/legacy-binary logic, and a
+# surface Spark supports natively (no Hive metastore needed, no-serde
+# mode). Two arms: 'cat' proves the TSV round trip is lossless
+# (types come back as STRING — the documented contract — and cast
+# back exactly for integers), and the re-aggregated result must match
+# the never-piped oracle.
+#
+# Scale note: TRANSFORM forks the command once per task and streams
+# rows through a pipe — row-at-a-time TEXT, the slowest lane in the
+# engine (slower than Arrow Python). It exists for migration parity;
+# the docstring IS the deprecation notice: rewrite to built-ins or
+# mapInPandas once the legacy script's logic is understood.
+# ---------------------------------------------------------------------------
+@register(
+    "q248_script_transform",
+    oracle="""
+    SELECT o_orderstatus AS status,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        AS sum_cents
+    FROM orders
+    GROUP BY o_orderstatus ORDER BY status
+    """,
+)
+def q248_script_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH piped AS (
+          SELECT TRANSFORM(o_orderstatus,
+                           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            USING 'cat' AS (status STRING, cents STRING)
+          FROM orders
+        )
+        SELECT status, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(cents AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM piped GROUP BY status ORDER BY status
+        """
+    )
