@@ -140,7 +140,9 @@ def _rounds_stale(name: str, history: list[dict]) -> int:
 # entry batch lands.
 # Raised 5 -> 6 late in round 8: at ~347 entries, (347-50)/5 ≈ 59 >
 # the window; (347-50)/6 ≈ 50 fits (at the edge — recheck next batch).
-_AGE_FLOOR = 6
+# Raised 6 -> 7 at 396 entries ((396-50)/6 ≈ 58 > the window;
+# (396-50)/7 ≈ 49 fits).
+_AGE_FLOOR = 7
 
 
 def _emit_key(
