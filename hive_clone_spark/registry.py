@@ -62,6 +62,7 @@ def load_all_modules() -> None:
     from hive_clone_spark.pipeline import gifcodec  # noqa: F401
     from hive_clone_spark.pipeline import webdataset  # noqa: F401
     from hive_clone_spark.pipeline import audiocodec  # noqa: F401
+    from hive_clone_spark.pipeline import adpcmcodec  # noqa: F401
     from hive_clone_spark.pipeline import videocodec  # noqa: F401
     from hive_clone_spark.pipeline import sampling  # noqa: F401
     from hive_clone_spark.pipeline import selection  # noqa: F401
