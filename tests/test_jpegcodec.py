@@ -434,3 +434,59 @@ def test_property_coeff_roundtrip_all_modes(seed, ncomp, progressive, ri):
     assert (w, h) == (8 * wb, 8 * hb)
     for a, b in zip(planes, out):
         np.testing.assert_array_equal(a, b)
+
+
+def test_422_coefficient_roundtrip():
+    """4:2:2 ((2,1) luma): 2 luma blocks side-by-side then one block
+    per chroma per MCU — the generic MCU machinery's other real-world
+    sampling, previously claimed by the decode docstring but never
+    exercised by a fixture."""
+    rng = np.random.default_rng(78)
+    for _ in range(6):
+        mx, my = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        luma = _random_planes(rng, my, 2 * mx, 1)[0]
+        cb = _random_planes(rng, my, mx, 1)[0]
+        cr = _random_planes(rng, my, mx, 1)[0]
+        payload = encode_jpeg(
+            [luma, cb, cr], 16 * mx, 8 * my,
+            sampling=[(2, 1), (1, 1), (1, 1)],
+        )
+        out, w, h, _, samp = decode_jpeg_coeffs(payload)
+        assert (w, h) == (16 * mx, 8 * my)
+        assert samp == [(2, 1), (1, 1), (1, 1)]
+        for a, b in zip([luma, cb, cr], out):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_422_pixels_match_bruteforce():
+    """4:2:2 decoded pixels == brute-force composition with chroma
+    replicated HORIZONTALLY only."""
+    from hive_clone_spark.pipeline.jpegcodec import QUANT_LUMA
+
+    rng = np.random.default_rng(42)
+    luma = _random_planes(rng, 1, 2, 1)[0] % 16
+    cb = _random_planes(rng, 1, 1, 1)[0] % 8
+    cr = _random_planes(rng, 1, 1, 1)[0] % 8
+    payload = encode_jpeg(
+        [luma, cb, cr], 16, 8, sampling=[(2, 1), (1, 1), (1, 1)]
+    )
+    pix = decode_jpeg(payload).astype(np.int64)
+
+    def idct_plane(plane):
+        hb, wb = plane.shape[:2]
+        deq = (plane * QUANT_LUMA[None, None, :]).astype(np.float64)
+        deq = deq.reshape(hb, wb, 8, 8)
+        px = np.einsum("ux,ijuv,vy->ijxy", _A, deq, _A)
+        px = np.floor(px + 0.5) + 128.0
+        return px.transpose(0, 2, 1, 3).reshape(hb * 8, wb * 8)
+
+    y = idct_plane(luma)
+    cbp = np.repeat(idct_plane(cb), 2, axis=1)  # horizontal only
+    crp = np.repeat(idct_plane(cr), 2, axis=1)
+    exp_r = np.floor(y + 1.402 * (crp - 128.0) + 0.5)
+    exp_g = np.floor(
+        y - 0.344136 * (cbp - 128.0) - 0.714136 * (crp - 128.0) + 0.5
+    )
+    exp_b = np.floor(y + 1.772 * (cbp - 128.0) + 0.5)
+    exp = np.clip(np.stack([exp_r, exp_g, exp_b], axis=-1), 0, 255)
+    np.testing.assert_array_equal(pix, exp.astype(np.int64))
