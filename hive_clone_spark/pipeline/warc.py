@@ -136,10 +136,26 @@ def synth_warc_file(docs: list[tuple[int, str]], gzip_records: bool = False) -> 
             f"GET /{doc_id} HTTP/1.1{_CRLF}Host: ex.test{_CRLF}{_CRLF}".encode(),
         )
         html = synth_html(doc_id, text).encode()
-        http = (
-            f"HTTP/1.1 200 OK{_CRLF}Content-Type: text/html{_CRLF}"
-            f"Content-Length: {len(html)}{_CRLF}{_CRLF}"
-        ).encode() + html
+        if doc_id % 6 == 1:
+            # chunked transfer-encoding (RFC 9112): fixed 100-byte
+            # chunks, a chunk EXTENSION on the first chunk of every
+            # 12th doc (parsers must ignore it), zero-chunk terminator
+            chunks = [html[i : i + 100] for i in range(0, len(html), 100)]
+            framed = bytearray()
+            for ci, c in enumerate(chunks):
+                ext = ";synthetic=1" if ci == 0 and doc_id % 12 == 1 else ""
+                framed += f"{len(c):x}{ext}{_CRLF}".encode()
+                framed += c + _CRLF.encode()
+            framed += f"0{_CRLF}{_CRLF}".encode()
+            http = (
+                f"HTTP/1.1 200 OK{_CRLF}Content-Type: text/html{_CRLF}"
+                f"Transfer-Encoding: chunked{_CRLF}{_CRLF}"
+            ).encode() + bytes(framed)
+        else:
+            http = (
+                f"HTTP/1.1 200 OK{_CRLF}Content-Type: text/html{_CRLF}"
+                f"Content-Length: {len(html)}{_CRLF}{_CRLF}"
+            ).encode() + html
         out += record(
             [
                 ("WARC-Type", "response"),
@@ -208,8 +224,33 @@ def parse_warc(data: bytes) -> list[dict]:
     return records
 
 
+def _dechunk(raw: bytes) -> bytes:
+    """HTTP/1.1 chunked transfer-encoding decoder (RFC 9112 §7.1):
+    hex-size line (chunk extensions after ';' ignored), CRLF, data,
+    CRLF, ...; terminated by a zero-size chunk + empty trailer. Real
+    crawl captures store the response bytes AS SENT, so de-chunking
+    is part of WARC ingestion, not an upstream nicety."""
+    body = bytearray()
+    pos = 0
+    while True:
+        eol = raw.index(b"\r\n", pos)
+        size = int(raw[pos:eol].split(b";")[0], 16)
+        pos = eol + 2
+        if size == 0:
+            if raw[pos : pos + 2] != b"\r\n":
+                raise ValueError("warc: chunked trailers not supported")
+            return bytes(body)
+        body += raw[pos : pos + size]
+        if raw[pos + size : pos + size + 2] != b"\r\n":
+            raise ValueError("warc: chunk missing terminating CRLF")
+        pos += size + 2
+
+
 def parse_http_response(payload: bytes) -> tuple[int, dict, bytes]:
-    """(status, lowercased headers, body) from an HTTP response block."""
+    """(status, lowercased headers, body) from an HTTP response block.
+    A `Transfer-Encoding: chunked` body is de-chunked here — the
+    framing is verified structurally (sizes + CRLFs + terminator), the
+    role Content-Length plays for identity-framed bodies."""
     end_head = payload.index(b"\r\n\r\n")
     lines = payload[:end_head].decode().split(_CRLF)
     status = int(lines[0].split(" ")[1])
@@ -217,7 +258,10 @@ def parse_http_response(payload: bytes) -> tuple[int, dict, bytes]:
     for line in lines[1:]:
         k, _, v = line.partition(":")
         headers[k.strip().lower()] = v.strip()
-    return status, headers, payload[end_head + 4 :]
+    body = payload[end_head + 4 :]
+    if headers.get("transfer-encoding", "").lower() == "chunked":
+        body = _dechunk(body)
+    return status, headers, body
 
 
 _SCRIPT_RE = re.compile(r"(?s)<script.*?</script>")
@@ -336,8 +380,12 @@ def p_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # decoded HTML so it matches the oracle's length()
                     # regardless of non-ASCII text (bytes != chars
                     # under UTF-8).
-                    if int(http_headers["content-length"]) != len(body):
-                        raise ValueError("Content-Length / body mismatch")
+                    if http_headers.get("transfer-encoding", "") != "chunked":
+                        # identity framing: header byte count must match
+                        # the framed body (chunked bodies were verified
+                        # structurally by the de-chunker instead)
+                        if int(http_headers["content-length"]) != len(body):
+                            raise ValueError("Content-Length / body mismatch")
                     html = body.decode()
                     text = extract_text(html)
                     rows.append(

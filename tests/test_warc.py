@@ -138,3 +138,63 @@ def test_mixed_plain_then_gzip_corpus():
         if r["headers"]["warc-type"] == "response"
     ]
     assert uris == ["https://ex.test/11", "https://ex.test/12"]
+
+
+def test_chunked_response_dechunks():
+    from hive_clone_spark.pipeline.warc import parse_http_response
+
+    body = b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"
+    payload = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + body
+    )
+    status, headers, out = parse_http_response(payload)
+    assert status == 200 and out == b"hello world"
+
+
+def test_chunk_extension_ignored():
+    from hive_clone_spark.pipeline.warc import parse_http_response
+
+    payload = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"3;ext=val\r\nabc\r\n0\r\n\r\n"
+    )
+    assert parse_http_response(payload)[2] == b"abc"
+
+
+def test_chunk_framing_errors_raise():
+    import pytest as _pytest
+
+    from hive_clone_spark.pipeline.warc import _dechunk
+
+    with _pytest.raises(ValueError):
+        _dechunk(b"3\r\nabcX\r\n0\r\n\r\n")  # missing chunk CRLF
+    with _pytest.raises(ValueError):
+        _dechunk(b"3\r\nabc\r\n0\r\nTrailer: x\r\n\r\n")  # trailers
+
+
+def test_synth_mixes_chunked_records():
+    from hive_clone_spark.pipeline.warc import (
+        parse_http_response,
+        parse_warc,
+        synth_warc_file,
+        synth_html,
+        extract_text,
+    )
+
+    docs = [(i, f"text for doc {i}") for i in range(4, 16)]
+    data = synth_warc_file(docs)
+    seen_chunked = seen_identity = 0
+    for rec in parse_warc(data):
+        if rec["headers"].get("warc-type") != "response":
+            continue
+        status, hh, body = parse_http_response(rec["payload"])
+        doc_id = int(rec["headers"]["warc-target-uri"].rsplit("/", 1)[1])
+        if doc_id % 6 == 1:
+            assert hh.get("transfer-encoding") == "chunked"
+            seen_chunked += 1
+        else:
+            seen_identity += 1
+        # framing-independent invariant: body is the exact HTML
+        assert body.decode() == synth_html(doc_id, f"text for doc {doc_id}")
+        assert extract_text(body.decode()).startswith(f"doc {doc_id}")
+    assert seen_chunked >= 2 and seen_identity >= 8
