@@ -748,3 +748,124 @@ def p_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# p_boilerplate_strip — link-density boilerplate removal (the
+# jusText/Readability heuristic, the cleaning pass between raw HTML
+# and a pretraining corpus): segment the document into blocks, score
+# each block by LINK DENSITY (characters inside <a> tags / total
+# visible characters), keep only content-dense blocks. On the synth
+# pages the <p> body block has zero link density and the trailing
+# link list is 100% links — so the kept text is exactly the article
+# body, while p_html_strip (which keeps everything visible) retains
+# the "link k" tokens; the oracle pins both the kept text hash and
+# the per-doc density census that justified the cut.
+#
+# 100 TB: block split + densities are scan-stage regex arithmetic in
+# the same Arrow pass as the parse; no new shuffle. The 500-permille
+# threshold is the standard starting point; it is data here, not a
+# buried constant.
+# ---------------------------------------------------------------------------
+_BLOCK_RE = re.compile(r"(?s)<(p|div)[^>]*>(.*?)</\1>")
+_A_TEXT_RE = re.compile(r"(?s)<a [^>]*>(.*?)</a>")
+
+
+def block_link_density_permille(block_html: str) -> int:
+    """permille of visible characters that sit inside <a> tags."""
+    link_chars = sum(len(extract_text(m)) for m in _A_TEXT_RE.findall(block_html))
+    total = len(extract_text(block_html))
+    return 1000 * link_chars // max(total, 1)
+
+
+@register(
+    "p_boilerplate_strip",
+    oracle=f"""
+    WITH body AS (
+      SELECT doc_id,
+        trim(regexp_replace(text, '\\s+', ' ', 'g')) AS kept,
+        CAST(doc_id % 5 AS BIGINT) AS n_links
+      FROM documents)
+    SELECT doc_id,
+      CAST(CASE WHEN n_links > 0 THEN 2 ELSE 1 END AS BIGINT) AS n_blocks,
+      CAST(1 AS BIGINT) AS n_kept,
+      -- each anchor's text is 6 chars ("link k"); the joined block
+      -- adds n-1 separator spaces: density = 6000n // (7n - 1)
+      CAST(CASE WHEN n_links > 0
+                THEN 6000 * n_links // (7 * n_links - 1) ELSE -1 END
+           AS BIGINT) AS dropped_density_permille,
+      CAST(len(list_filter(str_split_regex(kept, '\\s+'), w -> w <> ''))
+           AS BIGINT) AS n_words,
+      {sql_portable_hash("kept")} AS kept_hash
+    FROM body ORDER BY doc_id
+    """,
+)
+def p_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage A builds the same real HTML as p_warc_extract's records;
+    stage B splits blocks, measures link density, keeps blocks under
+    500 permille. The title block lives in <head> (not a content
+    block); the link list is wrapped as its own block for the census.
+    Cited threshold: jusText's default link-density stopword is 0.5."""
+    import pandas as pd
+
+    from pyspark import cloudpickle as _cp
+    import hive_clone_spark.pipeline.warc as _mod
+
+    _cp.register_pickle_by_value(_mod)
+
+    from hive_clone_spark.pipeline.common import portable_hash, spread, words_col
+
+    docs = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def strip_batches(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                html = synth_html(doc_id, str(text))
+                # wrap the trailing link run as its own block so the
+                # segmentation sees the page's two content units
+                html2 = re.sub(
+                    r"(?s)(</p>)(<a .*?</a>)(<!--)",
+                    r"\1<div>\2</div>\3",
+                    html,
+                )
+                blocks = [m.group(0) for m in _BLOCK_RE.finditer(html2)]
+                kept_parts, dropped_density = [], -1
+                for b in blocks:
+                    d = block_link_density_permille(b)
+                    if d < 500:
+                        kept_parts.append(extract_text(b))
+                    else:
+                        dropped_density = max(dropped_density, d)
+                kept = " ".join(kept_parts)
+                rows.append(
+                    (
+                        doc_id,
+                        len(blocks),
+                        len(kept_parts),
+                        dropped_density,
+                        kept,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_blocks", "n_kept",
+                    "dropped_density_permille", "kept",
+                ],
+            )
+
+    out = docs.mapInPandas(
+        strip_batches,
+        "doc_id BIGINT, n_blocks BIGINT, n_kept BIGINT, "
+        "dropped_density_permille BIGINT, kept STRING",
+    )
+    return out.select(
+        "doc_id",
+        "n_blocks",
+        "n_kept",
+        "dropped_density_permille",
+        F.size(words_col(F.col("kept"))).cast("long").alias("n_words"),
+        portable_hash(F.col("kept")).alias("kept_hash"),
+    ).orderBy("doc_id")
