@@ -1660,3 +1660,70 @@ def q245_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         .withColumn("files_untouched", utf[F.col("status")])
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q249 — native XML source (Spark 4 ships spark-xml in core): the
+# format enterprise feeds still arrive in. Write nation as row-tagged
+# XML, read it back through the XML reader (schema declared — XML
+# inference is a second full scan, the same reason streaming sources
+# require explicit schemas), join-verify against the parquet truth,
+# and surface a per-row equality flag; the oracle is the source table
+# itself, so any escaping/typing/row-boundary bug in either direction
+# of the XML path shifts the hash.
+#
+# The n_name value is DECORATED with XML-hostile characters
+# (& < > and a quote) before writing, so the writer's escaping and
+# the reader's unescaping are actually exercised, not just tag
+# plumbing.
+#
+# Scale note: row-tagged XML splits on tag boundaries and parses
+# streamingly per partition; it is still the slowest text format in
+# the house (~5-10x CSV) — the entry exists for ingest parity, with
+# parquet as the landing format after exactly one pass.
+# ---------------------------------------------------------------------------
+@register(
+    "q249_xml_roundtrip",
+    oracle="""
+    SELECT n_nationkey AS k,
+      n_name || ' &<>"' || n_name AS decorated,
+      CAST(n_regionkey AS INT) AS region,
+      TRUE AS roundtrip_ok
+    FROM nation ORDER BY k
+    """,
+)
+def q249_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dest = _warehouse(sf_dir, "xml_q249")
+    n = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"),
+        F.concat(F.col("n_name"), F.lit(' &<>"'), F.col("n_name")).alias(
+            "decorated"
+        ),
+        F.col("n_regionkey").cast("int").alias("region"),
+    )
+    (
+        n.repartition(2)
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "nation")
+        .save(dest)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("k BIGINT, decorated STRING, region INT")
+        .load(dest)
+    )
+    truth = n.select(
+        F.col("k").alias("tk"), F.col("decorated").alias("td")
+    )
+    return (
+        back.join(truth, back.k == truth.tk)
+        .select(
+            "k",
+            "decorated",
+            "region",
+            (F.col("decorated") == F.col("td")).alias("roundtrip_ok"),
+        )
+        .orderBy("k")
+    )
