@@ -1727,3 +1727,199 @@ def q249_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q250 — compressed text formats: CSV written and read as .csv.gz
+# through the format's codec option — the shape legacy feeds arrive
+# in. The scale lesson is IN the entry: gzip text files are
+# NON-SPLITTABLE (one file = one task no matter its size), which is
+# why the write fans out to 4 files first — at 100 TB you either
+# control file count at write time or decompress-and-land to parquet
+# in one pass. Roundtrip pinned against the source truth.
+# ---------------------------------------------------------------------------
+@register(
+    "q250_csv_gzip_roundtrip",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        AS rev_cents
+    FROM orders GROUP BY o_orderpriority ORDER BY priority
+    """,
+)
+def q250_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    dest = _warehouse(sf_dir, "csvgz_q250")
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    (
+        o.repartition(4)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("compression", "gzip")
+        .csv(dest)
+    )
+    # the files really are gzip members on disk
+    gz = [f for f in _os.listdir(dest) if f.endswith(".csv.gz")]
+    if len(gz) != 4:
+        raise ValueError(f"expected 4 gzip parts, found {gz}")
+    back = (
+        spark.read.option("header", "true")
+        .schema("priority STRING, cents BIGINT")
+        .csv(dest)
+    )
+    return (
+        back.groupBy("priority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").cast("long").alias("rev_cents"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q251 — binaryFile source: the ingestion lane every codec entry's
+# scale note references ("in production the payload arrives via
+# spark.read.format('binaryFile')") — exercised for real here: WAV
+# fixtures are staged as individual FILES on disk, the binaryFile
+# source lists them into (path, modificationTime, length, content)
+# rows, and the decoder runs over the content column. pathGlobFilter
+# does the source-side filtering (a decoy .txt file is planted and
+# must never reach the decoder).
+#
+# At 100 TB: binaryFile parallelizes by file; tiny-file explosions
+# are the real hazard (driver listing + task overhead), which is why
+# production pipelines compact small payloads into WebDataset tars
+# (p_webdataset) or parquet binary columns — the entry's docstring
+# IS that decision record.
+# ---------------------------------------------------------------------------
+@register(
+    "q251_binaryfile_ingest",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 1 + doc_id % 2 AS c, 1 + (doc_id * 13) % 256 AS n
+      FROM documents WHERE doc_id < 40),
+    sums AS (
+      SELECT doc_id, c, n,
+        CAST(44 + CASE WHEN doc_id % 3 = 0 THEN 12 ELSE 0 END
+             + 2 * c * n AS BIGINT) AS n_bytes,
+        CAST(list_sum(list_transform(generate_series(0, n - 1),
+          i -> ((doc_id * 31 + i * 7) % 4001) - 2000)) AS BIGINT) AS sum_ch0
+      FROM d)
+    SELECT doc_id, n_bytes, CAST(n AS BIGINT) AS n_frames,
+      CAST(c AS INT) AS n_channels, sum_ch0
+    FROM sums ORDER BY doc_id
+    """,
+)
+def q251_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    import pandas as pd
+
+    from pyspark import cloudpickle as _cp
+
+    import hive_clone_spark.pipeline.audiocodec as _audio
+    from hive_clone_spark.pipeline.audiocodec import decode_wav, synth_wav
+
+    _cp.register_pickle_by_value(_audio)
+
+    dest = _warehouse(sf_dir, "binfiles_q251")
+    _os.makedirs(dest, exist_ok=True)
+    ids = [r["doc_id"] for r in
+           table(spark, sf_dir, "documents")
+           .where(F.col("doc_id") < 40).select("doc_id").collect()]
+    for i in ids:  # individual files ARE the point of this entry
+        with open(_os.path.join(dest, f"doc-{int(i):05d}.wav"), "wb") as f:
+            f.write(synth_wav(int(i)))
+    with open(_os.path.join(dest, "README.txt"), "wb") as f:
+        f.write(b"decoy: must be excluded by pathGlobFilter")
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(dest)
+        .select("path", "length", "content")
+    )
+
+    def decode_batches(batches):
+        for pdf in batches:
+            rows = []
+            for path, length, content in zip(
+                pdf["path"], pdf["length"], pdf["content"]
+            ):
+                doc_id = int(path.rsplit("doc-", 1)[1][:5])
+                rate, samples = decode_wav(bytes(content))
+                rows.append(
+                    (
+                        doc_id,
+                        int(length),
+                        samples.shape[0],
+                        samples.shape[1],
+                        int(samples[:, 0].astype("int64").sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "n_frames", "n_channels", "sum_ch0",
+                ],
+            )
+
+    return files.mapInPandas(
+        decode_batches,
+        "doc_id BIGINT, n_bytes BIGINT, n_frames BIGINT, n_channels INT, "
+        "sum_ch0 BIGINT",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q252 — corrupt-FILE tolerance: q121 quarantined corrupt RECORDS
+# inside well-formed files; this is the other failure plane — a
+# whole parquet file of garbage bytes in the directory (the torn
+# upload / partial copy). Default behavior is the job DIES (pinned
+# in tests); with spark.sql.files.ignoreCorruptFiles the scan skips
+# the corrupt file and returns every row of the intact ones —
+# the recover-the-batch switch, flipped scoped here, never globally,
+# because silently dropping files is a POLICY decision.
+# ---------------------------------------------------------------------------
+@register(
+    "q252_ignore_corrupt_files",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        AS bal_cents,
+      TRUE AS corrupt_file_present
+    FROM customer
+    """,
+)
+def q252_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    dest = _warehouse(sf_dir, "corrupt_q252")
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    c.repartition(4).write.mode("overwrite").parquet(dest)
+    bad = _os.path.join(dest, "part-corrupt.parquet")
+    with open(bad, "wb") as f:
+        f.write(b"PAR1 this is not a parquet file at all" * 4)
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        back = spark.read.parquet(dest).agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").cast("long").alias("bal_cents"),
+        )
+        out = back.withColumn(
+            "corrupt_file_present", F.lit(_os.path.exists(bad))
+        )
+        out = out.localCheckpoint(eager=True)  # evaluate under the conf
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+    return out
