@@ -8418,3 +8418,69 @@ def q246_null_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supplier")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q253 — observed metrics (df.observe / Observation): production
+# pipelines attach ACCUMULATOR-style metrics to a DataFrame so one
+# action yields both the result AND data-quality counters — no second
+# scan, no race between "the job" and "the monitoring query". The
+# entry observes row count, exact cents sum, null count, and a
+# max — then returns the observed values NEXT TO the same quantities
+# recomputed relationally, all equal by construction; a metrics
+# plumbing bug (observation attached after a transformation that
+# drops rows, double-counted retries) breaks the equality columns.
+#
+# At 100 TB this is the difference between monitoring-for-free and
+# doubling the scan bill; observe() metrics ride the existing
+# shuffle files exactly like any aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "q253_observed_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        AS sum_cents,
+      CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_pending,
+      TRUE AS metrics_match
+    FROM orders WHERE o_custkey % 3 = 0
+    """,
+)
+def q253_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    o = table(spark, sf_dir, "orders").where(F.col("o_custkey") % 3 == 0)
+    obs = Observation("q253")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+        F.sum((F.col("o_orderstatus") == "P").cast("long")).alias("n_pending"),
+    )
+    truth = observed.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+        F.sum((F.col("o_orderstatus") == "P").cast("long")).alias("n_pending"),
+    ).collect()[0]
+    m = obs.get  # blocks until the action above delivered the metrics
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["sum_cents"]),
+                int(m["n_pending"]),
+                bool(
+                    m["n_rows"] == truth["n_rows"]
+                    and m["sum_cents"] == truth["sum_cents"]
+                    and m["n_pending"] == truth["n_pending"]
+                ),
+            )
+        ],
+        "n_rows BIGINT, sum_cents BIGINT, n_pending BIGINT, "
+        "metrics_match BOOLEAN",
+    )

@@ -1010,3 +1010,80 @@ def p_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "lang", "rk", "doc_id", "r_len", "r_div", "r_clean", "rrf_micros"
     ).orderBy("lang", "rk")
+
+
+# ---------------------------------------------------------------------------
+# p_train_test_split — deterministic corpus splitting, the first
+# decision of every training run: doc -> split by PORTABLE HASH of a
+# salted key (80/10/10), which gives the three properties random
+# splits lose: (1) STABILITY — a re-run, a different machine, or a
+# grown corpus never reassigns an existing doc; (2) DISJOINTNESS by
+# construction; (3) auditability — both engines compute the same
+# assignment, so the split itself sits under the value hash. The
+# salt string is the experiment id: changing it is a NEW split, not
+# a perturbed one.
+#
+# Census + proof columns: per-split doc counts, word mass, overlap=0
+# (anti-join evidence between train and the eval splits), and the
+# exact hash-bucket boundaries used. At 100 TB the assignment is a
+# scan-stage expression — no shuffle, no sampling pass, no state.
+# ---------------------------------------------------------------------------
+_SPLIT_SALT = "exp-r8"
+
+
+@register(
+    "p_train_test_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id,
+        {sql_portable_hash(f"CAST(doc_id AS VARCHAR) || ':{_SPLIT_SALT}'")}
+          % 10 AS b,
+        len(list_filter(str_split_regex(text, '\\s+'), w -> w <> ''))
+          AS n_words
+      FROM documents),
+    labeled AS (
+      SELECT doc_id, n_words,
+        CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'valid'
+             ELSE 'test' END AS split
+      FROM assigned)
+    SELECT split,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_words) AS BIGINT) AS n_words,
+      CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+      CAST(0 AS BIGINT) AS n_overlap_with_train
+    FROM labeled GROUP BY split ORDER BY split
+    """,
+)
+def p_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_clone_spark.pipeline.common import portable_hash, words_col
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    b = (
+        portable_hash(
+            F.concat(F.col("doc_id").cast("string"), F.lit(f":{_SPLIT_SALT}"))
+        )
+        % 10
+    )
+    labeled = d.select(
+        "doc_id",
+        F.size(words_col(F.col("text"))).cast("long").alias("n_words"),
+        F.when(b < 8, "train").when(b == 8, "valid").otherwise("test").alias(
+            "split"
+        ),
+    ).localCheckpoint(eager=True)  # reused by census + overlap proof
+    train_ids = labeled.where(F.col("split") == "train").select("doc_id")
+    overlap = (
+        labeled.where(F.col("split") != "train")
+        .join(train_ids, "doc_id", "left_semi")
+        .count()
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .withColumn("n_overlap_with_train", F.lit(overlap).cast("long"))
+        .orderBy("split")
+    )
