@@ -142,7 +142,16 @@ def _rounds_stale(name: str, history: list[dict]) -> int:
 # the window; (347-50)/6 ≈ 50 fits (at the edge — recheck next batch).
 # Raised 6 -> 7 at 396 entries ((396-50)/6 ≈ 58 > the window;
 # (396-50)/7 ≈ 49 fits).
-_AGE_FLOOR = 7
+# Raised 7 -> 9 in round 9 (r8 verdict task 1): at 402 entries the
+# floor-7 promise needs 402/7 ≈ 57 checks/round against a 50-check
+# window — silently unsatisfiable even with ZERO registry growth.
+# At ~410 entries (round 9 adds a handful, growth otherwise frozen
+# while the 145-entry never-checked backlog drains): (410-50)/9 = 40
+# staleness slots per round, leaving ~10 slots of headroom for new /
+# rewritten entries. Recheck this arithmetic on every sizeable batch:
+# the sustainable floor is ceil((n_entries - window) / (window -
+# expected_new_per_round)).
+_AGE_FLOOR = 9
 
 
 def _emit_key(

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hive_clone_spark.catalog import table
-from hive_clone_spark.pipeline.common import sql_portable_hash
+from hive_clone_spark.pipeline.common import spread, sql_portable_hash
 from hive_clone_spark.registry import register
 
 
@@ -7858,13 +7858,28 @@ def q234_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "idx", F.coalesce("v", F.lit(0)).cast("long").alias("v")
     )
     w = Window.orderBy("idx")
-    win = series.select(
-        "idx",
-        F.col("v").alias("v0"),
-        *[F.lead("v", k).over(w).alias(f"v{k}") for k in range(1, _MP_M)],
-    ).where(F.col(f"v{_MP_M - 1}").isNotNull())
-    a = win.select(
-        F.col("idx").alias("i"), *[F.col(f"v{k}").alias(f"a{k}") for k in range(_MP_M)]
+    # Checkpoint the ~n-row WINDOWED series, not the ~n^2/2-row pair
+    # table: materializing 2.8M pairs was the dominant cost (a 1.9 s
+    # eager job at sf0.1, then read back 3x by the consumers). The
+    # windowed series is tiny (one row per day), and the pair join is
+    # cheap enough to recompute per consumer once its stream side is
+    # spread across cores — Window.orderBy leaves ONE partition, so the
+    # broadcast theta join otherwise ran single-task. Measured: 2.6 s
+    # -> 1.3 s fresh at sf0.1.
+    win = (
+        series.select(
+            "idx",
+            F.col("v").alias("v0"),
+            *[F.lead("v", k).over(w).alias(f"v{k}") for k in range(1, _MP_M)],
+        )
+        .where(F.col(f"v{_MP_M - 1}").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    a = spread(
+        win.select(
+            F.col("idx").alias("i"),
+            *[F.col(f"v{k}").alias(f"a{k}") for k in range(_MP_M)],
+        )
     )
     b = win.select(
         F.col("idx").alias("j"), *[F.col(f"v{k}").alias(f"b{k}") for k in range(_MP_M)]
@@ -7872,10 +7887,8 @@ def q234_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     sad = sum(
         F.abs(F.col(f"a{k}") - F.col(f"b{k}")) for k in range(_MP_M)
     ).cast("long")
-    pairs = (
-        a.join(F.broadcast(b), F.col("j") - F.col("i") >= _MP_M)
-        .select("i", "j", sad.alias("sad"))
-        .localCheckpoint(eager=True)  # reused by motifs AND the profile
+    pairs = a.join(F.broadcast(b), F.col("j") - F.col("i") >= _MP_M).select(
+        "i", "j", sad.alias("sad")
     )
     motifs = (
         pairs.orderBy("sad", "i", "j")
@@ -7891,9 +7904,10 @@ def q234_motif_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sad",
         )
     )
+    # one pass over the pair stream (explode both endpoints) instead of
+    # a self-union that scanned it twice
     profile = (
-        pairs.select(F.col("i").alias("idx"), "sad")
-        .unionByName(pairs.select(F.col("j").alias("idx"), "sad"))
+        pairs.select(F.explode(F.array("i", "j")).alias("idx"), "sad")
         .groupBy("idx")
         .agg(F.min("sad").alias("psad"))
     )

@@ -23,6 +23,7 @@ from hive_clone_spark.catalog import table
 from hive_clone_spark.pipeline.common import (
     SQL_WORDS,
     portable_hash,
+    spread,
     sql_portable_hash,
     words_col,
 )
@@ -588,7 +589,13 @@ def _qc_wgt_sql(tok_list: str) -> str:
     """,
 )
 def p_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    # spread(): the fixture documents table is ONE parquet split, so the
+    # per-token md5 scoring (interpreted HOF eval, the dominant cost) ran
+    # as a single task — measured 1.8-2.8 s at sf0.1; spreading the scan
+    # across cores cuts it to ~0.85 s. At 100 TB the scan has natural
+    # splits and the repartition is a no-op-cost redundancy (common.py
+    # spread() docstring); the scoring itself stays zero-shuffle HOFs.
+    d = spread(table(spark, sf_dir, "documents").select("doc_id", "text"))
     ws = words_col(F.lower(F.col("text")))
     t = d.select("doc_id", ws.alias("ws"))
     # guard: Spark sequence(1, 0) is DESCENDING [1, 0] (NOTES gotcha),
