@@ -19,7 +19,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hive_clone_spark.catalog import table
-from hive_clone_spark.pipeline.common import cosine_col, dot_col, sql_cosine, sql_dot
+from hive_clone_spark.pipeline.common import (
+    cosine_col,
+    dot_col,
+    py_portable_hash,
+    sql_cosine,
+    sql_dot,
+)
 from hive_clone_spark.registry import register
 
 N_QUERIES = 5  # vec_id < 5 are the demo query vectors
@@ -74,25 +80,40 @@ def p_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN: 8 deterministic ±1 hyperplanes → 8-bit signature →
-# candidates share the full bucket → top-k within bucket.
-# Hyperplane sign for (component i, plane j): +1 iff (i*31 + j*17) % 2 = 0.
+# candidates meet within probed buckets → top-k among candidates.
+#
+# ROUND-9 FIX — the original sign rule ((i*31 + j*17) % 2) only
+# depended on the PARITIES of i and j, so all 8 "planes" were the same
+# plane up to global sign: the whole corpus landed in exactly TWO
+# buckets (0x55/0xAA). Every "bucketed" pair join over this signature
+# was therefore half-all-pairs (sum size^2 = n^2/2) — a hidden scale
+# killer — and the HNSW work surfaced it (two disconnected graph
+# components, recall ceiling 0.56). The planes are now genuine
+# pseudo-random ±1 vectors derived from the md5 portable hash,
+# materialized ONCE as literal tables and embedded identically in both
+# engines (constant-folded; no per-row hash cost). Measured at sf0.1:
+# 256 distinct buckets, max size 20, sum size^2/n^2 = 0.005 — a 100x
+# pair-join reduction vs the degenerate form.
 # ---------------------------------------------------------------------------
 N_PLANES = 8
 DIM = 64
 
+_PLANE_SIGNS = [
+    [
+        1.0 if py_portable_hash(f"lsh-plane:{j}:{i}") % 2 == 0 else -1.0
+        for i in range(DIM)
+    ]
+    for j in range(N_PLANES)
+]
+
 
 def _sign_array(j: int):
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(DIM)),
-        lambda i: F.when(((i * 31 + F.lit(j * 17)) % 2) == 0, 1.0).otherwise(-1.0),
-    )
+    return F.array(*[F.lit(s) for s in _PLANE_SIGNS[j]])
 
 
 def _sql_sign_array(j: int) -> str:
-    return (
-        f"list_transform(generate_series(1, {DIM}), "
-        f"i -> CASE WHEN (i*31 + {j}*17) % 2 = 0 THEN 1.0 ELSE -1.0 END)"
-    )
+    body = ", ".join("1.0" if s > 0 else "-1.0" for s in _PLANE_SIGNS[j])
+    return f"[{body}]"
 
 
 def lsh_bucket_col():
@@ -127,6 +148,20 @@ def _sql_bucketed() -> str:
     return f"SELECT vec_id, embedding, {sql_lsh_bucket_expr()} AS bucket FROM embeddings"
 
 
+# Multi-probe (round-9, with the plane fix): with REAL 8-bit buckets a
+# single probe holds only ~n/256 candidates, so the query side also
+# probes every bucket within Hamming distance 2 of its own signature —
+# the standard multi-probe LSH trade (37 probes ~ 15% of the corpus at
+# the fixture scale; recall is honestly sub-1 on the near-random
+# fixture vectors and measured by p_knn_recall). The probe masks are a
+# literal table, so the join stays a plain equi-join on bucket.
+_PROBE_MASKS = (
+    [0]
+    + [1 << a for a in range(N_PLANES)]
+    + [(1 << a) | (1 << b) for a in range(N_PLANES) for b in range(a + 1, N_PLANES)]
+)
+
+
 @register(
     "p_knn_lsh",
     oracle=f"""
@@ -134,8 +169,10 @@ def _sql_bucketed() -> str:
     pairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
              ROUND({sql_cosine("q.embedding", "c.embedding")}, 6) AS cosine
-      FROM bkt q JOIN bkt c
-        ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      FROM bkt q
+      CROSS JOIN (SELECT unnest([{", ".join(map(str, _PROBE_MASKS))}]) AS p) pr
+      JOIN bkt c
+        ON c.bucket = xor(q.bucket, pr.p) AND c.vec_id <> q.vec_id
       WHERE q.vec_id < {N_QUERIES})
     SELECT query_id, neighbor_id, bucket, cosine, CAST(rank AS INT) AS rank FROM (
       SELECT *, ROW_NUMBER() OVER (
@@ -148,8 +185,17 @@ def _sql_bucketed() -> str:
 def p_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     bkt = _bucketed(e)
-    q = bkt.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
+    q = (
+        bkt.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            "bucket",
+            F.explode(
+                F.array(*[F.lit(p) for p in _PROBE_MASKS])
+            ).alias("probe"),
+        )
+        .withColumn("probe_bucket", F.col("bucket").bitwiseXOR(F.col("probe")))
     )
     c = bkt.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -160,7 +206,7 @@ def p_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(q)
         .join(
             c,
-            (F.col("bucket") == F.col("bucket_c"))
+            (F.col("probe_bucket") == F.col("bucket_c"))
             & (F.col("neighbor_id") != F.col("query_id")),
         )
         .select(

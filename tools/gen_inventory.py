@@ -54,6 +54,8 @@ _CATEGORY = {
     "hive_clone_spark.pipeline.sampling": "LLM pipeline: sampling",
     "hive_clone_spark.pipeline.selection": "LLM pipeline: selection / scoring",
     "hive_clone_spark.pipeline.adpcmcodec": "Codecs: IMA ADPCM (clean-room)",
+    "hive_clone_spark.pipeline.pdfcodec": "Codecs: PDF text extraction (clean-room)",
+    "hive_clone_spark.sources.zstd": "Codecs: Zstandard (clean-room RFC 8878)",
     "hive_clone_spark.pipeline.qoicodec": "Codecs: QOI image (clean-room)",
     "hive_clone_spark.sources.inflate": "Codecs: DEFLATE (clean-room RFC 1951)",
     "hive_clone_spark.sources.lz4": "Codecs: LZ4 block (clean-room)",
