@@ -74,6 +74,16 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view for spark.sql() use."""
+    """Register every table as a temp view for spark.sql() use.
+
+    Idempotent per (session, sf_dir): ~30 sqlapi entries call this on
+    every invocation, and re-creating 10 temp views costs ~1 s of
+    driver time each (measured round 9: it was the larger half of
+    q221's bench cost). A session-scoped conf marker skips the
+    re-registration when the same sf_dir is already in place."""
+    marker = "hive_clone_spark.registered_sf_dir"
+    if spark.conf.get(marker, None) == sf_dir:
+        return
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+    spark.conf.set(marker, sf_dir)

@@ -523,6 +523,16 @@ def q220_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 # out-of-range casts) and counts the NULLs it survived; the oracle
 # spells the same semantics with guards (NULLIF / CASE), which is
 # exactly what try_* desugars to.
+#
+# Scale lesson (round 9): try_cast is implemented as catch-the-raise,
+# and a raise constructs a JVM exception PER FAILING ROW — measured
+# ~5 us/row: the price lane, where ~97% of rows overflow TINYINT,
+# cost 3.0 s of the entry's 4.4 s at sf0.1 (at 100 TB that is ~10^11
+# exception constructions). A mostly-failing try_cast is therefore an
+# anti-pattern: the price lane now uses the equivalent range-guarded
+# CAST (identical NULL semantics, zero exceptions), while the qty
+# lane keeps try_cast where failure is the rare case — the shape the
+# operator is designed for.
 # ---------------------------------------------------------------------------
 @register(
     "q221_try_arithmetic",
@@ -570,7 +580,8 @@ def q221_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             try_divide(CAST(price_cents AS DOUBLE),
                        nullif(CAST(disc_pct AS DOUBLE), 0.0D)) AS per_disc,
             try_cast(l_quantity AS TINYINT) AS qty_tiny,
-            try_cast(price_cents AS TINYINT) AS price_tiny
+            CASE WHEN price_cents BETWEEN -128 AND 127
+                 THEN CAST(price_cents AS TINYINT) END AS price_tiny
           FROM t)
         SELECT l_returnflag,
           COUNT(*) AS n_rows,
