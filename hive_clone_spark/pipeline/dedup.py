@@ -19,6 +19,7 @@ from hive_clone_spark.pipeline.common import (
     SQL_WORDS,
     portable_hash,
     shingles_col,
+    spread,
     sql_portable_hash,
     sql_shingles,
     words_col,
@@ -117,7 +118,7 @@ def p_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it once instead of re-exploding the corpus three times. Shingles
     # are hashed to int64 BEFORE the distinct so every shuffle moves
     # 8-byte keys, not ~50-char strings (oracle hashes identically).
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     # project the words array FIRST: inlining split() inside the shingle
     # transform makes codegen re-split the text once per array element
     # (measured 3x slower); as a bound attribute it's evaluated once
@@ -228,7 +229,7 @@ def _simhash_bits_sql() -> str:
     """,
 )
 def p_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     words = d.select("doc_id", F.explode(words_col(F.col("text"))).alias("w"))
     # md5 is the per-row cost driver: hash each DISTINCT word once
     # (vocabulary ≪ occurrences) and broadcast-join the lexicon back,
@@ -1144,7 +1145,7 @@ _INC_TAU = 0.5
 def p_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     ssets = (
         d.select("doc_id", words_col(F.col("text")).alias("words"))
         .select("doc_id", F.explode(shingles_col(F.col("words"))).alias("shingle"))
@@ -1650,7 +1651,7 @@ _RECALL_TAU = 0.5
     """,
 )
 def p_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     ssets = (
         d.select("doc_id", words_col(F.col("text")).alias("words"))
         .select(

@@ -2427,7 +2427,7 @@ def p_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
     from hive_clone_spark.pipeline.common import shingles_col
 
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     pairs = d.select(
         "doc_id",
         F.explode(shingles_col(words_col(F.lower(F.col("text"))), 2)).alias("g"),
