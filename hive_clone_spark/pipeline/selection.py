@@ -84,7 +84,7 @@ from hive_clone_spark.registry import register
     """,
 )
 def p_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     # project ws/n/sbg to columns first: HOF lambdas re-evaluate
     # captured outer EXPRESSIONS per element (column refs are fine)
     w = d.select("doc_id", words_col(F.lower(F.col("text"))).alias("ws"))
@@ -217,7 +217,7 @@ def _sql_bigrams(src: str) -> str:
     """,
 )
 def p_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     t = d.select("doc_id", "lang", words_col(F.lower(F.col("text"))).alias("ws"))
     tail = F.greatest(F.size("ws") - 1, F.lit(0))
     bg = t.select(

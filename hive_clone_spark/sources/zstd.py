@@ -825,9 +825,8 @@ def _encode_literals(lits: bytes) -> bytes:
     if co + 5 >= size:
         return raw_section()
     body = bytes(packed) + jump + b"".join(streams)
-    if size <= 1023 and co <= 1023:
-        H = 2 | (1 << 2) | (size << 4) | (co << 14)
-        return H.to_bytes(3, "little") + body
+    # (SF 01 — 4 streams with 10-bit sizes — is unreachable here: the
+    # single-stream path above already claims every size <= 1023)
     if size <= 16383 and co <= 16383:
         H = 2 | (2 << 2) | (size << 4) | (co << 18)
         return H.to_bytes(4, "little") + body

@@ -298,3 +298,23 @@ def test_q216_plan_has_dynamic_pruning(spark, sf_dir):
 
     plan = dpp_plan(spark, sf_dir)
     assert "dynamicpruning" in plan.lower()
+
+
+def test_register_views_memoized_per_sf_dir(spark):
+    """register_views skips re-registration for the same (session,
+    sf_dir) — ~30 SQL-text entries call it per invocation and paid
+    ~1 s each re-creating ten temp views — but MUST re-register when
+    the sf_dir changes, or a bench at sf0.1 would silently read the
+    views a prior sf0.01 call left behind."""
+    from hive_clone_spark.catalog import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    n1 = spark.sql("SELECT COUNT(*) AS n FROM orders").first()["n"]
+    register_views(spark, "/root/testdata/sf0.01")
+    n2 = spark.sql("SELECT COUNT(*) AS n FROM orders").first()["n"]
+    assert n2 > n1  # sf switch re-registered
+    marker = spark.conf.get("hive_clone_spark.registered_sf_dir")
+    assert marker == "/root/testdata/sf0.01"
+    # idempotent second call: marker unchanged, views still correct
+    register_views(spark, "/root/testdata/sf0.01")
+    assert spark.sql("SELECT COUNT(*) AS n FROM orders").first()["n"] == n2

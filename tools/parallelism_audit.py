@@ -1,0 +1,123 @@
+"""Per-query task-parallelism audit (round-9 lesson, made a tool).
+
+Round 9 found four multi-second bench entries whose dominant stage ran
+as a SINGLE task (1-split fixture scans feeding interpreted HOF work;
+a broadcast theta join streaming from the one partition a global
+window leaves) — invisible in `.explain()` output, because the plan
+is identical whether a scan has 1 split or 200. This tool measures
+what the plan cannot show: it runs each registered query under its
+own job group and reads the StatusTracker's per-stage task counts,
+flagging queries over a wall-time threshold whose work includes
+single-task stages.
+
+A flagged query is a LEAD, not a verdict: final limits, 1-row
+aggregates, and driver-bounded fixpoint probes legitimately run
+1-task stages. The signal is a SLOW query whose single-task stages
+dominate (high wall time + few multi-task stages) — exactly the
+p_quality_classifier / q234 / p_ngram_novelty shape.
+
+Usage:
+    python tools/parallelism_audit.py [name-substring ...]
+        [--threshold 1.5] [--sf-dir /root/testdata/sf0.1]
+
+Writes parallelism_audit.json next to this file and prints flagged
+queries. Not CI-gated (it executes the suite); the importable helpers
+are smoke-tested in tests/test_sources.py.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO))
+
+
+def audit_query(spark, name: str, fn, sf_dir: str) -> dict:
+    """Run one query under a job group; return wall time + per-stage
+    task counts."""
+    sc = spark.sparkContext
+    sc.setJobGroup(name, name, interruptOnCancel=False)
+    t0 = time.perf_counter()
+    err = None
+    try:
+        fn(spark, sf_dir).collect()
+    except Exception as e:  # diagnostic tool: record, keep going
+        err = f"{type(e).__name__}: {e}"
+    wall = round(time.perf_counter() - t0, 3)
+    st = sc.statusTracker()
+    stage_tasks: list[tuple[int, int]] = []
+    for jid in st.getJobIdsForGroup(name):
+        ji = st.getJobInfo(jid)
+        if ji is None:
+            continue
+        for sid in ji.stageIds:
+            si = st.getStageInfo(sid)
+            if si is not None:
+                stage_tasks.append((int(sid), int(si.numTasks)))
+    stage_tasks = sorted(set(stage_tasks))
+    sc.setJobGroup(None, None)
+    return {
+        "name": name,
+        "wall_sec": wall,
+        "error": err,
+        "n_stages": len(stage_tasks),
+        "n_single_task_stages": sum(1 for _, n in stage_tasks if n == 1),
+        "max_tasks": max((n for _, n in stage_tasks), default=0),
+        "stages": stage_tasks,
+    }
+
+
+def flag(row: dict, threshold: float) -> bool:
+    """A slow query whose stages are mostly (or entirely) single-task."""
+    if row["error"] or row["wall_sec"] < threshold or row["n_stages"] == 0:
+        return False
+    single_frac = row["n_single_task_stages"] / row["n_stages"]
+    return row["max_tasks"] == 1 or single_frac >= 0.5
+
+
+def main() -> int:
+    import os
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    threshold = 1.5
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold"):
+            threshold = float(a.split("=", 1)[1])
+        elif a.startswith("--sf-dir"):
+            sf_dir = a.split("=", 1)[1]
+
+    from hive_clone_spark import registry
+    from hive_clone_spark.session import get_spark
+
+    registry.load_all_modules()
+    spark = get_spark(app_name="parallelism-audit")
+    names = [
+        n
+        for n in sorted(registry.QUERIES)
+        if not n.startswith("g_") and (not args or any(a in n for a in args))
+    ]
+    rows = []
+    for name in names:
+        row = audit_query(spark, name, registry.QUERIES[name], sf_dir)
+        rows.append(row)
+        if flag(row, threshold):
+            print(
+                f"FLAG {name}: {row['wall_sec']}s, "
+                f"{row['n_single_task_stages']}/{row['n_stages']} single-task "
+                f"stages, max parallelism {row['max_tasks']}"
+            )
+    out = Path(__file__).resolve().parent / "parallelism_audit.json"
+    out.write_text(json.dumps({"threshold": threshold, "sf_dir": sf_dir,
+                               "queries": rows}, indent=1, sort_keys=True))
+    flagged = [r["name"] for r in rows if flag(r, threshold)]
+    print(f"audited {len(rows)} queries; flagged {len(flagged)}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
