@@ -993,7 +993,12 @@ _MRL_DIMS = (32, 16)
 
 
 def _mrl_pairs(spark: SparkSession, sf_dir: str, d: int) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings")
+    from hive_clone_spark.pipeline.common import spread
+
+    # spread: the 1-split embeddings scan ran every truncation's
+    # corpus-side cosine pass on one core (round-9 parallelism audit:
+    # 33/33 single-task stages); results unchanged, scan parallel
+    e = spread(table(spark, sf_dir, "embeddings"))
     trunc = e.select(
         "vec_id", F.slice("embedding", 1, d).alias("v")
     )

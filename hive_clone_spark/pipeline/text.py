@@ -1600,7 +1600,7 @@ _BM25_TOPK = 10
 def p_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     words = words_col(F.col("text"))
     tf = (
         d.select("doc_id", F.explode(words).alias("w"))
