@@ -140,3 +140,31 @@ def test_salted_join_salt_survives_in_plan(spark):
     assert len(key_lines) >= 2, plan
     for ln in key_lines:
         assert "salt" in ln and "hot_key" in ln, ln
+
+
+def test_gate_scales_threshold_by_calibration_ratio():
+    """A run on a measurably slower machine (calibration probe) gets a
+    proportionally looser per-query threshold — the same-day 0.38 ->
+    0.66 epoch swing flagged q152 at 1.51x with zero code change. The
+    scaling caps at CAL_SCALE_CAP so a genuinely broken plan can never
+    hide behind a slow host, and a faster machine never tightens the
+    gate."""
+    from tools.bench_gate import CAL_SCALE_CAP
+
+    base = dict(_detail({"q1": 2.0}), calibration_sec=0.40)
+    # 1.6x on a 1.3x-slower machine: within scaled threshold -> pass
+    slow = dict(_detail({"q1": 3.2}), calibration_sec=0.52)
+    assert compare(slow, base) == []
+    # same 1.6x on an equal-speed machine -> regression
+    same = dict(_detail({"q1": 3.2}), calibration_sec=0.40)
+    assert len(compare(same, base)) == 1
+    # cap: even a 3x-slower probe cannot excuse a 2.2x query
+    crawl = dict(_detail({"q1": 4.4}), calibration_sec=1.20)
+    assert CAL_SCALE_CAP < 2.2 / 1.5
+    assert len(compare(crawl, base)) == 1
+    # faster machine: plain threshold still applies (no tightening)
+    fast = dict(_detail({"q1": 2.9}), calibration_sec=0.20)
+    assert compare(fast, base) == []
+    # artifacts without calibration fields fall back to the plain gate
+    legacy = _detail({"q1": 3.2})
+    assert len(compare(legacy, _detail({"q1": 2.0}))) == 1

@@ -29,6 +29,14 @@ from pathlib import Path
 
 THRESHOLD = 1.5
 ABS_FLOOR_SEC = 0.75
+# Machine-speed normalization (round 9): both artifacts carry
+# calibration_sec — a fixed warm probe whose wall time varies only
+# with the VM (measured same-day swing on one host: 0.38 -> 0.66).
+# A run on a slower machine than the baseline's gets its threshold
+# scaled by the calibration ratio, capped so a genuinely broken plan
+# (2x+) can never hide behind a slow host; a FASTER machine never
+# tightens the gate below THRESHOLD.
+CAL_SCALE_CAP = 1.4
 
 _REPO = Path(__file__).resolve().parent.parent
 DEFAULT_RUN = _REPO / "bench_detail.json"
@@ -46,14 +54,21 @@ def compare(run: dict, baseline: dict) -> list[str]:
             " — medians are not comparable"
         )
         return problems
+    cal_r = run.get("calibration_sec")
+    cal_b = baseline.get("calibration_sec")
+    cal_scale = 1.0
+    if cal_r and cal_b and cal_r > cal_b:
+        cal_scale = min(cal_r / cal_b, CAL_SCALE_CAP)
+    threshold = THRESHOLD * cal_scale
     for name in sorted(base_q):
         if name not in run_q:
             problems.append(f"{name}: present in baseline but missing from run")
             continue
         b, r = base_q[name], run_q[name]
-        if r > b * THRESHOLD and r - b > ABS_FLOOR_SEC:
+        if r > b * threshold and r - b > ABS_FLOOR_SEC * cal_scale:
             problems.append(
-                f"{name}: {r:.2f}s vs baseline {b:.2f}s ({r / b:.2f}x)"
+                f"{name}: {r:.2f}s vs baseline {b:.2f}s ({r / b:.2f}x, "
+                f"threshold {threshold:.2f}x at cal ratio {cal_scale:.2f})"
             )
     # totals compare over the SHARED query set only: a registry that
     # grew since the snapshot raises the raw run total without any
@@ -65,8 +80,8 @@ def compare(run: dict, baseline: dict) -> list[str]:
     if (
         total_b
         and total_r
-        and total_r > total_b * THRESHOLD
-        and total_r - total_b > 5.0
+        and total_r > total_b * threshold
+        and total_r - total_b > 5.0 * cal_scale
     ):
         problems.append(
             f"TOTAL(shared {len(shared)}q): {total_r:.2f}s vs baseline "
