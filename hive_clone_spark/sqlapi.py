@@ -1108,8 +1108,11 @@ def q248_script_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   DELETE FROM t WHERE <predicate>
 #   UPDATE t SET col = expr [, ...] WHERE <predicate>
 #   MERGE INTO t USING src ON t.k = src.k
-#     WHEN MATCHED THEN UPDATE SET col = expr [, ...]
-#     WHEN NOT MATCHED THEN INSERT *
+#     { WHEN MATCHED [AND cond] THEN UPDATE SET col = expr [, ...]
+#     | WHEN MATCHED [AND cond] THEN DELETE
+#     | WHEN NOT MATCHED [BY TARGET] [AND cond] THEN INSERT *
+#     | WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE
+#     | WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET ... }+
 # Predicates and SET expressions pass through Catalyst via F.expr —
 # the parser extracts structure, not expression semantics. File
 # pruning derives from a `col BETWEEN lo AND hi` conjunct on the
@@ -1131,12 +1134,27 @@ _DML_UPDATE_RE = _re.compile(
     r"WHERE\s+(?P<where>.+?)\s*;?\s*$",
     _re.IGNORECASE | _re.DOTALL,
 )
-_DML_MERGE_RE = _re.compile(
+# MERGE splits into a header + a WHEN-clause list (round-10 verdict
+# task 4 added the remaining production CDC shapes):
+#   WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE
+#   WHEN NOT MATCHED [BY TARGET] [AND cond] THEN INSERT *
+#   WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE | UPDATE SET ...
+# Clauses apply per row in statement order, first-true wins — the
+# standard MERGE cascade. Conditions pass through Catalyst via F.expr
+# (so they may not themselves contain the keywords WHEN/THEN — the
+# production-shaped subset, same caveat as the dialect lowerings).
+_DML_MERGE_HDR_RE = _re.compile(
     r"^\s*MERGE\s+INTO\s+(?P<tbl>\w+)(?:\s+AS)?(?:\s+(?P<talias>\w+))?\s+"
     r"USING\s+(?P<src>\w+)(?:\s+AS)?(?:\s+(?P<salias>\w+))?\s+"
-    r"ON\s+(?P<on>.+?)\s+"
-    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(?P<sets>.+?)\s+"
-    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$",
+    r"ON\s+(?P<on>.+?)\s+(?=WHEN\s)",
+    _re.IGNORECASE | _re.DOTALL,
+)
+_DML_WHEN_RE = _re.compile(
+    r"WHEN\s+(?P<neg>NOT\s+)?MATCHED"
+    r"(?P<bysrc>\s+BY\s+SOURCE)?(?:\s+BY\s+TARGET)?"
+    r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+    r"(?P<action>UPDATE\s+SET\s+.+?|DELETE|INSERT\s+\*)"
+    r"(?=\s+WHEN\s|\s*;?\s*$)",
     _re.IGNORECASE | _re.DOTALL,
 )
 _DML_BETWEEN_RE = _re.compile(
@@ -1177,6 +1195,18 @@ def _dml_prune_range(where: str, stats_col: str, m: int) -> tuple[int, int]:
     return 0, m
 
 
+def _read_affected(spark, tl, all_files: list[str], affected: list[str]):
+    """DataFrame over the affected files; when pruning chose none, an
+    empty frame with the table's schema (spark.read.parquet with zero
+    paths cannot infer one) so a no-op statement commits add=[] instead
+    of crashing."""
+    if affected:
+        return spark.read.parquet(*[str(tl.root / f) for f in affected])
+    return spark.read.parquet(
+        *[str(tl.root / f) for f in all_files]
+    ).where(F.lit(False))
+
+
 def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
     """Parse one DML statement and execute it as a txlog commit.
     Returns the op name recorded in the log."""
@@ -1191,9 +1221,15 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
         lo, hi = _dml_prune_range(where, "o_orderkey", m)
         while True:
             expected = tl.latest_version()
-            _all, affected = tl.scan_files("o_orderkey", lo, hi, version=expected)
-            aff_df = spark.read.parquet(*[str(tl.root / f) for f in affected])
-            survivors = _with_bucket(aff_df.where(~F.expr(where)), m)
+            all_f, affected = tl.scan_files("o_orderkey", lo, hi, version=expected)
+            aff_df = _read_affected(spark, tl, all_f, affected)
+            # SQL DELETE removes only rows where the predicate is TRUE;
+            # a plain ~expr also drops NULL-predicate rows (three-valued
+            # logic: NOT NULL = NULL, filtered out). eqNullSafe pins
+            # NULL to "not deleted".
+            survivors = _with_bucket(
+                aff_df.where(~F.expr(where).eqNullSafe(F.lit(True))), m
+            )
             adds = tl.stage_data_partitioned(
                 survivors, "bucket", _bucket_stats(survivors)
             )
@@ -1209,14 +1245,24 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
         lo, hi = _dml_prune_range(where, "o_orderkey", m)
         while True:
             expected = tl.latest_version()
-            _all, affected = tl.scan_files("o_orderkey", lo, hi, version=expected)
-            aff_df = spark.read.parquet(*[str(tl.root / f) for f in affected])
-            upd = aff_df
-            for col, expr in sets:
-                upd = upd.withColumn(
-                    col,
-                    F.when(F.expr(where), F.expr(expr)).otherwise(F.col(col)),
-                )
+            all_f, affected = tl.scan_files("o_orderkey", lo, hi, version=expected)
+            aff_df = _read_affected(spark, tl, all_f, affected)
+            # SQL UPDATE evaluates every SET RHS against the PRE-update
+            # row (so `SET a = b, b = a` swaps); a chained withColumn
+            # would let later assignments see earlier targets' new
+            # values. One select computes all overrides against the
+            # un-mutated frame. A NULL WHERE falls to otherwise(): the
+            # row is not updated, matching TRUE-only UPDATE semantics.
+            set_map = dict(sets)
+            cond = F.expr(where)
+            upd = aff_df.select(
+                *[
+                    F.when(cond, F.expr(set_map[c])).otherwise(F.col(c)).alias(c)
+                    if c in set_map
+                    else F.col(c)
+                    for c in aff_df.columns
+                ]
+            )
             rewritten = _with_bucket(upd, m)
             adds = tl.stage_data_partitioned(
                 rewritten, "bucket", _bucket_stats(rewritten)
@@ -1228,10 +1274,35 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
             except CommitConflictError:
                 continue
 
-    if (mt := _DML_MERGE_RE.match(statement)) is not None:
-        talias = mt.group("talias") or mt.group("tbl")
-        salias = mt.group("salias") or mt.group("src")
-        on, sets = mt.group("on"), _split_assignments(mt.group("sets"))
+    if (mh := _DML_MERGE_HDR_RE.match(statement)) is not None:
+        talias = mh.group("talias") or mh.group("tbl")
+        salias = mh.group("salias") or mh.group("src")
+        on = mh.group("on")
+        clauses = []  # (side, kind, cond, sets) in statement order
+        for wm in _DML_WHEN_RE.finditer(statement, mh.end()):
+            action = wm.group("action")
+            kind = action.split(None, 1)[0].lower()  # update | delete | insert
+            if wm.group("neg") and wm.group("bysrc"):
+                side = "by_source"  # target rows with no source match
+            elif wm.group("neg"):
+                side = "not_matched"  # source rows with no target match
+            else:
+                side = "matched"
+            if side == "not_matched" and kind != "insert":
+                raise ValueError("WHEN NOT MATCHED [BY TARGET] only supports INSERT *")
+            if side != "not_matched" and kind == "insert":
+                raise ValueError("INSERT is only valid in WHEN NOT MATCHED")
+            sets = (
+                _split_assignments(
+                    _re.split(r"\bSET\b", action, maxsplit=1,
+                              flags=_re.IGNORECASE)[1]
+                )
+                if kind == "update"
+                else []
+            )
+            clauses.append((side, kind, wm.group("cond"), sets))
+        if not clauses:
+            raise ValueError("MERGE needs at least one WHEN clause")
         onm = _DML_ON_RE.search(on)
         if onm is None:
             raise ValueError("MERGE ON must be an alias.col = alias.col equality")
@@ -1240,47 +1311,98 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
             src_key, tgt_key = c1, c2
         else:
             src_key, tgt_key = c2, c1
-        src_df = spark.table(mt.group("src"))
+        src_df = spark.table(mh.group("src"))
+        tgt_clauses = [c for c in clauses if c[0] in ("matched", "by_source")]
+        ins_clauses = [c for c in clauses if c[0] == "not_matched"]
+        has_by_source = any(c[0] == "by_source" for c in clauses)
         bounds = src_df.agg(
             F.min(src_key).alias("lo"), F.max(src_key).alias("hi")
         ).collect()[0]
         while True:
             expected = tl.latest_version()
-            _all, affected = tl.scan_files(
+            all_files, pruned = tl.scan_files(
                 tgt_key, int(bounds["lo"]), int(bounds["hi"]), version=expected
             )
-            aff_df = spark.read.parquet(*[str(tl.root / f) for f in affected])
+            # A BY SOURCE clause can touch ANY target row (its subject
+            # is rows the source does NOT match), so source-bound file
+            # skipping is unsound there — every active file is affected.
+            affected = all_files if has_by_source else pruned
+            aff_df = _read_affected(spark, tl, all_files, affected)
             tgt_cols = [c for c in aff_df.columns if c != "bucket"]
             joined = (
                 aff_df.alias(talias)
                 .join(F.broadcast(src_df).alias(salias), F.expr(on), "left")
             )
             matched = F.col(f"{salias}.{src_key}").isNotNull()
-            overrides = {c: F.when(matched, F.expr(e)).otherwise(
-                F.col(f"{talias}.{c}")) for c, e in sets}
-            rewritten = _with_bucket(
-                joined.select(
-                    *[overrides.get(c, F.col(f"{talias}.{c}")).alias(c)
-                      for c in tgt_cols]
-                ),
-                m,
+            # First-true-wins clause cascade: one action tag per target
+            # row ("u<i>" = update by clause i, "d" = delete, "keep").
+            # A NULL AND-condition never fires its clause (eqNullSafe),
+            # matching MERGE's TRUE-only clause conditions.
+            act = None
+            for i, (side, kind, cond, _sets) in enumerate(tgt_clauses):
+                c = matched if side == "matched" else ~matched
+                if cond:
+                    c = c & F.expr(cond).eqNullSafe(F.lit(True))
+                tag = F.lit(f"u{i}" if kind == "update" else "d")
+                act = F.when(c, tag) if act is None else act.when(c, tag)
+            act = act.otherwise(F.lit("keep"))
+            survivors = joined.withColumn("__dml_action", act).where(
+                F.col("__dml_action") != "d"
             )
-            inserts = (
-                src_df.alias(salias)
-                .join(aff_df.alias(talias), F.expr(on), "left_anti")
-                .select(*tgt_cols)
-            )
-            ins_bounds = inserts.agg(
-                F.min(tgt_key).alias("lo"), F.max(tgt_key).alias("hi")
-            ).collect()[0]
+            # All SET RHS evaluate against the pre-merge joined row
+            # (simultaneous-assignment semantics, as in UPDATE above).
+            out_cols = []
+            for c in tgt_cols:
+                val = F.col(f"{talias}.{c}")
+                for i, (_side, kind, _cond, sets) in reversed(
+                    list(enumerate(tgt_clauses))
+                ):
+                    smap = dict(sets)
+                    if kind == "update" and c in smap:
+                        val = F.when(
+                            F.col("__dml_action") == f"u{i}", F.expr(smap[c])
+                        ).otherwise(val)
+                out_cols.append(val.alias(c))
+            rewritten = _with_bucket(survivors.select(*out_cols), m)
             adds = tl.stage_data_partitioned(
                 rewritten, "bucket", _bucket_stats(rewritten)
             )
-            ins_adds = tl.stage_data(inserts, n_files=1)
-            for a in ins_adds:
-                a["stats"] = {
-                    tgt_key: [int(ins_bounds["lo"]), int(ins_bounds["hi"])]
-                }
+            ins_adds: list[dict] = []
+            if ins_clauses:
+                # INSERT *: source columns by name; target columns the
+                # source lacks are NULL-filled at the target type (the
+                # INSERT(cols) behavior for unlisted columns)
+                tgt_types = dict(aff_df.dtypes)
+                inserts = (
+                    src_df.alias(salias)
+                    .join(aff_df.alias(talias), F.expr(on), "left_anti")
+                    .select(
+                        *[
+                            F.col(f"{salias}.{c}")
+                            if c in src_df.columns
+                            else F.lit(None).cast(tgt_types[c]).alias(c)
+                            for c in tgt_cols
+                        ]
+                    )
+                )
+                ins_cond = ins_clauses[0][2]
+                if ins_cond:
+                    inserts = inserts.where(
+                        F.expr(ins_cond).eqNullSafe(F.lit(True))
+                    )
+                ins_bounds = inserts.agg(
+                    F.min(tgt_key).alias("lo"), F.max(tgt_key).alias("hi")
+                ).collect()[0]
+                # No NOT-MATCHED rows -> no insert file. Staging an
+                # empty file would crash on int(None) bounds and leave
+                # a stats-less add-action in the log.
+                if ins_bounds["lo"] is not None:
+                    ins_adds = tl.stage_data(inserts, n_files=1)
+                    for a in ins_adds:
+                        a["stats"] = {
+                            tgt_key: [int(ins_bounds["lo"]),
+                                      int(ins_bounds["hi"])]
+                        }
             try:
                 tl.commit("merge", add=adds + ins_adds, remove=affected,
                           expected_version=expected)
@@ -1336,7 +1458,16 @@ _DML_INSERTS = 100
     tot AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_tot,
         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s_tot
-      FROM b)
+      FROM b),
+    keep_ AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keep,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s_keep,
+        CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_bkt
+      FROM b, mx WHERE o_orderkey <= m // 8),
+    purgeb AS (
+      SELECT CAST(COUNT(DISTINCT ((m + i) * 16) // (m + 1)) AS BIGINT)
+        AS n_bkt4
+      FROM generate_series(2, 100, 2) AS t(i), mx)
     SELECT CAST(0 AS BIGINT) AS version, 'append' AS op,
       CAST(16 AS BIGINT) AS n_added, CAST(0 AS BIGINT) AS n_removed,
       n_tot AS n_rows, CAST(s_tot AS DOUBLE) AS sum_price
@@ -1356,6 +1487,17 @@ _DML_INSERTS = 100
            + CAST(50.00 AS DECIMAL(18,2)) * n_m
            + CAST(100 * 25.25 AS DECIMAL(18,2)) AS DOUBLE)
     FROM tot, del_, upd, mrg, aff3
+    UNION ALL
+    SELECT CAST(4 AS BIGINT), 'merge', n_bkt4, CAST(1 AS BIGINT),
+      n_tot - n_del + 50,
+      CAST(s_tot - s_del + s_upd - s_m
+           + CAST(50.00 AS DECIMAL(18,2)) * n_m
+           + CAST(50 * 1.00 AS DECIMAL(18,2)) AS DOUBLE)
+    FROM tot, del_, upd, mrg, purgeb
+    UNION ALL
+    SELECT CAST(5 AS BIGINT), 'merge', n_bkt, CAST(16 AS BIGINT) + n_bkt4,
+      n_keep, CAST(s_keep AS DOUBLE)
+    FROM keep_, purgeb
     ORDER BY version
     """,
 )
@@ -1405,5 +1547,36 @@ def q254_sql_dml_txlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ON t.o_orderkey = s.o_orderkey"
         " WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice"
         " WHEN NOT MATCHED THEN INSERT *",
+    )
+    # v4 — matched-DELETE cascade (round-10 verdict task 4) over the
+    # 100 keys inserted at v3: even keys re-priced to 1.00 by the
+    # conditional first clause, odd keys fall through to DELETE. The
+    # source bounds [m+1, m+100] prune to exactly the one insert file
+    # (n_added = n_removed = 1 in the ledger proves it).
+    purge = spark.range(1, _DML_INSERTS + 1).select(
+        (F.lit(m) + F.col("id")).alias("o_orderkey"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    purge.createOrReplaceTempView("q254_purge_src")
+    txlog_sql_dml(
+        spark, tl, m,
+        "MERGE INTO orders_tx AS t USING q254_purge_src AS s"
+        " ON t.o_orderkey = s.o_orderkey"
+        " WHEN MATCHED AND t.o_orderkey % 2 = 0"
+        " THEN UPDATE SET o_totalprice = s.o_totalprice"
+        " WHEN MATCHED THEN DELETE",
+    )
+    # v5 — NOT MATCHED BY SOURCE DELETE (retention sync): only keys the
+    # source still lists survive. BY SOURCE voids source-bound pruning
+    # (any row may be unmatched), so every active file is rewritten —
+    # n_removed = every live file, the honest cost of this shape.
+    o.where(F.col("o_orderkey") <= m // 8).createOrReplaceTempView(
+        "q254_keep_src"
+    )
+    txlog_sql_dml(
+        spark, tl, m,
+        "MERGE INTO orders_tx AS t USING q254_keep_src AS s"
+        " ON t.o_orderkey = s.o_orderkey"
+        " WHEN NOT MATCHED BY SOURCE THEN DELETE",
     )
     return _version_ledger(spark, tl)

@@ -1,0 +1,182 @@
+"""SQL-DML lowering edge cases (round-10 advice items).
+
+q254's oracle exercises the happy paths; these tests pin the
+three-valued-logic and simultaneous-assignment corners that a
+general-purpose DML executor must get right even though the ledger
+entry never hits them:
+
+  * DELETE with a predicate that is NULL for some rows must KEEP those
+    rows (SQL deletes only where the predicate is TRUE);
+  * UPDATE evaluates every SET RHS against the pre-update row, so
+    ``SET a = b, b = a`` swaps instead of copying;
+  * MERGE whose source has no NOT-MATCHED rows stages no insert file
+    (previously crashed on int(None) bounds);
+  * MERGE WHEN MATCHED THEN DELETE / WHEN NOT MATCHED BY SOURCE
+    cascade ordering (first-true-wins).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from hive_clone_spark.sqlapi import txlog_sql_dml
+from hive_clone_spark.sources.txlog import (
+    TxLog,
+    _bucket_stats,
+    _with_bucket,
+)
+
+
+@pytest.fixture()
+def small_log(spark, tmp_path):
+    """A 16-bucket log over keys 1..30 with a NULLABLE flag column."""
+    m = 30
+    df = spark.range(1, m + 1).select(
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") * 10.0).alias("o_totalprice"),
+        # flag: NULL for keys % 3 == 0, else key % 2 == 0
+        F.when(F.col("id") % 3 == 0, F.lit(None).cast("boolean"))
+        .otherwise(F.col("id") % 2 == 0)
+        .alias("flag"),
+    )
+    tl = TxLog(str(tmp_path / "log")).create()
+    bucketed = _with_bucket(df, m)
+    tl.commit(
+        "append",
+        add=tl.stage_data_partitioned(bucketed, "bucket", _bucket_stats(bucketed)),
+    )
+    return tl, m
+
+
+def _read(spark, tl):
+    return tl.read(spark, tl.latest_version())
+
+
+def test_delete_null_predicate_keeps_rows(spark, small_log):
+    tl, m = small_log
+    txlog_sql_dml(spark, tl, m, "DELETE FROM t WHERE flag")
+    keys = sorted(r["o_orderkey"] for r in _read(spark, tl).collect())
+    # deleted: flag TRUE = even keys not divisible by 3; NULL-flag rows
+    # (multiples of 3) and FALSE rows survive
+    expected = [k for k in range(1, m + 1) if not (k % 2 == 0 and k % 3 != 0)]
+    assert keys == expected
+
+
+def test_update_simultaneous_assignment_swaps(spark, small_log):
+    tl, m = small_log
+    # o_totalprice <-> o_orderkey swap on keys 1..5: each RHS must see
+    # the PRE-update value of the other column
+    txlog_sql_dml(
+        spark, tl, m,
+        "UPDATE t SET o_orderkey = CAST(o_totalprice AS BIGINT),"
+        " o_totalprice = CAST(o_orderkey AS DOUBLE)"
+        " WHERE o_orderkey BETWEEN 1 AND 5",
+    )
+    rows = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in _read(spark, tl).where(F.col("o_totalprice") <= 5.0).collect()
+    }
+    assert rows == {10: 1.0, 20: 2.0, 30: 3.0, 40: 4.0, 50: 5.0}
+
+
+def test_update_null_predicate_rows_unchanged(spark, small_log):
+    tl, m = small_log
+    txlog_sql_dml(spark, tl, m, "UPDATE t SET o_totalprice = 0.0 WHERE flag")
+    prices = {
+        r["o_orderkey"]: r["o_totalprice"] for r in _read(spark, tl).collect()
+    }
+    for k in range(1, m + 1):
+        if k % 2 == 0 and k % 3 != 0:  # flag TRUE
+            assert prices[k] == 0.0
+        else:  # flag FALSE or NULL: untouched
+            assert prices[k] == k * 10.0
+
+
+def test_merge_no_inserts_stages_no_file(spark, small_log):
+    tl, m = small_log
+    # source keys all exist in the target -> zero NOT-MATCHED rows
+    spark.range(1, 6).select(
+        F.col("id").alias("o_orderkey"), F.lit(99.0).alias("o_totalprice")
+    ).createOrReplaceTempView("dml_src_allmatch")
+    txlog_sql_dml(
+        spark, tl, m,
+        "MERGE INTO t USING dml_src_allmatch AS s ON t.o_orderkey = s.o_orderkey"
+        " WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice"
+        " WHEN NOT MATCHED THEN INSERT *",
+    )
+    snap = _read(spark, tl)
+    assert snap.count() == m  # no phantom inserts
+    assert snap.where(F.col("o_totalprice") == 99.0).count() == 5
+    # the commit carries only the bucket rewrite, no stats-less insert add
+    hist = tl.history()[-1]
+    assert hist["op"] == "merge"
+    assert hist["n_added"] == hist["n_removed"]
+
+
+def test_merge_matched_delete_cascade(spark, small_log):
+    tl, m = small_log
+    spark.range(1, 11).select(
+        F.col("id").alias("o_orderkey"), F.lit(1.0).alias("o_totalprice")
+    ).createOrReplaceTempView("dml_src_cascade")
+    txlog_sql_dml(
+        spark, tl, m,
+        "MERGE INTO t AS t USING dml_src_cascade AS s"
+        " ON t.o_orderkey = s.o_orderkey"
+        " WHEN MATCHED AND t.o_orderkey % 2 = 0"
+        " THEN UPDATE SET o_totalprice = s.o_totalprice"
+        " WHEN MATCHED THEN DELETE",
+    )
+    rows = {
+        r["o_orderkey"]: r["o_totalprice"] for r in _read(spark, tl).collect()
+    }
+    for k in range(1, 11):
+        if k % 2 == 0:
+            assert rows[k] == 1.0  # first clause wins
+        else:
+            assert k not in rows  # fell through to DELETE
+    for k in range(11, m + 1):
+        assert rows[k] == k * 10.0  # unmatched target rows untouched
+
+
+def test_merge_not_matched_by_source_delete(spark, small_log):
+    tl, m = small_log
+    spark.range(1, 11).select(
+        F.col("id").alias("o_orderkey")
+    ).createOrReplaceTempView("dml_src_keep")
+    txlog_sql_dml(
+        spark, tl, m,
+        "MERGE INTO t USING dml_src_keep AS s ON t.o_orderkey = s.o_orderkey"
+        " WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    )
+    keys = sorted(r["o_orderkey"] for r in _read(spark, tl).collect())
+    assert keys == list(range(1, 11))
+    # BY SOURCE voids pruning: every active file is rewritten
+    assert tl.history()[-1]["n_removed"] == 16
+
+
+def test_merge_not_matched_by_source_update(spark, small_log):
+    tl, m = small_log
+    spark.range(1, 11).select(
+        F.col("id").alias("o_orderkey")
+    ).createOrReplaceTempView("dml_src_zero")
+    txlog_sql_dml(
+        spark, tl, m,
+        "MERGE INTO t USING dml_src_zero AS s ON t.o_orderkey = s.o_orderkey"
+        " WHEN NOT MATCHED BY SOURCE THEN UPDATE SET o_totalprice = -1.0",
+    )
+    snap = _read(spark, tl)
+    assert snap.count() == m
+    assert snap.where(F.col("o_totalprice") == -1.0).count() == m - 10
+
+
+def test_delete_empty_affected_set_is_noop(spark, small_log):
+    tl, m = small_log
+    # predicate range beyond every file's stats -> pruning chooses none
+    txlog_sql_dml(
+        spark, tl, m,
+        f"DELETE FROM t WHERE o_orderkey BETWEEN {m + 100} AND {m + 200}",
+    )
+    hist = tl.history()[-1]
+    assert (hist["n_added"], hist["n_removed"]) == (0, 0)
+    assert _read(spark, tl).count() == m
