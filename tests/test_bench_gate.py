@@ -142,6 +142,42 @@ def test_salted_join_salt_survives_in_plan(spark):
         assert "salt" in ln and "hot_key" in ln, ln
 
 
+def test_gate_self_normalizes_by_median_shared_ratio():
+    """Round-9 driver epoch: every query ~12% slow while the scan probe
+    read FASTER than baseline — probe-based scaling is blind to
+    parallel/shuffle-regime slowdowns. With enough shared queries the
+    gate normalizes by the run's own median per-query ratio: a uniform
+    epoch shift loosens the threshold, a single genuinely regressed
+    plan cannot move the median and is still flagged."""
+    from tools.bench_gate import CAL_SCALE_CAP, MIN_SELF_NORM_QUERIES
+
+    n = MIN_SELF_NORM_QUERIES + 10
+    base = _detail({f"q{i}": 2.0 for i in range(n)})
+    # uniform 1.2x epoch, probe reading fast (would NOT loosen): the
+    # 1.55x query is epoch noise and must pass under the 1.5*1.2 gate
+    epoch = {f"q{i}": 2.4 for i in range(n)}
+    epoch["q0"] = 3.1  # 1.55x raw, ~1.29x regime-corrected
+    assert compare(
+        dict(_detail(epoch), calibration_sec=0.30),
+        dict(base, calibration_sec=0.40),
+    ) == []
+    # same epoch, one genuinely broken plan at 2.0x: median unmoved by
+    # one offender -> still flagged
+    broken = {f"q{i}": 2.4 for i in range(n)}
+    broken["q0"] = 4.0
+    out = compare(dict(_detail(broken)), base)
+    assert [p.split(":")[0] for p in out if not p.startswith("TOTAL")] == ["q0"]
+    # cap: a uniform 2x "epoch" is NOT forgiven wholesale — the scale
+    # clamps at CAL_SCALE_CAP, so every query trips the capped gate
+    slow_all = _detail({f"q{i}": 4.3 for i in range(n)})
+    assert 4.3 / 2.0 > 1.5 * CAL_SCALE_CAP
+    assert len(compare(slow_all, base)) >= n
+    # fast epoch never tightens: 1.4x on a run whose median is 0.8x
+    fast = {f"q{i}": 1.6 for i in range(n)}
+    fast["q0"] = 2.8  # 1.4x vs baseline, under the un-tightened 1.5
+    assert compare(_detail(fast), base) == []
+
+
 def test_gate_scales_threshold_by_calibration_ratio():
     """A run on a measurably slower machine (calibration probe) gets a
     proportionally looser per-query threshold — the same-day 0.38 ->

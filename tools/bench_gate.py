@@ -29,14 +29,27 @@ from pathlib import Path
 
 THRESHOLD = 1.5
 ABS_FLOOR_SEC = 0.75
-# Machine-speed normalization (round 9): both artifacts carry
-# calibration_sec — a fixed warm probe whose wall time varies only
-# with the VM (measured same-day swing on one host: 0.38 -> 0.66).
-# A run on a slower machine than the baseline's gets its threshold
-# scaled by the calibration ratio, capped so a genuinely broken plan
-# (2x+) can never hide behind a slow host; a FASTER machine never
+# Machine-speed normalization, round 10 revision. Round 9's probe-based
+# scaling (two warm single-stage count()s) measured scan-bound
+# single-thread speed and was blind to parallel/shuffle-regime
+# slowdowns: the r9 driver epoch ran EVERY query ~12% slow (median
+# per-query ratio 1.12x over 381 shared queries) while the probe read
+# 0.82x — FASTER than baseline — so the gate flagged 4 queries that
+# re-measured at 0.78-1.29x on a calibration-matched machine. The
+# regime-proof signal is the run itself: the MEDIAN per-query ratio
+# over the shared set. One genuinely regressed plan cannot move the
+# median of hundreds of queries, but a machine-epoch shift moves all
+# of them together. The probe stays recorded in the artifacts as a
+# diagnostic and as the fallback scale when the shared set is too
+# small for a regime estimate (unit-test-sized inputs).
+# The scale caps at CAL_SCALE_CAP so a broad real regression (a bad
+# session config slowing everything) can never fully hide behind
+# "the machine was slow", and clamps at 1.0 so a fast epoch never
 # tightens the gate below THRESHOLD.
 CAL_SCALE_CAP = 1.4
+# Self-normalization needs enough shared queries that one offender
+# cannot drag the median; below this, fall back to the probe.
+MIN_SELF_NORM_QUERIES = 20
 
 _REPO = Path(__file__).resolve().parent.parent
 DEFAULT_RUN = _REPO / "bench_detail.json"
@@ -54,11 +67,21 @@ def compare(run: dict, baseline: dict) -> list[str]:
             " — medians are not comparable"
         )
         return problems
-    cal_r = run.get("calibration_sec")
-    cal_b = baseline.get("calibration_sec")
+    shared_named = [
+        n for n in base_q if n in run_q and base_q[n] > 0 and run_q[n] > 0
+    ]
     cal_scale = 1.0
-    if cal_r and cal_b and cal_r > cal_b:
-        cal_scale = min(cal_r / cal_b, CAL_SCALE_CAP)
+    if len(shared_named) >= MIN_SELF_NORM_QUERIES:
+        # regime estimate from the run itself (see header comment)
+        import statistics
+
+        regime = statistics.median(run_q[n] / base_q[n] for n in shared_named)
+        cal_scale = min(max(regime, 1.0), CAL_SCALE_CAP)
+    else:
+        cal_r = run.get("calibration_sec")
+        cal_b = baseline.get("calibration_sec")
+        if cal_r and cal_b and cal_r > cal_b:
+            cal_scale = min(cal_r / cal_b, CAL_SCALE_CAP)
     threshold = THRESHOLD * cal_scale
     for name in sorted(base_q):
         if name not in run_q:
