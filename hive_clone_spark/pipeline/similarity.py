@@ -1268,6 +1268,62 @@ def _seq_cosine(a, b) -> float:
     return num / ((aa ** 0.5) * (bb ** 0.5))
 
 
+def _exact_shard_topk(queries, ids, raw_embs, unit, layers, entry, levels):
+    """Saturating-ef search + rounding-consistent truncation for one
+    shard: returns (query_id, neighbor_id, cosine-rounded-6dp) rows.
+
+    Truncation guarantee (round-10 advice fix): the walk ranks by the
+    UNROUNDED numpy score while the oracle ranks by the 6-dp ROUNDED
+    sequential-fold score, so a fixed +8 margin could in principle drop
+    a neighbor that rounds into the kept set. Instead the cut keeps
+    every candidate whose unrounded score is within 2e-6 of the
+    rank-(TOP_K+2) score: fold-vs-numpy recomputation differs by far
+    less than 1e-6 and 6-dp rounding moves a value by at most 5e-7, so
+    a candidate more than 2e-6 below the cut can never round into a tie
+    with it — the margin is now a proof, not a heuristic."""
+    import numpy as np
+
+    rows = []
+    for qid, qemb in queries:
+        qv = np.asarray(qemb, dtype=float)
+        qn = np.linalg.norm(qv)
+        qv = qv / (qn if qn else 1.0)
+        found, _ = hnsw_search(
+            layers, entry, levels, unit, qv, k=len(ids), ef=len(ids)
+        )
+        picked = []
+        cut = None
+        for s, row in found:
+            nid = int(ids[row])
+            if nid == qid:
+                continue
+            if len(picked) < TOP_K + 2:
+                picked.append(nid)
+                if len(picked) == TOP_K + 2:
+                    cut = s
+            elif s >= cut - 2e-6:
+                picked.append(nid)
+            else:
+                break
+        cand = [
+            (nid, round(_seq_cosine(qemb, raw_embs[nid]), 6)) for nid in picked
+        ]
+        cand.sort(key=lambda t: (-t[1], t[0]))
+        rows.extend((qid, nid, c) for nid, c in cand[: TOP_K + 2])
+    return rows
+
+
+def _hnsw_merge_topk(per_shard: DataFrame) -> DataFrame:
+    """Global scatter-gather merge: per-shard exact candidates ->
+    overall top-k per query."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        per_shard.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
 def _hnsw_oracle() -> str:
     from hive_clone_spark.registry import ORACLE
 
@@ -1313,32 +1369,123 @@ def p_knn_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         layers, entry, levels = hnsw_build(ids, vecs)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         unit = vecs / np.where(norms == 0, 1.0, norms)
-        rows = []
         raw = {int(ids[i]): pdf["embedding"].iloc[i] for i in range(len(ids))}
-        for qid, qemb in queries:
-            qv = np.asarray(qemb, dtype=float)
-            qn = np.linalg.norm(qv)
-            qv = qv / (qn if qn else 1.0)
-            found, _ = hnsw_search(
-                layers, entry, levels, unit, qv, k=TOP_K + 8, ef=len(ids)
-            )
-            # emit with the SEQUENTIAL-fold cosine (on the original
-            # float32-as-double values) so rounding matches the oracle;
-            # the +8 margin absorbs any numpy-vs-fold reordering at the
-            # top-k boundary before the global merge re-ranks
-            cand = []
-            for _, row in found:
-                nid = int(ids[row])
-                if nid != qid:
-                    cand.append((nid, round(_seq_cosine(qemb, raw[nid]), 6)))
-            cand.sort(key=lambda t: (-t[1], t[0]))
-            rows.extend((qid, nid, c) for nid, c in cand[: TOP_K + 2])
+        rows = _exact_shard_topk(queries, ids, raw, unit, layers, entry, levels)
         return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
 
     per_shard = sharded.groupBy("shard").applyInPandas(search_shard, out_schema)
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        per_shard.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= TOP_K)
-        .orderBy("query_id", "rank")
+    return _hnsw_merge_topk(per_shard)
+
+
+# ---------------------------------------------------------------------------
+# Persisted HNSW index (round-10 verdict task 5): production ANN never
+# rebuilds the index per query — the build amortizes over thousands of
+# searches. This entry splits the lifecycle: a BUILD pass constructs
+# each shard's graph once and persists the adjacency (one row per
+# node: level, entry point, per-layer neighbor lists) as a
+# shard-partitioned parquet table next to the warehouse fixtures; a
+# SEARCH-ONLY pass then reads the stored adjacency, joins the vector
+# column back by vec_id, reconstructs the in-memory graph per shard,
+# and answers the query panel WITHOUT rebuilding anything. The oracle
+# stays the brute-force top-k (saturating ef = exact), so a corrupted
+# round-trip — wrong neighbor list, wrong entry point, a layer lost to
+# schema truncation — hash-mismatches instead of just lowering recall.
+#
+# Scale design: the index table is tiny relative to the corpus
+# (M*levels ints per vector vs the vector itself) and partitions by
+# shard, so the search stage is one co-partitioned join + an
+# embarrassingly parallel applyInPandas — the scatter-gather serving
+# shape, with the build cost paid once at ingest, exactly how a
+# 100 TB vector store deploys (build on append, serve from the stored
+# graph).
+# ---------------------------------------------------------------------------
+_HNSW_MAX_LEVEL = 3  # level_of() caps at 3, so 4 layer columns suffice
+
+
+@register("p_knn_hnsw_persisted", oracle=_hnsw_oracle())
+def p_knn_hnsw_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once / search-from-storage HNSW: persist per-shard
+    adjacency as parquet, then answer the panel from the stored graph.
+    Same exactness contract as p_knn_hnsw (saturating ef)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark import cloudpickle as _cp
+
+    import hive_clone_spark.pipeline.similarity as _mod
+    from hive_clone_spark.sources.queries import _warehouse
+
+    _cp.register_pickle_by_value(_mod)
+
+    e = table(spark, sf_dir, "embeddings")
+    queries = sorted(
+        (int(r.vec_id), list(r.embedding))
+        for r in e.where(F.col("vec_id") < N_QUERIES).collect()
     )
+    sharded = e.select(
+        "vec_id", "embedding", (F.col("vec_id") % _HNSW_SHARDS).alias("shard")
+    )
+
+    idx_schema = (
+        "shard INT, row INT, vec_id BIGINT, level INT, entry_row INT, "
+        + ", ".join(f"nbrs_l{l} ARRAY<INT>" for l in range(_HNSW_MAX_LEVEL + 1))
+    )
+
+    def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        vecs = np.stack(pdf["embedding"].to_numpy()).astype(float)
+        layers, entry, levels = hnsw_build(ids, vecs)
+        shard = int(pdf["shard"].iloc[0])
+        rows = []
+        for i in range(len(ids)):
+            nbrs = [
+                sorted(layers[l][i]) if l < len(layers) else []
+                for l in range(_HNSW_MAX_LEVEL + 1)
+            ]
+            rows.append((shard, i, int(ids[i]), levels[i], entry, *nbrs))
+        return pd.DataFrame(
+            rows,
+            columns=["shard", "row", "vec_id", "level", "entry_row"]
+            + [f"nbrs_l{l}" for l in range(_HNSW_MAX_LEVEL + 1)],
+        )
+
+    idx_path = _warehouse(sf_dir, "hnsw_index")
+    (
+        sharded.groupBy("shard")
+        .applyInPandas(build_shard, idx_schema)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(idx_path)
+    )
+
+    # search-only pass: stored adjacency + vectors, no hnsw_build call
+    stored = spark.read.parquet(idx_path)
+    joined = stored.join(
+        e.select("vec_id", "embedding"), "vec_id"
+    )  # vec_id is unique: the join re-attaches each node's vector
+
+    out_schema = "query_id BIGINT, neighbor_id BIGINT, cosine DOUBLE"
+
+    def search_stored_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("row")
+        ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        levels = [int(v) for v in pdf["level"]]
+        max_level = max(levels) if n else 0
+        layers = [
+            [set(int(x) for x in pdf[f"nbrs_l{l}"].iloc[i]) for i in range(n)]
+            for l in range(max_level + 1)
+        ]
+        entry = int(pdf["entry_row"].iloc[0])
+        vecs = np.stack(pdf["embedding"].to_numpy()).astype(float)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        unit = vecs / np.where(norms == 0, 1.0, norms)
+        raw = {int(ids[i]): pdf["embedding"].iloc[i] for i in range(n)}
+        rows = _exact_shard_topk(queries, ids, raw, unit, layers, entry, levels)
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
+
+    per_shard = joined.groupBy("shard").applyInPandas(
+        search_stored_shard, out_schema
+    )
+    return _hnsw_merge_topk(per_shard)

@@ -125,3 +125,55 @@ def test_recall_vs_ef_tradeoff(corpus, index):
     assert recalls[len(ids)] == 1.0
     assert recalls[64] >= 0.6  # ef=64 on n=500 random data
     assert recalls[16] >= 0.2
+
+
+def test_persisted_index_roundtrip_reconstructs_graph(spark):
+    """p_knn_hnsw_persisted writes per-shard adjacency to parquet; the
+    stored graph must reconstruct EXACTLY what hnsw_build produces for
+    each shard (neighbor sets, levels, entry point) — a lossy
+    round-trip would surface only as silently lower recall at
+    sub-exhaustive ef, which the exactness oracle cannot see."""
+    import pyspark.sql.functions as F
+
+    import os
+    import pathlib
+
+    from hive_clone_spark import registry
+    from hive_clone_spark.catalog import table
+    from hive_clone_spark.pipeline.similarity import _HNSW_SHARDS
+
+    registry.load_all_modules()
+    sf = "/root/testdata/sf0.001"
+    registry.QUERIES["p_knn_hnsw_persisted"](spark, sf).collect()
+
+    # _warehouse() CLEARS the dir on every call — recompute its path
+    # by hand to read what the entry left behind
+    repo = pathlib.Path(registry.__file__).resolve().parents[1]
+    idx_path = (
+        repo / "spark-warehouse" / "hnsw_index" / f"sf0.001-{os.getpid()}"
+    )
+    stored = spark.read.parquet(str(idx_path)).collect()
+    by_shard: dict[int, list] = {}
+    for r in stored:
+        by_shard.setdefault(int(r["shard"]), []).append(r)
+
+    e = table(spark, sf, "embeddings").collect()
+    assert set(by_shard) == set(range(_HNSW_SHARDS))
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["row"])
+        members = sorted(
+            (int(r.vec_id), list(r.embedding))
+            for r in e
+            if int(r.vec_id) % _HNSW_SHARDS == shard
+        )
+        ids = np.array([m[0] for m in members])
+        vecs = np.array([m[1] for m in members], dtype=float)
+        layers, entry, levels = hnsw_build(ids, vecs)
+        assert [int(r["vec_id"]) for r in rows] == [int(i) for i in ids]
+        assert all(int(r["entry_row"]) == entry for r in rows)
+        assert [int(r["level"]) for r in rows] == levels
+        for i, r in enumerate(rows):
+            for lvl in range(len(layers)):
+                assert set(int(x) for x in r[f"nbrs_l{lvl}"]) == layers[lvl][i], (
+                    shard, i, lvl,
+                )
