@@ -1341,19 +1341,30 @@ def q182_csv_dialect_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
 
     dest = _warehouse(sf_dir, "q182_sniff")
+    # one partitioned write job for all three fixture files: three
+    # separate .text() writes each paid ~1.7 s of committer/job setup
+    # for a 26-row file (measured 5.2 s warm of the entry's 6 s total)
+    tagged = None
     for tag, delim in _DIALECTS[:3]:
         lines = base.select(
+            F.lit(tag).alias("tag"),
             F.concat_ws(
                 delim, F.col("n_nationkey").cast("string"), "n_name", "r_name"
-            ).alias("value")
+            ).alias("value"),
         )
         if tag == "comma":
             lines = lines.unionAll(
-                spark.createDataFrame([("id,name,region",)], "value STRING")
+                spark.createDataFrame(
+                    [("comma", "id,name,region")], "tag STRING, value STRING"
+                )
             )
-        lines.coalesce(1).write.mode("overwrite").text(
-            os.path.join(dest, tag)
-        )
+        tagged = lines if tagged is None else tagged.unionAll(lines)
+    (
+        tagged.repartition("tag")
+        .write.mode("overwrite")
+        .partitionBy("tag")
+        .text(dest)
+    )
 
     # bounded probe (round-8 verdict improvement): a sniffer decides
     # from a SAMPLE — the limit caps the per-file probe scan at 100 TB
@@ -1361,7 +1372,7 @@ def q182_csv_dialect_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # results are unchanged
     _SNIFF_SAMPLE = 1000
     parts = [
-        spark.read.text(os.path.join(dest, tag))
+        spark.read.text(os.path.join(dest, f"tag={tag}"))
         .limit(_SNIFF_SAMPLE)
         .select(F.lit(tag).alias("file_tag"), "value")
         for tag, _ in _DIALECTS[:3]
