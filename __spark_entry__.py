@@ -154,12 +154,55 @@ def _rounds_stale(name: str, history: list[dict]) -> int:
 _AGE_FLOOR = 9
 
 
+# Priority escort (round-10 verdict task 2): never-checked flagship
+# deliverables that must not queue behind a 100+-entry never-checked
+# backlog sorted by registration order — they registered LAST (round 9)
+# and would otherwise wait for r11. Flag-0 inside bucket 0, inert once
+# green, exactly like _R1_NEVER_CHECKED.
+_ESCORT = frozenset(
+    {"p_zstd_roundtrip", "p_pdf_extract", "q254_sql_dml_txlog"}
+)
+
+# Game-refresh reserve (round-10 verdict task 3): the 25 g_* entries
+# are bench-EXCLUDED, so the correctness window is the only place a
+# driver ever touches them — and while a large never-checked backlog
+# fills bucket 0 (staleness n_rounds+1 beats any checked entry's), the
+# age-ordering alone would not re-emit them until the backlog drains
+# (r12+ at the current rate), brushing the _AGE_FLOOR. Each round the
+# _GAME_RESERVE_SLOTS stalest green g_* entries at or past
+# _GAME_REFRESH_AGE get a reserved window slot between the escorts and
+# the never-checked cohort. 5 slots/round cycles the whole block every
+# ~5 rounds, and the backlog still drains within the judge's ≤60 bound.
+_GAME_REFRESH_AGE = 4
+_GAME_RESERVE_SLOTS = 5
+
+
+def _game_reserve(names, history, store) -> frozenset:
+    """The <= _GAME_RESERVE_SLOTS stalest previously-checked g_*
+    entries due a refresh (staleness >= _GAME_REFRESH_AGE). Never-
+    checked g_* entries are excluded — they already sort into bucket 0
+    on their own."""
+    due = []
+    for i, n in enumerate(names):
+        if not n.startswith("g_"):
+            continue
+        eff = _effective_history(n, registry.QUERIES[n], history, store)
+        if not any(n in rows for rows in eff):
+            continue
+        stale = _rounds_stale(n, eff)
+        if stale >= _GAME_REFRESH_AGE:
+            due.append((-stale, i, n))
+    due.sort()
+    return frozenset(n for _, _, n in due[:_GAME_RESERVE_SLOTS])
+
+
 def _emit_key(
     n: str,
     history: list[dict],
     has_oracle: bool,
     reg_order: int,
     n_rounds: int | None = None,
+    reserved: bool = False,
 ):
     """Sort key for queries() emission — shared with test_entry_order.
 
@@ -168,23 +211,29 @@ def _emit_key(
     is the total number of driver rounds on disk — an entry with no
     effective rows is treated as maximally stale relative to the FULL
     round count, so a rewritten entry sorts exactly like a brand-new
-    one rather than like a recently-checked one.
+    one rather than like a recently-checked one. ``reserved`` marks a
+    game-refresh reserve member (see _game_reserve): bucket 0 with a
+    priority slot between the escorts and the never-checked cohort.
     """
     green = _rounds_green(n, history, has_oracle=has_oracle)
     stale = _rounds_stale(n, history)
     if not any(n in rows for rows in history):
         stale = (n_rounds if n_rounds is not None else len(history)) + 1
-    bucket = 0 if stale >= _AGE_FLOOR else green
-    return (
-        bucket,
-        # round-1 entries that never got a driver row outrank ops added
-        # later: the r1 verdict named these as THE gap, and a new op
-        # must not displace them from the checked window. Inert once
-        # green (green entries compete on staleness alone).
-        0 if (n in _R1_NEVER_CHECKED and green == 0) else 1,
-        -stale,
-        reg_order,
-    )
+    bucket = 0 if (reserved or stale >= _AGE_FLOOR) else green
+    # flag tiers inside a bucket:
+    #   0 — round-1 never-checked gap entries and never-green escorts:
+    #       the r1 verdict named the former as THE gap, and a new op
+    #       must not displace them from the checked window; inert once
+    #       green (green entries compete on staleness alone)
+    #   1 — game-refresh reserve slots
+    #   2 — everything else (ties by staleness desc, then reg order)
+    if green == 0 and (n in _R1_NEVER_CHECKED or n in _ESCORT):
+        flag = 0
+    elif reserved:
+        flag = 1
+    else:
+        flag = 2
+    return (bucket, flag, -stale, reg_order)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -208,6 +257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     store = _load_fingerprint_store()
     names = list(registry.QUERIES)
     order = {n: i for i, n in enumerate(names)}
+    reserve = _game_reserve(names, history, store)
     names.sort(
         key=lambda n: _emit_key(
             n,
@@ -215,6 +265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             has_oracle=n in registry.ORACLE,
             reg_order=order[n],
             n_rounds=len(history),
+            reserved=n in reserve,
         )
     )
     return {n: registry.QUERIES[n] for n in names}

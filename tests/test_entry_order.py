@@ -50,16 +50,22 @@ def _eff(n, history, registry):
     )
 
 
-def _bucket(n, history, registry):
-    """Effective primary key: 0 for never-green OR age-floor-stale
-    entries, else rounds-green (mirrors _emit_key, including the
-    fingerprint gate on which history rows count)."""
+def _reserve(history, registry):
+    """The round's game-refresh reserve set (mirrors queries())."""
+    store = entry_mod._load_fingerprint_store()
+    return entry_mod._game_reserve(list(registry.QUERIES), history, store)
+
+
+def _bucket(n, history, registry, reserve=frozenset()):
+    """Effective primary key: 0 for never-green, age-floor-stale, or
+    game-reserve entries, else rounds-green (mirrors _emit_key,
+    including the fingerprint gate on which history rows count)."""
     eff = _eff(n, history, registry)
     green = entry_mod._rounds_green(n, eff, has_oracle=n in registry.ORACLE)
     stale = entry_mod._rounds_stale(n, eff)
     if not any(n in rows for rows in eff):
         stale = len(history) + 1
-    return 0 if stale >= entry_mod._AGE_FLOOR else green
+    return 0 if (n in reserve or stale >= entry_mod._AGE_FLOOR) else green
 
 
 def test_least_signal_entries_emit_first():
@@ -72,7 +78,8 @@ def test_least_signal_entries_emit_first():
     registry.load_all_modules()
     history = _history()
     names = list(entry_mod.queries())
-    buckets = [_bucket(n, history, registry) for n in names]
+    reserve = _reserve(history, registry)
+    buckets = [_bucket(n, history, registry, reserve) for n in names]
     assert all(a <= b for a, b in zip(buckets, buckets[1:])), (
         "bucket not monotonic: "
         + str([(n, g) for n, g in zip(names, buckets)][:10])
@@ -94,11 +101,12 @@ def test_age_floor_entries_emit_in_head():
             return len(history) + 1
         return entry_mod._rounds_stale(n, eff)
 
+    reserve = _reserve(history, registry)
     stale_idx = [
         i for i, n in enumerate(names) if _stale(n) >= entry_mod._AGE_FLOOR
     ]
     nonstale_green_idx = [
-        i for i, n in enumerate(names) if _bucket(n, history, registry) > 0
+        i for i, n in enumerate(names) if _bucket(n, history, registry, reserve) > 0
     ]
     if stale_idx and nonstale_green_idx:
         assert max(stale_idx) < min(nonstale_green_idx)
@@ -125,8 +133,9 @@ def test_new_entries_outrank_nonstale_green_entries():
     never = [n for n in names if greens[n] == 0]
     if not never:  # every entry green at least once — rotation complete
         return
+    reserve = _reserve(history, registry)
     first_nonstale_green_idx = min(
-        (i for i, n in enumerate(names) if _bucket(n, history, registry) > 0),
+        (i for i, n in enumerate(names) if _bucket(n, history, registry, reserve) > 0),
         default=len(names),
     )
     last_never_idx = max(i for i, n in enumerate(names) if greens[n] == 0)
@@ -264,3 +273,34 @@ def test_update_fingerprints_tool_semantics(tmp_path, monkeypatch):
     assert "~0 changed" in out.stdout and "+0 new" in out.stdout
     after = json.loads(store.read_text())
     assert after == before
+
+
+def test_escort_and_game_reserve_land_in_window():
+    """Round-10 rotation additions: (a) never-green escort entries
+    (_ESCORT) must emit ahead of the never-checked cohort instead of
+    queueing behind 100+ entries by registration order; (b) the
+    game-refresh reserve — at most _GAME_RESERVE_SLOTS previously
+    checked g_* entries at/past _GAME_REFRESH_AGE staleness — must
+    emit right after the flag-0 tier, inside any plausible driver
+    window, because the bench-excluded g_* block is otherwise only
+    ever touched here."""
+    from hive_clone_spark import registry
+
+    registry.load_all_modules()
+    history = _history()
+    names = list(entry_mod.queries())
+    reserve = _reserve(history, registry)
+    assert len(reserve) <= entry_mod._GAME_RESERVE_SLOTS
+    greens = {
+        n: entry_mod._rounds_green(
+            n, _eff(n, history, registry), has_oracle=n in registry.ORACLE
+        )
+        for n in names
+    }
+    for n in entry_mod._ESCORT:
+        if n in greens and greens[n] == 0:
+            assert names.index(n) < 20, (n, names.index(n))
+    for n in reserve:
+        assert names.index(n) < 20, (n, names.index(n))
+        # reserve members are real re-checks: previously green g_*
+        assert n.startswith("g_") and greens[n] > 0

@@ -23,6 +23,19 @@ Usage:
 Writes parallelism_audit.json next to this file and prints flagged
 queries. Not CI-gated (it executes the suite); the importable helpers
 are smoke-tested in tests/test_sources.py.
+
+KNOWN LIMITATION (round-10 advice): setJobGroup properties are
+thread-local and NOT inherited by Python worker threads under
+PySpark's pinned-thread mode, so entries that submit actions from a
+ThreadPoolExecutor (the q208_key_discovery concurrent-scan pattern)
+run those jobs OUTSIDE the audit's job group — the tool would report
+zero (or too few) stages for exactly the concurrent-action entries.
+audit_query therefore attributes every job id in the cursor window
+(highest job id before the query, highest after] to the query, union
+the group's own ids — sound because the audit runs queries
+sequentially in one process. The ``grouped`` field records whether the
+job group alone would have covered the window (False = the entry
+spawns jobs from threads).
 """
 
 from __future__ import annotations
@@ -36,10 +49,30 @@ _REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(_REPO))
 
 
-def audit_query(spark, name: str, fn, sf_dir: str) -> dict:
+def _max_job_id(st, cursor: int) -> int:
+    """Highest known job id, probing upward from ``cursor``. Job ids
+    are a gapless counter, so as long as the cursor advances at least
+    once per retention window this finds the frontier."""
+    i = cursor
+    while st.getJobInfo(i + 1) is not None:
+        i += 1
+    return i
+
+
+def audit_query(spark, name: str, fn, sf_dir: str, cursor: int = -1) -> dict:
     """Run one query under a job group; return wall time + per-stage
-    task counts."""
+    task counts (plus the advanced job-id cursor under ``_cursor``).
+
+    ``cursor`` is the highest job id seen before this query; it powers
+    the thread-spawn fallback (module docstring): when the job group
+    comes back empty — concurrent-action entries submit jobs from
+    ThreadPoolExecutor threads, which do NOT inherit setJobGroup under
+    pinned-thread mode — the audit attributes every job id in
+    (cursor, new frontier] to this query instead of reporting a false
+    zero-stage result."""
     sc = spark.sparkContext
+    st = sc.statusTracker()
+    cursor = _max_job_id(st, cursor)
     sc.setJobGroup(name, name, interruptOnCancel=False)
     t0 = time.perf_counter()
     err = None
@@ -48,9 +81,16 @@ def audit_query(spark, name: str, fn, sf_dir: str) -> dict:
     except Exception as e:  # diagnostic tool: record, keep going
         err = f"{type(e).__name__}: {e}"
     wall = round(time.perf_counter() - t0, 3)
-    st = sc.statusTracker()
+    group_ids = set(st.getJobIdsForGroup(name))
+    new_cursor = _max_job_id(st, cursor)
+    window_ids = set(range(cursor + 1, new_cursor + 1))
+    # the audit runs queries sequentially in one process, so every job
+    # in the cursor window belongs to this query — including jobs the
+    # group missed because a worker thread submitted them
+    job_ids = sorted(group_ids | window_ids)
+    grouped = window_ids <= group_ids
     stage_tasks: list[tuple[int, int]] = []
-    for jid in st.getJobIdsForGroup(name):
+    for jid in job_ids:
         ji = st.getJobInfo(jid)
         if ji is None:
             continue
@@ -68,6 +108,8 @@ def audit_query(spark, name: str, fn, sf_dir: str) -> dict:
         "n_single_task_stages": sum(1 for _, n in stage_tasks if n == 1),
         "max_tasks": max((n for _, n in stage_tasks), default=0),
         "stages": stage_tasks,
+        "grouped": grouped,
+        "_cursor": new_cursor,
     }
 
 
@@ -102,8 +144,10 @@ def main() -> int:
         if not n.startswith("g_") and (not args or any(a in n for a in args))
     ]
     rows = []
+    cursor = -1
     for name in names:
-        row = audit_query(spark, name, registry.QUERIES[name], sf_dir)
+        row = audit_query(spark, name, registry.QUERIES[name], sf_dir, cursor)
+        cursor = row.pop("_cursor", cursor)
         rows.append(row)
         if flag(row, threshold):
             print(
