@@ -1939,3 +1939,124 @@ def q252_ignore_corrupt_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Q255 — NATIVE parquet bloom-filter row-group pruning (round-10
+# verdict task 8): q167 hand-rolls a file-level bloom index; this
+# entry ties the same idea to the engine's real machinery — Spark 4
+# writes per-row-group split-block bloom filters when
+# `parquet.bloom.filter.enabled#<col>` is set, and the parquet-mr
+# reader's RowGroupFilter consults them for pushed point predicates,
+# skipping whole row groups stats cannot (the key column is SCRAMBLED,
+# so every row group's [min, max] spans the full value range, and
+# dictionary encoding is disabled on it — the realistic
+# high-cardinality regime where bloom is the only exact-skip tool).
+#
+# The ledger is a panel of point lookups through the bloom-enabled
+# table: present keys return their row, absent IN-RANGE keys return
+# empty — a miswired pushdown (bloom treated as exact, wrong hash,
+# wrong column binding) surfaces as wrong counts, not just wrong
+# speed. tests/test_sources.py additionally pins the MECHANISM with
+# parquet-mr: >= 2 row groups, bloom offset present on k only, an
+# absent probe passing 0/13 bloom tests, and a no-bloom control whose
+# filtered reader keeps every row group where the bloom file keeps 0.
+#
+# Scale design: at 100 TB a point lookup over a scrambled key column
+# reads ONE row group per true hit instead of every row group of
+# every file the partition/stats pruning could not eliminate; the
+# bloom adds ~1 bit/row of storage. Keys sit above 2^32 so the pytest
+# twin's py4j calls cross the gateway as java.lang.Long (py4j re-boxes
+# small ints as Integer, which parquet's Long comparator rejects).
+# ---------------------------------------------------------------------------
+_BLOOM_N = 200_000
+_BLOOM_P = 1_000_003  # prime > _BLOOM_N: residues below are distinct
+_BLOOM_MULT = 2_654_435_761  # Knuth multiplicative hash, coprime to P
+_BLOOM_BASE = 2**32
+# i < _BLOOM_N -> present; i >= _BLOOM_N -> a residue no present row
+# has (the multiplier is invertible mod P, so residues are unique per
+# i over the full period and only i < _BLOOM_N are written)
+_BLOOM_PROBES = [0, 1, 31337, 99999, 199999] + [
+    _BLOOM_N + j for j in (1, 2, 3, 4, 5)
+]
+
+
+def _bloom_key(i: int) -> int:
+    return _BLOOM_BASE + (i * _BLOOM_MULT) % _BLOOM_P
+
+
+def _bloom_table_path(sf_dir: str) -> str:
+    """Stable per-process fixture path WITHOUT the _warehouse clear (the
+    pytest twin re-reads the file the entry wrote)."""
+    repo = pathlib.Path(__file__).resolve().parents[2]
+    return str(
+        repo
+        / "spark-warehouse"
+        / "q255_bloom"
+        / f"{os.path.basename(sf_dir.rstrip('/'))}-{os.getpid()}"
+    )
+
+
+def write_bloom_table(spark: SparkSession, sf_dir: str) -> str:
+    """Write the scrambled-key corpus with a bloom filter on k (and
+    dictionary encoding off for it); one output file, many row groups."""
+    dest = _bloom_table_path(sf_dir)
+    df = spark.range(0, _BLOOM_N).select(
+        (
+            F.lit(_BLOOM_BASE)
+            + (F.col("id") * F.lit(_BLOOM_MULT)) % F.lit(_BLOOM_P)
+        ).alias("k"),
+        F.col("id").alias("v"),
+    )
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#k", "true")
+        .option("parquet.bloom.filter.expected.ndv#k", str(_BLOOM_N))
+        .option("parquet.enable.dictionary#k", "false")
+        .option("parquet.block.size", str(256 * 1024))
+        .parquet(dest)
+    )
+    return dest
+
+
+@register(
+    "q255_parquet_bloom_pruning",
+    oracle=f"""
+    WITH t AS (
+      SELECT {_BLOOM_BASE} + (i * {_BLOOM_MULT}) % {_BLOOM_P} AS k,
+        CAST(i AS BIGINT) AS v
+      FROM range(0, {_BLOOM_N}) r(i)),
+    probes(probe_key, expected_present) AS (VALUES {", ".join(
+        f"({_bloom_key(i)}, {str(i < _BLOOM_N).upper()})"
+        for i in _BLOOM_PROBES
+    )})
+    SELECT probe_key, expected_present,
+      CAST(COUNT(t.k) AS BIGINT) AS n_rows,
+      CAST(COALESCE(SUM(t.v), 0) AS BIGINT) AS sum_v
+    FROM probes LEFT JOIN t ON t.k = probes.probe_key
+    GROUP BY probe_key, expected_present
+    ORDER BY probe_key
+    """,
+)
+def q255_parquet_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup panel through the bloom-filtered table: each probe
+    is its own pushed eq predicate (the shape RowGroupFilter consults
+    the bloom for), unioned into one ledger."""
+    dest = write_bloom_table(spark, sf_dir)
+    t = spark.read.parquet(dest)
+    arms = []
+    for i in _BLOOM_PROBES:
+        key = _bloom_key(i)
+        arms.append(
+            t.where(F.col("k") == key).agg(
+                F.lit(key).alias("probe_key"),
+                F.lit(i < _BLOOM_N).alias("expected_present"),
+                F.count("*").alias("n_rows"),
+                F.coalesce(F.sum("v"), F.lit(0)).cast("long").alias("sum_v"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionAll(a)
+    return out.orderBy("probe_key")

@@ -318,3 +318,92 @@ def test_register_views_memoized_per_sf_dir(spark):
     # idempotent second call: marker unchanged, views still correct
     register_views(spark, "/root/testdata/sf0.01")
     assert spark.sql("SELECT COUNT(*) AS n FROM orders").first()["n"] == n2
+
+
+def test_parquet_bloom_rowgroup_pruning_mechanism(spark):
+    """q255's full oracle pins the RESULTS; this pins the MECHANISM via
+    parquet-mr: the written file has many row groups with a bloom
+    filter on k only; an absent in-range probe passes ZERO per-row-
+    group bloom tests; the filtered reader keeps 0 row groups for it
+    (vs every row group for a no-bloom control file of the same data,
+    whose min/max can never exclude a scrambled in-range key); and a
+    present probe's filtered read keeps exactly the row groups its
+    bloom admits."""
+    from hive_clone_spark.sources.queries import (
+        _BLOOM_N,
+        _bloom_key,
+        write_bloom_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    dest = write_bloom_table(spark, sf)
+    import glob
+
+    data_file = glob.glob(dest + "/*.parquet")[0]
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        jvm.org.apache.hadoop.fs.Path(data_file), conf
+    )
+    present, absent = _bloom_key(5), _bloom_key(_BLOOM_N + 7)
+
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+    blocks = reader.getFooter().getBlocks()
+    n_groups = blocks.size()
+    assert n_groups >= 2, "need multiple row groups to prove skipping"
+    pass_present = pass_absent = 0
+    for i in range(n_groups):
+        b = blocks.get(i)
+        cols = {
+            b.getColumns().get(j).getPath().toDotString(): b.getColumns().get(j)
+            for j in range(b.getColumns().size())
+        }
+        assert cols["k"].getBloomFilterOffset() >= 0
+        assert cols["v"].getBloomFilterOffset() == -1
+        bf = reader.getBloomFilterDataReader(b).readBloomFilter(cols["k"])
+        pass_present += int(bf.findHash(bf.hash(present)))
+        pass_absent += int(bf.findHash(bf.hash(absent)))
+    reader.close()
+    assert pass_present >= 1
+    assert pass_absent == 0  # deterministic for this fixed corpus/probe
+
+    FilterApi = jvm.org.apache.parquet.filter2.predicate.FilterApi
+    FilterCompat = jvm.org.apache.parquet.filter2.compat.FilterCompat
+
+    def filtered_groups(in_f, key):
+        pred = FilterApi.eq(FilterApi.longColumn("k"), key)
+        opts = (
+            jvm.org.apache.parquet.ParquetReadOptions.builder()
+            .withRecordFilter(FilterCompat.get(pred))
+            .build()
+        )
+        r = jvm.org.apache.parquet.hadoop.ParquetFileReader(in_f, opts)
+        try:
+            return r.getRowGroups().size()
+        finally:
+            r.close()
+
+    assert filtered_groups(infile, absent) == 0
+    assert filtered_groups(infile, present) == pass_present
+
+    # no-bloom control: same data, same scrambled key, no dictionary —
+    # nothing can exclude the absent probe, so every row group survives
+    import pyspark.sql.functions as F
+
+    ctl = dest + "-ctl"
+    (
+        spark.read.parquet(dest)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.enable.dictionary#k", "false")
+        .option("parquet.block.size", str(256 * 1024))
+        .parquet(ctl)
+    )
+    ctl_file = glob.glob(ctl + "/*.parquet")[0]
+    ctl_in = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        jvm.org.apache.hadoop.fs.Path(ctl_file), conf
+    )
+    ctl_reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(ctl_in)
+    ctl_groups = ctl_reader.getFooter().getBlocks().size()
+    ctl_reader.close()
+    assert filtered_groups(ctl_in, absent) == ctl_groups
