@@ -182,19 +182,28 @@ def main() -> None:
             continue
         # uniform warmup+1 protocol (module docstring): one measured
         # warm run; a retry ONLY when the sample is provably suspect —
-        # slower than the query's own discarded warmup, which pays
+        # (a) slower than the query's own discarded warmup, which pays
         # codegen and is normally the slowest execution (a single
         # hiccup sample once masqueraded as a 2.3x gate regression:
-        # q11_cube 3.01 s one run, 1.2 s steady). MIN of the retried
-        # pair, because heavy jitter is one-sided — a scheduler hiccup
-        # can only inflate a sample.
+        # q11_cube 3.01 s one run, 1.2 s steady), or (b) round-10:
+        # more than 1.5x the committed baseline median — a contention
+        # window that inflates BOTH the warmup and the sample defeats
+        # check (a) entirely (r10: p_lsh_tuning sampled 7.17 s in a
+        # load-avg-4.8 window, warm x3 re-measures 2.2 s; warmup was
+        # >= the sample, so no retry fired). MIN of the retried pair,
+        # because heavy jitter is one-sided — a scheduler hiccup can
+        # only inflate a sample.
         targets[name] = 1
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         dt = time.perf_counter() - t0
         spent += dt
         samples.append(round(dt, 4))
-        if dt > warm_dt and spent <= BUDGET_SEC:
+        base_med = base_medians.get(name)
+        suspect = dt > warm_dt or (
+            base_med is not None and dt > 1.5 * base_med and dt - base_med > 0.3
+        )
+        if suspect and spent <= BUDGET_SEC:
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             dt = time.perf_counter() - t0
