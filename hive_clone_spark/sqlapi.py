@@ -1315,6 +1315,25 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
         tgt_clauses = [c for c in clauses if c[0] in ("matched", "by_source")]
         ins_clauses = [c for c in clauses if c[0] == "not_matched"]
         has_by_source = any(c[0] == "by_source" for c in clauses)
+        # SQL standard cardinality check: MERGE must error when more
+        # than one source row matches the same target row — the left
+        # join below would otherwise silently DUPLICATE the target row
+        # in the rewrite. One map-side-combinable agg on the (small,
+        # broadcastable) source; at scale this is the same pass the
+        # source's own key-bounds derivation already makes.
+        if tgt_clauses:
+            dup = (
+                src_df.groupBy(src_key)
+                .count()
+                .where(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    "MERGE cardinality violation: source has multiple rows "
+                    f"for {src_key}={dup[0][0]!r}"
+                )
         bounds = src_df.agg(
             F.min(src_key).alias("lo"), F.max(src_key).alias("hi")
         ).collect()[0]
@@ -1338,35 +1357,44 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
             # row ("u<i>" = update by clause i, "d" = delete, "keep").
             # A NULL AND-condition never fires its clause (eqNullSafe),
             # matching MERGE's TRUE-only clause conditions.
-            act = None
-            for i, (side, kind, cond, _sets) in enumerate(tgt_clauses):
-                c = matched if side == "matched" else ~matched
-                if cond:
-                    c = c & F.expr(cond).eqNullSafe(F.lit(True))
-                tag = F.lit(f"u{i}" if kind == "update" else "d")
-                act = F.when(c, tag) if act is None else act.when(c, tag)
-            act = act.otherwise(F.lit("keep"))
-            survivors = joined.withColumn("__dml_action", act).where(
-                F.col("__dml_action") != "d"
-            )
-            # All SET RHS evaluate against the pre-merge joined row
-            # (simultaneous-assignment semantics, as in UPDATE above).
-            out_cols = []
-            for c in tgt_cols:
-                val = F.col(f"{talias}.{c}")
-                for i, (_side, kind, _cond, sets) in reversed(
-                    list(enumerate(tgt_clauses))
-                ):
-                    smap = dict(sets)
-                    if kind == "update" and c in smap:
-                        val = F.when(
-                            F.col("__dml_action") == f"u{i}", F.expr(smap[c])
-                        ).otherwise(val)
-                out_cols.append(val.alias(c))
-            rewritten = _with_bucket(survivors.select(*out_cols), m)
-            adds = tl.stage_data_partitioned(
-                rewritten, "bucket", _bucket_stats(rewritten)
-            )
+            adds: list[dict] = []
+            removes: list[str] = []
+            if tgt_clauses:
+                act = None
+                for i, (side, kind, cond, _sets) in enumerate(tgt_clauses):
+                    c = matched if side == "matched" else ~matched
+                    if cond:
+                        c = c & F.expr(cond).eqNullSafe(F.lit(True))
+                    tag = F.lit(f"u{i}" if kind == "update" else "d")
+                    act = F.when(c, tag) if act is None else act.when(c, tag)
+                act = act.otherwise(F.lit("keep"))
+                survivors = joined.withColumn("__dml_action", act).where(
+                    F.col("__dml_action") != "d"
+                )
+                # All SET RHS evaluate against the pre-merge joined row
+                # (simultaneous-assignment semantics, as in UPDATE above).
+                out_cols = []
+                for c in tgt_cols:
+                    val = F.col(f"{talias}.{c}")
+                    for i, (_side, kind, _cond, sets) in reversed(
+                        list(enumerate(tgt_clauses))
+                    ):
+                        smap = dict(sets)
+                        if kind == "update" and c in smap:
+                            val = F.when(
+                                F.col("__dml_action") == f"u{i}",
+                                F.expr(smap[c]),
+                            ).otherwise(val)
+                    out_cols.append(val.alias(c))
+                rewritten = _with_bucket(survivors.select(*out_cols), m)
+                adds = tl.stage_data_partitioned(
+                    rewritten, "bucket", _bucket_stats(rewritten)
+                )
+                removes = affected
+            # insert-only MERGE: no target row changes, so nothing is
+            # rewritten or removed (a rewrite through the join would
+            # also duplicate targets matched by several source rows —
+            # allowed for INSERT, fatal for a copy-on-write rewrite)
             ins_adds: list[dict] = []
             if ins_clauses:
                 # INSERT *: source columns by name; target columns the
@@ -1404,7 +1432,7 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
                                       int(ins_bounds["hi"])]
                         }
             try:
-                tl.commit("merge", add=adds + ins_adds, remove=affected,
+                tl.commit("merge", add=adds + ins_adds, remove=removes,
                           expected_version=expected)
                 return "merge"
             except CommitConflictError:

@@ -180,3 +180,43 @@ def test_delete_empty_affected_set_is_noop(spark, small_log):
     hist = tl.history()[-1]
     assert (hist["n_added"], hist["n_removed"]) == (0, 0)
     assert _read(spark, tl).count() == m
+
+
+def test_merge_duplicate_source_keys_error(spark, small_log):
+    """SQL standard: MERGE errors when multiple source rows match one
+    target row — the join-based lowering would otherwise silently
+    duplicate the target row in the rewrite."""
+    tl, m = small_log
+    spark.createDataFrame(
+        [(3, 1.0), (3, 2.0)], "o_orderkey BIGINT, o_totalprice DOUBLE"
+    ).createOrReplaceTempView("dml_src_dup")
+    with pytest.raises(ValueError, match="cardinality"):
+        txlog_sql_dml(
+            spark, tl, m,
+            "MERGE INTO t USING dml_src_dup AS s ON t.o_orderkey = s.o_orderkey"
+            " WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice",
+        )
+
+
+def test_merge_insert_only_rewrites_nothing(spark, small_log):
+    """Upsert-only-new: a MERGE with just WHEN NOT MATCHED THEN
+    INSERT * must not rewrite (or remove) any target file — and must
+    tolerate duplicate source keys for MATCHED targets, since no
+    matched row is touched."""
+    tl, m = small_log
+    spark.createDataFrame(
+        [(3, 0.5), (3, 0.7), (m + 1, 99.0)],
+        "o_orderkey BIGINT, o_totalprice DOUBLE",
+    ).createOrReplaceTempView("dml_src_insonly")
+    txlog_sql_dml(
+        spark, tl, m,
+        "MERGE INTO t USING dml_src_insonly AS s"
+        " ON t.o_orderkey = s.o_orderkey"
+        " WHEN NOT MATCHED THEN INSERT *",
+    )
+    hist = tl.history()[-1]
+    assert hist["n_removed"] == 0
+    assert hist["n_added"] == 1  # just the insert file
+    snap = _read(spark, tl)
+    assert snap.count() == m + 1
+    assert snap.where(F.col("o_orderkey") == 3).count() == 1  # untouched
