@@ -1608,3 +1608,231 @@ def q254_sql_dml_txlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         " WHEN NOT MATCHED BY SOURCE THEN DELETE",
     )
     return _version_ledger(spark, tl)
+
+
+# ---------------------------------------------------------------------------
+# Q256 — streaming CDC apply: a change feed (I/U/D ops) lands as files,
+# a Structured Streaming file source drains it availableNow one file
+# per micro-batch, and foreachBatch applies EACH batch as one MERGE
+# INTO statement through the q254 lowering — exercising the full
+# round-10 clause cascade (conditional matched-DELETE, conditional
+# matched-UPDATE, conditional INSERT) from the streaming lane. This is
+# the production CDC-apply shape: Debezium/feed files -> micro-batch ->
+# transactional MERGE, exactly-once per batch because each batch is one
+# atomic commit-log publish.
+#
+# Determinism: batch files get ascending mtimes (the file source
+# processes oldest-first), each batch's keys are disjoint ranges, and a
+# key -1 'D' sentinel pins every batch's source key bounds to the full
+# table range so the affected set is ALL active files — making the
+# ledger's n_added/n_removed exactly derivable (16 -> 17 -> 18 active
+# files as each batch adds its insert file and re-buckets prior
+# inserts into bucket 16).
+#
+# Scale design: the apply cost per batch is the MERGE's (pruned scan +
+# rewrite of affected bytes + one broadcast of the batch); the stream
+# machinery adds only batch sequencing. At 100 TB each CDC batch's key
+# bounds usually prune to a few files (the sentinel here is a fixture
+# device to make accounting exact, not the production shape).
+# ---------------------------------------------------------------------------
+_CDC_INS = 20
+# Bench-bounded CDC window: the sentinel forces every batch to rewrite
+# the WHOLE staged table (3 full copy-on-write passes + 4 time-travel
+# ledger scans), so the staged slice caps at this key bound — ~24 s of
+# full-orders rewrites at sf0.1 otherwise, with no added coverage. At
+# sf0.001 the cap is above max(o_orderkey) and the slice is the whole
+# table.
+_CDC_KEY_CAP = 10_000
+
+
+@register(
+    "q256_stream_cdc_merge",
+    oracle=f"""
+    WITH od AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey <= {_CDC_KEY_CAP}),
+    mx AS (SELECT MAX(o_orderkey) AS m FROM od),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tot,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s_tot
+      FROM od),
+    u1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS c7,
+        COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))),
+                 CAST(0.00 AS DECIMAL(18,2))) AS s7
+      FROM od, mx
+      WHERE o_orderkey % 7 = 0 AND o_orderkey BETWEEN 1 AND m // 4),
+    d2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS c11,
+        COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))),
+                 CAST(0.00 AS DECIMAL(18,2))) AS s11
+      FROM od, mx
+      WHERE o_orderkey % 11 = 0
+        AND o_orderkey BETWEEN m // 4 + 1 AND m // 2),
+    u2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS c13,
+        COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))),
+                 CAST(0.00 AS DECIMAL(18,2))) AS s13
+      FROM od, mx
+      WHERE o_orderkey % 13 = 0
+        AND o_orderkey BETWEEN m // 2 + 1 AND (3 * m) // 4),
+    d3 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS c17,
+        COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))),
+                 CAST(0.00 AS DECIMAL(18,2))) AS s17
+      FROM od, mx
+      WHERE o_orderkey % 17 = 0
+        AND o_orderkey BETWEEN (3 * m) // 4 + 1 AND m)
+    SELECT CAST(0 AS BIGINT) AS version, 'append' AS op,
+      CAST(16 AS BIGINT) AS n_added, CAST(0 AS BIGINT) AS n_removed,
+      n_tot AS n_rows, CAST(s_tot AS DOUBLE) AS sum_price
+    FROM tot
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'merge', CAST(17 AS BIGINT),
+      CAST(16 AS BIGINT),
+      n_tot + {_CDC_INS},
+      CAST(s_tot - s7 + CAST(1.00 AS DECIMAL(18,2)) * c7
+           + CAST({_CDC_INS} * 11.50 AS DECIMAL(18,2)) AS DOUBLE)
+    FROM tot, u1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'merge', CAST(18 AS BIGINT),
+      CAST(17 AS BIGINT),
+      n_tot + 2 * {_CDC_INS} - c11,
+      CAST(s_tot - s7 + CAST(1.00 AS DECIMAL(18,2)) * c7
+           + CAST({_CDC_INS} * 11.50 AS DECIMAL(18,2))
+           - s11 - s13 + CAST(2.00 AS DECIMAL(18,2)) * c13
+           + CAST({_CDC_INS} * 12.25 AS DECIMAL(18,2)) AS DOUBLE)
+    FROM tot, u1, d2, u2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'merge', CAST(18 AS BIGINT),
+      CAST(18 AS BIGINT),
+      n_tot + 3 * {_CDC_INS} - c11 - c17,
+      CAST(s_tot - s7 + CAST(1.00 AS DECIMAL(18,2)) * c7
+           + CAST({_CDC_INS} * 11.50 AS DECIMAL(18,2))
+           - s11 - s13 + CAST(2.00 AS DECIMAL(18,2)) * c13
+           + CAST({_CDC_INS} * 12.25 AS DECIMAL(18,2))
+           - s17
+           - CAST(10 * 11.50 AS DECIMAL(18,2))
+           + CAST(10 * 3.00 AS DECIMAL(18,2))
+           + CAST({_CDC_INS} * 13.75 AS DECIMAL(18,2)) AS DOUBLE)
+    FROM tot, u1, d2, u2, d3
+    ORDER BY version
+    """,
+)
+def q256_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed -> file-source stream -> foreachBatch MERGE apply;
+    the commit-log version ledger is the output, so wrong batch order,
+    a lost clause, or broken per-batch atomicity all hash-mismatch."""
+    from hive_clone_spark.sources.txlog import (
+        TxLog,
+        _bucket_stats,
+        _version_ledger,
+        _warehouse_dir,
+        _with_bucket,
+    )
+
+    # version 0: the capped orders slice, bucketed (q254's layout)
+    tl = TxLog(_warehouse_dir(sf_dir, "txlog_q256")).create()
+    od = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .where(F.col("o_orderkey") <= _CDC_KEY_CAP)
+    )
+    m = int(od.agg(F.max("o_orderkey")).collect()[0][0])
+    bucketed = _with_bucket(od, m)
+    tl.commit(
+        "append",
+        add=tl.stage_data_partitioned(bucketed, "bucket", _bucket_stats(bucketed)),
+    )
+    o = od.select("o_orderkey")
+
+    feed_dir = _warehouse_dir(sf_dir, "q256_feed")
+    ckpt_dir = _warehouse_dir(sf_dir, "q256_ckpt")
+
+    # range-based, not createDataFrame: writing a 1-row LocalTableScan
+    # union to parquet measured ~5 s per batch file in this session
+    # (the createDataFrame row alone wrote in 4.8 s warm; the identical
+    # range(1) projection writes in 0.3 s)
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("o_orderkey"),
+        F.lit(0.0).alias("o_totalprice"),
+        F.lit("D").alias("op"),
+    )
+
+    def ops(where_expr, op, price):
+        return o.where(F.expr(where_expr)).select(
+            F.col("o_orderkey").cast("long"),
+            F.lit(price).alias("o_totalprice"),
+            F.lit(op).alias("op"),
+        )
+
+    def inserts(lo, price):
+        return spark.range(lo, lo + _CDC_INS).select(
+            (F.lit(m) + F.col("id")).cast("long").alias("o_orderkey"),
+            F.lit(price).alias("o_totalprice"),
+            F.lit("I").alias("op"),
+        )
+
+    batches = [
+        ops(f"o_orderkey % 7 = 0 AND o_orderkey BETWEEN 1 AND {m // 4}",
+            "U", 1.00)
+        .unionByName(inserts(1, 11.50)).unionByName(sentinel),
+        ops(
+            f"o_orderkey % 11 = 0 AND o_orderkey BETWEEN {m // 4 + 1}"
+            f" AND {m // 2}", "D", 0.0)
+        .unionByName(ops(
+            f"o_orderkey % 13 = 0 AND o_orderkey BETWEEN {m // 2 + 1}"
+            f" AND {(3 * m) // 4}", "U", 2.00))
+        .unionByName(inserts(_CDC_INS + 1, 12.25)).unionByName(sentinel),
+        ops(
+            f"o_orderkey % 17 = 0 AND o_orderkey BETWEEN {(3 * m) // 4 + 1}"
+            f" AND {m}", "D", 0.0)
+        .unionByName(
+            # update 10 of the batch-1 inserts (cross-batch dependency
+            # pins the batch ORDER, not just the batch set)
+            spark.range(1, 11).select(
+                (F.lit(m) + F.col("id")).cast("long").alias("o_orderkey"),
+                F.lit(3.00).alias("o_totalprice"),
+                F.lit("U").alias("op"),
+            )
+        )
+        .unionByName(inserts(2 * _CDC_INS + 1, 13.75)).unionByName(sentinel),
+    ]
+    for i, b in enumerate(batches):
+        path = os.path.join(feed_dir, f"batch_{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(path)
+        # oldest-first processing order is by modification time
+        for root, _dirs, files in os.walk(path):
+            for fname in files:
+                os.utime(os.path.join(root, fname), (1000 + i, 1000 + i))
+        os.utime(path, (1000 + i, 1000 + i))
+
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey BIGINT, o_totalprice DOUBLE, op STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed_dir)
+    )
+
+    def apply_batch(batch_df, batch_id):
+        batch_df.createOrReplaceTempView("q256_cdc_batch")
+        txlog_sql_dml(
+            batch_df.sparkSession, tl, m,
+            "MERGE INTO orders_tx AS t USING q256_cdc_batch AS s"
+            " ON t.o_orderkey = s.o_orderkey"
+            " WHEN MATCHED AND s.op = 'D' THEN DELETE"
+            " WHEN MATCHED AND s.op = 'U'"
+            " THEN UPDATE SET o_totalprice = s.o_totalprice"
+            " WHEN NOT MATCHED AND s.op = 'I' THEN INSERT *",
+        )
+
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return _version_ledger(spark, tl)
