@@ -908,6 +908,16 @@ def _census_row(user_id, n, cents, census):
 def user_census_fallback(events_stream: DataFrame) -> DataFrame:
     """applyInPandasWithState form: the census map rides as two aligned
     array state columns (sorted by type for a canonical encoding)."""
+    # ship _census_merge/_census_row BY VALUE: module-level helpers
+    # pickle by reference, and the driver contract imports this repo by
+    # FILE PATH from a foreign cwd — executors then have no
+    # hive_clone_spark on sys.path (caught by a /tmp-cwd sweep at
+    # sf0.01: ModuleNotFoundError inside the state worker)
+    from pyspark import cloudpickle as _cp
+
+    import hive_clone_spark.streaming.stateful as _mod
+
+    _cp.register_pickle_by_value(_mod)
 
     def update(key: tuple, batches: Iterator, state) -> Iterator:
         (user_id,) = key
@@ -936,7 +946,12 @@ def user_census_fallback(events_stream: DataFrame) -> DataFrame:
 def user_census_tws(events_stream: DataFrame) -> DataFrame:
     """transformWithStateInPandas form (requires google.protobuf and
     the RocksDB state store provider — see module comment)."""
+    from pyspark import cloudpickle as _cp
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    import hive_clone_spark.streaming.stateful as _mod
+
+    _cp.register_pickle_by_value(_mod)  # foreign-cwd executors (see fallback)
 
     class UserCensusProcessor(StatefulProcessor):
         def init(self, handle) -> None:
