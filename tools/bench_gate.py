@@ -91,7 +91,7 @@ def compare(run: dict, baseline: dict) -> list[str]:
         if r > b * threshold and r - b > ABS_FLOOR_SEC * cal_scale:
             problems.append(
                 f"{name}: {r:.2f}s vs baseline {b:.2f}s ({r / b:.2f}x, "
-                f"threshold {threshold:.2f}x at cal ratio {cal_scale:.2f})"
+                f"threshold {threshold:.2f}x at scale {cal_scale:.2f})"
             )
     # totals compare over the SHARED query set only: a registry that
     # grew since the snapshot raises the raw run total without any
