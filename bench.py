@@ -80,7 +80,13 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 # -> 1350 at 364 (r8s8: 23 tail degradations at 1080 on a clean run)
 # (round-8 session 6: the 299-query run measured ~830 s wall on this
 # VM, already brushing the cap before +34 entries landed).
-BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1350"))
+# 1350 -> 1500 at 384 bench queries (round 10): the r10 closing run
+# measured ~476 s of query medians => ~1100 s spent incl. warmups on
+# this machine; a 1.2x driver epoch lands ~1320, brushing 1350, and
+# the round added q256 (+7 s) plus the baseline-anomaly retry lane
+# (extra samples exactly when a machine runs slow). Raised before the
+# first degradation instead of after it, for once.
+BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1500"))
 # Session recycling: restart the SparkSession every N queries
 # (re-warming footer caches; restart time is NOT counted against the
 # measured budget). DEFAULT OFF — the round-6 A/B (NOTES.md) measured
