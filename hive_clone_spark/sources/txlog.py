@@ -173,6 +173,48 @@ class TxLog:
             for v in self.versions()
         ]
 
+    # -- schema record ------------------------------------------------
+    # A table emptied by DML (full-delete MERGE cascade, unconditional
+    # DELETE) is a legal state, but a zero-file snapshot has no parquet
+    # footer to infer a schema from. Production formats solve this by
+    # recording the logical schema in the log metadata (Delta's
+    # metaData action, Iceberg's table metadata file); here every stage
+    # records the staged frame's schema in a root-level sidecar so an
+    # empty snapshot still reads as an empty, correctly-typed frame.
+    # (Root-level, not _txlog/: versions() globs _txlog/*.json.)
+    def _schema_path(self) -> pathlib.Path:
+        return self.root / "_schema.json"
+
+    def record_schema(self, schema) -> None:
+        tmp = self.root / f"_schema.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            f.write(schema.json())
+        os.replace(tmp, self._schema_path())
+
+    def table_schema(self, spark: SparkSession):
+        """Best-effort logical schema: the sidecar if recorded, else the
+        footer of the newest historically-referenced data file still on
+        disk (pre-sidecar logs), else None."""
+        from pyspark.sql.types import StructType
+
+        p = self._schema_path()
+        if p.exists():
+            with open(p) as f:
+                return StructType.fromJson(json.load(f))
+        for v in reversed(self.versions()):
+            c = self._read_commit(v)
+            for a in reversed(c.get("add", [])):
+                fp = self.root / a["file"]
+                if fp.exists():
+                    return spark.read.parquet(str(fp)).schema
+        return None
+
+    def empty_df(self, spark: SparkSession) -> DataFrame:
+        schema = self.table_schema(spark)
+        if schema is None:
+            raise ValueError("txlog: empty table with no recorded schema")
+        return spark.createDataFrame([], schema)
+
     # -- writing ------------------------------------------------------
     def stage_data(self, df: DataFrame, n_files: int | None = None) -> list[dict]:
         """Write ``df``'s rows as immutable parquet files under
@@ -182,6 +224,7 @@ class TxLog:
         (cleaned by vacuum in production formats), never a torn table."""
         if n_files is not None:
             df = df.repartition(n_files)
+        self.record_schema(df.schema)
         stage = self.root / f"_stage-{uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(str(stage))
         adds = []
@@ -204,6 +247,9 @@ class TxLog:
         exactly one file) and attach per-file column stats to the add
         actions — the data-skipping index every table format keeps.
         ``stats_by_value`` maps partition value -> {col: [min, max]}."""
+        # partitionBy drops the partition column from the data files, so
+        # the logical (read-side) schema excludes it
+        self.record_schema(df.drop(partition_col).schema)
         stage = self.root / f"_stage-{uuid.uuid4().hex}"
         (
             df.repartition(partition_col)
@@ -734,7 +780,9 @@ class TxLog:
     ) -> DataFrame:
         files = [str(self.root / f) for f in rel_files]
         if not files:
-            raise ValueError("txlog: empty table")
+            # a table whose rows were all deleted is a legal state —
+            # an empty frame at the recorded logical schema, not an error
+            return self.empty_df(spark)
         df = spark.read.parquet(*files)
         active_dvs = {f: p for f, p in dvs.items() if f in set(rel_files)}
         if not active_dvs:

@@ -1126,7 +1126,7 @@ def q248_script_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 import re as _re
 
 _DML_DELETE_RE = _re.compile(
-    r"^\s*DELETE\s+FROM\s+(?P<tbl>\w+)\s+WHERE\s+(?P<where>.+?)\s*;?\s*$",
+    r"^\s*DELETE\s+FROM\s+(?P<tbl>\w+)(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
     _re.IGNORECASE | _re.DOTALL,
 )
 _DML_UPDATE_RE = _re.compile(
@@ -1151,7 +1151,7 @@ _DML_MERGE_HDR_RE = _re.compile(
 )
 _DML_WHEN_RE = _re.compile(
     r"WHEN\s+(?P<neg>NOT\s+)?MATCHED"
-    r"(?P<bysrc>\s+BY\s+SOURCE)?(?:\s+BY\s+TARGET)?"
+    r"(?P<bysrc>\s+BY\s+SOURCE)?(?P<bytgt>\s+BY\s+TARGET)?"
     r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
     r"(?P<action>UPDATE\s+SET\s+.+?|DELETE|INSERT\s+\*)"
     r"(?=\s+WHEN\s|\s*;?\s*$)",
@@ -1202,9 +1202,13 @@ def _read_affected(spark, tl, all_files: list[str], affected: list[str]):
     of crashing."""
     if affected:
         return spark.read.parquet(*[str(tl.root / f) for f in affected])
-    return spark.read.parquet(
-        *[str(tl.root / f) for f in all_files]
-    ).where(F.lit(False))
+    if all_files:
+        return spark.read.parquet(
+            *[str(tl.root / f) for f in all_files]
+        ).where(F.lit(False))
+    # table already emptied by a prior statement: zero files, schema
+    # comes from the log's recorded schema
+    return tl.empty_df(spark)
 
 
 def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
@@ -1217,7 +1221,9 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
     )
 
     if (mt := _DML_DELETE_RE.match(statement)) is not None:
-        where = mt.group("where")
+        # no WHERE = unconditional DELETE: every row goes, committing a
+        # legal EMPTY version (remove all files, add none)
+        where = mt.group("where") or "TRUE"
         lo, hi = _dml_prune_range(where, "o_orderkey", m)
         while True:
             expected = tl.latest_version()
@@ -1282,6 +1288,15 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
         for wm in _DML_WHEN_RE.finditer(statement, mh.end()):
             action = wm.group("action")
             kind = action.split(None, 1)[0].lower()  # update | delete | insert
+            # BY SOURCE / BY TARGET only qualify NOT MATCHED; a typo'd
+            # "WHEN MATCHED BY SOURCE" must error, not silently parse as
+            # plain WHEN MATCHED with different semantics
+            if (wm.group("bysrc") or wm.group("bytgt")) and not wm.group("neg"):
+                raise ValueError(
+                    "BY SOURCE / BY TARGET is only valid after WHEN NOT MATCHED"
+                )
+            if wm.group("bysrc") and wm.group("bytgt"):
+                raise ValueError("BY SOURCE and BY TARGET are mutually exclusive")
             if wm.group("neg") and wm.group("bysrc"):
                 side = "by_source"  # target rows with no source match
             elif wm.group("neg"):
@@ -1322,18 +1337,31 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
         # broadcastable) source; at scale this is the same pass the
         # source's own key-bounds derivation already makes.
         if tgt_clauses:
-            dup = (
-                src_df.groupBy(src_key)
-                .count()
-                .where(F.col("count") > 1)
-                .limit(1)
-                .collect()
+            dup_keys = (
+                src_df.groupBy(src_key).count().where(F.col("count") > 1)
             )
-            if dup:
-                raise ValueError(
-                    "MERGE cardinality violation: source has multiple rows "
-                    f"for {src_key}={dup[0][0]!r}"
+            if dup_keys.limit(1).collect():
+                # duplicates exist at all (rare) — the standard only
+                # makes this an error when a TARGET row is matched by
+                # more than one source row; dup keys that all land in
+                # NOT MATCHED are legal. Semi-join the dup keys against
+                # the current snapshot to decide.
+                hit = (
+                    dup_keys.select(F.col(src_key).alias("__dup_key"))
+                    .join(
+                        tl.read(spark),
+                        F.col("__dup_key") == F.col(tgt_key),
+                        "left_semi",
+                    )
+                    .limit(1)
+                    .collect()
                 )
+                if hit:
+                    raise ValueError(
+                        "MERGE cardinality violation: source has multiple "
+                        f"rows for {src_key}={hit[0][0]!r} matching a "
+                        "target row"
+                    )
         bounds = src_df.agg(
             F.min(src_key).alias("lo"), F.max(src_key).alias("hi")
         ).collect()[0]
@@ -1413,11 +1441,18 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
                         ]
                     )
                 )
-                ins_cond = ins_clauses[0][2]
-                if ins_cond:
-                    inserts = inserts.where(
-                        F.expr(ins_cond).eqNullSafe(F.lit(True))
-                    )
+                # clause cascade for inserts: a source row inserts if the
+                # first NOT-MATCHED clause whose condition holds is an
+                # INSERT — with INSERT * every clause produces the same
+                # row, so the cascade reduces to OR-ing the conditions
+                # (an unconditioned clause makes the OR vacuously true)
+                ins_conds = [c[2] for c in ins_clauses]
+                if all(ins_conds):
+                    pred = None
+                    for cond in ins_conds:
+                        t = F.expr(cond).eqNullSafe(F.lit(True))
+                        pred = t if pred is None else pred | t
+                    inserts = inserts.where(pred)
                 ins_bounds = inserts.agg(
                     F.min(tgt_key).alias("lo"), F.max(tgt_key).alias("hi")
                 ).collect()[0]

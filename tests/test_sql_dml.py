@@ -220,3 +220,112 @@ def test_merge_insert_only_rewrites_nothing(spark, small_log):
     snap = _read(spark, tl)
     assert snap.count() == m + 1
     assert snap.where(F.col("o_orderkey") == 3).count() == 1  # untouched
+
+
+def test_merge_full_delete_cascade_commits_empty_table(spark, small_log):
+    """Round-10 Hypothesis falsifying example, pinned deterministically:
+    WHEN MATCHED THEN DELETE + WHEN NOT MATCHED BY SOURCE THEN DELETE
+    removes every row — a legal statement whose result is an EMPTY
+    table (previously crashed with 'txlog: empty table' on read)."""
+    tl, m = small_log
+    spark.createDataFrame(
+        [(1,)], "o_orderkey BIGINT"
+    ).createOrReplaceTempView("dml_src_one")
+    txlog_sql_dml(
+        spark, tl, m,
+        "MERGE INTO t USING dml_src_one AS s ON t.o_orderkey = s.o_orderkey"
+        " WHEN MATCHED THEN DELETE"
+        " WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    )
+    snap = _read(spark, tl)
+    assert snap.count() == 0
+    # the empty snapshot keeps the table's logical schema
+    assert snap.columns == ["o_orderkey", "o_totalprice", "flag"]
+    # time travel below the delete still sees the data
+    assert tl.read(spark, 0).count() == m
+    # and the empty table accepts a follow-up insert MERGE
+    spark.createDataFrame(
+        [(7, 70.0)], "o_orderkey BIGINT, o_totalprice DOUBLE"
+    ).createOrReplaceTempView("dml_src_reinsert")
+    txlog_sql_dml(
+        spark, tl, m,
+        "MERGE INTO t USING dml_src_reinsert AS s"
+        " ON t.o_orderkey = s.o_orderkey"
+        " WHEN NOT MATCHED THEN INSERT *",
+    )
+    rows = _read(spark, tl).collect()
+    assert [(r["o_orderkey"], r["o_totalprice"], r["flag"]) for r in rows] == [
+        (7, 70.0, None)
+    ]
+
+
+def test_unconditional_delete_commits_empty_version(spark, small_log):
+    tl, m = small_log
+    txlog_sql_dml(spark, tl, m, "DELETE FROM t")
+    hist = tl.history()[-1]
+    assert hist["op"] == "delete"
+    assert (hist["n_added"], hist["n_removed"]) == (0, 16)
+    assert _read(spark, tl).count() == 0
+    assert tl.read(spark, 0).count() == m
+
+
+def test_merge_duplicate_unmatched_source_keys_legal(spark, small_log):
+    """SQL standard restricts the cardinality error to duplicated source
+    rows that actually MATCH a target row; dup keys that all land in
+    NOT MATCHED are a valid statement (each inserts)."""
+    tl, m = small_log
+    spark.createDataFrame(
+        [(m + 5, 1.0), (m + 5, 2.0)],
+        "o_orderkey BIGINT, o_totalprice DOUBLE",
+    ).createOrReplaceTempView("dml_src_dup_unmatched")
+    txlog_sql_dml(
+        spark, tl, m,
+        "MERGE INTO t USING dml_src_dup_unmatched AS s"
+        " ON t.o_orderkey = s.o_orderkey"
+        " WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice"
+        " WHEN NOT MATCHED THEN INSERT *",
+    )
+    snap = _read(spark, tl)
+    assert snap.count() == m + 2  # both dup source rows inserted
+    assert snap.where(F.col("o_orderkey") == m + 5).count() == 2
+
+
+def test_merge_multiple_insert_clauses_cascade(spark, small_log):
+    """Several WHEN NOT MATCHED ... THEN INSERT * clauses: a source row
+    inserts when the FIRST clause whose condition holds is an INSERT —
+    for INSERT * this is the OR of the clause conditions (previously
+    only the first clause's condition was applied)."""
+    tl, m = small_log
+    spark.createDataFrame(
+        [(k, float(k)) for k in range(m + 1, m + 7)],
+        "o_orderkey BIGINT, o_totalprice DOUBLE",
+    ).createOrReplaceTempView("dml_src_multins")
+    txlog_sql_dml(
+        spark, tl, m,
+        "MERGE INTO t USING dml_src_multins AS s"
+        " ON t.o_orderkey = s.o_orderkey"
+        f" WHEN NOT MATCHED AND s.o_orderkey % 2 = 0 THEN INSERT *"
+        f" WHEN NOT MATCHED AND s.o_totalprice > {m + 4}.5 THEN INSERT *",
+    )
+    got = sorted(
+        r["o_orderkey"]
+        for r in _read(spark, tl).where(F.col("o_orderkey") > m).collect()
+    )
+    # evens: m+2, m+4, m+6; price > m+4.5: m+5, m+6
+    assert got == [m + 2, m + 4, m + 5, m + 6]
+
+
+def test_merge_matched_by_source_typo_rejected(spark, small_log):
+    """'WHEN MATCHED BY SOURCE' is not a MERGE clause; it must error
+    instead of silently parsing as plain WHEN MATCHED."""
+    tl, m = small_log
+    spark.range(1, 3).select(
+        F.col("id").alias("o_orderkey")
+    ).createOrReplaceTempView("dml_src_typo")
+    with pytest.raises(ValueError, match="BY SOURCE"):
+        txlog_sql_dml(
+            spark, tl, m,
+            "MERGE INTO t USING dml_src_typo AS s"
+            " ON t.o_orderkey = s.o_orderkey"
+            " WHEN MATCHED BY SOURCE THEN DELETE",
+        )
