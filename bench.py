@@ -218,6 +218,40 @@ def main() -> None:
         runs[name] = samples
         medians[name] = round(min(samples), 4)
 
+    # End-of-suite re-measure lane (round-10 verdict task 3). All three
+    # r10 gate flags were one localized contention window: three
+    # schedule-ADJACENT queries whose warmup AND sample (and immediate
+    # retry) all landed slow, invisible to the global median
+    # normalization — warm x3 re-measures read 0.83-1.09x. An immediate
+    # retry cannot escape a minutes-long window; a re-measure at the
+    # END of the suite (typically many minutes later, JVM maximally
+    # warm) can. Re-run each would-be-flagged query once, keep the MIN,
+    # and record the extra sample — the gate then flags only queries
+    # that are slow in BOTH windows.
+    end_retried: list[str] = []
+    if base_medians:
+        try:
+            from tools.bench_gate import flagged_queries, norm_scale
+
+            scale = norm_scale(medians, base_medians)
+            flagged = [
+                n
+                for n in flagged_queries(medians, base_medians, scale)
+                if n not in cold_only
+            ]
+        except Exception:
+            flagged = []
+        for name in flagged[:16]:
+            if spent > BUDGET_SEC:
+                break
+            t0 = time.perf_counter()
+            registry.QUERIES[name](spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            spent += dt
+            runs[name].append(round(dt, 4))
+            medians[name] = round(min(runs[name]), 4)
+            end_retried.append(name)
+
     total = round(sum(medians.values()), 2)
     # degraded = budget-forced below the ADAPTIVE target (a 1-run heavy
     # query that targeted 1 run is by-design, not degraded)
@@ -257,6 +291,7 @@ def main() -> None:
                 "recycle_every": RECYCLE_EVERY,
                 "degraded_queries": degraded,
                 "cold_only_queries": cold_only,
+                "end_retry_queries": end_retried,
                 "vs_baseline_ratio": vs_baseline,
                 "calibration_sec": _CALIBRATION_SEC,
                 "sf": sf,

@@ -1124,193 +1124,20 @@ def p_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # visits a strict subset of each shard and its recall-vs-ef curve vs
 # p_knn_bruteforce is pinned (tests/test_hnsw.py).
 # ---------------------------------------------------------------------------
-_HNSW_M = 8  # out-degree cap per layer (M_max = 2M at layer 0)
-_HNSW_EF_C = 32  # efConstruction
+# Graph build/search/exact-topk live in _hnsw_workers.py — the
+# SELF-CONTAINED module the entries register by value so task closures
+# ship only worker code, not all of similarity.py (round-10 verdict
+# task 5). Re-exported here for the tests and any driver-side callers.
+from hive_clone_spark.pipeline._hnsw_workers import (  # noqa: E402
+    HNSW_EF_C as _HNSW_EF_C,
+    HNSW_M as _HNSW_M,
+    exact_shard_topk,
+    hnsw_build,
+    hnsw_search,
+    seq_cosine as _seq_cosine,
+)
+
 _HNSW_SHARDS = 4
-
-
-def hnsw_build(ids, vecs, m=_HNSW_M, ef_c=_HNSW_EF_C):
-    """Deterministic HNSW index over (ids sorted ascending, unit
-    vectors). Returns (layers, entry, levels): layers[l][i] = set of
-    neighbor ROW indices at layer l."""
-    import hashlib
-
-    import numpy as np
-
-    n = len(ids)
-    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-    unit = vecs / np.where(norms == 0, 1.0, norms)
-
-    def level_of(vid: int) -> int:
-        h = int(hashlib.md5(str(vid).encode()).hexdigest()[:15], 16)
-        lvl = 0
-        while h % 4 == 0 and lvl < 3:
-            lvl += 1
-            h //= 4
-        return lvl
-
-    levels = [level_of(int(v)) for v in ids]
-    max_level = max(levels) if n else 0
-    layers = [[set() for _ in range(n)] for _ in range(max_level + 1)]
-    entry = 0
-
-    def search_layer(qv, entries, ef, layer):
-        import heapq
-
-        visited = set(entries)
-        cand = []  # max-heap via negation
-        best = []  # min-heap of (score, -idx) keeping ef best
-        for e in entries:
-            s = float(unit[e] @ qv)
-            heapq.heappush(cand, (-s, e))
-            heapq.heappush(best, (s, -e))
-        while cand:
-            cs, u = heapq.heappop(cand)
-            if -cs < best[0][0] and len(best) >= ef:
-                break
-            for v in sorted(layers[layer][u]):
-                if v in visited:
-                    continue
-                visited.add(v)
-                s = float(unit[v] @ qv)
-                if len(best) < ef or s > best[0][0]:
-                    heapq.heappush(cand, (-s, v))
-                    heapq.heappush(best, (s, -v))
-                    if len(best) > ef:
-                        heapq.heappop(best)
-        out = sorted(((s, -ni) for s, ni in best), key=lambda t: (-t[0], t[1]))
-        return [(s, i) for s, i in out], len(visited)
-
-    for i in range(1, n):
-        qv = unit[i]
-        lvl = levels[i]
-        ep = [entry]
-        for layer in range(levels[entry], lvl, -1):
-            if layer < len(layers):
-                found, _ = search_layer(qv, ep, 1, layer)
-                ep = [found[0][1]]
-        for layer in range(min(lvl, levels[entry]), -1, -1):
-            found, _ = search_layer(qv, ep, ef_c, layer)
-            mmax = 2 * m if layer == 0 else m
-            for _, v in found[:m]:
-                layers[layer][i].add(v)
-                layers[layer][v].add(i)
-                if len(layers[layer][v]) > mmax:
-                    # prune v's worst neighbor (keep the backbone edge)
-                    worst = max(
-                        (w for w in layers[layer][v] if not (layer == 0 and abs(w - v) == 1)),
-                        key=lambda w: (-float(unit[w] @ unit[v]), w),
-                        default=None,
-                    )
-                    if worst is not None:
-                        layers[layer][v].discard(worst)
-                        layers[0 if layer == 0 else layer][worst].discard(v)
-            ep = [idx for _, idx in found]
-        # layer-0 backbone: consecutive insertion-order edge keeps the
-        # shard graph connected regardless of pruning
-        layers[0][i].add(i - 1)
-        layers[0][i - 1].add(i)
-        if lvl > levels[entry]:
-            entry = i
-    return layers, entry, levels
-
-
-def hnsw_search(layers, entry, levels, unit, qv, k, ef):
-    """Standard descent + layer-0 ef-search. Returns ([(score, row)],
-    n_visited_at_layer0)."""
-    import heapq
-
-    def search_layer(qv, entries, ef_, layer):
-        visited = set(entries)
-        cand = []
-        best = []
-        for e in entries:
-            s = float(unit[e] @ qv)
-            heapq.heappush(cand, (-s, e))
-            heapq.heappush(best, (s, -e))
-        while cand:
-            cs, u = heapq.heappop(cand)
-            if -cs < best[0][0] and len(best) >= ef_:
-                break
-            for v in sorted(layers[layer][u]):
-                if v in visited:
-                    continue
-                visited.add(v)
-                s = float(unit[v] @ qv)
-                if len(best) < ef_ or s > best[0][0]:
-                    heapq.heappush(cand, (-s, v))
-                    heapq.heappush(best, (s, -v))
-                    if len(best) > ef_:
-                        heapq.heappop(best)
-        out = sorted(((s, -ni) for s, ni in best), key=lambda t: (-t[0], t[1]))
-        return out, len(visited)
-
-    ep = [entry]
-    for layer in range(levels[entry], 0, -1):
-        found, _ = search_layer(qv, ep, 1, layer)
-        ep = [found[0][1]]
-    found, visited = search_layer(qv, ep, ef, 0)
-    return found[:k], visited
-
-
-def _seq_cosine(a, b) -> float:
-    """Sequential left-to-right double fold — the exact arithmetic
-    cosine_col/list_dot_product perform, so the emitted values round
-    identically in all three engines (numpy BLAS uses pairwise
-    summation, which can land on the other side of a 6-dp boundary)."""
-    num = aa = bb = 0.0
-    for x, y in zip(a, b):
-        num += float(x) * float(y)
-    for x in a:
-        aa += float(x) * float(x)
-    for y in b:
-        bb += float(y) * float(y)
-    return num / ((aa ** 0.5) * (bb ** 0.5))
-
-
-def _exact_shard_topk(queries, ids, raw_embs, unit, layers, entry, levels):
-    """Saturating-ef search + rounding-consistent truncation for one
-    shard: returns (query_id, neighbor_id, cosine-rounded-6dp) rows.
-
-    Truncation guarantee (round-10 advice fix): the walk ranks by the
-    UNROUNDED numpy score while the oracle ranks by the 6-dp ROUNDED
-    sequential-fold score, so a fixed +8 margin could in principle drop
-    a neighbor that rounds into the kept set. Instead the cut keeps
-    every candidate whose unrounded score is within 2e-6 of the
-    rank-(TOP_K+2) score: fold-vs-numpy recomputation differs by far
-    less than 1e-6 and 6-dp rounding moves a value by at most 5e-7, so
-    a candidate more than 2e-6 below the cut can never round into a tie
-    with it — the margin is now a proof, not a heuristic."""
-    import numpy as np
-
-    rows = []
-    for qid, qemb in queries:
-        qv = np.asarray(qemb, dtype=float)
-        qn = np.linalg.norm(qv)
-        qv = qv / (qn if qn else 1.0)
-        found, _ = hnsw_search(
-            layers, entry, levels, unit, qv, k=len(ids), ef=len(ids)
-        )
-        picked = []
-        cut = None
-        for s, row in found:
-            nid = int(ids[row])
-            if nid == qid:
-                continue
-            if len(picked) < TOP_K + 2:
-                picked.append(nid)
-                if len(picked) == TOP_K + 2:
-                    cut = s
-            elif s >= cut - 2e-6:
-                picked.append(nid)
-            else:
-                break
-        cand = [
-            (nid, round(_seq_cosine(qemb, raw_embs[nid]), 6)) for nid in picked
-        ]
-        cand.sort(key=lambda t: (-t[1], t[0]))
-        rows.extend((qid, nid, c) for nid, c in cand[: TOP_K + 2])
-    return rows
 
 
 def _hnsw_merge_topk(per_shard: DataFrame) -> DataFrame:
@@ -1337,16 +1164,22 @@ def p_knn_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard-local HNSW at saturating ef: exact top-k, pinned by the
     brute-force oracle; the sub-exhaustive ANN curve is pinned in
     tests/test_hnsw.py on the same index machinery."""
-    import hashlib  # noqa: F401  (hnsw_build ships by value below)
-
     import numpy as np
     import pandas as pd
 
     from pyspark import cloudpickle as _cp
 
-    import hive_clone_spark.pipeline.similarity as _mod
+    # ship ONLY the self-contained worker module by value (executors
+    # lack the repo on sys.path under the foreign-cwd driver contract;
+    # registering all of similarity.py shipped ~1,400 lines per task)
+    import hive_clone_spark.pipeline._hnsw_workers as _wmod
+    from hive_clone_spark.pipeline._hnsw_workers import (
+        exact_shard_topk as _topk,
+        hnsw_build as _build,
+    )
 
-    _cp.register_pickle_by_value(_mod)
+    _cp.register_pickle_by_value(_wmod)
+    top_k = TOP_K
 
     e = table(spark, sf_dir, "embeddings")
     queries = sorted(
@@ -1366,11 +1199,11 @@ def p_knn_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
         vecs = np.stack(pdf["embedding"].to_numpy()).astype(float)
-        layers, entry, levels = hnsw_build(ids, vecs)
+        layers, entry, levels = _build(ids, vecs)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         unit = vecs / np.where(norms == 0, 1.0, norms)
         raw = {int(ids[i]): pdf["embedding"].iloc[i] for i in range(len(ids))}
-        rows = _exact_shard_topk(queries, ids, raw, unit, layers, entry, levels)
+        rows = _topk(queries, ids, raw, unit, layers, entry, levels, top_k)
         return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
 
     per_shard = sharded.groupBy("shard").applyInPandas(search_shard, out_schema)
@@ -1412,10 +1245,16 @@ def p_knn_hnsw_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark import cloudpickle as _cp
 
-    import hive_clone_spark.pipeline.similarity as _mod
+    # worker-scoped closure shipping, as in p_knn_hnsw above
+    import hive_clone_spark.pipeline._hnsw_workers as _wmod
+    from hive_clone_spark.pipeline._hnsw_workers import (
+        exact_shard_topk as _topk,
+        hnsw_build as _build,
+    )
     from hive_clone_spark.sources.queries import _warehouse
 
-    _cp.register_pickle_by_value(_mod)
+    _cp.register_pickle_by_value(_wmod)
+    top_k = TOP_K
 
     e = table(spark, sf_dir, "embeddings")
     queries = sorted(
@@ -1435,7 +1274,7 @@ def p_knn_hnsw_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
         vecs = np.stack(pdf["embedding"].to_numpy()).astype(float)
-        layers, entry, levels = hnsw_build(ids, vecs)
+        layers, entry, levels = _build(ids, vecs)
         shard = int(pdf["shard"].iloc[0])
         rows = []
         for i in range(len(ids)):
@@ -1482,7 +1321,7 @@ def p_knn_hnsw_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         unit = vecs / np.where(norms == 0, 1.0, norms)
         raw = {int(ids[i]): pdf["embedding"].iloc[i] for i in range(n)}
-        rows = _exact_shard_topk(queries, ids, raw, unit, layers, entry, levels)
+        rows = _topk(queries, ids, raw, unit, layers, entry, levels, top_k)
         return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine"])
 
     per_shard = joined.groupBy("shard").applyInPandas(

@@ -1997,10 +1997,39 @@ def _bloom_table_path(sf_dir: str) -> str:
     )
 
 
+def _reap_stale_bloom_dirs(dest: str) -> None:
+    """The per-pid suffix keeps concurrent processes (driver + pytest)
+    from clobbering each other's fixture, but dead processes used to
+    leave their dirs behind forever. Reap siblings whose owning pid is
+    gone; live processes' dirs are never touched."""
+    parent = pathlib.Path(dest).parent
+    if not parent.is_dir():
+        return
+    for sib in parent.iterdir():
+        if str(sib) == dest:
+            continue
+        # dir names: {sf}-{pid} or {sf}-{pid}-ctl (test_sources' no-bloom
+        # control table, owned by the same pid)
+        tail = sib.name.removesuffix("-ctl").rsplit("-", 1)[-1]
+        try:
+            pid = int(tail)
+        except ValueError:
+            continue  # not a per-pid fixture dir: leave it
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # raises if the owner is gone
+        except ProcessLookupError:
+            shutil.rmtree(sib, ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another user: leave it
+
+
 def write_bloom_table(spark: SparkSession, sf_dir: str) -> str:
     """Write the scrambled-key corpus with a bloom filter on k (and
     dictionary encoding off for it); one output file, many row groups."""
     dest = _bloom_table_path(sf_dir)
+    _reap_stale_bloom_dirs(dest)
     df = spark.range(0, _BLOOM_N).select(
         (
             F.lit(_BLOOM_BASE)

@@ -875,49 +875,26 @@ TWS_STATE_SCHEMA = (
 )
 
 
-def _census_merge(census: dict, pdf) -> tuple[int, int]:
-    """Fold one pandas batch into the per-type census dict; returns
-    (rows_added, cents_added). Shared by both stream forms — the same
-    IEEE expression the oracle runs: floor(value*100 + 0.5)."""
-    import numpy as np
-
-    v = pdf["value"].to_numpy(dtype="float64")
-    cents = int(np.floor(v * 100.0 + 0.5).astype(np.int64).sum())
-    for et, cnt in pdf.groupby("event_type").size().items():
-        census[et] = census.get(et, 0) + int(cnt)
-    return len(pdf), cents
-
-
-def _census_row(user_id, n, cents, census):
-    import pandas as pd
-
-    # tie-break count DESC then type ASC (mirrors the oracle's rk)
-    top_type, top_n = sorted(census.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-    return pd.DataFrame(
-        {
-            "user_id": [user_id],
-            "n_events": [n],
-            "sum_cents": [cents],
-            "n_types": [len(census)],
-            "top_type": [top_type],
-            "top_type_n": [top_n],
-        }
-    )
+# census_merge/census_row live in streaming/_workers.py — the
+# SELF-CONTAINED module the state functions register by value so task
+# closures ship only worker code, not all of stateful.py (round-10
+# verdict task 5).
 
 
 def user_census_fallback(events_stream: DataFrame) -> DataFrame:
     """applyInPandasWithState form: the census map rides as two aligned
     array state columns (sorted by type for a canonical encoding)."""
-    # ship _census_merge/_census_row BY VALUE: module-level helpers
+    # ship census_merge/census_row BY VALUE: module-level helpers
     # pickle by reference, and the driver contract imports this repo by
     # FILE PATH from a foreign cwd — executors then have no
     # hive_clone_spark on sys.path (caught by a /tmp-cwd sweep at
     # sf0.01: ModuleNotFoundError inside the state worker)
     from pyspark import cloudpickle as _cp
 
-    import hive_clone_spark.streaming.stateful as _mod
+    import hive_clone_spark.streaming._workers as _wmod
+    from hive_clone_spark.streaming._workers import census_merge, census_row
 
-    _cp.register_pickle_by_value(_mod)
+    _cp.register_pickle_by_value(_wmod)
 
     def update(key: tuple, batches: Iterator, state) -> Iterator:
         (user_id,) = key
@@ -927,12 +904,12 @@ def user_census_fallback(events_stream: DataFrame) -> DataFrame:
         else:
             n, cents, census = 0, 0, {}
         for pdf in batches:
-            dn, dc = _census_merge(census, pdf)
+            dn, dc = census_merge(census, pdf)
             n += dn
             cents += dc
         ts = sorted(census)
         state.update((n, cents, ts, [census[t] for t in ts]))
-        yield _census_row(user_id, n, cents, census)
+        yield census_row(user_id, n, cents, census)
 
     return events_stream.groupBy("user_id").applyInPandasWithState(
         update,
@@ -949,9 +926,10 @@ def user_census_tws(events_stream: DataFrame) -> DataFrame:
     from pyspark import cloudpickle as _cp
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
-    import hive_clone_spark.streaming.stateful as _mod
+    import hive_clone_spark.streaming._workers as _wmod
+    from hive_clone_spark.streaming._workers import census_merge, census_row
 
-    _cp.register_pickle_by_value(_mod)  # foreign-cwd executors (see fallback)
+    _cp.register_pickle_by_value(_wmod)  # foreign-cwd executors (see fallback)
 
     class UserCensusProcessor(StatefulProcessor):
         def init(self, handle) -> None:
@@ -969,13 +947,13 @@ def user_census_tws(events_stream: DataFrame) -> DataFrame:
             )
             census = {k[0]: v[0] for k, v in self._types.iterator()}
             for pdf in rows:
-                dn, dc = _census_merge(census, pdf)
+                dn, dc = census_merge(census, pdf)
                 n += dn
                 cents += dc
             self._totals.update((n, cents))
             for et, cnt in census.items():
                 self._types.updateValue((et,), (cnt,))
-            yield _census_row(user_id, n, cents, census)
+            yield census_row(user_id, n, cents, census)
 
         def close(self) -> None:
             pass

@@ -178,6 +178,36 @@ def test_gate_self_normalizes_by_median_shared_ratio():
     assert compare(_detail(fast), base) == []
 
 
+def test_end_of_suite_retry_lane_defeats_contention_window():
+    """Round-10 adjudication: all three gate flags were one localized
+    contention window — schedule-adjacent queries whose warmup, sample
+    AND immediate retry all landed slow, while warm re-measures read
+    0.83-1.09x. bench.py's end-of-suite lane re-runs every would-be
+    flagged query once (via the gate's own flagged_queries criteria)
+    and keeps the MIN of all samples. This test drives that exact
+    logic: a contention trio whose end-run sample is fast must clear
+    the gate; a genuinely regressed plan stays flagged because its
+    end-run sample is slow too."""
+    from tools.bench_gate import flagged_queries, norm_scale
+
+    n = 40
+    base_q = {f"q{i}": 2.0 for i in range(n)}
+    medians = {f"q{i}": 2.0 for i in range(n)}
+    # contention window hits three adjacent queries; one real regression
+    for name in ("q5", "q6", "q7", "q30"):
+        medians[name] = 4.0
+    scale = norm_scale(medians, base_q)
+    flagged = flagged_queries(medians, base_q, scale)
+    assert flagged == ["q30", "q5", "q6", "q7"]  # lane input (sorted)
+    # end-of-suite re-measure: contention trio runs fast again, the
+    # regressed plan is slow in both windows; lane keeps the MIN
+    end_run = {"q5": 2.1, "q6": 1.9, "q7": 2.2, "q30": 3.9}
+    for name in flagged:
+        medians[name] = min(medians[name], end_run[name])
+    out = compare(_detail(medians), _detail(base_q))
+    assert [p.split(":")[0] for p in out if not p.startswith("TOTAL")] == ["q30"]
+
+
 def test_gate_scales_threshold_by_calibration_ratio():
     """A run on a measurably slower machine (calibration probe) gets a
     proportionally looser per-query threshold — the same-day 0.38 ->

@@ -56,6 +56,46 @@ DEFAULT_RUN = _REPO / "bench_detail.json"
 DEFAULT_BASELINE = _REPO / "tools" / "bench_baseline.json"
 
 
+def norm_scale(
+    run_q: dict[str, float],
+    base_q: dict[str, float],
+    run_cal: float | None = None,
+    base_cal: float | None = None,
+) -> float:
+    """Machine-speed normalization scale (see header comment): the
+    median per-query ratio over the shared set, clamped to [1.0,
+    CAL_SCALE_CAP]; probe-ratio fallback when the shared set is too
+    small for a regime estimate."""
+    shared_named = [
+        n for n in base_q if n in run_q and base_q[n] > 0 and run_q[n] > 0
+    ]
+    if len(shared_named) >= MIN_SELF_NORM_QUERIES:
+        import statistics
+
+        regime = statistics.median(run_q[n] / base_q[n] for n in shared_named)
+        return min(max(regime, 1.0), CAL_SCALE_CAP)
+    if run_cal and base_cal and run_cal > base_cal:
+        return min(run_cal / base_cal, CAL_SCALE_CAP)
+    return 1.0
+
+
+def flagged_queries(
+    run_q: dict[str, float], base_q: dict[str, float], cal_scale: float
+) -> list[str]:
+    """Queries the gate would flag at ``cal_scale``: regressed past
+    THRESHOLDx AND past the absolute floor. Shared between the gate
+    itself and bench.py's end-of-suite re-measure lane, so both apply
+    the same criteria."""
+    threshold = THRESHOLD * cal_scale
+    return [
+        n
+        for n in sorted(base_q)
+        if n in run_q
+        and run_q[n] > base_q[n] * threshold
+        and run_q[n] - base_q[n] > ABS_FLOOR_SEC * cal_scale
+    ]
+
+
 def compare(run: dict, baseline: dict) -> list[str]:
     """Return a list of human-readable regression findings (empty = pass)."""
     problems: list[str] = []
@@ -67,32 +107,19 @@ def compare(run: dict, baseline: dict) -> list[str]:
             " — medians are not comparable"
         )
         return problems
-    shared_named = [
-        n for n in base_q if n in run_q and base_q[n] > 0 and run_q[n] > 0
-    ]
-    cal_scale = 1.0
-    if len(shared_named) >= MIN_SELF_NORM_QUERIES:
-        # regime estimate from the run itself (see header comment)
-        import statistics
-
-        regime = statistics.median(run_q[n] / base_q[n] for n in shared_named)
-        cal_scale = min(max(regime, 1.0), CAL_SCALE_CAP)
-    else:
-        cal_r = run.get("calibration_sec")
-        cal_b = baseline.get("calibration_sec")
-        if cal_r and cal_b and cal_r > cal_b:
-            cal_scale = min(cal_r / cal_b, CAL_SCALE_CAP)
+    cal_scale = norm_scale(
+        run_q, base_q, run.get("calibration_sec"), baseline.get("calibration_sec")
+    )
     threshold = THRESHOLD * cal_scale
     for name in sorted(base_q):
         if name not in run_q:
             problems.append(f"{name}: present in baseline but missing from run")
-            continue
+    for name in flagged_queries(run_q, base_q, cal_scale):
         b, r = base_q[name], run_q[name]
-        if r > b * threshold and r - b > ABS_FLOOR_SEC * cal_scale:
-            problems.append(
-                f"{name}: {r:.2f}s vs baseline {b:.2f}s ({r / b:.2f}x, "
-                f"threshold {threshold:.2f}x at scale {cal_scale:.2f})"
-            )
+        problems.append(
+            f"{name}: {r:.2f}s vs baseline {b:.2f}s ({r / b:.2f}x, "
+            f"threshold {threshold:.2f}x at scale {cal_scale:.2f})"
+        )
     # totals compare over the SHARED query set only: a registry that
     # grew since the snapshot raises the raw run total without any
     # query regressing (how the gate once flagged 13 new entries as a

@@ -49,14 +49,35 @@ _REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(_REPO))
 
 
-def _max_job_id(st, cursor: int) -> int:
-    """Highest known job id, probing upward from ``cursor``. Job ids
-    are a gapless counter, so as long as the cursor advances at least
-    once per retention window this finds the frontier."""
-    i = cursor
-    while st.getJobInfo(i + 1) is not None:
-        i += 1
-    return i
+# getJobInfo returns None not only past the frontier but also for ids
+# the status tracker EVICTED (spark.ui.retainedJobs) or briefly hasn't
+# registered; a single-None stop would under-detect the frontier and
+# attribute the missed jobs to the NEXT query. Tolerate a bounded run
+# of None ids before concluding the frontier was reached.
+_PROBE_GAP = 64
+
+
+def _max_job_id(st, cursor: int) -> tuple[int, bool]:
+    """Highest known job id, probing upward from ``cursor``. Seeds from
+    the tracker's active ids (so a wide eviction gap cannot hide live
+    jobs), then probes past up to _PROBE_GAP consecutive None ids.
+    Returns (frontier, hit_gap) — hit_gap records that the probe
+    crossed missing ids, i.e. the tracker evicted part of the window
+    and per-stage attribution may be incomplete."""
+    frontier = cursor
+    for jid in st.getActiveJobIds():
+        frontier = max(frontier, int(jid))
+    probe, misses, hit_gap = frontier, 0, False
+    while misses < _PROBE_GAP:
+        probe += 1
+        if st.getJobInfo(probe) is not None:
+            if misses:
+                hit_gap = True
+            frontier = probe
+            misses = 0
+        else:
+            misses += 1
+    return frontier, hit_gap
 
 
 def audit_query(spark, name: str, fn, sf_dir: str, cursor: int = -1) -> dict:
@@ -72,7 +93,7 @@ def audit_query(spark, name: str, fn, sf_dir: str, cursor: int = -1) -> dict:
     zero-stage result."""
     sc = spark.sparkContext
     st = sc.statusTracker()
-    cursor = _max_job_id(st, cursor)
+    cursor, gap_before = _max_job_id(st, cursor)
     sc.setJobGroup(name, name, interruptOnCancel=False)
     t0 = time.perf_counter()
     err = None
@@ -82,7 +103,7 @@ def audit_query(spark, name: str, fn, sf_dir: str, cursor: int = -1) -> dict:
         err = f"{type(e).__name__}: {e}"
     wall = round(time.perf_counter() - t0, 3)
     group_ids = set(st.getJobIdsForGroup(name))
-    new_cursor = _max_job_id(st, cursor)
+    new_cursor, gap_after = _max_job_id(st, cursor)
     window_ids = set(range(cursor + 1, new_cursor + 1))
     # the audit runs queries sequentially in one process, so every job
     # in the cursor window belongs to this query — including jobs the
@@ -109,6 +130,9 @@ def audit_query(spark, name: str, fn, sf_dir: str, cursor: int = -1) -> dict:
         "max_tasks": max((n for _, n in stage_tasks), default=0),
         "stages": stage_tasks,
         "grouped": grouped,
+        # the probe crossed evicted job ids: attribution for this query
+        # may be incomplete (read with spark.ui.retainedJobs in mind)
+        "probe_hit_gap": gap_before or gap_after,
         "_cursor": new_cursor,
     }
 
