@@ -1871,3 +1871,104 @@ def q256_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination()
     )
     return _version_ledger(spark, tl)
+
+
+# ---------------------------------------------------------------------------
+# Q257 — the empty-table lifecycle (round-10 verdict task 1, made
+# driver-visible): an unconditional DELETE FROM legally empties a
+# commit-log table (remove every file, add none), the empty snapshot
+# reads back as ZERO rows at the recorded logical schema (no parquet
+# footer exists to infer one from — the round-10 property test found
+# this exact state crashing the reader), and a follow-up insert-only
+# MERGE repopulates from the empty state (zero-file affected read).
+# The version ledger covers all three versions, so a reader that
+# crashes on the empty snapshot, a DELETE that leaves files behind, or
+# a rebuild that mis-stages all hash-mismatch.
+#
+# Scale design: an empty version is pure log metadata (one commit with
+# remove-all actions); reading it touches no data files, and the
+# rebuild's cost is the inserted bytes only. Keys cap at the q256
+# bench bound so the staged slice stays small at sf0.1.
+# ---------------------------------------------------------------------------
+_FULLDEL_PRICE = 12.25  # 49/4: exact in double and DECIMAL(18,2)
+
+
+@register(
+    "q257_dml_full_delete",
+    oracle=f"""
+    WITH od AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey <= {_CDC_KEY_CAP}),
+    mx AS (SELECT MAX(o_orderkey) AS m FROM od),
+    b AS (
+      SELECT o_orderkey, o_totalprice,
+        (o_orderkey * 16) // (m + 1) AS bucket
+      FROM od, mx),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tot,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s_tot,
+        CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_bkt
+      FROM b),
+    ins AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_ins FROM od
+      WHERE o_orderkey % 3 = 0)
+    SELECT CAST(0 AS BIGINT) AS version, 'append' AS op,
+      n_bkt AS n_added, CAST(0 AS BIGINT) AS n_removed,
+      n_tot AS n_rows, CAST(s_tot AS DOUBLE) AS sum_price
+    FROM tot
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'delete', CAST(0 AS BIGINT), n_bkt,
+      CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)
+    FROM tot
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'merge', CAST(1 AS BIGINT),
+      CAST(0 AS BIGINT), n_ins,
+      CAST(CAST({_FULLDEL_PRICE} AS DECIMAL(18,2)) * n_ins AS DOUBLE)
+    FROM ins
+    ORDER BY version
+    """,
+)
+def q257_dml_full_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unconditional DELETE -> empty snapshot read -> insert-only MERGE
+    rebuild, all through the statement lowering; the ledger is the
+    output (empty-version rows read through the zero-file path)."""
+    from hive_clone_spark.sources.txlog import (
+        TxLog,
+        _bucket_stats,
+        _version_ledger,
+        _warehouse_dir,
+        _with_bucket,
+    )
+
+    tl = TxLog(_warehouse_dir(sf_dir, "txlog_q257")).create()
+    od = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .where(F.col("o_orderkey") <= _CDC_KEY_CAP)
+    )
+    m = int(od.agg(F.max("o_orderkey")).collect()[0][0])
+    bucketed = _with_bucket(od, m)
+    tl.commit(
+        "append",
+        add=tl.stage_data_partitioned(bucketed, "bucket", _bucket_stats(bucketed)),
+    )
+
+    # v1 — no WHERE: every row goes; the commit is remove-all/add-none
+    txlog_sql_dml(spark, tl, m, "DELETE FROM orders_tx")
+
+    # v2 — rebuild from the EMPTY table: the MERGE's affected read runs
+    # over zero files (schema from the log's recorded sidecar)
+    od.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", F.lit(_FULLDEL_PRICE).alias("o_totalprice")
+    ).createOrReplaceTempView("q257_rebuild_src")
+    txlog_sql_dml(
+        spark, tl, m,
+        "MERGE INTO orders_tx AS t USING q257_rebuild_src AS s"
+        " ON t.o_orderkey = s.o_orderkey"
+        " WHEN NOT MATCHED THEN INSERT *",
+    )
+    # the empty v1 snapshot sums to NULL; pin 0.0 on both sides rather
+    # than trusting NULL-vs-NaN canonicalization in the hash compare
+    return _version_ledger(spark, tl).withColumn(
+        "sum_price", F.coalesce("sum_price", F.lit(0.0))
+    )
