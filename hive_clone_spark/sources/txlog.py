@@ -624,9 +624,13 @@ class TxLog:
         files, stats, dvs, _ = (
             self._replay(base) if base >= 0 else (set(), {}, {}, {})
         )
-        upto = (
-            self.branch_versions(name)[-1] if bversion is None else bversion
-        )
+        if bversion is None:
+            # a freshly created branch has NO commits yet: its snapshot
+            # is exactly the base fold (upto -1 skips the replay loop)
+            vs = self.branch_versions(name)
+            upto = vs[-1] if vs else -1
+        else:
+            upto = bversion
         for v in self.branch_versions(name):
             if v > upto:
                 break

@@ -581,3 +581,44 @@ def test_audit_chain_detects_tamper(spark, tmp_path):
     assert after[0][3] == before[0][3]  # pre-tamper prefix unchanged
     assert after[1][3] != before[1][3]  # tampered commit diverges
     assert after[2][3] != before[2][3]  # ...and everything after it
+
+
+def test_empty_version_reads_and_survives_vacuum(spark, tmp_path):
+    """A commit that removes every file is a legal EMPTY version: the
+    snapshot reads as zero rows at the recorded logical schema, time
+    travel below it still works, and vacuuming down to ONLY the empty
+    version (all data files physically gone) still reads — the schema
+    sidecar, not a parquet footer, carries the type information."""
+    tl = _mk(tmp_path)
+    df = spark.range(10).withColumnRenamed("id", "k")
+    tl.append(df, n_files=2)
+    tl.commit("delete", remove=tl.active_files())
+    snap = tl.read(spark)
+    assert snap.count() == 0
+    assert snap.columns == ["k"]
+    assert tl.read(spark, 0).count() == 10  # time travel below the delete
+    # retain only the empty version: every data file is unreferenced
+    stats = tl.vacuum(retain_versions=1)
+    assert stats["n_data_files_removed"] == 2
+    empty = tl.read(spark)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["k"]
+    # and the empty table accepts a fresh append
+    tl.append(spark.range(3).withColumnRenamed("id", "k"), n_files=1)
+    assert tl.read(spark).count() == 3
+
+
+def test_empty_branch_snapshot_reads(spark, tmp_path):
+    """A branch whose commits removed every file reads as an empty,
+    correctly-schemed frame (branch_read goes through the same
+    zero-file path as main snapshots)."""
+    tl = _mk(tmp_path)
+    tl.append(spark.range(4).withColumnRenamed("id", "k"), n_files=1)
+    tl.create_branch("wip")
+    bfiles, _, _ = tl.branch_replay("wip")
+    tl.branch_commit("wip", "delete", remove=sorted(bfiles))
+    snap = tl.branch_read(spark, "wip")
+    assert snap.count() == 0
+    assert snap.columns == ["k"]
+    # main is untouched
+    assert tl.read(spark).count() == 4
