@@ -7,7 +7,13 @@ checks the surviving table against a row-by-row Python reference
 model of SQL MERGE semantics: per target row, first-true clause wins;
 NULL conditions never fire; all SET RHS read the pre-merge row;
 unmatched source rows insert only under an INSERT clause whose
-condition passes.
+condition passes — with 0-2 conditioned INSERT * clauses, where the
+cascade reduces to the OR of the clause conditions (the round-10
+advice fix: later insert clauses used to be silently dropped).
+
+Round-10 history: this test's random cascade found the full-delete
+crash (ValueError: txlog: empty table) that round; the falsifying
+example is pinned deterministically in test_sql_dml.py.
 """
 
 from __future__ import annotations
@@ -42,6 +48,23 @@ clause_strategy = st.tuples(
     st.integers(min_value=0, max_value=len(CONDS) - 1),
 )
 
+# insert-clause condition pool (source columns only — an unmatched
+# target row has no t.* values). Index 0 = unconditioned.
+INS_CONDS = [
+    (None, lambda k, s_price: True),
+    ("s.o_orderkey % 2 = 0", lambda k, s_price: k % 2 == 0),
+    ("s.o_totalprice > 27.0", lambda k, s_price: s_price > 27.0),
+]
+
+# 0-2 WHEN NOT MATCHED [AND cond] THEN INSERT * clauses: a source row
+# inserts when the FIRST not-matched clause whose condition holds is an
+# INSERT — with INSERT * that reduces to the OR of the conditions
+# (round-10 advice: later clauses used to be silently dropped)
+insert_strategy = st.lists(
+    st.integers(min_value=0, max_value=len(INS_CONDS) - 1),
+    min_size=0, max_size=2,
+)
+
 
 @settings(
     max_examples=6,
@@ -52,10 +75,10 @@ clause_strategy = st.tuples(
     clauses=st.lists(clause_strategy, min_size=1, max_size=3),
     src_keys=st.sets(st.integers(min_value=1, max_value=M + 6),
                      min_size=1, max_size=10),
-    with_insert=st.booleans(),
+    ins_clauses=insert_strategy,
 )
 def test_merge_cascade_matches_reference_model(
-    spark, tmp_path_factory, clauses, src_keys, with_insert
+    spark, tmp_path_factory, clauses, src_keys, ins_clauses
 ):
     # fresh log per example: keys 1..M priced key*10
     tl = TxLog(str(tmp_path_factory.mktemp("dmlprop") / "log")).create()
@@ -88,8 +111,12 @@ def test_merge_cascade_matches_reference_model(
             else "DELETE"
         )
         stmt += f" {w}{' AND ' + cond_sql if cond_sql else ''} THEN {a}"
-    if with_insert:
-        stmt += " WHEN NOT MATCHED THEN INSERT *"
+    for ci in ins_clauses:
+        cond_sql = INS_CONDS[ci][0]
+        stmt += (
+            f" WHEN NOT MATCHED{' AND ' + cond_sql if cond_sql else ''}"
+            " THEN INSERT *"
+        )
     txlog_sql_dml(spark, tl, M, stmt)
 
     # reference model
@@ -109,10 +136,11 @@ def test_merge_cascade_matches_reference_model(
         elif action[0] == "keep":
             expected[k] = t_price
         # delete: absent
-    if with_insert:
-        for k in src:
-            if k > M:
-                expected[k] = src_price[k]
+    for k in src:
+        if k > M and any(
+            INS_CONDS[ci][1](k, src_price[k]) for ci in ins_clauses
+        ):
+            expected[k] = src_price[k]
 
     got = {
         r["o_orderkey"]: r["o_totalprice"]
