@@ -65,7 +65,12 @@ def _max_job_id(st, cursor: int) -> tuple[int, bool]:
     crossed missing ids, i.e. the tracker evicted part of the window
     and per-stage attribution may be incomplete."""
     frontier = cursor
-    for jid in st.getActiveJobIds():
+    # PySpark's StatusTracker spells it getActiveJobsIds; tolerate the
+    # Scala-side spelling too
+    active = getattr(st, "getActiveJobsIds", None) or getattr(
+        st, "getActiveJobIds", None
+    )
+    for jid in active() if active else ():
         frontier = max(frontier, int(jid))
     probe, misses, hit_gap = frontier, 0, False
     while misses < _PROBE_GAP:
@@ -179,7 +184,10 @@ def main() -> int:
                 f"{row['n_single_task_stages']}/{row['n_stages']} single-task "
                 f"stages, max parallelism {row['max_tasks']}"
             )
-    out = Path(__file__).resolve().parent / "parallelism_audit.json"
+    # a name-filtered run must not clobber the committed full-suite
+    # artifact with a subset (it did once)
+    fname = "parallelism_audit.json" if not args else "parallelism_audit_partial.json"
+    out = Path(__file__).resolve().parent / fname
     out.write_text(json.dumps({"threshold": threshold, "sf_dir": sf_dir,
                                "queries": rows}, indent=1, sort_keys=True))
     flagged = [r["name"] for r in rows if flag(r, threshold)]
