@@ -1336,44 +1336,66 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
         # in the rewrite. One map-side-combinable agg on the (small,
         # broadcastable) source; at scale this is the same pass the
         # source's own key-bounds derivation already makes.
-        if tgt_clauses:
-            dup_keys = (
-                src_df.groupBy(src_key).count().where(F.col("count") > 1)
+        # ONE source pass profiles everything the planner needs: the
+        # key bounds (file skipping) and the max per-key multiplicity
+        # (cardinality pre-check) — previously two jobs per statement.
+        prof = (
+            src_df.groupBy(src_key)
+            .count()
+            .agg(
+                F.min(src_key).alias("lo"),
+                F.max(src_key).alias("hi"),
+                F.max("count").alias("max_dup"),
             )
-            if dup_keys.limit(1).collect():
-                # duplicates exist at all (rare) — the standard only
-                # makes this an error when a TARGET row is matched by
-                # more than one source row; dup keys that all land in
-                # NOT MATCHED are legal. Semi-join the dup keys against
-                # the current snapshot to decide.
-                hit = (
-                    dup_keys.select(F.col(src_key).alias("__dup_key"))
-                    .join(
-                        tl.read(spark),
-                        F.col("__dup_key") == F.col(tgt_key),
-                        "left_semi",
-                    )
-                    .limit(1)
-                    .collect()
+            .collect()[0]
+        )
+        src_empty = prof["lo"] is None
+        if tgt_clauses and not src_empty and int(prof["max_dup"]) > 1:
+            # duplicates exist at all (rare) — the standard only makes
+            # this an error when a TARGET row is matched by more than
+            # one source row; dup keys that all land in NOT MATCHED are
+            # legal. Semi-join the dup keys against the snapshot to
+            # decide (the common clean-source path never pays this).
+            hit = (
+                src_df.groupBy(src_key)
+                .count()
+                .where(F.col("count") > 1)
+                .select(F.col(src_key).alias("__dup_key"))
+                .join(
+                    tl.read(spark),
+                    F.col("__dup_key") == F.col(tgt_key),
+                    "left_semi",
                 )
-                if hit:
-                    raise ValueError(
-                        "MERGE cardinality violation: source has multiple "
-                        f"rows for {src_key}={hit[0][0]!r} matching a "
-                        "target row"
-                    )
-        bounds = src_df.agg(
-            F.min(src_key).alias("lo"), F.max(src_key).alias("hi")
-        ).collect()[0]
+                .limit(1)
+                .collect()
+            )
+            if hit:
+                raise ValueError(
+                    "MERGE cardinality violation: source has multiple "
+                    f"rows for {src_key}={hit[0][0]!r} matching a "
+                    "target row"
+                )
         while True:
             expected = tl.latest_version()
             all_files, pruned = tl.scan_files(
-                tgt_key, int(bounds["lo"]), int(bounds["hi"]), version=expected
+                tgt_key,
+                int(prof["lo"]) if not src_empty else 0,
+                int(prof["hi"]) if not src_empty else m,
+                version=expected,
             )
             # A BY SOURCE clause can touch ANY target row (its subject
             # is rows the source does NOT match), so source-bound file
             # skipping is unsound there — every active file is affected.
-            affected = all_files if has_by_source else pruned
+            # An EMPTY source matches no target row: without BY SOURCE
+            # nothing is affected (the statement is a no-op commit);
+            # with BY SOURCE every row is unmatched and every file is
+            # still in play.
+            if has_by_source:
+                affected = all_files
+            elif src_empty:
+                affected = []
+            else:
+                affected = pruned
             aff_df = _read_affected(spark, tl, all_files, affected)
             tgt_cols = [c for c in aff_df.columns if c != "bucket"]
             joined = (

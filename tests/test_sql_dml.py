@@ -329,3 +329,41 @@ def test_merge_matched_by_source_typo_rejected(spark, small_log):
             " ON t.o_orderkey = s.o_orderkey"
             " WHEN MATCHED BY SOURCE THEN DELETE",
         )
+
+
+def test_merge_empty_source_matched_only_is_noop(spark, small_log):
+    """A MERGE whose source has zero rows (an empty CDC batch) matches
+    nothing: without BY SOURCE clauses the statement commits a no-op
+    (previously crashed on int(None) key bounds)."""
+    tl, m = small_log
+    spark.createDataFrame(
+        [], "o_orderkey BIGINT, o_totalprice DOUBLE"
+    ).createOrReplaceTempView("dml_src_empty")
+    txlog_sql_dml(
+        spark, tl, m,
+        "MERGE INTO t USING dml_src_empty AS s ON t.o_orderkey = s.o_orderkey"
+        " WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice"
+        " WHEN NOT MATCHED THEN INSERT *",
+    )
+    hist = tl.history()[-1]
+    assert (hist["op"], hist["n_added"], hist["n_removed"]) == ("merge", 0, 0)
+    assert _read(spark, tl).count() == m
+
+
+def test_merge_empty_source_by_source_deletes_everything(spark, small_log):
+    """With an empty source, every target row is NOT MATCHED BY SOURCE
+    — a retention sync against an empty allowlist legally empties the
+    table."""
+    tl, m = small_log
+    spark.createDataFrame(
+        [], "o_orderkey BIGINT, o_totalprice DOUBLE"
+    ).createOrReplaceTempView("dml_src_empty2")
+    txlog_sql_dml(
+        spark, tl, m,
+        "MERGE INTO t USING dml_src_empty2 AS s"
+        " ON t.o_orderkey = s.o_orderkey"
+        " WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    )
+    snap = _read(spark, tl)
+    assert snap.count() == 0
+    assert snap.columns == ["o_orderkey", "o_totalprice", "flag"]
