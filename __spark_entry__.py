@@ -156,11 +156,14 @@ _AGE_FLOOR = 9
 
 # Priority escort (round-10 verdict task 2): never-checked flagship
 # deliverables that must not queue behind a 100+-entry never-checked
-# backlog sorted by registration order — they registered LAST (round 9)
-# and would otherwise wait for r11. Flag-0 inside bucket 0, inert once
-# green, exactly like _R1_NEVER_CHECKED.
+# backlog sorted by registration order — they registered LAST and
+# would otherwise wait a round. Flag-0 inside bucket 0, inert once
+# green, exactly like _R1_NEVER_CHECKED. Round 11 adds
+# q257_dml_full_delete (the empty-table-lifecycle fix made
+# driver-visible); the round-9 escorts went green in r10 and are inert.
 _ESCORT = frozenset(
-    {"p_zstd_roundtrip", "p_pdf_extract", "q254_sql_dml_txlog"}
+    {"p_zstd_roundtrip", "p_pdf_extract", "q254_sql_dml_txlog",
+     "q257_dml_full_delete"}
 )
 
 # Game-refresh reserve (round-10 verdict task 3): the 25 g_* entries
