@@ -1,0 +1,103 @@
+"""Property test for the commit-log snapshot fold — the invariant the
+whole table format rests on: the active file set (and stats / DV
+bindings) at ANY version is a pure fold over commits 0..V, identical
+whether replay starts at commit 0 or at an intermediate checkpoint
+(checkpoints land automatically every _CHECKPOINT_EVERY commits, so
+long random sequences cross several), and vacuum never changes what a
+RETAINED version reads.
+
+Spark-free: active_files / scan_files / dvs / table_meta are pure log
+metadata, so the model check costs milliseconds per example and the
+sequences can be long enough to exercise checkpoint boundaries.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hive_clone_spark.sources.txlog import _CHECKPOINT_EVERY, TxLog
+
+# ops: ("add", n_files) | ("remove", k_existing) | ("dv", k_existing)
+#    | ("meta", tag)
+op_strategy = st.one_of(
+    st.tuples(st.just("add"), st.integers(min_value=1, max_value=3)),
+    st.tuples(st.just("remove"), st.integers(min_value=1, max_value=3)),
+    st.tuples(st.just("dv"), st.integers(min_value=0, max_value=2)),
+    st.tuples(st.just("meta"), st.integers(min_value=0, max_value=5)),
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(ops=st.lists(op_strategy, min_size=1, max_size=3 * _CHECKPOINT_EVERY))
+def test_snapshot_fold_matches_model(tmp_path_factory, ops):
+    tl = TxLog(str(tmp_path_factory.mktemp("txprop") / "log")).create()
+    counter = 0
+    # model[v] = (frozenset(files), dict(stats), dict(dvs), dict(meta))
+    model: list[tuple[frozenset, dict, dict, dict]] = []
+    files: set[str] = set()
+    stats: dict[str, dict] = {}
+    dvs: dict[str, str] = {}
+    meta: dict = {}
+    for kind, arg in ops:
+        if kind == "add":
+            adds = []
+            for _ in range(arg):
+                name = f"data/f{counter:04d}.parquet"
+                counter += 1
+                adds.append({"file": name, "stats": {"k": [counter, counter + 9]}})
+                files.add(name)
+                stats[name] = {"k": [counter, counter + 9]}
+            tl.commit("append", add=adds)
+        elif kind == "remove":
+            victims = sorted(files)[:arg]
+            for v in victims:
+                files.discard(v)
+                stats.pop(v, None)
+                dvs.pop(v, None)
+            tl.commit("delete", remove=victims)
+        elif kind == "dv":
+            live = sorted(files)
+            if not live:
+                tl.commit("noop")  # a commit with no actions is legal
+            else:
+                target = live[arg % len(live)]
+                sidecar = f"dv/{counter:04d}.json"
+                counter += 1
+                tl.commit("dv", dv=[{"file": target, "dv": sidecar}])
+                dvs[target] = sidecar
+        else:  # meta: full-replacement table metadata
+            meta = {"tag": arg}
+            tl.commit("meta", meta=dict(meta))
+        model.append((frozenset(files), dict(stats), dict(dvs), dict(meta)))
+
+    # every version's snapshot equals the model fold at that version —
+    # including versions BELOW checkpoint floors (replay must pick the
+    # nearest checkpoint at or below, never one above)
+    for v, (mf, mstats, mdvs, mmeta) in enumerate(model):
+        assert set(tl.active_files(v)) == set(mf), f"v{v} files"
+        assert tl.dvs(v) == mdvs, f"v{v} dvs"
+        assert tl.table_meta(v) == mmeta, f"v{v} meta"
+        all_f, chosen = tl.scan_files("k", 0, 10**9, version=v)
+        assert set(all_f) == set(mf)
+        assert set(chosen) == set(mf)  # full range: stats prune nothing
+        # and a real range prunes exactly the stats-disjoint files
+        _, narrow = tl.scan_files("k", 0, 0, version=v)
+        assert narrow == [
+            f for f in sorted(mf) if f not in mstats
+        ], f"v{v} stats pruning"
+
+    # vacuum: retained versions read identically afterward; versions
+    # below the cutoff become a clean error (their commits are gone)
+    latest = tl.latest_version()
+    retain = max(1, len(model) // 2)
+    cut = tl.vacuum(retain_versions=retain)["cutoff"]
+    for v, (mf, _s, mdvs, _m) in enumerate(model):
+        if v >= cut:
+            assert set(tl.active_files(v)) == set(mf), f"post-vacuum v{v}"
+            assert tl.dvs(v) == mdvs
+        else:
+            with pytest.raises((ValueError, FileNotFoundError)):
+                tl.active_files(v)
+    assert tl.latest_version() == latest
