@@ -101,3 +101,77 @@ def test_snapshot_fold_matches_model(tmp_path_factory, ops):
             with pytest.raises((ValueError, FileNotFoundError)):
                 tl.active_files(v)
     assert tl.latest_version() == latest
+
+
+branch_op_strategy = st.one_of(
+    st.tuples(st.just("add"), st.integers(min_value=1, max_value=2)),
+    st.tuples(st.just("remove"), st.integers(min_value=1, max_value=2)),
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_base=st.integers(min_value=0, max_value=4),
+    branch_ops=st.lists(branch_op_strategy, min_size=0, max_size=6),
+    main_moves=st.integers(min_value=0, max_value=2),
+)
+def test_branch_wap_publish_matches_model(
+    tmp_path_factory, n_base, branch_ops, main_moves
+):
+    """Write-audit-publish model: a branch snapshot is the main fold at
+    its base plus the branch's own commits; publish_branch makes main
+    EXACTLY the branch's file set in one atomic net-diff commit, even
+    when main moved since branching; and a stale optimistic token
+    conflicts instead of clobbering."""
+    from hive_clone_spark.sources.txlog import CommitConflictError
+
+    tl = TxLog(str(tmp_path_factory.mktemp("txwap") / "log")).create()
+    counter = 0
+
+    def fresh_files(n):
+        nonlocal counter
+        out = []
+        for _ in range(n):
+            out.append(f"data/f{counter:04d}.parquet")
+            counter += 1
+        return out
+
+    main_files: set[str] = set()
+    for _ in range(n_base):
+        adds = fresh_files(2)
+        main_files.update(adds)
+        tl.commit("append", add=[{"file": f} for f in adds])
+
+    tl.create_branch("wip")
+    branch_files = set(main_files)
+    for kind, arg in branch_ops:
+        if kind == "add":
+            adds = fresh_files(arg)
+            branch_files.update(adds)
+            tl.branch_commit("wip", "append", add=[{"file": f} for f in adds])
+        else:
+            victims = sorted(branch_files)[:arg]
+            for v in victims:
+                branch_files.discard(v)
+            tl.branch_commit("wip", "delete", remove=victims)
+    bfiles, _, _ = tl.branch_replay("wip")
+    assert bfiles == branch_files, "branch fold"
+
+    # main drifts while the branch is audited
+    base_version = tl.latest_version()
+    for _ in range(main_moves):
+        adds = fresh_files(1)
+        main_files.update(adds)
+        tl.commit("append", add=[{"file": f} for f in adds])
+
+    if main_moves:
+        # stale token: publish must conflict, not clobber
+        with pytest.raises(CommitConflictError):
+            tl.publish_branch("wip", expected_version=base_version)
+        assert set(tl.active_files() if tl.latest_version() >= 0 else []) == main_files
+
+    tl.publish_branch("wip", expected_version=tl.latest_version())
+    assert set(tl.active_files()) == branch_files, "post-publish main"
+    # the branch snapshot itself is untouched by publishing
+    bfiles2, _, _ = tl.branch_replay("wip")
+    assert bfiles2 == branch_files
