@@ -175,3 +175,36 @@ def test_branch_wap_publish_matches_model(
     # the branch snapshot itself is untouched by publishing
     bfiles2, _, _ = tl.branch_replay("wip")
     assert bfiles2 == branch_files
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    # (txn_id, redeliver) — duplicates across the sequence ARE the test
+    batches=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=5), st.booleans()),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_commit_idempotent_exactly_once(tmp_path_factory, batches):
+    """Exactly-once sink contract: a redelivered batch (same txn id)
+    is dropped — the table state and version count advance only on
+    FIRST delivery, no matter how deliveries interleave."""
+    tl = TxLog(str(tmp_path_factory.mktemp("txidem") / "log")).create()
+    counter = 0
+    applied: dict[int, str] = {}  # txn -> the file its first delivery added
+    for txn, redeliver in batches:
+        name = f"data/f{counter:04d}.parquet"
+        counter += 1
+        v = tl.commit_idempotent(f"app-{txn}", "append", add=[{"file": name}])
+        if txn in applied:
+            assert v is None, "redelivered txn must be dropped"
+        else:
+            assert v is not None
+            applied[txn] = name
+        if redeliver:  # immediate duplicate delivery
+            assert tl.commit_idempotent(
+                f"app-{txn}", "append", add=[{"file": name}]
+            ) is None
+    assert set(tl.active_files()) == set(applied.values())
+    assert tl.latest_version() == len(applied) - 1
