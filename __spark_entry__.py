@@ -151,6 +151,18 @@ def _rounds_stale(name: str, history: list[dict]) -> int:
 # rewritten entries. Recheck this arithmetic on every sizeable batch:
 # the sustainable floor is ceil((n_entries - window) / (window -
 # expected_new_per_round)).
+#
+# Round 12: the floor is PREEMPTIVE — an entry joins bucket 0 one round
+# BEFORE breaching (stale >= _AGE_FLOOR - 1), because the promise "no
+# signal older than _AGE_FLOOR rounds" can only hold if the re-check
+# happens while the signal is still _AGE_FLOOR-1 rounds old; waiting for
+# stale == _AGE_FLOOR means every floor-triggered check reads a signal
+# that already violated the bound (the r11 verdict flagged exactly this:
+# 16 staleness-8 entries one round from breach, yet outranked by a
+# lower-green cohort). Worst-case demand rises to n/( _AGE_FLOOR-1 ) =
+# 410/8 ~ 51/round vs the 50 window — marginal, but the game reserve
+# overlaps the stale g_* cohort and registry growth is frozen; revisit
+# if entries are added.
 _AGE_FLOOR = 9
 
 
@@ -222,7 +234,7 @@ def _emit_key(
     stale = _rounds_stale(n, history)
     if not any(n in rows for rows in history):
         stale = (n_rounds if n_rounds is not None else len(history)) + 1
-    bucket = 0 if (reserved or stale >= _AGE_FLOOR) else green
+    bucket = 0 if (reserved or stale >= _AGE_FLOOR - 1) else green
     # flag tiers inside a bucket:
     #   0 — round-1 never-checked gap entries and never-green escorts:
     #       the r1 verdict named the former as THE gap, and a new op

@@ -57,15 +57,16 @@ def _reserve(history, registry):
 
 
 def _bucket(n, history, registry, reserve=frozenset()):
-    """Effective primary key: 0 for never-green, age-floor-stale, or
-    game-reserve entries, else rounds-green (mirrors _emit_key,
-    including the fingerprint gate on which history rows count)."""
+    """Effective primary key: 0 for never-green, age-floor-stale (the
+    floor is preemptive: one round BEFORE breach), or game-reserve
+    entries, else rounds-green (mirrors _emit_key, including the
+    fingerprint gate on which history rows count)."""
     eff = _eff(n, history, registry)
     green = entry_mod._rounds_green(n, eff, has_oracle=n in registry.ORACLE)
     stale = entry_mod._rounds_stale(n, eff)
     if not any(n in rows for rows in eff):
         stale = len(history) + 1
-    return 0 if (n in reserve or stale >= entry_mod._AGE_FLOOR) else green
+    return 0 if (n in reserve or stale >= entry_mod._AGE_FLOOR - 1) else green
 
 
 def test_least_signal_entries_emit_first():
@@ -151,6 +152,7 @@ def test_stalest_entries_emit_first_within_green_cohort():
     registry.load_all_modules()
     history = _history()
     names = list(entry_mod.queries())
+    reserve = _reserve(history, registry)
     keyed = []
     for n in names:
         b, f, neg_s, _ = entry_mod._emit_key(
@@ -159,6 +161,7 @@ def test_stalest_entries_emit_first_within_green_cohort():
             has_oracle=n in registry.ORACLE,
             reg_order=0,
             n_rounds=len(history),
+            reserved=n in reserve,
         )
         keyed.append((b, f, -neg_s))
     for (g1, f1, s1), (g2, f2, s2) in zip(keyed, keyed[1:]):
