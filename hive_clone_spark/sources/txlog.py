@@ -79,6 +79,9 @@ class TxLog:
         self.log_dir = self.root / "_txlog"
         self.data_dir = self.root / "data"
         self.dv_dir = self.root / "dv"
+        # schema of the most recent stage_data* on THIS writer, pending
+        # publication by its commit (see the schema-record section)
+        self._staged_schema: dict | None = None
 
     # -- log layout ---------------------------------------------------
     @staticmethod
@@ -109,19 +112,26 @@ class TxLog:
     # -- snapshot reconstruction --------------------------------------
     def _replay(
         self, version: int
-    ) -> tuple[set[str], dict[str, dict], dict[str, str], dict[str, str]]:
+    ) -> tuple[
+        set[str], dict[str, dict], dict[str, str], dict[str, str], dict | None
+    ]:
         """Fold (active files, per-file stats, per-file deletion
-        vectors) up to ``version``, starting from the nearest checkpoint
-        at or below it. Stats and DV bindings ride in checkpoints too,
-        so replay NEVER reads commits below the checkpoint floor — after
-        vacuum() those JSONs are gone, and a replay that started at
-        commit 0 would crash on them (and lose any stats they carried).
+        vectors, constraints, logical schema) up to ``version``,
+        starting from the nearest checkpoint at or below it. Stats, DV
+        bindings and the schema ride in checkpoints too, so replay
+        NEVER reads commits below the checkpoint floor — after vacuum()
+        those JSONs are gone, and a replay that started at commit 0
+        would crash on them (and lose any stats they carried).
 
         A ``dv`` action REBINDS a data file to a new deletion-vector
         sidecar (the writer merged old + new positions before writing
         it — Delta's DV protocol does the same superset-replace);
-        removing a data file drops its DV binding."""
-        start, active, stats, dvs, cons = 0, [], {}, {}, {}
+        removing a data file drops its DV binding. A ``schema`` action
+        (Delta's metaData, Iceberg's per-snapshot schema-id) REPLACES
+        the table's logical schema — versioned per commit, so time
+        travel to an empty snapshot resolves the schema AS OF that
+        version, never a later writer's."""
+        start, active, stats, dvs, cons, schema = 0, [], {}, {}, {}, None
         for v in range(version, -1, -1):
             ckpt = self.log_dir / f"{v:08d}.checkpoint.json"
             if ckpt.exists():
@@ -131,6 +141,7 @@ class TxLog:
                 stats = dict(d.get("stats", {}))
                 dvs = dict(d.get("dvs", {}))
                 cons = dict(d.get("constraints", {}))
+                schema = d.get("schema")
                 start = v + 1
                 break
         files = set(active)
@@ -148,7 +159,9 @@ class TxLog:
                 dvs[d["file"]] = d["dv"]
             if "constraints" in c:
                 cons = dict(c["constraints"])
-        return files, stats, dvs, cons
+            if "schema" in c:
+                schema = c["schema"]
+        return files, stats, dvs, cons, schema
 
     def active_files(self, version: int | None = None) -> list[str]:
         """Fold add/remove actions up to ``version`` (default latest),
@@ -159,7 +172,7 @@ class TxLog:
             return []
         if version not in set(self.versions()):
             raise ValueError(f"txlog: no commit {version}")
-        files, _, _, _ = self._replay(version)
+        files, _, _, _, _ = self._replay(version)
         return sorted(files)
 
     def history(self) -> list[dict]:
@@ -177,31 +190,39 @@ class TxLog:
     # A table emptied by DML (full-delete MERGE cascade, unconditional
     # DELETE) is a legal state, but a zero-file snapshot has no parquet
     # footer to infer a schema from. Production formats solve this by
-    # recording the logical schema in the log metadata (Delta's
-    # metaData action, Iceberg's table metadata file); here every stage
-    # records the staged frame's schema in a root-level sidecar so an
-    # empty snapshot still reads as an empty, correctly-typed frame.
-    # (Root-level, not _txlog/: versions() globs _txlog/*.json.)
+    # versioning the logical schema in the log itself (Delta's metaData
+    # action, Iceberg's per-snapshot schema id): here staging stashes
+    # the frame's schema on the writer and the COMMIT publishes it as a
+    # ``schema`` action, so (a) time travel to an empty version
+    # resolves the schema as of THAT version, not whatever a later
+    # writer staged, and (b) a losing/aborted optimistic writer (or a
+    # branch stage) never alters main's logical schema — its schema
+    # only lands if its commit does. The pre-r12 last-writer-wins
+    # ``_schema.json`` sidecar is still READ as a legacy fallback.
     def _schema_path(self) -> pathlib.Path:
         return self.root / "_schema.json"
 
-    def record_schema(self, schema) -> None:
-        tmp = self.root / f"_schema.{uuid.uuid4().hex}.tmp"
-        with open(tmp, "w") as f:
-            f.write(schema.json())
-        os.replace(tmp, self._schema_path())
-
-    def table_schema(self, spark: SparkSession):
-        """Best-effort logical schema: the sidecar if recorded, else the
-        footer of the newest historically-referenced data file still on
-        disk (pre-sidecar logs), else None."""
+    def table_schema(self, spark: SparkSession, version: int | None = None):
+        """Logical schema AS OF ``version`` (default latest): the
+        newest ``schema`` commit action at or below it (folded through
+        checkpoints), else the legacy sidecar, else the footer of the
+        newest data file referenced at/below ``version`` that is still
+        on disk (pre-schema-action logs), else None."""
         from pyspark.sql.types import StructType
 
+        if version is None:
+            version = self.latest_version()
+        if version >= 0 and version in set(self.versions()):
+            _, _, _, _, schema = self._replay(version)
+            if schema is not None:
+                return StructType.fromJson(schema)
         p = self._schema_path()
         if p.exists():
             with open(p) as f:
                 return StructType.fromJson(json.load(f))
         for v in reversed(self.versions()):
+            if version >= 0 and v > version:
+                continue
             c = self._read_commit(v)
             for a in reversed(c.get("add", [])):
                 fp = self.root / a["file"]
@@ -209,8 +230,8 @@ class TxLog:
                     return spark.read.parquet(str(fp)).schema
         return None
 
-    def empty_df(self, spark: SparkSession) -> DataFrame:
-        schema = self.table_schema(spark)
+    def empty_df(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        schema = self.table_schema(spark, version)
         if schema is None:
             raise ValueError("txlog: empty table with no recorded schema")
         return spark.createDataFrame([], schema)
@@ -224,7 +245,7 @@ class TxLog:
         (cleaned by vacuum in production formats), never a torn table."""
         if n_files is not None:
             df = df.repartition(n_files)
-        self.record_schema(df.schema)
+        self._staged_schema = json.loads(df.schema.json())
         stage = self.root / f"_stage-{uuid.uuid4().hex}"
         df.write.mode("overwrite").parquet(str(stage))
         adds = []
@@ -249,7 +270,7 @@ class TxLog:
         ``stats_by_value`` maps partition value -> {col: [min, max]}."""
         # partitionBy drops the partition column from the data files, so
         # the logical (read-side) schema excludes it
-        self.record_schema(df.drop(partition_col).schema)
+        self._staged_schema = json.loads(df.drop(partition_col).schema.json())
         stage = self.root / f"_stage-{uuid.uuid4().hex}"
         (
             df.repartition(partition_col)
@@ -283,7 +304,7 @@ class TxLog:
             version = self.latest_version()
         if version not in set(self.versions()):
             raise ValueError(f"txlog: no commit {version}")
-        active, stats, _, _ = self._replay(version)
+        active, stats, _, _, _ = self._replay(version)
         chosen = []
         for f in sorted(active):
             s = stats.get(f, {}).get(col)
@@ -301,6 +322,7 @@ class TxLog:
         dv: list[dict] | None = None,
         constraints: dict[str, str] | None = None,
         meta: dict | None = None,
+        schema: dict | None = None,
     ) -> int:
         """Atomically publish a commit at ``latest + 1``.
 
@@ -310,7 +332,10 @@ class TxLog:
         for the same slot (O_EXCL loses), CommitConflictError — the
         caller re-reads, revalidates, and retries. ``txn`` stamps the
         commit with an application transaction id (see
-        commit_idempotent)."""
+        commit_idempotent). ``schema`` (default: the schema stashed by
+        this writer's latest stage_data*) publishes the table's logical
+        schema as a versioned commit action — it becomes visible only
+        if THIS commit wins, never via staging alone."""
         latest = self.latest_version()
         if expected_version is not None and latest != expected_version:
             raise CommitConflictError(
@@ -323,6 +348,10 @@ class TxLog:
             "add": add or [],
             "remove": remove or [],
         }
+        if schema is None:
+            schema = self._staged_schema
+        if schema is not None:
+            payload["schema"] = schema
         if dv:
             payload["dv"] = dv
         if constraints is not None:
@@ -340,6 +369,7 @@ class TxLog:
             ) from None
         with os.fdopen(fd, "w") as f:
             json.dump(payload, f)
+        self._staged_schema = None
         if version % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
             self._write_checkpoint(version)
         return version
@@ -351,7 +381,7 @@ class TxLog:
         # checkpoint is a cache and appears atomically or not at all.
         # Per-file stats are folded in too, so scan_files never needs
         # commits below the checkpoint floor (they may be vacuumed).
-        files, stats, dvs, cons = self._replay(version)
+        files, stats, dvs, cons, schema = self._replay(version)
         tmp = self.log_dir / f".{version:08d}.checkpoint.tmp"
         with open(tmp, "w") as f:
             json.dump(
@@ -361,6 +391,7 @@ class TxLog:
                     "stats": stats,
                     "dvs": dvs,
                     "constraints": cons,
+                    "schema": schema,
                     "meta": self.table_meta(version),
                 },
                 f,
@@ -430,7 +461,7 @@ class TxLog:
             version = self.latest_version()
         if version < 0:
             return {}
-        active, _, dvs, _ = self._replay(version)
+        active, _, dvs, _, _ = self._replay(version)
         return {f: p for f, p in dvs.items() if f in active}
 
     def _read_dv(self, relpath: str) -> list[int]:
@@ -484,7 +515,7 @@ class TxLog:
                 cand = self.active_files(expected)
             if not cand:
                 return expected
-            _, _, dvs, _ = self._replay(expected)
+            _, _, dvs, _, _ = self._replay(expected)
             src = spark.read.parquet(
                 *[str(self.root / f) for f in cand]
             ).select(
@@ -534,7 +565,7 @@ class TxLog:
             version = self.latest_version()
         if version < 0:
             return {}
-        _, _, _, cons = self._replay(version)
+        _, _, _, cons, _ = self._replay(version)
         return cons
 
     def set_constraints(self, constraints: dict[str, str]) -> int:
@@ -617,12 +648,12 @@ class TxLog:
 
     def branch_replay(
         self, name: str, bversion: int | None = None
-    ) -> tuple[set[str], dict[str, dict], dict[str, str]]:
+    ) -> tuple[set[str], dict[str, dict], dict[str, str], dict | None]:
         """Branch snapshot = main fold at the base version, then the
         branch's own commits applied with the same action rules."""
         base = self.branch_base(name)
-        files, stats, dvs, _ = (
-            self._replay(base) if base >= 0 else (set(), {}, {}, {})
+        files, stats, dvs, _, schema = (
+            self._replay(base) if base >= 0 else (set(), {}, {}, {}, None)
         )
         if bversion is None:
             # a freshly created branch has NO commits yet: its snapshot
@@ -648,7 +679,9 @@ class TxLog:
                 dvs.pop(r, None)
             for d in c.get("dv", []):
                 dvs[d["file"]] = d["dv"]
-        return files, stats, dvs
+            if "schema" in c:
+                schema = c["schema"]
+        return files, stats, dvs, schema
 
     def branch_commit(
         self,
@@ -660,7 +693,9 @@ class TxLog:
     ) -> int:
         """Same exclusive-create contract as main commits, scoped to
         the branch's chain — concurrent branch writers race on the
-        branch slot, never on main's."""
+        branch slot, never on main's. A staged schema publishes into
+        the BRANCH chain only: main's logical schema is untouched until
+        publish_branch carries it over."""
         vs = self.branch_versions(name)
         latest = vs[-1] if vs else -1
         if expected_version is not None and latest != expected_version:
@@ -676,6 +711,8 @@ class TxLog:
             "add": add or [],
             "remove": remove or [],
         }
+        if self._staged_schema is not None:
+            payload["schema"] = self._staged_schema
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
@@ -685,10 +722,15 @@ class TxLog:
             ) from None
         with os.fdopen(fd, "w") as f:
             json.dump(payload, f)
+        self._staged_schema = None
         return version
 
     def branch_read(self, spark: SparkSession, name: str) -> DataFrame:
-        files, _, dvs = self.branch_replay(name)
+        from pyspark.sql.types import StructType
+
+        files, _, dvs, schema = self.branch_replay(name)
+        if not files and schema is not None:
+            return spark.createDataFrame([], StructType.fromJson(schema))
         return self._read_files(spark, sorted(files), dvs)
 
     def publish_branch(
@@ -699,7 +741,7 @@ class TxLog:
         optimistic token (normally the branch's base) makes WAP safe:
         if main moved during the audit, the publish conflicts and the
         writer rebases instead of silently clobbering."""
-        bfiles, bstats, _ = self.branch_replay(name)
+        bfiles, bstats, _, bschema = self.branch_replay(name)
         main = set(self.active_files()) if self.latest_version() >= 0 else set()
         adds = [
             {"file": f, **({"stats": bstats[f]} if f in bstats else {})}
@@ -711,6 +753,7 @@ class TxLog:
             add=adds,
             remove=removes,
             expected_version=expected_version,
+            schema=bschema,
         )
 
     # -- maintenance --------------------------------------------------
@@ -773,20 +816,28 @@ class TxLog:
         production reader does with a pushed-down per-file bitmap
         filter; positions are scan-order stable because data files are
         immutable."""
+        if version is None:
+            version = self.latest_version()
         return self._read_files(
             spark,
             self.active_files(version),
-            self.dvs(version if version is not None else self.latest_version()),
+            self.dvs(version),
+            version=version,
         )
 
     def _read_files(
-        self, spark: SparkSession, rel_files: list[str], dvs: dict[str, str]
+        self,
+        spark: SparkSession,
+        rel_files: list[str],
+        dvs: dict[str, str],
+        version: int | None = None,
     ) -> DataFrame:
         files = [str(self.root / f) for f in rel_files]
         if not files:
             # a table whose rows were all deleted is a legal state —
-            # an empty frame at the recorded logical schema, not an error
-            return self.empty_df(spark)
+            # an empty frame at the logical schema AS OF the requested
+            # version (a later writer's schema must not leak back)
+            return self.empty_df(spark, version)
         df = spark.read.parquet(*files)
         active_dvs = {f: p for f, p in dvs.items() if f in set(rel_files)}
         if not active_dvs:
@@ -1681,7 +1732,7 @@ def q144_compaction_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append", add=tl.stage_data_partitioned(bucketed, "bucket", stats)
     )
     # policy: METADATA-ONLY decision off the log's n_rows stats
-    _files, fstats, _dvs, _c = tl._replay(tl.latest_version())
+    _files, fstats, _dvs, _c, _ = tl._replay(tl.latest_version())
     n_tot = sum(s["n_rows"][0] for s in fstats.values())
     target = n_tot // _OPT_TARGET_DIV
     small = sorted(
@@ -1809,7 +1860,7 @@ def q145_partition_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     lo, hi = m // 4, m // 2
     all_files, chosen = tl.scan_files("o_orderkey", lo, hi)
     # generation split: v0 files carry no orderkey stats (conservative)
-    _f, fstats, _dvs, _c = tl._replay(tl.latest_version())
+    _f, fstats, _dvs, _c, _ = tl._replay(tl.latest_version())
     v0_scanned = sum(
         1 for f in chosen if "o_orderkey" not in fstats.get(f, {})
     )
@@ -2066,8 +2117,8 @@ def q150_txlog_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price",
         )
 
-    bfiles0, _, _ = tl.branch_replay("audit", bversion=0)
-    bfiles1, _, _ = tl.branch_replay("audit")
+    bfiles0, _, _, _ = tl.branch_replay("audit", bversion=0)
+    bfiles1, _, _, _ = tl.branch_replay("audit")
     h = tl.history()
     rows = [
         _ledger_row(0, "main_v0", len(tl.active_files(0)), 4, 0, 0,
@@ -2948,7 +2999,7 @@ def shallow_clone(src: TxLog, dest_root: str, version: int | None = None) -> TxL
     the source snapshot's files by absolute path (stats and DV
     bindings carried along; nothing is copied)."""
     at = src.latest_version() if version is None else version
-    files, stats, dvs, _ = src._replay(at)
+    files, stats, dvs, _, _schema = src._replay(at)
     add = []
     for f in sorted(files):
         a = {"file": str((src.root / f).resolve())}
@@ -2961,7 +3012,9 @@ def shallow_clone(src: TxLog, dest_root: str, version: int | None = None) -> TxL
         if f in files
     ]
     dest = TxLog(dest_root).create()
-    dest.commit(f"clone-from-v{at}", add=add, dv=dv or None)
+    # the clone inherits the source's logical schema as of the fork —
+    # a later schema change in the source must not leak into the clone
+    dest.commit(f"clone-from-v{at}", add=add, dv=dv or None, schema=_schema)
     return dest
 
 
@@ -3103,7 +3156,7 @@ def q210_txlog_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         add=tl.stage_data_partitioned(bucketed, "bucket", _bucket_stats(bucketed)),
     )
     # metadata side: one row per active file straight from the log
-    _, stats, _, _ = tl._replay(tl.latest_version())
+    _, stats, _, _, _ = tl._replay(tl.latest_version())
     meta_rows = [
         (f, int(s["o_orderkey"][0]), int(s["o_orderkey"][1]))
         for f, s in stats.items()
@@ -3727,3 +3780,72 @@ def q235_change_feed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "arm STRING, run INT, status STRING, n BIGINT, m BIGINT",
     )
     return ledger.unionByName(state).orderBy("arm", "run", "status")
+
+
+# ---------------------------------------------------------------------------
+# Schema time travel (round-12 headline fix made driver-visible). The
+# logical schema is a versioned COMMIT action, not a shared mutable
+# sidecar: after [append (o_orderkey, o_totalprice)] -> [delete-all] ->
+# [append (o_orderkey, o_orderstatus, priority_flag)], reading the
+# EMPTY middle version must resolve to the FIRST schema — under the old
+# last-writer-wins sidecar it read the third commit's schema (the
+# round-11 advice scenario, verbatim). Ledger: one row per version with
+# the columns the snapshot actually reads at, plus row count and an
+# exact key checksum. Delta records the same thing with its metaData
+# action; Iceberg with per-snapshot schema ids.
+# ---------------------------------------------------------------------------
+_SCHEMA_TT_CAP = 10_000
+
+
+@register(
+    "q258_schema_time_travel",
+    oracle=f"""
+    WITH od AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey <= {_SCHEMA_TT_CAP}),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS s
+      FROM od)
+    SELECT CAST(0 AS BIGINT) AS version, n AS n_rows,
+      'o_orderkey,o_totalprice' AS cols, s AS key_sum
+    FROM agg
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+      'o_orderkey,o_totalprice', CAST(0 AS BIGINT)
+    FROM agg
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), n,
+      'o_orderkey,o_orderstatus,priority_flag', s
+    FROM agg
+    ORDER BY version
+    """,
+)
+def q258_schema_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append schema A -> delete-all -> append evolved schema B; read
+    every version back. The v1 row proves empty-snapshot schema is
+    resolved as of v1 (schema A), not the latest writer's (schema B)."""
+    tl = TxLog(_warehouse_dir(sf_dir, "txlog_q258")).create()
+    base = table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") <= _SCHEMA_TT_CAP
+    )
+    tl.append(base.select("o_orderkey", "o_totalprice"), n_files=2)  # v0
+    tl.commit("delete", remove=tl.active_files())                    # v1
+    evolved = base.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_orderpriority").startswith("1").alias("priority_flag"),
+    )
+    tl.append(evolved, n_files=2)                                    # v2
+    rows = []
+    for v in (0, 1, 2):
+        snap = tl.read(spark, v)
+        agg = snap.agg(
+            F.count("*").alias("n"), F.sum("o_orderkey").alias("s")
+        ).collect()[0]
+        rows.append(
+            (v, int(agg["n"]), ",".join(snap.columns),
+             int(agg["s"]) if agg["s"] is not None else 0)
+        )
+    return spark.createDataFrame(
+        rows, "version BIGINT, n_rows BIGINT, cols STRING, key_sum BIGINT"
+    ).orderBy("version")

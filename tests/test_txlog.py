@@ -324,7 +324,7 @@ def test_property_replay_matches_model(steps, retain):
         for v in range(cutoff, latest + 1):
             assert set(tl.active_files(v)) == model[v], v
         # stats survive vacuum through the pinned checkpoint
-        _, stats, _, _ = tl._replay(latest)
+        _, stats, _, _, _ = tl._replay(latest)
         for f in tl.active_files(latest):
             num = int(f[6:-8].lstrip("f") or 0)
             if f.startswith("data/f") and "stats" in str(stats.get(f, "")):
@@ -615,10 +615,76 @@ def test_empty_branch_snapshot_reads(spark, tmp_path):
     tl = _mk(tmp_path)
     tl.append(spark.range(4).withColumnRenamed("id", "k"), n_files=1)
     tl.create_branch("wip")
-    bfiles, _, _ = tl.branch_replay("wip")
+    bfiles, _, _, _ = tl.branch_replay("wip")
     tl.branch_commit("wip", "delete", remove=sorted(bfiles))
     snap = tl.branch_read(spark, "wip")
     assert snap.count() == 0
     assert snap.columns == ["k"]
     # main is untouched
     assert tl.read(spark).count() == 4
+
+
+def test_schema_is_versioned_per_commit(spark, tmp_path):
+    """The logical schema is a COMMIT action, not a last-writer-wins
+    sidecar: time travel to an empty version resolves the schema as of
+    THAT version, even after later commits evolved it (append schema A,
+    delete-all, append schema B -> the v1 empty snapshot reads as A,
+    not B)."""
+    from pyspark.sql import functions as F
+
+    tl = _mk(tmp_path)
+    a = spark.range(5).select(F.col("id").alias("k"), F.lit("x").alias("s"))
+    tl.append(a, n_files=1)                      # v0: schema (k, s)
+    tl.commit("delete", remove=tl.active_files())  # v1: empty
+    b = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.lit(1.5).alias("price"),
+        F.lit(True).alias("flag"),
+    )
+    tl.append(b, n_files=1)                      # v2: schema (k, price, flag)
+    assert tl.read(spark, 1).columns == ["k", "s"]
+    assert tl.read(spark, 2).columns == ["k", "price", "flag"]
+    assert tl.table_schema(spark, 0).fieldNames() == ["k", "s"]
+    assert tl.table_schema(spark).fieldNames() == ["k", "price", "flag"]
+
+
+def test_aborted_stage_does_not_alter_schema(spark, tmp_path):
+    """A writer that STAGES but never commits (aborted, or a losing
+    optimistic writer) must not alter the table's logical schema — the
+    schema publishes with the winning commit only."""
+    from pyspark.sql import functions as F
+
+    from hive_clone_spark.sources.txlog import TxLog
+
+    tl = _mk(tmp_path)
+    tl.append(spark.range(4).withColumnRenamed("id", "k"), n_files=1)
+    tl.commit("delete", remove=tl.active_files())  # empty at schema (k)
+    loser = TxLog(str(tl.root))
+    loser.stage_data(
+        spark.range(2).select(F.col("id").alias("other")), n_files=1
+    )  # staged, never committed
+    assert tl.read(spark).columns == ["k"]
+    assert tl.table_schema(spark).fieldNames() == ["k"]
+
+
+def test_branch_stage_does_not_alter_main_schema(spark, tmp_path):
+    """Branch (WAP) staging publishes its schema into the BRANCH chain
+    only; main's logical schema moves when the branch is published."""
+    from pyspark.sql import functions as F
+
+    tl = _mk(tmp_path)
+    tl.append(spark.range(4).withColumnRenamed("id", "k"), n_files=1)
+    tl.create_branch("wip")
+    wide = spark.range(2).select(
+        F.col("id").alias("k"), F.lit("a").alias("extra")
+    )
+    bfiles, _, _, _ = tl.branch_replay("wip")
+    tl.branch_commit(
+        "wip", "rewrite", add=tl.stage_data(wide, n_files=1),
+        remove=sorted(bfiles),
+    )
+    # main: schema unchanged; branch: evolved
+    assert tl.table_schema(spark).fieldNames() == ["k"]
+    assert tl.branch_read(spark, "wip").columns == ["k", "extra"]
+    tl.publish_branch("wip")
+    assert tl.table_schema(spark).fieldNames() == ["k", "extra"]

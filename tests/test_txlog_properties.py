@@ -20,12 +20,13 @@ from hypothesis import strategies as st
 from hive_clone_spark.sources.txlog import _CHECKPOINT_EVERY, TxLog
 
 # ops: ("add", n_files) | ("remove", k_existing) | ("dv", k_existing)
-#    | ("meta", tag)
+#    | ("meta", tag) | ("schema", tag)
 op_strategy = st.one_of(
     st.tuples(st.just("add"), st.integers(min_value=1, max_value=3)),
     st.tuples(st.just("remove"), st.integers(min_value=1, max_value=3)),
     st.tuples(st.just("dv"), st.integers(min_value=0, max_value=2)),
     st.tuples(st.just("meta"), st.integers(min_value=0, max_value=5)),
+    st.tuples(st.just("schema"), st.integers(min_value=0, max_value=3)),
 )
 
 
@@ -34,12 +35,15 @@ op_strategy = st.one_of(
 def test_snapshot_fold_matches_model(tmp_path_factory, ops):
     tl = TxLog(str(tmp_path_factory.mktemp("txprop") / "log")).create()
     counter = 0
-    # model[v] = (frozenset(files), dict(stats), dict(dvs), dict(meta))
-    model: list[tuple[frozenset, dict, dict, dict]] = []
+    # model[v] = (files, stats, dvs, meta, schema): schema is a
+    # versioned full-replacement action like meta — the round-12 fix
+    # (it used to be a shared mutable sidecar outside the log)
+    model: list[tuple[frozenset, dict, dict, dict, dict | None]] = []
     files: set[str] = set()
     stats: dict[str, dict] = {}
     dvs: dict[str, str] = {}
     meta: dict = {}
+    schema: dict | None = None
     for kind, arg in ops:
         if kind == "add":
             adds = []
@@ -67,18 +71,25 @@ def test_snapshot_fold_matches_model(tmp_path_factory, ops):
                 counter += 1
                 tl.commit("dv", dv=[{"file": target, "dv": sidecar}])
                 dvs[target] = sidecar
+        elif kind == "schema":  # versioned logical-schema replacement
+            schema = {"tag": arg}
+            tl.commit("schema-change", schema=dict(schema))
         else:  # meta: full-replacement table metadata
             meta = {"tag": arg}
             tl.commit("meta", meta=dict(meta))
-        model.append((frozenset(files), dict(stats), dict(dvs), dict(meta)))
+        model.append(
+            (frozenset(files), dict(stats), dict(dvs), dict(meta),
+             dict(schema) if schema is not None else None)
+        )
 
     # every version's snapshot equals the model fold at that version —
     # including versions BELOW checkpoint floors (replay must pick the
     # nearest checkpoint at or below, never one above)
-    for v, (mf, mstats, mdvs, mmeta) in enumerate(model):
+    for v, (mf, mstats, mdvs, mmeta, mschema) in enumerate(model):
         assert set(tl.active_files(v)) == set(mf), f"v{v} files"
         assert tl.dvs(v) == mdvs, f"v{v} dvs"
         assert tl.table_meta(v) == mmeta, f"v{v} meta"
+        assert tl._replay(v)[4] == mschema, f"v{v} schema"
         all_f, chosen = tl.scan_files("k", 0, 10**9, version=v)
         assert set(all_f) == set(mf)
         assert set(chosen) == set(mf)  # full range: stats prune nothing
@@ -93,10 +104,12 @@ def test_snapshot_fold_matches_model(tmp_path_factory, ops):
     latest = tl.latest_version()
     retain = max(1, len(model) // 2)
     cut = tl.vacuum(retain_versions=retain)["cutoff"]
-    for v, (mf, _s, mdvs, _m) in enumerate(model):
+    for v, (mf, _s, mdvs, _m, mschema) in enumerate(model):
         if v >= cut:
             assert set(tl.active_files(v)) == set(mf), f"post-vacuum v{v}"
             assert tl.dvs(v) == mdvs
+            # schema survives vacuum through the pinned checkpoint
+            assert tl._replay(v)[4] == mschema, f"post-vacuum v{v} schema"
         else:
             with pytest.raises((ValueError, FileNotFoundError)):
                 tl.active_files(v)
@@ -154,7 +167,7 @@ def test_branch_wap_publish_matches_model(
             for v in victims:
                 branch_files.discard(v)
             tl.branch_commit("wip", "delete", remove=victims)
-    bfiles, _, _ = tl.branch_replay("wip")
+    bfiles, _, _, _ = tl.branch_replay("wip")
     assert bfiles == branch_files, "branch fold"
 
     # main drifts while the branch is audited
@@ -173,7 +186,7 @@ def test_branch_wap_publish_matches_model(
     tl.publish_branch("wip", expected_version=tl.latest_version())
     assert set(tl.active_files()) == branch_files, "post-publish main"
     # the branch snapshot itself is untouched by publishing
-    bfiles2, _, _ = tl.branch_replay("wip")
+    bfiles2, _, _, _ = tl.branch_replay("wip")
     assert bfiles2 == branch_files
 
 
