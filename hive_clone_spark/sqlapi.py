@@ -1350,31 +1350,17 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
             .collect()[0]
         )
         src_empty = prof["lo"] is None
-        if tgt_clauses and not src_empty and int(prof["max_dup"]) > 1:
-            # duplicates exist at all (rare) — the standard only makes
-            # this an error when a TARGET row is matched by more than
-            # one source row; dup keys that all land in NOT MATCHED are
-            # legal. Semi-join the dup keys against the snapshot to
-            # decide (the common clean-source path never pays this).
-            hit = (
-                src_df.groupBy(src_key)
-                .count()
-                .where(F.col("count") > 1)
-                .select(F.col(src_key).alias("__dup_key"))
-                .join(
-                    tl.read(spark),
-                    F.col("__dup_key") == F.col(tgt_key),
-                    "left_semi",
-                )
-                .limit(1)
-                .collect()
-            )
-            if hit:
-                raise ValueError(
-                    "MERGE cardinality violation: source has multiple "
-                    f"rows for {src_key}={hit[0][0]!r} matching a "
-                    "target row"
-                )
+        has_dup_keys = (
+            tgt_clauses and not src_empty and int(prof["max_dup"]) > 1
+        )
+        dup_keys = (
+            src_df.groupBy(src_key)
+            .count()
+            .where(F.col("count") > 1)
+            .select(F.col(src_key).alias("__dup_key"))
+            if has_dup_keys
+            else None
+        )
         while True:
             expected = tl.latest_version()
             all_files, pruned = tl.scan_files(
@@ -1398,6 +1384,31 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
                 affected = pruned
             aff_df = _read_affected(spark, tl, all_files, affected)
             tgt_cols = [c for c in aff_df.columns if c != "bucket"]
+            if dup_keys is not None:
+                # SQL-standard cardinality check, INSIDE the retry loop
+                # and against the SAME snapshot the commit is validated
+                # at (version=expected): a concurrent commit landing a
+                # row that matches a duplicated source key between a
+                # pre-loop check and a retried commit would otherwise
+                # admit a duplicate-match MERGE. Dup keys that all land
+                # in NOT MATCHED are legal (insert per row). aff_df
+                # covers every matchable row: source-key-bounds pruning
+                # keeps any file that can hold a matching key.
+                hit = (
+                    dup_keys.join(
+                        aff_df,
+                        F.col("__dup_key") == F.col(tgt_key),
+                        "left_semi",
+                    )
+                    .limit(1)
+                    .collect()
+                )
+                if hit:
+                    raise ValueError(
+                        "MERGE cardinality violation: source has "
+                        f"multiple rows for {src_key}={hit[0][0]!r} "
+                        "matching a target row"
+                    )
             joined = (
                 aff_df.alias(talias)
                 .join(F.broadcast(src_df).alias(salias), F.expr(on), "left")
