@@ -228,29 +228,34 @@ def main() -> None:
     # warm) can. Re-run each would-be-flagged query once, keep the MIN,
     # and record the extra sample — the gate then flags only queries
     # that are slow in BOTH windows.
+    # The lane iterates to a fixed point and records cap/budget-dropped
+    # names — logic lives in tools/bench_gate.end_of_suite_lane (shared
+    # with the gate's criteria, unit-tested in tests/test_bench_gate).
     end_retried: list[str] = []
+    end_dropped: list[str] = []
     if base_medians:
         try:
-            from tools.bench_gate import flagged_queries, norm_scale
-
-            scale = norm_scale(medians, base_medians)
-            flagged = [
-                n
-                for n in flagged_queries(medians, base_medians, scale)
-                if n not in cold_only
-            ]
+            from tools.bench_gate import end_of_suite_lane
         except Exception:
-            flagged = []
-        for name in flagged[:16]:
-            if spent > BUDGET_SEC:
-                break
-            t0 = time.perf_counter()
-            registry.QUERIES[name](spark, sf_dir).collect()
-            dt = time.perf_counter() - t0
-            spent += dt
-            runs[name].append(round(dt, 4))
-            medians[name] = round(min(runs[name]), 4)
-            end_retried.append(name)
+            end_of_suite_lane = None
+        if end_of_suite_lane is not None:
+
+            def _rerun(name: str) -> float:
+                nonlocal spent
+                t0 = time.perf_counter()
+                registry.QUERIES[name](spark, sf_dir).collect()
+                dt = time.perf_counter() - t0
+                spent += dt
+                return dt
+
+            end_retried, end_dropped = end_of_suite_lane(
+                medians,
+                runs,
+                base_medians,
+                _rerun,
+                lambda: spent <= BUDGET_SEC,
+                exclude=cold_only,
+            )
 
     total = round(sum(medians.values()), 2)
     # degraded = budget-forced below the ADAPTIVE target (a 1-run heavy
@@ -292,6 +297,7 @@ def main() -> None:
                 "degraded_queries": degraded,
                 "cold_only_queries": cold_only,
                 "end_retry_queries": end_retried,
+                "end_retry_dropped": end_dropped,
                 "vs_baseline_ratio": vs_baseline,
                 "calibration_sec": _CALIBRATION_SEC,
                 "sf": sf,

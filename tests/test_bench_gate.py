@@ -208,6 +208,56 @@ def test_end_of_suite_retry_lane_defeats_contention_window():
     assert [p.split(":")[0] for p in out if not p.startswith("TOTAL")] == ["q30"]
 
 
+def test_end_of_suite_lane_iterates_to_fixed_point():
+    """Round-11 advice: re-measures lower the regime median, which
+    tightens the gate threshold at gate time — a query under threshold
+    when the lane selected its first set can be NEWLY flagged after
+    the re-measures and must get its own end-of-suite sample. A
+    contention epoch inflates half the suite; clearing it drops the
+    normalization scale from 1.4 to 1.0, newly exposing a genuine
+    1.6x regression that the inflated threshold had hidden."""
+    from tools.bench_gate import end_of_suite_lane
+
+    base = {f"q{i}": 1.0 for i in range(23)}
+    base["sneak"] = 2.0
+    medians = {f"q{i}": 2.6 if i < 12 else 1.0 for i in range(23)}
+    medians["sneak"] = 3.2  # 1.6x: under the contended 2.1x threshold
+    runs = {n: [v] for n, v in medians.items()}
+    rerun_calls: list[str] = []
+
+    def rerun(name):
+        rerun_calls.append(name)
+        return 1.0 if name.startswith("q") else 3.2  # sneak is genuine
+
+    retried, dropped = end_of_suite_lane(
+        medians, runs, base, rerun, lambda: True
+    )
+    assert "sneak" in retried  # picked up only by the fixed-point pass
+    assert "sneak" == rerun_calls[-1]  # ...in a later pass than the epoch
+    assert dropped == []
+    assert medians["sneak"] == 3.2  # slow in both windows: stays flagged
+    assert medians["q0"] == 1.0  # contention cleared by the re-measure
+
+
+def test_end_of_suite_lane_records_dropped_names():
+    """Names the retry cap (or budget) forces the lane to skip are
+    returned for the detail JSON — never silently truncated (the old
+    [:16] slice dropped them invisibly)."""
+    from tools.bench_gate import end_of_suite_lane
+
+    n = 40
+    base = {f"q{i}": 1.0 for i in range(n)}
+    medians = dict(base)
+    for i in range(5):
+        medians[f"q{i}"] = 3.0  # five genuine 3x regressions
+    runs = {k: [v] for k, v in medians.items()}
+    retried, dropped = end_of_suite_lane(
+        medians, runs, base, lambda name: 3.0, lambda: True, max_retries=2
+    )
+    assert len(retried) == 2
+    assert sorted(retried + dropped) == [f"q{i}" for i in range(5)]
+
+
 def test_gate_scales_threshold_by_calibration_ratio():
     """A run on a measurably slower machine (calibration probe) gets a
     proportionally looser per-query threshold — the same-day 0.38 ->

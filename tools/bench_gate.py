@@ -96,6 +96,57 @@ def flagged_queries(
     ]
 
 
+def end_of_suite_lane(
+    medians: dict[str, float],
+    runs: dict[str, list[float]],
+    base_medians: dict[str, float],
+    rerun,
+    within_budget,
+    exclude=(),
+    max_retries: int = 16,
+    max_passes: int = 8,
+) -> tuple[list[str], list[str]]:
+    """bench.py's end-of-suite re-measure lane, iterated to a FIXED
+    POINT (round-11 advice): each re-measure can lower a median, which
+    lowers the self-normalization regime median, which tightens the
+    threshold — a query under threshold when the lane first selected
+    its set can be NEWLY flagged afterwards, and must get its own
+    end-of-suite sample or the gate's "flagged only if slow in BOTH
+    windows" contract breaks. Returns (re-measured names, names the
+    cap/budget forced the lane to skip — recorded, never silent).
+
+    ``rerun(name)`` executes the query once and returns its seconds;
+    ``within_budget()`` says whether another run may be spent. Mutates
+    ``medians``/``runs`` in place (MIN of all samples, matching the
+    suite's one-sided-jitter protocol)."""
+    end_retried: list[str] = []
+    end_dropped: list[str] = []
+    for _ in range(max_passes):
+        scale = norm_scale(medians, base_medians)
+        flagged = [
+            n
+            for n in flagged_queries(medians, base_medians, scale)
+            if n not in exclude
+            and n not in end_retried
+            and n not in end_dropped
+        ]
+        if not flagged:
+            break  # fixed point: nothing newly flagged
+        exhausted = False
+        for name in flagged:
+            if len(end_retried) >= max_retries or not within_budget():
+                exhausted = True
+                end_dropped.append(name)
+                continue
+            dt = rerun(name)
+            runs[name].append(round(dt, 4))
+            medians[name] = round(min(runs[name]), 4)
+            end_retried.append(name)
+        if exhausted:
+            break  # no budget for further passes either
+    return end_retried, end_dropped
+
+
 def compare(run: dict, baseline: dict) -> list[str]:
     """Return a list of human-readable regression findings (empty = pass)."""
     problems: list[str] = []
