@@ -1997,11 +1997,24 @@ def _bloom_table_path(sf_dir: str) -> str:
     )
 
 
+# A bloom fixture this old belongs to a finished run even if its pid
+# reads as alive (pid reuse makes os.kill(pid, 0) succeed for an
+# unrelated process, which would otherwise preserve the dir forever —
+# the round-11 advice). Hours-scale: far past any bench/pytest session,
+# so a genuinely live owner is never raced.
+_BLOOM_REAP_AGE_SEC = 6 * 3600
+
+
 def _reap_stale_bloom_dirs(dest: str) -> None:
     """The per-pid suffix keeps concurrent processes (driver + pytest)
     from clobbering each other's fixture, but dead processes used to
     leave their dirs behind forever. Reap siblings whose owning pid is
-    gone; live processes' dirs are never touched."""
+    gone — or whose dir outlived _BLOOM_REAP_AGE_SEC, the age floor
+    that clears leaks even under pid reuse (and on platforms where the
+    kill-0 probe is unavailable). Live processes' fresh dirs are never
+    touched."""
+    import time
+
     parent = pathlib.Path(dest).parent
     if not parent.is_dir():
         return
@@ -2019,10 +2032,22 @@ def _reap_stale_bloom_dirs(dest: str) -> None:
             continue
         try:
             os.kill(pid, 0)  # raises if the owner is gone
+            alive = True
         except ProcessLookupError:
+            alive = False
+        except (PermissionError, OSError):
+            # alive under another user, or no kill-0 probe on this
+            # platform: conservative, fall through to the age floor
+            alive = True
+        if not alive:
             shutil.rmtree(sib, ignore_errors=True)
-        except PermissionError:
-            pass  # pid alive under another user: leave it
+            continue
+        try:
+            age = time.time() - sib.stat().st_mtime
+        except OSError:
+            continue  # raced with its owner's own cleanup
+        if age > _BLOOM_REAP_AGE_SEC:
+            shutil.rmtree(sib, ignore_errors=True)
 
 
 def write_bloom_table(spark: SparkSession, sf_dir: str) -> str:
