@@ -440,12 +440,30 @@ def p_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # independent), rounded to 6 dp before the next iteration reads it.
 #
 # Scale design: per iteration, the corpus is scanned once; assignment
-# is a broadcast join against k centroids (narrow), and the update
-# shuffles only (cent_id, dim) partial sums — k*DIM cells regardless
-# of corpus size, with map-side partial aggregation. The corpus array
-# column is localCheckpoint'd once and reused by both iterations.
-# Iteration count is fixed (2) — the classic driver-loop shape; a real
-# run adds iterations, not different plumbing.
+# is a broadcast join against k centroids (narrow) whose argmin is
+# min(struct(d, cent_id)) — a map-side-combining hash aggregate that
+# collapses the k scored rows per vector BEFORE the shuffle (the k
+# candidates of one vector are task-local under a broadcast join), so
+# the exchange moves n rows, never n*k; a row_number window here would
+# sort-shuffle the full n*k scored set. dot(x,x) is computed once per
+# vector (in the checkpointed corpus) and dot(c,c) once per centroid —
+# only dot(x,c) is per-pair; the floats are bit-identical because each
+# term is the same sequential fold either way. The update shuffles
+# only (cent_id, dim) partial sums — k*DIM cells regardless of corpus
+# size, with map-side partial aggregation. The corpus array column is
+# localCheckpoint'd once and reused by both iterations. Iteration
+# count is fixed (2) — the classic driver-loop shape; a real run adds
+# iterations, not different plumbing.
+#
+# r12 A/B, for the record: MLlib-style driver-held centroids embedded
+# as LITERALS (zero-join, zero-exchange assignment) were tried in two
+# forms — zip_with against a literal array (3.6 s: a 64-element array
+# materialized per centroid per row, codegen lost) and a flat
+# ((0+x0*c0)+x1*c1)+... scalar chain (5.7 s: 256-node expression trees
+# per assignment blow up OPTIMIZER time at fixture scale). The
+# broadcast-join + min(struct) agg at 1.3-1.6 s warm beats both here
+# and is the shape that scales in k as well as n; the window form it
+# replaced measured ~1.2x slower than the agg on the same session.
 # ---------------------------------------------------------------------------
 _TRAIN_ITERS = 2
 
@@ -498,28 +516,45 @@ def p_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("xs"),
         )
+        .withColumn("x2", dot_col(F.col("xs"), F.col("xs")))  # once per vec
         .localCheckpoint(eager=True)  # scanned once, read by both iterations
     )
     cents = e.where(F.col("vec_id").isin(CENTROID_IDS)).select(
-        F.col("vec_id").alias("cent_id"), F.col("xs").alias("ce")
+        F.col("vec_id").alias("cent_id"),
+        F.col("xs").alias("ce"),
+        F.col("x2").alias("c2"),
     )
     assigned = None
     for it in range(_TRAIN_ITERS):
+        # only the cross term is per-pair; x2/c2 ride in precomputed
         dist2 = (
-            dot_col(F.col("xs"), F.col("xs"))
+            F.col("x2")
             - 2 * dot_col(F.col("xs"), F.col("ce"))
-            + dot_col(F.col("ce"), F.col("ce"))
+            + F.col("c2")
         )
+        need_xs = it < _TRAIN_ITERS - 1  # the update step reads xs
         scored = e.join(F.broadcast(cents)).select(
-            "vec_id", "xs", "cent_id", F.round(dist2, 6).alias("d")
+            "vec_id",
+            *(["xs"] if need_xs else []),
+            "cent_id",
+            F.round(dist2, 6).alias("d"),
         )
-        w = Window.partitionBy("vec_id").orderBy("d", "cent_id")
+        # argmin as a hash aggregate (ties by cent_id, like the oracle's
+        # ROW_NUMBER ORDER BY d, cent_id): map-side combine collapses the
+        # k task-local candidates per vector before the exchange
+        best = F.min(F.struct(F.col("d"), F.col("cent_id"))).alias("s")
+        aggs = [best] + ([F.first("xs").alias("xs")] if need_xs else [])
         assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "xs", "cent_id", "d")
+            scored.groupBy("vec_id")
+            .agg(*aggs)
+            .select(
+                "vec_id",
+                *(["xs"] if need_xs else []),
+                F.col("s.cent_id").alias("cent_id"),
+                F.col("s.d").alias("d"),
+            )
         )
-        if it < _TRAIN_ITERS - 1:
+        if need_xs:
             el = assigned.select(
                 "cent_id", F.posexplode(F.col("xs")).alias("pos", "x")
             )
@@ -530,11 +565,12 @@ def p_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     6,
                 ).alias("m")
             )
-            cents = m.groupBy("cent_id").agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("ce")
+            ce = F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            )
+            cents = m.groupBy("cent_id").agg(ce.alias("ce")).select(
+                "cent_id", "ce", dot_col(F.col("ce"), F.col("ce")).alias("c2")
             )
     return (
         assigned.groupBy("cent_id")
