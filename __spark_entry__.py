@@ -175,7 +175,7 @@ _AGE_FLOOR = 9
 # driver-visible); the round-9 escorts went green in r10 and are inert.
 _ESCORT = frozenset(
     {"p_zstd_roundtrip", "p_pdf_extract", "q254_sql_dml_txlog",
-     "q257_dml_full_delete"}
+     "q257_dml_full_delete", "q258_schema_time_travel"}
 )
 
 # Game-refresh reserve (round-10 verdict task 3): the 25 g_* entries
