@@ -1420,6 +1420,7 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
             # matching MERGE's TRUE-only clause conditions.
             adds: list[dict] = []
             removes: list[str] = []
+            merge_schema: dict | None = None
             if tgt_clauses:
                 act = None
                 for i, (side, kind, cond, _sets) in enumerate(tgt_clauses):
@@ -1451,6 +1452,11 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
                 adds = tl.stage_data_partitioned(
                     rewritten, "bucket", _bucket_stats(rewritten)
                 )
+                # the table's logical schema is the REWRITTEN target
+                # layout; the insert staging below would otherwise
+                # overwrite the stash with the insert frame's schema
+                # (same names/order today, but source-typed columns)
+                merge_schema = tl._staged_schema
                 removes = affected
             # insert-only MERGE: no target row changes, so nothing is
             # rewritten or removed (a rewrite through the join would
@@ -1501,7 +1507,8 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
                         }
             try:
                 tl.commit("merge", add=adds + ins_adds, remove=removes,
-                          expected_version=expected)
+                          expected_version=expected,
+                          schema=merge_schema if tgt_clauses else None)
                 return "merge"
             except CommitConflictError:
                 continue
