@@ -198,6 +198,53 @@ def test_merge_duplicate_source_keys_error(spark, small_log):
         )
 
 
+def test_merge_dup_check_sees_concurrent_insert_on_retry(spark, small_log):
+    """Round-11 advice: the duplicate-source-key cardinality check must
+    run INSIDE the optimistic retry loop against the snapshot at
+    version=expected. Scenario: the dup key (40) is absent from the
+    target, so the first pass legally routes it to NOT MATCHED — but a
+    concurrent writer inserts key 40 before the merge commits, forcing
+    a conflict-retry; the retry's snapshot now has a target row matched
+    by two source rows and MUST raise. (The old one-shot pre-loop check
+    silently wrote a duplicated target row here.)"""
+    tl, m = small_log
+    spark.createDataFrame(
+        [(40, 1.0), (40, 2.0)], "o_orderkey BIGINT, o_totalprice DOUBLE"
+    ).createOrReplaceTempView("dml_src_race")
+
+    orig_commit = tl.commit
+    state = {"raced": False}
+
+    def racing_commit(op, **kw):
+        if op == "merge" and not state["raced"]:
+            state["raced"] = True
+            other = TxLog(str(tl.root))
+            dfc = spark.createDataFrame(
+                [(40, 400.0, True)],
+                "o_orderkey BIGINT, o_totalprice DOUBLE, flag BOOLEAN",
+            )
+            b = _with_bucket(dfc, m)
+            other.commit(
+                "append",
+                add=other.stage_data_partitioned(b, "bucket", _bucket_stats(b)),
+            )
+        return orig_commit(op, **kw)
+
+    tl.commit = racing_commit
+    with pytest.raises(ValueError, match="cardinality"):
+        txlog_sql_dml(
+            spark, tl, m,
+            "MERGE INTO t USING dml_src_race AS s"
+            " ON t.o_orderkey = s.o_orderkey"
+            " WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice"
+            " WHEN NOT MATCHED THEN INSERT *",
+        )
+    assert state["raced"], "the interposed concurrent commit never fired"
+    # the concurrent row is intact; the merge wrote nothing
+    rows = _read(spark, tl).where(F.col("o_orderkey") == 40).collect()
+    assert len(rows) == 1 and rows[0]["o_totalprice"] == 400.0
+
+
 def test_merge_insert_only_rewrites_nothing(spark, small_log):
     """Upsert-only-new: a MERGE with just WHEN NOT MATCHED THEN
     INSERT * must not rewrite (or remove) any target file — and must
