@@ -258,6 +258,50 @@ def test_end_of_suite_lane_records_dropped_names():
     assert sorted(retried + dropped) == [f"q{i}" for i in range(5)]
 
 
+def test_end_of_suite_lane_contract_property():
+    """Property (Hypothesis): for ANY run/baseline medians, the lane
+    terminates and leaves no query that the gate would flag at the
+    final normalization scale without an end-of-suite sample — unless
+    the lane itself recorded it as dropped (cap/budget) or it was
+    excluded (cold-only). This IS the 'slow in both windows' contract."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tools.bench_gate import end_of_suite_lane, flagged_queries, norm_scale
+
+    med = st.floats(min_value=0.05, max_value=30.0)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        pairs=st.lists(st.tuples(med, med), min_size=1, max_size=60),
+        rerun_ratio=st.floats(min_value=0.3, max_value=1.5),
+        max_retries=st.integers(min_value=0, max_value=8),
+    )
+    def run(pairs, rerun_ratio, max_retries):
+        base = {f"q{i}": b for i, (b, _) in enumerate(pairs)}
+        medians = {f"q{i}": r for i, (_, r) in enumerate(pairs)}
+        runs = {k: [v] for k, v in medians.items()}
+        retried, dropped = end_of_suite_lane(
+            medians,
+            runs,
+            base,
+            lambda name: base[name] * rerun_ratio,
+            lambda: True,
+            max_retries=max_retries,
+        )
+        scale = norm_scale(medians, base)
+        unserved = [
+            n
+            for n in flagged_queries(medians, base, scale)
+            if n not in retried and n not in dropped
+        ]
+        assert unserved == [], (unserved, retried, dropped)
+        assert len(retried) <= max_retries
+        assert not (set(retried) & set(dropped))
+
+    run()
+
+
 def test_gate_scales_threshold_by_calibration_ratio():
     """A run on a measurably slower machine (calibration probe) gets a
     proportionally looser per-query threshold — the same-day 0.38 ->

@@ -118,10 +118,16 @@ def end_of_suite_lane(
     ``rerun(name)`` executes the query once and returns its seconds;
     ``within_budget()`` says whether another run may be spent. Mutates
     ``medians``/``runs`` in place (MIN of all samples, matching the
-    suite's one-sided-jitter protocol)."""
+    suite's one-sided-jitter protocol).
+
+    Termination is structural, not cap-dependent: every pass either
+    breaks (nothing newly flagged / budget exhausted) or moves at
+    least one query into retried/dropped — sets queries never leave —
+    so the loop runs at most len(base_medians)+1 passes; ``max_passes``
+    is a pure safety valve sized above that bound."""
     end_retried: list[str] = []
     end_dropped: list[str] = []
-    for _ in range(max_passes):
+    for _ in range(max(max_passes, len(base_medians) + 1)):
         scale = norm_scale(medians, base_medians)
         flagged = [
             n
