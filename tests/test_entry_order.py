@@ -169,6 +169,28 @@ def test_stalest_entries_emit_first_within_green_cohort():
             assert s1 >= s2, (g1, f1, s1, s2)
 
 
+def test_preemptive_age_floor_boundary():
+    """The floor is preemptive (round 12): an entry at staleness
+    _AGE_FLOOR-1 joins bucket 0 THIS round — re-checking at the floor
+    itself would read a signal that already violated the promise. One
+    round younger stays in its green bucket."""
+    floor = entry_mod._AGE_FLOOR
+    green_row = {"x": {"hash_match": True, "err": None}}
+
+    def hist(stale):
+        # one green row, then `stale` rounds without a row
+        return [green_row] + [{}] * stale
+
+    at_breach_minus_1 = entry_mod._emit_key(
+        "x", hist(floor - 1), True, 0, n_rounds=floor
+    )
+    assert at_breach_minus_1[0] == 0  # preemptive: bucket 0
+    younger = entry_mod._emit_key(
+        "x", hist(floor - 2), True, 0, n_rounds=floor - 1
+    )
+    assert younger[0] == 1  # still competes as a green entry
+
+
 def test_rounds_stale_semantics():
     history = [{"a": {}}, {"b": {}}, {"b": {}, "c": {}}]
     assert entry_mod._rounds_stale("c", history) == 0
