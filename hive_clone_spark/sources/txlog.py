@@ -236,6 +236,25 @@ class TxLog:
             raise ValueError("txlog: empty table with no recorded schema")
         return spark.createDataFrame([], schema)
 
+    def alter_add_column(self, spark: SparkSession, name: str, ddl_type: str) -> int:
+        """Metadata-only schema evolution (Delta/Iceberg ADD COLUMN):
+        publish a new logical schema with the appended nullable column
+        in ONE commit — no data file is touched. Readers NULL-fill the
+        column for files written before the ALTER (see _read_files);
+        at 100 TB this is the difference between a millisecond commit
+        and rewriting the table."""
+        from pyspark.sql.types import StructField, StructType
+
+        schema = self.table_schema(spark)
+        if schema is None:
+            raise ValueError("txlog: ALTER on a table with no schema")
+        if name in schema.fieldNames():
+            raise ValueError(f"txlog: column {name!r} already exists")
+        # resolve the DDL type string through the engine's own parser
+        dtype = spark.sql(f"SELECT CAST(NULL AS {ddl_type})").schema[0].dataType
+        new = StructType(list(schema.fields) + [StructField(name, dtype, True)])
+        return self.commit("alter-add-column", schema=json.loads(new.json()))
+
     # -- writing ------------------------------------------------------
     def stage_data(self, df: DataFrame, n_files: int | None = None) -> list[dict]:
         """Write ``df``'s rows as immutable parquet files under
@@ -838,7 +857,18 @@ class TxLog:
             # an empty frame at the logical schema AS OF the requested
             # version (a later writer's schema must not leak back)
             return self.empty_df(spark, version)
-        df = spark.read.parquet(*files)
+        reader = spark.read
+        if version is not None and 0 <= version and version in set(self.versions()):
+            logical = self._replay(version)[4]
+            if logical is not None:
+                # read at the LOGICAL schema as of the version: the
+                # parquet reader NULL-fills columns a file predates
+                # (metadata-only ADD COLUMN) — the production
+                # schema-evolution read, no mergeSchema footer sweep
+                from pyspark.sql.types import StructType
+
+                reader = reader.schema(StructType.fromJson(logical))
+        df = reader.parquet(*files)
         active_dvs = {f: p for f, p in dvs.items() if f in set(rel_files)}
         if not active_dvs:
             return df
@@ -3848,4 +3878,97 @@ def q258_schema_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return spark.createDataFrame(
         rows, "version BIGINT, n_rows BIGINT, cols STRING, key_sum BIGINT"
+    ).orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# Metadata-only ALTER TABLE ADD COLUMN (round 12; the versioned-schema
+# action's payoff). Delta and Iceberg evolve schemas by publishing new
+# table metadata — zero data files rewritten — and their readers
+# NULL-fill the new column for files that predate it. Same here: the
+# ALTER is one JSON commit; the snapshot read passes the logical
+# schema to the parquet reader (txlog._read_files), which NULL-fills
+# per file natively — no mergeSchema footer sweep, no rewrite. At
+# 100 TB, adding a column to a petabyte table costs a kilobyte.
+# The ledger reads every version: v0 (pre-ALTER layout), v1 (post-
+# ALTER: same rows, new column all NULL), v2 (appended rows carry real
+# values; pre-ALTER files still NULL-fill).
+# ---------------------------------------------------------------------------
+_ALTER_CAP = 10_000
+
+
+@register(
+    "q259_alter_add_column",
+    oracle=f"""
+    WITH lo AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey <= {_ALTER_CAP}),
+    hi AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderkey > {_ALTER_CAP} AND o_orderkey <= {2 * _ALTER_CAP}),
+    nlo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lo),
+    nhi AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(COUNT(*) FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT) AS nt
+      FROM hi)
+    SELECT CAST(0 AS BIGINT) AS version, nlo.n AS n_rows,
+      'o_orderkey,o_totalprice' AS cols,
+      CAST(NULL AS BIGINT) AS n_flag_true
+    FROM nlo
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), nlo.n,
+      'o_orderkey,o_totalprice,priority_flag', CAST(0 AS BIGINT)
+    FROM nlo
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), nlo.n + nhi.n,
+      'o_orderkey,o_totalprice,priority_flag', nhi.nt
+    FROM nlo, nhi
+    ORDER BY version
+    """,
+)
+def q259_alter_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """append -> metadata-only ALTER ADD COLUMN (SQL-lowered) ->
+    append rows carrying the new column; read back every version. The
+    v1/v2 rows prove pre-ALTER files NULL-fill the evolved column and
+    the ALTER itself moved no data (history shows 0 added/removed)."""
+    from hive_clone_spark.sqlapi import txlog_sql_dml
+
+    tl = TxLog(_warehouse_dir(sf_dir, "txlog_q259")).create()
+    o = table(spark, sf_dir, "orders")
+    lo = o.where(F.col("o_orderkey") <= _ALTER_CAP).select(
+        "o_orderkey", "o_totalprice"
+    )
+    tl.append(lo, n_files=2)                                         # v0
+    txlog_sql_dml(
+        spark, tl, 2 * _ALTER_CAP,
+        "ALTER TABLE orders_tx ADD COLUMN priority_flag BOOLEAN",
+    )                                                                # v1
+    alter_commit = tl._read_commit(1)
+    assert not alter_commit["add"] and not alter_commit["remove"]
+    hi = o.where(
+        (F.col("o_orderkey") > _ALTER_CAP)
+        & (F.col("o_orderkey") <= 2 * _ALTER_CAP)
+    ).select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_orderkey") % 2 == 0).alias("priority_flag"),
+    )
+    tl.append(hi, n_files=2)                                         # v2
+    rows = []
+    for v in (0, 1, 2):
+        snap = tl.read(spark, v)
+        agg = snap.agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.col("priority_flag").cast("long"))
+                if "priority_flag" in snap.columns
+                else F.lit(None).cast("long")
+            ).alias("nt"),
+        ).collect()[0]
+        nt = agg["nt"]
+        if "priority_flag" in snap.columns and nt is None:
+            nt = 0  # SUM over all-NULL is NULL; the column exists, so 0
+        rows.append((v, int(agg["n"]), ",".join(snap.columns), nt))
+    return spark.createDataFrame(
+        rows,
+        "version BIGINT, n_rows BIGINT, cols STRING, n_flag_true BIGINT",
     ).orderBy("version")

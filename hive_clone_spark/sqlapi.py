@@ -1157,6 +1157,11 @@ _DML_WHEN_RE = _re.compile(
     r"(?=\s+WHEN\s|\s*;?\s*$)",
     _re.IGNORECASE | _re.DOTALL,
 )
+_DML_ALTER_ADD_RE = _re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>\w+)\s+ADD\s+COLUMN\s+"
+    r"(?P<col>\w+)\s+(?P<type>[\w()\s,]+?)\s*;?\s*$",
+    _re.IGNORECASE,
+)
 _DML_BETWEEN_RE = _re.compile(
     r"(\w+)\s+BETWEEN\s+(\d+)\s+AND\s+(\d+)", _re.IGNORECASE
 )
@@ -1195,20 +1200,32 @@ def _dml_prune_range(where: str, stats_col: str, m: int) -> tuple[int, int]:
     return 0, m
 
 
-def _read_affected(spark, tl, all_files: list[str], affected: list[str]):
-    """DataFrame over the affected files; when pruning chose none, an
-    empty frame with the table's schema (spark.read.parquet with zero
-    paths cannot infer one) so a no-op statement commits add=[] instead
-    of crashing."""
+def _read_affected(
+    spark, tl, all_files: list[str], affected: list[str],
+    version: int | None = None,
+):
+    """DataFrame over the affected files AT THE LOGICAL SCHEMA of the
+    snapshot being modified (files written before a metadata-only
+    ALTER ADD COLUMN NULL-fill the evolved column, so DML can SET it);
+    when pruning chose none, an empty frame with the table's schema
+    (spark.read.parquet with zero paths cannot infer one) so a no-op
+    statement commits add=[] instead of crashing."""
+    from pyspark.sql.types import StructType
+
+    reader = spark.read
+    if version is not None and version >= 0:
+        logical = tl._replay(version)[4]
+        if logical is not None:
+            reader = reader.schema(StructType.fromJson(logical))
     if affected:
-        return spark.read.parquet(*[str(tl.root / f) for f in affected])
+        return reader.parquet(*[str(tl.root / f) for f in affected])
     if all_files:
-        return spark.read.parquet(
+        return reader.parquet(
             *[str(tl.root / f) for f in all_files]
         ).where(F.lit(False))
     # table already emptied by a prior statement: zero files, schema
     # comes from the log's recorded schema
-    return tl.empty_df(spark)
+    return tl.empty_df(spark, version)
 
 
 def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
@@ -1220,6 +1237,11 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
         _with_bucket,
     )
 
+    if (mt := _DML_ALTER_ADD_RE.match(statement)) is not None:
+        # metadata-only schema evolution: one commit, no data touched
+        tl.alter_add_column(spark, mt["col"], mt["type"])
+        return "alter-add-column"
+
     if (mt := _DML_DELETE_RE.match(statement)) is not None:
         # no WHERE = unconditional DELETE: every row goes, committing a
         # legal EMPTY version (remove all files, add none)
@@ -1228,7 +1250,7 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
         while True:
             expected = tl.latest_version()
             all_f, affected = tl.scan_files("o_orderkey", lo, hi, version=expected)
-            aff_df = _read_affected(spark, tl, all_f, affected)
+            aff_df = _read_affected(spark, tl, all_f, affected, version=expected)
             # SQL DELETE removes only rows where the predicate is TRUE;
             # a plain ~expr also drops NULL-predicate rows (three-valued
             # logic: NOT NULL = NULL, filtered out). eqNullSafe pins
@@ -1252,7 +1274,7 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
         while True:
             expected = tl.latest_version()
             all_f, affected = tl.scan_files("o_orderkey", lo, hi, version=expected)
-            aff_df = _read_affected(spark, tl, all_f, affected)
+            aff_df = _read_affected(spark, tl, all_f, affected, version=expected)
             # SQL UPDATE evaluates every SET RHS against the PRE-update
             # row (so `SET a = b, b = a` swaps); a chained withColumn
             # would let later assignments see earlier targets' new
@@ -1382,7 +1404,7 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
                 affected = []
             else:
                 affected = pruned
-            aff_df = _read_affected(spark, tl, all_files, affected)
+            aff_df = _read_affected(spark, tl, all_files, affected, version=expected)
             tgt_cols = [c for c in aff_df.columns if c != "bucket"]
             if dup_keys is not None:
                 # SQL-standard cardinality check, INSIDE the retry loop

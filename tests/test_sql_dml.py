@@ -245,6 +245,25 @@ def test_merge_dup_check_sees_concurrent_insert_on_retry(spark, small_log):
     assert len(rows) == 1 and rows[0]["o_totalprice"] == 400.0
 
 
+def test_alter_table_add_column_sql_lowering(spark, small_log):
+    """ALTER TABLE ... ADD COLUMN lowers to the metadata-only schema
+    commit; the snapshot immediately reads with the new column."""
+    tl, m = small_log
+    op = txlog_sql_dml(
+        spark, tl, m, "ALTER TABLE t ADD COLUMN note STRING"
+    )
+    assert op == "alter-add-column"
+    snap = _read(spark, tl)
+    assert snap.columns == ["o_orderkey", "o_totalprice", "flag", "note"]
+    assert snap.where(F.col("note").isNotNull()).count() == 0
+    # the evolved column is UPDATE-able like any other
+    txlog_sql_dml(
+        spark, tl, m,
+        "UPDATE t SET note = 'hot' WHERE o_orderkey BETWEEN 1 AND 5",
+    )
+    assert _read(spark, tl).where(F.col("note") == "hot").count() == 5
+
+
 def test_merge_insert_only_rewrites_nothing(spark, small_log):
     """Upsert-only-new: a MERGE with just WHEN NOT MATCHED THEN
     INSERT * must not rewrite (or remove) any target file — and must

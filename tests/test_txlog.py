@@ -648,6 +648,43 @@ def test_schema_is_versioned_per_commit(spark, tmp_path):
     assert tl.table_schema(spark).fieldNames() == ["k", "price", "flag"]
 
 
+def test_alter_add_column_is_metadata_only(spark, tmp_path):
+    """ADD COLUMN publishes one schema-action commit (no add/remove
+    actions, no data file written); pre-ALTER files read back with the
+    new column NULL-filled, and a post-ALTER append carries real
+    values while old files keep NULL-filling. Time travel below the
+    ALTER still reads the old layout."""
+    from pyspark.sql import functions as F
+
+    tl = _mk(tmp_path)
+    tl.append(spark.range(1, 6).withColumnRenamed("id", "k"), n_files=1)  # v0
+    n_data_before = len(list(tl.data_dir.glob("*.parquet")))
+    v = tl.alter_add_column(spark, "score", "DOUBLE")                     # v1
+    assert v == 1
+    c = tl._read_commit(1)
+    assert c["add"] == [] and c["remove"] == []
+    assert len(list(tl.data_dir.glob("*.parquet"))) == n_data_before
+    snap1 = tl.read(spark, 1)
+    assert snap1.columns == ["k", "score"]
+    assert snap1.where(F.col("score").isNotNull()).count() == 0
+    assert snap1.count() == 5
+    # post-ALTER append carries values; old files still NULL-fill
+    tl.append(
+        spark.range(10, 13).select(
+            F.col("id").alias("k"), (F.col("id") * 0.5).alias("score")
+        ),
+        n_files=1,
+    )                                                                     # v2
+    snap2 = tl.read(spark)
+    assert snap2.count() == 8
+    assert snap2.where(F.col("score").isNotNull()).count() == 3
+    # time travel below the ALTER: the old layout, no phantom column
+    assert tl.read(spark, 0).columns == ["k"]
+    # duplicate column refused
+    with pytest.raises(ValueError, match="already exists"):
+        tl.alter_add_column(spark, "score", "DOUBLE")
+
+
 def test_legacy_schema_sidecar_still_readable(spark, tmp_path):
     """Logs written before the versioned schema action carry only the
     root _schema.json sidecar; table_schema must still resolve it when
