@@ -149,7 +149,19 @@ def end_of_suite_lane(
             medians[name] = round(min(runs[name]), 4)
             end_retried.append(name)
         if exhausted:
-            break  # no budget for further passes either
+            # no budget for further re-measures — but re-measures THIS
+            # pass may have tightened the scale and newly flagged more
+            # queries; record them as dropped too (medians are frozen
+            # now, so one final sweep reaches the fixed point)
+            scale = norm_scale(medians, base_medians)
+            for name in flagged_queries(medians, base_medians, scale):
+                if (
+                    name not in exclude
+                    and name not in end_retried
+                    and name not in end_dropped
+                ):
+                    end_dropped.append(name)
+            break
     return end_retried, end_dropped
 
 
