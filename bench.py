@@ -248,14 +248,21 @@ def main() -> None:
                 spent += dt
                 return dt
 
-            end_retried, end_dropped = end_of_suite_lane(
-                medians,
-                runs,
-                base_medians,
-                _rerun,
-                lambda: spent <= BUDGET_SEC,
-                exclude=cold_only,
-            )
+            # Degrade to no-retries on ANY lane failure: after the full
+            # budget is spent, emitting results matters more than the
+            # extra samples (round-12 advice — the pre-refactor block
+            # guarded the whole computation, not just the import).
+            try:
+                end_retried, end_dropped = end_of_suite_lane(
+                    medians,
+                    runs,
+                    base_medians,
+                    _rerun,
+                    lambda: spent <= BUDGET_SEC,
+                    exclude=cold_only,
+                )
+            except Exception:
+                end_retried, end_dropped = [], []
 
     total = round(sum(medians.values()), 2)
     # degraded = budget-forced below the ADAPTIVE target (a 1-run heavy

@@ -1997,12 +1997,19 @@ def _bloom_table_path(sf_dir: str) -> str:
     )
 
 
-# A bloom fixture this old belongs to a finished run even if its pid
-# reads as alive (pid reuse makes os.kill(pid, 0) succeed for an
-# unrelated process, which would otherwise preserve the dir forever —
-# the round-11 advice). Hours-scale: far past any bench/pytest session,
-# so a genuinely live owner is never raced.
+# Age floors for reaping sibling fixture dirs. Two regimes (round-11
+# + round-12 advice):
+#  - probe INCONCLUSIVE (no kill-0 on this platform, or owned by
+#    another user): 6 h — far past any bench/pytest session.
+#  - probe says ALIVE: could still be pid reuse (kill-0 succeeds for
+#    an unrelated process — the round-11 leak), but it could also be a
+#    genuinely long-lived session whose lazy plan re-reads a fixture
+#    written hours ago (the round-12 hazard: reaping it mid-query).
+#    write_bloom_table overwrites dest per call, so a live owner's dir
+#    mtime refreshes on every use; a 7-day floor clears pid-reuse
+#    leaks eventually while never racing any plausible live session.
 _BLOOM_REAP_AGE_SEC = 6 * 3600
+_BLOOM_REAP_ALIVE_AGE_SEC = 7 * 24 * 3600
 
 
 def _reap_stale_bloom_dirs(dest: str) -> None:
@@ -2032,21 +2039,19 @@ def _reap_stale_bloom_dirs(dest: str) -> None:
             continue
         try:
             os.kill(pid, 0)  # raises if the owner is gone
-            alive = True
+            floor = _BLOOM_REAP_ALIVE_AGE_SEC  # alive OR pid reuse
         except ProcessLookupError:
-            alive = False
+            shutil.rmtree(sib, ignore_errors=True)  # owner is gone
+            continue
         except (PermissionError, OSError):
             # alive under another user, or no kill-0 probe on this
-            # platform: conservative, fall through to the age floor
-            alive = True
-        if not alive:
-            shutil.rmtree(sib, ignore_errors=True)
-            continue
+            # platform: inconclusive — the tighter age floor applies
+            floor = _BLOOM_REAP_AGE_SEC
         try:
             age = time.time() - sib.stat().st_mtime
         except OSError:
             continue  # raced with its owner's own cleanup
-        if age > _BLOOM_REAP_AGE_SEC:
+        if age > floor:
             shutil.rmtree(sib, ignore_errors=True)
 
 

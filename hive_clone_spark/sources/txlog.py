@@ -56,6 +56,12 @@ from hive_clone_spark.registry import register
 
 _CHECKPOINT_EVERY = 8
 
+# Sentinel distinguishing "caller said nothing about the schema" (fall
+# back to the writer's staged stash) from an explicit ``schema=None``
+# ("this commit makes NO schema change — and do not leak an unrelated
+# stash into it"). See TxLog.commit.
+_SCHEMA_UNSET: dict | None = object()  # type: ignore[assignment]
+
 
 class CommitConflictError(Exception):
     """Another writer won this version — re-read the log and retry."""
@@ -242,18 +248,36 @@ class TxLog:
         in ONE commit — no data file is touched. Readers NULL-fill the
         column for files written before the ALTER (see _read_files);
         at 100 TB this is the difference between a millisecond commit
-        and rewriting the table."""
+        and rewriting the table.
+
+        Read-modify-write on the schema, so it uses the same optimistic
+        expected_version + retry loop as every other RMW path: without
+        the token, a schema-publishing commit landing between the read
+        and this commit (another ALTER, a MERGE rewrite) would be
+        silently clobbered — its column lost from the published schema.
+        """
         from pyspark.sql.types import StructField, StructType
 
-        schema = self.table_schema(spark)
-        if schema is None:
-            raise ValueError("txlog: ALTER on a table with no schema")
-        if name in schema.fieldNames():
-            raise ValueError(f"txlog: column {name!r} already exists")
         # resolve the DDL type string through the engine's own parser
         dtype = spark.sql(f"SELECT CAST(NULL AS {ddl_type})").schema[0].dataType
-        new = StructType(list(schema.fields) + [StructField(name, dtype, True)])
-        return self.commit("alter-add-column", schema=json.loads(new.json()))
+        while True:
+            expected = self.latest_version()
+            schema = self.table_schema(spark, expected if expected >= 0 else None)
+            if schema is None:
+                raise ValueError("txlog: ALTER on a table with no schema")
+            if name in schema.fieldNames():
+                raise ValueError(f"txlog: column {name!r} already exists")
+            new = StructType(
+                list(schema.fields) + [StructField(name, dtype, True)]
+            )
+            try:
+                return self.commit(
+                    "alter-add-column",
+                    expected_version=expected,
+                    schema=json.loads(new.json()),
+                )
+            except CommitConflictError:
+                continue
 
     # -- writing ------------------------------------------------------
     def stage_data(self, df: DataFrame, n_files: int | None = None) -> list[dict]:
@@ -341,7 +365,7 @@ class TxLog:
         dv: list[dict] | None = None,
         constraints: dict[str, str] | None = None,
         meta: dict | None = None,
-        schema: dict | None = None,
+        schema: dict | None = _SCHEMA_UNSET,
     ) -> int:
         """Atomically publish a commit at ``latest + 1``.
 
@@ -354,7 +378,12 @@ class TxLog:
         commit_idempotent). ``schema`` (default: the schema stashed by
         this writer's latest stage_data*) publishes the table's logical
         schema as a versioned commit action — it becomes visible only
-        if THIS commit wins, never via staging alone."""
+        if THIS commit wins, never via staging alone. Passing
+        ``schema=None`` EXPLICITLY publishes no schema action AND
+        suppresses the staged fallback — the writer is asserting this
+        commit does not change the table's logical schema (the
+        publish-branch / insert-only-MERGE contract); only the omitted
+        default reaches for the stash."""
         latest = self.latest_version()
         if expected_version is not None and latest != expected_version:
             raise CommitConflictError(
@@ -367,7 +396,7 @@ class TxLog:
             "add": add or [],
             "remove": remove or [],
         }
-        if schema is None:
+        if schema is _SCHEMA_UNSET:
             schema = self._staged_schema
         if schema is not None:
             payload["schema"] = schema
@@ -759,8 +788,23 @@ class TxLog:
         branch's NET file diff against the current main snapshot. The
         optimistic token (normally the branch's base) makes WAP safe:
         if main moved during the audit, the publish conflicts and the
-        writer rebases instead of silently clobbering."""
+        writer rebases instead of silently clobbering.
+
+        The publish carries a schema action ONLY when the branch chain
+        CHANGED the schema relative to its base fold. Branch data
+        commits always restate the staged frame's schema into the
+        branch chain, so presence alone is not signal: republishing a
+        mere restatement of the base schema on a rebase-style publish
+        (expected_version = current latest) would silently revert any
+        schema change that landed on main after the branch was cut
+        (e.g. an ALTER ADD COLUMN). ``schema=None`` also suppresses
+        commit()'s staged-stash fallback, so an unrelated pending
+        stage_data can never leak into the publish commit."""
         bfiles, bstats, _, bschema = self.branch_replay(name)
+        base = self.branch_base(name)
+        base_schema = self._replay(base)[4] if base >= 0 else None
+        if bschema == base_schema:
+            bschema = None  # no branch-side schema change to carry
         main = set(self.active_files()) if self.latest_version() >= 0 else set()
         adds = [
             {"file": f, **({"stats": bstats[f]} if f in bstats else {})}

@@ -1486,9 +1486,14 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
             # allowed for INSERT, fatal for a copy-on-write rewrite)
             ins_adds: list[dict] = []
             if ins_clauses:
-                # INSERT *: source columns by name; target columns the
-                # source lacks are NULL-filled at the target type (the
-                # INSERT(cols) behavior for unlisted columns)
+                # INSERT *: source columns by name, CAST to the target
+                # column type (a source/target type difference must not
+                # leak source-typed parquet files under the table's
+                # logical schema — snapshot reads enforce the logical
+                # schema and would fail converting pre-merge files);
+                # target columns the source lacks are NULL-filled at
+                # the target type (the INSERT(cols) behavior for
+                # unlisted columns)
                 tgt_types = dict(aff_df.dtypes)
                 inserts = (
                     src_df.alias(salias)
@@ -1496,6 +1501,8 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
                     .select(
                         *[
                             F.col(f"{salias}.{c}")
+                            .cast(tgt_types[c])
+                            .alias(c)
                             if c in src_df.columns
                             else F.lit(None).cast(tgt_types[c]).alias(c)
                             for c in tgt_cols
@@ -1528,6 +1535,12 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
                                       int(ins_bounds["hi"])]
                         }
             try:
+                # tgt_clauses: publish the REWRITTEN target layout.
+                # insert-only: schema=None publishes NO schema action
+                # and suppresses commit()'s staged-stash fallback — the
+                # stash here holds the INSERT frame's (source-cast)
+                # schema, and an insert-only MERGE never changes the
+                # table's logical schema.
                 tl.commit("merge", add=adds + ins_adds, remove=removes,
                           expected_version=expected,
                           schema=merge_schema if tgt_clauses else None)

@@ -433,3 +433,43 @@ def test_merge_empty_source_by_source_deletes_everything(spark, small_log):
     snap = _read(spark, tl)
     assert snap.count() == 0
     assert snap.columns == ["o_orderkey", "o_totalprice", "flag"]
+
+
+def test_merge_insert_only_casts_source_types_keeps_schema(spark, small_log):
+    """Round-12 advice: an insert-only MERGE whose source columns have
+    DIFFERENT types than the target must (a) cast the inserted rows to
+    the target types and (b) publish NO schema action — previously the
+    staged insert frame's source-typed schema leaked in via commit()'s
+    stash fallback, and snapshot reads of pre-merge files then failed
+    against the replaced logical schema."""
+    tl, m = small_log
+    pre_schema = tl.table_schema(spark)
+    pre_version = tl.latest_version()
+    # source: INT key, DECIMAL price — both differ from the target's
+    # BIGINT / DOUBLE
+    from decimal import Decimal
+
+    spark.createDataFrame(
+        [(m + 1, Decimal("7.00")), (m + 2, Decimal("8.00"))],
+        "o_orderkey INT, o_totalprice DECIMAL(10,2)",
+    ).createOrReplaceTempView("dml_src_typed")
+    txlog_sql_dml(
+        spark, tl, m,
+        "MERGE INTO t USING dml_src_typed AS s"
+        " ON t.o_orderkey = s.o_orderkey"
+        " WHEN NOT MATCHED THEN INSERT *",
+    )
+    # no schema action on the merge commit; logical schema unchanged
+    assert "schema" not in tl._read_commit(tl.latest_version())
+    assert tl.table_schema(spark) == pre_schema
+    # pre-merge snapshot still reads cleanly under the logical schema
+    assert tl.read(spark, pre_version).count() == m
+    snap = _read(spark, tl)
+    assert snap.count() == m + 2
+    assert dict(snap.dtypes)["o_orderkey"] == "bigint"
+    assert dict(snap.dtypes)["o_totalprice"] == "double"
+    got = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in snap.where(F.col("o_orderkey") > m).collect()
+    }
+    assert got == {m + 1: 7.0, m + 2: 8.0}

@@ -753,3 +753,99 @@ def test_branch_stage_does_not_alter_main_schema(spark, tmp_path):
     assert tl.branch_read(spark, "wip").columns == ["k", "extra"]
     tl.publish_branch("wip")
     assert tl.table_schema(spark).fieldNames() == ["k", "extra"]
+
+
+def test_publish_branch_preserves_concurrent_main_alter(spark, tmp_path):
+    """A rebase-style publish of a branch that made NO schema change
+    must not revert a schema change that landed on MAIN after the
+    branch was cut (round-12 advice): the branch chain's schema action
+    is a mere restatement of the base schema, so the publish carries no
+    schema action and main's post-branch ALTER survives."""
+    from pyspark.sql import functions as F
+
+    tl = _mk(tmp_path)
+    tl.append(spark.range(4).withColumnRenamed("id", "k"), n_files=1)  # v0
+    tl.create_branch("wip")
+    # branch appends data at the UNCHANGED base schema (k)
+    tl.branch_commit(
+        "wip", "append",
+        add=tl.stage_data(
+            spark.range(10, 12).withColumnRenamed("id", "k"), n_files=1
+        ),
+    )
+    # meanwhile main evolves: metadata-only ALTER ADD COLUMN
+    tl.alter_add_column(spark, "extra", "STRING")                      # v1
+    # rebase-style publish against current latest (the WAP retry path)
+    tl.publish_branch("wip", expected_version=tl.latest_version())
+    assert "schema" not in tl._read_commit(tl.latest_version())
+    assert tl.table_schema(spark).fieldNames() == ["k", "extra"]
+    snap = tl.read(spark)
+    assert snap.columns == ["k", "extra"]
+    assert snap.count() == 6  # base 4 + branch 2, NULL-filled extra
+
+
+def test_publish_branch_ignores_unrelated_stash(spark, tmp_path):
+    """An unrelated pending stage_data on the publishing writer must
+    not leak its frame schema into the publish commit (round-12
+    advice: the old schema=None fallback reached for the stash)."""
+    from pyspark.sql import functions as F
+
+    tl = _mk(tmp_path)
+    tl.append(spark.range(4).withColumnRenamed("id", "k"), n_files=1)
+    tl.create_branch("wip")
+    tl.branch_commit(
+        "wip", "append",
+        add=tl.stage_data(
+            spark.range(5, 7).withColumnRenamed("id", "k"), n_files=1
+        ),
+    )
+    # unrelated staging leaves a pending stash on this writer handle
+    tl.stage_data(
+        spark.range(2).select(F.col("id").alias("other")), n_files=1
+    )
+    tl.publish_branch("wip", expected_version=tl.latest_version())
+    assert "schema" not in tl._read_commit(tl.latest_version())
+    assert tl.table_schema(spark).fieldNames() == ["k"]
+
+
+def test_publish_branch_carries_branch_schema_change(spark, tmp_path):
+    """Counterpart: when the branch chain DID evolve the schema, the
+    publish still carries it (the pre-fix behavior that must stay)."""
+    from pyspark.sql import functions as F
+
+    tl = _mk(tmp_path)
+    tl.append(spark.range(4).withColumnRenamed("id", "k"), n_files=1)
+    tl.create_branch("wip")
+    wide = spark.range(2).select(
+        F.col("id").alias("k"), F.lit("a").alias("extra")
+    )
+    bfiles, _, _, _ = tl.branch_replay("wip")
+    tl.branch_commit(
+        "wip", "rewrite", add=tl.stage_data(wide, n_files=1),
+        remove=sorted(bfiles),
+    )
+    tl.publish_branch("wip", expected_version=tl.latest_version())
+    assert tl.table_schema(spark).fieldNames() == ["k", "extra"]
+
+
+def test_alter_add_column_concurrent_alter_retries(spark, tmp_path):
+    """Two concurrent ALTER ADD COLUMNs: the loser's retry must fold
+    the winner's column into its re-read schema (round-12 advice: the
+    unconditioned commit silently clobbered the concurrent ALTER)."""
+    tl = _mk(tmp_path)
+    tl.append(spark.range(4).withColumnRenamed("id", "k"), n_files=1)  # v0
+    other = TxLog(tl.root)
+    real_commit = tl.commit
+    fired = {"done": False}
+
+    def interposed(*a, **kw):
+        # a concurrent ALTER lands between this writer's schema read
+        # and its commit attempt — exactly once
+        if not fired["done"]:
+            fired["done"] = True
+            other.alter_add_column(spark, "b_col", "STRING")
+        return real_commit(*a, **kw)
+
+    tl.commit = interposed
+    tl.alter_add_column(spark, "a_col", "INT")
+    assert tl.table_schema(spark).fieldNames() == ["k", "b_col", "a_col"]
