@@ -270,14 +270,125 @@ class TxLog:
             new = StructType(
                 list(schema.fields) + [StructField(name, dtype, True)]
             )
+            # on a column-mapped table the new logical column gets a
+            # FRESH physical name: a previously-dropped column of the
+            # same logical name must never resurrect old file data
+            meta = self.table_meta(expected)
+            kwargs: dict = {}
+            if "mapping" in meta:
+                mapping = dict(meta["mapping"])
+                mapping[name] = f"c-{uuid.uuid4().hex[:12]}"
+                kwargs["meta"] = {**meta, "mapping": mapping}
             try:
                 return self.commit(
                     "alter-add-column",
                     expected_version=expected,
                     schema=json.loads(new.json()),
+                    **kwargs,
                 )
             except CommitConflictError:
                 continue
+
+    def alter_rename_column(
+        self, spark: SparkSession, old: str, new: str
+    ) -> int:
+        """Metadata-only RENAME COLUMN over the column-mapping protocol
+        (Delta column mapping / Iceberg field-ids; the q231 machinery
+        made first-class): data files keep their opaque PHYSICAL
+        column names forever, so a rename is one commit updating the
+        logical schema plus the logical->physical mapping — zero data
+        files touched at any table size.
+
+        A table without a mapping gets one ESTABLISHED here (physical
+        names frozen at the current logical names, which is what the
+        existing files carry). After that, writers must conform frames
+        to physical names via ``to_physical`` before staging."""
+        from pyspark.sql.types import StructField, StructType
+
+        while True:
+            expected = self.latest_version()
+            schema = self.table_schema(spark, expected if expected >= 0 else None)
+            if schema is None:
+                raise ValueError("txlog: ALTER on a table with no schema")
+            if old not in schema.fieldNames():
+                raise ValueError(f"txlog: no column {old!r} to rename")
+            if new in schema.fieldNames():
+                raise ValueError(f"txlog: column {new!r} already exists")
+            meta = self.table_meta(expected)
+            mapping = dict(
+                meta.get("mapping")
+                or {f.name: f.name for f in schema.fields}
+            )
+            mapping[new] = mapping.pop(old)
+            renamed = StructType(
+                [
+                    StructField(new, f.dataType, f.nullable)
+                    if f.name == old
+                    else f
+                    for f in schema.fields
+                ]
+            )
+            try:
+                return self.commit(
+                    "alter-rename-column",
+                    expected_version=expected,
+                    schema=json.loads(renamed.json()),
+                    meta={**meta, "mapping": mapping},
+                )
+            except CommitConflictError:
+                continue
+
+    def alter_drop_column(self, spark: SparkSession, name: str) -> int:
+        """Metadata-only DROP COLUMN: shrink the logical schema and
+        retire the column's mapping entry in one commit — the bytes
+        stay in the immutable files but no read ever projects them.
+        Establishes a column mapping if the table has none, so a later
+        ADD COLUMN of the SAME logical name binds a fresh physical
+        name and can never resurrect the dropped column's data."""
+        from pyspark.sql.types import StructType
+
+        while True:
+            expected = self.latest_version()
+            schema = self.table_schema(spark, expected if expected >= 0 else None)
+            if schema is None:
+                raise ValueError("txlog: ALTER on a table with no schema")
+            if name not in schema.fieldNames():
+                raise ValueError(f"txlog: no column {name!r} to drop")
+            if len(schema.fields) == 1:
+                raise ValueError("txlog: cannot drop the only column")
+            meta = self.table_meta(expected)
+            mapping = dict(
+                meta.get("mapping")
+                or {f.name: f.name for f in schema.fields}
+            )
+            mapping.pop(name, None)
+            shrunk = StructType([f for f in schema.fields if f.name != name])
+            try:
+                return self.commit(
+                    "alter-drop-column",
+                    expected_version=expected,
+                    schema=json.loads(shrunk.json()),
+                    meta={**meta, "mapping": mapping},
+                )
+            except CommitConflictError:
+                continue
+
+    def to_physical(
+        self, df: DataFrame, version: int | None = None
+    ) -> DataFrame:
+        """Conform a LOGICAL-named frame to the table's PHYSICAL column
+        names as of ``version`` (default latest) before staging. A
+        no-op for tables without a column mapping. NOTE: staging a
+        physical-named frame stashes the PHYSICAL schema — a writer
+        appending to a mapped table must pass the LOGICAL schema to
+        commit() explicitly (or schema=None when unchanged) so the
+        physical names never leak into the schema action."""
+        mapping = self.table_meta(version).get("mapping")
+        if not mapping:
+            return df
+        return df.select(
+            *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+        )
 
     # -- writing ------------------------------------------------------
     def stage_data(self, df: DataFrame, n_files: int | None = None) -> list[dict]:
@@ -902,20 +1013,53 @@ class TxLog:
             # version (a later writer's schema must not leak back)
             return self.empty_df(spark, version)
         reader = spark.read
+        mapping: dict[str, str] = {}
         if version is not None and 0 <= version and version in set(self.versions()):
             logical = self._replay(version)[4]
             if logical is not None:
                 # read at the LOGICAL schema as of the version: the
                 # parquet reader NULL-fills columns a file predates
                 # (metadata-only ADD COLUMN) — the production
-                # schema-evolution read, no mergeSchema footer sweep
-                from pyspark.sql.types import StructType
+                # schema-evolution read, no mergeSchema footer sweep.
+                # Column-mapped tables (ALTER RENAME/DROP) scan at the
+                # PHYSICAL names the files carry; the rename back to
+                # logical names happens after any DV filtering below —
+                # still a metadata-only projection, zero extra passes.
+                from pyspark.sql.types import StructField, StructType
 
-                reader = reader.schema(StructType.fromJson(logical))
+                ls = StructType.fromJson(logical)
+                mapping = {
+                    k: v
+                    for k, v in self.table_meta(version)
+                    .get("mapping", {})
+                    .items()
+                    if k in ls.fieldNames() and v != k
+                }
+                if mapping:
+                    ls = StructType(
+                        [
+                            StructField(
+                                mapping.get(f.name, f.name),
+                                f.dataType,
+                                f.nullable,
+                            )
+                            for f in ls.fields
+                        ]
+                    )
+                reader = reader.schema(ls)
         df = reader.parquet(*files)
+
+        def _to_logical(out: DataFrame) -> DataFrame:
+            if not mapping:
+                return out
+            inv = {v: k for k, v in mapping.items()}
+            return out.select(
+                *[F.col(c).alias(inv.get(c, c)) for c in out.columns]
+            )
+
         active_dvs = {f: p for f, p in dvs.items() if f in set(rel_files)}
         if not active_dvs:
-            return df
+            return _to_logical(df)
         dead = [
             (f, int(p))
             for f, dv in active_dvs.items()
@@ -930,9 +1074,11 @@ class TxLog:
             ).alias("__file"),
             F.col("_metadata.row_index").alias("__pos"),
         )
-        return src.join(
-            F.broadcast(dv_df), ["__file", "__pos"], "left_anti"
-        ).drop("__file", "__pos")
+        return _to_logical(
+            src.join(
+                F.broadcast(dv_df), ["__file", "__pos"], "left_anti"
+            ).drop("__file", "__pos")
+        )
 
     def change_feed(
         self,
@@ -4015,4 +4161,156 @@ def q259_alter_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows,
         "version BIGINT, n_rows BIGINT, cols STRING, n_flag_true BIGINT",
+    ).orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# Q260 — ALTER TABLE RENAME COLUMN / DROP COLUMN over the column-mapping
+# protocol (round 13; the q231 machinery made first-class). Delta's
+# column mapping and Iceberg's field-ids decouple LOGICAL column names
+# from the PHYSICAL names parquet files carry, which makes rename a
+# pure mapping commit and drop a mapping-retire + logical-schema
+# shrink — zero data files touched by either, at any table size. The
+# protocol's safety property is pinned by v3: re-ADDing a dropped
+# logical name binds a FRESH physical name, so the old bytes (still
+# sitting in the immutable files) can never resurrect — the re-added
+# column reads all-NULL, not the dropped column's data.
+# Ledger: v0 append, v1 rename (0 files), v2 drop (0 files), v3 re-add
+# (0 files), v4 append THROUGH the mapping (to_physical conforms the
+# frame; new rows carry real values, old rows NULL-fill).
+# ---------------------------------------------------------------------------
+_RD_CAP = 1000
+
+
+@register(
+    "q260_alter_rename_drop",
+    oracle=f"""
+    WITH lo AS (
+      SELECT p_name,
+        CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM part WHERE p_partkey <= {_RD_CAP}),
+    hi AS (
+      SELECT p_name,
+        CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM part
+      WHERE p_partkey > {_RD_CAP} AND p_partkey <= {2 * _RD_CAP}),
+    alo AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(length(p_name)) AS BIGINT) AS l,
+        CAST(SUM(cents) AS BIGINT) AS c
+      FROM lo),
+    ahi AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(length(p_name)) AS BIGINT) AS l,
+        CAST(SUM(cents) AS BIGINT) AS c
+      FROM hi)
+    SELECT CAST(0 AS BIGINT) AS version, 'append' AS op,
+      CAST(2 AS BIGINT) AS n_files_changed, alo.n AS n_rows,
+      'part_id,part_name,retail_cents' AS cols,
+      alo.l AS name_len_sum, alo.c AS cents_sum
+    FROM alo
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'alter-rename-column', CAST(0 AS BIGINT),
+      alo.n, 'part_id,part_title,retail_cents', alo.l, alo.c
+    FROM alo
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'alter-drop-column', CAST(0 AS BIGINT),
+      alo.n, 'part_id,part_title', alo.l, CAST(NULL AS BIGINT)
+    FROM alo
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'alter-add-column', CAST(0 AS BIGINT),
+      alo.n, 'part_id,part_title,retail_cents', alo.l, CAST(0 AS BIGINT)
+    FROM alo
+    UNION ALL
+    SELECT CAST(4 AS BIGINT), 'append-mapped', CAST(1 AS BIGINT),
+      alo.n + ahi.n, 'part_id,part_title,retail_cents',
+      alo.l + ahi.l, ahi.c
+    FROM alo, ahi
+    ORDER BY version
+    """,
+)
+def q260_alter_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """append -> RENAME COLUMN -> DROP COLUMN -> re-ADD the dropped
+    name -> append through the mapping; read back every version. The
+    three ALTER rows prove zero files moved; v3's cents_sum = 0 (not
+    the pre-drop sum) proves the fresh-physical-name no-resurrection
+    property; v4 proves old files NULL-fill while mapped appends carry
+    real values."""
+    from hive_clone_spark.sqlapi import txlog_sql_dml
+
+    tl = TxLog(_warehouse_dir(sf_dir, "txlog_q260")).create()
+    p = table(spark, sf_dir, "part")
+    lo = p.where(F.col("p_partkey") <= _RD_CAP).select(
+        F.col("p_partkey").alias("part_id"),
+        F.col("p_name").alias("part_name"),
+        F.floor(F.col("p_retailprice") * 100 + 0.5)
+        .cast("long")
+        .alias("retail_cents"),
+    )
+    tl.append(lo, n_files=2)                                         # v0
+    txlog_sql_dml(
+        spark, tl, 2 * _RD_CAP,
+        "ALTER TABLE part_tx RENAME COLUMN part_name TO part_title",
+    )                                                                # v1
+    txlog_sql_dml(
+        spark, tl, 2 * _RD_CAP,
+        "ALTER TABLE part_tx DROP COLUMN retail_cents",
+    )                                                                # v2
+    txlog_sql_dml(
+        spark, tl, 2 * _RD_CAP,
+        "ALTER TABLE part_tx ADD COLUMN retail_cents BIGINT",
+    )                                                                # v3
+    for v in (1, 2, 3):
+        c = tl._read_commit(v)
+        assert not c["add"] and not c["remove"]  # metadata-only
+    hi = p.where(
+        (F.col("p_partkey") > _RD_CAP) & (F.col("p_partkey") <= 2 * _RD_CAP)
+    ).select(
+        F.col("p_partkey").alias("part_id"),
+        F.col("p_name").alias("part_title"),
+        F.floor(F.col("p_retailprice") * 100 + 0.5)
+        .cast("long")
+        .alias("retail_cents"),
+    )
+    # append THROUGH the mapping: conform logical -> physical names,
+    # publish no schema action (the logical schema is unchanged; the
+    # stash holds physical names and must not leak)
+    tl.commit(
+        "append-mapped",
+        add=tl.stage_data(tl.to_physical(hi), n_files=1),
+        schema=None,
+    )                                                                # v4
+    hist = {h["version"]: h for h in tl.history()}
+    rows = []
+    for v in range(5):
+        snap = tl.read(spark, v)
+        name_col = "part_title" if "part_title" in snap.columns else "part_name"
+        agg = snap.agg(
+            F.count("*").alias("n"),
+            F.sum(F.length(name_col)).alias("l"),
+            (
+                F.sum("retail_cents")
+                if "retail_cents" in snap.columns
+                else F.lit(None).cast("long")
+            ).alias("c"),
+        ).collect()[0]
+        c = agg["c"]
+        if "retail_cents" in snap.columns and c is None:
+            c = 0  # SUM over all-NULL is NULL; the column exists, so 0
+        rows.append(
+            (
+                v,
+                hist[v]["op"],
+                hist[v]["n_added"] + hist[v]["n_removed"],
+                int(agg["n"]),
+                ",".join(snap.columns),
+                int(agg["l"]),
+                c,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version BIGINT, op STRING, n_files_changed BIGINT, "
+        "n_rows BIGINT, cols STRING, name_len_sum BIGINT, "
+        "cents_sum BIGINT",
     ).orderBy("version")

@@ -1162,6 +1162,16 @@ _DML_ALTER_ADD_RE = _re.compile(
     r"(?P<col>\w+)\s+(?P<type>[\w()\s,]+?)\s*;?\s*$",
     _re.IGNORECASE,
 )
+_DML_ALTER_RENAME_RE = _re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>\w+)\s+RENAME\s+COLUMN\s+"
+    r"(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*;?\s*$",
+    _re.IGNORECASE,
+)
+_DML_ALTER_DROP_RE = _re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>\w+)\s+DROP\s+COLUMN\s+"
+    r"(?P<col>\w+)\s*;?\s*$",
+    _re.IGNORECASE,
+)
 _DML_BETWEEN_RE = _re.compile(
     r"(\w+)\s+BETWEEN\s+(\d+)\s+AND\s+(\d+)", _re.IGNORECASE
 )
@@ -1241,6 +1251,16 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
         # metadata-only schema evolution: one commit, no data touched
         tl.alter_add_column(spark, mt["col"], mt["type"])
         return "alter-add-column"
+
+    if (mt := _DML_ALTER_RENAME_RE.match(statement)) is not None:
+        # metadata-only rename over the column-mapping protocol
+        tl.alter_rename_column(spark, mt["old"], mt["new"])
+        return "alter-rename-column"
+
+    if (mt := _DML_ALTER_DROP_RE.match(statement)) is not None:
+        # metadata-only drop: logical schema shrink + mapping retire
+        tl.alter_drop_column(spark, mt["col"])
+        return "alter-drop-column"
 
     if (mt := _DML_DELETE_RE.match(statement)) is not None:
         # no WHERE = unconditional DELETE: every row goes, committing a

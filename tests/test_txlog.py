@@ -849,3 +849,78 @@ def test_alter_add_column_concurrent_alter_retries(spark, tmp_path):
     tl.commit = interposed
     tl.alter_add_column(spark, "a_col", "INT")
     assert tl.table_schema(spark).fieldNames() == ["k", "b_col", "a_col"]
+
+
+def test_alter_rename_drop_no_resurrection(spark, tmp_path):
+    """RENAME and DROP are metadata-only; re-ADDing a dropped logical
+    name binds a fresh physical name, so the dropped column's bytes
+    (still in the files) never resurrect."""
+    from pyspark.sql import functions as F
+
+    tl = _mk(tmp_path)
+    df = spark.range(1, 5).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    tl.append(df, n_files=1)                                         # v0
+    tl.alter_rename_column(spark, "v", "val")                        # v1
+    assert tl.read(spark, 1).columns == ["k", "val"]
+    assert tl.read(spark, 1).agg(F.sum("val")).collect()[0][0] == 100
+    tl.alter_drop_column(spark, "val")                               # v2
+    assert tl.read(spark, 2).columns == ["k"]
+    tl.alter_add_column(spark, "val", "BIGINT")                      # v3
+    snap = tl.read(spark, 3)
+    assert snap.columns == ["k", "val"]
+    # the re-added column must NOT read the dropped column's data
+    assert snap.where(F.col("val").isNotNull()).count() == 0
+    # all three alters moved zero files
+    for v in (1, 2, 3):
+        c = tl._read_commit(v)
+        assert not c["add"] and not c["remove"]
+    # time travel below the alters still reads the original layout
+    assert tl.read(spark, 0).columns == ["k", "v"]
+
+
+def test_alter_rename_dv_read(spark, tmp_path):
+    """Deletion vectors and column mapping compose: a MoR delete on a
+    renamed table hides rows under the logical names."""
+    from pyspark.sql import functions as F
+
+    tl = _mk(tmp_path)
+    df = spark.range(1, 11).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    tl.append(df, n_files=1)
+    tl.alter_rename_column(spark, "v", "val")
+    # MoR delete speaks PHYSICAL names (it scans the raw files)
+    tl.delete_where_mor(spark, F.col("v") > 70)
+    snap = tl.read(spark)
+    assert snap.columns == ["k", "val"]
+    assert sorted(r["k"] for r in snap.collect()) == [1, 2, 3, 4, 5, 6, 7]
+    assert snap.agg(F.sum("val")).collect()[0][0] == 280
+
+
+def test_alter_rename_concurrent_retries(spark, tmp_path):
+    """Concurrent rename + add: the loser's retry folds the winner's
+    schema commit instead of clobbering it."""
+    tl = _mk(tmp_path)
+    tl.append(spark.range(3).withColumnRenamed("id", "k"), n_files=1)
+    other = TxLog(tl.root)
+    real_commit = tl.commit
+    fired = {"done": False}
+
+    def interposed(*a, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            other.alter_add_column(spark, "extra", "STRING")
+        return real_commit(*a, **kw)
+
+    tl.commit = interposed
+    tl.alter_rename_column(spark, "k", "key")
+    assert tl.table_schema(spark).fieldNames() == ["key", "extra"]
+
+
+def test_alter_drop_only_column_rejected(spark, tmp_path):
+    tl = _mk(tmp_path)
+    tl.append(spark.range(3).withColumnRenamed("id", "k"), n_files=1)
+    with pytest.raises(ValueError, match="only column"):
+        tl.alter_drop_column(spark, "k")
