@@ -1058,12 +1058,19 @@ class TxLog:
             )
 
         active_dvs = {f: p for f, p in dvs.items() if f in set(rel_files)}
-        if not active_dvs:
-            return _to_logical(df)
+        return _to_logical(self._apply_dvs(spark, df, active_dvs))
+
+    def _apply_dvs(
+        self, spark: SparkSession, df: DataFrame, dvs: dict[str, str]
+    ) -> DataFrame:
+        """Hide the rows named by the given deletion-vector bindings:
+        (file, ``_metadata.row_index``) anti-joined against the
+        broadcast DV positions. ``df`` must be a raw file-source scan
+        (the ``_metadata`` pseudo-column must still resolve)."""
+        if not dvs:
+            return df
         dead = [
-            (f, int(p))
-            for f, dv in active_dvs.items()
-            for p in self._read_dv(dv)
+            (f, int(p)) for f, dv in dvs.items() for p in self._read_dv(dv)
         ]
         dv_df = spark.createDataFrame(dead, "__file string, __pos bigint")
         src = df.select(
@@ -1074,11 +1081,9 @@ class TxLog:
             ).alias("__file"),
             F.col("_metadata.row_index").alias("__pos"),
         )
-        return _to_logical(
-            src.join(
-                F.broadcast(dv_df), ["__file", "__pos"], "left_anti"
-            ).drop("__file", "__pos")
-        )
+        return src.join(
+            F.broadcast(dv_df), ["__file", "__pos"], "left_anti"
+        ).drop("__file", "__pos")
 
     def change_feed(
         self,

@@ -1216,19 +1216,29 @@ def _read_affected(
 ):
     """DataFrame over the affected files AT THE LOGICAL SCHEMA of the
     snapshot being modified (files written before a metadata-only
-    ALTER ADD COLUMN NULL-fill the evolved column, so DML can SET it);
-    when pruning chose none, an empty frame with the table's schema
-    (spark.read.parquet with zero paths cannot infer one) so a no-op
-    statement commits add=[] instead of crashing."""
+    ALTER ADD COLUMN NULL-fill the evolved column, so DML can SET it),
+    MINUS any rows hidden by the snapshot's deletion vectors — a
+    copy-on-write rewrite that read affected files raw would
+    RESURRECT rows a prior merge-on-read DELETE hid (and let a MERGE
+    match them). When pruning chose none, an empty frame with the
+    table's schema (spark.read.parquet with zero paths cannot infer
+    one) so a no-op statement commits add=[] instead of crashing."""
     from pyspark.sql.types import StructType
 
     reader = spark.read
+    dvs: dict[str, str] = {}
     if version is not None and version >= 0:
         logical = tl._replay(version)[4]
         if logical is not None:
             reader = reader.schema(StructType.fromJson(logical))
+        dvs = {
+            f: p
+            for f, p in tl._replay(version)[2].items()
+            if f in set(affected)
+        }
     if affected:
-        return reader.parquet(*[str(tl.root / f) for f in affected])
+        df = reader.parquet(*[str(tl.root / f) for f in affected])
+        return tl._apply_dvs(spark, df, dvs)
     if all_files:
         return reader.parquet(
             *[str(tl.root / f) for f in all_files]

@@ -473,3 +473,40 @@ def test_merge_insert_only_casts_source_types_keeps_schema(spark, small_log):
         for r in snap.where(F.col("o_orderkey") > m).collect()
     }
     assert got == {m + 1: 7.0, m + 2: 8.0}
+
+
+def test_merge_does_not_resurrect_dv_deleted_rows(spark, small_log):
+    """Round-13 composition bug, pinned deterministically (found by
+    test_txlog_properties' spec/DV/MERGE interleaving model): a
+    copy-on-write rewrite that reads affected files RAW resurrects
+    rows a prior merge-on-read DELETE hid — and lets MERGE match
+    them. The affected-file read must fold the snapshot's deletion
+    vectors: a DV-deleted target is NOT MATCHED (inserts under an
+    INSERT clause; never updates)."""
+    tl, m = small_log
+    tl.delete_where_mor(spark, F.col("o_orderkey") <= 5)
+    assert _read(spark, tl).count() == m - 5
+    spark.createDataFrame(
+        [(3, 99.0), (m + 1, 55.0)], "o_orderkey BIGINT, o_totalprice DOUBLE"
+    ).createOrReplaceTempView("dml_src_dvres")
+    txlog_sql_dml(
+        spark, tl, m,
+        "MERGE INTO t USING dml_src_dvres AS s"
+        " ON t.o_orderkey = s.o_orderkey"
+        " WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice"
+        " WHEN NOT MATCHED THEN INSERT *",
+    )
+    rows = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in _read(spark, tl).collect()
+    }
+    # 1,2,4,5 stay deleted; 3 re-enters as an INSERT (not-matched)
+    assert sorted(k for k in rows if k <= 5) == [3]
+    assert rows[3] == 99.0 and rows[m + 1] == 55.0
+    assert len(rows) == m - 5 + 2
+    # and a CoW DELETE over a DV'd file keeps the hidden rows hidden
+    txlog_sql_dml(
+        spark, tl, m, "DELETE FROM t WHERE o_orderkey BETWEEN 6 AND 7"
+    )
+    keys = sorted(r["o_orderkey"] for r in _read(spark, tl).collect())
+    assert keys[:2] == [3, 8] and len(keys) == m - 5

@@ -14,7 +14,7 @@ sequences can be long enough to exercise checkpoint boundaries.
 from __future__ import annotations
 
 import pytest
-from hypothesis import given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from hive_clone_spark.sources.txlog import _CHECKPOINT_EVERY, TxLog
@@ -221,3 +221,146 @@ def test_commit_idempotent_exactly_once(tmp_path_factory, batches):
             ) is None
     assert set(tl.active_files()) == set(applied.values())
     assert tl.latest_version() == len(applied) - 1
+
+
+# ---------------------------------------------------------------------------
+# Composed model (round-11 verdict task 5, delivered round 13):
+# partition-SPEC EVOLUTION (q145's shape: appended generations whose
+# files carry stats on a DIFFERENT column, so key-range pruning must
+# scan them conservatively), DELETION VECTORS (q148's merge-on-read
+# delete), and MERGE/copy-on-write DML interleaved in random order
+# against a plain dict reference model — with time travel re-checked
+# at EVERY intermediate version at the end. The features are
+# individually green; this interleaving is what found the round-13
+# DV-resurrection bug (a CoW rewrite reading affected files raw
+# resurrects DV-hidden rows; pinned deterministically in
+# test_sql_dml.py::test_merge_does_not_resurrect_dv_deleted_rows).
+# ---------------------------------------------------------------------------
+M_COMPOSE = 24
+
+compose_op = st.one_of(
+    # MERGE upsert: random source keys, price = key + 0.5
+    st.tuples(
+        st.just("merge_upsert"),
+        st.sets(st.integers(min_value=1, max_value=M_COMPOSE + 12),
+                min_size=1, max_size=8),
+    ),
+    # MERGE delete-matched: random source keys
+    st.tuples(
+        st.just("merge_delete"),
+        st.sets(st.integers(min_value=1, max_value=M_COMPOSE + 12),
+                min_size=1, max_size=6),
+    ),
+    # merge-on-read DELETE: o_orderkey % p == r
+    st.tuples(
+        st.just("dv_delete"),
+        st.tuples(st.integers(min_value=2, max_value=5),
+                  st.integers(min_value=0, max_value=4)),
+    ),
+    # spec-evolved append: n fresh keys in files with stats on
+    # o_totalprice ONLY (no o_orderkey stats -> conservative scans)
+    st.tuples(st.just("spec_append"), st.integers(min_value=1, max_value=4)),
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(compose_op, min_size=2, max_size=4))
+def test_spec_dv_merge_interleaving_matches_model(
+    spark, tmp_path_factory, ops
+):
+    import pyspark.sql.functions as F
+
+    from hive_clone_spark.sqlapi import txlog_sql_dml
+    from hive_clone_spark.sources.txlog import _bucket_stats, _with_bucket
+
+    M = M_COMPOSE
+    tl = TxLog(str(tmp_path_factory.mktemp("compose") / "log")).create()
+    df = spark.range(1, M + 1).select(
+        F.col("id").alias("o_orderkey"), (F.col("id") * 10.0).alias("o_totalprice")
+    )
+    bucketed = _with_bucket(df, M)
+    tl.commit(
+        "append",
+        add=tl.stage_data_partitioned(bucketed, "bucket", _bucket_stats(bucketed)),
+    )
+    model: dict[int, float] = {k: k * 10.0 for k in range(1, M + 1)}
+    snapshots: list[tuple[int, dict[int, float]]] = [
+        (tl.latest_version(), dict(model))
+    ]
+    next_key = M + 100
+    view_n = 0
+    for kind, arg in ops:
+        if kind == "merge_upsert":
+            src = sorted(arg)
+            view_n += 1
+            spark.createDataFrame(
+                [(k, k + 0.5) for k in src],
+                "o_orderkey BIGINT, o_totalprice DOUBLE",
+            ).createOrReplaceTempView(f"compose_src_{view_n}")
+            txlog_sql_dml(
+                spark, tl, max(model, default=M),
+                f"MERGE INTO t USING compose_src_{view_n} AS s"
+                " ON t.o_orderkey = s.o_orderkey"
+                " WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice"
+                " WHEN NOT MATCHED THEN INSERT *",
+            )
+            for k in src:
+                model[k] = k + 0.5
+        elif kind == "merge_delete":
+            src = sorted(arg)
+            view_n += 1
+            spark.createDataFrame(
+                [(k, 0.0) for k in src],
+                "o_orderkey BIGINT, o_totalprice DOUBLE",
+            ).createOrReplaceTempView(f"compose_src_{view_n}")
+            txlog_sql_dml(
+                spark, tl, max(model, default=M),
+                f"MERGE INTO t USING compose_src_{view_n} AS s"
+                " ON t.o_orderkey = s.o_orderkey"
+                " WHEN MATCHED THEN DELETE",
+            )
+            for k in src:
+                model.pop(k, None)
+        elif kind == "dv_delete":
+            p, r = arg
+            tl.delete_where_mor(
+                spark, F.col("o_orderkey") % p == r, op="delete-dv"
+            )
+            for k in [k for k in model if k % p == r]:
+                model.pop(k)
+        else:  # spec_append: files carry o_totalprice stats only
+            n = arg
+            keys = list(range(next_key, next_key + n))
+            next_key += n
+            gen = spark.createDataFrame(
+                [(k, k * 2.0, k % 2) for k in keys],
+                "o_orderkey BIGINT, o_totalprice DOUBLE, bucket INT",
+            )
+            stats = {
+                b: {
+                    "o_totalprice": [
+                        min(k * 2.0 for k in keys if k % 2 == b),
+                        max(k * 2.0 for k in keys if k % 2 == b),
+                    ]
+                }
+                for b in {k % 2 for k in keys}
+            }
+            tl.commit(
+                "append-newspec",
+                add=tl.stage_data_partitioned(gen, "bucket", stats),
+            )
+            for k in keys:
+                model[k] = k * 2.0
+        snapshots.append((tl.latest_version(), dict(model)))
+
+    # every intermediate version time-travels to its model snapshot
+    for v, snap in snapshots:
+        got = {
+            r["o_orderkey"]: r["o_totalprice"]
+            for r in tl.read(spark, v).collect()
+        }
+        assert got == snap, (v, sorted(set(got) ^ set(snap)))
