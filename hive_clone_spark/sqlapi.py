@@ -1215,34 +1215,24 @@ def _read_affected(
     version: int | None = None,
 ):
     """DataFrame over the affected files AT THE LOGICAL SCHEMA of the
-    snapshot being modified (files written before a metadata-only
-    ALTER ADD COLUMN NULL-fill the evolved column, so DML can SET it),
-    MINUS any rows hidden by the snapshot's deletion vectors — a
-    copy-on-write rewrite that read affected files raw would
-    RESURRECT rows a prior merge-on-read DELETE hid (and let a MERGE
-    match them). When pruning chose none, an empty frame with the
-    table's schema (spark.read.parquet with zero paths cannot infer
-    one) so a no-op statement commits add=[] instead of crashing."""
-    from pyspark.sql.types import StructType
-
-    reader = spark.read
-    dvs: dict[str, str] = {}
-    if version is not None and version >= 0:
-        logical = tl._replay(version)[4]
-        if logical is not None:
-            reader = reader.schema(StructType.fromJson(logical))
-        dvs = {
-            f: p
-            for f, p in tl._replay(version)[2].items()
-            if f in set(affected)
-        }
+    snapshot being modified — delegated to TxLog._read_files, so it
+    inherits all three snapshot-read behaviors the DML rewrite must
+    compose with: NULL-fill of columns a file predates (metadata-only
+    ALTER ADD COLUMN, so DML can SET them), deletion-vector filtering
+    (a rewrite that read affected files raw would RESURRECT rows a
+    prior merge-on-read DELETE hid — and let a MERGE match them), and
+    column-mapping resolution (post-RENAME files carry physical
+    names; DML expressions speak logical names). When pruning chose
+    none, an empty frame with the table's schema (spark.read.parquet
+    with zero paths cannot infer one) so a no-op statement commits
+    add=[] instead of crashing."""
     if affected:
-        df = reader.parquet(*[str(tl.root / f) for f in affected])
-        return tl._apply_dvs(spark, df, dvs)
+        dvs = tl.dvs(version) if version is not None and version >= 0 else {}
+        return tl._read_files(spark, affected, dvs, version=version)
     if all_files:
-        return reader.parquet(
-            *[str(tl.root / f) for f in all_files]
-        ).where(F.lit(False))
+        return tl._read_files(spark, all_files, {}, version=version).where(
+            F.lit(False)
+        )
     # table already emptied by a prior statement: zero files, schema
     # comes from the log's recorded schema
     return tl.empty_df(spark, version)
@@ -1279,6 +1269,7 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
         lo, hi = _dml_prune_range(where, "o_orderkey", m)
         while True:
             expected = tl.latest_version()
+            mapped = bool(tl.table_meta(expected).get("mapping"))
             all_f, affected = tl.scan_files("o_orderkey", lo, hi, version=expected)
             aff_df = _read_affected(spark, tl, all_f, affected, version=expected)
             # SQL DELETE removes only rows where the predicate is TRUE;
@@ -1288,12 +1279,18 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
             survivors = _with_bucket(
                 aff_df.where(~F.expr(where).eqNullSafe(F.lit(True))), m
             )
+            # mapped table: stage at PHYSICAL names, publish no schema
+            # action (the logical schema is unchanged; the stash holds
+            # physical names and must not leak into a schema action)
             adds = tl.stage_data_partitioned(
-                survivors, "bucket", _bucket_stats(survivors)
+                tl.to_physical(survivors, expected) if mapped else survivors,
+                "bucket",
+                _bucket_stats(survivors),
             )
             try:
                 tl.commit("delete", add=adds, remove=affected,
-                          expected_version=expected)
+                          expected_version=expected,
+                          **({"schema": None} if mapped else {}))
                 return "delete"
             except CommitConflictError:
                 continue
@@ -1303,6 +1300,7 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
         lo, hi = _dml_prune_range(where, "o_orderkey", m)
         while True:
             expected = tl.latest_version()
+            mapped = bool(tl.table_meta(expected).get("mapping"))
             all_f, affected = tl.scan_files("o_orderkey", lo, hi, version=expected)
             aff_df = _read_affected(spark, tl, all_f, affected, version=expected)
             # SQL UPDATE evaluates every SET RHS against the PRE-update
@@ -1313,6 +1311,7 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
             # row is not updated, matching TRUE-only UPDATE semantics.
             set_map = dict(sets)
             cond = F.expr(where)
+            ltypes = dict(aff_df.dtypes)
             upd = aff_df.select(
                 *[
                     F.when(cond, F.expr(set_map[c])).otherwise(F.col(c)).alias(c)
@@ -1321,13 +1320,23 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
                     for c in aff_df.columns
                 ]
             )
+            if mapped:
+                # no schema action will publish, so a SET expression
+                # must not drift a column's type under the unchanged
+                # logical schema
+                upd = upd.select(
+                    *[F.col(c).cast(ltypes[c]).alias(c) for c in upd.columns]
+                )
             rewritten = _with_bucket(upd, m)
             adds = tl.stage_data_partitioned(
-                rewritten, "bucket", _bucket_stats(rewritten)
+                tl.to_physical(rewritten, expected) if mapped else rewritten,
+                "bucket",
+                _bucket_stats(rewritten),
             )
             try:
                 tl.commit("update", add=adds, remove=affected,
-                          expected_version=expected)
+                          expected_version=expected,
+                          **({"schema": None} if mapped else {}))
                 return "update"
             except CommitConflictError:
                 continue
@@ -1415,6 +1424,7 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
         )
         while True:
             expected = tl.latest_version()
+            mapped = bool(tl.table_meta(expected).get("mapping"))
             all_files, pruned = tl.scan_files(
                 tgt_key,
                 int(prof["lo"]) if not src_empty else 0,
@@ -1500,15 +1510,33 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
                                 F.expr(smap[c]),
                             ).otherwise(val)
                     out_cols.append(val.alias(c))
-                rewritten = _with_bucket(survivors.select(*out_cols), m)
+                out = survivors.select(*out_cols)
+                if mapped:
+                    # no schema action publishes on a mapped table, so
+                    # SET expressions must not drift column types under
+                    # the unchanged logical schema
+                    ltypes = dict(aff_df.dtypes)
+                    out = out.select(
+                        *[
+                            F.col(c).cast(ltypes[c]).alias(c)
+                            for c in out.columns
+                        ]
+                    )
+                rewritten = _with_bucket(out, m)
                 adds = tl.stage_data_partitioned(
-                    rewritten, "bucket", _bucket_stats(rewritten)
+                    tl.to_physical(rewritten, expected)
+                    if mapped
+                    else rewritten,
+                    "bucket",
+                    _bucket_stats(rewritten),
                 )
                 # the table's logical schema is the REWRITTEN target
                 # layout; the insert staging below would otherwise
                 # overwrite the stash with the insert frame's schema
-                # (same names/order today, but source-typed columns)
-                merge_schema = tl._staged_schema
+                # (same names/order today, but source-typed columns).
+                # Mapped tables publish NO schema action — the stash
+                # holds physical names.
+                merge_schema = None if mapped else tl._staged_schema
                 removes = affected
             # insert-only MERGE: no target row changes, so nothing is
             # rewritten or removed (a rewrite through the join would
@@ -1558,7 +1586,12 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
                 # empty file would crash on int(None) bounds and leave
                 # a stats-less add-action in the log.
                 if ins_bounds["lo"] is not None:
-                    ins_adds = tl.stage_data(inserts, n_files=1)
+                    ins_adds = tl.stage_data(
+                        tl.to_physical(inserts, expected)
+                        if mapped
+                        else inserts,
+                        n_files=1,
+                    )
                     for a in ins_adds:
                         a["stats"] = {
                             tgt_key: [int(ins_bounds["lo"]),

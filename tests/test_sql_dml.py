@@ -510,3 +510,50 @@ def test_merge_does_not_resurrect_dv_deleted_rows(spark, small_log):
     )
     keys = sorted(r["o_orderkey"] for r in _read(spark, tl).collect())
     assert keys[:2] == [3, 8] and len(keys) == m - 5
+
+
+def test_dml_on_column_mapped_table(spark, small_log):
+    """UPDATE / MERGE / DELETE compose with ALTER RENAME COLUMN: the
+    rewrite reads logical names from physical files, stages new files
+    at PHYSICAL names, and publishes no schema action (the logical
+    schema is unchanged) — so reads at every version resolve through
+    the mapping and pre-rename snapshots keep their old layout."""
+    tl, m = small_log
+    txlog_sql_dml(
+        spark, tl, m, "ALTER TABLE t RENAME COLUMN o_totalprice TO price"
+    )                                                                # v1
+    # UPDATE through the mapping
+    txlog_sql_dml(
+        spark, tl, m,
+        "UPDATE t SET price = 0.0 WHERE o_orderkey BETWEEN 1 AND 5",
+    )                                                                # v2
+    snap = _read(spark, tl)
+    assert "price" in snap.columns and "o_totalprice" not in snap.columns
+    assert snap.where(F.col("price") == 0.0).count() == 5
+    assert "schema" not in tl._read_commit(tl.latest_version())
+    # MERGE through the mapping (update + insert arms)
+    spark.createDataFrame(
+        [(7, 77.0, None), (m + 1, 99.0, True)],
+        "o_orderkey BIGINT, price DOUBLE, flag BOOLEAN",
+    ).createOrReplaceTempView("dml_src_mapped")
+    txlog_sql_dml(
+        spark, tl, m,
+        "MERGE INTO t USING dml_src_mapped AS s"
+        " ON t.o_orderkey = s.o_orderkey"
+        " WHEN MATCHED THEN UPDATE SET price = s.price"
+        " WHEN NOT MATCHED THEN INSERT *",
+    )                                                                # v3
+    snap = _read(spark, tl)
+    rows = {r["o_orderkey"]: r["price"] for r in snap.collect()}
+    assert rows[7] == 77.0 and rows[m + 1] == 99.0
+    assert len(rows) == m + 1
+    assert "schema" not in tl._read_commit(tl.latest_version())
+    # DELETE through the mapping
+    txlog_sql_dml(spark, tl, m, "DELETE FROM t WHERE price = 0.0")   # v4
+    assert _read(spark, tl).count() == m + 1 - 5
+    # time travel: v0 keeps the pre-rename layout and original data
+    v0 = tl.read(spark, 0)
+    assert "o_totalprice" in v0.columns
+    assert v0.count() == m
+    # v2 snapshot still shows the five zeroed rows under the new name
+    assert tl.read(spark, 2).where(F.col("price") == 0.0).count() == 5
