@@ -4227,9 +4227,14 @@ _RD_CAP = 1000
       alo.n, 'part_id,part_title,retail_cents', alo.l, CAST(0 AS BIGINT)
     FROM alo
     UNION ALL
+    -- COALESCE keeps the v4 arm exact when the hi key slice is empty
+    -- (sf0.001): SUM over zero rows is NULL in SQL, but the Spark
+    -- ledger reads the column as present-and-all-NULL -> 0, and a
+    -- NULL here would also float64-ify the whole pandas column in the
+    -- driver's value hash while Spark's stays int64
     SELECT CAST(4 AS BIGINT), 'append-mapped', CAST(1 AS BIGINT),
       alo.n + ahi.n, 'part_id,part_title,retail_cents',
-      alo.l + ahi.l, ahi.c
+      alo.l + COALESCE(ahi.l, 0), COALESCE(ahi.c, 0)
     FROM alo, ahi
     ORDER BY version
     """,
