@@ -1105,6 +1105,14 @@ class TxLog:
           * key on both sides, rows differ   -> ``update_preimage``
                                                 + ``update_postimage``
 
+        Deletion vectors compose (Delta's CDF does the same): a ``dv``
+        action emits ``delete`` rows for exactly the positions it
+        NEWLY hides (new minus previously-bound positions — the
+        superset-replace protocol makes that diff exact), and both
+        sides of a copy-on-write diff are read MINUS the DVs in force
+        just before the commit, so rows a prior merge-on-read DELETE
+        hid are never re-reported as this commit's deletes.
+
         Scale design: feed cost is proportional to the files each
         commit TOUCHED (which stats-based skipping already minimized),
         never to table size — the whole point of deriving CDC from the
@@ -1121,6 +1129,48 @@ class TxLog:
             c = self._read_commit(v)
             adds = [a["file"] for a in c.get("add", [])]
             removes = c.get("remove", [])
+            # DVs in force BEFORE this commit: filter both diff sides
+            # (a removed file's DV-hidden rows were already fed as
+            # deletes at their dv commit) and diff dv actions against
+            prev_dvs = self.dvs(v - 1) if v > 0 else {}
+            for d in c.get("dv", []):
+                newp = set(self._read_dv(d["dv"]))
+                oldp = (
+                    set(self._read_dv(prev_dvs[d["file"]]))
+                    if d["file"] in prev_dvs
+                    else set()
+                )
+                hidden_now = sorted(newp - oldp)
+                if not hidden_now:
+                    continue
+                pos_df = spark.createDataFrame(
+                    [(d["file"], int(p)) for p in hidden_now],
+                    "__file string, __pos bigint",
+                )
+                scan = spark.read.option("mergeSchema", "true").parquet(
+                    str(self.root / d["file"])
+                )
+                src = scan.select(
+                    "*",
+                    F.concat(
+                        F.lit("data/"),
+                        F.element_at(
+                            F.split(F.col("_metadata.file_path"), "/"), -1
+                        ),
+                    ).alias("__file"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                )
+                feeds.append(
+                    src.join(
+                        F.broadcast(pos_df), ["__file", "__pos"], "left_semi"
+                    )
+                    .drop("__file", "__pos")
+                    .select(
+                        F.lit(v).cast("long").alias("_version"),
+                        F.lit("delete").alias("_change_type"),
+                        "*",
+                    )
+                )
             # mergeSchema: a commit may mix files written under
             # different layouts (partitionBy strips the partition
             # column; schema evolution adds columns) — without it the
@@ -1133,8 +1183,12 @@ class TxLog:
                 else None
             )
             r_df = (
-                spark.read.option("mergeSchema", "true").parquet(
-                    *[str(self.root / f) for f in removes]
+                self._apply_dvs(
+                    spark,
+                    spark.read.option("mergeSchema", "true").parquet(
+                        *[str(self.root / f) for f in removes]
+                    ),
+                    {f: p for f, p in prev_dvs.items() if f in set(removes)},
                 )
                 if removes
                 else None
@@ -1213,6 +1267,15 @@ class TxLog:
                 )
                 .select(F.explode("cs").alias("c"))
                 .select(ver, F.col("c.ct").alias("_change_type"), "c.row.*")
+            )
+        if not feeds:
+            # a window of metadata-only commits (schema/meta/empty dv
+            # deltas) is a legal empty feed, not an error
+            empty = self.empty_df(spark, to_version)
+            return empty.select(
+                F.lit(None).cast("long").alias("_version"),
+                F.lit(None).cast("string").alias("_change_type"),
+                "*",
             )
         out = feeds[0]
         for f in feeds[1:]:

@@ -924,3 +924,36 @@ def test_alter_drop_only_column_rejected(spark, tmp_path):
     tl.append(spark.range(3).withColumnRenamed("id", "k"), n_files=1)
     with pytest.raises(ValueError, match="only column"):
         tl.alter_drop_column(spark, "k")
+
+
+def test_change_feed_dv_aware(spark, tmp_path):
+    """CDC composes with deletion vectors (round 13): a dv commit
+    emits deletes for exactly its NEWLY hidden positions (superset
+    rebind diffs against the prior binding), and a later copy-on-write
+    rewrite does not re-report rows a DV already hid."""
+    from pyspark.sql import functions as F
+
+    tl = _mk(tmp_path)
+    df = spark.range(1, 11).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    tl.append(df, n_files=1)                                         # v0
+    tl.delete_where_mor(spark, F.col("k") <= 3)                      # v1
+    tl.delete_where_mor(spark, F.col("k") <= 5)                      # v2 (superset rebind)
+    tl.overwrite(tl.read(spark), n_files=1, op="compact")            # v3
+    feed = tl.change_feed(spark, "k").collect()
+    by_ver: dict[int, list] = {}
+    for r in feed:
+        by_ver.setdefault(r["_version"], []).append(r)
+    assert sorted(r["k"] for r in by_ver[0]) == list(range(1, 11))
+    assert all(r["_change_type"] == "insert" for r in by_ver[0])
+    assert sorted(r["k"] for r in by_ver[1]) == [1, 2, 3]
+    assert all(r["_change_type"] == "delete" for r in by_ver[1])
+    # superset rebind: only the two NEWLY hidden keys
+    assert sorted(r["k"] for r in by_ver[2]) == [4, 5]
+    assert all(r["_change_type"] == "delete" for r in by_ver[2])
+    # compaction rewrote identical live rows: zero feed rows, and in
+    # particular NO re-reported deletes for 1..5
+    assert 3 not in by_ver
+    # an empty window (only the no-op tail) is a legal empty feed
+    assert tl.change_feed(spark, "k", from_version=3).count() == 0
