@@ -675,14 +675,16 @@ class TxLog:
             if not cand:
                 return expected
             _, _, dvs, _, _ = self._replay(expected)
+            # basename keying, mapped back to the ACTIVE file key: on a
+            # shallow clone the active set holds absolute source paths,
+            # and a binding keyed any other way would be invisible to
+            # dvs()'s active-file filter
+            base_map = {pathlib.Path(f).name: f for f in cand}
             src = spark.read.parquet(
                 *[str(self.root / f) for f in cand]
             ).select(
-                F.concat(
-                    F.lit("data/"),
-                    F.element_at(
-                        F.split(F.col("_metadata.file_path"), "/"), -1
-                    ),
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
                 ).alias("__file"),
                 F.col("_metadata.row_index").alias("__pos"),
                 "*",
@@ -695,16 +697,15 @@ class TxLog:
             )
             actions = []
             for r in hits:
+                fkey = base_map[r["__file"]]
                 prior = (
-                    set(self._read_dv(dvs[r["__file"]]))
-                    if r["__file"] in dvs
-                    else set()
+                    set(self._read_dv(dvs[fkey])) if fkey in dvs else set()
                 )
                 merged = sorted(prior | {int(p) for p in r["ps"]})
                 actions.append(
                     {
-                        "file": r["__file"],
-                        "dv": self._write_dv(r["__file"], merged),
+                        "file": fkey,
+                        "dv": self._write_dv(fkey, merged),
                         "n_deleted": len(merged),
                     }
                 )
@@ -1066,18 +1067,22 @@ class TxLog:
         """Hide the rows named by the given deletion-vector bindings:
         (file, ``_metadata.row_index``) anti-joined against the
         broadcast DV positions. ``df`` must be a raw file-source scan
-        (the ``_metadata`` pseudo-column must still resolve)."""
+        (the ``_metadata`` pseudo-column must still resolve). Rows are
+        matched on the file BASENAME (uuid-unique by construction), so
+        bindings keyed by relative ``data/...`` paths and by the
+        absolute paths a shallow clone records both resolve."""
         if not dvs:
             return df
         dead = [
-            (f, int(p)) for f, dv in dvs.items() for p in self._read_dv(dv)
+            (pathlib.Path(f).name, int(p))
+            for f, dv in dvs.items()
+            for p in self._read_dv(dv)
         ]
         dv_df = spark.createDataFrame(dead, "__file string, __pos bigint")
         src = df.select(
             "*",
-            F.concat(
-                F.lit("data/"),
-                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
             ).alias("__file"),
             F.col("_metadata.row_index").alias("__pos"),
         )
@@ -1144,7 +1149,7 @@ class TxLog:
                 if not hidden_now:
                     continue
                 pos_df = spark.createDataFrame(
-                    [(d["file"], int(p)) for p in hidden_now],
+                    [(pathlib.Path(d["file"]).name, int(p)) for p in hidden_now],
                     "__file string, __pos bigint",
                 )
                 scan = spark.read.option("mergeSchema", "true").parquet(
@@ -1152,11 +1157,8 @@ class TxLog:
                 )
                 src = scan.select(
                     "*",
-                    F.concat(
-                        F.lit("data/"),
-                        F.element_at(
-                            F.split(F.col("_metadata.file_path"), "/"), -1
-                        ),
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
                     ).alias("__file"),
                     F.col("_metadata.row_index").alias("__pos"),
                 )
@@ -3287,7 +3289,7 @@ def shallow_clone(src: TxLog, dest_root: str, version: int | None = None) -> TxL
     the source snapshot's files by absolute path (stats and DV
     bindings carried along; nothing is copied)."""
     at = src.latest_version() if version is None else version
-    files, stats, dvs, _, _schema = src._replay(at)
+    files, stats, dvs, cons, _schema = src._replay(at)
     add = []
     for f in sorted(files):
         a = {"file": str((src.root / f).resolve())}
@@ -3300,9 +3302,20 @@ def shallow_clone(src: TxLog, dest_root: str, version: int | None = None) -> TxL
         if f in files
     ]
     dest = TxLog(dest_root).create()
-    # the clone inherits the source's logical schema as of the fork —
-    # a later schema change in the source must not leak into the clone
-    dest.commit(f"clone-from-v{at}", add=add, dv=dv or None, schema=_schema)
+    # the clone inherits the source's logical schema, table metadata
+    # (the column mapping — without it a clone of a renamed table
+    # exposes physical names / NULL-fills the logical ones), and CHECK
+    # constraints as of the fork — a later change in the source must
+    # not leak into the clone
+    meta = src.table_meta(at)
+    dest.commit(
+        f"clone-from-v{at}",
+        add=add,
+        dv=dv or None,
+        schema=_schema,
+        meta=meta or None,
+        constraints=cons or None,
+    )
     return dest
 
 

@@ -957,3 +957,42 @@ def test_change_feed_dv_aware(spark, tmp_path):
     assert 3 not in by_ver
     # an empty window (only the no-op tail) is a legal empty feed
     assert tl.change_feed(spark, "k", from_version=3).count() == 0
+
+
+def test_shallow_clone_carries_dvs_meta_constraints(spark, tmp_path):
+    """Round-13 composition fixes, pinned: (a) a clone of a DV'd table
+    must HIDE the deleted rows (position matching is by file basename,
+    so the clone's absolute-path bindings resolve — previously all 10
+    rows resurrected); (b) MoR delete ON the clone binds DVs to the
+    clone's active keys (absolute paths) without touching the source;
+    (c) the clone carries the source's column mapping and CHECK
+    constraints as of the fork."""
+    from pyspark.sql import functions as F
+
+    from hive_clone_spark.sources.txlog import shallow_clone
+
+    tl = _mk(tmp_path)
+    tl.append(
+        spark.range(1, 11).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+        n_files=1,
+    )
+    tl.set_constraints({"v_positive": "v > 0"})
+    tl.alter_rename_column(spark, "v", "val")
+    tl.delete_where_mor(spark, F.col("v") <= 30)  # physical name
+    assert tl.read(spark).count() == 7
+    cl = shallow_clone(tl, str(tmp_path / "clone"))
+    snap = cl.read(spark)
+    assert snap.columns == ["k", "val"]  # mapping carried
+    assert snap.count() == 7             # DVs carried and applied
+    assert cl.constraints() == {"v_positive": "v > 0"}
+    # MoR delete on the CLONE: its own chain, absolute-path bindings
+    cl.delete_where_mor(spark, F.col("v") >= 90)
+    assert cl.read(spark).count() == 5
+    assert tl.read(spark).count() == 7   # source untouched
+    # clone-side feed reports exactly the clone's own dv deletes
+    feed = cl.change_feed(spark, "k", from_version=0).collect()
+    assert sorted(
+        r["k"] for r in feed if r["_change_type"] == "delete"
+    ) == [9, 10]
