@@ -742,6 +742,7 @@ class TxLog:
         add: list[dict],
         remove: list[str] | None = None,
         expected_version: int | None = None,
+        **commit_kwargs,
     ) -> int:
         """Commit gated on the table's CHECK constraints: the STAGED
         add files (only — existing data is valid by induction, so
@@ -757,6 +758,17 @@ class TxLog:
             staged = spark.read.parquet(
                 *[str(self.root / a["file"]) for a in add]
             )
+            # constraints speak LOGICAL names; staged files on a
+            # column-mapped table carry physical ones
+            mapping = self.table_meta().get("mapping") or {}
+            inv = {v: k for k, v in mapping.items() if v != k}
+            if inv:
+                staged = staged.select(
+                    *[
+                        F.col(c).alias(inv.get(c, c))
+                        for c in staged.columns
+                    ]
+                )
             counts = staged.agg(
                 *[
                     F.sum(
@@ -773,7 +785,11 @@ class TxLog:
             if violations:
                 raise ConstraintViolationError(violations)
         return self.commit(
-            op, add=add, remove=remove, expected_version=expected_version
+            op,
+            add=add,
+            remove=remove,
+            expected_version=expected_version,
+            **commit_kwargs,
         )
 
     # -- branches (write-audit-publish) -------------------------------
@@ -1127,8 +1143,18 @@ class TxLog:
         """
         if to_version is None:
             to_version = self.latest_version()
+        vs = self.versions()
+        # a feed window reaching below the vacuum cutoff must ERROR,
+        # not silently return a partial history (Delta refuses CDF
+        # below the retention floor for the same reason: the consumer
+        # would apply an incomplete change set as if it were complete)
+        if vs and from_version + 1 < vs[0] and from_version + 1 <= to_version:
+            raise ValueError(
+                f"txlog: change feed from version {from_version + 1} "
+                f"is below the vacuum cutoff {vs[0]}"
+            )
         feeds: list[DataFrame] = []
-        for v in self.versions():
+        for v in vs:
             if v <= from_version or v > to_version:
                 continue
             c = self._read_commit(v)

@@ -1288,6 +1288,11 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
                 _bucket_stats(survivors),
             )
             try:
+                # plain commit: a DELETE rewrite stages a SUBSET of
+                # already-valid rows, so CHECK constraints hold by
+                # induction — no staged-file scan needed (UPDATE and
+                # MERGE, which produce new values, go through
+                # commit_checked)
                 tl.commit("delete", add=adds, remove=affected,
                           expected_version=expected,
                           **({"schema": None} if mapped else {}))
@@ -1334,9 +1339,10 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
                 _bucket_stats(rewritten),
             )
             try:
-                tl.commit("update", add=adds, remove=affected,
-                          expected_version=expected,
-                          **({"schema": None} if mapped else {}))
+                tl.commit_checked(spark, "update", add=adds,
+                                  remove=affected,
+                                  expected_version=expected,
+                                  **({"schema": None} if mapped else {}))
                 return "update"
             except CommitConflictError:
                 continue
@@ -1604,9 +1610,10 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
                 # stash here holds the INSERT frame's (source-cast)
                 # schema, and an insert-only MERGE never changes the
                 # table's logical schema.
-                tl.commit("merge", add=adds + ins_adds, remove=removes,
-                          expected_version=expected,
-                          schema=merge_schema if tgt_clauses else None)
+                tl.commit_checked(spark, "merge", add=adds + ins_adds,
+                                  remove=removes,
+                                  expected_version=expected,
+                                  schema=merge_schema if tgt_clauses else None)
                 return "merge"
             except CommitConflictError:
                 continue

@@ -557,3 +557,43 @@ def test_dml_on_column_mapped_table(spark, small_log):
     assert v0.count() == m
     # v2 snapshot still shows the five zeroed rows under the new name
     assert tl.read(spark, 2).where(F.col("price") == 0.0).count() == 5
+
+
+def test_dml_enforces_check_constraints(spark, small_log):
+    """UPDATE and MERGE route through commit_checked: a statement whose
+    rewritten/inserted rows violate a table CHECK constraint refuses
+    atomically (table untouched, staged files orphaned); a conforming
+    statement passes. DELETE skips the scan (a subset of valid rows
+    holds by induction)."""
+    from hive_clone_spark.sources.txlog import ConstraintViolationError
+
+    tl, m = small_log
+    tl.set_constraints({"price_nonneg": "o_totalprice >= 0"})
+    with pytest.raises(ConstraintViolationError):
+        txlog_sql_dml(
+            spark, tl, m,
+            "UPDATE t SET o_totalprice = -1.0 WHERE o_orderkey BETWEEN 1 AND 5",
+        )
+    snap = _read(spark, tl)
+    assert snap.where(F.col("o_totalprice") < 0).count() == 0
+    assert snap.count() == m  # untouched
+    # violating MERGE insert refused too
+    spark.createDataFrame(
+        [(m + 1, -5.0)], "o_orderkey BIGINT, o_totalprice DOUBLE"
+    ).createOrReplaceTempView("dml_src_badins")
+    with pytest.raises(ConstraintViolationError):
+        txlog_sql_dml(
+            spark, tl, m,
+            "MERGE INTO t USING dml_src_badins AS s"
+            " ON t.o_orderkey = s.o_orderkey"
+            " WHEN NOT MATCHED THEN INSERT *",
+        )
+    assert _read(spark, tl).count() == m
+    # conforming statements pass
+    txlog_sql_dml(
+        spark, tl, m,
+        "UPDATE t SET o_totalprice = 1.0 WHERE o_orderkey BETWEEN 1 AND 5",
+    )
+    assert _read(spark, tl).where(F.col("o_totalprice") == 1.0).count() == 5
+    txlog_sql_dml(spark, tl, m, "DELETE FROM t WHERE o_orderkey = 1")
+    assert _read(spark, tl).count() == m - 1

@@ -996,3 +996,21 @@ def test_shallow_clone_carries_dvs_meta_constraints(spark, tmp_path):
     assert sorted(
         r["k"] for r in feed if r["_change_type"] == "delete"
     ) == [9, 10]
+
+
+def test_change_feed_below_vacuum_cutoff_errors(spark, tmp_path):
+    """A CDF window reaching below the vacuum cutoff errors instead of
+    silently returning a partial change history."""
+    from pyspark.sql import functions as F
+
+    tl = _mk(tmp_path)
+    for i in range(4):
+        tl.append(
+            spark.range(i * 10, i * 10 + 5).withColumnRenamed("id", "k"),
+            n_files=1,
+        )
+    tl.vacuum(retain_versions=2)
+    with pytest.raises(ValueError, match="below the vacuum cutoff"):
+        tl.change_feed(spark, "k", from_version=0)
+    # a window entirely above the cutoff still feeds
+    assert tl.change_feed(spark, "k", from_version=2).count() == 5
