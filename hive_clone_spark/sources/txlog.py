@@ -162,7 +162,13 @@ class TxLog:
                 stats.pop(r, None)
                 dvs.pop(r, None)
             for d in c.get("dv", []):
-                dvs[d["file"]] = d["dv"]
+                # dv: None UNBINDS (Delta's null deletionVector on a
+                # re-add) — restore() uses it to re-expose rows a
+                # post-target MoR delete had hidden
+                if d["dv"] is None:
+                    dvs.pop(d["file"], None)
+                else:
+                    dvs[d["file"]] = d["dv"]
             if "constraints" in c:
                 cons = dict(c["constraints"])
             if "schema" in c:
@@ -854,7 +860,10 @@ class TxLog:
                 stats.pop(r, None)
                 dvs.pop(r, None)
             for d in c.get("dv", []):
-                dvs[d["file"]] = d["dv"]
+                if d["dv"] is None:  # unbind (see _replay)
+                    dvs.pop(d["file"], None)
+                else:
+                    dvs[d["file"]] = d["dv"]
             if "schema" in c:
                 schema = c["schema"]
         return files, stats, dvs, schema
@@ -996,6 +1005,96 @@ class TxLog:
             "n_data_files_removed": n_files,
             "n_commits_removed": n_commits,
         }
+
+    def restore(self, spark: SparkSession, to_version: int) -> int:
+        """RESTORE TABLE ... TO VERSION AS OF (Delta parity): publish
+        ONE commit that makes ``to_version``'s snapshot the table's
+        latest state — data files, deletion-vector bindings, logical
+        schema, CHECK constraints, and table metadata (column mapping)
+        all roll back together. The log stays append-only: the restore
+        is a NEW version, so time travel between ``to_version`` and
+        the restore still sees the undone commits, and the change feed
+        reports the restore's row-level effect like any other commit.
+
+        The identity high-water mark (``identity_next``) is NOT rolled
+        back — Delta makes the same carve-out — so ids handed out by
+        undone commits are never re-issued.
+
+        Guards: restoring below the vacuum cutoff errors (the target
+        version is no longer replayable); a target data file or DV
+        sidecar missing on disk (e.g. the SOURCE of a shallow clone
+        vacuumed it) errors before anything is committed.
+
+        Scale: the commit is a file-level NET diff — cost proportional
+        to files that changed since ``to_version``, never to table
+        size; zero data files are read or written.
+        """
+        while True:
+            expected = self.latest_version()
+            if to_version not in set(self.versions()):
+                raise ValueError(
+                    f"txlog: cannot restore to version {to_version} — "
+                    "no such commit (vacuumed or never written)"
+                )
+            tgt_files, tgt_stats, tgt_dvs, tgt_cons, tgt_schema = (
+                self._replay(to_version)
+            )
+            cur_files, _, cur_dvs, _, _ = self._replay(expected)
+            missing = [
+                f for f in sorted(tgt_files)
+                if not (self.root / f).exists()
+            ] + [
+                d for _, d in sorted(tgt_dvs.items())
+                if not (self.root / d).exists()
+            ]
+            if missing:
+                raise ValueError(
+                    "txlog: cannot restore to version "
+                    f"{to_version} — {len(missing)} referenced file(s) "
+                    f"no longer on disk (first: {missing[0]})"
+                )
+            add = [
+                {"file": f, **(
+                    {"stats": tgt_stats[f]} if f in tgt_stats else {}
+                )}
+                for f in sorted(tgt_files - cur_files)
+            ]
+            remove = sorted(cur_files - tgt_files)
+            # net DV diff over files live in the TARGET snapshot:
+            # rebind where the target binding differs, unbind (None)
+            # where the target had none but the current state does
+            dv_actions = []
+            for f in sorted(tgt_files):
+                tgt_dv = tgt_dvs.get(f)
+                cur_dv = cur_dvs.get(f) if f in cur_files else None
+                if tgt_dv != cur_dv:
+                    dv_actions.append({"file": f, "dv": tgt_dv})
+            if tgt_schema is None:
+                st = self.table_schema(spark, to_version)
+                tgt_schema = st.jsonValue() if st is not None else None
+            tgt_meta = self.table_meta(to_version)
+            cur_next = self.table_meta(expected).get("identity_next")
+            if cur_next is not None:
+                tgt_meta = {
+                    **tgt_meta,
+                    "identity_next": max(
+                        int(cur_next),
+                        int(tgt_meta.get("identity_next", 0)),
+                    ),
+                }
+            try:
+                return self.commit(
+                    "restore",
+                    add=add,
+                    remove=remove,
+                    dv=dv_actions or None,
+                    constraints=tgt_cons,
+                    meta=tgt_meta,
+                    schema=tgt_schema,
+                    expected_version=expected,
+                )
+            except CommitConflictError:
+                continue
 
     # -- reading ------------------------------------------------------
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -1164,48 +1263,72 @@ class TxLog:
             # (a removed file's DV-hidden rows were already fed as
             # deletes at their dv commit) and diff dv actions against
             prev_dvs = self.dvs(v - 1) if v > 0 else {}
+            # a restore() may bind a DV in the same commit that re-ADDS
+            # the file: the binding's effect is already captured by
+            # filtering the insert side below, so the diff loop skips it
+            this_add_dvs = {
+                d["file"]: d["dv"]
+                for d in c.get("dv", [])
+                if d["file"] in set(adds) and d["dv"] is not None
+            }
             for d in c.get("dv", []):
-                newp = set(self._read_dv(d["dv"]))
+                if d["file"] in set(adds):
+                    continue
+                # dv: None unbinds (restore re-exposing rows) — the
+                # re-exposed positions feed as inserts, the symmetric
+                # image of the MoR-delete case
+                newp = (
+                    set(self._read_dv(d["dv"]))
+                    if d["dv"] is not None
+                    else set()
+                )
                 oldp = (
                     set(self._read_dv(prev_dvs[d["file"]]))
                     if d["file"] in prev_dvs
                     else set()
                 )
-                hidden_now = sorted(newp - oldp)
-                if not hidden_now:
-                    continue
-                pos_df = spark.createDataFrame(
-                    [(pathlib.Path(d["file"]).name, int(p)) for p in hidden_now],
-                    "__file string, __pos bigint",
-                )
-                scan = spark.read.option("mergeSchema", "true").parquet(
-                    str(self.root / d["file"])
-                )
-                src = scan.select(
-                    "*",
-                    F.element_at(
-                        F.split(F.col("_metadata.file_path"), "/"), -1
-                    ).alias("__file"),
-                    F.col("_metadata.row_index").alias("__pos"),
-                )
-                feeds.append(
-                    src.join(
-                        F.broadcast(pos_df), ["__file", "__pos"], "left_semi"
+                for tag, pos in (
+                    ("delete", sorted(newp - oldp)),
+                    ("insert", sorted(oldp - newp)),
+                ):
+                    if not pos:
+                        continue
+                    pos_df = spark.createDataFrame(
+                        [(pathlib.Path(d["file"]).name, int(p)) for p in pos],
+                        "__file string, __pos bigint",
                     )
-                    .drop("__file", "__pos")
-                    .select(
-                        F.lit(v).cast("long").alias("_version"),
-                        F.lit("delete").alias("_change_type"),
+                    scan = spark.read.option("mergeSchema", "true").parquet(
+                        str(self.root / d["file"])
+                    )
+                    src = scan.select(
                         "*",
+                        F.element_at(
+                            F.split(F.col("_metadata.file_path"), "/"), -1
+                        ).alias("__file"),
+                        F.col("_metadata.row_index").alias("__pos"),
                     )
-                )
+                    feeds.append(
+                        src.join(
+                            F.broadcast(pos_df), ["__file", "__pos"], "left_semi"
+                        )
+                        .drop("__file", "__pos")
+                        .select(
+                            F.lit(v).cast("long").alias("_version"),
+                            F.lit(tag).alias("_change_type"),
+                            "*",
+                        )
+                    )
             # mergeSchema: a commit may mix files written under
             # different layouts (partitionBy strips the partition
             # column; schema evolution adds columns) — without it the
             # read picks ONE file's schema nondeterministically
             a_df = (
-                spark.read.option("mergeSchema", "true").parquet(
-                    *[str(self.root / f) for f in adds]
+                self._apply_dvs(
+                    spark,
+                    spark.read.option("mergeSchema", "true").parquet(
+                        *[str(self.root / f) for f in adds]
+                    ),
+                    this_add_dvs,
                 )
                 if adds
                 else None
@@ -4425,4 +4548,127 @@ def q260_alter_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version BIGINT, op STRING, n_files_changed BIGINT, "
         "n_rows BIGINT, cols STRING, name_len_sum BIGINT, "
         "cents_sum BIGINT",
+    ).orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# Q261 — RESTORE TABLE ... TO VERSION AS OF (round 13): Delta-parity
+# rollback as ONE file-level net-diff commit. Everything rolls back
+# together — active files, deletion-vector bindings, logical schema,
+# constraints, column mapping — while the log stays append-only, so
+# time travel between the target and the restore still sees the
+# undone history and the change feed reports the restore's row-level
+# effect (DV unbinds feed as inserts: rows coming back).
+#
+# At 100 TB: a restore reads and writes ZERO data bytes — the commit
+# is proportional to the number of files that changed since the
+# target, and every re-exposed byte was already on disk. The guards
+# (no restore below the vacuum cutoff; error if a referenced file was
+# physically removed) are the same trade Delta documents for
+# RESTORE-after-VACUUM.
+# ---------------------------------------------------------------------------
+_RESTORE_CAP = 700
+
+
+@register(
+    "q261_restore_table",
+    oracle=f"""
+    WITH lo AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey <= {_RESTORE_CAP}),
+    hi AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderkey > {_RESTORE_CAP}
+        AND o_orderkey <= {2 * _RESTORE_CAP}),
+    alo AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS s FROM lo),
+    ad AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(COALESCE(SUM(o_orderkey), 0) AS BIGINT) AS s
+      FROM lo WHERE o_orderkey % 19 = 0),
+    ahi AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(COALESCE(SUM(o_orderkey), 0) AS BIGINT) AS s FROM hi)
+    SELECT CAST(0 AS BIGINT) AS version, 'append' AS op, alo.n AS n_rows,
+      'o_orderkey,o_totalprice' AS cols, alo.s AS key_sum
+    FROM alo
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'delete-dv', alo.n - ad.n,
+      'o_orderkey,o_totalprice', alo.s - ad.s
+    FROM alo, ad
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'alter-add-column', alo.n - ad.n,
+      'o_orderkey,o_totalprice,priority_flag', alo.s - ad.s
+    FROM alo, ad
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'append', alo.n - ad.n + ahi.n,
+      'o_orderkey,o_totalprice,priority_flag', alo.s - ad.s + ahi.s
+    FROM alo, ad, ahi
+    UNION ALL
+    SELECT CAST(4 AS BIGINT), 'restore', alo.n,
+      'o_orderkey,o_totalprice', alo.s
+    FROM alo
+    ORDER BY version
+    """,
+)
+def q261_restore_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """append -> MoR DELETE (deletion vectors) -> ALTER ADD COLUMN ->
+    append evolved rows -> RESTORE TO VERSION AS OF 0 (SQL-lowered);
+    read back every version AFTER the restore. The v4 row proves data,
+    schema, and DV bindings rolled back in one commit; the v1-v3 rows
+    prove the undone history is still time-travelable (append-only
+    log). In-entry asserts pin that the restore staged no new data
+    files and cleared every DV binding."""
+    from hive_clone_spark.sqlapi import txlog_sql_dml
+
+    tl = TxLog(_warehouse_dir(sf_dir, "txlog_q261")).create()
+    o = table(spark, sf_dir, "orders")
+    lo = o.where(F.col("o_orderkey") <= _RESTORE_CAP).select(
+        "o_orderkey", "o_totalprice"
+    )
+    tl.append(lo, n_files=2)                                         # v0
+    tl.delete_where_mor(spark, F.col("o_orderkey") % 19 == 0)        # v1
+    txlog_sql_dml(
+        spark, tl, 2 * _RESTORE_CAP,
+        "ALTER TABLE orders_tx ADD COLUMN priority_flag BOOLEAN",
+    )                                                                # v2
+    hi = o.where(
+        (F.col("o_orderkey") > _RESTORE_CAP)
+        & (F.col("o_orderkey") <= 2 * _RESTORE_CAP)
+    ).select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_orderkey") % 2 == 0).alias("priority_flag"),
+    )
+    tl.append(hi, n_files=1)                                         # v3
+    txlog_sql_dml(
+        spark, tl, 2 * _RESTORE_CAP,
+        "RESTORE TABLE orders_tx TO VERSION AS OF 0",
+    )                                                                # v4
+    c = tl._read_commit(4)
+    # zero data movement: every file the restore re-references was
+    # already on disk (no staged rewrites), and the rollback cleared
+    # every DV binding
+    assert all((tl.root / a["file"]).exists() for a in c["add"])
+    assert tl.dvs() == {}
+    hist = {h["version"]: h for h in tl.history()}
+    rows = []
+    for v in range(5):
+        snap = tl.read(spark, v)
+        agg = snap.agg(
+            F.count("*").alias("n"), F.sum("o_orderkey").alias("s")
+        ).collect()[0]
+        rows.append(
+            (
+                v,
+                hist[v]["op"],
+                int(agg["n"]),
+                ",".join(snap.columns),
+                int(agg["s"]) if agg["s"] is not None else 0,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version BIGINT, op STRING, n_rows BIGINT, cols STRING, "
+        "key_sum BIGINT",
     ).orderBy("version")

@@ -1172,6 +1172,11 @@ _DML_ALTER_DROP_RE = _re.compile(
     r"(?P<col>\w+)\s*;?\s*$",
     _re.IGNORECASE,
 )
+_DML_RESTORE_RE = _re.compile(
+    r"^\s*RESTORE\s+TABLE\s+(?P<tbl>\w+)\s+TO\s+VERSION\s+AS\s+OF\s+"
+    r"(?P<ver>\d+)\s*;?\s*$",
+    _re.IGNORECASE,
+)
 _DML_BETWEEN_RE = _re.compile(
     r"(\w+)\s+BETWEEN\s+(\d+)\s+AND\s+(\d+)", _re.IGNORECASE
 )
@@ -1261,6 +1266,11 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
         # metadata-only drop: logical schema shrink + mapping retire
         tl.alter_drop_column(spark, mt["col"])
         return "alter-drop-column"
+
+    if (mt := _DML_RESTORE_RE.match(statement)) is not None:
+        # file-level net-diff rollback: one commit, no data rewritten
+        tl.restore(spark, int(mt["ver"]))
+        return "restore"
 
     if (mt := _DML_DELETE_RE.match(statement)) is not None:
         # no WHERE = unconditional DELETE: every row goes, committing a

@@ -1014,3 +1014,98 @@ def test_change_feed_below_vacuum_cutoff_errors(spark, tmp_path):
         tl.change_feed(spark, "k", from_version=0)
     # a window entirely above the cutoff still feeds
     assert tl.change_feed(spark, "k", from_version=2).count() == 5
+
+
+def test_restore_rolls_back_data_schema_constraints_dvs(spark, tmp_path):
+    """restore(v) publishes ONE net-diff commit that makes version v's
+    snapshot current again: files, DV bindings, logical schema, CHECK
+    constraints, and column mapping all roll back; the log itself
+    stays append-only (intermediate versions remain readable)."""
+    from pyspark.sql import functions as F
+
+    tl = _mk(tmp_path)
+    tl.append(
+        spark.range(1, 11).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+        n_files=2,
+    )                                                   # v0
+    tl.set_constraints({"v_positive": "v > 0"})         # v1
+    tl.delete_where_mor(spark, F.col("v") <= 30)        # v2 (MoR: k 1-3)
+    tl.alter_rename_column(spark, "v", "val")           # v3
+    tl.append(
+        spark.range(11, 16).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+        n_files=1,
+    )                                                   # v4
+    assert tl.read(spark).count() == 12
+    v = tl.restore(spark, 0)                            # v5
+    assert v == 5
+    snap = tl.read(spark)
+    assert snap.columns == ["k", "v"]                   # rename undone
+    assert snap.count() == 10                           # DV unbound, appends gone
+    assert sorted(r["k"] for r in snap.collect()) == list(range(1, 11))
+    assert tl.constraints() == {}                       # constraints rolled back
+    assert tl.dvs() == {}
+    assert tl.table_meta().get("mapping") in (None, {})
+    # append-only: time travel between target and restore still works
+    assert tl.read(spark, 4).count() == 12
+    assert tl.read(spark, 3).columns == ["k", "val"]
+    assert tl.history()[-1]["op"] == "restore"
+    # restore moved no data: every re-exposed byte was already on disk
+    c = tl._read_commit(5)
+    assert all((tl.root / a["file"]).exists() for a in c["add"])
+
+
+def test_restore_change_feed_and_idempotence(spark, tmp_path):
+    """The change feed over a restore commit reports its row-level
+    effect: rows a post-target MoR delete hid come back as inserts,
+    post-target appends feed as deletes. Restoring to the version the
+    table is already at is a no-op diff (empty add/remove/dv)."""
+    from pyspark.sql import functions as F
+
+    tl = _mk(tmp_path)
+    tl.append(spark.range(1, 9).withColumnRenamed("id", "k"), n_files=1)  # v0
+    tl.delete_where_mor(spark, F.col("k") >= 7)                           # v1
+    tl.append(spark.range(20, 23).withColumnRenamed("id", "k"), n_files=1)  # v2
+    tl.restore(spark, 0)                                                  # v3
+    feed = tl.change_feed(spark, "k", from_version=2).collect()
+    ins = sorted(r["k"] for r in feed if r["_change_type"] == "insert")
+    dels = sorted(r["k"] for r in feed if r["_change_type"] == "delete")
+    assert ins == [7, 8]          # DV unbind re-exposes
+    assert dels == [20, 21, 22]   # v2 append undone
+    # restore-to-current is an empty net diff
+    v = tl.restore(spark, 3)
+    c = tl._read_commit(v)
+    assert c["add"] == [] and c["remove"] == [] and "dv" not in c
+    assert tl.read(spark).count() == 8
+
+
+def test_restore_guards_and_identity_hwm(spark, tmp_path):
+    """Restore below the vacuum cutoff errors; a vacuumed-away target
+    data file errors BEFORE any commit; the identity high-water mark
+    is never rolled back (ids from undone commits stay burned)."""
+    from pyspark.sql import functions as F
+
+    tl = _mk(tmp_path)
+    tl.append(spark.range(5).withColumnRenamed("id", "k"), n_files=1)   # v0
+    tl.overwrite(spark.range(9).withColumnRenamed("id", "k"), n_files=1)  # v1
+    tl.commit("bump-hwm", meta={"identity_next": 100})                  # v2
+    tl.vacuum(retain_versions=2)   # cutoff 1: v0 gone, its file deleted
+    with pytest.raises(ValueError, match="no such commit"):
+        tl.restore(spark, 0)
+    latest = tl.latest_version()
+    tl.restore(spark, 1)           # keeps hwm even though v1 had none
+    assert tl.table_meta().get("identity_next") == 100
+    assert tl.read(spark).count() == 9
+    # simulate a shallow-clone source vacuum: unlink a target file
+    tl2 = _mk(tmp_path, "t2")
+    tl2.append(spark.range(4).withColumnRenamed("id", "k"), n_files=1)  # v0
+    tl2.overwrite(spark.range(6).withColumnRenamed("id", "k"), n_files=1)  # v1
+    victim = tl2.root / tl2.active_files(0)[0]
+    victim.unlink()
+    before = tl2.latest_version()
+    with pytest.raises(ValueError, match="no longer on disk"):
+        tl2.restore(spark, 0)
+    assert tl2.latest_version() == before  # nothing committed
