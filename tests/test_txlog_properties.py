@@ -260,6 +260,10 @@ compose_op = st.one_of(
     # spec-evolved append: n fresh keys in files with stats on
     # o_totalprice ONLY (no o_orderkey stats -> conservative scans)
     st.tuples(st.just("spec_append"), st.integers(min_value=1, max_value=4)),
+    # RESTORE to a random earlier snapshot (index taken mod the number
+    # of snapshots so far): rolls data + DV bindings back in one
+    # net-diff commit, then the run keeps mutating on top of it
+    st.tuples(st.just("restore"), st.integers(min_value=0, max_value=7)),
 )
 
 
@@ -325,6 +329,10 @@ def test_spec_dv_merge_interleaving_matches_model(
             )
             for k in src:
                 model.pop(k, None)
+        elif kind == "restore":
+            tgt_v, tgt_model = snapshots[arg % len(snapshots)]
+            tl.restore(spark, tgt_v)
+            model = dict(tgt_model)
         elif kind == "dv_delete":
             p, r = arg
             tl.delete_where_mor(
