@@ -1096,6 +1096,66 @@ class TxLog:
             except CommitConflictError:
                 continue
 
+    def reorg_purge(
+        self,
+        spark: SparkSession,
+        n_files: int | None = None,
+        stage=None,
+    ) -> int:
+        """Delta's ``REORG TABLE ... APPLY (PURGE)``: materialize
+        merge-on-read deletes by rewriting ONLY the files that carry a
+        deletion-vector binding — each rewrite keeps the surviving rows
+        and drops the binding — in one atomic commit. Untouched files
+        (the overwhelming majority after a targeted GDPR-style delete)
+        are not read, not written, and not mentioned in the commit:
+        cost is proportional to DV-bound files, never table size.
+
+        ``stage`` (optional) overrides how survivors are staged —
+        pass a callable returning add-actions to preserve a bucketed
+        layout and its skipping stats; the default restages into
+        ``n_files`` (default: one per rewritten file) without stats.
+        On column-mapped tables survivors are read at logical names
+        and re-staged at physical ones; the logical schema is
+        unchanged, so no schema action is published.
+
+        Returns the committed version, or the current version when no
+        file is DV-bound (nothing to purge)."""
+        while True:
+            expected = self.latest_version()
+            if expected < 0:
+                return expected
+            files, _, dvs_map, _, _ = self._replay(expected)
+            bound = sorted(f for f in files if f in dvs_map)
+            if not bound:
+                return expected
+            survivors = self._read_files(
+                spark,
+                bound,
+                {f: dvs_map[f] for f in bound},
+                version=expected,
+            )
+            mapped = bool(self.table_meta(expected).get("mapping"))
+            out = (
+                self.to_physical(survivors, expected)
+                if mapped
+                else survivors
+            )
+            adds = (
+                stage(out)
+                if stage is not None
+                else self.stage_data(out, n_files or len(bound))
+            )
+            try:
+                return self.commit(
+                    "reorg-purge",
+                    add=adds,
+                    remove=bound,
+                    expected_version=expected,
+                    schema=None,
+                )
+            except CommitConflictError:
+                continue
+
     # -- reading ------------------------------------------------------
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Snapshot read at ``version``: the active files, minus any
@@ -4671,4 +4731,111 @@ def q261_restore_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "version BIGINT, op STRING, n_rows BIGINT, cols STRING, "
         "key_sum BIGINT",
+    ).orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# Q262 — REORG TABLE ... APPLY (PURGE) (round 13): fold merge-on-read
+# deletion vectors into real rewrites of ONLY the DV-bound files.
+# Closes the MoR lifecycle the module docstring promises ("compaction
+# later folds DVs into rewrites"): q148 writes the bitmaps, q262
+# retires them. The ledger pins the scale contract arithmetically:
+# the purge commit touches 2 x (files that carried a binding) — here
+# 6 of 16+ — never the table's whole file set, and the row set and
+# key checksum are bit-identical before/after (a purge is physical
+# reorganization, row-invisible; the change feed over it is empty,
+# asserted in-entry).
+#
+# At 100 TB: a GDPR delete hides rows in kilobytes of bitmaps
+# (q148), and the weekly purge rewrites only the files those bitmaps
+# touch — both ends of the lifecycle stay proportional to affected
+# files, not table size. Bucketed layout and skipping stats are
+# preserved through the rewrite via the stage callable.
+# ---------------------------------------------------------------------------
+_PURGE_CAP = 700
+
+
+@register(
+    "q262_reorg_purge",
+    oracle=f"""
+    WITH lo AS (
+      SELECT o_orderkey AS k FROM orders
+      WHERE o_orderkey <= {_PURGE_CAP}),
+    alo AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(k) AS BIGINT) AS s,
+        CAST(COUNT(DISTINCT FLOOR(k * 16 / {_PURGE_CAP + 1}))
+             AS BIGINT) AS nb
+      FROM lo),
+    ad AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(COALESCE(SUM(k), 0) AS BIGINT) AS s,
+        CAST(COUNT(DISTINCT FLOOR(k * 16 / {_PURGE_CAP + 1}))
+             AS BIGINT) AS nb
+      FROM lo WHERE k % 250 = 0)
+    SELECT CAST(0 AS BIGINT) AS version, 'append' AS op,
+      alo.n AS n_rows, alo.s AS key_sum,
+      CAST(0 AS BIGINT) AS n_dv_bound, alo.nb AS n_files_changed
+    FROM alo
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'delete-dv', alo.n - ad.n, alo.s - ad.s,
+      ad.nb, CAST(0 AS BIGINT)
+    FROM alo, ad
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'reorg-purge', alo.n - ad.n,
+      alo.s - ad.s, CAST(0 AS BIGINT), ad.nb * 2
+    FROM alo, ad
+    ORDER BY version
+    """,
+)
+def q262_reorg_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-bucketed append (16 stats-carrying files) -> MoR DELETE
+    (k % 250 = 0: DVs land on exactly the 3 buckets holding a match —
+    bucket placement is a pure function of the key, so the oracle
+    recomputes it) -> REORG APPLY (PURGE) preserving the bucketed
+    layout. v2 proves the purge rewrote 2x3 files (not 2x16), cleared
+    every binding, and changed no row (key_sum invariant); the
+    in-entry assert pins that the feed over the purge is empty."""
+    tl = TxLog(_warehouse_dir(sf_dir, "txlog_q262")).create()
+    o = table(spark, sf_dir, "orders")
+    lo = o.where(F.col("o_orderkey") <= _PURGE_CAP).select(
+        "o_orderkey", "o_totalprice"
+    )
+    bucketed = _with_bucket(lo, _PURGE_CAP)
+    tl.commit(
+        "append",
+        add=tl.stage_data_partitioned(
+            bucketed, "bucket", _bucket_stats(bucketed)
+        ),
+    )                                                                # v0
+    tl.delete_where_mor(spark, F.col("o_orderkey") % 250 == 0)       # v1
+
+    def _restage(out: DataFrame) -> list[dict]:
+        b = _with_bucket(out, _PURGE_CAP)
+        return tl.stage_data_partitioned(b, "bucket", _bucket_stats(b))
+
+    tl.reorg_purge(spark, stage=_restage)                            # v2
+    assert tl.dvs() == {}
+    # the purge is row-invisible: no change rows in its feed window
+    assert tl.change_feed(spark, "o_orderkey", from_version=1).count() == 0
+    hist = {h["version"]: h for h in tl.history()}
+    rows = []
+    for v in range(3):
+        agg = tl.read(spark, v).agg(
+            F.count("*").alias("n"), F.sum("o_orderkey").alias("s")
+        ).collect()[0]
+        rows.append(
+            (
+                v,
+                hist[v]["op"],
+                int(agg["n"]),
+                int(agg["s"]),
+                len(tl.dvs(v)),
+                hist[v]["n_added"] + hist[v]["n_removed"],
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version BIGINT, op STRING, n_rows BIGINT, key_sum BIGINT, "
+        "n_dv_bound BIGINT, n_files_changed BIGINT",
     ).orderBy("version")

@@ -1109,3 +1109,57 @@ def test_restore_guards_and_identity_hwm(spark, tmp_path):
     with pytest.raises(ValueError, match="no longer on disk"):
         tl2.restore(spark, 0)
     assert tl2.latest_version() == before  # nothing committed
+
+
+def test_reorg_purge_rewrites_only_bound_files(spark, tmp_path):
+    """REORG APPLY (PURGE) materializes MoR deletes by rewriting ONLY
+    DV-bound files: unbound files keep their identity, bindings clear,
+    the row set is unchanged, and the change feed over the purge
+    commit is EMPTY (a pure physical reorganization)."""
+    from pyspark.sql import functions as F
+
+    tl = _mk(tmp_path)
+    tl.append(spark.range(1, 11).withColumnRenamed("id", "k"), n_files=1)   # v0: file A
+    tl.append(spark.range(11, 21).withColumnRenamed("id", "k"), n_files=1)  # v1: file B
+    file_b = (set(tl.active_files()) - set(tl.active_files(0))).pop()
+    tl.delete_where_mor(spark, F.col("k") <= 3)                             # v2: DV on A only
+    assert len(tl.dvs()) == 1
+    v = tl.reorg_purge(spark)                                               # v3
+    assert v == 3
+    assert tl.dvs() == {}
+    assert file_b in tl.active_files()          # untouched file keeps identity
+    c = tl._read_commit(3)
+    assert len(c["add"]) == 1 and len(c["remove"]) == 1
+    assert sorted(r["k"] for r in tl.read(spark).collect()) == list(range(4, 21))
+    # purge is row-invisible: the feed over it carries no changes
+    assert tl.change_feed(spark, "k", from_version=2).count() == 0
+    # nothing left to purge: no new commit
+    assert tl.reorg_purge(spark) == 3
+    assert tl.latest_version() == 3
+
+
+def test_reorg_purge_on_mapped_table(spark, tmp_path):
+    """Purge on a column-mapped table restages at physical names and
+    publishes no schema action: logical reads, the mapping, and CHECK
+    constraints all survive."""
+    from pyspark.sql import functions as F
+
+    tl = _mk(tmp_path)
+    tl.append(
+        spark.range(1, 9).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+        n_files=1,
+    )
+    tl.set_constraints({"v_positive": "v > 0"})
+    tl.alter_rename_column(spark, "v", "val")
+    tl.delete_where_mor(spark, F.col("v") <= 20)  # physical name
+    assert tl.read(spark).count() == 6
+    tl.reorg_purge(spark)
+    snap = tl.read(spark)
+    assert snap.columns == ["k", "val"]
+    assert snap.count() == 6
+    assert tl.dvs() == {}
+    assert tl.constraints() == {"v_positive": "v > 0"}
+    # time travel below the purge still applies the old DV
+    assert tl.read(spark, 3).count() == 6
