@@ -3400,19 +3400,13 @@ def q195_txlog_audit_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale design: restore is METADATA-ONLY — the commit re-references
 # the old version's files (no data copied, no rewrite); cost is the
 # log append, independent of table size. That property is the whole
-# point of log-structured tables.
+# point of log-structured tables. Round 13 promoted the original
+# file-set-diff helper here into TxLog.restore, which also rolls back
+# DV bindings, schema, constraints, and column mapping, guards
+# against vacuumed targets, and is SQL-lowered (RESTORE TABLE ... TO
+# VERSION AS OF — q261); this entry exercises the same method on the
+# classic fat-finger-overwrite scenario.
 # ---------------------------------------------------------------------------
-def restore(tl: "TxLog", version: int) -> int:
-    """Publish version's file set as a new commit (Delta RESTORE)."""
-    old_files = tl.active_files(version)
-    cur_files = tl.active_files()
-    return tl.commit(
-        f"restore-v{version}",
-        add=[{"file": f} for f in old_files if f not in set(cur_files)],
-        remove=[f for f in cur_files if f not in set(old_files)],
-    )
-
-
 @register(
     "q196_txlog_restore",
     oracle="""
@@ -3424,7 +3418,7 @@ def restore(tl: "TxLog", version: int) -> int:
       GROUP BY o_orderstatus)
     SELECT o_orderstatus, n_orders, sum_price,
       CAST(4 AS BIGINT) AS n_commits,
-      'restore-v1' AS last_op,
+      'restore' AS last_op,
       TRUE AS matches_v1
     FROM good ORDER BY o_orderstatus
     """,
@@ -3440,7 +3434,7 @@ def q196_txlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     tl.append(o.where(F.col("o_orderkey") % 4 == 2), n_files=2)  # v1: evens
     # v2: the bad overwrite (loses the %4==2 half)
     tl.overwrite(o.where(F.col("o_orderkey") % 4 == 0), n_files=2)
-    restore(tl, 1)  # v3: metadata-only rollback to the full even set
+    tl.restore(spark, 1)  # v3: metadata-only rollback to the full even set
 
     back = tl.read(spark)
     v1 = tl.read(spark, version=1)
