@@ -1163,3 +1163,56 @@ def test_reorg_purge_on_mapped_table(spark, tmp_path):
     assert tl.constraints() == {"v_positive": "v > 0"}
     # time travel below the purge still applies the old DV
     assert tl.read(spark, 3).count() == 6
+
+
+def test_restore_retries_on_commit_conflict(spark, tmp_path):
+    """restore() uses the same optimistic-retry loop as every other
+    read-modify-write path: a commit landing between its read and its
+    commit makes the first attempt conflict, and the retry recomputes
+    the net diff against the NEW latest (the interloper's file is
+    removed too)."""
+    from pyspark.sql import functions as F
+
+    tl = _mk(tmp_path)
+    tl.append(spark.range(1, 6).withColumnRenamed("id", "k"), n_files=1)   # v0
+    tl.append(spark.range(6, 11).withColumnRenamed("id", "k"), n_files=1)  # v1
+    interloper = TxLog(tl.root)
+    adds = interloper.stage_data(
+        spark.range(11, 14).withColumnRenamed("id", "k"), n_files=1
+    )
+    real_commit, fired = tl.commit, []
+
+    def racing_commit(*args, **kwargs):
+        if not fired:
+            fired.append(True)
+            # lands between restore's read and its commit attempt
+            interloper.commit("append", add=adds, schema=None)
+        return real_commit(*args, **kwargs)
+
+    tl.commit = racing_commit
+    try:
+        v = tl.restore(spark, 0)
+    finally:
+        tl.commit = real_commit
+    assert v == 3  # v2 = interloper, v3 = restore
+    assert sorted(r["k"] for r in tl.read(spark).collect()) == [1, 2, 3, 4, 5]
+
+
+def test_restore_on_shallow_clone(spark, tmp_path):
+    """A shallow clone restores to its own fork snapshot through the
+    absolute-path file references; the source is untouched."""
+    from pyspark.sql import functions as F
+
+    from hive_clone_spark.sources.txlog import shallow_clone
+
+    tl = _mk(tmp_path)
+    tl.append(spark.range(1, 9).withColumnRenamed("id", "k"), n_files=2)
+    cl = shallow_clone(tl, str(tmp_path / "clone"))          # clone v0
+    cl.delete_where_mor(spark, F.col("k") <= 4)              # clone v1
+    cl.append(spark.range(20, 23).withColumnRenamed("id", "k"), n_files=1)  # v2
+    assert cl.read(spark).count() == 7
+    cl.restore(spark, 0)                                     # clone v3
+    assert sorted(r["k"] for r in cl.read(spark).collect()) == list(range(1, 9))
+    assert cl.dvs() == {}
+    assert tl.read(spark).count() == 8  # source untouched
+    assert tl.latest_version() == 0
