@@ -1177,6 +1177,24 @@ _DML_RESTORE_RE = _re.compile(
     r"(?P<ver>\d+)\s*;?\s*$",
     _re.IGNORECASE,
 )
+_DML_ADD_CONSTRAINT_RE = _re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>\w+)\s+ADD\s+CONSTRAINT\s+"
+    r"(?P<name>\w+)\s+CHECK\s*\((?P<expr>.+)\)\s*;?\s*$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+_DML_DROP_CONSTRAINT_RE = _re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<tbl>\w+)\s+DROP\s+CONSTRAINT\s+"
+    r"(?P<name>\w+)\s*;?\s*$",
+    _re.IGNORECASE,
+)
+_DML_VACUUM_RE = _re.compile(
+    r"^\s*VACUUM\s+(?P<tbl>\w+)\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS\s*;?\s*$",
+    _re.IGNORECASE,
+)
+_DML_REORG_RE = _re.compile(
+    r"^\s*REORG\s+TABLE\s+(?P<tbl>\w+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$",
+    _re.IGNORECASE,
+)
 _DML_BETWEEN_RE = _re.compile(
     r"(\w+)\s+BETWEEN\s+(\d+)\s+AND\s+(\d+)", _re.IGNORECASE
 )
@@ -1248,6 +1266,7 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
     Returns the op name recorded in the log."""
     from hive_clone_spark.sources.txlog import (
         CommitConflictError,
+        ConstraintViolationError,
         _bucket_stats,
         _with_bucket,
     )
@@ -1271,6 +1290,36 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
         # file-level net-diff rollback: one commit, no data rewritten
         tl.restore(spark, int(mt["ver"]))
         return "restore"
+
+    if (mt := _DML_ADD_CONSTRAINT_RE.match(statement)) is not None:
+        # Delta's ADD CONSTRAINT: validate EXISTING data once at ALTER
+        # time (one distributed scan), then publish the new set — so
+        # the commit_checked induction ("existing data is valid")
+        # holds from this version forward
+        expr = mt["expr"].strip()
+        snap = tl.read(spark)
+        # CHECK semantics: violated only when strictly FALSE (NULL
+        # passes) — same predicate commit_checked counts
+        n_bad = snap.where(F.expr(expr).eqNullSafe(F.lit(False))).count()
+        if n_bad:
+            raise ConstraintViolationError({mt["name"]: int(n_bad)})
+        tl.set_constraints({**tl.constraints(), mt["name"]: expr})
+        return "set-constraints"
+
+    if (mt := _DML_DROP_CONSTRAINT_RE.match(statement)) is not None:
+        cons = dict(tl.constraints())
+        cons.pop(mt["name"], None)
+        tl.set_constraints(cons)
+        return "set-constraints"
+
+    if (mt := _DML_VACUUM_RE.match(statement)) is not None:
+        tl.vacuum(int(mt["n"]))
+        return "vacuum"
+
+    if _DML_REORG_RE.match(statement) is not None:
+        # fold merge-on-read deletion vectors into targeted rewrites
+        tl.reorg_purge(spark)
+        return "reorg-purge"
 
     if (mt := _DML_DELETE_RE.match(statement)) is not None:
         # no WHERE = unconditional DELETE: every row goes, committing a

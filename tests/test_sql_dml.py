@@ -597,3 +597,56 @@ def test_dml_enforces_check_constraints(spark, small_log):
     assert _read(spark, tl).where(F.col("o_totalprice") == 1.0).count() == 5
     txlog_sql_dml(spark, tl, m, "DELETE FROM t WHERE o_orderkey = 1")
     assert _read(spark, tl).count() == m - 1
+
+
+def test_sql_maintenance_statements(spark, small_log):
+    """The Delta-style maintenance surface lowers through the same
+    statement path as DML: ADD CONSTRAINT validates existing data once
+    (NULL predicate passes — CHECK is violated only when FALSE) and
+    arms commit_checked for later DML; DROP CONSTRAINT disarms it;
+    REORG APPLY (PURGE) folds DVs into rewrites; VACUUM RETAIN n
+    VERSIONS bounds time travel."""
+    from hive_clone_spark.sources.txlog import ConstraintViolationError
+
+    tl, m = small_log
+    # existing data violates (price 10..300, so > 50 fails for keys<=5)
+    with pytest.raises(ConstraintViolationError):
+        txlog_sql_dml(
+            spark, tl, m,
+            "ALTER TABLE t ADD CONSTRAINT price_big CHECK (o_totalprice > 50)",
+        )
+    assert tl.constraints() == {}  # refused: nothing published
+    # NULL-valued flag rows PASS a flag-referencing CHECK
+    txlog_sql_dml(
+        spark, tl, m,
+        "ALTER TABLE t ADD CONSTRAINT flag_ok CHECK (flag IN (TRUE, FALSE))",
+    )
+    assert "flag_ok" in tl.constraints()
+    # an armed constraint gates later DML through commit_checked
+    txlog_sql_dml(
+        spark, tl, m,
+        "ALTER TABLE t ADD CONSTRAINT price_pos CHECK (o_totalprice >= 0)",
+    )
+    with pytest.raises(ConstraintViolationError):
+        txlog_sql_dml(
+            spark, tl, m,
+            "UPDATE t SET o_totalprice = -1.0 WHERE o_orderkey BETWEEN 1 AND 2",
+        )
+    assert _read(spark, tl).where(F.col("o_totalprice") < 0).count() == 0
+    txlog_sql_dml(spark, tl, m, "ALTER TABLE t DROP CONSTRAINT flag_ok")
+    txlog_sql_dml(spark, tl, m, "ALTER TABLE t DROP CONSTRAINT price_pos")
+    assert tl.constraints() == {}
+    # MoR delete then SQL purge: bindings fold away, rows unchanged
+    tl.delete_where_mor(spark, F.col("o_orderkey") % 5 == 0)
+    n_after_mor = _read(spark, tl).count()
+    assert tl.dvs() != {}
+    assert txlog_sql_dml(spark, tl, m, "REORG TABLE t APPLY (PURGE)") == "reorg-purge"
+    assert tl.dvs() == {}
+    assert _read(spark, tl).count() == n_after_mor
+    # vacuum through SQL: old versions become unreadable
+    v_latest = tl.latest_version()
+    assert txlog_sql_dml(spark, tl, m, "VACUUM t RETAIN 2 VERSIONS") == "vacuum"
+    with pytest.raises(ValueError):
+        tl.read(spark, 0)
+    assert _read(spark, tl).count() == n_after_mor
+    assert tl.latest_version() == v_latest  # vacuum is not a commit
