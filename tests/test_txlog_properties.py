@@ -264,6 +264,11 @@ compose_op = st.one_of(
     # of snapshots so far): rolls data + DV bindings back in one
     # net-diff commit, then the run keeps mutating on top of it
     st.tuples(st.just("restore"), st.integers(min_value=0, max_value=7)),
+    # REORG APPLY (PURGE): folds DVs into rewrites of only the bound
+    # files — the model effect is NO effect (row-invisible), and every
+    # earlier version must still time travel (purged files stay on
+    # disk until vacuum)
+    st.tuples(st.just("purge"), st.none()),
 )
 
 
@@ -333,6 +338,8 @@ def test_spec_dv_merge_interleaving_matches_model(
             tgt_v, tgt_model = snapshots[arg % len(snapshots)]
             tl.restore(spark, tgt_v)
             model = dict(tgt_model)
+        elif kind == "purge":
+            tl.reorg_purge(spark)  # row-invisible: model unchanged
         elif kind == "dv_delete":
             p, r = arg
             tl.delete_where_mor(
