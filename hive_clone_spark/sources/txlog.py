@@ -734,12 +734,24 @@ class TxLog:
         _, _, _, cons, _ = self._replay(version)
         return cons
 
-    def set_constraints(self, constraints: dict[str, str]) -> int:
+    def set_constraints(
+        self,
+        constraints: dict[str, str],
+        expected_version: int | None = None,
+    ) -> int:
         """Publish the table's CHECK constraint set as a metadata-only
         commit (Delta's ADD CONSTRAINT). The new set REPLACES the old;
         existing data is assumed valid (production engines validate
-        history once at ALTER time — here the caller does)."""
-        return self.commit("set-constraints", constraints=constraints)
+        history once at ALTER time — here the caller does).
+        ``expected_version`` is the usual optimistic token: a caller
+        composing read-modify-write ({**constraints(), new}) passes the
+        version it read so a concurrent constraint change conflicts
+        instead of being clobbered."""
+        return self.commit(
+            "set-constraints",
+            constraints=constraints,
+            expected_version=expected_version,
+        )
 
     def commit_checked(
         self,
@@ -1069,9 +1081,12 @@ class TxLog:
                 cur_dv = cur_dvs.get(f) if f in cur_files else None
                 if tgt_dv != cur_dv:
                     dv_actions.append({"file": f, "dv": tgt_dv})
-            if tgt_schema is None:
-                st = self.table_schema(spark, to_version)
-                tgt_schema = st.jsonValue() if st is not None else None
+            # tgt_schema None (pre-schema-action legacy log): publish
+            # NO schema action. table_schema()'s legacy sidecar is
+            # last-writer-wins and IGNORES the version argument, so
+            # "resolving" it here could stamp a post-target schema
+            # into the restore; leaving no action keeps legacy reads
+            # on their existing (sidecar) rules, unchanged.
             tgt_meta = self.table_meta(to_version)
             cur_next = self.table_meta(expected).get("identity_next")
             if cur_next is not None:
@@ -1303,14 +1318,24 @@ class TxLog:
         if to_version is None:
             to_version = self.latest_version()
         vs = self.versions()
-        # a feed window reaching below the vacuum cutoff must ERROR,
+        # a feed window reaching the vacuum cutoff or below must ERROR,
         # not silently return a partial history (Delta refuses CDF
         # below the retention floor for the same reason: the consumer
-        # would apply an incomplete change set as if it were complete)
-        if vs and from_version + 1 < vs[0] and from_version + 1 <= to_version:
+        # would apply an incomplete change set as if it were complete).
+        # The CUTOFF VERSION ITSELF is not feedable either: its diff
+        # needs the DV state at cutoff-1 and the content of files it
+        # removed — both physically gone after vacuum — so the first
+        # feedable version is cutoff+1.
+        if (
+            vs
+            and vs[0] > 0
+            and from_version < vs[0]
+            and from_version + 1 <= to_version
+        ):
             raise ValueError(
                 f"txlog: change feed from version {from_version + 1} "
-                f"is below the vacuum cutoff {vs[0]}"
+                f"reaches the vacuum cutoff {vs[0]} (history below it, "
+                "and the cutoff's own pre-state, were vacuumed)"
             )
         feeds: list[DataFrame] = []
         for v in vs:
@@ -1326,13 +1351,14 @@ class TxLog:
             # a restore() may bind a DV in the same commit that re-ADDS
             # the file: the binding's effect is already captured by
             # filtering the insert side below, so the diff loop skips it
+            adds_set = set(adds)
             this_add_dvs = {
                 d["file"]: d["dv"]
                 for d in c.get("dv", [])
-                if d["file"] in set(adds) and d["dv"] is not None
+                if d["file"] in adds_set and d["dv"] is not None
             }
             for d in c.get("dv", []):
-                if d["file"] in set(adds):
+                if d["file"] in adds_set:
                     continue
                 # dv: None unbinds (restore re-exposing rows) — the
                 # re-exposed positions feed as inserts, the symmetric

@@ -1295,22 +1295,47 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
         # Delta's ADD CONSTRAINT: validate EXISTING data once at ALTER
         # time (one distributed scan), then publish the new set — so
         # the commit_checked induction ("existing data is valid")
-        # holds from this version forward
+        # holds from this version forward. Optimistic RMW: the scan
+        # runs AT the token version, so a write landing between scan
+        # and publish conflicts and the retry revalidates — the
+        # constraint can never be armed over unvalidated rows, and a
+        # concurrent constraint change is never clobbered.
         expr = mt["expr"].strip()
-        snap = tl.read(spark)
-        # CHECK semantics: violated only when strictly FALSE (NULL
-        # passes) — same predicate commit_checked counts
-        n_bad = snap.where(F.expr(expr).eqNullSafe(F.lit(False))).count()
-        if n_bad:
-            raise ConstraintViolationError({mt["name"]: int(n_bad)})
-        tl.set_constraints({**tl.constraints(), mt["name"]: expr})
-        return "set-constraints"
+        while True:
+            expected = tl.latest_version()
+            snap = tl.read(spark, expected) if expected >= 0 else None
+            # CHECK semantics: violated only when strictly FALSE (NULL
+            # passes) — same predicate commit_checked counts
+            n_bad = (
+                snap.where(F.expr(expr).eqNullSafe(F.lit(False))).count()
+                if snap is not None
+                else 0
+            )
+            if n_bad:
+                raise ConstraintViolationError({mt["name"]: int(n_bad)})
+            try:
+                tl.set_constraints(
+                    {**tl.constraints(expected), mt["name"]: expr},
+                    expected_version=expected,
+                )
+                return "set-constraints"
+            except CommitConflictError:
+                continue
 
     if (mt := _DML_DROP_CONSTRAINT_RE.match(statement)) is not None:
-        cons = dict(tl.constraints())
-        cons.pop(mt["name"], None)
-        tl.set_constraints(cons)
-        return "set-constraints"
+        while True:
+            expected = tl.latest_version()
+            cons = dict(tl.constraints(expected))
+            if mt["name"] not in cons:
+                raise ValueError(
+                    f"txlog: no such constraint {mt['name']!r}"
+                )
+            del cons[mt["name"]]
+            try:
+                tl.set_constraints(cons, expected_version=expected)
+                return "set-constraints"
+            except CommitConflictError:
+                continue
 
     if (mt := _DML_VACUUM_RE.match(statement)) is not None:
         tl.vacuum(int(mt["n"]))

@@ -635,6 +635,10 @@ def test_sql_maintenance_statements(spark, small_log):
     assert _read(spark, tl).where(F.col("o_totalprice") < 0).count() == 0
     txlog_sql_dml(spark, tl, m, "ALTER TABLE t DROP CONSTRAINT flag_ok")
     txlog_sql_dml(spark, tl, m, "ALTER TABLE t DROP CONSTRAINT price_pos")
+    # dropping an unknown name errors (Delta does too) instead of
+    # silently succeeding while the constraint stays armed elsewhere
+    with pytest.raises(ValueError, match="no such constraint"):
+        txlog_sql_dml(spark, tl, m, "ALTER TABLE t DROP CONSTRAINT typo_name")
     assert tl.constraints() == {}
     # MoR delete then SQL purge: bindings fold away, rows unchanged
     tl.delete_where_mor(spark, F.col("o_orderkey") % 5 == 0)

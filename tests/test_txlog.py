@@ -1010,8 +1010,12 @@ def test_change_feed_below_vacuum_cutoff_errors(spark, tmp_path):
             n_files=1,
         )
     tl.vacuum(retain_versions=2)
-    with pytest.raises(ValueError, match="below the vacuum cutoff"):
+    with pytest.raises(ValueError, match="vacuum cutoff"):
         tl.change_feed(spark, "k", from_version=0)
+    # the cutoff version ITSELF is not feedable: its diff needs the
+    # pre-cutoff DV state and removed-file content vacuum destroyed
+    with pytest.raises(ValueError, match="vacuum cutoff"):
+        tl.change_feed(spark, "k", from_version=1)
     # a window entirely above the cutoff still feeds
     assert tl.change_feed(spark, "k", from_version=2).count() == 5
 
