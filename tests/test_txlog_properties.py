@@ -269,6 +269,11 @@ compose_op = st.one_of(
     # earlier version must still time travel (purged files stay on
     # disk until vacuum)
     st.tuples(st.just("purge"), st.none()),
+    # VACUUM: retention-bounded physical cleanup — retained snapshots
+    # must still match the model EXACTLY (referenced files survive),
+    # vacuumed ones must raise cleanly, and later restores may only
+    # target retained versions
+    st.tuples(st.just("vacuum"), st.integers(min_value=1, max_value=4)),
 )
 
 
@@ -335,11 +340,18 @@ def test_spec_dv_merge_interleaving_matches_model(
             for k in src:
                 model.pop(k, None)
         elif kind == "restore":
-            tgt_v, tgt_model = snapshots[arg % len(snapshots)]
+            # only retained versions are restorable (below the vacuum
+            # cutoff the target is no longer replayable)
+            cutoff = tl.versions()[0]
+            eligible = [s for s in snapshots if s[0] >= cutoff]
+            tgt_v, tgt_model = eligible[arg % len(eligible)]
             tl.restore(spark, tgt_v)
             model = dict(tgt_model)
         elif kind == "purge":
             tl.reorg_purge(spark)  # row-invisible: model unchanged
+        elif kind == "vacuum":
+            tl.vacuum(retain_versions=arg)
+            continue  # not a commit: no new snapshot to record
         elif kind == "dv_delete":
             p, r = arg
             tl.delete_where_mor(
@@ -372,8 +384,15 @@ def test_spec_dv_merge_interleaving_matches_model(
                 model[k] = k * 2.0
         snapshots.append((tl.latest_version(), dict(model)))
 
-    # every intermediate version time-travels to its model snapshot
+    # every RETAINED intermediate version time-travels to its model
+    # snapshot exactly; vacuumed ones raise cleanly instead of
+    # returning partial data
+    cutoff = tl.versions()[0]
     for v, snap in snapshots:
+        if v < cutoff:
+            with pytest.raises(ValueError, match="no commit"):
+                tl.read(spark, v)
+            continue
         got = {
             r["o_orderkey"]: r["o_totalprice"]
             for r in tl.read(spark, v).collect()
