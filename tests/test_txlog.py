@@ -1220,3 +1220,41 @@ def test_restore_on_shallow_clone(spark, tmp_path):
     assert cl.dvs() == {}
     assert tl.read(spark).count() == 8  # source untouched
     assert tl.latest_version() == 0
+
+
+def test_restore_unbind_folds_across_checkpoint(spark, tmp_path):
+    """A checkpoint written AFTER a MoR delete stores the DV binding;
+    a restore committed AFTER the checkpoint unbinds it with a
+    dv: null action. A FRESH handle (pure replay: checkpoint floor +
+    post-checkpoint commits) must fold the unbind against the
+    checkpoint's dvs dict — and time travel on both sides of the
+    checkpoint must agree with the history."""
+    from pyspark.sql import functions as F
+
+    from hive_clone_spark.sources.txlog import _CHECKPOINT_EVERY, TxLog
+
+    tl = _mk(tmp_path)
+    for i in range(_CHECKPOINT_EVERY - 1):                    # v0..v6
+        tl.append(
+            spark.range(i * 10, i * 10 + 5).withColumnRenamed("id", "k"),
+            n_files=1,
+        )
+    tl.delete_where_mor(spark, F.col("k") % 10 == 0)          # v7 -> checkpoint
+    assert (tl.log_dir / f"{_CHECKPOINT_EVERY - 1:08d}.checkpoint.json").exists()
+    n_files_before = len(tl.active_files())
+    tl.restore(spark, 3)                                      # v8: unbinds + removes
+    fresh = TxLog(tl.root)  # no in-memory state: replay only
+    assert fresh.dvs() == {}
+    assert sorted(r["k"] for r in fresh.read(spark).collect()) == [
+        k for i in range(4) for k in range(i * 10, i * 10 + 5)
+    ]
+    # pre-restore versions on both sides of the checkpoint still read
+    assert fresh.read(spark, 7).count() == (_CHECKPOINT_EVERY - 1) * 5 - 7
+    assert fresh.read(spark, 6).count() == (_CHECKPOINT_EVERY - 1) * 5
+    # a later purge on a re-armed DV also folds from the checkpoint
+    fresh.delete_where_mor(spark, F.col("k") >= 30)           # v9
+    fresh.reorg_purge(spark)                                  # v10
+    again = TxLog(tl.root)
+    assert again.dvs() == {}
+    assert again.read(spark).count() == 15
+    assert again.active_files(8) is not None  # restore version replays
