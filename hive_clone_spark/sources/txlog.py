@@ -119,15 +119,23 @@ class TxLog:
     def _replay(
         self, version: int
     ) -> tuple[
-        set[str], dict[str, dict], dict[str, str], dict[str, str], dict | None
+        set[str],
+        dict[str, dict],
+        dict[str, str],
+        dict[str, str],
+        dict | None,
+        dict,
     ]:
         """Fold (active files, per-file stats, per-file deletion
-        vectors, constraints, logical schema) up to ``version``,
-        starting from the nearest checkpoint at or below it. Stats, DV
-        bindings and the schema ride in checkpoints too, so replay
-        NEVER reads commits below the checkpoint floor — after vacuum()
-        those JSONs are gone, and a replay that started at commit 0
-        would crash on them (and lose any stats they carried).
+        vectors, constraints, logical schema, table metadata) up to
+        ``version``, starting from the nearest checkpoint at or below
+        it. Stats, DV bindings, the schema and the meta dict ride in
+        checkpoints too, so replay NEVER reads commits below the
+        checkpoint floor — after vacuum() those JSONs are gone, and a
+        replay that started at commit 0 would crash on them (and lose
+        any stats they carried). One fold serves every accessor
+        (table_meta delegates here), so a snapshot read parses the
+        checkpoint JSON exactly once.
 
         A ``dv`` action REBINDS a data file to a new deletion-vector
         sidecar (the writer merged old + new positions before writing
@@ -137,7 +145,9 @@ class TxLog:
         the table's logical schema — versioned per commit, so time
         travel to an empty snapshot resolves the schema AS OF that
         version, never a later writer's."""
-        start, active, stats, dvs, cons, schema = 0, [], {}, {}, {}, None
+        start, active, stats, dvs, cons, schema, meta = (
+            0, [], {}, {}, {}, None, {},
+        )
         for v in range(version, -1, -1):
             ckpt = self.log_dir / f"{v:08d}.checkpoint.json"
             if ckpt.exists():
@@ -148,11 +158,21 @@ class TxLog:
                 dvs = dict(d.get("dvs", {}))
                 cons = dict(d.get("constraints", {}))
                 schema = d.get("schema")
+                meta = dict(d.get("meta", {}))
                 start = v + 1
                 break
         files = set(active)
         for v in range(start, version + 1):
-            c = self._read_commit(v)
+            try:
+                c = self._read_commit(v)
+            except FileNotFoundError:
+                # below the vacuum cutoff with no checkpoint to fold
+                # from: a clean error, not a FileNotFoundError leak
+                # (active_files pre-checks versions(); dvs/constraints/
+                # table_schema reach here directly)
+                raise ValueError(
+                    f"txlog: no commit {v} (vacuumed or never written)"
+                ) from None
             for a in c.get("add", []):
                 files.add(a["file"])
                 if "stats" in a:
@@ -173,7 +193,9 @@ class TxLog:
                 cons = dict(c["constraints"])
             if "schema" in c:
                 schema = c["schema"]
-        return files, stats, dvs, cons, schema
+            if "meta" in c:
+                meta = dict(c["meta"])
+        return files, stats, dvs, cons, schema, meta
 
     def active_files(self, version: int | None = None) -> list[str]:
         """Fold add/remove actions up to ``version`` (default latest),
@@ -184,7 +206,7 @@ class TxLog:
             return []
         if version not in set(self.versions()):
             raise ValueError(f"txlog: no commit {version}")
-        files, _, _, _, _ = self._replay(version)
+        files, _, _, _, _, _ = self._replay(version)
         return sorted(files)
 
     def history(self) -> list[dict]:
@@ -225,7 +247,7 @@ class TxLog:
         if version is None:
             version = self.latest_version()
         if version >= 0 and version in set(self.versions()):
-            _, _, _, _, schema = self._replay(version)
+            _, _, _, _, schema, _ = self._replay(version)
             if schema is not None:
                 return StructType.fromJson(schema)
         p = self._schema_path()
@@ -325,7 +347,10 @@ class TxLog:
                 meta.get("mapping")
                 or {f.name: f.name for f in schema.fields}
             )
-            mapping[new] = mapping.pop(old)
+            # a mapping may predate this column (q231-style tables
+            # commit partial mappings): no entry means the physical
+            # name IS the logical one
+            mapping[new] = mapping.pop(old, old)
             renamed = StructType(
                 [
                     StructField(new, f.dataType, f.nullable)
@@ -464,7 +489,7 @@ class TxLog:
             version = self.latest_version()
         if version not in set(self.versions()):
             raise ValueError(f"txlog: no commit {version}")
-        active, stats, _, _, _ = self._replay(version)
+        active, stats, _, _, _, _ = self._replay(version)
         chosen = []
         for f in sorted(active):
             s = stats.get(f, {}).get(col)
@@ -546,7 +571,7 @@ class TxLog:
         # checkpoint is a cache and appears atomically or not at all.
         # Per-file stats are folded in too, so scan_files never needs
         # commits below the checkpoint floor (they may be vacuumed).
-        files, stats, dvs, cons, schema = self._replay(version)
+        files, stats, dvs, cons, schema, meta = self._replay(version)
         tmp = self.log_dir / f".{version:08d}.checkpoint.tmp"
         with open(tmp, "w") as f:
             json.dump(
@@ -557,7 +582,7 @@ class TxLog:
                     "dvs": dvs,
                     "constraints": cons,
                     "schema": schema,
-                    "meta": self.table_meta(version),
+                    "meta": meta,
                 },
                 f,
             )
@@ -573,19 +598,7 @@ class TxLog:
             version = self.latest_version()
         if version < 0:
             return {}
-        start, meta = 0, {}
-        for v in range(version, -1, -1):
-            ckpt = self.log_dir / f"{v:08d}.checkpoint.json"
-            if ckpt.exists():
-                with open(ckpt) as f:
-                    meta = dict(json.load(f).get("meta", {}))
-                start = v + 1
-                break
-        for v in range(start, version + 1):
-            c = self._read_commit(v)
-            if "meta" in c:
-                meta = dict(c["meta"])
-        return meta
+        return self._replay(version)[5]
 
     def txn_applied(self, txn: str) -> bool:
         """Has a commit bearing this application txn id already landed?
@@ -626,7 +639,7 @@ class TxLog:
             version = self.latest_version()
         if version < 0:
             return {}
-        active, _, dvs, _, _ = self._replay(version)
+        active, _, dvs, _, _, _ = self._replay(version)
         return {f: p for f, p in dvs.items() if f in active}
 
     def _read_dv(self, relpath: str) -> list[int]:
@@ -680,7 +693,7 @@ class TxLog:
                 cand = self.active_files(expected)
             if not cand:
                 return expected
-            _, _, dvs, _, _ = self._replay(expected)
+            _, _, dvs, _, _, _ = self._replay(expected)
             # basename keying, mapped back to the ACTIVE file key: on a
             # shallow clone the active set holds absolute source paths,
             # and a binding keyed any other way would be invisible to
@@ -731,7 +744,7 @@ class TxLog:
             version = self.latest_version()
         if version < 0:
             return {}
-        _, _, _, cons, _ = self._replay(version)
+        _, _, _, cons, _, _ = self._replay(version)
         return cons
 
     def set_constraints(
@@ -846,8 +859,10 @@ class TxLog:
         """Branch snapshot = main fold at the base version, then the
         branch's own commits applied with the same action rules."""
         base = self.branch_base(name)
-        files, stats, dvs, _, schema = (
-            self._replay(base) if base >= 0 else (set(), {}, {}, {}, None)
+        files, stats, dvs, _, schema, _ = (
+            self._replay(base)
+            if base >= 0
+            else (set(), {}, {}, {}, None, {})
         )
         if bversion is None:
             # a freshly created branch has NO commits yet: its snapshot
@@ -952,7 +967,25 @@ class TxLog:
         bfiles, bstats, _, bschema = self.branch_replay(name)
         base = self.branch_base(name)
         base_schema = self._replay(base)[4] if base >= 0 else None
-        if bschema == base_schema:
+
+        # "changed" must be STRUCTURAL (names + types), not raw-dict
+        # equality: a branch writer restaging frames derived from
+        # tl.read() picks up cosmetic nullability drift, and treating
+        # that as a schema change would republish the stale branch
+        # schema on a rebase-style publish — silently reverting a
+        # concurrent main-side ALTER (the exact clobber this guard
+        # exists to prevent)
+        def _shape(sj: dict | None):
+            if sj is None:
+                return None
+            from pyspark.sql.types import StructType
+
+            return [
+                (f.name, f.dataType.simpleString())
+                for f in StructType.fromJson(sj).fields
+            ]
+
+        if _shape(bschema) == _shape(base_schema):
             bschema = None  # no branch-side schema change to carry
         main = set(self.active_files()) if self.latest_version() >= 0 else set()
         adds = [
@@ -1048,10 +1081,10 @@ class TxLog:
                     f"txlog: cannot restore to version {to_version} — "
                     "no such commit (vacuumed or never written)"
                 )
-            tgt_files, tgt_stats, tgt_dvs, tgt_cons, tgt_schema = (
+            tgt_files, tgt_stats, tgt_dvs, tgt_cons, tgt_schema, _tm = (
                 self._replay(to_version)
             )
-            cur_files, _, cur_dvs, _, _ = self._replay(expected)
+            cur_files, _, cur_dvs, _, _, cur_meta = self._replay(expected)
             missing = [
                 f for f in sorted(tgt_files)
                 if not (self.root / f).exists()
@@ -1087,8 +1120,8 @@ class TxLog:
             # "resolving" it here could stamp a post-target schema
             # into the restore; leaving no action keeps legacy reads
             # on their existing (sidecar) rules, unchanged.
-            tgt_meta = self.table_meta(to_version)
-            cur_next = self.table_meta(expected).get("identity_next")
+            tgt_meta = dict(_tm)
+            cur_next = cur_meta.get("identity_next")
             if cur_next is not None:
                 tgt_meta = {
                     **tgt_meta,
@@ -1139,7 +1172,7 @@ class TxLog:
             expected = self.latest_version()
             if expected < 0:
                 return expected
-            files, _, dvs_map, _, _ = self._replay(expected)
+            files, _, dvs_map, _, _, pmeta = self._replay(expected)
             bound = sorted(f for f in files if f in dvs_map)
             if not bound:
                 return expected
@@ -1149,7 +1182,7 @@ class TxLog:
                 {f: dvs_map[f] for f in bound},
                 version=expected,
             )
-            mapped = bool(self.table_meta(expected).get("mapping"))
+            mapped = bool(pmeta.get("mapping"))
             out = (
                 self.to_physical(survivors, expected)
                 if mapped
@@ -1206,7 +1239,9 @@ class TxLog:
         reader = spark.read
         mapping: dict[str, str] = {}
         if version is not None and 0 <= version and version in set(self.versions()):
-            logical = self._replay(version)[4]
+            # one fold serves both the schema and the mapping — the
+            # checkpoint JSON is parsed once per snapshot read
+            _, _, _, _, logical, vmeta = self._replay(version)
             if logical is not None:
                 # read at the LOGICAL schema as of the version: the
                 # parquet reader NULL-fills columns a file predates
@@ -1221,9 +1256,7 @@ class TxLog:
                 ls = StructType.fromJson(logical)
                 mapping = {
                     k: v
-                    for k, v in self.table_meta(version)
-                    .get("mapping", {})
-                    .items()
+                    for k, v in vmeta.get("mapping", {}).items()
                     if k in ls.fieldNames() and v != k
                 }
                 if mapping:
@@ -1308,12 +1341,17 @@ class TxLog:
         just before the commit, so rows a prior merge-on-read DELETE
         hid are never re-reported as this commit's deletes.
 
+        Column-mapped tables (ALTER RENAME/DROP) feed at the LOGICAL
+        schema as of the window end — physical file columns are
+        projected back, so ``key`` is always a logical name.
+
         Scale design: feed cost is proportional to the files each
         commit TOUCHED (which stats-based skipping already minimized),
         never to table size — the whole point of deriving CDC from the
         log instead of diffing two snapshots (q91/q74 diff snapshots;
         at 100 TB that is two full scans per feed pull, this is not).
-        The per-commit join shuffles only rewritten rows on the key.
+        The per-commit join shuffles only rewritten rows on the key;
+        a pure append commit never pays the prior-DV fold.
         """
         if to_version is None:
             to_version = self.latest_version()
@@ -1337,6 +1375,25 @@ class TxLog:
                 f"reaches the vacuum cutoff {vs[0]} (history below it, "
                 "and the cutoff's own pre-state, were vacuumed)"
             )
+        # the feed speaks the LOGICAL schema as of the window end:
+        # data files on a column-mapped table (ALTER RENAME/DROP)
+        # carry physical names, so every frame is projected back
+        # before tagging — same metadata-only rename _read_files does
+        inv_map = {
+            p: l
+            for l, p in (
+                self.table_meta(to_version).get("mapping") or {}
+            ).items()
+            if p != l
+        }
+
+        def _to_log(df: DataFrame) -> DataFrame:
+            if not inv_map:
+                return df
+            return df.select(
+                *[F.col(c).alias(inv_map.get(c, c)) for c in df.columns]
+            )
+
         feeds: list[DataFrame] = []
         for v in vs:
             if v <= from_version or v > to_version:
@@ -1344,25 +1401,33 @@ class TxLog:
             c = self._read_commit(v)
             adds = [a["file"] for a in c.get("add", [])]
             removes = c.get("remove", [])
+            adds_set = set(adds)
             # DVs in force BEFORE this commit: filter both diff sides
             # (a removed file's DV-hidden rows were already fed as
-            # deletes at their dv commit) and diff dv actions against
-            prev_dvs = self.dvs(v - 1) if v > 0 else {}
+            # deletes at their dv commit) and diff dv actions against.
+            # The fold is lazy — a pure append commit never pays it.
+            dv_acts = [
+                d for d in c.get("dv", []) if d["file"] not in adds_set
+            ]
+            prev_dvs = (
+                self.dvs(v - 1) if v > 0 and (removes or dv_acts) else {}
+            )
             # a restore() may bind a DV in the same commit that re-ADDS
             # the file: the binding's effect is already captured by
             # filtering the insert side below, so the diff loop skips it
-            adds_set = set(adds)
             this_add_dvs = {
                 d["file"]: d["dv"]
                 for d in c.get("dv", [])
                 if d["file"] in adds_set and d["dv"] is not None
             }
-            for d in c.get("dv", []):
-                if d["file"] in adds_set:
-                    continue
-                # dv: None unbinds (restore re-exposing rows) — the
-                # re-exposed positions feed as inserts, the symmetric
-                # image of the MoR-delete case
+            # dv: None unbinds (restore re-exposing rows) — re-exposed
+            # positions feed as inserts, the symmetric image of the
+            # MoR-delete case. All actions of a commit share ONE scan
+            # and ONE broadcast join per tag, so feed planning cost is
+            # O(commit), not O(dv actions).
+            dv_rows: dict[str, list] = {"delete": [], "insert": []}
+            dv_files: dict[str, set] = {"delete": set(), "insert": set()}
+            for d in dv_acts:
                 newp = (
                     set(self._read_dv(d["dv"]))
                     if d["dv"] is not None
@@ -1373,59 +1438,67 @@ class TxLog:
                     if d["file"] in prev_dvs
                     else set()
                 )
+                base = pathlib.Path(d["file"]).name
                 for tag, pos in (
                     ("delete", sorted(newp - oldp)),
                     ("insert", sorted(oldp - newp)),
                 ):
-                    if not pos:
-                        continue
-                    pos_df = spark.createDataFrame(
-                        [(pathlib.Path(d["file"]).name, int(p)) for p in pos],
-                        "__file string, __pos bigint",
-                    )
-                    scan = spark.read.option("mergeSchema", "true").parquet(
-                        str(self.root / d["file"])
-                    )
-                    src = scan.select(
-                        "*",
-                        F.element_at(
-                            F.split(F.col("_metadata.file_path"), "/"), -1
-                        ).alias("__file"),
-                        F.col("_metadata.row_index").alias("__pos"),
-                    )
-                    feeds.append(
+                    if pos:
+                        dv_rows[tag].extend((base, int(p)) for p in pos)
+                        dv_files[tag].add(d["file"])
+            for tag in ("delete", "insert"):
+                if not dv_rows[tag]:
+                    continue
+                pos_df = spark.createDataFrame(
+                    dv_rows[tag], "__file string, __pos bigint"
+                )
+                scan = spark.read.option("mergeSchema", "true").parquet(
+                    *[str(self.root / f) for f in sorted(dv_files[tag])]
+                )
+                src = scan.select(
+                    "*",
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ).alias("__file"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                )
+                feeds.append(
+                    _to_log(
                         src.join(
                             F.broadcast(pos_df), ["__file", "__pos"], "left_semi"
-                        )
-                        .drop("__file", "__pos")
-                        .select(
-                            F.lit(v).cast("long").alias("_version"),
-                            F.lit(tag).alias("_change_type"),
-                            "*",
-                        )
+                        ).drop("__file", "__pos")
+                    ).select(
+                        F.lit(v).cast("long").alias("_version"),
+                        F.lit(tag).alias("_change_type"),
+                        "*",
                     )
+                )
             # mergeSchema: a commit may mix files written under
             # different layouts (partitionBy strips the partition
             # column; schema evolution adds columns) — without it the
             # read picks ONE file's schema nondeterministically
             a_df = (
-                self._apply_dvs(
-                    spark,
-                    spark.read.option("mergeSchema", "true").parquet(
-                        *[str(self.root / f) for f in adds]
-                    ),
-                    this_add_dvs,
+                _to_log(
+                    self._apply_dvs(
+                        spark,
+                        spark.read.option("mergeSchema", "true").parquet(
+                            *[str(self.root / f) for f in adds]
+                        ),
+                        this_add_dvs,
+                    )
                 )
                 if adds
                 else None
             )
             r_df = (
-                self._apply_dvs(
-                    spark,
-                    spark.read.option("mergeSchema", "true").parquet(
-                        *[str(self.root / f) for f in removes]
-                    ),
-                    {f: p for f, p in prev_dvs.items() if f in set(removes)},
+                _to_log(
+                    self._apply_dvs(
+                        spark,
+                        spark.read.option("mergeSchema", "true").parquet(
+                            *[str(self.root / f) for f in removes]
+                        ),
+                        {f: p for f, p in prev_dvs.items() if f in set(removes)},
+                    )
                 )
                 if removes
                 else None
@@ -2257,7 +2330,7 @@ def q144_compaction_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append", add=tl.stage_data_partitioned(bucketed, "bucket", stats)
     )
     # policy: METADATA-ONLY decision off the log's n_rows stats
-    _files, fstats, _dvs, _c, _ = tl._replay(tl.latest_version())
+    _files, fstats, _dvs, _c, _, _ = tl._replay(tl.latest_version())
     n_tot = sum(s["n_rows"][0] for s in fstats.values())
     target = n_tot // _OPT_TARGET_DIV
     small = sorted(
@@ -2385,7 +2458,7 @@ def q145_partition_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     lo, hi = m // 4, m // 2
     all_files, chosen = tl.scan_files("o_orderkey", lo, hi)
     # generation split: v0 files carry no orderkey stats (conservative)
-    _f, fstats, _dvs, _c, _ = tl._replay(tl.latest_version())
+    _f, fstats, _dvs, _c, _, _ = tl._replay(tl.latest_version())
     v0_scanned = sum(
         1 for f in chosen if "o_orderkey" not in fstats.get(f, {})
     )
@@ -3518,7 +3591,7 @@ def shallow_clone(src: TxLog, dest_root: str, version: int | None = None) -> TxL
     the source snapshot's files by absolute path (stats and DV
     bindings carried along; nothing is copied)."""
     at = src.latest_version() if version is None else version
-    files, stats, dvs, cons, _schema = src._replay(at)
+    files, stats, dvs, cons, _schema, _meta = src._replay(at)
     add = []
     for f in sorted(files):
         a = {"file": str((src.root / f).resolve())}
@@ -3686,7 +3759,7 @@ def q210_txlog_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         add=tl.stage_data_partitioned(bucketed, "bucket", _bucket_stats(bucketed)),
     )
     # metadata side: one row per active file straight from the log
-    _, stats, _, _, _ = tl._replay(tl.latest_version())
+    _, stats, _, _, _, _ = tl._replay(tl.latest_version())
     meta_rows = [
         (f, int(s["o_orderkey"][0]), int(s["o_orderkey"][1]))
         for f, s in stats.items()

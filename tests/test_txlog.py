@@ -324,7 +324,7 @@ def test_property_replay_matches_model(steps, retain):
         for v in range(cutoff, latest + 1):
             assert set(tl.active_files(v)) == model[v], v
         # stats survive vacuum through the pinned checkpoint
-        _, stats, _, _, _ = tl._replay(latest)
+        _, stats, _, _, _, _ = tl._replay(latest)
         for f in tl.active_files(latest):
             num = int(f[6:-8].lstrip("f") or 0)
             if f.startswith("data/f") and "stats" in str(stats.get(f, "")):
@@ -1258,3 +1258,101 @@ def test_restore_unbind_folds_across_checkpoint(spark, tmp_path):
     assert again.dvs() == {}
     assert again.read(spark).count() == 15
     assert again.active_files(8) is not None  # restore version replays
+
+
+def test_change_feed_on_column_mapped_table(spark, tmp_path):
+    """The feed speaks the LOGICAL schema as of the window end: after
+    an ALTER RENAME, file columns (physical names) are projected back,
+    so a feed keyed on the renamed column works and every change row
+    exposes logical names — pre- and post-rename commits included."""
+    from pyspark.sql import functions as F
+
+    tl = _mk(tmp_path)
+    tl.append(
+        spark.range(1, 7).select(
+            F.col("id").alias("k"), (F.col("id") * 10.0).alias("v")
+        ),
+        n_files=1,
+    )                                                   # v0
+    tl.alter_rename_column(spark, "k", "key_id")        # v1: the KEY renamed
+    # post-rename CoW rewrite: stage at PHYSICAL names like DML does
+    snap = tl.read(spark)                               # logical: key_id, v
+    rewritten = snap.withColumn(
+        "v", F.when(F.col("key_id") == 3, 0.0).otherwise(F.col("v"))
+    )
+    tl.commit(
+        "update",
+        add=tl.stage_data(tl.to_physical(rewritten), n_files=1),
+        remove=tl.active_files(),
+        schema=None,
+    )                                                   # v2
+    tl.delete_where_mor(spark, F.col("k") == 6)         # v3 (physical pred)
+    feed = tl.change_feed(spark, "key_id", from_version=1)
+    rows = feed.collect()
+    assert set(feed.columns) == {"_version", "_change_type", "key_id", "v"}
+    pre = [r for r in rows if r["_change_type"] == "update_preimage"]
+    post = [r for r in rows if r["_change_type"] == "update_postimage"]
+    assert [(r["key_id"], r["v"]) for r in pre] == [(3, 30.0)]
+    assert [(r["key_id"], r["v"]) for r in post] == [(3, 0.0)]
+    dels = [r for r in rows if r["_change_type"] == "delete"]
+    assert sorted(r["key_id"] for r in dels) == [6]
+    # the full-window feed (pre-rename v0 included) is logical too
+    full = tl.change_feed(spark, "key_id", from_version=-1)
+    assert set(full.columns) == {"_version", "_change_type", "key_id", "v"}
+    assert full.where(F.col("_version") == 0).count() == 6
+
+
+def test_alter_rename_with_partial_mapping(spark, tmp_path):
+    """A q231-style table commits a mapping that does not cover every
+    schema field; renaming an unmapped column must treat its physical
+    name as the logical one, not raise KeyError."""
+    from pyspark.sql import functions as F
+
+    tl = _mk(tmp_path)
+    df = spark.range(1, 5).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b")
+    )
+    tl.commit("create", add=tl.stage_data(df, n_files=1),
+              meta={"mapping": {"a": "a"}})  # partial: no entry for b
+    tl.alter_rename_column(spark, "b", "bee")
+    assert tl.table_meta()["mapping"]["bee"] == "b"
+    snap = tl.read(spark)
+    assert snap.columns == ["a", "bee"]
+    assert snap.agg(F.sum("bee")).collect()[0][0] == 20
+
+
+def test_publish_branch_ignores_nullability_drift(spark, tmp_path):
+    """Branch frames derived from tl.read() pick up cosmetic
+    nullability drift; schema-change detection must be STRUCTURAL
+    (names + types), or a rebase-style publish republishes the stale
+    branch schema and reverts a concurrent main-side ALTER."""
+    from pyspark.sql import functions as F
+
+    tl = _mk(tmp_path)
+    tl.append(spark.range(1, 6).withColumnRenamed("id", "k"), n_files=1)  # v0
+    tl.create_branch("wip")
+    # branch restates the SAME shape but via a read-back (nullable drift)
+    tl.branch_commit(
+        "wip", "append",
+        add=tl.stage_data(tl.read(spark).where(F.lit(False)), n_files=1),
+    )
+    # main evolves concurrently
+    tl.alter_add_column(spark, "flag", "BOOLEAN")                          # v1
+    tl.publish_branch("wip", expected_version=tl.latest_version())         # v2
+    cols = [f.name for f in tl.table_schema(spark).fields]
+    assert cols == ["k", "flag"], cols  # the ALTER survived the publish
+
+
+def test_dvs_and_constraints_error_cleanly_below_cutoff(spark, tmp_path):
+    """Metadata accessors below the vacuum cutoff raise the same clean
+    ValueError as read()/active_files(), not FileNotFoundError."""
+    tl = _mk(tmp_path)
+    for i in range(4):
+        tl.overwrite(
+            spark.range(i, i + 3).withColumnRenamed("id", "k"), n_files=1
+        )
+    tl.vacuum(retain_versions=2)
+    with pytest.raises(ValueError, match="no commit"):
+        tl.dvs(0)
+    with pytest.raises(ValueError, match="no commit"):
+        tl.constraints(1)
