@@ -446,13 +446,40 @@ class TxLog:
         df: DataFrame,
         partition_col: str,
         stats_by_value: dict[int, dict[str, list]] | None = None,
+        *,
+        stats_col: str | None = None,
+        stats_key: str | None = None,
+        stats_values: "range | list[int] | None" = None,
     ) -> list[dict]:
         """Stage one parquet file PER distinct value of
         ``partition_col`` (repartition-by-value + partitionBy write:
         each value lives in exactly one task, so each value dir gets
         exactly one file) and attach per-file column stats to the add
         actions — the data-skipping index every table format keeps.
-        ``stats_by_value`` maps partition value -> {col: [min, max]}."""
+        ``stats_by_value`` maps partition value -> {col: [min, max]}.
+
+        ``stats_col`` computes those per-value [min, max] stats DURING
+        the write itself via an ``Observation`` (conditional min/max per
+        candidate value in ``stats_values``, default the _SKIP_BUCKETS
+        range) — the stats-at-write discipline of production table
+        formats, replacing the separate groupBy+collect pass callers
+        otherwise pay (the staged frame was computed twice: once for
+        stats, once for the write). ``stats_key`` names the column in
+        the recorded stats (default ``stats_col`` — pass the LOGICAL
+        name when staging a physical-named frame of a mapped table)."""
+        obs = None
+        if stats_col is not None:
+            from pyspark.sql import Observation
+
+            if stats_values is None:
+                stats_values = range(_SKIP_BUCKETS)
+            exprs = []
+            for v in stats_values:
+                c = F.when(F.col(partition_col) == v, F.col(stats_col))
+                exprs.append(F.min(c).alias(f"mn_{v}"))
+                exprs.append(F.max(c).alias(f"mx_{v}"))
+            obs = Observation()
+            df = df.observe(obs, *exprs)
         # partitionBy drops the partition column from the data files, so
         # the logical (read-side) schema excludes it
         self._staged_schema = json.loads(df.drop(partition_col).schema.json())
@@ -463,6 +490,14 @@ class TxLog:
             .partitionBy(partition_col)
             .parquet(str(stage))
         )
+        if obs is not None:
+            got = obs.get
+            key = stats_key or stats_col
+            stats_by_value = {
+                int(v): {key: [int(got[f"mn_{v}"]), int(got[f"mx_{v}"])]}
+                for v in stats_values
+                if got[f"mn_{v}"] is not None
+            }
         adds = []
         for vdir in sorted(stage.glob(f"{partition_col}=*")):
             value = int(vdir.name.split("=", 1)[1])
@@ -1790,17 +1825,9 @@ def q98_txlog_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = o.withColumn(
         "bucket", (F.col("o_orderkey") * _SKIP_BUCKETS) / (m + 1)
     ).withColumn("bucket", F.floor("bucket").cast("int"))
-    stats = {
-        int(r["bucket"]): {
-            "o_orderkey": [int(r["mn"]), int(r["mx"])]
-        }
-        for r in bucketed.groupBy("bucket")
-        .agg(F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx"))
-        .collect()
-    }
     tl.commit(
         "append",
-        add=tl.stage_data_partitioned(bucketed, "bucket", stats),
+        add=tl.stage_data_partitioned(bucketed, "bucket", stats_col="o_orderkey"),
     )
     all_files, chosen = tl.scan_files("o_orderkey", lo, hi)
     pruned = spark.read.parquet(*[str(tl.root / f) for f in chosen])
@@ -1869,7 +1896,7 @@ def _stage_bucketed_orders(
     bucketed = _with_bucket(o, m)
     tl.commit(
         "append",
-        add=tl.stage_data_partitioned(bucketed, "bucket", _bucket_stats(bucketed)),
+        add=tl.stage_data_partitioned(bucketed, "bucket", stats_col="o_orderkey"),
     )
     return tl, m
 
@@ -1945,7 +1972,7 @@ def q125_txlog_row_level_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         aff_df = spark.read.parquet(*[str(tl.root / f) for f in affected])
         survivors = _with_bucket(aff_df.where(~condemned), m)
         adds = tl.stage_data_partitioned(
-            survivors, "bucket", _bucket_stats(survivors)
+            survivors, "bucket", stats_col="o_orderkey"
         )
         try:
             tl.commit(
@@ -2032,7 +2059,7 @@ def q126_txlog_merge_minimal_rewrite(
             m,
         )
         adds = tl.stage_data_partitioned(
-            rewritten, "bucket", _bucket_stats(rewritten)
+            rewritten, "bucket", stats_col="o_orderkey"
         )
         # WHEN NOT MATCHED: inserts as one new stats-carrying file
         ins_adds = tl.stage_data(inserts, n_files=1)
@@ -2210,7 +2237,7 @@ def q135_txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tl.commit(
         "delete",
         add=tl.stage_data_partitioned(
-            survivors, "bucket", _bucket_stats(survivors)
+            survivors, "bucket", stats_col="o_orderkey"
         ),
         remove=affected,
         expected_version=expected,
@@ -2239,7 +2266,7 @@ def q135_txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         a["stats"] = {"o_orderkey": [m + 1, m + _CDF_INSERTS]}
     tl.commit(
         "merge",
-        add=tl.stage_data_partitioned(rewritten, "bucket", _bucket_stats(rewritten))
+        add=tl.stage_data_partitioned(rewritten, "bucket", stats_col="o_orderkey")
         + ins_adds,
         remove=affected,
         expected_version=expected,
@@ -2432,28 +2459,24 @@ def q145_partition_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         "bucket",
         F.floor((F.col("o_custkey") * _SPEC_BUCKETS) / (mc + 1)).cast("int"),
     )
-    v0_stats = {
-        int(r["bucket"]): {"o_custkey": [int(r["mn"]), int(r["mx"])]}
-        for r in v0.groupBy("bucket")
-        .agg(F.min("o_custkey").alias("mn"), F.max("o_custkey").alias("mx"))
-        .collect()
-    }
     tl.commit(
-        "append", add=tl.stage_data_partitioned(v0, "bucket", v0_stats)
+        "append",
+        add=tl.stage_data_partitioned(
+            v0, "bucket", stats_col="o_custkey",
+            stats_values=range(_SPEC_BUCKETS),
+        ),
     )
     # v1 — new spec: odd keys, partitioned by ORDERKEY range
     v1 = o.where(F.col("o_orderkey") % 2 == 1).withColumn(
         "bucket",
         F.floor((F.col("o_orderkey") * _SPEC_BUCKETS) / (m + 1)).cast("int"),
     )
-    v1_stats = {
-        int(r["bucket"]): {"o_orderkey": [int(r["mn"]), int(r["mx"])]}
-        for r in v1.groupBy("bucket")
-        .agg(F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx"))
-        .collect()
-    }
     tl.commit(
-        "append", add=tl.stage_data_partitioned(v1, "bucket", v1_stats)
+        "append",
+        add=tl.stage_data_partitioned(
+            v1, "bucket", stats_col="o_orderkey",
+            stats_values=range(_SPEC_BUCKETS),
+        ),
     )
     lo, hi = m // 4, m // 2
     all_files, chosen = tl.scan_files("o_orderkey", lo, hi)
@@ -3069,7 +3092,7 @@ def q164_mv_incremental_from_feed(spark: SparkSession, sf_dir: str) -> DataFrame
     tl.commit(
         "delete",
         add=tl.stage_data_partitioned(
-            survivors, "bucket", _bucket_stats(survivors)
+            survivors, "bucket", stats_col="o_orderkey"
         ),
         remove=affected,
         expected_version=expected,
@@ -3099,7 +3122,7 @@ def q164_mv_incremental_from_feed(spark: SparkSession, sf_dir: str) -> DataFrame
     tl.commit(
         "merge",
         add=tl.stage_data_partitioned(
-            rewritten, "bucket", _bucket_stats(rewritten)
+            rewritten, "bucket", stats_col="o_orderkey"
         )
         + ins_adds,
         remove=affected,
@@ -3217,7 +3240,7 @@ def q170_gdpr_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tl.commit(
         "gdpr_delete",
         add=tl.stage_data_partitioned(
-            survivors, "bucket", _bucket_stats(survivors)
+            survivors, "bucket", stats_col="o_orderkey"
         ),
         remove=affected,
         expected_version=expected,
@@ -3756,7 +3779,7 @@ def q210_txlog_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = _with_bucket(o, m)
     tl.commit(
         "append",
-        add=tl.stage_data_partitioned(bucketed, "bucket", _bucket_stats(bucketed)),
+        add=tl.stage_data_partitioned(bucketed, "bucket", stats_col="o_orderkey"),
     )
     # metadata side: one row per active file straight from the log
     _, stats, _, _, _, _ = tl._replay(tl.latest_version())
@@ -3873,19 +3896,15 @@ def q215_txlog_optimize_clustering(spark: SparkSession, sf_dir: str) -> DataFram
     m = o.agg(F.max("o_custkey")).collect()[0][0]
     lo, hi = m // 4, m // 2
 
-    def custkey_stats(df: DataFrame) -> dict[int, dict[str, list]]:
-        return {
-            int(r["bucket"]): {"o_custkey": [int(r["mn"]), int(r["mx"])]}
-            for r in df.groupBy("bucket")
-            .agg(F.min("o_custkey").alias("mn"), F.max("o_custkey").alias("mx"))
-            .collect()
-        }
-
     hash_df = o.withColumn(
         "bucket", (F.col("o_orderkey") % _OPT_FILES).cast("int")
     )
     tl.commit(
-        "append", add=tl.stage_data_partitioned(hash_df, "bucket", custkey_stats(hash_df))
+        "append",
+        add=tl.stage_data_partitioned(
+            hash_df, "bucket", stats_col="o_custkey",
+            stats_values=range(_OPT_FILES),
+        ),
     )
 
     def probe(version: int) -> tuple[int, int]:
@@ -3910,7 +3929,10 @@ def q215_txlog_optimize_clustering(spark: SparkSession, sf_dir: str) -> DataFram
     )
     tl.commit(
         "optimize-cluster",
-        add=tl.stage_data_partitioned(range_df, "bucket", custkey_stats(range_df)),
+        add=tl.stage_data_partitioned(
+            range_df, "bucket", stats_col="o_custkey",
+            stats_values=range(_OPT_FILES),
+        ),
         remove=tl.active_files(),
         expected_version=tl.latest_version(),
     )
@@ -4898,14 +4920,14 @@ def q262_reorg_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     tl.commit(
         "append",
         add=tl.stage_data_partitioned(
-            bucketed, "bucket", _bucket_stats(bucketed)
+            bucketed, "bucket", stats_col="o_orderkey"
         ),
     )                                                                # v0
     tl.delete_where_mor(spark, F.col("o_orderkey") % 250 == 0)       # v1
 
     def _restage(out: DataFrame) -> list[dict]:
         b = _with_bucket(out, _PURGE_CAP)
-        return tl.stage_data_partitioned(b, "bucket", _bucket_stats(b))
+        return tl.stage_data_partitioned(b, "bucket", stats_col="o_orderkey")
 
     tl.reorg_purge(spark, stage=_restage)                            # v2
     assert tl.dvs() == {}

@@ -1267,7 +1267,6 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
     from hive_clone_spark.sources.txlog import (
         CommitConflictError,
         ConstraintViolationError,
-        _bucket_stats,
         _with_bucket,
     )
 
@@ -1353,7 +1352,8 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
         lo, hi = _dml_prune_range(where, "o_orderkey", m)
         while True:
             expected = tl.latest_version()
-            mapped = bool(tl.table_meta(expected).get("mapping"))
+            mapping = tl.table_meta(expected).get("mapping") or {}
+            mapped = bool(mapping)
             all_f, affected = tl.scan_files("o_orderkey", lo, hi, version=expected)
             aff_df = _read_affected(spark, tl, all_f, affected, version=expected)
             # SQL DELETE removes only rows where the predicate is TRUE;
@@ -1369,7 +1369,8 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
             adds = tl.stage_data_partitioned(
                 tl.to_physical(survivors, expected) if mapped else survivors,
                 "bucket",
-                _bucket_stats(survivors),
+                stats_col=mapping.get("o_orderkey", "o_orderkey"),
+                stats_key="o_orderkey",
             )
             try:
                 # plain commit: a DELETE rewrite stages a SUBSET of
@@ -1389,7 +1390,8 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
         lo, hi = _dml_prune_range(where, "o_orderkey", m)
         while True:
             expected = tl.latest_version()
-            mapped = bool(tl.table_meta(expected).get("mapping"))
+            mapping = tl.table_meta(expected).get("mapping") or {}
+            mapped = bool(mapping)
             all_f, affected = tl.scan_files("o_orderkey", lo, hi, version=expected)
             aff_df = _read_affected(spark, tl, all_f, affected, version=expected)
             # SQL UPDATE evaluates every SET RHS against the PRE-update
@@ -1420,7 +1422,8 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
             adds = tl.stage_data_partitioned(
                 tl.to_physical(rewritten, expected) if mapped else rewritten,
                 "bucket",
-                _bucket_stats(rewritten),
+                stats_col=mapping.get("o_orderkey", "o_orderkey"),
+                stats_key="o_orderkey",
             )
             try:
                 tl.commit_checked(spark, "update", add=adds,
@@ -1514,7 +1517,8 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
         )
         while True:
             expected = tl.latest_version()
-            mapped = bool(tl.table_meta(expected).get("mapping"))
+            mapping = tl.table_meta(expected).get("mapping") or {}
+            mapped = bool(mapping)
             all_files, pruned = tl.scan_files(
                 tgt_key,
                 int(prof["lo"]) if not src_empty else 0,
@@ -1618,7 +1622,8 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
                     if mapped
                     else rewritten,
                     "bucket",
-                    _bucket_stats(rewritten),
+                    stats_col=mapping.get("o_orderkey", "o_orderkey"),
+                    stats_key="o_orderkey",
                 )
                 # the table's logical schema is the REWRITTEN target
                 # layout; the insert staging below would otherwise
@@ -1989,7 +1994,6 @@ def q256_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     a lost clause, or broken per-batch atomicity all hash-mismatch."""
     from hive_clone_spark.sources.txlog import (
         TxLog,
-        _bucket_stats,
         _version_ledger,
         _warehouse_dir,
         _with_bucket,
@@ -2006,7 +2010,7 @@ def q256_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = _with_bucket(od, m)
     tl.commit(
         "append",
-        add=tl.stage_data_partitioned(bucketed, "bucket", _bucket_stats(bucketed)),
+        add=tl.stage_data_partitioned(bucketed, "bucket", stats_col="o_orderkey"),
     )
     o = od.select("o_orderkey")
 
@@ -2163,7 +2167,6 @@ def q257_dml_full_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     output (empty-version rows read through the zero-file path)."""
     from hive_clone_spark.sources.txlog import (
         TxLog,
-        _bucket_stats,
         _version_ledger,
         _warehouse_dir,
         _with_bucket,
@@ -2179,7 +2182,7 @@ def q257_dml_full_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = _with_bucket(od, m)
     tl.commit(
         "append",
-        add=tl.stage_data_partitioned(bucketed, "bucket", _bucket_stats(bucketed)),
+        add=tl.stage_data_partitioned(bucketed, "bucket", stats_col="o_orderkey"),
     )
 
     # v1 — no WHERE: every row goes; the commit is remove-all/add-none
