@@ -237,7 +237,10 @@ def q80_stream_countdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from hive_clone_spark.streaming.streams import read_events_stream, run_to_memory
 
-    src = read_events_stream(spark, os.path.join(sf_dir, "events.parque[t]"))
+    src = read_events_stream(
+        spark, os.path.join(sf_dir, "events.parque[t]"),
+        columns=["user_id", "event_id", "ts"],
+    )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -389,7 +392,9 @@ def q94_stream_session_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = read_events_stream(
-        spark, os.path.join(sf_dir, "events.parque[t]"), max_files_per_trigger=None
+        spark, os.path.join(sf_dir, "events.parque[t]"),
+        max_files_per_trigger=None,
+        columns=["user_id", "event_id", "ts"],
     )
     stream = session_ttl_stream(src.withWatermark("ts", "10 minutes"))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -511,14 +516,18 @@ def q138_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src_dir = _warehouse(sf_dir, "topk_q138")
+    # ts is never consumed by the top-k worker: don't stage it (guide §4)
     (
         table(spark, sf_dir, "events")
-        .select("event_id", "user_id", "event_type", "ts", "value")
+        .select("event_id", "user_id", "event_type", "value")
         .repartition(_TOPK_FILES)
         .write.mode("overwrite")
         .parquet(src_dir)
     )
-    src = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+    src = read_events_stream(
+        spark, src_dir, max_files_per_trigger=1,
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -650,7 +659,10 @@ def q177_stream_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_to_memory,
     )
 
-    src = read_events_stream(spark, os.path.join(sf_dir, "events.parque[t]"))
+    src = read_events_stream(
+        spark, os.path.join(sf_dir, "events.parque[t]"),
+        columns=["user_id", "event_id", "ts"],
+    )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -781,11 +793,12 @@ def q205_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_clone_spark.streaming.streams import run_to_memory
 
     src_dir = _warehouse(sf_dir, "kmv_q205")
+    # stage only (event_type, h): the kmv worker never reads
+    # event_id/ts, and n_seen is a row count (guide §4 — prune before
+    # the opaque state worker)
     (
         table(spark, sf_dir, "events")
         .select(
-            "event_id",
-            "ts",
             "event_type",
             portable_hash(F.col("user_id").cast("string")).alias("h"),
         )
@@ -794,9 +807,7 @@ def q205_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src_dir)
     )
     src = (
-        spark.readStream.schema(
-            "event_id BIGINT, ts TIMESTAMP, event_type STRING, h BIGINT"
-        )
+        spark.readStream.schema("event_type STRING, h BIGINT")
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
@@ -1013,14 +1024,20 @@ def q228_stream_composite_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src_dir = _warehouse(sf_dir, "tws_q228")
+    # stage only the columns the census worker touches (guide §4):
+    # event_id/ts would otherwise be written, re-read, shuffled on
+    # user_id and shipped through the Python state boundary unused
     (
         table(spark, sf_dir, "events")
-        .select("event_id", "user_id", "event_type", "ts", "value")
+        .select("user_id", "event_type", "value")
         .repartition(_TWS_FILES)
         .write.mode("overwrite")
         .parquet(src_dir)
     )
-    src = read_events_stream(spark, src_dir, max_files_per_trigger=1)
+    src = read_events_stream(
+        spark, src_dir, max_files_per_trigger=1,
+        columns=["user_id", "event_type", "value"],
+    )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     use_tws = _tws_available()

@@ -44,7 +44,10 @@ EVENTS_SCHEMA = StructType(
 
 
 def read_events_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = 1
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = 1,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """File-listing source over a directory of parquet event files.
     Schema is declared (streams cannot infer), matching TESTDATA.md's
@@ -54,8 +57,20 @@ def read_events_stream(
     matched file lands in micro-batch 0 — required by consumers whose
     semantics need all redelivered copies co-resident within one
     watermark horizon (q66's dedup: a duplicate arriving in a later
-    batch AFTER the watermark expired its twin's state would leak)."""
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    batch AFTER the watermark expired its twin's state would leak).
+
+    `columns` narrows the DECLARED schema to those fields: the state
+    workers downstream (applyInPandasWithState) are opaque to the
+    optimizer, so every column of their input is read from parquet,
+    shuffled on the state key and shipped across the Python boundary —
+    declaring only what the worker touches prunes all three."""
+    schema = EVENTS_SCHEMA
+    if columns is not None:
+        want = set(columns)
+        schema = StructType(
+            [f for f in EVENTS_SCHEMA.fields if f.name in want]
+        )
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(path)

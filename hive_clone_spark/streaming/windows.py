@@ -384,7 +384,10 @@ def q68_stream_stateful_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_clone_spark.streaming.stateful import ema_stream
     from hive_clone_spark.streaming.streams import read_events_stream, run_to_memory
 
-    src = read_events_stream(spark, os.path.join(sf_dir, "events.parque[t]"))
+    src = read_events_stream(
+        spark, os.path.join(sf_dir, "events.parque[t]"),
+        columns=["user_id", "event_id", "ts", "value"],
+    )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
