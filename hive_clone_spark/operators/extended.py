@@ -5134,7 +5134,12 @@ def q178_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"),
     )
     ep = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    # l_orderkey rides along so the per-order distinct counts below can
+    # reuse THIS window's exchange instead of re-scanning + re-shuffling
+    # lineitem (guide §2.4: an aggregation keyed like the preceding
+    # window needs no second shuffle)
     s = li.select(
+        "l_orderkey",
         F.col("l_returnflag").alias("rf"),
         F.col("l_linestatus").alias("ls"),
         F.col("l_quantity").cast("long").alias("qty"),
@@ -5167,14 +5172,12 @@ def q178_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("ep").alias("card_ep"),
         _runs("ep", "p_ep").alias("runs_ep"),
     )
-    po = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_returnflag").alias("d_rf"),
-        F.countDistinct("l_linestatus").alias("d_ls"),
-        F.countDistinct(F.col("l_quantity").cast("long")).alias("d_qty"),
-        F.countDistinct("l_suppkey").alias("d_sk"),
-        F.countDistinct(
-            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
-        ).alias("d_ep"),
+    po = s.groupBy("l_orderkey").agg(
+        F.countDistinct("rf").alias("d_rf"),
+        F.countDistinct("ls").alias("d_ls"),
+        F.countDistinct("qty").alias("d_qty"),
+        F.countDistinct("sk").alias("d_sk"),
+        F.countDistinct("ep").alias("d_ep"),
     )
     ms = po.agg(
         F.sum("d_rf").alias("srt_rf"),
@@ -7336,22 +7339,32 @@ def q209_join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev_cents").cast("long").alias("total_rev_cents"),
         ).select(F.lit(hint).alias("hint"), "*")
 
-    arms = [arm(h) for h in _HINT_ARMS]
-    base = arms[0].collect()[0]
-    out = None
-    for a in arms:
-        row = a.collect()[0]
-        same = all(row[k] == base[k] for k in
-                   ("n_groups", "total_orders", "key_moment", "total_rev_cents"))
-        one = c.sparkSession.createDataFrame(
-            [(row["hint"], row["n_groups"], row["total_orders"],
-              row["key_moment"], row["total_rev_cents"], bool(same))],
-            "hint STRING, n_groups BIGINT, total_orders BIGINT, "
-            "key_moment BIGINT, total_rev_cents BIGINT, "
-            "matches_baseline BOOLEAN",
-        )
-        out = one if out is None else out.unionAll(one)
-    return out.orderBy("hint")
+    # One collect per arm (the baseline arm was collected twice), arms
+    # overlapped from a small thread pool so a finishing arm's task
+    # tail back-fills with the next arm's work (guide §2.6), and ONE
+    # local frame instead of a 5-way union of 1-row frames.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    @inheritable_thread_target
+    def run_arm(hint: str):
+        return arm(hint).collect()[0]
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        rows = dict(zip(_HINT_ARMS, pool.map(run_arm, _HINT_ARMS)))
+    base = rows[_HINT_ARMS[0]]
+    keys = ("n_groups", "total_orders", "key_moment", "total_rev_cents")
+    return c.sparkSession.createDataFrame(
+        sorted(
+            (h, r["n_groups"], r["total_orders"], r["key_moment"],
+             r["total_rev_cents"], bool(all(r[k] == base[k] for k in keys)))
+            for h, r in rows.items()
+        ),
+        "hint STRING, n_groups BIGINT, total_orders BIGINT, "
+        "key_moment BIGINT, total_rev_cents BIGINT, "
+        "matches_baseline BOOLEAN",
+    ).orderBy("hint")
 
 
 def hinted_join_plan(spark: SparkSession, sf_dir: str, hint: str) -> str:

@@ -905,6 +905,12 @@ def q218_handshake_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     cum_matched = 0
     cum_checksum = 0
+    # (A window-flag single-frame form — per-endpoint window mins for
+    # the handshake, window maxes for survivor filtering, one census
+    # aggregate — was A/B'd here and is SLOWER: four window exchanges
+    # of the full live edge set per round cost more than these groupBy
+    # nominations, whose outputs are endpoint-sized and broadcast back.
+    # 5.7 -> 6.5 s; kept the nomination/anti-join shape.)
     for k in range(1, _HSM_ROUNDS + 1):
         smin = live.groupBy("s").agg(F.min(ekey).alias("ms"))
         pmin = live.groupBy("p").agg(F.min(ekey).alias("mp"))
@@ -1235,6 +1241,11 @@ def q233_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ka")
         .agg(F.min("comp").alias("comp"))
     )
+    # clusters is pinned once and feeds BOTH the census totals and the
+    # output arms; the totals are one aggregate over it (sum of
+    # per-comp core/border members = total members; its row count =
+    # distinct components) instead of the three separate count()
+    # actions that each re-ran the lab/border subtrees (guide §1.2).
     clusters = (
         lab.select("comp", F.lit("c").alias("src"))
         .unionByName(border.select("comp", F.lit("b").alias("src")))
@@ -1243,10 +1254,14 @@ def q233_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("src") == "c").cast("long")).alias("n_core"),
             F.sum((F.col("src") == "b").cast("long")).alias("n_border"),
         )
+        .localCheckpoint(eager=True)
     )
-    n_core_t = lab.count()
-    n_border_t = border.count()
-    n_clusters = clusters.count()
+    totals = clusters.agg(
+        F.sum("n_core"), F.sum("n_border"), F.count("*")
+    ).collect()[0]
+    n_core_t = int(totals[0] or 0)
+    n_border_t = int(totals[1] or 0)
+    n_clusters = int(totals[2])
     census = spark.createDataFrame(
         [
             (

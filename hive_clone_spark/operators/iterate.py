@@ -229,9 +229,10 @@ def q166_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Execution is iterative RELAXATION, not path enumeration:
 # g_{i+1}(k) = max(g_i(k), max_parents(g_i(parent)+1)), repeated until
 # no row changes — O(V) state and O(E) work per round for
-# critical-path-length rounds (~log2 N here), each round one
-# co-partitioned join + map-side-combinable max, lineage cut by
-# localCheckpoint (the fixpoint() discipline above). Enumerating
+# critical-path-length rounds (~log2 N here), each step one broadcast
+# edge join + map-side-combinable max over a union, K steps fused per
+# materialization round, lineage cut by localCheckpoint (the
+# fixpoint() discipline above). Enumerating
 # root-to-node paths instead multiplies rows by the path count
 # (superpolynomial on converging DAGs) — the oracle CAN afford it at
 # test scale via DuckDB's deduplicating recursive UNION on (node,
@@ -278,39 +279,58 @@ def q204_topo_generations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # reused once per relaxation round
     )
     # g := 0 for every node (root included); relax until stable.
+    # (children ∪ parents via one explode+distinct — the previous
+    # per-side distincts were redundant work ahead of the outer
+    # distinct: 3 exchanges where 1 suffices, guide §2.4)
     gen = (
-        edges.select(F.col("child").alias("node"))
-        .distinct()
-        .unionByName(
-            edges.select(F.col("par").alias("node")).distinct()
-        )
+        edges.selectExpr("explode(array(child, par)) AS node")
         .distinct()
         .select("node", F.lit(0).cast("int").alias("g"))
         .localCheckpoint(eager=True)
     )
+    # Fuse K relaxation steps into each materialized round: the relax
+    # operator is monotone and idempotent at the fixpoint, so applying
+    # it K times before checking convergence reaches the same fixpoint
+    # in ceil(D/K) rounds instead of D — the scheduling/action count
+    # (the dominant cost of an iterative job: one checkpoint + one
+    # convergence probe per round) drops by ~K while total join work is
+    # unchanged. The old generation rides along as a g0 column so the
+    # convergence probe is a scan of the checkpointed frame, not a
+    # separate self-join (guide §2.4: remove shuffles outright).
+    # Each step is ONE aggregation instead of a join+agg+left-join
+    # chain: g'(n) = max over the union of (n, g(n)) and, per edge
+    # par->n, (n, g(par)+1) — the same relaxation with half the
+    # exchanges per step (guide §2.4). The edge side is broadcast
+    # (tiny vs the node state at any scale where |E| << |V|·rounds of
+    # shuffle; at cluster scale the planner falls back to a shuffle
+    # join automatically if edges outgrow the broadcast threshold).
+    K = 4
     for _ in range(64):
-        cand = (
-            edges.join(gen, edges.par == gen.node)
-            .groupBy("child")
-            .agg((F.max("g") + 1).alias("gp"))
-        )
+        cur = gen.select("node", "g", F.col("g").alias("g0"))
+        for _ in range(K):
+            bump = F.broadcast(edges).join(
+                cur, edges.par == cur.node
+            ).select(
+                F.col("child").alias("node"),
+                (F.col("g") + 1).alias("g"),
+                F.lit(None).cast("int").alias("g0"),
+            )
+            cur = (
+                cur.unionByName(bump)
+                .groupBy("node")
+                .agg(
+                    F.max("g").cast("int").alias("g"),
+                    F.max("g0").alias("g0"),
+                )
+            )
         new_gen = (
-            gen.join(cand, gen.node == cand.child, "left")
-            .select(
-                "node",
-                F.greatest(F.col("g"), F.coalesce(F.col("gp"), F.lit(0)))
-                .cast("int")
-                .alias("g"),
+            cur.select(
+                "node", "g", (F.col("g") != F.col("g0")).alias("chg")
             )
             .localCheckpoint(eager=True)
         )
-        changed = new_gen.alias("a").join(
-            gen.alias("b"),
-            (F.col("a.node") == F.col("b.node"))
-            & (F.col("a.g") != F.col("b.g")),
-        )
-        stable = changed.isEmpty()
-        gen = new_gen
+        stable = new_gen.where("chg").isEmpty()
+        gen = new_gen.drop("chg")
         if stable:
             break
     else:

@@ -1180,6 +1180,12 @@ def q167_bloom_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed_f = keyed.select("k", fcol)
     dest = _warehouse(sf_dir, "bloomidx_q167")
     keyed_f.write.partitionBy("f").mode("overwrite").parquet(dest)
+    # Everything below derives from the 16 files just written, read
+    # BACK instead of re-running the orders scan + distinct + hash
+    # lazily per consumer (the index build, the range stats and the
+    # probe-key pick each re-executed that DAG before — guide §1.2:
+    # don't recompute what is already on disk).
+    kf = spark.read.option("basePath", dest).parquet(dest)
 
     # distributed index build: keys -> k bit positions -> (file, word)
     # cells OR-folded map-side; only 16 x 64 words ever reach the driver
@@ -1195,7 +1201,7 @@ def q167_bloom_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         % _BF_BITS
     ).alias("bit")
     words = (
-        keyed_f.select(
+        kf.select(
             "f", "k",
             F.explode(F.sequence(F.lit(0), F.lit(_BF_K - 1))).alias("i"),
         )
@@ -1217,18 +1223,19 @@ def q167_bloom_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f, ws in blooms.items():
         (idx_dir / f"f={f}.json").write_text(json.dumps(ws))
 
-    # per-file range stats (the useless-here baseline) + probe keys
+    # per-file range stats (the useless-here baseline); the global max
+    # is their max — no separate full-scan action for it
     stats = {
         int(r["f"]): (int(r["mn"]), int(r["mx"]))
-        for r in keyed_f.groupBy("f")
+        for r in kf.groupBy("f")
         .agg(F.min("k").alias("mn"), F.max("k").alias("mx"))
         .collect()
     }
-    m = int(keyed.agg(F.max("k")).collect()[0][0])
+    m = max(mx for _, mx in stats.values())
     jdim = spark.range(1, 7).select(F.col("id").alias("j"))
     present = {
         int(r["j"]): int(r["q"])
-        for r in keyed.crossJoin(F.broadcast(jdim))
+        for r in kf.select("k").crossJoin(F.broadcast(jdim))
         .where(F.col("k") >= F.expr(f"(j * {m}) div 7"))
         .groupBy("j")
         .agg(F.min("k").alias("q"))
@@ -1239,6 +1246,7 @@ def q167_bloom_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
     ledger = []
+    probe_pass: list[tuple[int, int]] = []  # (probe key, passing file)
     for q, is_present in probes:
         needed = [
             i * _BF_BITS + py_portable_hash(f"{i}:{q}") % _BF_BITS
@@ -1254,18 +1262,35 @@ def q167_bloom_file_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         files_minmax = sum(
             1 for mn, mx in stats.values() if mn <= q <= mx
         )
-        # the actual skip: scan ONLY the bloom-passing files
-        n_found = 0
-        if passing:
-            n_found = (
-                spark.read.parquet(*[f"{dest}/f={f}" for f in passing])
-                .where(F.col("k") == q)
-                .count()
+        probe_pass.extend((q, f) for f in passing)
+        ledger.append([q, is_present, files_minmax, len(passing), 0])
+
+    # the actual skip, ONE job for all probes: scan only the union of
+    # bloom-passing files and count each probe key within ITS passing
+    # set (the (q, f) broadcast keeps per-probe attribution exact) —
+    # previously one read+count action per probe
+    if probe_pass:
+        union_files = sorted({f for _, f in probe_pass})
+        pp = F.broadcast(
+            spark.createDataFrame(probe_pass, "q BIGINT, pf INT")
+        )
+        reads = spark.read.option("basePath", dest).parquet(
+            *[f"{dest}/f={f}" for f in union_files]
+        )
+        found = {
+            int(r["q"]): int(r["n"])
+            for r in reads.join(
+                pp, (reads.k == pp.q) & (reads.f == pp.pf)
             )
-        ledger.append((q, is_present, files_minmax, len(passing), n_found))
+            .groupBy("q")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        for row in ledger:
+            row[4] = found.get(row[0], 0)
 
     return spark.createDataFrame(
-        ledger,
+        [tuple(r) for r in ledger],
         "probe_key BIGINT, present BOOLEAN, files_minmax BIGINT, "
         "files_bloom BIGINT, n_found BIGINT",
     ).orderBy("probe_key")
