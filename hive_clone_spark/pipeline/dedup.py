@@ -2070,18 +2070,25 @@ def p_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = ss.groupBy("doc_id").agg(F.count("*").alias("n"))
     dfreq = ss.groupBy("h").agg(F.count("*").alias("df"))
-    ranked = ss.join(dfreq, "h").withColumn(
-        "rn",
-        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")),
+    # n comes from a count over the SAME doc_id window partitioning the
+    # rank needs — one exchange computes both, instead of a separate
+    # sizes aggregate joined back in (guide §2.4). The pref subtree
+    # still appears twice in the plan (both candidate sides); pinning
+    # it with a checkpoint was A/B'd and is SLOWER (11.0 vs 9.8 s same
+    # epoch): the duplicated subtrees execute as independent stages of
+    # ONE job and overlap on the cores, while a checkpoint serializes
+    # ss -> pref -> verify into strictly sequential actions.
+    wdoc = Window.partitionBy("doc_id")
+    ranked = ss.join(dfreq, "h").select(
+        "doc_id",
+        "h",
+        F.row_number().over(wdoc.orderBy("df", "h")).alias("rn"),
+        F.count("*").over(wdoc).alias("n"),
     )
-    pref = (
-        ranked.join(sizes, "doc_id")
-        .where(
-            F.col("rn")
-            <= F.col("n") - F.floor((3 * F.col("n") + 4) / 5) + 1
-        )
-        .select("doc_id", "h")
-    )
+    pref = ranked.where(
+        F.col("rn")
+        <= F.col("n") - F.floor((3 * F.col("n") + 4) / 5) + 1
+    ).select("doc_id", "h")
     a = pref.select(F.col("doc_id").alias("doc_a"), "h")
     b = pref.select(F.col("doc_id").alias("doc_b"), "h")
     cand = (
