@@ -458,28 +458,20 @@ class TxLog:
         actions — the data-skipping index every table format keeps.
         ``stats_by_value`` maps partition value -> {col: [min, max]}.
 
-        ``stats_col`` computes those per-value [min, max] stats DURING
-        the write itself via an ``Observation`` (conditional min/max per
-        candidate value in ``stats_values``, default the _SKIP_BUCKETS
-        range) — the stats-at-write discipline of production table
-        formats, replacing the separate groupBy+collect pass callers
-        otherwise pay (the staged frame was computed twice: once for
-        stats, once for the write). ``stats_key`` names the column in
-        the recorded stats (default ``stats_col`` — pass the LOGICAL
-        name when staging a physical-named frame of a mapped table)."""
-        obs = None
-        if stats_col is not None:
-            from pyspark.sql import Observation
-
-            if stats_values is None:
-                stats_values = range(_SKIP_BUCKETS)
-            exprs = []
-            for v in stats_values:
-                c = F.when(F.col(partition_col) == v, F.col(stats_col))
-                exprs.append(F.min(c).alias(f"mn_{v}"))
-                exprs.append(F.max(c).alias(f"mx_{v}"))
-            obs = Observation()
-            df = df.observe(obs, *exprs)
+        ``stats_col`` computes those per-value [min, max] stats from
+        the staged files themselves: the expensive input frame (often a
+        rewrite over affected files) is computed EXACTLY ONCE — by the
+        write — and the stats come from a column-pruned scan of the
+        freshly written (page-cache-warm) staged output, the same place
+        production formats harvest footer stats. An Observation on the
+        write was A/B'd and rejected: CollectMetrics evaluates its
+        conditional min/max accumulators per row interpreted, costing
+        more than this extra tiny job (q98 noop 1.90 s vs 1.53 s).
+        ``stats_values`` is accepted for API compatibility but unused —
+        the read-back sees exactly the values present. ``stats_key``
+        names the column in the recorded stats (default ``stats_col`` —
+        pass the LOGICAL name when staging a physical-named frame of a
+        mapped table)."""
         # partitionBy drops the partition column from the data files, so
         # the logical (read-side) schema excludes it
         self._staged_schema = json.loads(df.drop(partition_col).schema.json())
@@ -490,13 +482,23 @@ class TxLog:
             .partitionBy(partition_col)
             .parquet(str(stage))
         )
-        if obs is not None:
-            got = obs.get
+        # an empty input writes no partition dirs — nothing to read back
+        if stats_col is not None and any(stage.glob(f"{partition_col}=*")):
             key = stats_key or stats_col
+            staged = (
+                df.sparkSession.read.option("basePath", str(stage))
+                .parquet(str(stage))
+                .groupBy(partition_col)
+                .agg(
+                    F.min(stats_col).alias("mn"),
+                    F.max(stats_col).alias("mx"),
+                )
+                .collect()
+            )
             stats_by_value = {
-                int(v): {key: [int(got[f"mn_{v}"]), int(got[f"mx_{v}"])]}
-                for v in stats_values
-                if got[f"mn_{v}"] is not None
+                int(r[0]): {key: [int(r["mn"]), int(r["mx"])]}
+                for r in staged
+                if r["mn"] is not None
             }
         adds = []
         for vdir in sorted(stage.glob(f"{partition_col}=*")):
