@@ -2454,8 +2454,8 @@ def q145_partition_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    m = int(o.agg(F.max("o_orderkey")).collect()[0][0])
-    mc = int(o.agg(F.max("o_custkey")).collect()[0][0])
+    mrow = o.agg(F.max("o_orderkey"), F.max("o_custkey")).collect()[0]
+    m, mc = int(mrow[0]), int(mrow[1])
     # v0 — old spec: even keys, partitioned by CUSTKEY range
     v0 = o.where(F.col("o_orderkey") % 2 == 0).withColumn(
         "bucket",
@@ -2591,6 +2591,9 @@ def q148_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             lo=lo,
             hi=hi,
         )
+    # one action: per-version visible aggregate x physical count, all
+    # versions unioned — the union's arms run as parallel stages of a
+    # single job instead of 2 driver-sequenced actions per version
     rows = []
     for h in tl.history():
         v = h["version"]
@@ -2598,17 +2601,20 @@ def q148_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows_visible"),
             F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
         )
-        physical = spark.read.parquet(
-            *[str(tl.root / f) for f in tl.active_files(v)]
-        ).count()
+        physical = (
+            spark.read.parquet(
+                *[str(tl.root / f) for f in tl.active_files(v)]
+            )
+            .agg(F.count("*").alias("n_rows_physical"))
+        )
         rows.append(
-            visible.select(
+            visible.join(physical, F.lit(True), "left").select(
                 F.lit(v).cast("long").alias("version"),
                 F.lit(h["op"]).alias("op"),
                 F.lit(len(tl.dvs(v))).cast("long").alias("n_dv_files"),
                 F.lit(h["n_added"]).cast("long").alias("n_files_added"),
                 "n_rows_visible",
-                F.lit(physical).cast("long").alias("n_rows_physical"),
+                F.col("n_rows_physical").cast("long").alias("n_rows_physical"),
                 "sum_price",
             )
         )
@@ -3914,15 +3920,19 @@ def q215_txlog_optimize_clustering(spark: SparkSession, sf_dir: str) -> DataFram
         return len(all_f), len(chosen)
 
     before_active, before_scanned = probe(tl.latest_version())
+    # the pruned file LIST is resolved now (log metadata); the data
+    # files survive the optimize commit untouched (removal is logical
+    # until vacuum), so the v0 aggregate is DEFERRED and folded with
+    # the post-optimize one into a single two-arm job below
     pruned0 = spark.read.parquet(
         *[str(tl.root / f) for f in tl.scan_files("o_custkey", lo, hi)[1]]
     )
-    hit0 = pruned0.where(F.col("o_custkey").between(lo, hi)).agg(
+    hit0_df = pruned0.where(F.col("o_custkey").between(lo, hi)).agg(
         F.count("*").alias("n_rows"),
         F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
         .cast("long")
         .alias("rev_cents"),
-    ).collect()[0]
+    ).select(F.lit(0).alias("arm"), "n_rows", "rev_cents")
 
     # OPTIMIZE: one atomic commit swaps hash layout for range clustering
     range_df = o.withColumn(
@@ -3942,12 +3952,16 @@ def q215_txlog_optimize_clustering(spark: SparkSession, sf_dir: str) -> DataFram
     pruned1 = spark.read.parquet(
         *[str(tl.root / f) for f in tl.scan_files("o_custkey", lo, hi)[1]]
     )
-    hit1 = pruned1.where(F.col("o_custkey").between(lo, hi)).agg(
+    hit1_df = pruned1.where(F.col("o_custkey").between(lo, hi)).agg(
         F.count("*").alias("n_rows"),
         F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
         .cast("long")
         .alias("rev_cents"),
-    ).collect()[0]
+    ).select(F.lit(1).alias("arm"), "n_rows", "rev_cents")
+    hits = {
+        int(r["arm"]): r for r in hit0_df.unionByName(hit1_df).collect()
+    }
+    hit0, hit1 = hits[0], hits[1]
 
     return spark.createDataFrame(
         [
@@ -4463,16 +4477,27 @@ def q258_schema_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").startswith("1").alias("priority_flag"),
     )
     tl.append(evolved, n_files=2)                                    # v2
-    rows = []
+    # one action: the three per-version snapshot aggregates union into
+    # a single job (parallel stages) instead of 3 sequenced collects;
+    # the per-version column list is log metadata (no action)
+    arms, cols = [], {}
     for v in (0, 1, 2):
         snap = tl.read(spark, v)
-        agg = snap.agg(
-            F.count("*").alias("n"), F.sum("o_orderkey").alias("s")
-        ).collect()[0]
-        rows.append(
-            (v, int(agg["n"]), ",".join(snap.columns),
-             int(agg["s"]) if agg["s"] is not None else 0)
+        cols[v] = ",".join(snap.columns)
+        arms.append(
+            snap.agg(
+                F.count("*").alias("n"), F.sum("o_orderkey").alias("s")
+            ).select(F.lit(v).alias("v"), "n", "s")
         )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    aggs = {int(r["v"]): r for r in out.collect()}
+    rows = [
+        (v, int(aggs[v]["n"]), cols[v],
+         int(aggs[v]["s"]) if aggs[v]["s"] is not None else 0)
+        for v in (0, 1, 2)
+    ]
     return spark.createDataFrame(
         rows, "version BIGINT, n_rows BIGINT, cols STRING, key_sum BIGINT"
     ).orderBy("version")
@@ -4550,21 +4575,31 @@ def q259_alter_add_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 2 == 0).alias("priority_flag"),
     )
     tl.append(hi, n_files=2)                                         # v2
-    rows = []
+    # one action: the three per-version aggregates union into one job
+    arms, cols = [], {}
     for v in (0, 1, 2):
         snap = tl.read(spark, v)
-        agg = snap.agg(
-            F.count("*").alias("n"),
-            (
-                F.sum(F.col("priority_flag").cast("long"))
-                if "priority_flag" in snap.columns
-                else F.lit(None).cast("long")
-            ).alias("nt"),
-        ).collect()[0]
-        nt = agg["nt"]
-        if "priority_flag" in snap.columns and nt is None:
+        cols[v] = ",".join(snap.columns)
+        arms.append(
+            snap.agg(
+                F.count("*").alias("n"),
+                (
+                    F.sum(F.col("priority_flag").cast("long"))
+                    if "priority_flag" in snap.columns
+                    else F.lit(None).cast("long")
+                ).alias("nt"),
+            ).select(F.lit(v).alias("v"), "n", "nt")
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    aggs = {int(r["v"]): r for r in out.collect()}
+    rows = []
+    for v in (0, 1, 2):
+        nt = aggs[v]["nt"]
+        if "priority_flag" in cols[v].split(",") and nt is None:
             nt = 0  # SUM over all-NULL is NULL; the column exists, so 0
-        rows.append((v, int(agg["n"]), ",".join(snap.columns), nt))
+        rows.append((v, int(aggs[v]["n"]), cols[v], nt))
     return spark.createDataFrame(
         rows,
         "version BIGINT, n_rows BIGINT, cols STRING, n_flag_true BIGINT",
@@ -4693,30 +4728,40 @@ def q260_alter_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=None,
     )                                                                # v4
     hist = {h["version"]: h for h in tl.history()}
-    rows = []
+    # one action: the five per-version aggregates union into one job
+    arms, cols = [], {}
     for v in range(5):
         snap = tl.read(spark, v)
+        cols[v] = ",".join(snap.columns)
         name_col = "part_title" if "part_title" in snap.columns else "part_name"
-        agg = snap.agg(
-            F.count("*").alias("n"),
-            F.sum(F.length(name_col)).alias("l"),
-            (
-                F.sum("retail_cents")
-                if "retail_cents" in snap.columns
-                else F.lit(None).cast("long")
-            ).alias("c"),
-        ).collect()[0]
-        c = agg["c"]
-        if "retail_cents" in snap.columns and c is None:
+        arms.append(
+            snap.agg(
+                F.count("*").alias("n"),
+                F.sum(F.length(name_col)).alias("l"),
+                (
+                    F.sum("retail_cents")
+                    if "retail_cents" in snap.columns
+                    else F.lit(None).cast("long")
+                ).alias("c"),
+            ).select(F.lit(v).alias("v"), "n", "l", "c")
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    aggs = {int(r["v"]): r for r in out.collect()}
+    rows = []
+    for v in range(5):
+        c = aggs[v]["c"]
+        if "retail_cents" in cols[v].split(",") and c is None:
             c = 0  # SUM over all-NULL is NULL; the column exists, so 0
         rows.append(
             (
                 v,
                 hist[v]["op"],
                 hist[v]["n_added"] + hist[v]["n_removed"],
-                int(agg["n"]),
-                ",".join(snap.columns),
-                int(agg["l"]),
+                int(aggs[v]["n"]),
+                cols[v],
+                int(aggs[v]["l"]),
                 c,
             )
         )
@@ -4829,21 +4874,30 @@ def q261_restore_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert all((tl.root / a["file"]).exists() for a in c["add"])
     assert tl.dvs() == {}
     hist = {h["version"]: h for h in tl.history()}
-    rows = []
+    # one action: the five per-version aggregates union into one job
+    arms, cols = [], {}
     for v in range(5):
         snap = tl.read(spark, v)
-        agg = snap.agg(
-            F.count("*").alias("n"), F.sum("o_orderkey").alias("s")
-        ).collect()[0]
-        rows.append(
-            (
-                v,
-                hist[v]["op"],
-                int(agg["n"]),
-                ",".join(snap.columns),
-                int(agg["s"]) if agg["s"] is not None else 0,
-            )
+        cols[v] = ",".join(snap.columns)
+        arms.append(
+            snap.agg(
+                F.count("*").alias("n"), F.sum("o_orderkey").alias("s")
+            ).select(F.lit(v).alias("v"), "n", "s")
         )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    aggs = {int(r["v"]): r for r in out.collect()}
+    rows = [
+        (
+            v,
+            hist[v]["op"],
+            int(aggs[v]["n"]),
+            cols[v],
+            int(aggs[v]["s"]) if aggs[v]["s"] is not None else 0,
+        )
+        for v in range(5)
+    ]
     return spark.createDataFrame(
         rows,
         "version BIGINT, op STRING, n_rows BIGINT, cols STRING, "
@@ -4933,24 +4987,38 @@ def q262_reorg_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tl.reorg_purge(spark, stage=_restage)                            # v2
     assert tl.dvs() == {}
-    # the purge is row-invisible: no change rows in its feed window
-    assert tl.change_feed(spark, "o_orderkey", from_version=1).count() == 0
     hist = {h["version"]: h for h in tl.history()}
-    rows = []
+    # one action: the three per-version aggregates AND the purge-feed
+    # emptiness probe union into a single job (the feed count rides as
+    # arm v=-1; the assert below still enforces row-invisibility)
+    arms = [
+        tl.change_feed(spark, "o_orderkey", from_version=1)
+        .agg(F.count("*").alias("n"))
+        .select(F.lit(-1).alias("v"), "n", F.lit(None).cast("long").alias("s"))
+    ]
     for v in range(3):
-        agg = tl.read(spark, v).agg(
-            F.count("*").alias("n"), F.sum("o_orderkey").alias("s")
-        ).collect()[0]
-        rows.append(
-            (
-                v,
-                hist[v]["op"],
-                int(agg["n"]),
-                int(agg["s"]),
-                len(tl.dvs(v)),
-                hist[v]["n_added"] + hist[v]["n_removed"],
-            )
+        arms.append(
+            tl.read(spark, v)
+            .agg(F.count("*").alias("n"), F.sum("o_orderkey").alias("s"))
+            .select(F.lit(v).alias("v"), "n", "s")
         )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    aggs = {int(r["v"]): r for r in out.collect()}
+    # the purge is row-invisible: no change rows in its feed window
+    assert int(aggs[-1]["n"]) == 0
+    rows = [
+        (
+            v,
+            hist[v]["op"],
+            int(aggs[v]["n"]),
+            int(aggs[v]["s"]),
+            len(tl.dvs(v)),
+            hist[v]["n_added"] + hist[v]["n_removed"],
+        )
+        for v in range(3)
+    ]
     return spark.createDataFrame(
         rows,
         "version BIGINT, op STRING, n_rows BIGINT, key_sum BIGINT, "
