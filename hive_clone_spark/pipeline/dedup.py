@@ -1560,21 +1560,28 @@ def p_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(shingles_col(F.col("ws"), _SPAN_N)).alias("win"),
     ).select("doc_id", portable_hash(F.col("win")).alias("h"))
-    # two-step distinct-doc count: map-side combinable both steps
+    # pre-aggregate to (h, doc_id, c) — ONE map-side-combining shuffle
+    # of the exploded windows, shared by both consumers via exchange
+    # reuse (the old shape ran the scan+explode subtree twice and
+    # joined the full window stream against dup; this joins deduped
+    # rows and derives both per-doc counts from c)
+    g = occ.groupBy("h", "doc_id").agg(F.count("*").alias("c"))
+    # distinct-doc count per hash == row count of g per hash
     dup = (
-        occ.select("h", "doc_id")
-        .distinct()
-        .groupBy("h")
+        g.groupBy("h")
         .agg(F.count("*").alias("nd"))
         .where(F.col("nd") >= 2)
-        .select("h")
+        .select("h", F.lit(1).alias("hit"))
     )
     per_doc = (
-        occ.join(dup.withColumn("hit", F.lit(1)), "h", "left")
+        g.join(dup, "h", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_windows"),
-            F.count("hit").alias("n_dup_windows"),
+            F.sum("c").alias("n_windows"),
+            F.coalesce(
+                F.sum(F.when(F.col("hit").isNotNull(), F.col("c"))),
+                F.lit(0),
+            ).alias("n_dup_windows"),
         )
     )
     return (
