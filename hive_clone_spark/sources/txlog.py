@@ -2591,27 +2591,49 @@ def q148_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             lo=lo,
             hi=hi,
         )
-    # one action: per-version visible aggregate x physical count, all
-    # versions unioned — the union's arms run as parallel stages of a
-    # single job instead of 2 driver-sequenced actions per version
+    # one action: per-version ledger rows unioned into a single job
+    # whose arms run as parallel stages. Visible and physical aggregate
+    # over ONE scan of the version's active files — the DV anti-join
+    # becomes a broadcast marker join feeding a conditional aggregate,
+    # so each version costs one pass instead of two (and no 1-row
+    # scalar join appears in the plan).
     rows = []
     for h in tl.history():
         v = h["version"]
-        visible = tl.read(spark, v).agg(
-            F.count("*").alias("n_rows_visible"),
-            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        vdvs = tl.dvs(v)
+        scan = spark.read.parquet(
+            *[str(tl.root / f) for f in tl.active_files(v)]
         )
-        physical = (
-            spark.read.parquet(
-                *[str(tl.root / f) for f in tl.active_files(v)]
-            )
-            .agg(F.count("*").alias("n_rows_physical"))
+        if vdvs:
+            dead = [
+                (pathlib.Path(f).name, int(p))
+                for f, dv in vdvs.items()
+                for p in tl._read_dv(dv)
+            ]
+            dv_df = spark.createDataFrame(
+                dead, "__file string, __pos bigint"
+            ).withColumn("__dead", F.lit(True))
+            src = scan.select(
+                _dec("o_totalprice").alias("__p"),
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__file"),
+                F.col("_metadata.row_index").alias("__pos"),
+            ).join(F.broadcast(dv_df), ["__file", "__pos"], "left")
+            live = F.col("__dead").isNull()
+        else:
+            src = scan.select(_dec("o_totalprice").alias("__p"))
+            live = F.lit(True)
+        agg = src.agg(
+            F.count(F.when(live, F.lit(1))).alias("n_rows_visible"),
+            F.sum(F.when(live, F.col("__p"))).cast("double").alias("sum_price"),
+            F.count("*").alias("n_rows_physical"),
         )
         rows.append(
-            visible.join(physical, F.lit(True), "left").select(
+            agg.select(
                 F.lit(v).cast("long").alias("version"),
                 F.lit(h["op"]).alias("op"),
-                F.lit(len(tl.dvs(v))).cast("long").alias("n_dv_files"),
+                F.lit(len(vdvs)).cast("long").alias("n_dv_files"),
                 F.lit(h["n_added"]).cast("long").alias("n_files_added"),
                 "n_rows_visible",
                 F.col("n_rows_physical").cast("long").alias("n_rows_physical"),
