@@ -1321,6 +1321,43 @@ class TxLog:
         active_dvs = {f: p for f, p in dvs.items() if f in set(rel_files)}
         return _to_logical(self._apply_dvs(spark, df, active_dvs))
 
+    def _scan_files_at(
+        self, spark: SparkSession, rel_files: list[str], version: int
+    ) -> DataFrame:
+        """Raw file scan (no DV filtering) whose schema comes from the
+        LOG, not a footer sweep: the logical schema AS OF ``version``
+        renamed to the physical names the files carry (the _read_files
+        rule). The parquet reader NULL-fills columns a file predates —
+        what ``option(mergeSchema)`` reconstructed by reading every
+        footer (a small Spark job per read site; at scale, a pass over
+        every file's metadata). Falls back to mergeSchema when the log
+        carries no schema at ``version`` (pre-schema-action logs)."""
+        files = [str(self.root / f) for f in rel_files]
+        if version >= 0 and version in set(self.versions()):
+            _, _, _, _, logical, vmeta = self._replay(version)
+            if logical is not None:
+                from pyspark.sql.types import StructField, StructType
+
+                ls = StructType.fromJson(logical)
+                mapping = {
+                    k: v
+                    for k, v in vmeta.get("mapping", {}).items()
+                    if k in ls.fieldNames() and v != k
+                }
+                if mapping:
+                    ls = StructType(
+                        [
+                            StructField(
+                                mapping.get(f.name, f.name),
+                                f.dataType,
+                                f.nullable,
+                            )
+                            for f in ls.fields
+                        ]
+                    )
+                return spark.read.schema(ls).parquet(*files)
+        return spark.read.option("mergeSchema", "true").parquet(*files)
+
     def _apply_dvs(
         self, spark: SparkSession, df: DataFrame, dvs: dict[str, str]
     ) -> DataFrame:
@@ -1489,9 +1526,7 @@ class TxLog:
                 pos_df = spark.createDataFrame(
                     dv_rows[tag], "__file string, __pos bigint"
                 )
-                scan = spark.read.option("mergeSchema", "true").parquet(
-                    *[str(self.root / f) for f in sorted(dv_files[tag])]
-                )
+                scan = self._scan_files_at(spark, sorted(dv_files[tag]), v)
                 src = scan.select(
                     "*",
                     F.element_at(
@@ -1510,17 +1545,17 @@ class TxLog:
                         "*",
                     )
                 )
-            # mergeSchema: a commit may mix files written under
-            # different layouts (partitionBy strips the partition
-            # column; schema evolution adds columns) — without it the
-            # read picks ONE file's schema nondeterministically
+            # a commit may mix files written under different layouts
+            # (partitionBy strips the partition column; schema
+            # evolution adds columns) — the log's schema AS OF each
+            # side's version resolves that deterministically without a
+            # per-commit footer sweep: adds at v, removes at v-1 (the
+            # snapshot they last belonged to)
             a_df = (
                 _to_log(
                     self._apply_dvs(
                         spark,
-                        spark.read.option("mergeSchema", "true").parquet(
-                            *[str(self.root / f) for f in adds]
-                        ),
+                        self._scan_files_at(spark, adds, v),
                         this_add_dvs,
                     )
                 )
@@ -1531,9 +1566,7 @@ class TxLog:
                 _to_log(
                     self._apply_dvs(
                         spark,
-                        spark.read.option("mergeSchema", "true").parquet(
-                            *[str(self.root / f) for f in removes]
-                        ),
+                        self._scan_files_at(spark, removes, v - 1),
                         {f: p for f, p in prev_dvs.items() if f in set(removes)},
                     )
                 )
