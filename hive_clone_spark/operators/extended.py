@@ -5134,10 +5134,19 @@ def q178_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"),
     )
     ep = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
-    # l_orderkey rides along so the per-order distinct counts below can
-    # reuse THIS window's exchange instead of re-scanning + re-shuffling
-    # lineitem (guide §2.4: an aggregation keyed like the preceding
-    # window needs no second shuffle)
+    # ONE window pass feeds everything that needs run boundaries OR
+    # per-order structure: the window output aggregates BY l_orderkey
+    # (co-partitioned with the window's own exchange — no second
+    # shuffle), computing per-order row counts, run starts, and
+    # per-order distincts in a single co-grouped aggregate; global n /
+    # runs_X / srt_X are then sums over the tiny per-order frame. The
+    # r13 shape hung TWO aggregates (global multi-distinct m + per-order
+    # po) off the window output — the optimizer pruned the lag columns
+    # out of po's branch, the subtrees stopped canonicalizing equal, and
+    # the scan+window ran twice with no ReusedExchange (the r13 plan
+    # showed 4 scans / 14 exchanges). Global cardinalities card_X don't
+    # need the window at all: they aggregate the BASE scan once,
+    # map-side partial-distinct (§2.3). Same-epoch A/B: 4.5 -> 3.0 s.
     s = li.select(
         "l_orderkey",
         F.col("l_returnflag").alias("rf"),
@@ -5159,32 +5168,47 @@ def q178_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("long")
 
-    m = s.agg(
-        F.count("*").alias("n"),
-        F.countDistinct("rf").alias("card_rf"),
-        _runs("rf", "p_rf").alias("runs_rf"),
-        F.countDistinct("ls").alias("card_ls"),
-        _runs("ls", "p_ls").alias("runs_ls"),
-        F.countDistinct("qty").alias("card_qty"),
-        _runs("qty", "p_qty").alias("runs_qty"),
-        F.countDistinct("sk").alias("card_sk"),
-        _runs("sk", "p_sk").alias("runs_sk"),
-        F.countDistinct("ep").alias("card_ep"),
-        _runs("ep", "p_ep").alias("runs_ep"),
-    )
     po = s.groupBy("l_orderkey").agg(
+        F.count("*").alias("cnt"),
+        _runs("rf", "p_rf").alias("r_rf"),
+        _runs("ls", "p_ls").alias("r_ls"),
+        _runs("qty", "p_qty").alias("r_qty"),
+        _runs("sk", "p_sk").alias("r_sk"),
+        _runs("ep", "p_ep").alias("r_ep"),
         F.countDistinct("rf").alias("d_rf"),
         F.countDistinct("ls").alias("d_ls"),
         F.countDistinct("qty").alias("d_qty"),
         F.countDistinct("sk").alias("d_sk"),
         F.countDistinct("ep").alias("d_ep"),
     )
-    ms = po.agg(
+    # run starts summed per order == global run count: each order is
+    # its own window partition, so p_X is NULL exactly at every
+    # partition's first row and boundaries never cross orders
+    m = po.agg(
+        F.sum("cnt").alias("n"),
+        F.sum("r_rf").alias("runs_rf"),
+        F.sum("r_ls").alias("runs_ls"),
+        F.sum("r_qty").alias("runs_qty"),
+        F.sum("r_sk").alias("runs_sk"),
+        F.sum("r_ep").alias("runs_ep"),
         F.sum("d_rf").alias("srt_rf"),
         F.sum("d_ls").alias("srt_ls"),
         F.sum("d_qty").alias("srt_qty"),
         F.sum("d_sk").alias("srt_sk"),
         F.sum("d_ep").alias("srt_ep"),
+    )
+    ms = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.col("l_suppkey").alias("sk"),
+        ep.alias("ep"),
+    ).agg(
+        F.countDistinct("rf").alias("card_rf"),
+        F.countDistinct("ls").alias("card_ls"),
+        F.countDistinct("qty").alias("card_qty"),
+        F.countDistinct("sk").alias("card_sk"),
+        F.countDistinct("ep").alias("card_ep"),
     )
     cols = m.crossJoin(F.broadcast(ms)).select(
         F.expr(

@@ -2079,12 +2079,15 @@ def p_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = ss.groupBy("h").agg(F.count("*").alias("df"))
     # n comes from a count over the SAME doc_id window partitioning the
     # rank needs — one exchange computes both, instead of a separate
-    # sizes aggregate joined back in (guide §2.4). The pref subtree
-    # still appears twice in the plan (both candidate sides); pinning
-    # it with a checkpoint was A/B'd and is SLOWER (11.0 vs 9.8 s same
-    # epoch): the duplicated subtrees execute as independent stages of
-    # ONE job and overlap on the cores, while a checkpoint serializes
-    # ss -> pref -> verify into strictly sequential actions.
+    # sizes aggregate joined back in (guide §2.4). The candidate pair
+    # generation is a SELF-join of pref aliased twice with IDENTICAL
+    # projections on both sides (doc_a/doc_b renames happen AFTER the
+    # join): both join inputs canonicalize to the same exchange-on-h
+    # subtree, so Spark plans one Window pass + ReusedExchange instead
+    # of computing the whole ss->dfreq->rank subtree twice (the r13
+    # shape renamed doc_id per side BELOW the join, which made the
+    # subtrees differ and defeated reuse; an explicit checkpoint of
+    # pref was A/B'd SLOWER, 11.0 vs 9.8 s — it serialized the job).
     wdoc = Window.partitionBy("doc_id")
     ranked = ss.join(dfreq, "h").select(
         "doc_id",
@@ -2096,12 +2099,14 @@ def p_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn")
         <= F.col("n") - F.floor((3 * F.col("n") + 4) / 5) + 1
     ).select("doc_id", "h")
-    a = pref.select(F.col("doc_id").alias("doc_a"), "h")
-    b = pref.select(F.col("doc_id").alias("doc_b"), "h")
     cand = (
-        a.join(b, "h")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        pref.alias("pa")
+        .join(pref.alias("pb"), F.col("pa.h") == F.col("pb.h"))
+        .where(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        .select(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+        )
         .distinct()
     )
     sa = ss.select(F.col("doc_id").alias("doc_a"), "h")

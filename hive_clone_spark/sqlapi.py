@@ -1267,6 +1267,7 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
     from hive_clone_spark.sources.txlog import (
         CommitConflictError,
         ConstraintViolationError,
+        _footer_minmax,
         _with_bucket,
     )
 
@@ -1674,24 +1675,27 @@ def txlog_sql_dml(spark: SparkSession, tl, m: int, statement: str) -> str:
                         t = F.expr(cond).eqNullSafe(F.lit(True))
                         pred = t if pred is None else pred | t
                     inserts = inserts.where(pred)
-                ins_bounds = inserts.agg(
-                    F.min(tgt_key).alias("lo"), F.max(tgt_key).alias("hi")
-                ).collect()[0]
-                # No NOT-MATCHED rows -> no insert file. Staging an
-                # empty file would crash on int(None) bounds and leave
-                # a stats-less add-action in the log.
-                if ins_bounds["lo"] is not None:
-                    ins_adds = tl.stage_data(
-                        tl.to_physical(inserts, expected)
-                        if mapped
-                        else inserts,
-                        n_files=1,
-                    )
-                    for a in ins_adds:
-                        a["stats"] = {
-                            tgt_key: [int(ins_bounds["lo"]),
-                                      int(ins_bounds["hi"])]
-                        }
+                # Stage first, then take the key bounds from the staged
+                # file's own parquet footer (zero extra Spark jobs — the
+                # pre-r14 shape ran a separate min/max aggregate over
+                # the insert frame before staging it, computing the
+                # anti-join twice). No NOT-MATCHED rows -> the staged
+                # file is empty -> no footer stats: drop the file and
+                # commit no insert action, exactly the old no-op path.
+                ins_adds = tl.stage_data(
+                    tl.to_physical(inserts, expected) if mapped else inserts,
+                    n_files=1,
+                )
+                pkey = mapping.get(tgt_key, tgt_key) if mapped else tgt_key
+                kept = []
+                for a in ins_adds:
+                    mnmx = _footer_minmax(tl.root / a["file"], pkey)
+                    if mnmx is None:
+                        (tl.root / a["file"]).unlink()
+                        continue
+                    a["stats"] = {tgt_key: [mnmx[0], mnmx[1]]}
+                    kept.append(a)
+                ins_adds = kept
             try:
                 # tgt_clauses: publish the REWRITTEN target layout.
                 # insert-only: schema=None publishes NO schema action

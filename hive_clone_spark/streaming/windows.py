@@ -1056,11 +1056,19 @@ def q212_stream_complete_leaderboard(spark: SparkSession, sf_dir: str) -> DataFr
         .write.mode("overwrite")
         .parquet(src_dir)
     )
+    # 3 files per trigger -> TWO micro-batches over the 5 staged files:
+    # still exercises complete mode's re-emit-on-every-batch contract
+    # (the memory sink's table is replaced twice), but stops paying the
+    # per-batch fixed cost (state-store commit + full re-emission +
+    # scheduling) five times for an order-insensitive aggregate whose
+    # final table is identical under any batching. r13 scaling data
+    # showed this entry ANTI-scaling (8 cores beat 32, ratio 0.57):
+    # the cost was per-micro-batch overhead, not compute.
     src = (
         spark.readStream.schema(
             "event_id BIGINT, ts TIMESTAMP, event_type STRING, cents BIGINT"
         )
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 3)
         .parquet(src_dir)
     )
     agg = src.groupBy("event_type").agg(
