@@ -816,10 +816,19 @@ def q146_stream_dedup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = os.path.join(sf_dir, "events.parque[t]")
     # no per-trigger cap: both redelivered copies must land within one
-    # watermark horizon (q66's pinned assumption)
+    # watermark horizon (q66's pinned assumption). Declared columns
+    # narrowed to what the dedup key + window aggregate touch —
+    # user_id otherwise rides through the dedup STATE STORE and both
+    # stateful shuffles unused (§2.3; the r13 stateful-streaming
+    # column-narrowing discipline applied to this chain).
+    cols = ["event_id", "ts", "event_type", "value"]
     redelivered = read_events_stream(
-        spark, path, max_files_per_trigger=None
-    ).unionByName(read_events_stream(spark, path, max_files_per_trigger=None))
+        spark, path, max_files_per_trigger=None, columns=cols
+    ).unionByName(
+        read_events_stream(
+            spark, path, max_files_per_trigger=None, columns=cols
+        )
+    )
     agg = (
         dedup_stream(redelivered)
         .groupBy(F.window("ts", "1 hour"), "event_type")
